@@ -1,0 +1,92 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Chunk-blob compression codecs (reference: src/Codings.jl).
+  *
+  * Decode magic-number sniffing is preserved: a blob whose bytes don't start
+  * with the codec's magic passes through undecoded
+  * (reference: src/Codings.jl:52-57 zstd, 66-72 gzip) — this is how
+  * stores that transparently (de)compress stay readable.
+  *
+  * The encoding registry maps the info `encoding` string to a codec, with the
+  * reference's surprising-but-load-bearing rule that `"raw"` chunks are
+  * gzip-compressed at rest (reference: src/Infos.jl:23-30 "the raw encoding in
+  * cloud storage will be automatically gzip encoded"), and gzip is the default
+  * (reference: src/Codings.jl:37).
+  */
+object Codec {
+
+  sealed trait ChunkCodec extends Serializable {
+    def name: String
+    def encode(raw: Array[Byte]): Array[Byte]
+    def decode(blob: Array[Byte]): Array[Byte]
+  }
+
+  /** Identity (reference: src/Codings.jl:39-45). Only reachable by explicit
+    * request — the registry aliases "raw" to gzip like the reference. */
+  case object RawCodec extends ChunkCodec {
+    val name = "identity"
+    def encode(raw: Array[Byte]): Array[Byte] = raw
+    def decode(blob: Array[Byte]): Array[Byte] = blob
+  }
+
+  private val GzipMagic = Array[Byte](0x1f, 0x8b.toByte, 0x08)
+  private val ZstdMagic = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte)
+
+  private def hasMagic(b: Array[Byte], magic: Array[Byte]): Boolean =
+    b.length >= magic.length && magic.indices.forall(i => b(i) == magic(i))
+
+  /** reference: src/Codings.jl:60-72. */
+  case object GzipCodec extends ChunkCodec {
+    val name = "gzip"
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val gz = new GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+    def decode(blob: Array[Byte]): Array[Byte] =
+      if (!hasMagic(blob, GzipMagic)) blob // magic-sniff passthrough
+      else {
+        val in = new GZIPInputStream(new ByteArrayInputStream(blob))
+        val out = new ByteArrayOutputStream(blob.length * 3 + 64)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out.toByteArray
+      }
+  }
+
+  /** reference: src/Codings.jl:47-57; zstd-jni ships with Spark. */
+  case object ZstdCodec extends ChunkCodec {
+    val name = "zstd"
+    def encode(raw: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(raw)
+    def decode(blob: Array[Byte]): Array[Byte] =
+      if (!hasMagic(blob, ZstdMagic)) blob // magic-sniff passthrough
+      else {
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(blob)
+        com.github.luben.zstd.Zstd.decompress(blob, size.toInt)
+      }
+  }
+
+  /** Encoding-string → codec registry (reference: src/Infos.jl:23-30).
+    * "blosclz" and "jpeg" are declared by the reference but blosc requires a
+    * native lib not present here and jpeg encode is unimplemented/decode
+    * disabled in the reference itself (src/Codings.jl:82-94) — both rejected
+    * with a clear error rather than silently mis-stored. */
+  def forEncoding(encoding: String): ChunkCodec = encoding match {
+    case "raw" => GzipCodec // src/Infos.jl:24-25
+    case "gzip" => GzipCodec
+    case "zstd" => ZstdCodec
+    case "identity" => RawCodec
+    case "blosclz" | "jpeg" =>
+      throw new UnsupportedOperationException(
+        s"encoding '$encoding' is not supported by this engine (blosc needs a native lib; " +
+          "jpeg is decode-only and disabled in the reference: src/Codings.jl:82-94)")
+    case other => throw new IllegalArgumentException(s"unknown encoding: $other")
+  }
+}
