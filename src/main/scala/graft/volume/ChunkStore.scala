@@ -1,0 +1,86 @@
+package graft.volume
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Key-value chunk store over any Hadoop FileSystem (`file://`, `s3a://`,
+  * `gs://`, hdfs, ...) — the engine's counterpart of the reference's backend
+  * dictionaries (reference: src/BackendBase.jl:3, src/backends/ dir). Protocol
+  * dispatch is Hadoop path-scheme resolution, replacing the reference's
+  * hand-rolled prefix dispatch (reference: src/type.jl:37-50).
+  *
+  * Store semantics preserved from the reference:
+  *  - a missing key raises [[MissingChunkException]] (≅ `KeyError`,
+  *    reference: src/backends/S3Dicts.jl:79-98 maps NoSuchKey → KeyError);
+  *  - last-writer-wins per object, no transactions (matches the reference's
+  *    object-store model).
+  */
+object ChunkStore {
+
+  final class MissingChunkException(val key: String)
+    extends RuntimeException(s"no such chunk key in store: $key")
+
+  /** Hadoop Configuration isn't Serializable; this wrapper ships it to
+    * executors via its writable form (public Hadoop API only). */
+  final class SerializableConf(@transient var conf: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  def fs(root: String, conf: Configuration): FileSystem = {
+    val f = new Path(root).getFileSystem(conf)
+    // no .crc sidecar objects: the store layout must stay byte-compatible
+    // with the precomputed format (one object per chunk + info)
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
+
+  def read(fs: FileSystem, root: String, key: String): Array[Byte] = {
+    val p = new Path(root, key)
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new ByteArrayOutputStream(64 * 1024)
+        val buf = new Array[Byte](256 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    } catch {
+      case _: FileNotFoundException => throw new MissingChunkException(key)
+    }
+  }
+
+  def readOpt(fs: FileSystem, root: String, key: String): Option[Array[Byte]] =
+    try Some(read(fs, root, key)) catch { case _: MissingChunkException => None }
+
+  def write(fs: FileSystem, root: String, key: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(root, key)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def exists(fs: FileSystem, root: String, key: String): Boolean =
+    fs.exists(new Path(root, key))
+
+  def delete(fs: FileSystem, root: String, key: String): Boolean =
+    fs.delete(new Path(root, key), false)
+
+  /** List object names under `root/prefix` (non-recursive), like the
+    * backends' `keys` (reference: src/backends/S3Dicts.jl:104-112). */
+  def list(fs: FileSystem, root: String, prefix: String): Seq[String] = {
+    val dir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).filterNot(_.startsWith("."))
+  }
+}

@@ -1,0 +1,415 @@
+package graft.volume
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Codec, Grid, Meta}
+import graft.core.Grid.{Box, ChunkSlice, Ival}
+import graft.core.Meta.{ScaleMeta, VolumeMeta, VoxelType}
+
+/** Everything an executor needs to plan/fetch/decode chunks for one mip level
+  * — a serializable projection of the volume handle (the reference's
+  * `BigArray` struct fields, src/type.jl:7-13). */
+final case class VolumeCtx(
+    root: String,
+    scaleKey: String,
+    chunkSize: (Int, Int, Int),
+    voxelOffset: (Int, Int, Int),
+    volumeBox: Box,
+    dataType: VoxelType,
+    numChannels: Int,
+    encoding: String,
+    fillMissing: Boolean) {
+
+  def codec: Codec.ChunkCodec = Codec.forEncoding(encoding)
+
+  def keyOf(slice: ChunkSlice): String = s"$scaleKey/${slice.key}"
+
+  /** Clamped chunk slice for grid coords (volume-stop clamping like
+    * adjust_volume_boundary, reference: src/type.jl:165-205). */
+  def sliceAt(cx: Int, cy: Int, cz: Int, query: Box): Option[ChunkSlice] = {
+    val (csx, csy, csz) = chunkSize
+    val (ox, oy, oz) = (Grid.gridOffset(voxelOffset._1, csx),
+      Grid.gridOffset(voxelOffset._2, csy), Grid.gridOffset(voxelOffset._3, csz))
+    val chunkBox = Box(Grid.chunkIval(cx, csx, ox), Grid.chunkIval(cy, csy, oy), Grid.chunkIval(cz, csz, oz))
+    val cut = chunkBox.intersect(query)
+    if (cut.intersect(volumeBox).isEmpty) None // out-of-volume skip (sequential.jl:33-37)
+    else {
+      def clampHi(b: Box): Box = Box(
+        Ival(b.x.lo, math.min(b.x.hi, volumeBox.x.hi)),
+        Ival(b.y.lo, math.min(b.y.hi, volumeBox.y.hi)),
+        Ival(b.z.lo, math.min(b.z.hi, volumeBox.z.hi)))
+      Some(ChunkSlice(cx, cy, cz, clampHi(chunkBox), clampHi(cut)))
+    }
+  }
+
+  /** Decode a blob into a buffer anchored at the (clamped) chunk box.
+    * Boundary chunks are stored partial — shape comes from the clamped box
+    * (reference: src/modes/sequential.jl:43-48). */
+  def decodeChunk(slice: ChunkSlice, blob: Array[Byte]): VoxelBuffer = {
+    val raw = codec.decode(blob)
+    val b = slice.chunkBox
+    new VoxelBuffer(dataType, b.x.len, b.y.len, b.z.len, numChannels,
+      (b.x.lo, b.y.lo, b.z.lo), raw)
+  }
+
+  def encodeChunk(buf: VoxelBuffer): Array[Byte] = codec.encode(buf.bytes)
+}
+
+/** One fetched-and-clipped piece of a cutout, shipped executor → driver. */
+final case class CutPiece(ox: Int, oy: Int, oz: Int, sx: Int, sy: Int, sz: Int, bytes: Array[Byte])
+
+/** A handle on one chunked N-d array dataset — the engine's `BigArray`
+  * (reference: src/type.jl). Reads and writes are Spark jobs over the chunk
+  * grid; the voxel view (`toVoxels`) is the bridge to the relational surface.
+  *
+  * Scale design notes (100 TB target):
+  *  - chunk task sets are generated distributedly from `spark.range` (no
+  *    driver-side chunk enumeration), so a petavoxel cutout plans in O(1)
+  *    driver memory;
+  *  - `cutout` materializes on the driver (API parity with the reference's
+  *    `ba[ranges...]`) and is guarded by a size cap — large reads should stay
+  *    distributed via `toVoxels`;
+  *  - `fromVoxels` shuffles voxels once, by chunk id (the only shuffle in the
+  *    write path), then assembles and writes each chunk object in the task.
+  */
+final class Volume(
+    @transient val spark: SparkSession,
+    val root: String,
+    val meta: VolumeMeta,
+    val mip: Int = 1,
+    val fillMissing: Boolean = true) extends Serializable {
+
+  val scaleMeta: ScaleMeta = meta.scale(mip)
+
+  val ctx: VolumeCtx = VolumeCtx(root, scaleMeta.key, scaleMeta.chunkSize,
+    scaleMeta.voxelOffset, scaleMeta.volumeBox, meta.dataType, meta.numChannels,
+    scaleMeta.encoding, fillMissing)
+
+  private def hconf = new ChunkStore.SerializableConf(
+    spark.sessionState.newHadoopConf())
+
+  /** Number of chunks a box touches — counts grid cells in the bounding id
+    * box, like the reference (src/type.jl:285-292). Pure math, no I/O. */
+  def numChunks(query: Box): Long = {
+    val (csx, csy, csz) = ctx.chunkSize
+    val ox = Grid.gridOffset(ctx.voxelOffset._1, csx)
+    val oy = Grid.gridOffset(ctx.voxelOffset._2, csy)
+    val oz = Grid.gridOffset(ctx.voxelOffset._3, csz)
+    val nx = Grid.chunkIdOf(query.x.hi, csx, ox) - Grid.chunkIdOf(query.x.lo, csx, ox) + 1L
+    val ny = Grid.chunkIdOf(query.y.hi, csy, oy) - Grid.chunkIdOf(query.y.lo, csy, oy) + 1L
+    val nz = Grid.chunkIdOf(query.z.hi, csz, oz) - Grid.chunkIdOf(query.z.lo, csz, oz) + 1L
+    nx * ny * nz
+  }
+
+  /** Distributed chunk-task table for a query box: one row per grid cell in
+    * the pruned id range — the reference's ChunkIterator as a DataFrame
+    * (reference: src/ChunkIterators.jl:9-42). Generated from `spark.range`,
+    * so it never materializes on the driver. */
+  def chunkTasks(query: Box): DataFrame = {
+    val (csx, csy, csz) = ctx.chunkSize
+    val ox = Grid.gridOffset(ctx.voxelOffset._1, csx)
+    val oy = Grid.gridOffset(ctx.voxelOffset._2, csy)
+    val oz = Grid.gridOffset(ctx.voxelOffset._3, csz)
+    val lox = Grid.chunkIdOf(query.x.lo, csx, ox); val hix = Grid.chunkIdOf(query.x.hi, csx, ox)
+    val loy = Grid.chunkIdOf(query.y.lo, csy, oy); val hiy = Grid.chunkIdOf(query.y.hi, csy, oy)
+    val loz = Grid.chunkIdOf(query.z.lo, csz, oz); val hiz = Grid.chunkIdOf(query.z.hi, csz, oz)
+    val nx = hix - lox + 1L; val ny = hiy - loy + 1L; val nz = hiz - loz + 1L
+    val total = nx * ny * nz
+    val parts = math.max(1, math.min(total, spark.sparkContext.defaultParallelism * 2L)).toInt
+    // `div` (integral division), not `/` (double division): exact for any id
+    spark.range(0, total, 1, parts).select(
+      expr(s"cast(${lox}L + (id % ${nx}L) as int)").as("cx"),
+      expr(s"cast(${loy}L + ((id div ${nx}L) % ${ny}L) as int)").as("cy"),
+      expr(s"cast(${loz}L + (id div ${nx * ny}L) as int)").as("cz"))
+  }
+
+  /** Fetch + decode + clip the chunks of `query`; returns pieces anchored at
+    * global coords. The per-partition loop opens one FileSystem and streams
+    * chunks through fetch→decode→clip, the executor-side analog of the
+    * reference's worker pipeline (src/modes/multithreads.jl:66-123). */
+  private def cutPieces(query: Box): Dataset[CutPiece] = {
+    val c = ctx; val conf = hconf
+    implicit val enc = Encoders.product[CutPiece]
+    chunkTasks(query).as(Encoders.product[(Int, Int, Int)]).mapPartitions { it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, query).flatMap { s =>
+          ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+            case Some(blob) =>
+              val chunk = c.decodeChunk(s, blob)
+              val piece = chunk.slice(s.cutoutBox)
+              Some(CutPiece(piece.origin._1, piece.origin._2, piece.origin._3,
+                piece.sx, piece.sy, piece.sz, piece.bytes))
+            case None if c.fillMissing => None // zeros (sequential.jl:52-54)
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+          }
+        }
+      }
+    }
+  }
+
+  /** N-d range read: the reference's `ba[x0:x1, y0:y1, z0:z1]`
+    * (reference: src/type.jl:212-223). Returns a zero-initialized buffer
+    * anchored at the query origin; out-of-volume / missing chunks stay zero.
+    * Driver-side materialization is capped — use `toVoxels` for big boxes. */
+  def cutout(query: Box, maxBytes: Long = 2L << 30): VoxelBuffer = {
+    val bytesNeeded = query.numVoxels * meta.numChannels * meta.dataType.byteSize
+    require(bytesNeeded <= maxBytes,
+      s"cutout of $bytesNeeded bytes exceeds cap $maxBytes; use toVoxels for distributed processing")
+    val out = VoxelBuffer.zeros(meta.dataType, query.x.len, query.y.len, query.z.len,
+      meta.numChannels, (query.x.lo, query.y.lo, query.z.lo))
+    cutPieces(query).collect().foreach { p =>
+      val piece = new VoxelBuffer(meta.dataType, p.sx, p.sy, p.sz, meta.numChannels,
+        (p.ox, p.oy, p.oz), p.bytes)
+      out.blit(piece, piece.box)
+    }
+    out
+  }
+
+  /** Spark schema of the voxel view, with unsigned types widened losslessly
+    * (Spark has no unsigned ints): u8→Short, u16→Int, u32→Long,
+    * u64→Decimal(20,0), f32→Float, f64→Double, bool→Boolean. */
+  def voxelSchema: StructType = StructType(Seq(
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("z", IntegerType, nullable = false),
+    StructField("c", IntegerType, nullable = false),
+    StructField("value", Volume.widenedType(meta.dataType), nullable = false)))
+
+  /** The distributed long-form view of a box: one row per voxel
+    * `(x, y, z, c, value)` in global coordinates — what joins/aggregations
+    * and the whole relational surface run on. Missing chunks yield zeros,
+    * preserving the reference's fill semantics (src/modes/sequential.jl:52-54). */
+  def toVoxels(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    val schema = voxelSchema
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val rows = chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, query).toSeq.flatMap { s =>
+          val bufOpt = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+            case Some(blob) => Some(c.decodeChunk(s, blob))
+            case None if c.fillMissing => None
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+          }
+          val cut = s.cutoutBox
+          for {
+            ch <- 0 until c.numChannels
+            z <- cut.z.lo to cut.z.hi
+            y <- cut.y.lo to cut.y.hi
+            x <- cut.x.lo to cut.x.hi
+          } yield {
+            val v: Any = bufOpt match {
+              case Some(b) =>
+                val (lx, ly, lz) = (x - b.origin._1, y - b.origin._2, z - b.origin._3)
+                Volume.widenedValue(c.dataType, b, lx, ly, lz, ch)
+              case None => Volume.zeroValue(c.dataType)
+            }
+            Row(x, y, z, ch, v)
+          }
+        }
+      }
+    })(rowEnc)
+    rows
+  }
+
+  /** Driver-buffer ingest: the reference's `ba[ranges...] = buf`
+    * (reference: src/type.jl:137-150). Enforces chunk-aligned write starts
+    * like the reference (src/modes/multithreads.jl:45-47: alignment uses the
+    * raw voxel offset), clamps at the volume boundary, slices/encodes/puts
+    * one object per chunk. The buffer ships to executors via broadcast —
+    * fine for cutout-sized writes; use `fromVoxels` for bulk loads. */
+  def ingest(buf: VoxelBuffer): Unit = {
+    val q = buf.box
+    val (csx, csy, csz) = ctx.chunkSize
+    val (offx, offy, offz) = ctx.voxelOffset
+    require(Math.floorMod(q.x.lo - 1 - offx, csx) == 0 &&
+      Math.floorMod(q.y.lo - 1 - offy, csy) == 0 &&
+      Math.floorMod(q.z.lo - 1 - offz, csz) == 0,
+      "write start must align with the chunk grid (reference: src/modes/multithreads.jl:45-47)")
+    require(buf.nc == meta.numChannels, "channel count mismatch")
+    require(buf.dataType == meta.dataType, "dtype mismatch")
+    val c = ctx; val conf = hconf
+    val bufBc = spark.sparkContext.broadcast(buf)
+    val written = chunkTasks(q).as(Encoders.product[(Int, Int, Int)]).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      val b = bufBc.value
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, q).map { s =>
+          // the stored blob must always cover the volume-clamped chunk box
+          // (that's the shape the read path reconstructs from the key). A
+          // chunk only partially covered by the write box is read-modify-
+          // written so existing data outside the write box survives.
+          val cb = s.chunkBox
+          val covered = cb.intersect(b.box)
+          val chunkBuf =
+            if (covered == cb) b.slice(cb)
+            else {
+              val merged = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+                case Some(blob) => c.decodeChunk(s, blob)
+                case None => VoxelBuffer.zeros(c.dataType, cb.x.len, cb.y.len, cb.z.len,
+                  c.numChannels, (cb.x.lo, cb.y.lo, cb.z.lo))
+              }
+              merged.blit(b, covered)
+              merged
+            }
+          ChunkStore.write(fs, c.root, c.keyOf(s), c.encodeChunk(chunkBuf))
+          1
+        }
+      }
+    })(Encoders.scalaInt)
+    written.count() // force the job
+    bufBc.destroy()
+  }
+
+  /** Bulk distributed ingest from a voxel DataFrame `(x, y, z[, c], value)`.
+    * One shuffle (by chunk id), then per-chunk assembly + encode + put.
+    * Whole chunks are written: voxels absent from the input within a touched
+    * chunk become zero. Values outside the volume box are dropped (boundary
+    * clamp). */
+  def fromVoxels(df: DataFrame): Long = {
+    val c = ctx; val conf = hconf
+    val (csx, csy, csz) = ctx.chunkSize
+    val ox = Grid.gridOffset(c.voxelOffset._1, csx)
+    val oy = Grid.gridOffset(c.voxelOffset._2, csy)
+    val oz = Grid.gridOffset(c.voxelOffset._3, csz)
+    val withC = if (df.columns.contains("c")) df else df.withColumn("c", lit(0))
+    val vb = c.volumeBox
+    val isFloat = meta.dataType == Meta.TFloat32 || meta.dataType == Meta.TFloat64
+    // transport: Long for integer types, Double for float types (f32→f64 is
+    // exact). Avoids any UDF in the shuffled projection.
+    val vLong = Volume.valueAsLong(meta.dataType, col("value"))
+    val vDbl = if (isFloat) col("value").cast(DoubleType) else lit(0.0)
+    val prepared = withC
+      .filter(col("x").between(vb.x.lo, vb.x.hi) && col("y").between(vb.y.lo, vb.y.hi) &&
+        col("z").between(vb.z.lo, vb.z.hi))
+      .select(
+        floor((col("x") - 1 - ox) / csx).cast(IntegerType).plus(1).as("cx"),
+        floor((col("y") - 1 - oy) / csy).cast(IntegerType).plus(1).as("cy"),
+        floor((col("z") - 1 - oz) / csz).cast(IntegerType).plus(1).as("cz"),
+        col("x").cast(IntegerType), col("y").cast(IntegerType), col("z").cast(IntegerType),
+        col("c").cast(IntegerType), vLong.as("vl"), vDbl.as("vd"))
+    implicit val enc = Encoders.product[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]
+    val keyed = prepared.as[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]
+      .groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }(Encoders.product[(Int, Int, Int)])
+    val results = keyed.mapGroups((key: (Int, Int, Int), voxels: Iterator[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]) => {
+      val (cx, cy, cz) = key
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      // whole-box query so sliceAt clamps to the volume only
+      c.sliceAt(cx, cy, cz, c.volumeBox) match {
+        case Some(s) =>
+          val b = s.chunkBox
+          val chunkBuf = VoxelBuffer.zeros(c.dataType, b.x.len, b.y.len, b.z.len,
+            c.numChannels, (b.x.lo, b.y.lo, b.z.lo))
+          voxels.foreach { case (_, _, _, x, y, z, ch, vl, vd) =>
+            if (b.x.contains(x) && b.y.contains(y) && b.z.contains(z)) {
+              if (isFloat) chunkBuf.setDouble(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vd)
+              else chunkBuf.setLong(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vl)
+            }
+          }
+          ChunkStore.write(fs, c.root, c.keyOf(s), c.encodeChunk(chunkBuf))
+          1L
+        case None => 0L
+      }
+    })(Encoders.scalaLong)
+    results.reduce(_ + _)
+  }
+
+  /** Expected-grid minus store listing — the reference's
+    * `list_missing_chunks` re-expressed as a left-anti join
+    * (reference: src/type.jl:299-328). */
+  def missingChunks(query: Box): Dataset[String] = {
+    val c = ctx; val conf = hconf
+    implicit val se = Encoders.STRING
+    val expected = chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
+      .mapPartitions(it => it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, query).map(_.key)
+      })
+    val listed = ChunkStore.list(
+      ChunkStore.fs(root, spark.sessionState.newHadoopConf()), root, ctx.scaleKey)
+      .map(_.stripSuffix(".gz"))
+    val listedDs = spark.createDataset(listed)
+    expected.toDF("key").join(listedDs.toDF("key"), Seq("key"), "left_anti").as[String]
+  }
+
+  /** Write the info JSON back to the store (reference: src/type.jl:335-339). */
+  def commitInfo(): Unit = {
+    val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
+    ChunkStore.write(fs, root, "info", Meta.toJson(meta).getBytes("UTF-8"))
+  }
+}
+
+object Volume {
+
+  /** Open an existing dataset: fetch + parse `info`
+    * (reference: src/type.jl:52-64; gzip-compressed info accepted). */
+  def open(spark: SparkSession, root: String, mip: Int = 1, fillMissing: Boolean = true): Volume = {
+    val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
+    val raw = ChunkStore.read(fs, root, "info")
+    val jsonBytes = Codec.GzipCodec.decode(raw) // sniffs magic; passthrough if plain
+    new Volume(spark, root, Meta.parse(new String(jsonBytes, "UTF-8")), mip, fillMissing)
+  }
+
+  /** Create a new dataset: write `info`, return the handle
+    * (reference: src/type.jl:85-99). */
+  def create(spark: SparkSession, root: String, meta: VolumeMeta, mip: Int = 1,
+             fillMissing: Boolean = true): Volume = {
+    val v = new Volume(spark, root, meta, mip, fillMissing)
+    v.commitInfo()
+    v
+  }
+
+  import graft.core.Meta._
+
+  def widenedType(t: VoxelType): DataType = t match {
+    case TBool => BooleanType
+    case TUInt8 => ShortType
+    case TUInt16 => IntegerType
+    case TUInt32 => LongType
+    case TUInt64 => DecimalType(20, 0)
+    case TFloat32 => FloatType
+    case TFloat64 => DoubleType
+  }
+
+  private[volume] def widenedValue(t: VoxelType, b: VoxelBuffer, x: Int, y: Int, z: Int, c: Int): Any =
+    t match {
+      case TBool => b.getLong(x, y, z, c) != 0L
+      case TUInt8 => b.getLong(x, y, z, c).toShort
+      case TUInt16 => b.getLong(x, y, z, c).toInt
+      case TUInt32 => b.getLong(x, y, z, c)
+      case TUInt64 =>
+        val bits = b.getLong(x, y, z, c)
+        new java.math.BigDecimal(new java.math.BigInteger(java.lang.Long.toUnsignedString(bits)))
+      case TFloat32 => b.getDouble(x, y, z, c).toFloat
+      case TFloat64 => b.getDouble(x, y, z, c)
+    }
+
+  private[volume] def zeroValue(t: VoxelType): Any = t match {
+    case TBool => false
+    case TUInt8 => 0.toShort
+    case TUInt16 => 0
+    case TUInt32 => 0L
+    case TUInt64 => java.math.BigDecimal.ZERO
+    case TFloat32 => 0.0f
+    case TFloat64 => 0.0
+  }
+
+  /** Integer-family widened value column → storage Long (two's-complement
+    * wrap for u64/Decimal computed arithmetically, exact in Decimal). For
+    * float types this column is unused (they ride the Double transport). */
+  private[volume] def valueAsLong(t: VoxelType, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    t match {
+      case TBool => when(v, 1L).otherwise(0L)
+      case TUInt8 | TUInt16 | TUInt32 => v.cast(LongType)
+      case TUInt64 =>
+        val wide = v.cast(DecimalType(21, 0))
+        when(wide >= lit(new java.math.BigDecimal("9223372036854775808")),
+          (wide - lit(new java.math.BigDecimal("18446744073709551616"))).cast(LongType))
+          .otherwise(v.cast(LongType))
+      case TFloat32 | TFloat64 => lit(0L)
+    }
+}

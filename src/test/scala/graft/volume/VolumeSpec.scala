@@ -1,0 +1,199 @@
+package graft.volume
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Grid, Meta}
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+
+/** End-to-end roundtrip oracle tests, porting the reference's own test
+  * scenarios (reference: test/BinDicts.jl) onto the Spark-native engine. */
+class VolumeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSuite.spark
+
+  // Fixture A from the reference's unit tests (test/BinDicts.jl:13-18):
+  // two mips, negative offsets, uint8 image, gzip.
+  def fixtureMeta(encoding: String = "gzip", dataType: Meta.VoxelType = Meta.TUInt8,
+                  numChannels: Int = 1): Meta.VolumeMeta =
+    Meta.VolumeMeta(
+      layerType = "image", dataType = dataType, numChannels = numChannels,
+      scales = Vector(
+        Meta.ScaleMeta("6_6_30", (100, 100, 5), encoding, (6, 6, 30), (510, 510, 2022), (-300, -300, -10)),
+        Meta.ScaleMeta("12_12_30", (100, 100, 5), encoding, (12, 12, 30), (12286, 11262, 2046), (-597, -597, -103))))
+
+  def newVolume(encoding: String = "gzip", dataType: Meta.VoxelType = Meta.TUInt8,
+                numChannels: Int = 1, mip: Int = 1): Volume =
+    Volume.create(spark, SparkSuite.tempDir("graft-vol"), fixtureMeta(encoding, dataType, numChannels), mip)
+
+  test("aligned roundtrip: 200x200x10 over 100x100x5 chunks (test/BinDicts.jl:51-57)") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val out = vol.cutout(Box(1, 200, 1, 200, 1, 10))
+    assert(out == buf)
+    // sub-box cutout
+    val sub = vol.cutout(Box(57, 123, 90, 110, 3, 8))
+    assert(sub == buf.slice(Box(57, 123, 90, 110, 3, 8)))
+  }
+
+  test("negative coordinate roundtrip (test/BinDicts.jl:59-65)") {
+    val vol = newVolume()
+    // write starting at the volume origin (-299,-299,-9): aligned by definition
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 20, 1, (-299, -299, -9))
+    vol.ingest(buf)
+    val out = vol.cutout(buf.box)
+    assert(out == buf)
+  }
+
+  test("reopen from store: info JSON roundtrips through open()") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val vol2 = Volume.open(spark, vol.root)
+    assert(vol2.meta == vol.meta)
+    assert(vol2.cutout(buf.box) == buf)
+  }
+
+  test("volume boundary clip: write crossing the boundary persists only the in-volume part (test/BinDicts.jl:76-85)") {
+    val vol = newVolume()
+    // volume x/y stop at 210, z at 2012. Write [101:300, 101:300, 2008:2017]... z-aligned start:
+    // grid offset along z = mod(-10,5)=0, so z start 2011 is aligned (2011-1 ≡ 0 mod 5).
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (101, 101, 2006))
+    vol.ingest(buf)
+    val out = vol.cutout(Box(101, 300, 101, 300, 2006, 2015))
+    // expected: clip region [101..210]x[101..210]x[2006..2012] equals source, rest zeros
+    val clip = Box(101, 210, 101, 210, 2006, 2012)
+    for (x <- Seq(101, 150, 210, 211, 300); y <- Seq(101, 210, 250); z <- Seq(2006, 2012, 2013, 2015)) {
+      val inVol = clip.x.contains(x) && clip.y.contains(y) && clip.z.contains(z)
+      val got = out.getLong(x - 101, y - 101, z - 2006)
+      val want = if (inVol) buf.getLong(x - 101, y - 101, z - 2006) else 0L
+      assert(got == want, s"($x,$y,$z) in=$inVol")
+    }
+  }
+
+  test("non-aligned write start is rejected (multithreads.jl:45-47)") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 50, 50, 5, 1, (3, 1, 1))
+    assertThrows[IllegalArgumentException](vol.ingest(buf))
+  }
+
+  test("codec matrix: zstd and identity roundtrip (test/BinDicts.jl:99-120)") {
+    for (enc <- Seq("zstd", "identity", "raw")) {
+      val vol = newVolume(encoding = enc)
+      val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+      vol.ingest(buf)
+      assert(vol.cutout(buf.box) == buf, s"encoding=$enc")
+    }
+  }
+
+  test("non-zero-offset mip 2 roundtrip incl. negative coords (test/BinDicts.jl:134-150)") {
+    val vol = newVolume(mip = 2)
+    // offset (-597,-597,-103): grid offsets (3, 3, 2)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (204, 204, 103))
+    vol.ingest(buf)
+    assert(vol.cutout(buf.box) == buf)
+    val buf2 = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (-96, -296, -2))
+    vol.ingest(buf2)
+    assert(vol.cutout(buf2.box) == buf2)
+  }
+
+  test("dtype matrix roundtrip: uint16/uint32/uint64/float32/float64 (test/S3Dicts.jl:13-71 scenarios)") {
+    for (t <- Seq(Meta.TUInt16, Meta.TUInt32, Meta.TUInt64, Meta.TFloat32, Meta.TFloat64)) {
+      val vol = newVolume(dataType = t)
+      val buf = VoxelBuffer.sequenced(t, 128, 128, 10, 1, (1, 1, 1))
+      vol.ingest(buf)
+      assert(vol.cutout(buf.box) == buf, s"dtype=${t.name}")
+    }
+  }
+
+  test("4-d channels roundtrip: float32 (x,y,z,3) affinity-map scenario (test/S3Dicts.jl:47-58)") {
+    val vol = newVolume(dataType = Meta.TFloat32, numChannels = 3)
+    val buf = VoxelBuffer.sequenced(Meta.TFloat32, 100, 100, 10, 3, (1, 1, 1))
+    vol.ingest(buf)
+    assert(vol.cutout(buf.box) == buf)
+  }
+
+  test("missing chunks read as zeros when fillMissing (sequential.jl:52-54); error otherwise") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf) // writes exactly one chunk
+    val out = vol.cutout(Box(1, 200, 1, 100, 1, 5)) // second chunk missing
+    assert(out.slice(Box(1, 100, 1, 100, 1, 5)) == buf)
+    for (x <- 100 until 200; y <- Seq(0, 50); z <- Seq(0, 4))
+      assert(out.getLong(x, y, z) == 0L)
+
+    val strict = new Volume(spark, vol.root, vol.meta, 1, fillMissing = false)
+    val e = intercept[org.apache.spark.SparkException](strict.cutout(Box(1, 200, 1, 100, 1, 5)))
+    assert(e.getMessage.contains("no such chunk key") ||
+      Option(e.getCause).exists(_.getMessage.contains("no such chunk key")))
+  }
+
+  test("missingChunks lists expected-minus-stored keys (type.jl:299-328)") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val missing = vol.missingChunks(Box(1, 200, 1, 100, 1, 5)).collect().toSet
+    assert(missing == Set("100-200_0-100_0-5"))
+    assert(vol.missingChunks(Box(1, 100, 1, 100, 1, 5)).count() == 0)
+  }
+
+  test("numChunks counts grid cells in the id bounding box (type.jl:285-292)") {
+    val vol = newVolume()
+    assert(vol.numChunks(Box(1, 200, 1, 200, 1, 10)) == 8)
+    assert(vol.numChunks(Box(1, 1, 1, 1, 1, 1)) == 1)
+    assert(vol.numChunks(Box(57, 123, 90, 110, 3, 8)) == 2 * 2 * 2)
+  }
+
+  test("toVoxels exposes the relational view with exact values and zero fill") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val df = vol.toVoxels(Box(1, 100, 1, 100, 1, 5))
+    assert(df.count() == 100L * 100 * 5)
+    val row = df.filter("x = 17 and y = 23 and z = 3").collect().head
+    assert(row.getShort(4) == buf.getLong(16, 22, 2).toShort)
+    // box extending past stored chunk: zero-filled rows (missing chunk)
+    val df2 = vol.toVoxels(Box(1, 200, 1, 100, 1, 5))
+    assert(df2.count() == 200L * 100 * 5)
+    assert(df2.filter("x > 100").agg(org.apache.spark.sql.functions.sum("value")).collect().head.getLong(0) == 0L)
+  }
+
+  test("fromVoxels distributed ingest roundtrips through cutout") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+    // voxel DF from the buffer
+    import scala.jdk.CollectionConverters._
+    val rows = (for {
+      z <- 0 until 10; y <- 0 until 200; x <- 0 until 200
+    } yield org.apache.spark.sql.Row(x + 1, y + 1, z + 1, 0, buf.getLong(x, y, z).toShort)).asJava
+    val df = spark.createDataFrame(rows, vol.voxelSchema)
+    val nChunks = vol.fromVoxels(df)
+    assert(nChunks == 8)
+    assert(vol.cutout(buf.box) == buf)
+  }
+
+  test("fromVoxels float64 exact roundtrip") {
+    val vol = newVolume(dataType = Meta.TFloat64)
+    val buf = VoxelBuffer.sequenced(Meta.TFloat64, 100, 100, 5, 1, (1, 1, 1))
+    import scala.jdk.CollectionConverters._
+    val rows = (for {
+      z <- 0 until 5; y <- 0 until 100; x <- 0 until 100
+    } yield org.apache.spark.sql.Row(x + 1, y + 1, z + 1, 0, buf.getDouble(x, y, z))).asJava
+    val df = spark.createDataFrame(rows, vol.voxelSchema)
+    vol.fromVoxels(df)
+    assert(vol.cutout(buf.box) == buf)
+  }
+
+  test("chunk keys on disk match the reference byte-layout naming") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val f = new java.io.File(vol.root, "6_6_30/0-100_0-100_0-5")
+    assert(f.exists, s"expected chunk object at ${f.getPath}")
+    // stored bytes decode to the column-major little-endian buffer
+    val blob = java.nio.file.Files.readAllBytes(f.toPath)
+    val decoded = graft.core.Codec.GzipCodec.decode(blob)
+    assert(decoded.sameElements(buf.bytes))
+  }
+}
