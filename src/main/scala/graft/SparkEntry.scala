@@ -1,13 +1,140 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{ArrayOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one implemented operator from SURVEY.md §2;
+  * entries with an [[oracleSql]] twin are hash-checked against DuckDB on the
+  * same parquet tables (column names and value formatting must match
+  * exactly), the rest get a rows-only check and are exactness-tested in the
+  * ScalaTest suites.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q02_join5(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (Relational.q01_agg _),
+    "q02_join5" -> (Relational.q02_join5 _),
+    "q03_semijoin" -> (Relational.q03_semijoin _),
+    "q04_antijoin" -> (Relational.q04_antijoin _),
+    "q05_window" -> (Relational.q05_window _),
+    "q06_topk" -> (Relational.q06_topk _),
+    "q07_setops" -> (Relational.q07_setops _),
+    "q08_rollup" -> (Relational.q08_rollup _),
+    "q09_cube" -> (Relational.q09_cube _),
+    "q10_distinct" -> (Relational.q10_distinct _),
+    "q11_scalar" -> (Relational.q11_scalar _),
+    "q12_datefns" -> (Relational.q12_datefns _),
+    "q13_rangejoin" -> (Relational.q13_rangejoin _),
+    "q14_asof" -> (Relational.q14_asof _),
+    "q15_sessionize" -> (Relational.q15_sessionize _),
+    "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
+    "a2_bbox" -> (ArrayOps.a2_bbox _),
+    "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
+  )
+
+  /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
+    * timestamps presented as ms-truncated strings, so value hashes agree
+    * cross-engine. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_base,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_disc_price,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join5" ->
+      """SELECT n_name,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q03_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_cust FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_antijoin" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    "q05_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn, run_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3) AS run_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) s WHERE rn <= 3""".stripMargin,
+    "q06_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q07_setops" ->
+      """SELECT custkey FROM (
+        | SELECT custkey FROM (
+        |  SELECT custkey FROM (
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |   UNION
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') u
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P') e
+        | INTERSECT
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0) f""".stripMargin,
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+        | count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q09_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q10_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q11_scalar" ->
+      """SELECT p_partkey, upper(p_brand) AS ub, length(p_name) AS ln, substr(p_name, 1, 5) AS s5,
+        | p_brand || '#' || p_type AS bt, round(p_retailprice * 1.1, 2) AS pr,
+        | mod(p_size, 5) AS szmod, abs(p_size - 25) AS szabs
+        |FROM part""".stripMargin,
+    "q12_datefns" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+        | min(day(o_orderdate)) AS dmin, max(day(o_orderdate)) AS dmax
+        |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin,
+    "q13_rangejoin" ->
+      """SELECT strftime(w.wstart, '%Y-%m-%d') AS wk, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
+        |FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS wstart) w
+        |JOIN events e ON e.ts >= w.wstart AND e.ts < w.wstart + INTERVAL 7 DAY
+        |GROUP BY strftime(w.wstart, '%Y-%m-%d')""".stripMargin,
+    "q14_asof" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime((SELECT max(s.ts) FROM events s
+        |           WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts),
+        |          '%Y-%m-%d %H:%M:%S.%g') AS signup_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+    "q15_sessionize" ->
+      """SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END AS is_start
+        | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |       FROM events) l) s
+        |GROUP BY user_id""".stripMargin,
+    "a1_chunk_plan" -> ArrayOps.a1OracleSql,
+    "a2_bbox" ->
+      """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
+        | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,
+        | max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS yhi
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+  )
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Grid
+import graft.core.Grid.Box
+
+/** The reference's array/planning operators exposed on the relational
+  * surface: chunk planning as a DataFrame computation, bbox-union
+  * aggregation, and key formatting — each verifiable against a SQL oracle.
+  * (The full storage path — ingest/cutout/voxel view — is exercised by
+  * `a3_voxel_pipeline` and the VolumeSpec roundtrips.) */
+object ArrayOps {
+
+  /** Fixed demo query parameters shared by the Spark query and its oracle. */
+  val demoBox: Box = Box(57, 423, 90, 310, 3, 38)
+  val demoChunk: (Int, Int, Int) = (64, 64, 8)
+  val demoOffset: (Int, Int, Int) = (-300, -300, -10)
+
+  private def idRange(lo: Int, hi: Int, cs: Int, off: Int): (Int, Int) = {
+    val o = Grid.gridOffset(off, cs)
+    (Grid.chunkIdOf(lo, cs, o), Grid.chunkIdOf(hi, cs, o))
+  }
+
+  /** Chunk-grid planning (the reference's ChunkIterator, src/ChunkIterators.jl)
+    * as a declarative DataFrame: `sequence`+`explode` generate the pruned id
+    * grid, computed columns derive each chunk's storage key
+    * (src/Indexes.jl:80-94). Scales: the generator is distributed, and at
+    * query time the same arithmetic becomes pruning predicates. */
+  def a1_chunk_plan(spark: SparkSession, dir: String): DataFrame = {
+    val (csx, csy, csz) = demoChunk
+    val ox = Grid.gridOffset(demoOffset._1, csx)
+    val oy = Grid.gridOffset(demoOffset._2, csy)
+    val oz = Grid.gridOffset(demoOffset._3, csz)
+    val (x0, x1) = idRange(demoBox.x.lo, demoBox.x.hi, csx, demoOffset._1)
+    val (y0, y1) = idRange(demoBox.y.lo, demoBox.y.hi, csy, demoOffset._2)
+    val (z0, z1) = idRange(demoBox.z.lo, demoBox.z.hi, csz, demoOffset._3)
+    spark.range(1).select(
+        explode(sequence(lit(x0), lit(x1))).as("cx"))
+      .select(col("cx"), explode(sequence(lit(y0), lit(y1))).as("cy"))
+      .select(col("cx"), col("cy"), explode(sequence(lit(z0), lit(z1))).as("cz"))
+      .select(
+        col("cx").cast(IntegerType), col("cy").cast(IntegerType), col("cz").cast(IntegerType),
+        concat(
+          (col("cx") - 1) * csx + ox, lit("-"), col("cx") * csx + ox, lit("_"),
+          (col("cy") - 1) * csy + oy, lit("-"), col("cy") * csy + oy, lit("_"),
+          (col("cz") - 1) * csz + oz, lit("-"), col("cz") * csz + oz).as("ckey"))
+  }
+
+  /** SQL oracle equivalent of [[a1_chunk_plan]], built from the same Grid
+    * math so the constants can never drift. */
+  def a1OracleSql: String = {
+    val (csx, csy, csz) = demoChunk
+    val ox = Grid.gridOffset(demoOffset._1, csx)
+    val oy = Grid.gridOffset(demoOffset._2, csy)
+    val oz = Grid.gridOffset(demoOffset._3, csz)
+    val (x0, x1) = idRange(demoBox.x.lo, demoBox.x.hi, csx, demoOffset._1)
+    val (y0, y1) = idRange(demoBox.y.lo, demoBox.y.hi, csy, demoOffset._2)
+    val (z0, z1) = idRange(demoBox.z.lo, demoBox.z.hi, csz, demoOffset._3)
+    s"""SELECT CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,
+       |  ((cx-1)*$csx+$ox) || '-' || (cx*$csx+$ox) || '_' ||
+       |  ((cy-1)*$csy+$oy) || '-' || (cy*$csy+$oy) || '_' ||
+       |  ((cz-1)*$csz+$oz) || '-' || (cz*$csz+$oz) AS ckey
+       |FROM (SELECT unnest(generate_series($x0,$x1)) AS cx),
+       |     (SELECT unnest(generate_series($y0,$y1)) AS cy),
+       |     (SELECT unnest(generate_series($z0,$z1)) AS cz)""".stripMargin
+  }
+
+  /** Bounding-box union as a min/max aggregate (the reference's
+    * `Indexes.union`, src/Indexes.jl:111-118) over data-derived points. */
+  def a2_bbox(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType)).as("dday"))
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_custkey")).as("xlo"), max(col("o_custkey")).as("xhi"),
+        min(col("dday")).as("ylo"), max(col("dday")).as("yhi"))
+
+  /** Full array-surface pipeline through the store (rows-only check; exact
+    * equality is covered by VolumeSpec): build a small volume from
+    * deterministic data, ingest, read back as voxels, aggregate per z. */
+  def a3_voxel_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a3").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .orderBy(col("z"))
+  }
+}

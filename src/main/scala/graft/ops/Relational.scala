@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** The relational operator surface (SURVEY.md §2.9): every capability the
+  * reference lacks, expressed through Spark built-ins so Catalyst/Tungsten
+  * provide pushdown, whole-stage codegen, AQE and join-strategy selection.
+  *
+  * Scale notes are attached per query: dimension tables are broadcast, fact
+  * scans carry pushed filters, and no query collects to the driver.
+  */
+object Relational {
+
+  /** Hash aggregation with exact-decimal measures (TPC-H Q1 pattern).
+    * Partial (map-side) aggregation + final agg; one shuffle on the two
+    * low-cardinality group keys. */
+  def q01_agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1999-01-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        outd(dsum(col("l_quantity"))).as("sum_qty"),
+        outd(dsum(col("l_extendedprice"))).as("sum_base"),
+        outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("n"))
+
+  /** Multi-way join with broadcast dims (TPC-H Q5 pattern): region/nation/
+    * supplier/customer broadcast; the lineitem⋈orders join shuffles on
+    * orderkey only. */
+  def q02_join5(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem"); val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer"); val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation"); val r = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q03_semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def q04_antijoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem")
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Ranking + running-frame window functions; single shuffle on the
+    * partition key. Deterministic total order via (shipdate, orderkey,
+    * linenumber). */
+  def q05_window(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        outd(sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("run_qty"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Top-k: global sort + limit (Spark plans TakeOrderedAndProject — no full
+    * sort at scale). Deterministic tie-break on the unique key. */
+  def q06_topk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Set operations: UNION (distinct) / EXCEPT / INTERSECT. */
+  def q07_setops(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val keysOf = (st: String) => o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+    val rich = t(spark, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("o_custkey"))
+    keysOf("F").union(keysOf("O")).distinct()
+      .except(keysOf("P"))
+      .intersect(rich)
+      .withColumnRenamed("o_custkey", "custkey")
+  }
+
+  /** ROLLUP with grouping_id. */
+  def q08_rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"), outd(dsum(col("l_quantity"))).as("sum_qty"))
+
+  /** CUBE with grouping_id. */
+  def q09_cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+
+  /** Exact distinct aggregation (count-distinct expansion). */
+  def q10_distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n"))
+
+  /** Scalar string/math function panel (all codegen'd built-ins). */
+  def q11_scalar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("ub"),
+      length(col("p_name")).as("ln"),
+      substring(col("p_name"), 1, 5).as("s5"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+      round(col("p_retailprice") * 1.1, 2).as("pr"),
+      pmod(col("p_size"), lit(5)).as("szmod"),
+      abs(col("p_size") - 25).as("szabs"))
+
+  /** Date/time scalar functions + group by derived calendar cols. */
+  def q12_datefns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"), min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+
+  /** Banded interval (range) join: events against generated week intervals.
+    * The interval side is tiny and broadcast, so the non-equi predicate is a
+    * broadcast nested-loop over 5 rows — constant-cost per event at any
+    * scale. */
+  def q13_rangejoin(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = spark.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |timestamp'2024-01-29 00:00:00', interval 7 days)) AS wstart""".stripMargin)
+      .withColumn("wend", col("wstart") + expr("interval 7 days"))
+    val e = events(spark, dir)
+    e.join(broadcast(weeks), e("ts") >= weeks("wstart") && e("ts") < weeks("wend"))
+      .groupBy(date_format(col("wstart"), "yyyy-MM-dd").as("wk"))
+      .agg(count(lit(1)).as("n"), outd(dsum(col("value"), 6)).as("sv"))
+  }
+
+  /** As-of join: for each error event, the user's latest signup at-or-before
+    * it. Composed from a single window pass (sort within user partitions) —
+    * no self-join, one shuffle on user_id. */
+  def q14_asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type").isin("signup", "error"))
+    // at equal ts a signup sorts before an error ('signup' > 'error' desc)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_type").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("sig_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("sig_ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("signup_ts"))
+  }
+
+  /** Sessionization (30-min inactivity gap) via lag window — the batch
+    * equivalent of the stateful-streaming sessionizer. */
+  def q15_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_start",
+        when(col("prev").isNull || col("ts").cast(DoubleType) - col("prev").cast(DoubleType) > 1800.0, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_start")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table access + cross-engine-deterministic numeric helpers.
+  *
+  * The driver validates every query against DuckDB by hashing result values,
+  * so floating-point aggregates must be bit-reproducible across engines:
+  * sums run on exact decimals (order-insensitive), and only the final value
+  * is cast to double and rounded.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read the raw int64 and convert to a µs timestamp
+    * (truncation — consistent with ms-precision presentation downstream). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact decimal sum of a double column (identical in Spark and DuckDB
+    * regardless of partial-aggregation order). */
+  def dsum(c: Column, scale: Int = 4): Column = sum(c.cast(DecimalType(18, scale)))
+
+  /** Exact decimal product-sum: sum(a*b) with both factors decimal-cast. */
+  def dsum2(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4)))
+
+  /** Final presentation: double rounded to `s` places. */
+  def outd(c: Column, s: Int = 3): Column = round(c.cast(DoubleType), s)
+}
