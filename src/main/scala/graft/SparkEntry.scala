@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ArrayOps, Relational}
+import graft.ops.{ArrayOps, Dedup, Multimodal, Relational, Similarity, Tables, TextOps}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +38,19 @@ object SparkEntry {
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
     "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
+    "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
+    "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
+    "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
+    "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
+    "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
+    "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
+    "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
+    "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.t(s, d, "documents"))),
+    "m1_modal_meta" -> (Multimodal.modalMeta _),
+    "m2_modal_features" -> (Multimodal.modalFeatures _),
+    "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -131,10 +145,61 @@ object SparkEntry {
         |       FROM events) l) s
         |GROUP BY user_id""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
+    "d1_dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
+    "d2_dedup_ngram" -> ngramJaccardOracle,
+    "d3_dedup_minhash" -> ngramJaccardOracle, // LSH recall ≈ 1 at j≥0.8 (see Dedup scaladoc)
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < 10),
+        | pairs AS (
+        |  SELECT q.q_id, e.vec_id AS nb_id,
+        |   (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x, unnest(e.embedding) AS y) z) /
+        |   (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x) z2)) *
+        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y) z3))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
+        | ranked AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs)
+        |SELECT q_id, nb_id, cs, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "t1_tokens" ->
+      """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+        | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_len
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents) s""".stripMargin,
+    "t2_quality" ->
+      """SELECT doc_id, len_text, n_space, stop_ratio, uniq_ratio,
+        | round(1.0 - stop_ratio + uniq_ratio, 4) AS quality
+        |FROM (
+        | SELECT doc_id, length(text) AS len_text,
+        |  length(text) - length(replace(text, ' ', '')) AS n_space,
+        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
+        | FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents) s) r""".stripMargin,
+    "m1_modal_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | octet_length(encode(text)) AS byte_len
+        |FROM documents""".stripMargin,
+    "e1_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr, event_type,
+        | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
+        |FROM events GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'), event_type""".stripMargin,
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,
         | max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS yhi
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
+
+  /** Shared oracle for exact n-gram Jaccard and MinHash-LSH dedup (the LSH
+    * path verifies candidates exactly and has ≈1 recall at the threshold). */
+  private val ngramJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      | t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      | sh0 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) AS s FROM t3),
+      | sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+      | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      | pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT p.a, p.b, round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) AS jac
+      |FROM pairs p JOIN sizes za ON p.a = za.doc_id JOIN sizes zb ON p.b = zb.doc_id
+      |WHERE round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) >= 0.8""".stripMargin
 }

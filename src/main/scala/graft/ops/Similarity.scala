@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH bucketed variant as the scale path (candidates come from a bucket
+  * equi-join instead of a full cross product). */
+object Similarity {
+
+  /** Double-precision dot product of two array columns; the explicit casts
+    * make Spark and DuckDB accumulate identically-rounded terms. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k: the first `nQueries` vectors against the whole
+    * table. The query side is broadcast; the scan side streams — at scale
+    * this is one pass over the embedding table per batch of queries. */
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+    val cand = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    cand.join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
+  }
+
+  // ---------------- random-hyperplane LSH ----------------
+
+  val Dim = 64
+  val Planes = 6 // per table: 2^6 buckets
+  val Tables = 8 // independent hash tables; candidates = union over tables
+
+  /** Deterministic pseudo-random hyperplanes (seeded), per table. */
+  private[ops] val planes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(Tables, Planes, Dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket id within table `tbl`: bit p set iff embedding·plane_p > 0.
+    * The table index is folded into the bucket value so one equi-join over
+    * the exploded (table, bucket) pairs serves all tables. */
+  private def bucketCol(emb: String, tbl: Int): Column =
+    (0 until Planes).map { p =>
+      val planeArr = s"array(${planes(tbl)(p).map(v => s"cast($v AS double)").mkString(",")})"
+      when(expr(s"aggregate(zip_with($emb, $planeArr, (x, y) -> cast(x AS double) * y), cast(0 AS double), (acc, v) -> acc + v)") > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _) + lit(tbl.toLong << 32)
+
+  /** Explode each row into its `Tables` (bucket) keys. */
+  private def withBuckets(df: DataFrame, emb: String): DataFrame =
+    df.withColumn("bucket", explode(array((0 until Tables).map(t => bucketCol(emb, t)): _*)))
+
+  /** Approximate NN: candidates restricted to the query's LSH bucket, then
+    * exact cosine + rank within bucket. A bucket equi-join shuffle replaces
+    * the cross product — the 100 TB-safe shape. Recall is probabilistic;
+    * SimilaritySpec measures it against [[cosineTopK]]. */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), col("bucket"))
+    val cand = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .select(col("q_id"), col("nb_id"), col("qa"), col("ea")).distinct() // union over tables
+      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,
+    * found via LSH buckets (same-bucket join). */
+  def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double): DataFrame = {
+    val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("qa"), col("bucket"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("ea"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("qa"), col("ea")).distinct() // union over tables
+      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
+  }
+}

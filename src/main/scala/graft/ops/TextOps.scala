@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, heuristic language ID, and winnowing document
+  * fingerprints. All per-document — embarrassingly parallel, no shuffle
+  * except final aggregation. */
+object TextOps {
+
+  private def toks: Column = split(col("text"), "\\s+")
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round(
+          expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast(DoubleType) / size(col("toks")),
+          4).as("avg_len"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length, whitespace ratio, stopword ratio, vocabulary
+    * richness, and a composite score — the usual cheap pre-filters before
+    * expensive pipeline stages. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(",")
+    docs.select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        length(col("text")).as("len_text"),
+        (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))).as("n_space"),
+        round(expr(s"size(filter(toks, t -> t IN ($stopList)))").cast(DoubleType) / size(col("toks")), 4)
+          .as("stop_ratio"),
+        round(size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")), 4).as("uniq_ratio"))
+      // sum (not mean) of the two already-4-decimal ratios: a halved mean
+      // would land exactly on 5th-decimal rounding boundaries, where Spark
+      // (binary-exact HALF_UP) and DuckDB (decimal-string rounding) diverge
+      .withColumn("quality", round(lit(1.0) - col("stop_ratio") + col("uniq_ratio"), 4))
+  }
+
+  /** Heuristic language ID from language-specific stopword profiles
+    * (n-gram-free variant suited to whitespace-tokenized text). Returns the
+    * argmax language and its evidence ratio. Deterministic: ties break on
+    * the language code (struct max). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      struct(expr(s"size(filter(toks, t -> t IN ($list)))").as("hits"), lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        greatest(scored: _*).as("best"))
+      .select(col("doc_id"),
+        col("best.lang").as("pred_lang"),
+        round(col("best.hits").cast(DoubleType) / col("n_tok"), 4).as("conf"))
+  }
+
+  /** Winnowing fingerprint (MOSS-style): rolling polynomial hash over
+    * character k-grams, minimum hash per sliding window, document
+    * fingerprint = set of window minima; returned here as the overall
+    * minimum + count of distinct window minima (compact per-doc summary).
+    * Imperative per-document loop → typed Dataset map (no shuffle). */
+  def fingerprints(docs: DataFrame, k: Int = 8, window: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    implicit val enc = Encoders.product[(Long, String, Int)]
+    val ds = docs.select(col("doc_id"), col("text")).as(Encoders.product[(Long, String)])
+    val out = ds.map { case (id, text) =>
+      val hashes = rollingHashes(text, k)
+      if (hashes.isEmpty) (id, "", 0)
+      else {
+        val distinct = hashes.sliding(window, 1).map(_.min).toSeq.distinct
+        // document fingerprint: order-insensitive fold of the winnowed set
+        // (a shared minimum substring alone doesn't collide two documents)
+        val folded = distinct.foldLeft(0L)((acc, h) => acc ^ (h * 0x9e3779b97f4a7c15L))
+        (id, f"$folded%016x", distinct.length)
+      }
+    }
+    out.toDF("doc_id", "fp", "n_fp")
+  }
+
+  /** Rabin–Karp rolling hash sequence of all k-grams (base 257, mod 2^61-1). */
+  private[ops] def rollingHashes(text: String, k: Int): Array[Long] = {
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    if (text.length < k) return Array.empty
+    def mulmod(a: Long, b: Long): Long = {
+      // fold the 128-bit product mod 2^61-1: with p = hi*2^64 + lo,
+      // 2^64 ≡ 8 and 2^61 ≡ 1, so p ≡ (lo & Mod) + (lo >>> 61) + 8*hi.
+      // a,b < 2^61 keeps hi < 2^58, so no intermediate overflow.
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      ((lo & Mod) + (lo >>> 61) + (hi << 3)) % Mod
+    }
+    var pow = 1L
+    (1 until k).foreach(_ => pow = mulmod(pow, Base))
+    val out = new Array[Long](text.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = (mulmod(h, Base) + text.charAt(i)) % Mod
+      if (i >= k - 1) {
+        out(i - k + 1) = h
+        // remove the leading char for the next step
+        val lead = mulmod(text.charAt(i - k + 1).toLong, pow)
+        h = (h - lead + Mod) % Mod
+      }
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: windowed aggregation with watermarks over
+  * the events table, and a stateful sessionizer
+  * (flatMapGroupsWithState) — the streaming counterparts of
+  * Relational.q13/q15. Batch parquet drives the stream synchronously in
+  * local runs (`processAllAvailable`); in production the same code runs on a
+  * live source. */
+object EventStreams {
+
+  /** Raw schema of events.parquet (ts read as int64 nanos — Spark can't scan
+    * parquet TIMESTAMP(NANOS) natively). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the file-stream source requires a directory basePath
+    spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window counts/sums per event type with a 1-hour
+    * watermark. `window()` aligns to epoch hours, so the batch oracle is a
+    * date_trunc('hour') group-by. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType), 3).as("sv"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"), col("event_type"),
+        col("n"), col("sv"))
+
+  /** Run [[hourlyAgg]] to completion against the batch parquet via the
+    * memory sink and return the result table. Used as the `e1_stream_hourly`
+    * query so the driver's oracle exercises real streaming execution. */
+  def hourlyAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = hourlyAgg(readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // ---------------- stateful sessionization ----------------
+
+  final case class Ev(user_id: Long, ts: Timestamp)
+  final case class SessionState(sessionCount: Int, eventCount: Int, lastTs: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Int)
+
+  /** Per-user session counting with a 30-min inactivity gap, implemented as
+    * explicit keyed state — the streaming-native form of q15_sessionize.
+    * State is O(1) per user (two counters + last-seen). */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    implicit val outEnc = Encoders.product[UserSessions]
+    implicit val stEnc = Encoders.product[SessionState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            val isStart = st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds * 1000
+            st = SessionState(st.sessionCount + (if (isStart) 1 else 0), st.eventCount + 1, math.max(st.lastTs, t))
+          }
+          state.update(st)
+          Iterator.single(UserSessions(user, st.sessionCount, st.eventCount))
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.testutil.SparkSuite
+
+class ExtensionOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.t(spark, dir, "documents")
+
+  test("minhash LSH candidates are a superset of true near-dup pairs (recall 1 at j>=0.8)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, 0.8).select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("minhash candidate generation prunes the pair space") {
+    val nDocs = docs.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val cands = Dedup.candidatePairs(docs).count()
+    assert(cands < allPairs / 10, s"LSH should prune: $cands vs $allPairs")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, random pairs large") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val nearPairs = Dedup.ngramJaccardPairs(docs, 0.8).select("a", "b").collect()
+    assert(nearPairs.nonEmpty)
+    val nearH = nearPairs.map(r => hamming(sh(r.getLong(0)), sh(r.getLong(1))))
+    // random baseline: consecutive non-dup ids
+    val nearSet = nearPairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val randH = (0L until 100L).filterNot(i => nearSet.contains((i, i + 1)))
+      .map(i => hamming(sh(i), sh(i + 1)))
+    assert(nearH.sum.toDouble / nearH.length < 8, s"near-dup mean hamming ${nearH.sum.toDouble / nearH.length}")
+    assert(randH.sum.toDouble / randH.length > 16, s"random mean hamming ${randH.sum.toDouble / randH.length}")
+  }
+
+  test("ann LSH achieves reasonable recall vs brute force") {
+    val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // random data, small buckets: modest bar
+  }
+
+  test("embeddingDupPairs finds bucket-colliding similar pairs exactly") {
+    val pairs = Similarity.embeddingDupPairs(spark, dir, 0.2).collect()
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.2))
+    // no duplicates despite multi-table union
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("fingerprints are deterministic and discriminative") {
+    val fp1 = TextOps.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fp2 = TextOps.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1.values.toSet.size > 450, "distinct docs should mostly have distinct fingerprints")
+  }
+
+  test("rollingHashes matches a direct polynomial evaluation") {
+    val Mod = BigInt(2).pow(61) - 1
+    val text = "hello world of rolling hashes"
+    val k = 8
+    val got = TextOps.rollingHashes(text, k)
+    val want = (0 to text.length - k).map { i =>
+      text.substring(i, i + k).foldLeft(BigInt(0))((acc, c) => (acc * 257 + c.toInt) mod Mod).toLong
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("langId output is total, deterministic, confidence in [0,1]") {
+    val out = TextOps.langId(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      assert(TextOps.LangProfiles.contains(r.getString(1)))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("multimodal: feature extraction preserves rows, shapes, determinism") {
+    val assets = Multimodal.assets(docs)
+    assert(assets.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(assets)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("feat").length == Multimodal.FeatureDim)
+      assert(r.getAs[Int]("byte_len") > 0)
+    }
+    // checksum equals an independently computed reference for one known row
+    val d0 = docs.filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    val (ck, _) = Multimodal.fakeDecode(d0.getBytes("UTF-8"))
+    assert(rows.find(_.getLong(0) == 0L).get.getAs[Long]("checksum") == ck)
+  }
+}
