@@ -69,9 +69,9 @@ object Dedup {
 
   /** MinHash signature columns m0..m127. Arithmetic stays within a 31-bit
     * domain so ANSI mode can't overflow: h31 = xxhash64(shingle) mod p,
-    * m_i = min((a_i * h31 + b_i) mod p). */
-  def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("h31", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
+    * m_i = min((a_i * h31 + b_i) mod p). Accepts a precomputed shingle DF. */
+  def signatures(shingleDf: DataFrame): DataFrame = {
+    val sh = shingleDf.withColumn("h31", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
       min(pmod(lit(hashA(i)) * col("h31") + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
     }
@@ -88,9 +88,9 @@ object Dedup {
       .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
   }
 
-  /** Candidate pairs = distinct same-bucket doc pairs. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    val bd = bands(signatures(docs))
+  /** Candidate pairs = distinct same-bucket doc pairs (input: shingle DF). */
+  def candidatePairs(shingleDf: DataFrame): DataFrame = {
+    val bd = bands(signatures(shingleDf))
     bd.as("x").join(bd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -100,10 +100,12 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification on the
     * candidates only. Output ≡ [[ngramJaccardPairs]] given the recall
-    * analysis above, at a fraction of the join cost. */
+    * analysis above, at a fraction of the join cost. The shingle set is
+    * persisted: it feeds signature computation and both sides of the
+    * verification join (3 consumers, 1 computation). */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val cand = candidatePairs(docs)
-    val sh = shingles(docs)
+    val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))

@@ -13,12 +13,13 @@ import Tables._
   * equi-join instead of a full cross product). */
 object Similarity {
 
-  /** Double-precision dot product of two array columns; the explicit casts
-    * make Spark and DuckDB accumulate identically-rounded terms. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+  import graft.functions.VectorExprs.{vec_cosine, vec_dot}
 
-  private def norm(a: String): Column = sqrt(dot(a, a))
+  /** Fused-loop cosine via the native codegen expression
+    * (graft.functions.VectorExprs) — bit-identical to the HOF formulation
+    * `aggregate(zip_with(...))` and to the DuckDB oracle's double math,
+    * but whole-stage-codegen'd. */
+  private def cosine(a: String, b: String): Column = vec_cosine(col(a), col(b))
 
   /** Exact cosine top-k: the first `nQueries` vectors against the whole
     * table. The query side is broadcast; the scan side streams — at scale
@@ -30,7 +31,7 @@ object Similarity {
     val cand = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     cand.join(broadcast(q), col("nb_id") =!= col("q_id"))
-      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
@@ -53,8 +54,7 @@ object Similarity {
     * the exploded (table, bucket) pairs serves all tables. */
   private def bucketCol(emb: String, tbl: Int): Column =
     (0 until Planes).map { p =>
-      val planeArr = s"array(${planes(tbl)(p).map(v => s"cast($v AS double)").mkString(",")})"
-      when(expr(s"aggregate(zip_with($emb, $planeArr, (x, y) -> cast(x AS double) * y), cast(0 AS double), (acc, v) -> acc + v)") > 0,
+      when(vec_dot(col(emb), typedlit(planes(tbl)(p).toSeq)) > 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _) + lit(tbl.toLong << 32)
 
@@ -75,7 +75,7 @@ object Similarity {
     cand.join(broadcast(q), Seq("bucket"))
       .filter(col("nb_id") =!= col("q_id"))
       .select(col("q_id"), col("nb_id"), col("qa"), col("ea")).distinct() // union over tables
-      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
@@ -89,7 +89,7 @@ object Similarity {
     val b = e.select(col("vec_id").as("b"), col("embedding").as("ea"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("qa"), col("ea")).distinct() // union over tables
-      .withColumn("cos", dot("qa", "ea") / (norm("qa") * norm("ea")))
+      .withColumn("cos", cosine("qa", "ea"))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }

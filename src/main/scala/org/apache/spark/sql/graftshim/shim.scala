@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column ↔ Expression converters —
+  * the standard pattern for libraries that add native Catalyst expressions
+  * (Spark 4 removed the public `Column(expr)` constructor in favor of the
+  * connect-compatible ColumnNode API). This is the only place the project
+  * reaches into Spark's package-private surface. */
+object shim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

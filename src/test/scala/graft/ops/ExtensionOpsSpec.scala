@@ -20,7 +20,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
   test("minhash candidate generation prunes the pair space") {
     val nDocs = docs.count()
     val allPairs = nDocs * (nDocs - 1) / 2
-    val cands = Dedup.candidatePairs(docs).count()
+    val cands = Dedup.candidatePairs(Dedup.shingles(docs)).count()
     assert(cands < allPairs / 10, s"LSH should prune: $cands vs $allPairs")
   }
 
