@@ -42,11 +42,12 @@ object ArrayOps {
       .select(col("cx"), explode(sequence(lit(y0), lit(y1))).as("cy"))
       .select(col("cx"), col("cy"), explode(sequence(lit(z0), lit(z1))).as("cz"))
       .select(
-        col("cx").cast(IntegerType), col("cy").cast(IntegerType), col("cz").cast(IntegerType),
-        concat(
-          (col("cx") - 1) * csx + ox, lit("-"), col("cx") * csx + ox, lit("_"),
-          (col("cy") - 1) * csy + oy, lit("-"), col("cy") * csy + oy, lit("_"),
-          (col("cz") - 1) * csz + oz, lit("-"), col("cz") * csz + oz).as("ckey"))
+        col("cx").cast(IntegerType).as("cx"), col("cy").cast(IntegerType).as("cy"),
+        col("cz").cast(IntegerType).as("cz"))
+      .select(col("cx"), col("cy"), col("cz"),
+        // the native chunk_key expression (graft.functions.ChunkExprs)
+        graft.functions.ChunkExprs.chunk_key(col("cx"), col("cy"), col("cz"),
+          demoChunk, demoOffset).as("ckey"))
   }
 
   /** SQL oracle equivalent of [[a1_chunk_plan]], built from the same Grid

@@ -50,3 +50,39 @@ object VolumeDemo {
     spark.stop()
   }
 }
+
+/** DSv2 + SQL-function surface demo: chunk table scans with pushdown,
+  * SQL chunk-grid functions, generator-based voxel explode. */
+object SqlSurfaceDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-sql-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.ChunkExprs.register(spark)
+    graft.functions.VectorExprs.register(spark)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sqldemo").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("6_6_30", (100, 100, 5), "gzip", (6, 6, 30), (510, 510, 2022), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1)))
+
+    val chunks = spark.read.format("precomputed").load(root)
+    chunks.createOrReplaceTempView("chunks")
+    println("chunk table:")
+    spark.sql("SELECT cx, cy, cz, key, octet_length(blob) AS bytes FROM chunks ORDER BY key").show(false)
+    val pruned = chunks.filter(col("cx") === 1 && col("cz") === 2)
+    println("pruned scan plan: " + pruned.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PrecomputedScan")).getOrElse("?"))
+    println(s"pruned count = ${pruned.count()}")
+    println("SQL chunk fns: " + spark.sql(
+      "SELECT chunk_key(chunk_id(157, 100, 0), chunk_id(57, 100, 0), chunk_id(7, 5, 0), 100, 100, 5, 0, 0, 0) AS k")
+      .collect().head.getString(0))
+    println("vec fns: " + spark.sql(
+      "SELECT round(vec_cosine(array(1.0D,2.0D,3.0D), array(3.0D,2.0D,1.0D)), 4)").collect().head.getDouble(0))
+    spark.stop()
+  }
+}

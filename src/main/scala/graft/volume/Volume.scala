@@ -375,7 +375,7 @@ object Volume {
     case TFloat64 => DoubleType
   }
 
-  private[volume] def widenedValue(t: VoxelType, b: VoxelBuffer, x: Int, y: Int, z: Int, c: Int): Any =
+  def widenedValue(t: VoxelType, b: VoxelBuffer, x: Int, y: Int, z: Int, c: Int): Any =
     t match {
       case TBool => b.getLong(x, y, z, c) != 0L
       case TUInt8 => b.getLong(x, y, z, c).toShort
@@ -388,7 +388,7 @@ object Volume {
       case TFloat64 => b.getDouble(x, y, z, c)
     }
 
-  private[volume] def zeroValue(t: VoxelType): Any = t match {
+  def zeroValue(t: VoxelType): Any = t match {
     case TBool => false
     case TUInt8 => 0.toShort
     case TUInt16 => 0

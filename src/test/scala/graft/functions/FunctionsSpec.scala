@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{Grid, Meta}
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+import graft.volume.{Volume, VoxelBuffer}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("chunk_id matches Grid math incl. negatives, SQL-callable") {
+    ChunkExprs.register(spark)
+    val rows = spark.sql(
+      "SELECT chunk_id(x, 100, -300) AS id FROM VALUES (-299), (1), (100), (101), (-300) t(x)")
+      .collect().map(_.getInt(0))
+    val want = Seq(-299, 1, 100, 101, -300).map(x => Grid.chunkIdOf(x, 100, Grid.gridOffset(-300, 100)))
+    assert(rows.toSeq == want)
+  }
+
+  test("chunk_id participates in whole-stage codegen") {
+    ChunkExprs.register(spark)
+    val df = spark.range(10).selectExpr("chunk_id(cast(id as int), 4, 0) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // '*' marks whole-stage-codegen stages
+    assert(df.collect().map(_.getInt(0)).toSeq == (0 until 10).map(i => Grid.chunkIdOf(i, 4, 0)))
+  }
+
+  test("chunk_key golden vector (reference test/Indexes.jl:5-10)") {
+    ChunkExprs.register(spark)
+    // chunk covering [2969..3480, 1777..2288, 16913..17424]: size 512 with the
+    // grid aligned to the reference golden's offsets (floorMod-normalized)
+    val key = spark.sql(
+      "SELECT chunk_key(chunk_id(2969, 512, 2968), chunk_id(1777, 512, 1776), chunk_id(16913, 512, 16912), " +
+        "512, 512, 512, 2968, 1776, 16912)")
+      .collect().head.getString(0)
+    assert(key == "2968-3480_1776-2288_16912-17424")
+  }
+
+  test("chunk_key_parse inverts chunk_key") {
+    ChunkExprs.register(spark)
+    val r = spark.sql("SELECT chunk_key_parse('2968-3480_1776-2288_16912-17424') AS b")
+      .selectExpr("b.x0", "b.x1", "b.z1").collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (2969, 3480, 17424))
+    assert(spark.sql("SELECT chunk_key_parse('garbage')").collect().head.isNullAt(0))
+  }
+
+  test("vec_dot / vec_cosine match manual double math and are codegen'd") {
+    VectorExprs.register(spark)
+    val df = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d, " +
+        "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+    val r = df.collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // '*' marks whole-stage-codegen stages
+  }
+
+  test("explode_chunk generator unpacks a chunk blob to the exact voxel rows") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-gen"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    vol.ingest(buf)
+    import org.apache.spark.sql.graftshim.shim.{toColumn, toExpression}
+    val chunks = spark.read.format("precomputed").load(vol.root)
+    val gen = toColumn(ChunkExprs.ExplodeChunk(
+      Seq(col("blob"), col("x0"), col("y0"), col("z0"),
+        col("x1") - col("x0") + lit(1), col("y1") - col("y0") + lit(1),
+        col("z1") - col("z0") + lit(1)).map(toExpression),
+      "uint8", 1, "gzip"))
+    val voxels = chunks.select(gen.as(Seq("x", "y", "z", "c", "value")))
+    assert(voxels.count() == 64L * 64 * 8)
+    val viaGen = voxels.agg(sum("value")).collect().head.getLong(0)
+    val viaVolume = vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .agg(sum("value")).collect().head.getLong(0)
+    assert(viaGen == viaVolume)
+    val one = voxels.filter("x = 17 and y = 23 and z = 3 and c = 0").collect().head
+    assert(one.getShort(4).toLong == buf.getLong(16, 22, 2))
+  }
+}

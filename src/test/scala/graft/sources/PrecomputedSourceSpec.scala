@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{Grid, Meta}
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+import graft.volume.{Volume, VoxelBuffer}
+
+class PrecomputedSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  def newVolume(): Volume = {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("6_6_30", (100, 100, 5), "gzip", (6, 6, 30), (510, 510, 2022), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-dsv2"), meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1)))
+    vol
+  }
+
+  test("chunk table read: one row per stored chunk, correct coords and keys") {
+    val vol = newVolume()
+    val df = spark.read.format("precomputed").load(vol.root)
+    assert(df.count() == 8)
+    val rows = df.select("cx", "cy", "cz", "key").collect()
+    assert(rows.map(_.getString(3)).toSet.contains("0-100_0-100_0-5"))
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 2))
+  }
+
+  test("filter pushdown prunes chunks before any fetch") {
+    val vol = newVolume()
+    val df = spark.read.format("precomputed").load(vol.root)
+      .filter(col("cx") === 1 && col("cy") >= 2 && col("cz") < 2)
+    assert(df.count() == 1) // cx=1 ∧ cy=2 ∧ cz=1 — one grid cell
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PrecomputedScan"), plan)
+    assert(plan.contains("bounds=IdBounds"), plan)
+  }
+
+  test("column pruning: scans without blob never read objects") {
+    val vol = newVolume()
+    // delete a chunk object behind the table's back: a blob-free scan must
+    // still succeed (it would throw if it fetched objects)
+    val f = new java.io.File(vol.root, "6_6_30/100-200_100-200_5-10")
+    assert(f.delete())
+    val df = spark.read.format("precomputed").load(vol.root).select("cx", "cy", "cz")
+    assert(df.count() == 7)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(!scanDesc.contains("blob"), scanDesc)
+  }
+
+  test("blob reads decode to the ingested bytes") {
+    val vol = newVolume()
+    val row = spark.read.format("precomputed").load(vol.root)
+      .filter(col("key") === "0-100_0-100_0-5").select("blob").collect().head
+    val decoded = graft.core.Codec.GzipCodec.decode(row.getAs[Array[Byte]](0))
+    val expect = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+      .slice(Box(1, 100, 1, 100, 1, 5))
+    assert(decoded.sameElements(expect.bytes))
+  }
+
+  test("SQL over the source: aggregate chunk metadata without blobs") {
+    val vol = newVolume()
+    spark.read.format("precomputed").load(vol.root).createOrReplaceTempView("chunks")
+    val n = spark.sql("SELECT count(*) FROM chunks").collect().head.getLong(0)
+    assert(n == 8)
+    val perZ = spark.sql(
+      "SELECT cz, count(*) AS n FROM chunks GROUP BY cz ORDER BY cz").collect()
+    assert(perZ.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 4L), (2, 4L)))
+  }
+
+  test("DSv2 write: chunk rows become store objects readable via cutout") {
+    val src = newVolume()
+    // copy chunks into a fresh volume through the connector
+    val meta2 = src.meta
+    val dstRoot = SparkSuite.tempDir("graft-dsv2-dst")
+    Volume.create(spark, dstRoot, meta2)
+    spark.read.format("precomputed").load(src.root)
+      .write.format("precomputed").mode("append").save(dstRoot)
+    val dst = Volume.open(spark, dstRoot)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+    assert(dst.cutout(buf.box) == buf)
+  }
+}
