@@ -38,6 +38,7 @@ object SparkEntry {
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
     "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
+    "a4_downsample" -> (ArrayOps.a4_downsample _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),

@@ -95,4 +95,21 @@ object ArrayOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       .orderBy(col("z"))
   }
+
+  /** Mip-pyramid build through the store (rows-only check; exactness in
+    * VolumeOpsSpec): ingest mip 1, mean-pool into mip 2, aggregate mip 2. */
+  def a4_downsample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a4").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
+    new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 8))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .orderBy(col("z"))
+  }
 }

@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Grid
+import graft.core.Grid.{Box, Ival}
+import graft.volume.{ChunkStore, VolumeCtx, Volume, VoxelBuffer}
+
+/** The voxel view as a first-class Catalyst citizen.
+  *
+  * `Volume.voxels()` produces a [[VoxelScan]] leaf covering the whole
+  * physical volume. The [[PushBoxFilters]] optimizer rule narrows that box
+  * from x/y/z range predicates sitting above it — so
+  * `vol.voxels().filter($"x" between (a, b))` fetches only intersecting
+  * chunks, reproducing the reference's exact chunk pruning
+  * (reference: src/ChunkIterators.jl:20-24) as a Catalyst rewrite. The
+  * residual filter still runs, so semantics never depend on the rule firing.
+  *
+  * This is the (LogicalPlan + Rule + Strategy + Exec) stack from
+  * SURVEY.md §4, registered through [[GraftExtensions]].
+  */
+final case class VoxelScan(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
+    extends LeafNode {
+  override def simpleString(maxFields: Int): String =
+    s"VoxelScan ${ctx.root} box=[${box.x.lo}..${box.x.hi}, ${box.y.lo}..${box.y.hi}, ${box.z.lo}..${box.z.hi}]"
+}
+
+/** Narrow a VoxelScan's box using conjunctive x/y/z range predicates above
+  * it. The filter is left in place (exact residual evaluation); only the
+  * I/O set shrinks. */
+object PushBoxFilters extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, scan: VoxelScan) =>
+      val narrowed = conjuncts(cond).foldLeft(scan.box)((b, e) => narrow(b, e, scan))
+      if (narrowed == scan.box) f else f.copy(child = scan.copy(box = narrowed))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def axisOf(a: Expression, scan: VoxelScan): Option[Char] = a match {
+    case attr: AttributeReference if scan.output.exists(_.exprId == attr.exprId) &&
+      (attr.name == "x" || attr.name == "y" || attr.name == "z") => Some(attr.name.head)
+    case _ => None
+  }
+
+  private def lit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, _) => Some(v)
+    case _ => None
+  }
+
+  private def narrow(b: Box, e: Expression, scan: VoxelScan): Box = {
+    def clampLo(bb: Box, ax: Char, v: Int): Box = ax match {
+      case 'x' => bb.copy(x = Ival(math.max(bb.x.lo, v), bb.x.hi))
+      case 'y' => bb.copy(y = Ival(math.max(bb.y.lo, v), bb.y.hi))
+      case 'z' => bb.copy(z = Ival(math.max(bb.z.lo, v), bb.z.hi))
+    }
+    def clampHi(bb: Box, ax: Char, v: Int): Box = ax match {
+      case 'x' => bb.copy(x = Ival(bb.x.lo, math.min(bb.x.hi, v)))
+      case 'y' => bb.copy(y = Ival(bb.y.lo, math.min(bb.y.hi, v)))
+      case 'z' => bb.copy(z = Ival(bb.z.lo, math.min(bb.z.hi, v)))
+    }
+    // each comparison may appear attr-first or literal-first; handle both
+    // orientations inside one arm (the flipped form mirrors the bound)
+    def bound(l: Expression, r: Expression, attrFirst: (Char, Int) => Box,
+        litFirst: (Char, Int) => Box): Box =
+      (axisOf(l, scan), lit(r)) match {
+        case (Some(ax), Some(x)) => attrFirst(ax, x)
+        case _ => (axisOf(r, scan), lit(l)) match {
+          case (Some(ax), Some(x)) => litFirst(ax, x)
+          case _ => b
+        }
+      }
+    e match {
+      case GreaterThanOrEqual(l, r) =>
+        bound(l, r, (ax, x) => clampLo(b, ax, x), (ax, x) => clampHi(b, ax, x))
+      case GreaterThan(l, r) =>
+        bound(l, r, (ax, x) => clampLo(b, ax, x + 1), (ax, x) => clampHi(b, ax, x - 1))
+      case LessThanOrEqual(l, r) =>
+        bound(l, r, (ax, x) => clampHi(b, ax, x), (ax, x) => clampLo(b, ax, x))
+      case LessThan(l, r) =>
+        bound(l, r, (ax, x) => clampHi(b, ax, x - 1), (ax, x) => clampLo(b, ax, x + 1))
+      case EqualTo(l, r) =>
+        bound(l, r, (ax, x) => clampHi(clampLo(b, ax, x), ax, x),
+          (ax, x) => clampHi(clampLo(b, ax, x), ax, x))
+      case _ => b
+    }
+  }
+}
+
+/** Plan a VoxelScan into its physical chunk-fetch execution. */
+object VoxelScanStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case VoxelScan(ctx, box, output) => VoxelScanExec(ctx, box, output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical voxel scan: distributed chunk-task grid → fetch/decode/emit.
+  * Same dataflow as Volume.toVoxels, expressed as a native SparkPlan so it
+  * composes with any relational operators above it. */
+final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
+    extends LeafExecNode {
+
+  override def simpleString(maxFields: Int): String =
+    s"VoxelScanExec ${ctx.root} box=[${box.x.lo}..${box.x.hi}, ${box.y.lo}..${box.y.hi}, ${box.z.lo}..${box.z.hi}]"
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val c = ctx
+    val query = box
+    val conf = new ChunkStore.SerializableConf(session.sessionState.newHadoopConf())
+    val (csx, csy, csz) = c.chunkSize
+    val ox = Grid.gridOffset(c.voxelOffset._1, csx)
+    val oy = Grid.gridOffset(c.voxelOffset._2, csy)
+    val oz = Grid.gridOffset(c.voxelOffset._3, csz)
+    val lox = Grid.chunkIdOf(query.x.lo, csx, ox); val hix = Grid.chunkIdOf(query.x.hi, csx, ox)
+    val loy = Grid.chunkIdOf(query.y.lo, csy, oy); val hiy = Grid.chunkIdOf(query.y.hi, csy, oy)
+    val loz = Grid.chunkIdOf(query.z.lo, csz, oz); val hiz = Grid.chunkIdOf(query.z.hi, csz, oz)
+    val nx = hix - lox + 1L; val ny = hiy - loy + 1L; val nz = hiz - loz + 1L
+    val total = math.max(0L, nx * ny * nz)
+    val parts = math.max(1, math.min(total, session.sparkContext.defaultParallelism * 2L)).toInt
+    val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
+    session.sparkContext.range(0L, total, 1, parts).mapPartitions { ids =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      val proj = UnsafeProjection.create(schema)
+      ids.flatMap { id =>
+        val cx = (lox + id % nx).toInt
+        val cy = (loy + (id / nx) % ny).toInt
+        val cz = (loz + id / (nx * ny)).toInt
+        c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
+          val bufOpt = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+            case Some(blob) => Some(c.decodeChunk(s, blob))
+            case None if c.fillMissing => None
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+          }
+          val cut = s.cutoutBox
+          for {
+            ch <- (0 until c.numChannels).iterator
+            z <- (cut.z.lo to cut.z.hi).iterator
+            y <- (cut.y.lo to cut.y.hi).iterator
+            x <- (cut.x.lo to cut.x.hi).iterator
+          } yield {
+            val v: Any = bufOpt match {
+              case Some(b) =>
+                Volume.widenedValue(c.dataType, b, x - b.origin._1, y - b.origin._2, z - b.origin._3, ch) match {
+                  case bd: java.math.BigDecimal => Decimal(bd)
+                  case s: String => UTF8String.fromString(s)
+                  case other => other
+                }
+              case None => Volume.zeroValue(c.dataType) match {
+                case bd: java.math.BigDecimal => Decimal(bd)
+                case other => other
+              }
+            }
+            proj(InternalRow(x, y, z, ch, v))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Session extension registrar:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PushBoxFilters)
+    e.injectPlannerStrategy(_ => VoxelScanStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** Install into an already-running session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(VoxelScanStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ VoxelScanStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushBoxFilters))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushBoxFilters
+  }
+}

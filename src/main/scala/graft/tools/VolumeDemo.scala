@@ -83,6 +83,13 @@ object SqlSurfaceDemo {
       .collect().head.getString(0))
     println("vec fns: " + spark.sql(
       "SELECT round(vec_cosine(array(1.0D,2.0D,3.0D), array(3.0D,2.0D,1.0D)), 4)").collect().head.getDouble(0))
+
+    // Catalyst-native voxel view with box pruning
+    graft.plans.GraftExtensions.install(spark)
+    val vox = vol.voxels().filter(col("x").between(101, 150) && col("z") < 6)
+    println("optimized: " + vox.queryExecution.optimizedPlan.toString.linesIterator
+      .find(_.contains("VoxelScan")).getOrElse("?").trim)
+    println(s"pruned voxel count = ${vox.count()}")
     spark.stop()
   }
 }

@@ -217,6 +217,18 @@ final class Volume(
     rows
   }
 
+  /** The whole volume as a Catalyst-native voxel relation: a custom
+    * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
+    * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes
+    * chunk I/O exactly like a `cutout` of that box. Requires the
+    * GraftExtensions rule/strategy (see graft.plans.GraftExtensions). */
+  def voxels(): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val attrs = voxelSchema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    org.apache.spark.sql.graftshim.shim.dataFrame(spark,
+      graft.plans.VoxelScan(ctx, ctx.volumeBox, attrs))
+  }
+
   /** Driver-buffer ingest: the reference's `ba[ranges...] = buf`
     * (reference: src/type.jl:137-150). Enforces chunk-aligned write starts
     * like the reference (src/modes/multithreads.jl:45-47: alignment uses the

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Grid.Box
+import graft.core.Meta
+import graft.testutil.SparkSuite
+import graft.volume.{Volume, VoxelBuffer}
+
+class VolumeOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("downsampleAvg mean-pools 2x2x1 blocks into the next mip") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-ds"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    vol.ingest(buf)
+
+    val written = VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
+    assert(written == 2) // 32x32x8 voxels over 32x32x4 chunks
+
+    val mip2 = new Volume(spark, vol.root, meta, 2)
+    val out = mip2.cutout(Box(1, 32, 1, 32, 1, 8))
+    // spot-check block means (HALF_UP rounding via round())
+    for ((tx, ty, tz) <- Seq((0, 0, 0), (5, 9, 3), (31, 31, 7))) {
+      val vals = for (dx <- 0 to 1; dy <- 0 to 1)
+        yield buf.getLong(tx * 2 + dx, ty * 2 + dy, tz)
+      val mean = math.round(vals.sum.toDouble / 4)
+      assert(out.getLong(tx, ty, tz) == mean, s"block ($tx,$ty,$tz)")
+    }
+  }
+
+  test("downsampleMode majority-votes segmentation labels with deterministic ties") {
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt32, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-dsm"), meta)
+    // labels: left half 7, right half 9, with one mixed column
+    val buf = VoxelBuffer.zeros(Meta.TUInt32, 32, 32, 4, 1, (1, 1, 1))
+    for (z <- 0 until 4; y <- 0 until 32; x <- 0 until 32)
+      buf.setLong(x, y, z, 0, if (x < 16) 7L else 9L)
+    vol.ingest(buf)
+    VolumeOps.buildNextMip(vol, Box(1, 32, 1, 32, 1, 4))
+    val out = new Volume(spark, vol.root, meta, 2).cutout(Box(1, 16, 1, 16, 1, 4))
+    for (z <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
+      assert(out.getLong(x, y, z) == (if (x < 8) 7L else 9L), s"($x,$y,$z)")
+  }
+}

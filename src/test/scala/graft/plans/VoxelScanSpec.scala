@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{Grid, Meta}
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+import graft.volume.{Volume, VoxelBuffer}
+
+class VoxelScanSpec extends AnyFunSuite {
+  lazy val spark = { val s = SparkSuite.spark; GraftExtensions.install(s); s }
+
+  def newVolume(): (Volume, VoxelBuffer) = {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("6_6_30", (100, 100, 5), "gzip", (6, 6, 30), (510, 510, 2022), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-vscan"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
+    vol.ingest(buf)
+    (vol, buf)
+  }
+
+  test("voxels() filter results match toVoxels on the same box") {
+    val (vol, buf) = newVolume()
+    val viaScan = vol.voxels()
+      .filter(col("x").between(57, 123) && col("y").between(90, 110) && col("z").between(3, 8))
+      .agg(sum("value"), count(lit(1))).collect().head
+    val viaToVoxels = vol.toVoxels(Box(57, 123, 90, 110, 3, 8))
+      .agg(sum("value"), count(lit(1))).collect().head
+    assert(viaScan == viaToVoxels)
+  }
+
+  test("PushBoxFilters narrows the scan box in the optimized plan") {
+    val (vol, _) = newVolume()
+    val df = vol.voxels().filter(col("x") >= 101 && col("x") <= 150 && col("z") < 6)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("box=[101..150, 1..510, 1..5]"), optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("VoxelScanExec"), physical)
+  }
+
+  test("narrowed box reads only intersecting chunks (pruned I/O)") {
+    val (vol, buf) = newVolume()
+    // destroy chunks outside x<=100: a pruned scan must not touch them
+    for (k <- Seq("100-200_0-100_0-5", "100-200_0-100_5-10", "100-200_100-200_0-5", "100-200_100-200_5-10"))
+      assert(new java.io.File(vol.root, s"6_6_30/$k").delete())
+    val strict = new Volume(spark, vol.root, vol.meta, 1, fillMissing = false)
+    // strict mode: touching any deleted (x>100) chunk would throw, so a
+    // successful count proves the box narrowing pruned them out
+    val n = strict.voxels()
+      .filter(col("x") <= 100 && col("y") <= 200 && col("z") <= 10).count()
+    assert(n == 100L * 200 * 10)
+  }
+
+  test("unfilterable predicates still evaluate correctly as residuals") {
+    val (vol, buf) = newVolume()
+    val n = vol.voxels()
+      .filter(col("x").between(1, 10) && col("y").between(1, 10) && col("z") === 1 && col("value") > 128)
+      .count()
+    var expect = 0L
+    for (x <- 0 until 10; y <- 0 until 10) if (buf.getLong(x, y, 0) > 128) expect += 1
+    assert(n == expect)
+  }
+
+  test("aggregation composes over the custom scan") {
+    val (vol, buf) = newVolume()
+    val rows = vol.voxels().filter(col("x").between(1, 100) && col("y").between(1, 100) && col("z").between(1, 5))
+      .groupBy(col("z")).agg(count(lit(1)).as("n")).orderBy(col("z")).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(1) == 100L * 100))
+  }
+}
