@@ -35,6 +35,8 @@ object SparkEntry {
     "q13_rangejoin" -> (Relational.q13_rangejoin _),
     "q14_asof" -> (Relational.q14_asof _),
     "q15_sessionize" -> (Relational.q15_sessionize _),
+    "q16_grouping_sets" -> (Relational.q16_grouping_sets _),
+    "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
     "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
@@ -145,6 +147,10 @@ object SparkEntry {
         | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |       FROM events) l) s
         |GROUP BY user_id""".stripMargin,
+    "q16_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

@@ -139,6 +139,26 @@ object Relational {
       .groupBy(col("y"), col("m"))
       .agg(count(lit(1)).as("n"), min(col("d")).as("dmin"), max(col("d")).as("dmax"))
 
+  /** GROUPING SETS (the general form behind rollup/cube). */
+  def q16_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Approximate distinct (HyperLogLog++) next to the exact count — the
+    * sketch path for 100 TB cardinalities. Engine-specific estimates have no
+    * cross-engine oracle (rows-only check); the exactness-bounded relative
+    * error is asserted in RelationalSpec. */
+  def q17_approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any

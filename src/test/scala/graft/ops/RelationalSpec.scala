@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testutil.SparkSuite
+
+/** Relational-surface checks beyond the DuckDB oracle (which covers value
+  * parity): properties the oracle can't express. */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct stays within HLL++ error bounds of exact") {
+    val rows = Relational.q17_approx_distinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("grouping sets covers exactly the declared sets") {
+    val rows = Relational.q16_grouping_sets(spark, dir).collect()
+    val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val prios = rows.count(r => r.isNullAt(0) && !r.isNullAt(1))
+    val grand = rows.count(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(statuses == 3 && prios == 5 && grand == 1)
+    // grand total equals the table size
+    assert(rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2) == 1500L)
+  }
+}
