@@ -36,6 +36,7 @@ object SparkEntry {
     "q14_asof" -> (Relational.q14_asof _),
     "q15_sessionize" -> (Relational.q15_sessionize _),
     "q16_grouping_sets" -> (Relational.q16_grouping_sets _),
+    "q18_salted_agg" -> (Relational.q18_salted_agg _),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
@@ -151,6 +152,10 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q18_salted_agg" ->
+      """SELECT l_returnflag, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

@@ -159,6 +159,15 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Skew-safe two-phase (salted) aggregation — identical results to the
+    * plain groupBy (same oracle as a direct GROUP BY), but a hot key spreads
+    * over 16 reducers in phase 1. */
+  def q18_salted_agg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+        t(spark, dir, "lineitem"), Seq("l_returnflag"),
+        Seq((col("l_quantity").cast(DecimalType(18, 4)), "sq")))
+      .select(col("l_returnflag"), outd(col("sq")).as("sum_qty"), col("n"))
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any

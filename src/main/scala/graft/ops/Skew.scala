@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * `saltedAgg` is the classic two-phase aggregation for heavily skewed group
+  * keys: phase 1 aggregates on (key, salt) — spreading one hot key over
+  * `buckets` reducers — phase 2 merges the partials. Results are identical
+  * to a direct groupBy (which is how the oracle checks it); only the shuffle
+  * distribution changes. AQE's skew-join handling covers joins; this covers
+  * aggregation, where AQE cannot split a hot group. */
+object Skew {
+
+  /** Two-phase salted sum/count aggregation.
+    *
+    * @param df       input
+    * @param keys     group-by keys
+    * @param sums     columns to sum (must be re-aggregable: sum of sums)
+    * @param buckets  salt fan-out for phase 1
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], sums: Seq[(Column, String)],
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(sums.head._1).as(s"__p_${sums.head._2}"),
+        sums.tail.map { case (c, n) => sum(c).as(s"__p_$n") } :+ count(lit(1)).as("__p_n"): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(s"__p_${sums.head._2}").as(sums.head._2),
+        sums.tail.map { case (_, n) => sum(s"__p_$n").as(n) } :+ sum("__p_n").as("n"): _*)
+  }
+}

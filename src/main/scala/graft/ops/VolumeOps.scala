@@ -58,4 +58,24 @@ object VolumeOps {
       else downsampleAvg(vol, box)
     target.fromVoxels(down)
   }
+
+  /** Build mips `vol.mip+1 .. topMip` over `box`, each level fed by the
+    * previous (the whole-pyramid form of the reference's numMip constructor,
+    * src/Infos.jl:226-229 — which only created metadata). Returns chunks
+    * written per level. */
+  def buildPyramid(vol: Volume, box: Box, topMip: Int): Seq[Long] = {
+    var handle = vol
+    var b = box
+    (vol.mip until topMip).map { m =>
+      val written = buildNextMip(handle, b)
+      val meta2 = if (handle.meta.scales.length > m) handle.meta else handle.meta.withNumMips(m + 1)
+      // target coords of the 2x2x1 pooling: t = fld(v-1, 2) + 1 in x/y
+      b = Box(
+        graft.core.Grid.Ival(Math.floorDiv(b.x.lo - 1, 2) + 1, Math.floorDiv(b.x.hi - 1, 2) + 1),
+        graft.core.Grid.Ival(Math.floorDiv(b.y.lo - 1, 2) + 1, Math.floorDiv(b.y.hi - 1, 2) + 1),
+        b.z)
+      handle = new Volume(vol.spark, vol.root, meta2, m + 1, vol.fillMissing)
+      written
+    }
+  }
 }

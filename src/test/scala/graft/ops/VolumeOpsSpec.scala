@@ -45,4 +45,18 @@ class VolumeOpsSpec extends AnyFunSuite {
     for (z <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
       assert(out.getLong(x, y, z) == (if (x < 8) 7L else 9L), s"($x,$y,$z)")
   }
+
+  test("buildPyramid chains levels; each mip halves x/y") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (64, 64, 4), (0, 0, 0)))).withNumMips(3)
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-pyr"), meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 4, 1, (1, 1, 1)))
+    val written = VolumeOps.buildPyramid(vol, Box(1, 64, 1, 64, 1, 4), topMip = 3)
+    assert(written.length == 2)
+    val mip3 = new Volume(spark, vol.root, meta, 3)
+    val out = mip3.cutout(Box(1, 16, 1, 16, 1, 4))
+    assert(out.numVoxels == 16L * 16 * 4)
+    // mip3 voxel (0,0,0) is the mean-of-means of the 4x4 block at mip1
+    assert(out.getLong(0, 0, 0) >= 0)
+  }
 }

@@ -43,4 +43,34 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2).toInt)).toMap
     assert(streamedMap == batch)
   }
+
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "HH:mm").as("hr"), col("n"))
+    val name = s"late_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      mem.addData((ts(1, 10), 1.0), (ts(1, 20), 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 1: its window finalizes
+      mem.addData((ts(4, 0), 1.0))
+      q.processAllAvailable()
+      // a late event for hour 1 arrives after the watermark passed: dropped
+      mem.addData((ts(1, 40), 99.0))
+      q.processAllAvailable()
+      mem.addData((ts(6, 0), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.get("01:00").contains(2L), s"late event must not count: $rows")
+    } finally q.stop()
+  }
 }

@@ -196,4 +196,27 @@ class VolumeSpec extends AnyFunSuite {
     val decoded = graft.core.Codec.GzipCodec.decode(blob)
     assert(decoded.sameElements(buf.bytes))
   }
+
+  test("corrupt blob surfaces a clear task error, not silent garbage") {
+    val vol = newVolume()
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
+    vol.ingest(buf)
+    // truncate the stored object: gzip decode (or buffer shape check) must fail loudly
+    val f = new java.io.File(vol.root, "6_6_30/0-100_0-100_0-5")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.take(bytes.length / 2))
+    val e = intercept[org.apache.spark.SparkException](vol.cutout(Box(1, 100, 1, 100, 1, 5)))
+    assert(e.getMessage != null)
+  }
+
+  test("non-gzip bytes pass through decode and fail the shape check (magic sniff)") {
+    val vol = newVolume()
+    val f = new java.io.File(vol.root, "6_6_30")
+    f.mkdirs()
+    java.nio.file.Files.write(new java.io.File(f, "0-100_0-100_0-5").toPath,
+      Array[Byte](1, 2, 3, 4))
+    val e = intercept[org.apache.spark.SparkException](vol.cutout(Box(1, 100, 1, 100, 1, 5)))
+    assert(e.getMessage.contains("buffer bytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("buffer bytes")), e.getMessage)
+  }
 }
