@@ -24,7 +24,11 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query may have persisted (e.g. the minhash shingle
+      // set) so runs don't accumulate memory pressure across 2x37 queries
+      spark.catalog.clearCache()
+      dt
     }
 
     // warmup: session machinery + parquet footers + codegen paths

@@ -53,11 +53,11 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** 128 permutations, 32 bands × 4 rows: detection probability at j=0.8 is
-    * 1-(1-0.8^4)^32 ≈ 1-5e-8 — effectively perfect recall at the 0.8
+  /** 96 permutations, 32 bands × 3 rows: detection probability at j=0.8 is
+    * 1-(1-0.8^3)^32 ≈ 1-1e-10 — effectively perfect recall at the 0.8
     * threshold, so LSH + exact verification reproduces the exact all-pairs
     * result (which is how the oracle checks it). */
-  val NumHashes = 128
+  val NumHashes = 96
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
   private val MersennePrime = 2147483647L // 2^31 - 1
