@@ -39,10 +39,34 @@ object Bench {
     // compilation of its generated code (seconds for wide aggregates),
     // which is amortized away in any long-running deployment
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { n =>
+    val results0 = names.map { n =>
       val a = force(n); val b = force(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
+
+    // array-surface throughput (the reference's per-call MB/s metric,
+    // src/modes/sequential.jl:62-63): 256^3 uint8 = 16 MiB ingest + cutout
+    val arrayBench = try {
+      import graft.core.{Grid, Meta}
+      import graft.volume.{Volume, VoxelBuffer}
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-vol").toString
+      val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (64, 64, 64), "gzip", (1, 1, 1), (256, 256, 256), (0, 0, 0))))
+      val vol = Volume.create(spark, root, meta)
+      val buf = VoxelBuffer.sequenced(Meta.TUInt8, 256, 256, 256, 1, (1, 1, 1))
+      def best2(f: => Unit): Double = {
+        def once = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+        val a = once; math.min(a, once)
+      }
+      val tIngest = best2(vol.ingest(buf))
+      var out: VoxelBuffer = null
+      val tCutout = best2 { out = vol.cutout(Grid.Box(1, 256, 1, 256, 1, 256)) }
+      require(out == buf, "array bench roundtrip mismatch")
+      Seq("v_ingest_256" -> tIngest, "v_cutout_256" -> tCutout)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] array bench failed: $e"); Seq.empty
+    }
+    val results = results0 ++ arrayBench
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
