@@ -69,7 +69,21 @@ object Codec {
       if (!hasMagic(blob, ZstdMagic)) blob // magic-sniff passthrough
       else {
         val size = com.github.luben.zstd.Zstd.getFrameContentSize(blob)
-        com.github.luben.zstd.Zstd.decompress(blob, size.toInt)
+        if (size > 0 && size <= Int.MaxValue - 64L)
+          com.github.luben.zstd.Zstd.decompress(blob, size.toInt)
+        else {
+          // frames from streaming writers carry no content size (the jni
+          // call returns a <=0 sentinel): fall back to streaming decode
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new ByteArrayInputStream(blob))
+          try {
+            val out = new ByteArrayOutputStream(blob.length * 4 + 64)
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        }
       }
   }
 

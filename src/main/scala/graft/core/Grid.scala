@@ -57,6 +57,35 @@ object Grid {
   def gridOffset(offset: Int, chunkSize: Int): Int =
     Math.floorMod(offset, chunkSize)
 
+  /** Chunk-id bounding ranges of a query box — THE shared pruning math; all
+    * planners (driver enumeration, distributed task grids, physical scans)
+    * derive their id spans from here so they can never disagree. */
+  final case class IdRanges(lox: Int, hix: Int, loy: Int, hiy: Int, loz: Int, hiz: Int) {
+    def nx: Long = hix - lox + 1L
+    def ny: Long = hiy - loy + 1L
+    def nz: Long = hiz - loz + 1L
+    def total: Long = nx * ny * nz
+    /** Decompose a linear id in [0, total) into grid coords (x fastest). */
+    def coords(id: Long): (Int, Int, Int) =
+      ((lox + id % nx).toInt, (loy + (id / nx) % ny).toInt, (loz + id / (nx * ny)).toInt)
+  }
+
+  def idRanges(query: Box, chunkSize: (Int, Int, Int), offset: (Int, Int, Int)): IdRanges = {
+    val (csx, csy, csz) = chunkSize
+    val ox = gridOffset(offset._1, csx); val oy = gridOffset(offset._2, csy); val oz = gridOffset(offset._3, csz)
+    IdRanges(
+      chunkIdOf(query.x.lo, csx, ox), chunkIdOf(query.x.hi, csx, ox),
+      chunkIdOf(query.y.lo, csy, oy), chunkIdOf(query.y.hi, csy, oy),
+      chunkIdOf(query.z.lo, csz, oz), chunkIdOf(query.z.hi, csz, oz))
+  }
+
+  /** Stop-side volume clamp (adjust_volume_boundary semantics,
+    * reference: src/type.jl:165-205): only the hi bound shrinks. */
+  def clampHiTo(b: Box, vol: Box): Box = Box(
+    Ival(b.x.lo, math.min(b.x.hi, vol.x.hi)),
+    Ival(b.y.lo, math.min(b.y.hi, vol.y.hi)),
+    Ival(b.z.lo, math.min(b.z.hi, vol.z.hi)))
+
   /** One unit of cutout/ingest work: a chunk intersecting the query box.
     *
     * Field meanings match the reference's 5-tuple
@@ -94,28 +123,19 @@ object Grid {
                 volume: Option[Box] = None): IndexedSeq[ChunkSlice] = {
     val (csx, csy, csz) = chunkSize
     val (ox, oy, oz) = (gridOffset(offset._1, csx), gridOffset(offset._2, csy), gridOffset(offset._3, csz))
-    val loIds = (chunkIdOf(query.x.lo, csx, ox), chunkIdOf(query.y.lo, csy, oy), chunkIdOf(query.z.lo, csz, oz))
-    val hiIds = (chunkIdOf(query.x.hi, csx, ox), chunkIdOf(query.y.hi, csy, oy), chunkIdOf(query.z.hi, csz, oz))
+    val ids = idRanges(query, chunkSize, offset)
     for {
       // column-major enumeration order (x fastest) like CartesianIndices
-      iz <- loIds._3 to hiIds._3
-      iy <- loIds._2 to hiIds._2
-      ix <- loIds._1 to hiIds._1
+      iz <- ids.loz to ids.hiz
+      iy <- ids.loy to ids.hiy
+      ix <- ids.lox to ids.hix
       chunkBox = Box(chunkIval(ix, csx, ox), chunkIval(iy, csy, oy), chunkIval(iz, csz, oz))
       cutout = chunkBox.intersect(query)
       // out-of-volume skip (reads keep zeros): reference src/modes/sequential.jl:33-37
       if volume.forall(v => !cutout.intersect(v).isEmpty)
-    } yield {
-      volume match {
-        case None => ChunkSlice(ix, iy, iz, chunkBox, cutout)
-        case Some(v) =>
-          // clamp only the stop side, like adjust_volume_boundary (type.jl:165-205)
-          def clampHi(b: Box): Box = Box(
-            Ival(b.x.lo, math.min(b.x.hi, v.x.hi)),
-            Ival(b.y.lo, math.min(b.y.hi, v.y.hi)),
-            Ival(b.z.lo, math.min(b.z.hi, v.z.hi)))
-          ChunkSlice(ix, iy, iz, clampHi(chunkBox), clampHi(cutout))
-      }
+    } yield volume match {
+      case None => ChunkSlice(ix, iy, iz, chunkBox, cutout)
+      case Some(v) => ChunkSlice(ix, iy, iz, clampHiTo(chunkBox, v), clampHiTo(cutout, v))
     }
   }
 

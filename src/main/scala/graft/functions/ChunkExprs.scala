@@ -111,7 +111,9 @@ object ChunkExprs {
     override def eval(input: InternalRow): IterableOnce[InternalRow] = {
       val blob = children.head.eval(input).asInstanceOf[Array[Byte]]
       if (blob == null) return Iterator.empty
-      val Seq(x0, y0, z0, sx, sy, sz) = children.tail.map(_.eval(input).asInstanceOf[Int])
+      val args = children.tail.map(_.eval(input))
+      if (args.contains(null)) return Iterator.empty // null coords: no rows
+      val Seq(x0, y0, z0, sx, sy, sz) = args.map(_.asInstanceOf[Int])
       val buf = new VoxelBuffer(vt, sx, sy, sz, numChannels, (x0, y0, z0), codec.decode(blob))
       for {
         ch <- (0 until numChannels).iterator

@@ -19,10 +19,7 @@ object ArrayOps {
   val demoChunk: (Int, Int, Int) = (64, 64, 8)
   val demoOffset: (Int, Int, Int) = (-300, -300, -10)
 
-  private def idRange(lo: Int, hi: Int, cs: Int, off: Int): (Int, Int) = {
-    val o = Grid.gridOffset(off, cs)
-    (Grid.chunkIdOf(lo, cs, o), Grid.chunkIdOf(hi, cs, o))
-  }
+
 
   /** Chunk-grid planning (the reference's ChunkIterator, src/ChunkIterators.jl)
     * as a declarative DataFrame: `sequence`+`explode` generate the pruned id
@@ -34,9 +31,8 @@ object ArrayOps {
     val ox = Grid.gridOffset(demoOffset._1, csx)
     val oy = Grid.gridOffset(demoOffset._2, csy)
     val oz = Grid.gridOffset(demoOffset._3, csz)
-    val (x0, x1) = idRange(demoBox.x.lo, demoBox.x.hi, csx, demoOffset._1)
-    val (y0, y1) = idRange(demoBox.y.lo, demoBox.y.hi, csy, demoOffset._2)
-    val (z0, z1) = idRange(demoBox.z.lo, demoBox.z.hi, csz, demoOffset._3)
+    val ids = Grid.idRanges(demoBox, demoChunk, demoOffset)
+    val (x0, x1) = (ids.lox, ids.hix); val (y0, y1) = (ids.loy, ids.hiy); val (z0, z1) = (ids.loz, ids.hiz)
     spark.range(1).select(
         explode(sequence(lit(x0), lit(x1))).as("cx"))
       .select(col("cx"), explode(sequence(lit(y0), lit(y1))).as("cy"))
@@ -57,9 +53,8 @@ object ArrayOps {
     val ox = Grid.gridOffset(demoOffset._1, csx)
     val oy = Grid.gridOffset(demoOffset._2, csy)
     val oz = Grid.gridOffset(demoOffset._3, csz)
-    val (x0, x1) = idRange(demoBox.x.lo, demoBox.x.hi, csx, demoOffset._1)
-    val (y0, y1) = idRange(demoBox.y.lo, demoBox.y.hi, csy, demoOffset._2)
-    val (z0, z1) = idRange(demoBox.z.lo, demoBox.z.hi, csz, demoOffset._3)
+    val ids = Grid.idRanges(demoBox, demoChunk, demoOffset)
+    val (x0, x1) = (ids.lox, ids.hix); val (y0, y1) = (ids.loy, ids.hiy); val (z0, z1) = (ids.loz, ids.hiz)
     s"""SELECT CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,
        |  ((cx-1)*$csx+$ox) || '-' || (cx*$csx+$ox) || '_' ||
        |  ((cy-1)*$csy+$oy) || '-' || (cy*$csy+$oy) || '_' ||

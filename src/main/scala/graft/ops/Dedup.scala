@@ -67,7 +67,7 @@ object Dedup {
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature columns m0..m127. Arithmetic stays within a 31-bit
+  /** MinHash signature columns m0..m95 (NumHashes). Arithmetic stays within a 31-bit
     * domain so ANSI mode can't overflow: h31 = xxhash64(shingle) mod p,
     * m_i = min((a_i * h31 + b_i) mod p). Accepts a precomputed shingle DF. */
   def signatures(shingleDf: DataFrame): DataFrame = {
@@ -100,11 +100,13 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification on the
     * candidates only. Output ≡ [[ngramJaccardPairs]] given the recall
-    * analysis above, at a fraction of the join cost. The shingle set is
-    * persisted: it feeds signature computation and both sides of the
-    * verification join (3 consumers, 1 computation). */
+    * analysis above, at a fraction of the join cost. The shingle DF feeds
+    * three consumers; it is recomputed rather than persisted — a persist
+    * here leaks cache for the session (the returned DataFrame is lazy, so
+    * the library can never safely unpersist), and shingling is cheap
+    * relative to the joins. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingles(docs)
     val cand = candidatePairs(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand

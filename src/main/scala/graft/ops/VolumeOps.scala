@@ -19,15 +19,19 @@ import graft.volume.Volume
   * fromVoxels write path. */
 object VolumeOps {
 
-  /** Mean-pool 2×2×1 blocks (image layers). Returns the voxel DataFrame of
-    * the next mip level (value rounded to the storage type by fromVoxels). */
-  def downsampleAvg(vol: Volume, box: Box): DataFrame =
+  /** Mean-pool 2×2×1 blocks (image layers). Integer volumes round the mean
+    * back to an integral value; float volumes keep the fractional mean
+    * (rounding would destroy e.g. [0,1) affinity data). */
+  def downsampleAvg(vol: Volume, box: Box): DataFrame = {
+    val isFloat = vol.meta.dataType == Meta.TFloat32 || vol.meta.dataType == Meta.TFloat64
+    val mean = avg(col("value"))
     vol.toVoxels(box)
       .groupBy(
         (floor((col("x") - 1) / 2) + 1).cast(IntegerType).as("x"),
         (floor((col("y") - 1) / 2) + 1).cast(IntegerType).as("y"),
         col("z"), col("c"))
-      .agg(round(avg(col("value"))).cast(LongType).as("value"))
+      .agg((if (isFloat) mean else round(mean).cast(LongType)).as("value"))
+  }
 
   /** Majority-vote 2×2×1 blocks (segmentation layers): the most frequent
     * label wins; ties break to the smallest label (deterministic). */

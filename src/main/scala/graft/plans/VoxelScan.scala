@@ -121,24 +121,15 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     val c = ctx
     val query = box
     val conf = new ChunkStore.SerializableConf(session.sessionState.newHadoopConf())
-    val (csx, csy, csz) = c.chunkSize
-    val ox = Grid.gridOffset(c.voxelOffset._1, csx)
-    val oy = Grid.gridOffset(c.voxelOffset._2, csy)
-    val oz = Grid.gridOffset(c.voxelOffset._3, csz)
-    val lox = Grid.chunkIdOf(query.x.lo, csx, ox); val hix = Grid.chunkIdOf(query.x.hi, csx, ox)
-    val loy = Grid.chunkIdOf(query.y.lo, csy, oy); val hiy = Grid.chunkIdOf(query.y.hi, csy, oy)
-    val loz = Grid.chunkIdOf(query.z.lo, csz, oz); val hiz = Grid.chunkIdOf(query.z.hi, csz, oz)
-    val nx = hix - lox + 1L; val ny = hiy - loy + 1L; val nz = hiz - loz + 1L
-    val total = math.max(0L, nx * ny * nz)
+    val ids = Grid.idRanges(query, c.chunkSize, c.voxelOffset)
+    val total = math.max(0L, ids.total)
     val parts = math.max(1, math.min(total, session.sparkContext.defaultParallelism * 2L)).toInt
     val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
-    session.sparkContext.range(0L, total, 1, parts).mapPartitions { ids =>
+    session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
       val fs = ChunkStore.fs(c.root, conf.conf)
       val proj = UnsafeProjection.create(schema)
-      ids.flatMap { id =>
-        val cx = (lox + id % nx).toInt
-        val cy = (loy + (id / nx) % ny).toInt
-        val cz = (loz + id / (nx * ny)).toInt
+      linearIds.flatMap { id =>
+        val (cx, cy, cz) = ids.coords(id)
         c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
           val bufOpt = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
             case Some(blob) => Some(c.decodeChunk(s, blob))

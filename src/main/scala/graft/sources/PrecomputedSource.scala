@@ -258,13 +258,9 @@ class PrecomputedBatchWrite(root: String, scale: Meta.ScaleMeta, schema: StructT
         val oy = Grid.gridOffset(scaleB.voxelOffset._2, csy)
         val oz = Grid.gridOffset(scaleB.voxelOffset._3, csz)
         val cx = row.getInt(idx("cx")); val cy = row.getInt(idx("cy")); val cz = row.getInt(idx("cz"))
-        val vb = scaleB.volumeBox
         val chunkBox = Grid.Box(Grid.chunkIval(cx, csx, ox), Grid.chunkIval(cy, csy, oy),
           Grid.chunkIval(cz, csz, oz))
-        val clamped = Grid.Box(
-          Grid.Ival(chunkBox.x.lo, math.min(chunkBox.x.hi, vb.x.hi)),
-          Grid.Ival(chunkBox.y.lo, math.min(chunkBox.y.hi, vb.y.hi)),
-          Grid.Ival(chunkBox.z.lo, math.min(chunkBox.z.hi, vb.z.hi)))
+        val clamped = Grid.clampHiTo(chunkBox, scaleB.volumeBox)
         val key = s"${scaleB.key}/${Grid.boxKey(clamped)}"
         ChunkStore.write(fs, rootB, key, row.getBinary(idx("blob")))
         written += 1

@@ -35,13 +35,8 @@ final case class VolumeCtx(
     val chunkBox = Box(Grid.chunkIval(cx, csx, ox), Grid.chunkIval(cy, csy, oy), Grid.chunkIval(cz, csz, oz))
     val cut = chunkBox.intersect(query)
     if (cut.intersect(volumeBox).isEmpty) None // out-of-volume skip (sequential.jl:33-37)
-    else {
-      def clampHi(b: Box): Box = Box(
-        Ival(b.x.lo, math.min(b.x.hi, volumeBox.x.hi)),
-        Ival(b.y.lo, math.min(b.y.hi, volumeBox.y.hi)),
-        Ival(b.z.lo, math.min(b.z.hi, volumeBox.z.hi)))
-      Some(ChunkSlice(cx, cy, cz, clampHi(chunkBox), clampHi(cut)))
-    }
+    else Some(ChunkSlice(cx, cy, cz,
+      Grid.clampHiTo(chunkBox, volumeBox), Grid.clampHiTo(cut, volumeBox)))
   }
 
   /** Decode a blob into a buffer anchored at the (clamped) chunk box.
@@ -92,37 +87,21 @@ final class Volume(
 
   /** Number of chunks a box touches — counts grid cells in the bounding id
     * box, like the reference (src/type.jl:285-292). Pure math, no I/O. */
-  def numChunks(query: Box): Long = {
-    val (csx, csy, csz) = ctx.chunkSize
-    val ox = Grid.gridOffset(ctx.voxelOffset._1, csx)
-    val oy = Grid.gridOffset(ctx.voxelOffset._2, csy)
-    val oz = Grid.gridOffset(ctx.voxelOffset._3, csz)
-    val nx = Grid.chunkIdOf(query.x.hi, csx, ox) - Grid.chunkIdOf(query.x.lo, csx, ox) + 1L
-    val ny = Grid.chunkIdOf(query.y.hi, csy, oy) - Grid.chunkIdOf(query.y.lo, csy, oy) + 1L
-    val nz = Grid.chunkIdOf(query.z.hi, csz, oz) - Grid.chunkIdOf(query.z.lo, csz, oz) + 1L
-    nx * ny * nz
-  }
+  def numChunks(query: Box): Long =
+    Grid.idRanges(query, ctx.chunkSize, ctx.voxelOffset).total
 
   /** Distributed chunk-task table for a query box: one row per grid cell in
     * the pruned id range — the reference's ChunkIterator as a DataFrame
     * (reference: src/ChunkIterators.jl:9-42). Generated from `spark.range`,
     * so it never materializes on the driver. */
   def chunkTasks(query: Box): DataFrame = {
-    val (csx, csy, csz) = ctx.chunkSize
-    val ox = Grid.gridOffset(ctx.voxelOffset._1, csx)
-    val oy = Grid.gridOffset(ctx.voxelOffset._2, csy)
-    val oz = Grid.gridOffset(ctx.voxelOffset._3, csz)
-    val lox = Grid.chunkIdOf(query.x.lo, csx, ox); val hix = Grid.chunkIdOf(query.x.hi, csx, ox)
-    val loy = Grid.chunkIdOf(query.y.lo, csy, oy); val hiy = Grid.chunkIdOf(query.y.hi, csy, oy)
-    val loz = Grid.chunkIdOf(query.z.lo, csz, oz); val hiz = Grid.chunkIdOf(query.z.hi, csz, oz)
-    val nx = hix - lox + 1L; val ny = hiy - loy + 1L; val nz = hiz - loz + 1L
-    val total = nx * ny * nz
-    val parts = math.max(1, math.min(total, spark.sparkContext.defaultParallelism * 2L)).toInt
+    val ids = Grid.idRanges(query, ctx.chunkSize, ctx.voxelOffset)
+    val parts = math.max(1, math.min(ids.total, spark.sparkContext.defaultParallelism * 2L)).toInt
     // `div` (integral division), not `/` (double division): exact for any id
-    spark.range(0, total, 1, parts).select(
-      expr(s"cast(${lox}L + (id % ${nx}L) as int)").as("cx"),
-      expr(s"cast(${loy}L + ((id div ${nx}L) % ${ny}L) as int)").as("cy"),
-      expr(s"cast(${loz}L + (id div ${nx * ny}L) as int)").as("cz"))
+    spark.range(0, ids.total, 1, parts).select(
+      expr(s"cast(${ids.lox}L + (id % ${ids.nx}L) as int)").as("cx"),
+      expr(s"cast(${ids.loy}L + ((id div ${ids.nx}L) % ${ids.ny}L) as int)").as("cy"),
+      expr(s"cast(${ids.loz}L + (id div ${ids.nx * ids.ny}L) as int)").as("cz"))
   }
 
   /** Fetch + decode + clip the chunks of `query`; returns pieces anchored at
@@ -154,7 +133,7 @@ final class Volume(
     * (reference: src/type.jl:212-223). Returns a zero-initialized buffer
     * anchored at the query origin; out-of-volume / missing chunks stay zero.
     * Driver-side materialization is capped — use `toVoxels` for big boxes. */
-  def cutout(query: Box, maxBytes: Long = 2L << 30): VoxelBuffer = {
+  def cutout(query: Box, maxBytes: Long = Int.MaxValue - 64L): VoxelBuffer = {
     val bytesNeeded = query.numVoxels * meta.numChannels * meta.dataType.byteSize
     require(bytesNeeded <= maxBytes,
       s"cutout of $bytesNeeded bytes exceeds cap $maxBytes; use toVoxels for distributed processing")
@@ -197,11 +176,12 @@ final class Volume(
             case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
           }
           val cut = s.cutoutBox
+          // iterator generators: never materialize a chunk's rows strictly
           for {
-            ch <- 0 until c.numChannels
-            z <- cut.z.lo to cut.z.hi
-            y <- cut.y.lo to cut.y.hi
-            x <- cut.x.lo to cut.x.hi
+            ch <- (0 until c.numChannels).iterator
+            z <- (cut.z.lo to cut.z.hi).iterator
+            y <- (cut.y.lo to cut.y.hi).iterator
+            x <- (cut.x.lo to cut.x.hi).iterator
           } yield {
             val v: Any = bufOpt match {
               case Some(b) =>
@@ -328,7 +308,10 @@ final class Volume(
         case None => 0L
       }
     })(Encoders.scalaLong)
-    results.reduce(_ + _)
+    // empty-safe sum (reduce throws on an empty Dataset — e.g. every voxel
+    // filtered out by the volume-box bounds)
+    val total = results.toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    total
   }
 
   /** Expected-grid minus store listing — the reference's

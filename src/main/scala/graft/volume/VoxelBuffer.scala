@@ -31,7 +31,10 @@ final class VoxelBuffer(
     Ival(origin._2, origin._2 + sy - 1),
     Ival(origin._3, origin._3 + sz - 1))
 
-  private def bb: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  // cached wrapper: absolute get/put is stateless, and a per-access
+  // ByteBuffer.wrap would allocate twice per voxel in the hottest loops
+  @transient private lazy val bb: ByteBuffer =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
   @inline private def idx(x: Int, y: Int, z: Int, c: Int): Long =
     x + sx.toLong * (y + sy.toLong * (z + sz.toLong * c))
@@ -119,8 +122,12 @@ final class VoxelBuffer(
 }
 
 object VoxelBuffer {
-  def zeros(t: VoxelType, sx: Int, sy: Int, sz: Int, nc: Int, origin: (Int, Int, Int)): VoxelBuffer =
-    new VoxelBuffer(t, sx, sy, sz, nc, origin, new Array[Byte](sx * sy * sz * nc * t.byteSize))
+  def zeros(t: VoxelType, sx: Int, sy: Int, sz: Int, nc: Int, origin: (Int, Int, Int)): VoxelBuffer = {
+    val bytes = sx.toLong * sy * sz * nc * t.byteSize
+    require(bytes <= Int.MaxValue - 64L,
+      s"buffer of $bytes bytes exceeds JVM array limits; use the distributed voxel view")
+    new VoxelBuffer(t, sx, sy, sz, nc, origin, new Array[Byte](bytes.toInt))
+  }
 
   /** Deterministic pseudo-random fill (for tests/benchmarks; value derived
     * from coordinates so any sub-box is independently reproducible). */

@@ -59,4 +59,31 @@ class VolumeOpsSpec extends AnyFunSuite {
     // mip3 voxel (0,0,0) is the mean-of-means of the 4x4 block at mip1
     assert(out.getLong(0, 0, 0) >= 0)
   }
+
+  test("downsampleAvg preserves fractional means for float volumes (regression)") {
+    val meta = Meta.VolumeMeta("image", Meta.TFloat32, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-dsf"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TFloat32, 32, 32, 4, 1, (1, 1, 1)) // values in [0,1)
+    vol.ingest(buf)
+    VolumeOps.buildNextMip(vol, Box(1, 32, 1, 32, 1, 4))
+    val out = new Volume(spark, vol.root, meta, 2).cutout(Box(1, 16, 1, 16, 1, 4))
+    var nonIntegral = 0
+    for (z <- 0 until 4; y <- 0 until 16; x <- 0 until 16) {
+      val vals = for (dx <- 0 to 1; dy <- 0 to 1) yield buf.getDouble(x * 2 + dx, y * 2 + dy, z)
+      val mean = (vals.sum / 4).toFloat
+      assert(math.abs(out.getDouble(x, y, z) - mean) < 1e-6, s"($x,$y,$z)")
+      if (mean != math.rint(mean)) nonIntegral += 1
+    }
+    assert(nonIntegral > 500, "fixture should exercise fractional means")
+  }
+
+  test("fromVoxels of an empty DataFrame returns 0 instead of crashing (regression)") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-empty"), meta)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), vol.voxelSchema)
+    assert(vol.fromVoxels(empty) == 0L)
+  }
 }
