@@ -73,4 +73,33 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.get("01:00").contains(2L), s"late event must not count: $rows")
     } finally q.stop()
   }
+
+  test("streaming voxel ingestion: foreachBatch feeds fromVoxels incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.core.{Grid, Meta}
+    import graft.volume.{Volume, VoxelBuffer}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-singest"), meta)
+    val mem = MemoryStream[(Int, Int, Int, Int, Int)] // x, y, z, c, value
+    val q = mem.toDF().toDF("x", "y", "z", "c", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        vol.fromVoxels(batch.withColumn("value",
+          org.apache.spark.sql.functions.col("value").cast("smallint")))
+        ()
+      }.start()
+    try {
+      // two micro-batches covering two different chunks
+      mem.addData((for (z <- 1 to 4; y <- 1 to 16; x <- 1 to 16) yield (x, y, z, 0, (x + y) % 250)): _*)
+      q.processAllAvailable()
+      mem.addData((for (z <- 1 to 4; y <- 1 to 16; x <- 17 to 32) yield (x, y, z, 0, (x * y) % 250)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = vol.cutout(Grid.Box(1, 32, 1, 16, 1, 4))
+    assert(out.getLong(2, 3, 1) == (3 + 4) % 250)   // batch 1 region
+    assert(out.getLong(20, 3, 1) == (21 * 4) % 250) // batch 2 region
+  }
 }
