@@ -142,7 +142,7 @@ object SparkEntry {
         |          '%Y-%m-%d %H:%M:%S.%g') AS signup_ts
         |FROM events e WHERE e.event_type = 'error'""".stripMargin,
     "q15_sessionize" ->
-      """SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END AS is_start
         | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -72,7 +72,7 @@ object ArrayOps {
         datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType)).as("dday"))
       .groupBy(col("o_orderpriority"))
       .agg(min(col("o_custkey")).as("xlo"), max(col("o_custkey")).as("xhi"),
-        min(col("dday")).as("ylo"), max(col("dday")).as("yhi"))
+        min(col("dday")).cast(LongType).as("ylo"), max(col("dday")).cast(LongType).as("yhi"))
 
   /** Full array-surface pipeline through the store (rows-only check; exact
     * equality is covered by VolumeSpec): build a small volume from

@@ -74,7 +74,7 @@ object Multimodal {
     * ASCII text). */
   def modalMeta(spark: SparkSession, dir: String): DataFrame =
     assets(t(spark, dir, "documents"))
-      .select(col("doc_id"), col("modality"), octet_length(col("payload")).as("byte_len"))
+      .select(col("doc_id"), col("modality"), octet_length(col("payload")).cast(LongType).as("byte_len"))
 
   /** Full stub pipeline as a query (rows-only check; exactness in
     * MultimodalSpec). */

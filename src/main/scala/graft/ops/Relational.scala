@@ -72,7 +72,7 @@ object Relational {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     li.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast(LongType).as("rn"),
         outd(sum(col("l_quantity").cast(DecimalType(18, 4)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("run_qty"))
       .filter(col("rn") <= 3)
@@ -124,7 +124,7 @@ object Relational {
     t(spark, dir, "part").select(
       col("p_partkey"),
       upper(col("p_brand")).as("ub"),
-      length(col("p_name")).as("ln"),
+      length(col("p_name")).cast(LongType).as("ln"),
       substring(col("p_name"), 1, 5).as("s5"),
       concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
       round(col("p_retailprice") * 1.1, 2).as("pr"),
@@ -134,8 +134,8 @@ object Relational {
   /** Date/time scalar functions + group by derived calendar cols. */
   def q12_datefns(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"))
+      .select(year(col("o_orderdate")).cast(LongType).as("y"), month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"))
       .groupBy(col("y"), col("m"))
       .agg(count(lit(1)).as("n"), min(col("d")).as("dmin"), max(col("d")).as("dmax"))
 

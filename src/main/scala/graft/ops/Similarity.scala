@@ -34,7 +34,7 @@ object Similarity {
       .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
   // ---------------- random-hyperplane LSH ----------------
@@ -78,7 +78,7 @@ object Similarity {
       .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk"))
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,

@@ -18,8 +18,8 @@ object TextOps {
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        size(col("toks")).as("n_tok"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_uniq"),
         round(
           expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast(DoubleType) / size(col("toks")),
           4).as("avg_len"))
@@ -33,8 +33,8 @@ object TextOps {
     val stopList = Stopwords.map(s => s"'$s'").mkString(",")
     docs.select(col("doc_id"), col("text"), toks.as("toks"))
       .select(col("doc_id"),
-        length(col("text")).as("len_text"),
-        (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))).as("n_space"),
+        length(col("text")).cast(LongType).as("len_text"),
+        (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))).cast(LongType).as("n_space"),
         round(expr(s"size(filter(toks, t -> t IN ($stopList)))").cast(DoubleType) / size(col("toks")), 4)
           .as("stop_ratio"),
         round(size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")), 4).as("uniq_ratio"))
