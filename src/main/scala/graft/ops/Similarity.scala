@@ -62,19 +62,24 @@ object Similarity {
   private def withBuckets(df: DataFrame, emb: String): DataFrame =
     df.withColumn("bucket", explode(array((0 until Tables).map(t => bucketCol(emb, t)): _*)))
 
-  /** Approximate NN: candidates restricted to the query's LSH bucket, then
-    * exact cosine + rank within bucket. A bucket equi-join shuffle replaces
-    * the cross product — the 100 TB-safe shape. Recall is probabilistic;
-    * SimilaritySpec measures it against [[cosineTopK]]. */
+  /** Approximate NN: candidates restricted to the query's LSH buckets, then
+    * exact cosine + rank. A bucket equi-join shuffle replaces the cross
+    * product — the 100 TB-safe shape. The (broadcast) query side multiprobes
+    * every Hamming-1 neighbor of its bucket in each table (7 probes × 8
+    * tables), which buys most of the recall of doubling the table count at
+    * no cost on the streaming side. SimilaritySpec measures recall against
+    * [[cosineTopK]]. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
+    val probes = explode(array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))).map(
+      m => col("bucket").bitwiseXOR(m)): _*))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), probes.as("bucket"))
     val cand = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     cand.join(broadcast(q), Seq("bucket"))
       .filter(col("nb_id") =!= col("q_id"))
-      .select(col("q_id"), col("nb_id"), col("qa"), col("ea")).distinct() // union over tables
+      .dropDuplicates("q_id", "nb_id") // union over tables and probes
       .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -88,7 +93,7 @@ object Similarity {
     val a = e.select(col("vec_id").as("a"), col("embedding").as("qa"), col("bucket"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("ea"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("qa"), col("ea")).distinct() // union over tables
+      .dropDuplicates("a", "b") // union over tables
       .withColumn("cos", cosine("qa", "ea"))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))

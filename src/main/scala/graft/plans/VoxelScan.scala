@@ -36,13 +36,28 @@ final case class VoxelScan(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
 }
 
 /** Narrow a VoxelScan's box using conjunctive x/y/z range predicates above
-  * it. The filter is left in place (exact residual evaluation); only the
-  * I/O set shrinks. */
+  * it, and prune its output columns from enclosing Projects. The filter is
+  * left in place (exact residual evaluation); only the I/O set shrinks —
+  * and when `value` is pruned away entirely, the physical scan skips blob
+  * fetch/decode and emits coordinates arithmetically (a `count(*)` or
+  * box-extent query touches zero objects). */
 object PushBoxFilters extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, scan: VoxelScan) =>
       val narrowed = conjuncts(cond).foldLeft(scan.box)((b, e) => narrow(b, e, scan))
       if (narrowed == scan.box) f else f.copy(child = scan.copy(box = narrowed))
+    case p @ Project(exprs, scan: VoxelScan) =>
+      val needed = exprs.flatMap(_.references.toSeq).map(_.exprId).toSet
+      val kept = scan.output.filter(a => needed.contains(a.exprId))
+      if (kept.length == scan.output.length) p
+      else p.copy(child = scan.copy(output = kept))
+    case p @ Project(exprs, f @ Filter(cond, scan: VoxelScan)) =>
+      val needed = (exprs.flatMap(_.references.toSeq) ++ cond.references.toSeq).map(_.exprId).toSet
+      val kept = scan.output.filter(a => needed.contains(a.exprId))
+      if (kept.length == scan.output.length) p
+      else p.copy(child = f.copy(child = scan.copy(output = kept)))
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -125,17 +140,28 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     val total = math.max(0L, ids.total)
     val parts = math.max(1, math.min(total, session.sparkContext.defaultParallelism * 2L)).toInt
     val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
+    // pruned-column layout: which of (x, y, z, c, value) survive, in order
+    val colNames = output.map(_.name)
+    val needValue = colNames.contains("value")
+    // coords-only scans under zero-fill semantics never touch the store:
+    // rows exist for every in-box voxel regardless of which chunks exist.
+    // Strict mode (fillMissing=false) keeps fetching so missing chunks still
+    // raise, preserving error semantics.
+    val skipFetch = !needValue && c.fillMissing
     session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
       val fs = ChunkStore.fs(c.root, conf.conf)
       val proj = UnsafeProjection.create(schema)
+      val row = new Array[Any](colNames.length)
       linearIds.flatMap { id =>
         val (cx, cy, cz) = ids.coords(id)
         c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
-          val bufOpt = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
-            case Some(blob) => Some(c.decodeChunk(s, blob))
-            case None if c.fillMissing => None
-            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
-          }
+          val bufOpt =
+            if (skipFetch) None
+            else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+              case Some(blob) => Some(c.decodeChunk(s, blob))
+              case None if c.fillMissing => None
+              case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            }
           val cut = s.cutoutBox
           for {
             ch <- (0 until c.numChannels).iterator
@@ -143,19 +169,28 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
             y <- (cut.y.lo to cut.y.hi).iterator
             x <- (cut.x.lo to cut.x.hi).iterator
           } yield {
-            val v: Any = bufOpt match {
-              case Some(b) =>
-                Volume.widenedValue(c.dataType, b, x - b.origin._1, y - b.origin._2, z - b.origin._3, ch) match {
-                  case bd: java.math.BigDecimal => Decimal(bd)
-                  case s: String => UTF8String.fromString(s)
-                  case other => other
-                }
-              case None => Volume.zeroValue(c.dataType) match {
-                case bd: java.math.BigDecimal => Decimal(bd)
-                case other => other
+            var i = 0
+            while (i < colNames.length) {
+              row(i) = colNames(i) match {
+                case "x" => x
+                case "y" => y
+                case "z" => z
+                case "c" => ch
+                case "value" =>
+                  val raw = bufOpt match {
+                    case Some(b) =>
+                      Volume.widenedValue(c.dataType, b, x - b.origin._1, y - b.origin._2, z - b.origin._3, ch)
+                    case None => Volume.zeroValue(c.dataType)
+                  }
+                  raw match {
+                    case bd: java.math.BigDecimal => Decimal(bd)
+                    case s: String => UTF8String.fromString(s)
+                    case other => other
+                  }
               }
+              i += 1
             }
-            proj(InternalRow(x, y, z, ch, v))
+            proj(InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
           }
         }
       }

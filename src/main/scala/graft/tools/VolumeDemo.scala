@@ -90,6 +90,11 @@ object SqlSurfaceDemo {
     println("optimized: " + vox.queryExecution.optimizedPlan.toString.linesIterator
       .find(_.contains("VoxelScan")).getOrElse("?").trim)
     println(s"pruned voxel count = ${vox.count()}")
+    // coords-only scan: pruned output skips blob fetch entirely
+    val coords = vol.voxels().filter(col("z") === 3).select(col("x"), col("y"))
+    println("coords-only optimized: " + coords.queryExecution.optimizedPlan.toString.linesIterator
+      .find(_.contains("VoxelScan")).getOrElse("?").trim)
+    println(s"coords-only count = ${coords.count()}")
     spark.stop()
   }
 }

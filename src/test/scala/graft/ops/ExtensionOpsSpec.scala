@@ -44,7 +44,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val approx = Similarity.annLsh(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall $recall") // random data, small buckets: modest bar
+    assert(recall >= 0.5, s"recall $recall") // multiprobe over random data
   }
 
   test("embeddingDupPairs finds bucket-colliding similar pairs exactly") {

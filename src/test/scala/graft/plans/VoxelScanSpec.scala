@@ -69,4 +69,22 @@ class VoxelScanSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.forall(_.getLong(1) == 100L * 100))
   }
+
+  test("column pruning: coords-only scans never touch the store under zero-fill") {
+    val (vol, _) = newVolume()
+    // delete EVERY chunk: a pruned count must still succeed (no blob fetch)
+    val dir = new java.io.File(vol.root, "6_6_30")
+    dir.listFiles().foreach(f => assert(f.delete()))
+    val n = vol.voxels()
+      .filter(col("x").between(1, 200) && col("y").between(1, 200) && col("z").between(1, 10))
+      .select(col("x"), col("y"), col("z"))
+      .count()
+    assert(n == 200L * 200 * 10)
+    // strict mode still raises (fetch not skipped)
+    val strict = new Volume(spark, vol.root, vol.meta, 1, fillMissing = false)
+    assertThrows[org.apache.spark.SparkException] {
+      strict.voxels().filter(col("x").between(1, 10) && col("y").between(1, 10) && col("z") === 1)
+        .select(col("x")).count()
+    }
+  }
 }
