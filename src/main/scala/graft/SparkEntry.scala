@@ -37,6 +37,8 @@ object SparkEntry {
     "q15_sessionize" -> (Relational.q15_sessionize _),
     "q16_grouping_sets" -> (Relational.q16_grouping_sets _),
     "q18_salted_agg" -> (Relational.q18_salted_agg _),
+    "q19_having" -> (Relational.q19_having _),
+    "q20_corr_subquery" -> (Relational.q20_corr_subquery _),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
@@ -48,6 +50,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "s3_embed_dups" -> ((s, d) => Similarity.embeddingDupPairs(s, d, 0.2)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -156,6 +159,18 @@ object SparkEntry {
       """SELECT l_returnflag, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q19_having" ->
+      """SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) > 150.0""".stripMargin,
+    "q20_corr_subquery" ->
+      """SELECT l_partkey, count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sq
+        |FROM lineitem o
+        |WHERE l_quantity < (SELECT 0.4 * avg(i.l_quantity) FROM lineitem i
+        |                    WHERE i.l_partkey = o.l_partkey)
+        |GROUP BY l_partkey""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

@@ -168,6 +168,27 @@ object Relational {
         Seq((col("l_quantity").cast(DecimalType(18, 4)), "sq")))
       .select(col("l_returnflag"), outd(col("sq")).as("sum_qty"), col("n"))
 
+  /** GROUP BY + HAVING (post-aggregation filter; TPC-H Q18 pattern). */
+  def q19_having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(outd(dsum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("sum_qty") > 150.0)
+
+  /** Correlated scalar subquery (TPC-H Q17 pattern): lineitems under 40% of
+    * their part's average quantity. Catalyst decorrelates this into an
+    * aggregate + join — no per-row subquery execution. */
+  def q20_corr_subquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("li_corr")
+    spark.sql(
+      """SELECT l_partkey, count(*) AS n,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sq
+        |FROM li_corr o
+        |WHERE l_quantity < (SELECT 0.4 * avg(i.l_quantity) FROM li_corr i
+        |                    WHERE i.l_partkey = o.l_partkey)
+        |GROUP BY l_partkey""".stripMargin)
+  }
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any
