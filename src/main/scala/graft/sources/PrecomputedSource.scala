@@ -50,8 +50,8 @@ class PrecomputedProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("precomputed: 'path' is required"))
-    val mip = Option(properties.get("mip")).map(_.toInt).getOrElse(1)
-    new PrecomputedTable(path, mip)
+    // no "mip" option → the table spans the whole pyramid (all scales)
+    new PrecomputedTable(path, Option(properties.get("mip")).map(_.toInt))
   }
 }
 
@@ -71,7 +71,7 @@ object PrecomputedTable {
     StructField("blob", BinaryType, nullable = true)))
 }
 
-class PrecomputedTable(root: String, mip: Int) extends Table
+class PrecomputedTable(root: String, mipOpt: Option[Int]) extends Table
     with SupportsRead with SupportsWrite {
 
   private lazy val meta: Meta.VolumeMeta = {
@@ -81,6 +81,12 @@ class PrecomputedTable(root: String, mip: Int) extends Table
     Meta.parse(new String(graft.core.Codec.GzipCodec.decode(raw), "UTF-8"))
   }
 
+  /** (mip, scale) pairs this table exposes. */
+  private def mips: Seq[(Int, Meta.ScaleMeta)] = mipOpt match {
+    case Some(m) => Seq(m -> meta.scale(m))
+    case None => meta.scales.indices.map(i => (i + 1) -> meta.scales(i))
+  }
+
   override def name(): String = s"precomputed.`$root`"
   override def schema(): StructType = PrecomputedTable.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -88,22 +94,24 @@ class PrecomputedTable(root: String, mip: Int) extends Table
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PrecomputedScanBuilder(root, mip, meta.scale(mip))
+    new PrecomputedScanBuilder(root, mips)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new PrecomputedWriteBuilder(root, mip, meta.scale(mip), info.schema())
+    new PrecomputedWriteBuilder(root, mips, info.schema())
 }
 
-/** One chunk id triple per row; bounds pushed down from Catalyst filters. */
+/** Chunk-id (and mip) bounds pushed down from Catalyst filters. */
 final case class IdBounds(
     var cxLo: Int = Int.MinValue, var cxHi: Int = Int.MaxValue,
     var cyLo: Int = Int.MinValue, var cyHi: Int = Int.MaxValue,
-    var czLo: Int = Int.MinValue, var czHi: Int = Int.MaxValue) extends Serializable {
+    var czLo: Int = Int.MinValue, var czHi: Int = Int.MaxValue,
+    var mipLo: Int = Int.MinValue, var mipHi: Int = Int.MaxValue) extends Serializable {
   def accepts(cx: Int, cy: Int, cz: Int): Boolean =
     cx >= cxLo && cx <= cxHi && cy >= cyLo && cy <= cyHi && cz >= czLo && cz <= czHi
+  def acceptsMip(m: Int): Boolean = m >= mipLo && m <= mipHi
 }
 
-class PrecomputedScanBuilder(root: String, mip: Int, scale: Meta.ScaleMeta)
+class PrecomputedScanBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val bounds = IdBounds()
@@ -129,17 +137,20 @@ class PrecomputedScanBuilder(root: String, mip: Int, scale: Meta.ScaleMeta)
     case _ => false
   }
 
-  private def isId(a: String): Boolean = a == "cx" || a == "cy" || a == "cz"
+  private def isId(a: String): Boolean =
+    a == "cx" || a == "cy" || a == "cz" || a == "mip"
 
   private def setLo(a: String, v: Int): Unit = a match {
     case "cx" => bounds.cxLo = math.max(bounds.cxLo, v)
     case "cy" => bounds.cyLo = math.max(bounds.cyLo, v)
     case "cz" => bounds.czLo = math.max(bounds.czLo, v)
+    case "mip" => bounds.mipLo = math.max(bounds.mipLo, v)
   }
   private def setHi(a: String, v: Int): Unit = a match {
     case "cx" => bounds.cxHi = math.min(bounds.cxHi, v)
     case "cy" => bounds.cyHi = math.min(bounds.cyHi, v)
     case "cz" => bounds.czHi = math.min(bounds.czHi, v)
+    case "mip" => bounds.mipHi = math.min(bounds.mipHi, v)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -147,34 +158,37 @@ class PrecomputedScanBuilder(root: String, mip: Int, scale: Meta.ScaleMeta)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PrecomputedScan(root, mip, scale, bounds, required)
+  override def build(): Scan = new PrecomputedScan(root, mips, bounds, required)
 }
 
-class PrecomputedScan(root: String, mip: Int, scale: Meta.ScaleMeta,
+class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
     bounds: IdBounds, required: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PrecomputedScan(root=$root, mip=$mip, bounds=$bounds, cols=${required.fieldNames.mkString(",")})"
+    s"PrecomputedScan(root=$root, mips=${mips.map(_._1).mkString(",")}, bounds=$bounds, cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Chunk-id pruning happens here, before any object read: keys are parsed
-    // from the listing and dropped unless inside the pushed id bounds.
+    // Chunk-id (and mip) pruning happens here, before any object read: keys
+    // are parsed from each scale's listing and dropped unless inside the
+    // pushed bounds.
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val fs = ChunkStore.fs(root, conf)
-    val (csx, csy, csz) = scale.chunkSize
-    val ox = Grid.gridOffset(scale.voxelOffset._1, csx)
-    val oy = Grid.gridOffset(scale.voxelOffset._2, csy)
-    val oz = Grid.gridOffset(scale.voxelOffset._3, csz)
-    val keys = ChunkStore.list(fs, root, scale.key).flatMap { k =>
-      Grid.parseKey(k).flatMap { box =>
-        val cx = Grid.chunkIdOf(box.x.lo, csx, ox)
-        val cy = Grid.chunkIdOf(box.y.lo, csy, oy)
-        val cz = Grid.chunkIdOf(box.z.lo, csz, oz)
-        if (bounds.accepts(cx, cy, cz)) Some(PrecomputedChunk(k, cx, cy, cz,
-          box.x.lo, box.x.hi, box.y.lo, box.y.hi, box.z.lo, box.z.hi))
-        else None
+    val keys = mips.filter { case (m, _) => bounds.acceptsMip(m) }.flatMap { case (m, scale) =>
+      val (csx, csy, csz) = scale.chunkSize
+      val ox = Grid.gridOffset(scale.voxelOffset._1, csx)
+      val oy = Grid.gridOffset(scale.voxelOffset._2, csy)
+      val oz = Grid.gridOffset(scale.voxelOffset._3, csz)
+      ChunkStore.list(fs, root, scale.key).flatMap { k =>
+        Grid.parseKey(k).flatMap { box =>
+          val cx = Grid.chunkIdOf(box.x.lo, csx, ox)
+          val cy = Grid.chunkIdOf(box.y.lo, csy, oy)
+          val cz = Grid.chunkIdOf(box.z.lo, csz, oz)
+          if (bounds.accepts(cx, cy, cz)) Some(PrecomputedChunk(m, scale.key, k, cx, cy, cz,
+            box.x.lo, box.x.hi, box.y.lo, box.y.hi, box.z.lo, box.z.hi))
+          else None
+        }
       }
     }
     val slices = math.max(1, math.min(keys.length,
@@ -184,23 +198,23 @@ class PrecomputedScan(root: String, mip: Int, scale: Meta.ScaleMeta,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PrecomputedReaderFactory(root, mip, scale.key,
+    new PrecomputedReaderFactory(root,
       new ChunkStore.SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
       required)
 }
 
-final case class PrecomputedChunk(key: String, cx: Int, cy: Int, cz: Int,
+final case class PrecomputedChunk(mip: Int, scaleKey: String, key: String,
+    cx: Int, cy: Int, cz: Int,
     x0: Int, x1: Int, y0: Int, y1: Int, z0: Int, z1: Int)
 
 final case class PrecomputedPartition(chunks: Array[PrecomputedChunk]) extends InputPartition
 
-class PrecomputedReaderFactory(root: String, mip: Int, scaleKey: String,
+class PrecomputedReaderFactory(root: String,
     conf: ChunkStore.SerializableConf, required: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[PrecomputedPartition].chunks
-    val needBlob = required.fieldNames.contains("blob")
     new PartitionReader[InternalRow] {
       private lazy val fs = ChunkStore.fs(root, conf.conf)
       private var i = -1
@@ -208,13 +222,13 @@ class PrecomputedReaderFactory(root: String, mip: Int, scaleKey: String,
       override def get(): InternalRow = {
         val c = chunks(i)
         val values = required.fieldNames.map {
-          case "mip" => mip
+          case "mip" => c.mip
           case "cx" => c.cx case "cy" => c.cy case "cz" => c.cz
           case "x0" => c.x0 case "x1" => c.x1
           case "y0" => c.y0 case "y1" => c.y1
           case "z0" => c.z0 case "z1" => c.z1
           case "key" => UTF8String.fromString(c.key)
-          case "blob" => ChunkStore.read(fs, root, s"$scaleKey/${c.key}")
+          case "blob" => ChunkStore.read(fs, root, s"${c.scaleKey}/${c.key}")
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
@@ -225,34 +239,39 @@ class PrecomputedReaderFactory(root: String, mip: Int, scaleKey: String,
 
 // ---------------- write path ----------------
 
-class PrecomputedWriteBuilder(root: String, mip: Int, scale: Meta.ScaleMeta,
+class PrecomputedWriteBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
     schema: StructType) extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder = this // overwrite-by-key semantics
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new PrecomputedBatchWrite(root, scale, schema)
+    override def toBatch: BatchWrite = new PrecomputedBatchWrite(root, mips.toMap, schema)
   }
 }
 
-/** Each input row `(cx, cy, cz, blob)` (other columns optional/ignored)
-  * becomes one object under its canonical chunk key, clamped to the volume
-  * box like the reference writer (src/type.jl:165-205). Commit is per-object
-  * (last-writer-wins), matching the reference's object-store semantics. */
-class PrecomputedBatchWrite(root: String, scale: Meta.ScaleMeta, schema: StructType)
+/** Each input row `(mip, cx, cy, cz, blob)` becomes one object under its
+  * canonical chunk key in the row's mip level, clamped to that level's
+  * volume box like the reference writer (src/type.jl:165-205). Commit is
+  * per-object (last-writer-wins), matching the reference's object-store
+  * semantics. */
+class PrecomputedBatchWrite(root: String, scales: Map[Int, Meta.ScaleMeta], schema: StructType)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new ChunkStore.SerializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    val idx = Map("cx" -> schema.fieldIndex("cx"), "cy" -> schema.fieldIndex("cy"),
+    val idx = Map("mip" -> schema.fieldIndex("mip"),
+      "cx" -> schema.fieldIndex("cx"), "cy" -> schema.fieldIndex("cy"),
       "cz" -> schema.fieldIndex("cz"), "blob" -> schema.fieldIndex("blob"))
-    val scaleB = scale
+    val scalesB = scales
     val rootB = root
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
       private lazy val fs = ChunkStore.fs(rootB, conf.conf)
       private var written = 0L
       override def write(row: InternalRow): Unit = {
+        val m = row.getInt(idx("mip"))
+        val scaleB = scalesB.getOrElse(m,
+          throw new IllegalArgumentException(s"row mip $m not in this table's scales"))
         val (csx, csy, csz) = scaleB.chunkSize
         val ox = Grid.gridOffset(scaleB.voxelOffset._1, csx)
         val oy = Grid.gridOffset(scaleB.voxelOffset._2, csy)

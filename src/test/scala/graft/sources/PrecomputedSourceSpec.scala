@@ -82,4 +82,24 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
     assert(dst.cutout(buf.box) == buf)
   }
+
+  test("multi-mip table spans the pyramid; mip filter prunes scales") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0)))).withNumMips(2)
+    val root = SparkSuite.tempDir("graft-mmip")
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 32, 32, 4, 1, (1, 1, 1)))
+    graft.ops.VolumeOps.buildNextMip(vol, graft.core.Grid.Box(1, 32, 1, 32, 1, 4))
+    val all = spark.read.format("precomputed").load(root) // no mip option
+    assert(all.groupBy("mip").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 4L, 2 -> 1L))
+    // mip pushdown prunes scale listings
+    assert(all.filter(col("mip") === 2).count() == 1)
+    // per-row mip routing on write: copy the full pyramid to a new store
+    val dst = SparkSuite.tempDir("graft-mmip-dst")
+    Volume.create(spark, dst, meta)
+    all.write.format("precomputed").mode("append").save(dst)
+    val dstAll = spark.read.format("precomputed").load(dst)
+    assert(dstAll.count() == 5)
+  }
 }
