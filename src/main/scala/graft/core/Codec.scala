@@ -87,20 +87,51 @@ object Codec {
       }
   }
 
+  /** JPEG is decode-only, like the reference declares (encode errors:
+    * src/Codings.jl:92-94; decode was disabled there by a packaging issue —
+    * here javax.imageio decodes for real). The decoded grayscale raster is
+    * returned in the chunk byte order (x fastest); JPEG is lossy, so no
+    * roundtrip guarantee — this exists to READ existing jpeg-encoded stores. */
+  case object JpegCodec extends ChunkCodec {
+    val name = "jpeg"
+    def encode(raw: Array[Byte]): Array[Byte] =
+      throw new UnsupportedOperationException(
+        "jpeg encoding is unimplemented (decode-only, like the reference: src/Codings.jl:92-94)")
+    def decode(blob: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(blob))
+      require(img != null, "not a decodable image blob")
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // precomputed jpeg chunks store the 3-d block as a stack of z-slices in
+      // one tall image (width = sx, height = sy*sz); row-major image rows
+      // map to the x-fastest chunk order directly under that convention
+      out
+    }
+  }
+
   /** Encoding-string → codec registry (reference: src/Infos.jl:23-30).
-    * "blosclz" and "jpeg" are declared by the reference but blosc requires a
-    * native lib not present here and jpeg encode is unimplemented/decode
-    * disabled in the reference itself (src/Codings.jl:82-94) — both rejected
-    * with a clear error rather than silently mis-stored. */
+    * "blosclz" is declared by the reference but blosc requires a native lib
+    * not present here — rejected with a clear error rather than silently
+    * mis-stored. */
   def forEncoding(encoding: String): ChunkCodec = encoding match {
     case "raw" => GzipCodec // src/Infos.jl:24-25
     case "gzip" => GzipCodec
     case "zstd" => ZstdCodec
     case "identity" => RawCodec
-    case "blosclz" | "jpeg" =>
+    case "jpeg" => JpegCodec
+    case "blosclz" =>
       throw new UnsupportedOperationException(
-        s"encoding '$encoding' is not supported by this engine (blosc needs a native lib; " +
-          "jpeg is decode-only and disabled in the reference: src/Codings.jl:82-94)")
+        "encoding 'blosclz' is not supported by this engine (blosc needs a native lib)")
     case other => throw new IllegalArgumentException(s"unknown encoding: $other")
   }
 }

@@ -205,12 +205,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushBoxFilters)
     e.injectPlannerStrategy(_ => VoxelScanStrategy)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
   }
 }
 
 object GraftExtensions {
+  import graft.functions.{ChunkExprs, VectorExprs}
+
+  /** The engine's SQL functions, shared by both registration paths. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "chunk_id" -> (exprs => ChunkExprs.ChunkId(exprs(0), exprs(1), exprs(2))),
+    "chunk_key" -> (exprs => ChunkExprs.ChunkKey(exprs)),
+    "chunk_key_parse" -> (exprs => ChunkExprs.ChunkKeyParse(exprs.head)),
+    "vec_dot" -> (exprs => VectorExprs.DotProduct(exprs(0), exprs(1))),
+    "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))))
+
   /** Install into an already-running session (idempotent). */
   def install(spark: SparkSession): Unit = {
+    ChunkExprs.register(spark)
+    VectorExprs.register(spark)
     if (!spark.experimental.extraStrategies.contains(VoxelScanStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ VoxelScanStrategy

@@ -80,5 +80,22 @@ class MetaCodecSpec extends AnyFunSuite with MiniProp {
     assert(Codec.forEncoding("zstd") == Codec.ZstdCodec)
     assertThrows[UnsupportedOperationException](Codec.forEncoding("blosclz"))
     assertThrows[IllegalArgumentException](Codec.forEncoding("nope"))
+    // jpeg: decode-only, like the reference
+    assert(Codec.forEncoding("jpeg") == Codec.JpegCodec)
+    assertThrows[UnsupportedOperationException](Codec.JpegCodec.encode(Array[Byte](1)))
+  }
+
+  test("jpeg decode reads an ImageIO-encoded grayscale raster in chunk order") {
+    val w = 8; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, (x * 30 + y * 5) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val decoded = Codec.JpegCodec.decode(bos.toByteArray)
+    assert(decoded.length == w * h)
+    // lossy codec: values approximate the source (same quantization both ways)
+    val err = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs((decoded(y * w + x) & 0xff) - (x * 30 + y * 5) % 256)).sum.toDouble / (w * h)
+    assert(err < 30, s"mean abs error $err")
   }
 }
