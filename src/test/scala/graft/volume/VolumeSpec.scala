@@ -219,4 +219,26 @@ class VolumeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("buffer bytes") ||
       Option(e.getCause).exists(_.getMessage.contains("buffer bytes")), e.getMessage)
   }
+
+  test("jpeg-encoded store reads through the volume path (decode-only codec)") {
+    // hand-build a jpeg chunk: 8x6x4 uint8 block as one tall 8x24 grayscale image
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (8, 6, 4), "jpeg", (1, 1, 1), (8, 6, 4), (0, 0, 0))))
+    val root = graft.testutil.SparkSuite.tempDir("graft-jpeg")
+    val vol = Volume.create(spark, root, meta)
+    val (w, h) = (8, 6 * 4)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, (x * 16 + y * 4) % 256)
+    val dir = new java.io.File(root, "1_1_1"); dir.mkdirs()
+    javax.imageio.ImageIO.write(img, "jpeg", new java.io.File(dir, "0-8_0-6_0-4"))
+    val out = vol.cutout(Box(1, 8, 1, 6, 1, 4))
+    // lossy: verify approximate recovery at a few sample voxels
+    for ((x, y, z) <- Seq((0, 0, 0), (3, 2, 1), (7, 5, 3))) {
+      val want = (x * 16 + (z * 6 + y) * 4) % 256
+      assert(math.abs(out.getLong(x, y, z) - want) < 40, s"($x,$y,$z): got ${out.getLong(x, y, z)} want ~$want")
+    }
+    // writes to a jpeg volume are rejected (decode-only)
+    assertThrows[org.apache.spark.SparkException](
+      vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 8, 6, 4, 1, (1, 1, 1))))
+  }
 }
