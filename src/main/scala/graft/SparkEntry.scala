@@ -39,6 +39,9 @@ object SparkEntry {
     "q18_salted_agg" -> (Relational.q18_salted_agg _),
     "q19_having" -> (Relational.q19_having _),
     "q20_corr_subquery" -> (Relational.q20_corr_subquery _),
+    "q21_pivot" -> (Relational.q21_pivot _),
+    "q22_setops_all" -> (Relational.q22_setops_all _),
+    "q23_window_analytic" -> (Relational.q23_window_analytic _),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
@@ -171,6 +174,30 @@ object SparkEntry {
         |WHERE l_quantity < (SELECT 0.4 * avg(i.l_quantity) FROM lineitem i
         |                    WHERE i.l_partkey = o.l_partkey)
         |GROUP BY l_partkey""".stripMargin,
+    "q21_pivot" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q22_setops_all" ->
+      """SELECT o_custkey, count(*) AS multiplicity FROM (
+        | SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') u
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') s
+        |GROUP BY o_custkey""".stripMargin,
+    "q23_window_analytic" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | ntile(4) OVER w AS quartile,
+        | lead(o_orderkey, 1) OVER w AS next_key,
+        | first_value(o_orderkey) OVER w AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY o_orderkey % 10 = 0""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

@@ -189,6 +189,39 @@ object Relational {
         |GROUP BY l_partkey""".stripMargin)
   }
 
+  /** Pivot (wide aggregation): order counts per customer-segment × status.
+    * Expressed as CASE-sum aggregation in the oracle — identical semantics. */
+  def q21_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders"); val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+  }
+
+  /** Bag-semantics set operations: UNION ALL / EXCEPT ALL. */
+  def q22_setops_all(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    f.union(f).exceptAll(p) // duplicates preserved, then bag-difference
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** Analytic window panel: ntile, lead, first_value over one deterministic
+    * total order per partition. */
+  def q23_window_analytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first_value(col("o_orderkey")).over(w).as("top_key"))
+      .filter(col("o_orderkey") % 10 === 0) // sample for output size
+  }
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any
