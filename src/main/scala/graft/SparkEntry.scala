@@ -42,6 +42,8 @@ object SparkEntry {
     "q21_pivot" -> (Relational.q21_pivot _),
     "q22_setops_all" -> (Relational.q22_setops_all _),
     "q23_window_analytic" -> (Relational.q23_window_analytic _),
+    "q24_json" -> (Relational.q24_json_arrays _),
+    "t5_array_fns" -> ((s, d) => TextOps.arrayOps(Tables.t(s, d, "documents"))),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
     "a2_bbox" -> (ArrayOps.a2_bbox _),
@@ -198,6 +200,17 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
         |QUALIFY o_orderkey % 10 = 0""".stripMargin,
+    "q24_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90""".stripMargin,
+    "t5_array_fns" ->
+      """SELECT doc_id,
+        | list_sort(toks)[1] AS first_tok,
+        | list_reverse_sort(toks)[1] AS last_tok,
+        | list_contains(toks, 'the') AS has_the,
+        | CAST(len(toks[1:3]) AS BIGINT) AS head3
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents) s""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

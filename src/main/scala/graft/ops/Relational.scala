@@ -222,6 +222,16 @@ object Relational {
       .filter(col("o_orderkey") % 10 === 0) // sample for output size
   }
 
+  /** JSON + array scalar-function panel: extract from the events JSON props
+    * column; sort/membership/slice over token arrays. */
+  def q24_json_arrays(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_num"))
+      .filter(col("k_num") > 90)
+  }
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any

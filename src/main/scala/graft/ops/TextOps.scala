@@ -24,6 +24,16 @@ object TextOps {
           expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast(DoubleType) / size(col("toks")),
           4).as("avg_len"))
 
+  /** Array scalar-function panel over token arrays (sort / membership /
+    * slice / distinct-count), oracle-checked against DuckDB list functions. */
+  def arrayOps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        element_at(sort_array(col("toks")), 1).as("first_tok"),
+        element_at(sort_array(col("toks"), asc = false), 1).as("last_tok"),
+        array_contains(col("toks"), "the").as("has_the"),
+        size(slice(col("toks"), 1, 3)).cast(LongType).as("head3"))
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring: length, whitespace ratio, stopword ratio, vocabulary
