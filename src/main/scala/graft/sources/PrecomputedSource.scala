@@ -170,31 +170,35 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
     s"PrecomputedScan(root=$root, mips=${mips.map(_._1).mkString(",")}, bounds=$bounds, cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Chunk-id (and mip) pruning happens here, before any object read: keys
-    // are parsed from each scale's listing and dropped unless inside the
-    // pushed bounds.
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs = ChunkStore.fs(root, conf)
-    val keys = mips.filter { case (m, _) => bounds.acceptsMip(m) }.flatMap { case (m, scale) =>
-      val (csx, csy, csz) = scale.chunkSize
-      val ox = Grid.gridOffset(scale.voxelOffset._1, csx)
-      val oy = Grid.gridOffset(scale.voxelOffset._2, csy)
-      val oz = Grid.gridOffset(scale.voxelOffset._3, csz)
-      ChunkStore.list(fs, root, scale.key).flatMap { k =>
-        Grid.parseKey(k).flatMap { box =>
-          val cx = Grid.chunkIdOf(box.x.lo, csx, ox)
-          val cy = Grid.chunkIdOf(box.y.lo, csy, oy)
-          val cz = Grid.chunkIdOf(box.z.lo, csz, oz)
-          if (bounds.accepts(cx, cy, cz)) Some(PrecomputedChunk(m, scale.key, k, cx, cy, cz,
-            box.x.lo, box.x.hi, box.y.lo, box.y.hi, box.z.lo, box.z.hi))
-          else None
-        }
+    // Compute, don't list: the chunk grid of each scale is derived
+    // arithmetically from `volumeBox ∩ pushed id bounds` — the reference's
+    // "enumerate intersecting chunks" planning (src/ChunkIterators.jl:20-24).
+    // Partitions are linear-id spans, so planning is O(partitions) in driver
+    // time/memory no matter how many chunks the store holds; executors probe
+    // each cell's key and skip missing objects (row set = stored chunks).
+    val parallelism = SparkSession.active.sparkContext.defaultParallelism
+    mips.filter { case (m, _) => bounds.acceptsMip(m) }.flatMap { case (m, scale) =>
+      val full = Grid.idRanges(scale.volumeBox, scale.chunkSize, scale.voxelOffset)
+      val ids = Grid.IdRanges(
+        math.max(full.lox, bounds.cxLo), math.min(full.hix, bounds.cxHi),
+        math.max(full.loy, bounds.cyLo), math.min(full.hiy, bounds.cyHi),
+        math.max(full.loz, bounds.czLo), math.min(full.hiz, bounds.czHi))
+      if (ids.hix < ids.lox || ids.hiy < ids.loy || ids.hiz < ids.loz) Seq.empty
+      else {
+        val (csx, csy, csz) = scale.chunkSize
+        val grid = ScaleGrid(m, scale.key, csx, csy, csz,
+          Grid.gridOffset(scale.voxelOffset._1, csx),
+          Grid.gridOffset(scale.voxelOffset._2, csy),
+          Grid.gridOffset(scale.voxelOffset._3, csz),
+          scale.volumeBox.x.lo, scale.volumeBox.x.hi,
+          scale.volumeBox.y.lo, scale.volumeBox.y.hi,
+          scale.volumeBox.z.lo, scale.volumeBox.z.hi, ids)
+        val slices = math.max(1L, math.min(ids.total, parallelism * 2L))
+        val per = (ids.total + slices - 1) / slices
+        (0L until ids.total by per).map(s =>
+          PrecomputedPartition(grid, s, math.min(s + per, ids.total)): InputPartition)
       }
-    }
-    val slices = math.max(1, math.min(keys.length,
-      SparkSession.active.sparkContext.defaultParallelism * 2))
-    keys.grouped(math.max(1, (keys.length + slices - 1) / slices))
-      .map(g => PrecomputedPartition(g.toArray): InputPartition).toArray
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -203,32 +207,74 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
       required)
 }
 
-final case class PrecomputedChunk(mip: Int, scaleKey: String, key: String,
-    cx: Int, cy: Int, cz: Int,
-    x0: Int, x1: Int, y0: Int, y1: Int, z0: Int, z1: Int)
+/** Per-scale chunk-grid geometry a partition needs to turn linear cell ids
+  * into chunk boxes and storage keys with no driver state. */
+final case class ScaleGrid(mip: Int, scaleKey: String,
+    csx: Int, csy: Int, csz: Int, ox: Int, oy: Int, oz: Int,
+    vx0: Int, vx1: Int, vy0: Int, vy1: Int, vz0: Int, vz1: Int,
+    ids: Grid.IdRanges) {
+  def volumeBox: Grid.Box = Grid.Box(vx0, vx1, vy0, vy1, vz0, vz1)
+}
 
-final case class PrecomputedPartition(chunks: Array[PrecomputedChunk]) extends InputPartition
+/** A span `[start, end)` of linear cell ids within one scale's pruned grid. */
+final case class PrecomputedPartition(grid: ScaleGrid, start: Long, end: Long)
+  extends InputPartition
 
 class PrecomputedReaderFactory(root: String,
     conf: ChunkStore.SerializableConf, required: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val chunks = partition.asInstanceOf[PrecomputedPartition].chunks
+    val p = partition.asInstanceOf[PrecomputedPartition]
+    val g = p.grid
+    val needBlob = required.fieldNames.contains("blob")
     new PartitionReader[InternalRow] {
       private lazy val fs = ChunkStore.fs(root, conf.conf)
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < chunks.length }
+      private var id = p.start - 1
+      private var box: Grid.Box = _
+      private var keyName: String = _
+      private var blob: Array[Byte] = _
+
+      /** Probe cell `i`; fills box/keyName/blob when the object exists.
+        * Stores may carry a ".gz" suffix on keys (reference accepts both,
+        * src/Indexes.jl:96-106) — both spellings are probed. */
+      private def probe(i: Long): Boolean = {
+        val (cx, cy, cz) = g.ids.coords(i)
+        val chunkBox = Grid.Box(
+          Grid.chunkIval(cx, g.csx, g.ox),
+          Grid.chunkIval(cy, g.csy, g.oy),
+          Grid.chunkIval(cz, g.csz, g.oz))
+        box = Grid.clampHiTo(chunkBox, g.volumeBox)
+        keyName = Grid.boxKey(box)
+        val path = s"${g.scaleKey}/$keyName"
+        if (needBlob) {
+          blob = ChunkStore.readOpt(fs, root, path).orNull
+          if (blob == null) {
+            blob = ChunkStore.readOpt(fs, root, s"$path.gz").orNull
+            if (blob != null) keyName = s"$keyName.gz"
+          }
+          blob != null
+        } else if (ChunkStore.exists(fs, root, path)) true
+        else if (ChunkStore.exists(fs, root, s"$path.gz")) { keyName = s"$keyName.gz"; true }
+        else false
+      }
+
+      override def next(): Boolean = {
+        id += 1
+        while (id < p.end && !probe(id)) id += 1
+        id < p.end
+      }
+
       override def get(): InternalRow = {
-        val c = chunks(i)
+        val (cx, cy, cz) = g.ids.coords(id)
         val values = required.fieldNames.map {
-          case "mip" => c.mip
-          case "cx" => c.cx case "cy" => c.cy case "cz" => c.cz
-          case "x0" => c.x0 case "x1" => c.x1
-          case "y0" => c.y0 case "y1" => c.y1
-          case "z0" => c.z0 case "z1" => c.z1
-          case "key" => UTF8String.fromString(c.key)
-          case "blob" => ChunkStore.read(fs, root, s"${c.scaleKey}/${c.key}")
+          case "mip" => g.mip
+          case "cx" => cx case "cy" => cy case "cz" => cz
+          case "x0" => box.x.lo case "x1" => box.x.hi
+          case "y0" => box.y.lo case "y1" => box.y.hi
+          case "z0" => box.z.lo case "z1" => box.z.hi
+          case "key" => UTF8String.fromString(keyName)
+          case "blob" => blob
         }
         new GenericInternalRow(values.asInstanceOf[Array[Any]])
       }
@@ -242,10 +288,13 @@ class PrecomputedReaderFactory(root: String,
 class PrecomputedWriteBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
     schema: StructType) extends WriteBuilder with SupportsTruncate {
 
-  override def truncate(): WriteBuilder = this // overwrite-by-key semantics
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new PrecomputedBatchWrite(root, mips.toMap, schema)
+    override def toBatch: BatchWrite =
+      new PrecomputedBatchWrite(root, mips.toMap, schema, doTruncate)
   }
 }
 
@@ -254,10 +303,24 @@ class PrecomputedWriteBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
   * volume box like the reference writer (src/type.jl:165-205). Commit is
   * per-object (last-writer-wins), matching the reference's object-store
   * semantics. */
-class PrecomputedBatchWrite(root: String, scales: Map[Int, Meta.ScaleMeta], schema: StructType)
+class PrecomputedBatchWrite(root: String, scales: Map[Int, Meta.ScaleMeta],
+    schema: StructType, doTruncate: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (doTruncate) {
+      // overwrite mode: drop the scale directories this table exposes before
+      // any task writes, so readers never see a stale/new mix. One recursive
+      // delete per scale — the backend batches this (s3a bulk delete / HDFS
+      // dir drop); `info` is left intact. Not atomic: like the reference's
+      // object stores this is last-writer-wins, and that is documented.
+      val conf0 = SparkSession.active.sessionState.newHadoopConf()
+      val fs = ChunkStore.fs(root, conf0)
+      scales.values.map(_.key).toSet[String].foreach { sk =>
+        val dir = new org.apache.hadoop.fs.Path(root, sk)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
     val conf = new ChunkStore.SerializableConf(
       SparkSession.active.sessionState.newHadoopConf())
     val idx = Map("mip" -> schema.fieldIndex("mip"),

@@ -76,9 +76,15 @@ object ChunkStore {
   def delete(fs: FileSystem, root: String, key: String): Boolean =
     fs.delete(new Path(root, key), false)
 
+  /** Test instrumentation: total `list` invocations. Read-side planning must
+    * never list the store (the chunk grid is computed arithmetically, like the
+    * reference's ChunkIterators); specs assert this stays flat across scans. */
+  val listCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** List object names under `root/prefix` (non-recursive), like the
     * backends' `keys` (reference: src/backends/S3Dicts.jl:104-112). */
   def list(fs: FileSystem, root: String, prefix: String): Seq[String] = {
+    listCalls.incrementAndGet()
     val dir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName).filterNot(_.startsWith("."))

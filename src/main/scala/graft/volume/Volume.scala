@@ -321,21 +321,25 @@ final class Volume(
     total
   }
 
-  /** Expected-grid minus store listing — the reference's
-    * `list_missing_chunks` re-expressed as a left-anti join
-    * (reference: src/type.jl:299-328). */
+  /** Keys of expected-but-absent chunks — the reference's
+    * `list_missing_chunks` (reference: src/type.jl:299-328), re-expressed as
+    * a distributed existence probe over the arithmetic chunk grid: the
+    * expected cells come from `chunkTasks` (never materialized on the
+    * driver) and each executor probes its own cells, so nothing lists the
+    * store and driver memory stays O(partitions) at any volume size. */
   def missingChunks(query: Box): Dataset[String] = {
     val c = ctx; val conf = hconf
     implicit val se = Encoders.STRING
-    val expected = chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
-      .mapPartitions(it => it.flatMap { case (cx, cy, cz) =>
-        c.sliceAt(cx, cy, cz, query).map(_.key)
-      })
-    val listed = ChunkStore.list(
-      ChunkStore.fs(root, spark.sessionState.newHadoopConf()), root, ctx.scaleKey)
-      .map(_.stripSuffix(".gz"))
-    val listedDs = spark.createDataset(listed)
-    expected.toDF("key").join(listedDs.toDF("key"), Seq("key"), "left_anti").as[String]
+    chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
+      .mapPartitions { it =>
+        val fs = ChunkStore.fs(c.root, conf.conf)
+        it.flatMap { case (cx, cy, cz) =>
+          c.sliceAt(cx, cy, cz, query).filterNot { s =>
+            val k = c.keyOf(s)
+            ChunkStore.exists(fs, c.root, k) || ChunkStore.exists(fs, c.root, s"$k.gz")
+          }.map(_.key)
+        }
+      }
   }
 
   /** Write the info JSON back to the store (reference: src/type.jl:335-339). */

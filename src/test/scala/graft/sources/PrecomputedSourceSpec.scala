@@ -38,6 +38,43 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     assert(plan.contains("bounds=IdBounds"), plan)
   }
 
+  test("scans never list the store: planning is arithmetic over the grid") {
+    val vol = newVolume()
+    val before = graft.volume.ChunkStore.listCalls.get()
+    // bounded scan, unbounded scan, blob-free scan: none may list
+    val df = spark.read.format("precomputed").load(vol.root)
+    assert(df.filter(col("cx") === 2).count() == 4)
+    assert(df.count() == 8)
+    assert(df.select("cx", "key").count() == 8)
+    assert(graft.volume.ChunkStore.listCalls.get() == before,
+      "DSv2 planning/reading must not call ChunkStore.list")
+  }
+
+  test("contradictory pushed bounds plan zero partitions") {
+    val vol = newVolume()
+    val df = spark.read.format("precomputed").load(vol.root)
+      .filter(col("cx") >= 2 && col("cx") <= 1)
+    assert(df.count() == 0)
+  }
+
+  test("overwrite mode truncates the scale before writing") {
+    val src = newVolume()
+    val dstRoot = SparkSuite.tempDir("graft-dsv2-trunc")
+    Volume.create(spark, dstRoot, src.meta)
+    spark.read.format("precomputed").load(src.root)
+      .write.format("precomputed").mode("append").save(dstRoot)
+    assert(spark.read.format("precomputed").load(dstRoot).count() == 8)
+    // overwrite with a 1-chunk subset: stale chunks must disappear
+    spark.read.format("precomputed").load(src.root)
+      .filter(col("cx") === 1 && col("cy") === 1 && col("cz") === 1)
+      .write.format("precomputed").mode("overwrite").save(dstRoot)
+    val left = spark.read.format("precomputed").load(dstRoot)
+    assert(left.count() == 1)
+    assert(left.select("key").collect().head.getString(0) == "0-100_0-100_0-5")
+    // info survives the truncate
+    assert(Volume.open(spark, dstRoot).meta == src.meta)
+  }
+
   test("column pruning: scans without blob never read objects") {
     val vol = newVolume()
     // delete a chunk object behind the table's back: a blob-free scan must

@@ -133,9 +133,12 @@ class VolumeSpec extends AnyFunSuite {
     val vol = newVolume()
     val buf = VoxelBuffer.sequenced(Meta.TUInt8, 100, 100, 5, 1, (1, 1, 1))
     vol.ingest(buf)
+    val before = graft.volume.ChunkStore.listCalls.get()
     val missing = vol.missingChunks(Box(1, 200, 1, 100, 1, 5)).collect().toSet
     assert(missing == Set("100-200_0-100_0-5"))
     assert(vol.missingChunks(Box(1, 100, 1, 100, 1, 5)).count() == 0)
+    // the probe is distributed: nothing may list the store on the driver
+    assert(graft.volume.ChunkStore.listCalls.get() == before)
   }
 
   test("numChunks counts grid cells in the id bounding box (type.jl:285-292)") {
