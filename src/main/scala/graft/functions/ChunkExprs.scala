@@ -147,6 +147,24 @@ object ChunkExprs {
 
   def chunk_key_parse(key: Column): Column = toColumn(ChunkKeyParse(toExpression(key)))
 
+  /** SQL builder for [[ExplodeChunk]]:
+    * `explode_chunk(blob, x0, y0, z0, sx, sy, sz, dtype, num_channels, encoding)`
+    * — the trailing three are per-volume constants and must be literals
+    * (they fix the Generator's output schema at analysis time). */
+  def explodeChunkBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 10,
+      "explode_chunk(blob, x0, y0, z0, sx, sy, sz, dtype, num_channels, encoding)")
+    def const(e: Expression, what: String): Any = e match {
+      case Literal(v, _) if v != null => v
+      case other => throw new IllegalArgumentException(
+        s"explode_chunk: $what must be a non-null literal, got $other")
+    }
+    ExplodeChunk(exprs.take(7),
+      const(exprs(7), "dtype").toString,
+      const(exprs(8), "num_channels").asInstanceOf[Int],
+      const(exprs(9), "encoding").toString)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("chunk_id",
@@ -154,5 +172,6 @@ object ChunkExprs {
     reg.createOrReplaceTempFunction("chunk_key", exprs => ChunkKey(exprs), "built-in")
     reg.createOrReplaceTempFunction("chunk_key_parse",
       exprs => ChunkKeyParse(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("explode_chunk", explodeChunkBuilder, "built-in")
   }
 }

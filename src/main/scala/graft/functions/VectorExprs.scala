@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   */
 object VectorExprs {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   private def elemAccess(arr: String, i: String, et: DataType): String = et match {
     case FloatType => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"
@@ -33,24 +35,55 @@ object VectorExprs {
     case _ => throw new IllegalStateException(s"unsupported element type $et")
   }
 
-  /** dot(a, b) = Σ aᵢ·bᵢ in double precision over float/double arrays.
-    * Null-safe (null input → null); mismatched lengths truncate to the
-    * shorter (same as zip_with). */
-  case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
-
+  /** Shared shape for the fused vector kernels: both inputs must be
+    * `array<float|double>` (checked at analysis, not as a runtime CCE), and
+    * a null ELEMENT nulls the result — exactly the documented
+    * `zip_with`+`aggregate` semantics (a null product poisons the sum). */
+  sealed trait VectorKernel extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
-    private def elemType(e: Expression): DataType =
+    protected def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
+
+    protected def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
+
+    override def nullable: Boolean = left.nullable || right.nullable || mayHaveNullElems
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val bad = Seq(left, right).map(_.dataType).collectFirst {
+        case t @ ArrayType(et, _) if et != FloatType && et != DoubleType => t
+        case t if !t.isInstanceOf[ArrayType] => t
+      }
+      bad match {
+        case Some(t) => TypeCheckResult.TypeCheckFailure(
+          s"${prettyName} requires array<float> or array<double> arguments, got ${t.simpleString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+
+    /** Per-element null guard for generated code; empty when the element
+      * types are provably non-null so the hot loop stays branch-free. */
+    protected def nullGuard(a: String, b: String, i: String, onNull: String): String =
+      if (mayHaveNullElems) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $onNull }" else ""
+  }
+
+  /** dot(a, b) = Σ aᵢ·bᵢ in double precision over float/double arrays.
+    * Null-safe (null input/element → null); mismatched lengths truncate to
+    * the shorter (same as zip_with). */
+  case class DotProduct(left: Expression, right: Expression) extends VectorKernel {
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       val (ta, tb) = (elemType(left), elemType(right))
+      val nullable = mayHaveNullElems
       val n = math.min(aa.numElements(), bb.numElements())
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (nullable && (aa.isNullAt(i) || bb.isNullAt(i))) return null
         acc += elemEval(aa, i, ta) * elemEval(bb, i, tb)
         i += 1
       }
@@ -68,6 +101,7 @@ object VectorExprs {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${nullGuard(a, b, i, s"${ev.isNull} = true; break;")}
            |  $acc += $ea * $eb;
            |}
            |${ev.value} = $acc;
@@ -79,22 +113,19 @@ object VectorExprs {
   }
 
   /** cos(a, b) = dot(a,b) / (‖a‖·‖b‖), accumulating all three sums in one
-    * fused pass. Returns null for null inputs; 0 for zero-norm vectors. */
-  case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
-
-    override def dataType: DataType = DoubleType
-
-    private def elemType(e: Expression): DataType =
-      e.dataType.asInstanceOf[ArrayType].elementType
+    * fused pass. Returns null for null inputs/elements; 0 for zero-norm
+    * vectors. */
+  case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       val (ta, tb) = (elemType(left), elemType(right))
+      val nullable = mayHaveNullElems
       val n = math.min(aa.numElements(), bb.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (nullable && (aa.isNullAt(i) || bb.isNullAt(i))) return null
         val x = elemEval(aa, i, ta); val y = elemEval(bb, i, tb)
         dot += x * y; na += x * x; nb += y * y
         i += 1
@@ -114,11 +145,14 @@ object VectorExprs {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0, $na = 0.0, $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  ${nullGuard(a, b, i, s"${ev.isNull} = true; break;")}
            |  double $x = $ea; double $y = $eb;
            |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
            |double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-           |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+           |}
          """.stripMargin
       })
 

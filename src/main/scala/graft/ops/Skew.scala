@@ -22,7 +22,12 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], sums: Seq[(Column, String)],
       buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // the salt must be DETERMINISTIC per row: under a fetch-failure partial
+    // recompute, a nondeterministic salt (partition id, monotonic id, rand)
+    // can re-bucket rows between attempts and double-count/lose them in
+    // phase 1 (SPARK-23207). A hash of the full row content spreads a hot
+    // key just as well and is stable across retries.
+    val salted = df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(sums.head._1).as(s"__p_${sums.head._2}"),

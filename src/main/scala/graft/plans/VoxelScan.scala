@@ -137,12 +137,27 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     val query = box
     val conf = new ChunkStore.SerializableConf(session.sessionState.newHadoopConf())
     val ids = Grid.idRanges(query, c.chunkSize, c.voxelOffset)
-    val total = math.max(0L, ids.total)
+    // a contradictory filter set can narrow the box to negative-length
+    // intervals whose span product is positive garbage — emptiness must be
+    // decided on the box, not the id count
+    val total = if (query.isEmpty) 0L else ids.total
     val parts = math.max(1, math.min(total, session.sparkContext.defaultParallelism * 2L)).toInt
-    val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(output)
-    // pruned-column layout: which of (x, y, z, c, value) survive, in order
-    val colNames = output.map(_.name)
-    val needValue = colNames.contains("value")
+    // pruned-column layout, resolved ONCE to integer tags: this loop runs
+    // per voxel, so no string comparison / boxing / row allocation inside
+    // (tags: 0=x 1=y 2=z 3=c 4=value; dtypeTag indexes the widened type)
+    val tags: Array[Int] = output.map(_.name match {
+      case "x" => 0; case "y" => 1; case "z" => 2; case "c" => 3; case "value" => 4
+    }).toArray
+    val dtypeTag: Int = c.dataType match {
+      case graft.core.Meta.TBool => 0
+      case graft.core.Meta.TUInt8 => 1
+      case graft.core.Meta.TUInt16 => 2
+      case graft.core.Meta.TUInt32 => 3
+      case graft.core.Meta.TUInt64 => 4
+      case graft.core.Meta.TFloat32 => 5
+      case graft.core.Meta.TFloat64 => 6
+    }
+    val needValue = tags.contains(4)
     // coords-only scans under zero-fill semantics never touch the store:
     // rows exist for every in-box voxel regardless of which chunks exist.
     // Strict mode (fillMissing=false) keeps fetching so missing chunks still
@@ -150,8 +165,10 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     val skipFetch = !needValue && c.fillMissing
     session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
       val fs = ChunkStore.fs(c.root, conf.conf)
-      val proj = UnsafeProjection.create(schema)
-      val row = new Array[Any](colNames.length)
+      // one UnsafeRow buffer per partition, rewritten in place per voxel —
+      // standard scan-node row reuse (consumers copy when they buffer)
+      val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(tags.length)
+      writer.resetRowWriter()
       linearIds.flatMap { id =>
         val (cx, cy, cz) = ids.coords(id)
         c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
@@ -162,6 +179,7 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
               case None if c.fillMissing => None
               case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
             }
+          val buf = bufOpt.orNull
           val cut = s.cutoutBox
           for {
             ch <- (0 until c.numChannels).iterator
@@ -169,28 +187,41 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
             y <- (cut.y.lo to cut.y.hi).iterator
             x <- (cut.x.lo to cut.x.hi).iterator
           } yield {
+            writer.reset()
             var i = 0
-            while (i < colNames.length) {
-              row(i) = colNames(i) match {
-                case "x" => x
-                case "y" => y
-                case "z" => z
-                case "c" => ch
-                case "value" =>
-                  val raw = bufOpt match {
-                    case Some(b) =>
-                      Volume.widenedValue(c.dataType, b, x - b.origin._1, y - b.origin._2, z - b.origin._3, ch)
-                    case None => Volume.zeroValue(c.dataType)
-                  }
-                  raw match {
-                    case bd: java.math.BigDecimal => Decimal(bd)
-                    case s: String => UTF8String.fromString(s)
-                    case other => other
+            while (i < tags.length) {
+              tags(i) match {
+                case 0 => writer.write(i, x)
+                case 1 => writer.write(i, y)
+                case 2 => writer.write(i, z)
+                case 3 => writer.write(i, ch)
+                case _ =>
+                  if (buf == null) dtypeTag match {
+                    case 0 => writer.write(i, false)
+                    case 1 => writer.write(i, 0.toShort)
+                    case 2 => writer.write(i, 0)
+                    case 3 => writer.write(i, 0L)
+                    case 4 => writer.write(i, Decimal(0L), 20, 0)
+                    case 5 => writer.write(i, 0.0f)
+                    case _ => writer.write(i, 0.0)
+                  } else {
+                    val lx = x - buf.origin._1; val ly = y - buf.origin._2; val lz = z - buf.origin._3
+                    dtypeTag match {
+                      case 0 => writer.write(i, buf.getLong(lx, ly, lz, ch) != 0L)
+                      case 1 => writer.write(i, buf.getLong(lx, ly, lz, ch).toShort)
+                      case 2 => writer.write(i, buf.getLong(lx, ly, lz, ch).toInt)
+                      case 3 => writer.write(i, buf.getLong(lx, ly, lz, ch))
+                      case 4 => writer.write(i, Decimal(new java.math.BigDecimal(
+                        new java.math.BigInteger(java.lang.Long.toUnsignedString(
+                          buf.getLong(lx, ly, lz, ch))))), 20, 0)
+                      case 5 => writer.write(i, buf.getDouble(lx, ly, lz, ch).toFloat)
+                      case _ => writer.write(i, buf.getDouble(lx, ly, lz, ch))
+                    }
                   }
               }
               i += 1
             }
-            proj(InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+            writer.getRow: InternalRow
           }
         }
       }
@@ -221,6 +252,7 @@ object GraftExtensions {
     "chunk_id" -> (exprs => ChunkExprs.ChunkId(exprs(0), exprs(1), exprs(2))),
     "chunk_key" -> (exprs => ChunkExprs.ChunkKey(exprs)),
     "chunk_key_parse" -> (exprs => ChunkExprs.ChunkKeyParse(exprs.head)),
+    "explode_chunk" -> (exprs => ChunkExprs.explodeChunkBuilder(exprs)),
     "vec_dot" -> (exprs => VectorExprs.DotProduct(exprs(0), exprs(1))),
     "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))))
 

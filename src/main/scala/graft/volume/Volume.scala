@@ -95,7 +95,8 @@ final class Volume(
   /** Number of chunks a box touches — counts grid cells in the bounding id
     * box, like the reference (src/type.jl:285-292). Pure math, no I/O. */
   def numChunks(query: Box): Long =
-    Grid.idRanges(query, ctx.chunkSize, ctx.voxelOffset).total
+    if (query.isEmpty) 0L
+    else Grid.idRanges(query, ctx.chunkSize, ctx.voxelOffset).total
 
   /** Distributed chunk-task table for a query box: one row per grid cell in
     * the pruned id range — the reference's ChunkIterator as a DataFrame
@@ -103,6 +104,10 @@ final class Volume(
     * so it never materializes on the driver. */
   def chunkTasks(query: Box): DataFrame = {
     val ids = Grid.idRanges(query, ctx.chunkSize, ctx.voxelOffset)
+    // an empty query box yields negative-length id spans whose product can
+    // be positive — decide emptiness on the box, then enumerate nothing
+    if (query.isEmpty)
+      return spark.range(0).select(lit(0).as("cx"), lit(0).as("cy"), lit(0).as("cz"))
     val parts = math.max(1, math.min(ids.total, spark.sparkContext.defaultParallelism * 2L)).toInt
     // `div` (integral division), not `/` (double division): exact for any id
     spark.range(0, ids.total, 1, parts).select(
@@ -141,6 +146,9 @@ final class Volume(
     * anchored at the query origin; out-of-volume / missing chunks stay zero.
     * Driver-side materialization is capped — use `toVoxels` for big boxes. */
   def cutout(query: Box, maxBytes: Long = Int.MaxValue - 64L): VoxelBuffer = {
+    if (query.isEmpty)
+      return VoxelBuffer.zeros(meta.dataType, 0, 0, 0, meta.numChannels,
+        (query.x.lo, query.y.lo, query.z.lo))
     val bytesNeeded = query.numVoxels * meta.numChannels * meta.dataType.byteSize
     require(bytesNeeded <= maxBytes,
       s"cutout of $bytesNeeded bytes exceeds cap $maxBytes; use toVoxels for distributed processing")

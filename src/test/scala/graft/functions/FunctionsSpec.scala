@@ -59,6 +59,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan) // '*' marks whole-stage-codegen stages
   }
 
+  test("vec kernels: null elements null the result, like zip_with; bad types fail analysis") {
+    VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d, " +
+        "vec_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // matches the HOF formulation exactly (null product poisons the sum)
+    val hof = spark.sql(
+      "SELECT aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D), " +
+        "(x, y) -> x * y), 0.0D, (a, v) -> a + v)").collect().head
+    assert(hof.isNullAt(0))
+    // non-array / non-float arguments are an analysis error, not a runtime CCE
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT vec_dot(array('a', 'b'), array('c', 'd'))").collect())
+    assert(e.getMessage.contains("array<float> or array<double>"), e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT vec_cosine(1, 2)").collect())
+  }
+
+  test("explode_chunk is SQL-registered: LATERAL VIEW over a chunk table") {
+    ChunkExprs.register(spark)
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-gen-sql"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    vol.ingest(buf)
+    spark.read.format("precomputed").load(vol.root).createOrReplaceTempView("gen_chunks")
+    val voxels = spark.sql(
+      """SELECT g.x, g.y, g.z, g.c, g.value
+        |FROM gen_chunks
+        |LATERAL VIEW explode_chunk(blob, x0, y0, z0,
+        |  x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1, 'uint8', 1, 'gzip') g""".stripMargin)
+    assert(voxels.count() == 64L * 64 * 8)
+    val viaSql = voxels.agg(sum("value")).collect().head.getLong(0)
+    val viaVolume = vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .agg(sum("value")).collect().head.getLong(0)
+    assert(viaSql == viaVolume)
+    // non-literal dtype is rejected loudly (the schema must bind at analysis)
+    val err = intercept[Exception](spark.sql(
+      "SELECT g.* FROM gen_chunks LATERAL VIEW explode_chunk(blob, x0, y0, z0, 1, 1, 1, key, 1, 'gzip') g"))
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("explode_chunk generator unpacks a chunk blob to the exact voxel rows") {
     val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
       Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))

@@ -30,6 +30,17 @@ class VoxelScanSpec extends AnyFunSuite {
     assert(viaScan == viaToVoxels)
   }
 
+  test("contradictory filters short-circuit to an empty scan") {
+    val (vol, _) = newVolume()
+    // x >= 100 AND x <= 1 narrows the box to a negative-length interval;
+    // the physical scan must treat it as empty, not a garbage id space
+    assert(vol.voxels().filter(col("x") >= 100 && col("x") <= 1).count() == 0)
+    assert(vol.numChunks(Box(100, 1, 1, 10, 1, 10)) == 0)
+    assert(vol.chunkTasks(Box(100, 1, 1, 10, 1, 10)).count() == 0)
+    val empty = vol.cutout(Box(100, 1, 1, 10, 1, 10))
+    assert(empty.sx == 0 && empty.sy == 0 && empty.sz == 0)
+  }
+
   test("PushBoxFilters narrows the scan box in the optimized plan") {
     val (vol, _) = newVolume()
     val df = vol.voxels().filter(col("x") >= 101 && col("x") <= 150 && col("z") < 6)
