@@ -212,6 +212,10 @@ object SparkEntry {
         | CAST(len(toks[1:3]) AS BIGINT) AS head3
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents) s""".stripMargin,
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
+    "a3_voxel_pipeline" -> ArrayOps.a3OracleSql,
+    "a4_downsample" -> ArrayOps.a4OracleSql,
+    "t3_langid" -> TextOps.langIdOracleSql,
+    "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

@@ -74,9 +74,29 @@ object ArrayOps {
       .agg(min(col("o_custkey")).as("xlo"), max(col("o_custkey")).as("xhi"),
         min(col("dday")).cast(LongType).as("ylo"), max(col("dday")).cast(LongType).as("yhi"))
 
-  /** Full array-surface pipeline through the store (rows-only check; exact
-    * equality is covered by VolumeSpec): build a small volume from
-    * deterministic data, ingest, read back as voxels, aggregate per z. */
+  /** Where a3/a4 dump their voxel relations so the DuckDB oracle can
+    * independently re-aggregate the same rows (the voxel VALUES are
+    * exactness-tested against the buffer in VolumeSpec; the oracle checks
+    * the store-roundtrip relation and the aggregation cross-engine). */
+  val voxelDumpRoot: String = "/tmp/graft-voxel-dump"
+
+  private def aggFromDump(spark: SparkSession, voxels: DataFrame, dump: String): DataFrame = {
+    voxels.write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .orderBy(col("z"))
+  }
+
+  private def voxelAggOracle(dump: String): String =
+    s"SELECT z, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv " +
+      s"FROM read_parquet('$dump/*.parquet') GROUP BY z"
+
+  /** Full array-surface pipeline through the store: build a small volume
+    * from deterministic data, ingest, read back as voxels, dump the voxel
+    * relation, aggregate per z. The oracle re-aggregates the dumped rows in
+    * DuckDB (exactness of the values themselves vs the source buffer is
+    * VolumeSpec's job). */
   def a3_voxel_pipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.Meta
     import graft.volume.{Volume, VoxelBuffer}
@@ -85,14 +105,14 @@ object ArrayOps {
       Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
     val vol = Volume.create(spark, root, meta)
     vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
-    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
-      .groupBy(col("z"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      .orderBy(col("z"))
+    aggFromDump(spark, vol.toVoxels(Box(1, 64, 1, 64, 1, 8)), s"$voxelDumpRoot/a3")
   }
 
-  /** Mip-pyramid build through the store (rows-only check; exactness in
-    * VolumeOpsSpec): ingest mip 1, mean-pool into mip 2, aggregate mip 2. */
+  def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
+
+  /** Mip-pyramid build through the store: ingest mip 1, mean-pool into
+    * mip 2, dump and aggregate mip 2 (pooling exactness in VolumeOpsSpec;
+    * the oracle re-aggregates the dump). */
   def a4_downsample(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.Meta
     import graft.volume.{Volume, VoxelBuffer}
@@ -102,9 +122,10 @@ object ArrayOps {
     val vol = Volume.create(spark, root, meta)
     vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
     VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
-    new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 8))
-      .groupBy(col("z"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      .orderBy(col("z"))
+    aggFromDump(spark,
+      new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 8)),
+      s"$voxelDumpRoot/a4")
   }
+
+  def a4OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a4")
 }

@@ -86,6 +86,36 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
+    * hyperplane bucketing exactly, with the plane constants inlined as
+    * DOUBLE literals (shortest-roundtrip formatting, so both engines see
+    * bit-identical planes), then the same bucket equi-join, pair dedup,
+    * cosine filter, and rounding. This is a golden cross-engine replication
+    * — the right oracle shape for an op whose RESULT SET is defined by the
+    * (deterministic) LSH candidate structure, not by all-pairs semantics:
+    * on this corpus the exact ≥0.2 pair count is ~3.8× the LSH candidate
+    * set, so an all-pairs oracle would test a claim the operator does not
+    * make. Recall against brute force is measured in SimilaritySpec. */
+  def embeddingDupOracleSql(minCos: Double): String = {
+    def planeLit(p: Array[Double]): String =
+      "[" + p.map(_.toString).mkString(",") + "]::DOUBLE[]"
+    val bucketExprs = (0 until Tables).map { t =>
+      val bits = (0 until Planes).map { p =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(planes(t)(p))}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n      + ")
+      s"CAST(${t.toLong << 32} AS BIGINT) + $bits"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | b AS (SELECT vec_id, unnest([
+       |    $bucketExprs]) AS bucket FROM e),
+       | cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT c.a, c.b, list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS cos
+       |       FROM cand c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b)
+       |SELECT a, b, round(cos, 4) AS cs FROM p WHERE cos >= $minCos""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,
     * found via LSH buckets (same-bucket join). */
   def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double): DataFrame = {

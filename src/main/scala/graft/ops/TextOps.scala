@@ -65,6 +65,21 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo"))
 
+  /** DuckDB oracle for [[langId]], generated from the same [[LangProfiles]]
+    * so the word lists can never drift. DuckDB 1.0's `greatest` rejects
+    * structs, but struct comparison itself is lexicographic like Spark's, so
+    * the argmax is `list_reverse_sort([...structs...])[1]`. */
+  def langIdOracleSql: String = {
+    val structs = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      s"{'hits': len(list_filter(toks, x -> x IN ($list))), 'lang': '$lang'}"
+    }.mkString(",\n      |    ".stripMargin)
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | s AS (SELECT doc_id, len(toks) AS n_tok, list_reverse_sort([
+       |    $structs])[1] AS best FROM t)
+       |SELECT doc_id, best.lang AS pred_lang, round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s""".stripMargin
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(",")
