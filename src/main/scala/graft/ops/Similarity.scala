@@ -62,20 +62,52 @@ object Similarity {
   private def withBuckets(df: DataFrame, emb: String): DataFrame =
     df.withColumn("bucket", explode(array((0 until Tables).map(t => bucketCol(emb, t)): _*)))
 
+  /** Default per-(table,bucket) width bound for the self-join paths. Never
+    * reached on balanced sign-buckets at the test SFs (≈ N/2^Planes rows per
+    * bucket); it exists for the 100 TB shape, where one degenerate bucket
+    * (duplicate-heavy or low-entropy region) would otherwise turn the bucket
+    * equi-join quadratic. */
+  val MaxBucketWidth = 10000
+
+  /** Drop rows belonging to a (table,bucket) wider than `cap`. The hot-bucket
+    * list is a map-side-combined aggregate and is tiny by construction (only
+    * buckets over the cap), so the filter is a broadcast anti-join — no extra
+    * shuffle of the big side. Over-wide buckets contribute no candidate
+    * pairs: at that width sign-LSH carries no signal and the right tool is
+    * exact clustering of that bucket, not a quadratic join (documented
+    * coverage bound, logged via the `graft_dropped_buckets` accumulator
+    * pattern in the caller's metrics if needed). */
+  private def capBuckets(df: DataFrame, cap: Int): DataFrame = {
+    val hot = df.groupBy(col("bucket")).agg(count(lit(1)).as("__bw"))
+      .filter(col("__bw") > cap).select(col("bucket"))
+    df.join(broadcast(hot), Seq("bucket"), "left_anti")
+  }
+
+  /** Multiprobe masks: the bucket itself plus every Hamming-1 and Hamming-2
+    * neighbor (1 + 6 + 15 = 22 probes per table). Probing is query-side
+    * only (broadcast), so it buys the recall of ~4x the table count with no
+    * cost on the streamed candidate side. */
+  private val probeMasks: Seq[Long] =
+    0L +: ((0 until Planes).map(p => 1L << p) ++
+      (for { p <- 0 until Planes; q <- p + 1 until Planes } yield (1L << p) | (1L << q)))
+
   /** Approximate NN: candidates restricted to the query's LSH buckets, then
     * exact cosine + rank. A bucket equi-join shuffle replaces the cross
     * product — the 100 TB-safe shape. The (broadcast) query side multiprobes
-    * every Hamming-1 neighbor of its bucket in each table (7 probes × 8
-    * tables), which buys most of the recall of doubling the table count at
-    * no cost on the streaming side. SimilaritySpec measures recall against
-    * [[cosineTopK]]. */
-  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    * every Hamming-≤2 neighbor of its bucket in each table (22 probes × 8
+    * tables, see [[probeMasks]]); the candidate side is width-capped so one
+    * degenerate bucket cannot go quadratic. ExtensionOpsSpec measures recall
+    * against [[cosineTopK]]. */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
     val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
-    val probes = explode(array((lit(0L) +: (0 until Planes).map(p => lit(1L << p))).map(
-      m => col("bucket").bitwiseXOR(m)): _*))
+    val probes = explode(array(probeMasks.map(
+      m => col("bucket").bitwiseXOR(lit(m))): _*))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qa"), probes.as("bucket"))
-    val cand = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("bucket"))
+    val cand = capBuckets(
+      e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("bucket")),
+      maxBucketWidth)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     cand.join(broadcast(q), Seq("bucket"))
       .filter(col("nb_id") =!= col("q_id"))
@@ -118,8 +150,9 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,
     * found via LSH buckets (same-bucket join). */
-  def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double): DataFrame = {
-    val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
+  def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val e = capBuckets(withBuckets(t(spark, dir, "embeddings"), "embedding"), maxBucketWidth)
     val a = e.select(col("vec_id").as("a"), col("embedding").as("qa"), col("bucket"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("ea"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a") < col("b"))

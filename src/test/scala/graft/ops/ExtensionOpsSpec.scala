@@ -38,13 +38,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(randH.sum.toDouble / randH.length > 16, s"random mean hamming ${randH.sum.toDouble / randH.length}")
   }
 
-  test("ann LSH achieves reasonable recall vs brute force") {
+  test("ann LSH achieves recall >= 0.8 vs brute force") {
     val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.annLsh(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall") // multiprobe over random data
+    assert(recall >= 0.8, s"recall $recall") // Hamming-2 multiprobe over random data
+  }
+
+  test("hot LSH buckets are width-capped: degenerate buckets cannot go quadratic") {
+    // a cap of 1 forbids any 2-member bucket: the SELF-join can't produce a
+    // single pair — proves the cap path actually filters
+    assert(Similarity.embeddingDupPairs(spark, dir, 0.2, maxBucketWidth = 1).count() == 0)
+    // the ANN join is query×candidate (singleton buckets still pair with a
+    // probing query), so only a cap of 0 empties it
+    assert(Similarity.annLsh(spark, dir, maxBucketWidth = 0).count() == 0)
+    assert(Similarity.annLsh(spark, dir, maxBucketWidth = 1).count() <=
+      Similarity.annLsh(spark, dir).count())
+    // and the default cap changes nothing at this scale (documented bound)
+    val capped = Similarity.embeddingDupPairs(spark, dir, 0.2).count()
+    val uncapped = Similarity.embeddingDupPairs(spark, dir, 0.2, maxBucketWidth = Int.MaxValue).count()
+    assert(capped == uncapped)
   }
 
   test("embeddingDupPairs finds bucket-colliding similar pairs exactly") {
