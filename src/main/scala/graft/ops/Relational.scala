@@ -101,8 +101,12 @@ object Relational {
   /** ROLLUP with grouping_id. */
   def q08_rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
+      // cast BEFORE the rollup: Expand replicates each input row once per
+      // grouping set, so a cast inside the aggregate would run 3x per row
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(DecimalType(18, 4)).as("qd"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(grouping_id().as("gid"), count(lit(1)).as("n"), outd(dsum(col("l_quantity"))).as("sum_qty"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"), outd(sum(col("qd"))).as("sum_qty"))
 
   /** CUBE with grouping_id. */
   def q09_cube(spark: SparkSession, dir: String): DataFrame =
