@@ -119,19 +119,27 @@ object Codec {
     }
   }
 
+  /** Blosc container + blosclz codec, pure-JVM (graft.core.Blosc) — the
+    * reference's `Blosc.compress(data)` / `Blosc.decompress(UInt8, data)`
+    * (reference: src/Codings.jl:74-80). `typesize` drives the byte-shuffle
+    * filter on encode exactly like Julia Blosc's `sizeof(eltype)` default;
+    * decode honors whatever the header declares. */
+  final case class BloscCodec(typesize: Int = 1) extends ChunkCodec {
+    val name = "blosclz"
+    def encode(raw: Array[Byte]): Array[Byte] =
+      Blosc.compress(raw, typesize, shuffle = typesize > 1)
+    def decode(blob: Array[Byte]): Array[Byte] = Blosc.decompress(blob)
+  }
+
   /** Encoding-string → codec registry (reference: src/Infos.jl:23-30).
-    * "blosclz" is declared by the reference but blosc requires a native lib
-    * not present here — rejected with a clear error rather than silently
-    * mis-stored. */
-  def forEncoding(encoding: String): ChunkCodec = encoding match {
+    * `typesize` only affects blosclz (shuffle filter width on encode). */
+  def forEncoding(encoding: String, typesize: Int = 1): ChunkCodec = encoding match {
     case "raw" => GzipCodec // src/Infos.jl:24-25
     case "gzip" => GzipCodec
     case "zstd" => ZstdCodec
     case "identity" => RawCodec
     case "jpeg" => JpegCodec
-    case "blosclz" =>
-      throw new UnsupportedOperationException(
-        "encoding 'blosclz' is not supported by this engine (blosc needs a native lib)")
+    case "blosclz" => BloscCodec(typesize)
     case other => throw new IllegalArgumentException(s"unknown encoding: $other")
   }
 }

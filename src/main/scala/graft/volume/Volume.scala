@@ -22,7 +22,7 @@ final case class VolumeCtx(
     encoding: String,
     fillMissing: Boolean) {
 
-  def codec: Codec.ChunkCodec = Codec.forEncoding(encoding)
+  def codec: Codec.ChunkCodec = Codec.forEncoding(encoding, dataType.byteSize)
 
   def keyOf(slice: ChunkSlice): String = s"$scaleKey/${slice.key}"
 

@@ -78,7 +78,7 @@ class MetaCodecSpec extends AnyFunSuite with MiniProp {
     assert(Codec.forEncoding("raw") == Codec.GzipCodec)
     assert(Codec.forEncoding("gzip") == Codec.GzipCodec)
     assert(Codec.forEncoding("zstd") == Codec.ZstdCodec)
-    assertThrows[UnsupportedOperationException](Codec.forEncoding("blosclz"))
+    assert(Codec.forEncoding("blosclz", 4) == Codec.BloscCodec(4))
     assertThrows[IllegalArgumentException](Codec.forEncoding("nope"))
     // jpeg: decode-only, like the reference
     assert(Codec.forEncoding("jpeg") == Codec.JpegCodec)
