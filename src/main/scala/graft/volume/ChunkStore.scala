@@ -36,6 +36,32 @@ object ChunkStore {
     }
   }
 
+  /** Per-scheme cloud configuration for a store at `root` holding chunks in
+    * `encoding` — the engine's analog of the reference's per-backend PUT
+    * headers (reference: src/backends/S3Dicts.jl:57-77, GSDicts.jl:54-68).
+    *
+    * Config matrix (all delegated to the Hadoop connectors; credentials come
+    * from each connector's standard provider chain — AWS chain for s3a
+    * (S3Dicts.jl:24-38), application-default credentials for gs):
+    *
+    *  - `s3a://` + gzip chunks → `fs.s3a.object.content.encoding=gzip`, so
+    *    every object the connector creates advertises its encoding exactly
+    *    like the reference's S3 PUT (S3Dicts.jl:60-65).
+    *  - `gs://` + gzip chunks → the reference sets `contentEncoding` through
+    *    the GCS JSON API (GSDicts.jl:56-68); the Hadoop gcs-connector exposes
+    *    no per-object Content-Encoding knob, so nothing is set. This engine
+    *    does not depend on it: decode sniffs codec magic (graft.core.Codec),
+    *    so chunks read back correctly with or without transcoding metadata.
+    *  - any scheme + non-gzip chunks → nothing to declare.
+    *
+    * Returns the same Configuration instance, mutated. */
+  def storeConf(conf: Configuration, root: String, encodingName: String): Configuration = {
+    val scheme = new Path(root).toUri.getScheme
+    if (scheme == "s3a" && encodingName == "gzip")
+      conf.set("fs.s3a.object.content.encoding", "gzip")
+    conf
+  }
+
   def fs(root: String, conf: Configuration): FileSystem = {
     val f = new Path(root).getFileSystem(conf)
     // no .crc sidecar objects: the store layout must stay byte-compatible

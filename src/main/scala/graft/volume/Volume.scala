@@ -82,15 +82,8 @@ final class Volume(
     scaleMeta.voxelOffset, scaleMeta.volumeBox, meta.dataType, meta.numChannels,
     scaleMeta.encoding, fillMissing)
 
-  private def hconf = {
-    val conf = spark.sessionState.newHadoopConf()
-    // gzip'd objects on S3 should advertise their encoding, like the
-    // reference's PUT does (src/backends/S3Dicts.jl:57-77); the S3A
-    // connector applies this to every object it creates
-    if (ctx.codec == Codec.GzipCodec)
-      conf.set("fs.s3a.object.content.encoding", "gzip")
-    new ChunkStore.SerializableConf(conf)
-  }
+  private def hconf = new ChunkStore.SerializableConf(
+    ChunkStore.storeConf(spark.sessionState.newHadoopConf(), root, ctx.codec.name))
 
   /** Number of chunks a box touches — counts grid cells in the bounding id
     * box, like the reference (src/type.jl:285-292). Pure math, no I/O. */
