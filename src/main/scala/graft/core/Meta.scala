@@ -13,9 +13,9 @@ import org.json4s.jackson.JsonMethods
 object Meta {
 
   /** Element type of the stored array. Spark has no unsigned integer types,
-    * so each storage type carries the *widened* Spark-side type used in the
-    * voxel view (lossless: u8→Short/Int, u16→Int, u32→Long, u64→Decimal would
-    * be needed for full range; we widen u64 to Long and document the caveat).
+    * so the voxel view widens each storage type losslessly: u8→Short,
+    * u16→Int, u32→Long, u64→Decimal(20,0), f32→Float, f64→Double,
+    * bool→Boolean (see graft.volume.Volume.widenedType).
     * (reference DATATYPE_MAP: src/Infos.jl:6-14)
     */
   sealed abstract class VoxelType(val name: String, val byteSize: Int)

@@ -67,15 +67,19 @@ object Dedup {
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature columns m0..m95 (NumHashes). Arithmetic stays within a 31-bit
-    * domain so ANSI mode can't overflow: h31 = xxhash64(shingle) mod p,
-    * m_i = min((a_i * h31 + b_i) mod p). Accepts a precomputed shingle DF. */
+  /** MinHash signature columns m0..m95 (NumHashes) plus the shingle-set size
+    * `sz`, in ONE aggregation — signatures and sizes share the same
+    * `groupBy(doc_id)` shuffle, so fusing them saves a full scan of the
+    * shingle set (the heaviest input at scale). Arithmetic stays within a
+    * 31-bit domain so ANSI mode can't overflow: h31 = xxhash64(shingle) mod
+    * p, m_i = min((a_i * h31 + b_i) mod p). Accepts a precomputed shingle
+    * DF. */
   def signatures(shingleDf: DataFrame): DataFrame = {
     val sh = shingleDf.withColumn("h31", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
       min(pmod(lit(hashA(i)) * col("h31") + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail :+ count(lit(1)).as("sz"): _*)
   }
 
   /** (doc_id, band, band_hash) — the LSH bucket table. */
@@ -88,9 +92,10 @@ object Dedup {
       .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
   }
 
-  /** Candidate pairs = distinct same-bucket doc pairs (input: shingle DF). */
-  def candidatePairs(shingleDf: DataFrame): DataFrame = {
-    val bd = bands(signatures(shingleDf))
+  /** Candidate pairs from a signature(+sz) DF: distinct same-bucket doc
+    * pairs. */
+  def candidatePairsFromSignatures(sig: DataFrame): DataFrame = {
+    val bd = bands(sig)
     bd.as("x").join(bd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -98,17 +103,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs = distinct same-bucket doc pairs (input: shingle DF). */
+  def candidatePairs(shingleDf: DataFrame): DataFrame =
+    candidatePairsFromSignatures(signatures(shingleDf))
+
   /** MinHash-LSH near-dup pairs with exact Jaccard verification on the
     * candidates only. Output ≡ [[ngramJaccardPairs]] given the recall
-    * analysis above, at a fraction of the join cost. The shingle DF feeds
-    * three consumers; it is recomputed rather than persisted — a persist
-    * here leaks cache for the session (the returned DataFrame is lazy, so
-    * the library can never safely unpersist), and shingling is cheap
-    * relative to the joins. */
+    * analysis above, at a fraction of the join cost. The shingle set is
+    * consumed twice (one fused signatures+sizes aggregation, one
+    * candidate-verification join) and recomputed rather than persisted — a
+    * persist here would leak cache for the session, because the returned
+    * DataFrame is lazy and the library can never safely unpersist; two
+    * shingling passes are the explicit price of a leak-free API. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shingles(docs)
-    val cand = candidatePairs(sh)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sig = signatures(sh)
+    val cand = candidatePairsFromSignatures(sig)
+    val sizes = sig.select(col("doc_id"), col("sz"))
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
