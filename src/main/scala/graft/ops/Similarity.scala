@@ -100,18 +100,28 @@ object Similarity {
     * against [[cosineTopK]]. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
-    val e = withBuckets(t(spark, dir, "embeddings"), "embedding")
+    val emb = t(spark, dir, "embeddings")
+    // the candidate structure is computed over SLIM (id, bucket) rows: the
+    // dedup Exchange shuffles two longs per row, never the embedding arrays
+    val sig = capBuckets(
+      withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+        .select(col("vec_id").as("nb_id"), col("bucket")),
+      maxBucketWidth)
     val probes = explode(array(probeMasks.map(
       m => col("bucket").bitwiseXOR(lit(m))): _*))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), probes.as("bucket"))
-    val cand = capBuckets(
-      e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("bucket")),
-      maxBucketWidth)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
-    cand.join(broadcast(q), Seq("bucket"))
+    val qsig = withBuckets(
+        emb.filter(col("vec_id") < nQueries).select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id").as("q_id"), probes.as("bucket"))
+    val candIds = sig.join(broadcast(qsig), Seq("bucket"))
       .filter(col("nb_id") =!= col("q_id"))
+      .select(col("q_id"), col("nb_id"))
       .dropDuplicates("q_id", "nb_id") // union over tables and probes
+    // embeddings re-enter only for the surviving candidates
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    candIds
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qa"))), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("nb_id"), col("embedding").as("ea")), Seq("nb_id"))
       .withColumn("cos", cosine("qa", "ea"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -152,11 +162,21 @@ object Similarity {
     * found via LSH buckets (same-bucket join). */
   def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double,
       maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
-    val e = capBuckets(withBuckets(t(spark, dir, "embeddings"), "embedding"), maxBucketWidth)
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("qa"), col("bucket"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("ea"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val emb = t(spark, dir, "embeddings")
+    // slim candidate structure: the bucket self-join and pair dedup shuffle
+    // (id, bucket) longs only; embeddings re-enter per surviving pair
+    val sig = capBuckets(
+      withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+        .select(col("vec_id"), col("bucket")),
+      maxBucketWidth)
+    val candIds = sig.select(col("vec_id").as("a"), col("bucket"))
+      .join(sig.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b") // union over tables
+    candIds
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("qa")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("ea")), Seq("b"))
       .withColumn("cos", cosine("qa", "ea"))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
