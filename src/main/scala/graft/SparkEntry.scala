@@ -216,6 +216,7 @@ object SparkEntry {
     "a4_downsample" -> ArrayOps.a4OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
+    "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

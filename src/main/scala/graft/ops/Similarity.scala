@@ -158,6 +158,40 @@ object Similarity {
        |SELECT a, b, round(cos, 4) AS cs FROM p WHERE cos >= $minCos""".stripMargin
   }
 
+  /** DuckDB oracle for [[annLsh]], same replication approach as
+    * [[embeddingDupOracleSql]]: the hyperplane buckets, the Hamming-≤2
+    * probe expansion, candidate dedup, exact cosine, and the deterministic
+    * (cos DESC, nb_id) rank are all reproduced with the plane constants and
+    * probe masks inlined as literals. */
+  def annLshOracleSql(nQueries: Int = 10, k: Int = 5): String = {
+    def planeLit(p: Array[Double]): String =
+      "[" + p.map(_.toString).mkString(",") + "]::DOUBLE[]"
+    val bucketList = (0 until Tables).map { t =>
+      val bits = (0 until Planes).map { p =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(planes(t)(p))}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n      + ")
+      s"CAST(${t.toLong << 32} AS BIGINT) + $bits"
+    }.mkString(",\n    ")
+    val maskList = probeMasks.map(m => s"CAST($m AS BIGINT)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | b0 AS (SELECT vec_id, [
+       |    $bucketList] AS bks FROM e),
+       | cand0 AS (SELECT c.vec_id AS nb_id, q.vec_id AS q_id
+       |           FROM (SELECT vec_id, unnest(bks) AS bucket FROM b0) c
+       |           JOIN (SELECT vec_id, unnest(flatten(list_transform(bks,
+       |                   bb -> list_transform([$maskList], m -> xor(bb, m))))) AS bucket
+       |                 FROM b0 WHERE vec_id < $nQueries) q USING (bucket)
+       |           WHERE c.vec_id != q.vec_id),
+       | cand AS (SELECT DISTINCT q_id, nb_id FROM cand0),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT cand.q_id, cand.nb_id,
+       |        list_dot_product(nq.emb, nn.emb) / (nq.nrm * nn.nrm) AS cos
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.nb_id),
+       | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,
     * found via LSH buckets (same-bucket join). */
   def embeddingDupPairs(spark: SparkSession, dir: String, minCos: Double,
