@@ -32,15 +32,46 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
 
-  /** All pairs with 3-gram-shingle Jaccard ≥ `minJ`, via an inverted-index
-    * self-join (pairs sharing ≥1 shingle) + exact similarity. */
+  /** All pairs with 3-gram-shingle Jaccard ≥ `minJ` — exact, via prefix
+    * filtering (the AllPairs/PPJoin principle): shingles get a global
+    * rarity order (document frequency, ties on the shingle), and only each
+    * document's PREFIX — its `|A| - ceil(t·|A|) + 1` rarest shingles — is
+    * indexed for the candidate self-join. Completeness: a qualifying pair
+    * shares `o ≥ ceil(t·|A|)` shingles, so its smallest common shingle has
+    * rank ≤ `|A| - o + 1 ≤ |A| - ceil(t·|A|) + 1` in BOTH documents, i.e.
+    * it lies in both prefixes. Recall is therefore exactly 1 (the oracle
+    * checks this), while stopword-class shingles — the hot join keys that
+    * blow up a naive inverted index at corpus scale — are excluded from
+    * the index by construction. Candidates are then verified with an exact
+    * intersection count. The prefix-length arithmetic runs in decimal so a
+    * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("dfreq").asc, col("shingle").asc)
+    val wSize = Window.partitionBy(col("doc_id"))
+    val tExact = lit(new java.math.BigDecimal(minJ.toString))
+    val pref = sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSize))
+      .filter(col("pos") <= col("sz") - ceil(tExact * col("sz")) + lit(1))
+      .select(col("doc_id"), col("shingle"))
+    val cand = pref.as("pa").join(pref.as("pb"),
+        col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, minJ)
+  }
+
+  /** Exact Jaccard over candidate pairs: intersection count via the full
+    * shingle sets, sizes fused elsewhere when available. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("sa").join(sh.as("sb"),
-        col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     jaccardOf(inter, sizes).filter(col("jac") >= minJ)
   }
 
