@@ -62,7 +62,18 @@ object Bench {
       var out: VoxelBuffer = null
       val tCutout = best2 { out = vol.cutout(Grid.Box(1, 256, 1, 256, 1, 256)) }
       require(out == buf, "array bench roundtrip mismatch")
-      Seq("v_ingest_256" -> tIngest, "v_cutout_256" -> tCutout)
+      // native VoxelScan throughput: box-pruned scan + aggregate over ~9.4M
+      // voxels through the custom Catalyst leaf (exercises VoxelScanExec's
+      // row production, not the driver cutout path)
+      graft.plans.GraftExtensions.install(spark)
+      import org.apache.spark.sql.functions.{col, sum, count, lit}
+      val tScan = best2 {
+        val r = vol.voxels()
+          .filter(col("x") <= 192 && col("y") <= 192)
+          .agg(sum(col("value")), count(lit(1))).collect().head
+        require(r.getLong(1) == 192L * 192 * 256, "scan row count mismatch")
+      }
+      Seq("v_ingest_256" -> tIngest, "v_cutout_256" -> tCutout, "v_scan_256" -> tScan)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] array bench failed: $e"); Seq.empty
     }
