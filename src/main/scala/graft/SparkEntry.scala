@@ -49,6 +49,7 @@ object SparkEntry {
     "a2_bbox" -> (ArrayOps.a2_bbox _),
     "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
     "a4_downsample" -> (ArrayOps.a4_downsample _),
+    "a5_chunk_table" -> (ArrayOps.a5_chunk_table _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "a1_chunk_plan" -> ArrayOps.a1OracleSql,
     "a3_voxel_pipeline" -> ArrayOps.a3OracleSql,
     "a4_downsample" -> ArrayOps.a4OracleSql,
+    "a5_chunk_table" -> ArrayOps.a5OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),

@@ -128,4 +128,36 @@ object ArrayOps {
   }
 
   def a4OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a4")
+
+  /** The DSv2 "precomputed" chunk table itself under the oracle gate: build
+    * a deterministic fully-ingested volume, read it through
+    * `spark.read.format("precomputed")`, and emit the chunk metadata. With
+    * every chunk present, the row set equals the arithmetic grid, so the
+    * oracle reproduces it from pure SQL arithmetic (like a1). Exercises the
+    * whole scan stack: arithmetic planning, executor existence probes,
+    * column pruning (no blob), key formatting. */
+  def a5_chunk_table(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a5").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    spark.read.format("precomputed").load(root)
+      .select(col("mip"), col("cx"), col("cy"), col("cz"),
+        col("x0"), col("x1"), col("y0"), col("y1"), col("z0"), col("z1"), col("key"))
+  }
+
+  def a5OracleSql: String =
+    """SELECT CAST(1 AS INT) AS mip,
+      | CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,
+      | CAST((cx-1)*32+1 AS INT) AS x0, CAST(cx*32 AS INT) AS x1,
+      | CAST((cy-1)*32+1 AS INT) AS y0, CAST(cy*32 AS INT) AS y1,
+      | CAST((cz-1)*4+1 AS INT) AS z0, CAST(cz*4 AS INT) AS z1,
+      | ((cx-1)*32) || '-' || (cx*32) || '_' || ((cy-1)*32) || '-' || (cy*32) ||
+      |   '_' || ((cz-1)*4) || '-' || (cz*4) AS key
+      |FROM (SELECT unnest(generate_series(1,2)) AS cx),
+      |     (SELECT unnest(generate_series(1,2)) AS cy),
+      |     (SELECT unnest(generate_series(1,2)) AS cz)""".stripMargin
 }
