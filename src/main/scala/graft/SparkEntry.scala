@@ -64,6 +64,7 @@ object SparkEntry {
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
+    "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -256,6 +257,8 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr, event_type,
         | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
         |FROM events GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'), event_type""".stripMargin,
+    "e2_stream_dedup" ->
+      "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,

@@ -52,6 +52,27 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Streaming dedup under the oracle gate: the event stream unioned with
+    * itself (every id duplicated) must collapse back to the distinct ids
+    * through `dropDuplicatesWithinWatermark` — the state-bounded dedup
+    * (state evicted once the watermark passes), i.e. the form that survives
+    * an unbounded stream. The oracle is the batch count(DISTINCT event_id)
+    * per type: it can only match if the dedup actually collapsed the
+    * doubled input. */
+  def dedupCountsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = readEventStream(spark, dir).union(readEventStream(spark, dir))
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // ---------------- stateful sessionization ----------------
 
   final case class Ev(user_id: Long, ts: Timestamp)
