@@ -50,6 +50,25 @@ class PrecomputedSourceSpec extends AnyFunSuite {
       "DSv2 planning/reading must not call ChunkStore.list")
   }
 
+  test("petavoxel-scale planning: billions of grid cells plan in O(partitions)") {
+    // a virtual volume of 10^6 voxels per axis with 512-chunks: ~7.45e9 grid
+    // cells. Planning must not enumerate them (linear-id spans only) and a
+    // bounded query must probe just its own cells.
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (512, 512, 512), "gzip", (1, 1, 1),
+        (1000000, 1000000, 1000000), (0, 0, 0))))
+    val root = SparkSuite.tempDir("graft-peta")
+    Volume.create(spark, root, meta) // info only; zero chunk objects
+    val df = spark.read.format("precomputed").load(root)
+    val t0 = System.nanoTime()
+    val nParts = df.queryExecution.toRdd.getNumPartitions
+    val planMs = (System.nanoTime() - t0) / 1e6
+    assert(nParts <= spark.sparkContext.defaultParallelism * 2)
+    assert(planMs < 5000, s"planning took $planMs ms — must not scale with grid size")
+    // bounded query: executes by probing exactly one cell
+    assert(df.filter(col("cx") === 1 && col("cy") === 1 && col("cz") === 1).count() == 0)
+  }
+
   test("contradictory pushed bounds plan zero partitions") {
     val vol = newVolume()
     val df = spark.read.format("precomputed").load(vol.root)
