@@ -162,8 +162,20 @@ object Dedup {
 
   /** 64-bit SimHash per document as a bit string (MSB first): bit j is set
     * when the sum over shingles of ±1 (sign from bit j of the shingle hash)
-    * is positive. Near-dups differ in few bits (small Hamming distance). */
+    * is positive. Near-dups differ in few bits (small Hamming distance).
+    * Uses the native [[graft.functions.SimhashAgg]] TypedImperativeAggregate
+    * — one 256-byte buffer per group with map-side combine, instead of 64
+    * shuffled sum columns. */
   def simhash(docs: DataFrame): DataFrame = {
+    import graft.functions.SimhashAgg.simhash_agg
+    shingles(docs).withColumn("h", xxhash64(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(simhash_agg(col("h")).as("simhash"))
+  }
+
+  /** The 64-column formulation of [[simhash]], kept as the differential
+    * test twin for the native aggregate (DedupSpec asserts equality). */
+  private[ops] def simhashColumns(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).withColumn("h", xxhash64(col("shingle")))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")

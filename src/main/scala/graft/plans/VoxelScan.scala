@@ -245,7 +245,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.{ChunkExprs, VectorExprs}
+  import graft.functions.{ChunkExprs, SimhashAgg, VectorExprs}
 
   /** The engine's SQL functions, shared by both registration paths. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -254,12 +254,14 @@ object GraftExtensions {
     "chunk_key_parse" -> (exprs => ChunkExprs.ChunkKeyParse(exprs.head)),
     "explode_chunk" -> (exprs => ChunkExprs.explodeChunkBuilder(exprs)),
     "vec_dot" -> (exprs => VectorExprs.DotProduct(exprs(0), exprs(1))),
-    "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))))
+    "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))),
+    "simhash_agg" -> (exprs => SimhashAgg(exprs.head)))
 
   /** Install into an already-running session (idempotent). */
   def install(spark: SparkSession): Unit = {
     ChunkExprs.register(spark)
     VectorExprs.register(spark)
+    SimhashAgg.register(spark)
     if (!spark.experimental.extraStrategies.contains(VoxelScanStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ VoxelScanStrategy
