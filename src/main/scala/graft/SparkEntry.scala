@@ -61,6 +61,7 @@ object SparkEntry {
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.t(s, d, "documents"))),
+    "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "a4_downsample" -> ArrayOps.a4OracleSql,
     "a5_chunk_table" -> ArrayOps.a5OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
+    "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "d1_dedup_exact" ->

@@ -34,6 +34,34 @@ object TextOps {
         array_contains(col("toks"), "the").as("has_the"),
         size(slice(col("toks"), 1, 3)).cast(LongType).as("head3"))
 
+  /** BPE-style pre-tokenization regex (GPT-2-ish word/number/punct groups
+    * with attached leading space), restricted to constructs whose semantics
+    * are identical in Java regex (Spark) and RE2 (DuckDB) so the oracle can
+    * replicate token counts exactly. */
+  val BpeTokenRe: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** BPE-ish token panel: pre-tokenizer token count, distinct token count,
+    * and the whitespace-token ratio (how much finer the BPE-ish split is). */
+  def bpeTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        // group index 0 (whole match) — Spark defaults to group 1, DuckDB to 0
+        expr(s"regexp_extract_all(text, '${BpeTokenRe}', 0)").as("bt"),
+        toks.as("wt"))
+      .select(col("doc_id"),
+        size(col("bt")).cast(LongType).as("n_bpe"),
+        size(array_distinct(col("bt"))).cast(LongType).as("n_bpe_uniq"),
+        round(size(col("bt")).cast(DoubleType) / size(col("wt")), 4).as("fanout"))
+
+  /** DuckDB oracle twin of [[bpeTokens]], built from the same regex. */
+  def bpeTokensOracleSql: String =
+    s"""SELECT doc_id,
+       | len(bt) AS n_bpe,
+       | len(list_distinct(bt)) AS n_bpe_uniq,
+       | round(CAST(len(bt) AS DOUBLE) / len(wt), 4) AS fanout
+       |FROM (SELECT doc_id, regexp_extract_all(text, '$BpeTokenRe') AS bt,
+       |             string_split_regex(text, '\\s+') AS wt
+       |      FROM documents) s""".stripMargin
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring: length, whitespace ratio, stopword ratio, vocabulary
