@@ -56,6 +56,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "s3_embed_dups" -> ((s, d) => Similarity.embeddingDupPairs(s, d, 0.2)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),

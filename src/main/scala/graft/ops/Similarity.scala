@@ -128,6 +128,61 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------- IVF (k-means coarse quantizer) ----------------
+
+  /** Approximate NN via an IVF index — the second scale path from the
+    * brief, complementary to [[annLsh]]: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; a query probes its `nprobe`
+    * nearest centroids and reranks only those cells' members with exact
+    * cosine.
+    *
+    * Scale shape: training is the only driver-iterative step and runs on a
+    * sample at real corpus sizes (MLlib k-means||); assignment is one pass;
+    * the probe is an equi-join on cluster id with the (tiny) query→cell
+    * table broadcast, so candidates stream — no all-pairs anywhere. The
+    * centroid count bounds cell width on *clustered* data the way the
+    * bucket cap bounds LSH cells.
+    *
+    * Deterministic given the fixed seed, but the cell structure is a
+    * training artifact, so (unlike LSH's closed-form buckets) it is not
+    * SQL-replicable: the query is rows-only in the driver gate and recall
+    * is spec-measured against [[cosineTopK]]. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("fv"))
+    val model = new KMeans().setK(nlist).setSeed(7)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(emb.select(col("fv")))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // tiny centroid relation (nlist rows) from the fitted model
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)
+      .toDF("cluster", "centroid")
+    // each query picks its nprobe nearest cells (cosine to centroids)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cluster").asc)
+    val queryCells = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", vec_cosine(col("qa"), col("centroid")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("qa"), col("cluster"))
+    // candidates = members of the probed cells; exact cosine rerank
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    assigned.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("cluster"))
+      .join(broadcast(queryCells), Seq("cluster"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qa", "ea"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
     * hyperplane bucketing exactly, with the plane constants inlined as
     * DOUBLE literals (shortest-roundtrip formatting, so both engines see

@@ -47,6 +47,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall") // Hamming-2 multiprobe over random data
   }
 
+  test("ann IVF achieves recall >= 0.8 vs brute force") {
+    val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall") // 8-of-16 cells probed: random
+    // gaussian data barely clusters, so IVF needs wide probes here; on real
+    // clustered embeddings nprobe/nlist shrinks dramatically
+  }
+
   test("hot LSH buckets are width-capped: degenerate buckets cannot go quadratic") {
     // a cap of 1 forbids any 2-member bucket: the SELF-join can't produce a
     // single pair — proves the cap path actually filters
