@@ -65,6 +65,8 @@ object SparkEntry {
     "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
+    "m3_modal_resize" -> (Multimodal.modalResize _),
+    "m4_modal_frames" -> (Multimodal.modalFrames _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
   )
@@ -262,6 +264,8 @@ object SparkEntry {
         |FROM events GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'), event_type""".stripMargin,
     "e2_stream_dedup" ->
       "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
+    "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
+    "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,

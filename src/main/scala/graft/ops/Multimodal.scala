@@ -70,6 +70,87 @@ object Multimodal {
       .toDF("doc_id", "modality", "byte_len", "checksum", "feat")
   }
 
+  /** STUB nearest-neighbor resize: the "decoded image" of a payload is the
+    * virtual w×h grayscale raster pixel(x,y) = payload[(y·w+x) mod len] (a
+    * real decoder would supply actual pixels); the resize itself — index
+    * math, batch pass, payload/metadata rewrite — is the real plumbing.
+    * Output payload is exactly tw·th bytes. */
+  private[ops] def nnResize(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    val n = math.max(payload.length, 1)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        out(y * tw + x) = payload((sy * w + sx) % n)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize the image-modality assets to `tw`×`th`; per-partition batch,
+    * no shuffle, metadata struct rewritten alongside the payload. */
+  def resizeImages(assetDf: DataFrame, tw: Int = 32, th: Int = 24): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte], Int, Int)]
+    val outEnc = Encoders.product[(Long, Int, Int, Array[Byte])]
+    assetDf.filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, payload, w, h) =>
+        (id, tw, th, nnResize(payload, w, h, tw, th))
+      })(outEnc)
+      .toDF("doc_id", "out_w", "out_h", "payload")
+  }
+
+  /** STUB frame sampler: treats a video payload as consecutive
+    * `frameBytes`-byte frames and keeps every `every`-th complete frame
+    * (a real implementation would seek keyframes via the container codec);
+    * the explode-to-rows shape (doc_id, frame_no, frame) is the real
+    * plumbing. */
+  def sampleFrames(assetDf: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Long, Array[Byte])]
+    assetDf.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by every).iterator.map { f =>
+          (id, f.toLong, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      })(outEnc)
+      .toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Resize as a gated query: structural outputs (dims, payload length) are
+    * oracle-exact; byte-level resize math is MultimodalSpec's job. */
+  def modalResize(spark: SparkSession, dir: String): DataFrame =
+    resizeImages(assets(t(spark, dir, "documents")))
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        octet_length(col("payload")).cast(LongType).as("byte_len"))
+
+  def modalResizeOracleSql: String =
+    """SELECT doc_id, CAST(32 AS INT) AS out_w, CAST(24 AS INT) AS out_h,
+      | CAST(768 AS BIGINT) AS byte_len
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
+  /** Frame sampling as a gated query: the sampled frame index set and frame
+    * sizes are oracle-exact; frame byte content is MultimodalSpec's job. */
+  def modalFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(assets(t(spark, dir, "documents")))
+      .select(col("doc_id"), col("frame_no"),
+        octet_length(col("frame")).cast(LongType).as("frame_len"))
+
+  def modalFramesOracleSql: String =
+    """SELECT doc_id,
+      | unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 4)) AS frame_no,
+      | CAST(64 AS BIGINT) AS frame_len
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
   /** Oracle-checkable metadata projection (byte length is exact — UTF-8 of
     * ASCII text). */
   def modalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -127,6 +127,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: resize emits exact nearest-neighbor bytes and dims") {
+    val assets = Multimodal.assets(docs)
+    val resized = Multimodal.resizeImages(assets).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(resized.nonEmpty)
+    resized.values.foreach(p => assert(p.length == 32 * 24))
+    // byte-exact check for one known doc against a direct computation
+    val row = assets.filter(col("doc_id") === 3).select("payload", "meta.width", "meta.height")
+      .collect().head
+    val expect = Multimodal.nnResize(row.getAs[Array[Byte]](0), row.getInt(1), row.getInt(2), 32, 24)
+    assert(resized(3L).sameElements(expect))
+  }
+
+  test("multimodal: frame sampling keeps every 4th complete 64-byte frame") {
+    val assets = Multimodal.assets(docs)
+    val frames = Multimodal.sampleFrames(assets).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length == 64))
+    // frame content equals the payload slice at frame_no * 64
+    val byDoc = frames.groupBy(_.getLong(0))
+    val (docId, fs) = byDoc.maxBy(_._2.length)
+    val payload = assets.filter(col("doc_id") === docId).select("payload")
+      .collect().head.getAs[Array[Byte]](0)
+    fs.foreach { r =>
+      val f = r.getLong(1).toInt
+      assert(f % 4 == 0)
+      assert(r.getAs[Array[Byte]]("frame").sameElements(
+        java.util.Arrays.copyOfRange(payload, f * 64, (f + 1) * 64)))
+    }
+  }
+
   test("multimodal: feature extraction preserves rows, shapes, determinism") {
     val assets = Multimodal.assets(docs)
     assert(assets.schema("payload").dataType.typeName == "binary")
