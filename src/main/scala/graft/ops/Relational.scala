@@ -241,12 +241,23 @@ object Relational {
     * broadcast nested-loop over 5 rows — constant-cost per event at any
     * scale. */
   def q13_rangejoin(spark: SparkSession, dir: String): DataFrame = {
+    // banded range join done the scale-correct way: the interval table is
+    // aligned and non-overlapping, so each event computes its band key
+    // arithmetically and the range join becomes a broadcast HASH join on
+    // the band — no nested-loop comparison per (event, interval) pair. The
+    // overall [lo, hi) range becomes a plain scan predicate (pushed to
+    // parquet), and the band arithmetic runs on non-negative day counts so
+    // integral `div` truncation is exact.
     val weeks = spark.sql(
       """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
         |timestamp'2024-01-29 00:00:00', interval 7 days)) AS wstart""".stripMargin)
-      .withColumn("wend", col("wstart") + expr("interval 7 days"))
     val e = events(spark, dir)
-    e.join(broadcast(weeks), e("ts") >= weeks("wstart") && e("ts") < weeks("wend"))
+      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-02-05 00:00:00").cast("timestamp"))
+      .withColumn("wstart", expr(
+        "timestampadd(DAY, 7 * (datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7), " +
+          "timestamp'2024-01-01 00:00:00')"))
+    e.join(broadcast(weeks), Seq("wstart"))
       .groupBy(date_format(col("wstart"), "yyyy-MM-dd").as("wk"))
       .agg(count(lit(1)).as("n"), outd(dsum(col("value"), 6)).as("sv"))
   }
