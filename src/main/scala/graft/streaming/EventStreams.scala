@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: windowed aggregation with watermarks over
@@ -78,6 +79,38 @@ object EventStreams {
   final case class Ev(user_id: Long, ts: Timestamp)
   final case class SessionState(sessionCount: Int, eventCount: Int, lastTs: Long)
   final case class UserSessions(user_id: Long, n_sessions: Int, n_events: Int)
+
+  /** [[sessionize]] semantics through Spark 4's `transformWithState`
+    * StatefulProcessor — the successor API to flatMapGroupsWithState, with
+    * typed per-key state handles (RocksDB-backed; the spec sets the
+    * provider). Kept alongside the classic form so both stateful APIs stay
+    * exercised. */
+  class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Ev, UserSessions] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserSessions] = {
+      var s = if (st.exists()) st.get() else SessionState(0, 0, Long.MinValue)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        val isStart = s.lastTs == Long.MinValue || t - s.lastTs > gapSeconds * 1000
+        s = SessionState(s.sessionCount + (if (isStart) 1 else 0), s.eventCount + 1,
+          math.max(s.lastTs, t))
+      }
+      st.update(s)
+      Iterator.single(UserSessions(user, s.sessionCount, s.eventCount))
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[UserSessions] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.None(), OutputMode.Update())(Encoders.product[UserSessions])
 
   /** Per-user session counting with a 30-min inactivity gap, implemented as
     * explicit keyed state — the streaming-native form of q15_sessionize.

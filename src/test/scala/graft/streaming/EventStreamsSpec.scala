@@ -44,6 +44,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamedMap == batch)
   }
 
+  test("transformWithState sessionization matches the classic stateful form") {
+    import EventStreams.{Ev, UserSessions}
+    implicit val evEnc = Encoders.product[Ev]
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = EventStreams.readEventStream(spark, dir)
+        .select(col("user_id"), col("ts")).as[Ev]
+      val name = s"sessions_tws_${System.nanoTime()}"
+      val q = EventStreams.sessionizeTws(evs).writeStream
+        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val streamedMap = spark.table(name).groupBy("user_id")
+        .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val batch = Relational.q15_sessionize(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2).toInt)).toMap
+      assert(streamedMap == batch)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("watermark drops late data in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
