@@ -119,6 +119,40 @@ object Codec {
     }
   }
 
+  /** Raw zlib (RFC 1950: deflate + adler32) — numcodecs' `zlib` compressor
+    * as used by zarr v2 stores. NOT gzip (different framing). Magic-sniffed
+    * like the other codecs: 0x78 first byte with a valid FCHECK second
+    * byte. */
+  case object ZlibCodec extends ChunkCodec {
+    val name = "zlib"
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def decode(blob: Array[Byte]): Array[Byte] = {
+      val sniff = blob.length >= 2 && (blob(0) & 0xff) == 0x78 &&
+        (((blob(0) & 0xff) << 8) | (blob(1) & 0xff)) % 31 == 0
+      if (!sniff) return blob // passthrough, consistent with gzip/zstd
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(blob)
+      val out = new ByteArrayOutputStream(blob.length * 3 + 64)
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("zlib: truncated stream")
+          out.write(buf, 0, n)
+        }
+      } finally inf.end()
+      out.toByteArray
+    }
+  }
+
   /** Blosc container + blosclz codec, pure-JVM (graft.core.Blosc) — the
     * reference's `Blosc.compress(data)` / `Blosc.decompress(UInt8, data)`
     * (reference: src/Codings.jl:74-80). `typesize` drives the byte-shuffle
@@ -137,6 +171,7 @@ object Codec {
     case "raw" => GzipCodec // src/Infos.jl:24-25
     case "gzip" => GzipCodec
     case "zstd" => ZstdCodec
+    case "zlib" => ZlibCodec
     case "identity" => RawCodec
     case "jpeg" => JpegCodec
     case "blosclz" => BloscCodec(typesize)

@@ -20,14 +20,36 @@ final case class VolumeCtx(
     dataType: VoxelType,
     numChannels: Int,
     encoding: String,
-    fillMissing: Boolean) {
+    fillMissing: Boolean,
+    /** Chunk-object naming: "precomputed" = coordinate-range keys
+      * ("x0-x1_y0-y1_z0-z1"); "zarr-c"/"zarr-f" = dot-separated 0-based
+      * grid indices in zarr dim order (C: d0.d1.d2 = z.y.x; F: x.y.z). */
+    keyStyle: String = "precomputed",
+    /** Edge-chunk storage: precomputed clamps boundary chunks to the volume
+      * (partial blobs); zarr v2 stores every chunk FULL-SIZE with padding
+      * past the array edge. When true, chunk boxes stay unclamped (decode/
+      * encode the full chunk) and only the cutout is volume-clamped. */
+    padEdgeChunks: Boolean = false) {
 
   def codec: Codec.ChunkCodec = Codec.forEncoding(encoding, dataType.byteSize)
 
-  def keyOf(slice: ChunkSlice): String = s"$scaleKey/${slice.key}"
+  /** Key of a chunk within the scale (no scale prefix). */
+  def relKey(slice: ChunkSlice): String = keyStyle match {
+    case "precomputed" => slice.key
+    case "zarr-c" => s"${slice.idz - 1}.${slice.idy - 1}.${slice.idx - 1}"
+    case "zarr-f" => s"${slice.idx - 1}.${slice.idy - 1}.${slice.idz - 1}"
+    case "zarr-c2" => s"${slice.idy - 1}.${slice.idx - 1}" // 2-d C: keys are d0.d1 = y.x
+    case "zarr-f2" => s"${slice.idx - 1}.${slice.idy - 1}"
+    case other => throw new IllegalArgumentException(s"unknown key style: $other")
+  }
 
-  /** Clamped chunk slice for grid coords (volume-stop clamping like
-    * adjust_volume_boundary, reference: src/type.jl:165-205). */
+  def keyOf(slice: ChunkSlice): String =
+    if (scaleKey.isEmpty) relKey(slice) else s"$scaleKey/${relKey(slice)}"
+
+  /** Chunk slice for grid coords. Precomputed style: volume-stop clamping
+    * like adjust_volume_boundary (reference: src/type.jl:165-205); padded
+    * style (zarr): the chunk box keeps its full extent, only the cutout is
+    * clamped. */
   def sliceAt(cx: Int, cy: Int, cz: Int, query: Box): Option[ChunkSlice] = {
     val (csx, csy, csz) = chunkSize
     val (ox, oy, oz) = (Grid.gridOffset(voxelOffset._1, csx),
@@ -35,6 +57,8 @@ final case class VolumeCtx(
     val chunkBox = Box(Grid.chunkIval(cx, csx, ox), Grid.chunkIval(cy, csy, oy), Grid.chunkIval(cz, csz, oz))
     val cut = chunkBox.intersect(query)
     if (cut.intersect(volumeBox).isEmpty) None // out-of-volume skip (sequential.jl:33-37)
+    else if (padEdgeChunks) Some(ChunkSlice(cx, cy, cz,
+      chunkBox, Grid.clampHiTo(cut, volumeBox)))
     else Some(ChunkSlice(cx, cy, cz,
       Grid.clampHiTo(chunkBox, volumeBox), Grid.clampHiTo(cut, volumeBox)))
   }
@@ -74,13 +98,15 @@ final class Volume(
     val root: String,
     val meta: VolumeMeta,
     val mip: Int = 1,
-    val fillMissing: Boolean = true) extends Serializable {
+    val fillMissing: Boolean = true,
+    val keyStyle: String = "precomputed",
+    val padEdgeChunks: Boolean = false) extends Serializable {
 
   val scaleMeta: ScaleMeta = meta.scale(mip)
 
   val ctx: VolumeCtx = VolumeCtx(root, scaleMeta.key, scaleMeta.chunkSize,
     scaleMeta.voxelOffset, scaleMeta.volumeBox, meta.dataType, meta.numChannels,
-    scaleMeta.encoding, fillMissing)
+    scaleMeta.encoding, fillMissing, keyStyle, padEdgeChunks)
 
   private def hconf = new ChunkStore.SerializableConf(
     ChunkStore.storeConf(spark.sessionState.newHadoopConf(), root, ctx.codec.name))
@@ -338,7 +364,7 @@ final class Volume(
           c.sliceAt(cx, cy, cz, query).filterNot { s =>
             val k = c.keyOf(s)
             ChunkStore.exists(fs, c.root, k) || ChunkStore.exists(fs, c.root, s"$k.gz")
-          }.map(_.key)
+          }.map(c.relKey)
         }
       }
   }
