@@ -50,6 +50,7 @@ object SparkEntry {
     "a3_voxel_pipeline" -> (ArrayOps.a3_voxel_pipeline _),
     "a4_downsample" -> (ArrayOps.a4_downsample _),
     "a5_chunk_table" -> (ArrayOps.a5_chunk_table _),
+    "a6_zarr_pipeline" -> (ArrayOps.a6_zarr_pipeline _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -221,6 +222,7 @@ object SparkEntry {
     "a3_voxel_pipeline" -> ArrayOps.a3OracleSql,
     "a4_downsample" -> ArrayOps.a4OracleSql,
     "a5_chunk_table" -> ArrayOps.a5OracleSql,
+    "a6_zarr_pipeline" -> ArrayOps.a6OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),

@@ -149,6 +149,24 @@ object ArrayOps {
         col("x0"), col("x1"), col("y0"), col("y1"), col("z0"), col("z1"), col("key"))
   }
 
+  /** Zarr v2 under the gate: build, ingest, and read back a zarr array
+    * (zlib, C order, padded edge chunks — 20 is not a multiple of the
+    * 8-chunk in x), dump the voxel relation, aggregate per z; the oracle
+    * re-aggregates the dump. */
+  def a6_zarr_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.Zarr
+    import graft.volume.VoxelBuffer
+    val root = java.nio.file.Files.createTempDirectory("graft-a6").toString
+    val vol = Zarr.create(spark, root, shape = (20, 12, 8), chunks = (8, 4, 2),
+      dataType = Meta.TUInt16, encoding = "zlib")
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 24, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, graft.sources.Zarr.open(spark, root).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a6")
+  }
+
+  def a6OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a6")
+
   def a5OracleSql: String =
     """SELECT CAST(1 AS INT) AS mip,
       | CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,
