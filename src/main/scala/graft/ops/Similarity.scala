@@ -147,6 +147,13 @@ object Similarity {
     * training artifact, so (unlike LSH's closed-form buckets) it is not
     * SQL-replicable: the query is rows-only in the driver gate and recall
     * is spec-measured against [[cosineTopK]]. */
+  /** Cap on the coarse-quantizer training set: k-means sees at most this
+    * many vectors (nlist=16 centroids need thousands of samples, not the
+    * corpus). On a 100 TB corpus this bounds the iterative phase to a
+    * constant-size problem; the full corpus is touched exactly once, by the
+    * single-pass assignment. */
+  val IvfTrainCap = 100000
+
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -154,9 +161,14 @@ object Similarity {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("fv"))
-    val model = new KMeans().setK(nlist).setSeed(7)
+    // Training input: capped and coalesced. Every Lloyd iteration is a
+    // Spark job over this relation, so a handful of partitions beats 32
+    // near-empty ones (per-task overhead dominates at bench scale, and at
+    // 100 TB the cap keeps iteration cost independent of corpus size).
+    val train = emb.select(col("fv")).limit(IvfTrainCap).coalesce(8)
+    val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(emb.select(col("fv")))
+      .fit(train)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("cluster"))
     // tiny centroid relation (nlist rows) from the fitted model
