@@ -55,6 +55,7 @@ object SparkEntry {
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
+    "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -231,6 +232,7 @@ object SparkEntry {
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,
     "d3_dedup_minhash" -> ngramJaccardOracle, // LSH recall ≈ 1 at j≥0.8 (see Dedup scaladoc)
+    "d5_dedup_clusters" -> dupClusterOracle,
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < 10),
         | pairs AS (
@@ -275,17 +277,35 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
 
-  /** Shared oracle for exact n-gram Jaccard and MinHash-LSH dedup (the LSH
-    * path verifies candidates exactly and has ≈1 recall at the threshold). */
-  private val ngramJaccardOracle: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+  /** CTE chain producing the exact n-gram Jaccard near-dup pairs
+    * (`jpairs(a, b, jac)` at threshold 0.8) — shared by the pair oracles and
+    * the clustering oracle below. */
+  private val ngramPairCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
       | t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
       | sh0 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) AS s FROM t3),
       | sh AS (SELECT DISTINCT doc_id, s FROM sh0),
       | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      | pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT p.a, p.b, round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) AS jac
-      |FROM pairs p JOIN sizes za ON p.a = za.doc_id JOIN sizes zb ON p.b = zb.doc_id
-      |WHERE round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) >= 0.8""".stripMargin
+      | ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      | jpairs AS (SELECT p.a, p.b, round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) AS jac
+      |            FROM ipairs p JOIN sizes za ON p.a = za.doc_id JOIN sizes zb ON p.b = zb.doc_id
+      |            WHERE round(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter), 4) >= 0.8)""".stripMargin
+
+  /** Shared oracle for exact n-gram Jaccard and MinHash-LSH dedup (the LSH
+    * path verifies candidates exactly and has ≈1 recall at the threshold). */
+  private val ngramJaccardOracle: String =
+    s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** Clustering oracle: transitive closure of the near-dup pair graph via a
+    * recursive CTE; cluster = min reachable doc_id (symmetric edges make
+    * each vertex reach itself at depth 2, so min(v) covers the self case —
+    * least(u, …) keeps it explicit). */
+  private val dupClusterOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       | edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+       | reach(u, v) AS (SELECT u, v FROM edges
+       |                 UNION
+       |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin
 }

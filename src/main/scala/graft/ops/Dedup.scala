@@ -164,6 +164,82 @@ object Dedup {
     verifyJaccard(cand, sets, minJ)
   }
 
+  // ---------------- duplicate clustering (connected components) ----------------
+
+  /** Connected components over an undirected pair list (columns `a`, `b`):
+    * one row per vertex, labeled with the smallest doc_id reachable from it
+    * — the canonical representative of its duplicate cluster. This is the
+    * step every dedup pipeline needs after pair generation: near-dup PAIRS
+    * are not deduplicable directly (transitive groups must collapse to one
+    * keeper).
+    *
+    * Algorithm: hash-min label propagation with pointer jumping. Each round
+    * does (1) neighbor propagation — every vertex takes the min label over
+    * itself and its neighbors (one join + one re-aggregate, i.e. one
+    * shuffle of label-grain rows), and (2) pointer jumping — every vertex
+    * replaces its label `l` by `label(l)` (labels are always vertex ids, so
+    * one more label-grain join). Neighbor-min alone needs `diameter`
+    * rounds; the jump step halves the remaining pointer depth each round,
+    * giving O(log diameter) — duplicate clusters are near-cliques in
+    * practice, so 2-3 rounds is typical, while a worst-case path graph
+    * still converges in logarithmic rounds.
+    *
+    * Scale shape: per round everything is an equi-join + min-aggregate on
+    * (vertex, label) long pairs — never the documents, never the shingle
+    * sets. Labels strictly decrease until fixpoint, so convergence is
+    * detected by an exact decimal checksum (`sum(lbl)` in Decimal(38,0) —
+    * overflow-proof under ANSI mode) going flat. Each round's result is
+    * `localCheckpoint`ed: the iteration is executed eagerly (like an MLlib
+    * `fit`), lineage stays O(1), and the returned DataFrame is a plain
+    * in-memory scan whose blocks the ContextCleaner reclaims when the
+    * result is garbage-collected. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // Symmetric edges PLUS a self-loop per vertex: neighbor-min over this
+    // list already includes the vertex's own label, so each round is a pure
+    // join+aggregate with no union in the loop (unions whose children share
+    // a lineage leaf trip Catalyst's Union constraint rewrite).
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .union(pairs.select(col("a").as("u"), col("a").as("v")))
+      .union(pairs.select(col("b").as("u"), col("b").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))), lit(java.math.BigDecimal.ZERO))
+        .as("s")).head.getDecimal(0)
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("lbl"))
+      .select(col("u").as("vtx"), col("lbl"))
+      .localCheckpoint(true)
+    var sum0 = checksum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("u") === labels("vtx"))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .select(col("v").as("vtx"), col("lbl"))
+        .localCheckpoint(true)
+      val jumped = nbrMin.as("x")
+        .join(nbrMin.select(col("vtx").as("jv"), col("lbl").as("jl")).as("j"),
+          col("x.lbl") === col("j.jv"), "left")
+        .select(col("x.vtx").as("vtx"), least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val sum1 = checksum(jumped)
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("vtx").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** Duplicate clusters of the MinHash near-dup graph: every document that
+    * has at least one near-duplicate (Jaccard ≥ `minJ`), labeled with its
+    * cluster's canonical (minimum) doc_id. `keep = (cluster == doc_id)`
+    * selects one survivor per cluster downstream. */
+  def dupClusters(docs: DataFrame, minJ: Double, maxRounds: Int = 20): DataFrame =
+    connectedComponents(minhashPairs(docs, minJ).select(col("a"), col("b")), maxRounds)
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash per document as a bit string (MSB first): bit j is set

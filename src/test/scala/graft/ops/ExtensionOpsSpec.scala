@@ -38,6 +38,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(randH.sum.toDouble / randH.length > 16, s"random mean hamming ${randH.sum.toDouble / randH.length}")
   }
 
+  test("connected components: chains, cliques, isolated pairs, convergence") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6-7-8 (diameter 7 — exercises pointer jumping),
+    // a triangle 20-21-22, and an isolated pair 30-31
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    // edge direction must not matter
+    val rev = Dedup.connectedComponents(
+      pairs.select(col("b").as("a"), col("a").as("b"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == got)
+    // empty pair set → empty labeling, no crash
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
+  test("dupClusters groups transitive near-duplicates under the min doc_id") {
+    val pairs = Dedup.minhashPairs(docs, 0.8).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dupClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is labeled, label is a member ≤ both endpoints' ids
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    // each cluster's label is itself a member of the cluster
+    clusters.values.foreach(c => assert(clusters(c) == c))
+  }
+
   test("ann LSH achieves recall >= 0.8 vs brute force") {
     val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
