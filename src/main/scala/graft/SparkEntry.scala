@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ArrayOps, Dedup, Multimodal, Relational, Similarity, Tables, TextOps}
+import graft.ops.{ArrayOps, Corpus, Dedup, Multimodal, Relational, Similarity, Tables, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +65,8 @@ object SparkEntry {
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.t(s, d, "documents"))),
     "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
+    "t7_split" -> ((s, d) => Corpus.splitAssign(Tables.t(s, d, "documents"))),
+    "t8_packing" -> ((s, d) => Corpus.packAssignments(Tables.t(s, d, "documents"))),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "m3_modal_resize" -> (Multimodal.modalResize _),
@@ -226,6 +228,8 @@ object SparkEntry {
     "a6_zarr_pipeline" -> ArrayOps.a6OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
+    "t7_split" -> Corpus.splitAssignOracleSql(),
+    "t8_packing" -> Corpus.packAssignmentsOracleSql(),
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "d1_dedup_exact" ->

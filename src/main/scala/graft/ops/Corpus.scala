@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * train/val/test splits and sequence packing.
+  *
+  * Both are pure per-row / per-window arithmetic with no driver state, so
+  * they scale embarrassingly: the split is a stateless hash of the document
+  * id, and packing windows are partitioned by `source` (the shard unit), so
+  * no global ordering is ever materialized.
+  */
+object Corpus {
+
+  /** Deterministic percentile bucket (0-99) from the md5 of the document id.
+    * Content-independent (re-ingesting identical text under a new id moves
+    * it), engine-portable (md5 + hex-prefix arithmetic reproduce bit-exactly
+    * in any SQL engine), and stable under corpus growth — a document never
+    * changes split when others are added, unlike `randomSplit`, which
+    * reshuffles every run and every repartition. Uses the first 4 hex chars
+    * (16 bits) so the mod-100 bias is ≤ 1/655 — negligible for split
+    * purposes and identical in both engines. */
+  private def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Assign every document to train/val/test by deterministic hash bucket:
+    * bucket < trainPct → train, < trainPct+valPct → val, else test.
+    * Output: (doc_id, lang, bucket, split) — lang retained so downstream
+    * can check stratification. */
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages ($trainPct, $valPct)")
+    docs.select(col("doc_id"), col("lang"), hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** DuckDB oracle twin of [[splitAssign]]: same md5-prefix arithmetic
+    * (`CAST('0x'||substr(md5(..),1,4) AS INTEGER)` ≡ Spark
+    * `conv(substring(md5(..),1,4),16,10)`). */
+  def splitAssignOracleSql(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""SELECT doc_id, lang, bucket,
+       | CASE WHEN bucket < $trainPct THEN 'train'
+       |      WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang,
+       |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+       |      FROM documents) b""".stripMargin
+
+  /** Greedy sequence packing: documents are concatenated in deterministic
+    * order within each `source` shard and cut into fixed token budgets —
+    * the standard pre-training layout (a document starting in pack `p` may
+    * straddle into `p+1`; `pack_id` is the pack its first token lands in,
+    * `off` its offset in the shard's token stream).
+    *
+    * Scale shape: one window per source shard (the natural packing unit —
+    * a global order would serialize the corpus through one partition);
+    * within a shard it is a running sum over (doc_id) order, which Spark
+    * executes as a single sort per partition of the shard hash — no
+    * driver-side state, no iteration. */
+  def packAssignments(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"off div $budgetTokens"))
+  }
+
+  /** DuckDB oracle twin of [[packAssignments]]. */
+  def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
+    s"""SELECT source, doc_id, n_tok, off, off // $budgetTokens AS pack_id
+       |FROM (SELECT source, doc_id,
+       |       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+       |       COALESCE(sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT))
+       |         OVER (PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM documents) s""".stripMargin
+}

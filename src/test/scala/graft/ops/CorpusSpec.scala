@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.testutil.SparkSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.t(spark, dir, "documents")
+
+  test("splitAssign is deterministic, total, and growth-stable") {
+    val s1 = Corpus.splitAssign(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val s2 = Corpus.splitAssign(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(s1 == s2)
+    assert(s1.size == docs.count())
+    // adding/removing other documents never moves an existing assignment
+    val half = Corpus.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    half.foreach { case (id, sp) => assert(s1(id) == sp) }
+    // proportions near 80/10/10 (hash uniformity; loose bounds at 500 docs)
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02, frac.toString)
+  }
+
+  test("splitAssign bucket matches the md5-prefix definition") {
+    val row = Corpus.splitAssign(docs).filter(col("doc_id") === 7).head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+    assert(row.getLong(2) == java.lang.Long.parseLong(hex, 16) % 100)
+  }
+
+  test("packAssignments: offsets are the shard-order running sum, packs cut at the budget") {
+    val budget = 512
+    val out = Corpus.packAssignments(docs, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, nTok, off, packId) =>
+        assert(off == cum, s"offset must be the running token count")
+        assert(packId == off / budget)
+        assert(nTok >= 1) // split("\\s+") never yields an empty token list
+        cum += nTok
+      }
+    }
+    // multiple packs actually occur (the budget is smaller than a shard)
+    assert(out.map(_._5).distinct.length > 1)
+  }
+}
