@@ -60,6 +60,7 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "s3_embed_dups" -> ((s, d) => Similarity.embeddingDupPairs(s, d, 0.2)),
+    "s5_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -232,6 +233,7 @@ object SparkEntry {
     "t8_packing" -> Corpus.packAssignmentsOracleSql(),
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
+    "s5_sq8_topk" -> Similarity.sq8OracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

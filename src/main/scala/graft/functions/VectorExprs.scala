@@ -26,19 +26,23 @@ object VectorExprs {
   private def elemAccess(arr: String, i: String, et: DataType): String = et match {
     case FloatType => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
     case _ => throw new IllegalStateException(s"unsupported element type $et")
   }
 
   private def elemEval(arr: ArrayData, i: Int, et: DataType): Double = et match {
     case FloatType => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
+    case ByteType => arr.getByte(i).toDouble
     case _ => throw new IllegalStateException(s"unsupported element type $et")
   }
 
   /** Shared shape for the fused vector kernels: both inputs must be
-    * `array<float|double>` (checked at analysis, not as a runtime CCE), and
-    * a null ELEMENT nulls the result — exactly the documented
-    * `zip_with`+`aggregate` semantics (a null product poisons the sum). */
+    * `array<float|double|tinyint>` (checked at analysis, not as a runtime
+    * CCE — tinyint serves int8-quantized code vectors, accumulated exactly
+    * in double), and a null ELEMENT nulls the result — exactly the
+    * documented `zip_with`+`aggregate` semantics (a null product poisons
+    * the sum). */
   sealed trait VectorKernel extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
@@ -54,12 +58,12 @@ object VectorExprs {
 
     override def checkInputDataTypes(): TypeCheckResult = {
       val bad = Seq(left, right).map(_.dataType).collectFirst {
-        case t @ ArrayType(et, _) if et != FloatType && et != DoubleType => t
+        case t @ ArrayType(et, _) if et != FloatType && et != DoubleType && et != ByteType => t
         case t if !t.isInstanceOf[ArrayType] => t
       }
       bad match {
         case Some(t) => TypeCheckResult.TypeCheckFailure(
-          s"${prettyName} requires array<float> or array<double> arguments, got ${t.simpleString}")
+          s"${prettyName} requires array<float>, array<double> or array<tinyint> arguments, got ${t.simpleString}")
         case None => TypeCheckResult.TypeCheckSuccess
       }
     }

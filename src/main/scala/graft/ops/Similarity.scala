@@ -195,6 +195,60 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------- int8 scalar quantization (SQ8) ----------------
+
+  /** Per-vector symmetric int8 quantization: `code_i = floor(127·x_i/max|x|)`
+    * as `array<tinyint>` — 4x smaller than float32 at rest and in shuffle,
+    * the standard memory-scale path for a 100 TB embedding store. `floor`
+    * (not round) keeps the arithmetic bit-identical in any engine. Cosine
+    * needs no dequantization at all: the per-vector scale cancels, so
+    * similarity is computed directly on code vectors with the same fused
+    * codegen kernel ([[graft.functions.VectorExprs]], which accepts
+    * `array<tinyint>`). Quantization itself is a row-local one-time pass
+    * (interpreted HOFs are fine there — it's ingest, not the query loop).
+    * Zero vectors quantize to all-zero codes (cosine 0 by kernel
+    * convention). */
+  def sq8Codes(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("__mx",
+        expr(s"aggregate($embCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("codes",
+        expr(s"transform($embCol, x -> CAST(floor(CASE WHEN __mx = 0.0 THEN 0.0 ELSE 127.0 * CAST(x AS DOUBLE) / __mx END) AS TINYINT))"))
+      .drop("__mx")
+
+  /** Top-k by int8-quantized cosine: the brute-force scan of [[cosineTopK]]
+    * run entirely over SQ8 code vectors — same broadcast-queries ×
+    * streamed-scan shape, a quarter of the bytes. Exactly reproducible in
+    * SQL (integer lattice arithmetic), so the driver gate hash-checks it
+    * against DuckDB; SimilaritySpec measures agreement with the float
+    * ranking. */
+  def sq8TopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val coded = sq8Codes(t(spark, dir, "embeddings")).select(col("vec_id"), col("codes"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("codes").as("qc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcs").desc, col("nb_id").asc)
+    coded.select(col("vec_id").as("nb_id"), col("codes").as("nc"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("qcs", vec_cosine(col("qc"), col("nc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("qcs"), 4).as("qcs"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[sq8TopK]]: same floor-quantization, same
+    * integer-exact cosine, same (qcs DESC, nb_id) rank. */
+  def sq8OracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+       | c AS (SELECT vec_id, list_transform(emb, x -> floor(CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 * x / mx END)) AS codes FROM m),
+       | p AS (SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+       |        CASE WHEN sqrt(list_dot_product(q.codes, q.codes)) * sqrt(list_dot_product(n.codes, n.codes)) = 0 THEN 0.0
+       |             ELSE list_dot_product(q.codes, n.codes) /
+       |                  (sqrt(list_dot_product(q.codes, q.codes)) * sqrt(list_dot_product(n.codes, n.codes))) END AS qcs
+       |       FROM c q JOIN c n ON n.vec_id != q.vec_id WHERE q.vec_id < $nQueries),
+       | r AS (SELECT q_id, nb_id, round(qcs, 4) AS qcs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY p.qcs DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, nb_id, qcs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
   /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
     * hyperplane bucketing exactly, with the plane constants inlined as
     * DOUBLE literals (shortest-roundtrip formatting, so both engines see

@@ -95,6 +95,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // clustered embeddings nprobe/nlist shrinks dramatically
   }
 
+  test("sq8: codes bounded to [-127,127], tinyint kernel exact, ranking tracks float cosine") {
+    import graft.functions.VectorExprs.vec_cosine
+    val emb = Tables.t(spark, dir, "embeddings")
+    val coded = Similarity.sq8Codes(emb)
+    // bounds + element type
+    val mx = coded.select(expr("max(array_max(transform(codes, c -> abs(CAST(c AS INT)))))")).head.getInt(0)
+    assert(mx <= 127)
+    assert(coded.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    // the tinyint codegen kernel must agree exactly with double-cast codes
+    val pair = coded.limit(2).collect().map(_.getSeq[Byte](coded.schema.fieldIndex("codes")))
+    val viaKernel = coded.as("a").limit(1).crossJoin(coded.as("b").limit(2))
+      .select(vec_cosine(col("a.codes"), col("b.codes"))).collect().map(_.getDouble(0))
+    val viaDouble = coded.as("a").limit(1).crossJoin(coded.as("b").limit(2))
+      .select(vec_cosine(
+        expr("transform(a.codes, c -> CAST(c AS DOUBLE))"),
+        expr("transform(b.codes, c -> CAST(c AS DOUBLE))"))).collect().map(_.getDouble(0))
+    assert(viaKernel.toSeq == viaDouble.toSeq)
+    // quantized top-5 overlaps the exact float top-5 (int8 error is small)
+    val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (exact intersect sq8).size.toDouble / exact.size
+    assert(agree >= 0.6, s"sq8 agreement with float ranking: $agree")
+  }
+
   test("hot LSH buckets are width-capped: degenerate buckets cannot go quadratic") {
     // a cap of 1 forbids any 2-member bucket: the SELF-join can't produce a
     // single pair — proves the cap path actually filters
