@@ -68,6 +68,7 @@ object SparkEntry {
     "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
     "t7_split" -> ((s, d) => Corpus.splitAssign(Tables.t(s, d, "documents"))),
     "t8_packing" -> ((s, d) => Corpus.packAssignments(Tables.t(s, d, "documents"))),
+    "c1_curation" -> ((s, d) => Corpus.curationReport(Tables.t(s, d, "documents"))),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "m3_modal_resize" -> (Multimodal.modalResize _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "t7_split" -> Corpus.splitAssignOracleSql(),
     "t8_packing" -> Corpus.packAssignmentsOracleSql(),
+    "c1_curation" -> Corpus.curationReportOracleSql(),
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),

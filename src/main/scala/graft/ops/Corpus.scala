@@ -73,6 +73,47 @@ object Corpus {
       .withColumn("pack_id", expr(s"off div $budgetTokens"))
   }
 
+  /** End-to-end curation decision table — the composition a real corpus
+    * pipeline runs before training: language ID, quality score, exact-dup
+    * canonicalization, and split assignment, joined per document into one
+    * relation with the final keep/drop decision
+    * (`kept = is_canonical AND quality ≥ minQuality`).
+    *
+    * Every stage is an existing operator ([[TextOps.langId]],
+    * [[TextOps.qualityScores]], [[Dedup.exactDuplicates]],
+    * [[splitAssign]]); the joins are all doc-keyed equi-joins, so the whole
+    * pipeline is one shuffle stage per operator with no widening — the
+    * plan a 1000-executor run wants. */
+  def curationReport(docs: DataFrame, minQuality: Double = 1.4): DataFrame = {
+    val lid = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"), col("conf"))
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val canon = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .as("is_canonical"))
+    val split = splitAssign(docs).select(col("doc_id"), col("split"))
+    docs.select(col("doc_id"))
+      .join(lid, Seq("doc_id")).join(q, Seq("doc_id"))
+      .join(canon, Seq("doc_id")).join(split, Seq("doc_id"))
+      .withColumn("kept", col("is_canonical") && col("quality") >= minQuality)
+  }
+
+  /** DuckDB oracle twin of [[curationReport]], composed from the stage
+    * oracles (language ID comes from [[TextOps.langIdOracleSql]] verbatim,
+    * so the profiles can never drift). */
+  def curationReportOracleSql(minQuality: Double = 1.4): String =
+    s"""SELECT d.doc_id, lid.pred_lang, lid.conf, q.quality, k.is_canonical, s.split,
+       | (k.is_canonical AND q.quality >= $minQuality) AS kept
+       |FROM documents d
+       |JOIN (${TextOps.langIdOracleSql}) lid USING (doc_id)
+       |JOIN (SELECT doc_id, round(1.0 - stop_ratio + uniq_ratio, 4) AS quality
+       |      FROM (SELECT doc_id,
+       |             round(CAST(len(list_filter(toks, t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
+       |            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) t) r) q USING (doc_id)
+       |JOIN (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+       |      FROM documents) k USING (doc_id)
+       |JOIN (${splitAssignOracleSql().replace("\n", "\n      ")}) s USING (doc_id)""".stripMargin
+
   /** DuckDB oracle twin of [[packAssignments]]. */
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, off, off // $budgetTokens AS pack_id

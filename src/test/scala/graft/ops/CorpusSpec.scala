@@ -33,6 +33,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(row.getLong(2) == java.lang.Long.parseLong(hex, 16) % 100)
   }
 
+  test("curationReport: one row per doc, kept implies canonical and quality threshold") {
+    val rep = Corpus.curationReport(docs, 1.4)
+    val rows = rep.collect()
+    assert(rows.length == docs.count())
+    val qi = rep.schema.fieldIndex("quality"); val ci = rep.schema.fieldIndex("is_canonical")
+    val ki = rep.schema.fieldIndex("kept")
+    rows.foreach { r =>
+      assert(r.getBoolean(ki) == (r.getBoolean(ci) && r.getDouble(qi) >= 1.4))
+    }
+    // the pipeline must actually discriminate (some kept, some dropped)
+    val nKept = rows.count(_.getBoolean(ki))
+    assert(nKept > 0 && nKept < rows.length, s"kept $nKept of ${rows.length}")
+  }
+
   test("packAssignments: offsets are the shard-order running sum, packs cut at the budget") {
     val budget = 512
     val out = Corpus.packAssignments(docs, budget)
