@@ -125,12 +125,151 @@ object VoxelScanStrategy extends SparkStrategy {
 
 /** Physical voxel scan: distributed chunk-task grid → fetch/decode/emit.
   * Same dataflow as Volume.toVoxels, expressed as a native SparkPlan so it
-  * composes with any relational operators above it. */
+  * composes with any relational operators above it.
+  *
+  * Emits COLUMNAR batches by default (`supportsColumnar`): voxels are
+  * written straight into `OnHeapColumnVector`s, 4096 per batch, and Spark
+  * plants its codegen'd `ColumnarToRow` above — the same shape as the
+  * vectorized parquet reader, which keeps the per-voxel cost to a few
+  * primitive array stores instead of per-row UnsafeRow bookkeeping. The
+  * row-at-a-time path is retained (`doExecute`) for plan shapes where the
+  * planner declines columnar. */
 final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     extends LeafExecNode {
 
   override def simpleString(maxFields: Int): String =
     s"VoxelScanExec ${ctx.root} box=[${box.x.lo}..${box.x.hi}, ${box.y.lo}..${box.y.hi}, ${box.z.lo}..${box.z.hi}]"
+
+  /** Column layout resolved once — tags: 0=x 1=y 2=z 3=c 4=value; dtypeTag
+    * indexes the widened value type (see VolumeCtx widening). */
+  private def tagsOf(output: Seq[Attribute]): Array[Int] =
+    output.map(_.name match {
+      case "x" => 0; case "y" => 1; case "z" => 2; case "c" => 3; case "value" => 4
+    }).toArray
+
+  private def dtypeTagOf(c: VolumeCtx): Int = c.dataType match {
+    case graft.core.Meta.TBool => 0
+    case graft.core.Meta.TUInt8 => 1
+    case graft.core.Meta.TUInt16 => 2
+    case graft.core.Meta.TUInt32 => 3
+    case graft.core.Meta.TUInt64 => 4
+    case graft.core.Meta.TFloat32 => 5
+    case graft.core.Meta.TFloat64 => 6
+  }
+
+  override def supportsColumnar: Boolean = true
+
+  override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val c = ctx
+    val query = box
+    val conf = new ChunkStore.SerializableConf(session.sessionState.newHadoopConf())
+    val ids = Grid.idRanges(query, c.chunkSize, c.voxelOffset)
+    val total = if (query.isEmpty) 0L else ids.total
+    val parts = math.max(1, math.min(total, session.sparkContext.defaultParallelism * 2L)).toInt
+    val tags = tagsOf(output)
+    val dtypeTag = dtypeTagOf(c)
+    val needValue = tags.contains(4)
+    val skipFetch = !needValue && c.fillMissing
+    val schema = org.apache.spark.sql.types.StructType(
+      output.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    val numChannels = c.numChannels
+    session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      val slices = linearIds.flatMap { id =>
+        val (cx, cy, cz) = ids.coords(id)
+        c.sliceAt(cx, cy, cz, query).map { s =>
+          val buf =
+            if (skipFetch) null
+            else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+              case Some(blob) => c.decodeChunk(s, blob)
+              case None if c.fillMissing => null
+              case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            }
+          (s, buf)
+        }
+      }
+      new Iterator[ColumnarBatch] {
+        private val capacity = 4096
+        private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+        private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+        // cursor over the current slice's cutout box, (ch, z, y, x) order —
+        // identical emission order to the row path
+        private var cur: Grid.ChunkSlice = null
+        private var buf: VoxelBuffer = null
+        private var ch = 0; private var z = 0; private var y = 0; private var x = 0
+
+        override def hasNext: Boolean = cur != null || slices.hasNext
+
+        override def next(): ColumnarBatch = {
+          var i = 0
+          while (i < vectors.length) { vectors(i).reset(); i += 1 }
+          var n = 0
+          while (n < capacity && (cur != null || slices.hasNext)) {
+            if (cur == null) {
+              val (s, b) = slices.next()
+              cur = s; buf = b; ch = 0
+              z = s.cutoutBox.z.lo; y = s.cutoutBox.y.lo; x = s.cutoutBox.x.lo
+            }
+            val cut = cur.cutoutBox
+            while (n < capacity && ch < numChannels) {
+              writeVoxel(n, cut)
+              n += 1
+              x += 1
+              if (x > cut.x.hi) {
+                x = cut.x.lo; y += 1
+                if (y > cut.y.hi) {
+                  y = cut.y.lo; z += 1
+                  if (z > cut.z.hi) { z = cut.z.lo; ch += 1 }
+                }
+              }
+            }
+            if (ch >= numChannels) cur = null
+          }
+          batch.setNumRows(n)
+          batch
+        }
+
+        private def writeVoxel(row: Int, cut: Box): Unit = {
+          var i = 0
+          while (i < tags.length) {
+            tags(i) match {
+              case 0 => vectors(i).putInt(row, x)
+              case 1 => vectors(i).putInt(row, y)
+              case 2 => vectors(i).putInt(row, z)
+              case 3 => vectors(i).putInt(row, ch)
+              case _ =>
+                if (buf == null) dtypeTag match {
+                  case 0 => vectors(i).putBoolean(row, false)
+                  case 1 => vectors(i).putShort(row, 0.toShort)
+                  case 2 => vectors(i).putInt(row, 0)
+                  case 3 => vectors(i).putLong(row, 0L)
+                  case 4 => vectors(i).putDecimal(row, Decimal(0L), 20)
+                  case 5 => vectors(i).putFloat(row, 0.0f)
+                  case _ => vectors(i).putDouble(row, 0.0)
+                } else {
+                  val lx = this.x - buf.origin._1; val ly = this.y - buf.origin._2
+                  val lz = this.z - buf.origin._3
+                  dtypeTag match {
+                    case 0 => vectors(i).putBoolean(row, buf.getLong(lx, ly, lz, ch) != 0L)
+                    case 1 => vectors(i).putShort(row, buf.getLong(lx, ly, lz, ch).toShort)
+                    case 2 => vectors(i).putInt(row, buf.getLong(lx, ly, lz, ch).toInt)
+                    case 3 => vectors(i).putLong(row, buf.getLong(lx, ly, lz, ch))
+                    case 4 => vectors(i).putDecimal(row, Decimal(new java.math.BigDecimal(
+                      new java.math.BigInteger(java.lang.Long.toUnsignedString(
+                        buf.getLong(lx, ly, lz, ch))))), 20)
+                    case 5 => vectors(i).putFloat(row, buf.getDouble(lx, ly, lz, ch).toFloat)
+                    case _ => vectors(i).putDouble(row, buf.getDouble(lx, ly, lz, ch))
+                  }
+                }
+            }
+            i += 1
+          }
+        }
+      }
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val c = ctx
@@ -145,18 +284,8 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     // pruned-column layout, resolved ONCE to integer tags: this loop runs
     // per voxel, so no string comparison / boxing / row allocation inside
     // (tags: 0=x 1=y 2=z 3=c 4=value; dtypeTag indexes the widened type)
-    val tags: Array[Int] = output.map(_.name match {
-      case "x" => 0; case "y" => 1; case "z" => 2; case "c" => 3; case "value" => 4
-    }).toArray
-    val dtypeTag: Int = c.dataType match {
-      case graft.core.Meta.TBool => 0
-      case graft.core.Meta.TUInt8 => 1
-      case graft.core.Meta.TUInt16 => 2
-      case graft.core.Meta.TUInt32 => 3
-      case graft.core.Meta.TUInt64 => 4
-      case graft.core.Meta.TFloat32 => 5
-      case graft.core.Meta.TFloat64 => 6
-    }
+    val tags: Array[Int] = tagsOf(output)
+    val dtypeTag: Int = dtypeTagOf(c)
     val needValue = tags.contains(4)
     // coords-only scans under zero-fill semantics never touch the store:
     // rows exist for every in-box voxel regardless of which chunks exist.

@@ -42,14 +42,30 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Run a bounded verification stream with a reduced state-partition
+    * count: a streaming query instantiates one state store per shuffle
+    * partition per stateful operator, and on a bounded local drive that
+    * fixed machinery (store init + per-batch commit files) dominates the
+    * actual data work. The partition count is baked into each query's fresh
+    * checkpoint, so narrowing it here affects only this run — a production
+    * deployment keeps its own checkpoint and partitioning. */
+  private def withFewStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Run [[hourlyAgg]] to completion against the batch parquet via the
     * memory sink and return the result table. Used as the `e1_stream_hourly`
     * query so the driver's oracle exercises real streaming execution. */
   def hourlyAggOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_hourly_${System.nanoTime()}"
-    val q = hourlyAgg(readEventStream(spark, dir))
-      .writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withFewStatePartitions(spark, 8) {
+      val q = hourlyAgg(readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -68,9 +84,11 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"stream_dedup_${System.nanoTime()}"
-    val q = deduped.writeStream.outputMode(OutputMode.Complete)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withFewStatePartitions(spark, 8) {
+      val q = deduped.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 

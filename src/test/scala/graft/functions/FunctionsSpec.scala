@@ -73,7 +73,7 @@ class FunctionsSpec extends AnyFunSuite {
     // non-array / non-float arguments are an analysis error, not a runtime CCE
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT vec_dot(array('a', 'b'), array('c', 'd'))").collect())
-    assert(e.getMessage.contains("array<float> or array<double>"), e.getMessage)
+    assert(e.getMessage.contains("array<float>, array<double> or array<tinyint>"), e.getMessage)
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT vec_cosine(1, 2)").collect())
   }

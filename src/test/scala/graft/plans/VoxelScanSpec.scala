@@ -30,6 +30,20 @@ class VoxelScanSpec extends AnyFunSuite {
     assert(viaScan == viaToVoxels)
   }
 
+  test("scan executes columnar: ColumnarToRow sits above VoxelScanExec") {
+    val (vol, buf) = newVolume()
+    val df = vol.voxels().filter(col("z") === 1)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("ColumnarToRow"), s"expected columnar transition in:\n$physical")
+    assert(physical.contains("VoxelScanExec"), physical)
+    // row-path / columnar-path agreement on values, order-insensitively
+    val viaColumnar = df.agg(sum("value"), count(lit(1))).collect().head
+    val viaDriver = vol.toVoxels(Box(vol.meta.scales.head.volumeBox.x.lo, vol.meta.scales.head.volumeBox.x.hi,
+      vol.meta.scales.head.volumeBox.y.lo, vol.meta.scales.head.volumeBox.y.hi, 1, 1))
+      .agg(sum("value"), count(lit(1))).collect().head
+    assert(viaColumnar == viaDriver)
+  }
+
   test("contradictory filters short-circuit to an empty scan") {
     val (vol, _) = newVolume()
     // x >= 100 AND x <= 1 narrows the box to a negative-length interval;
