@@ -69,6 +69,8 @@ object SparkEntry {
     "t7_split" -> ((s, d) => Corpus.splitAssign(Tables.t(s, d, "documents"))),
     "t8_packing" -> ((s, d) => Corpus.packAssignments(Tables.t(s, d, "documents"))),
     "c1_curation" -> ((s, d) => Corpus.curationReport(Tables.t(s, d, "documents"))),
+    "c2_mixture" -> ((s, d) => Corpus.mixtureSample(Tables.t(s, d, "documents"))),
+    "t9_bm25" -> ((s, d) => TextOps.bm25TopTerms(Tables.t(s, d, "documents"))),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "m3_modal_resize" -> (Multimodal.modalResize _),
@@ -233,6 +235,8 @@ object SparkEntry {
     "t7_split" -> Corpus.splitAssignOracleSql(),
     "t8_packing" -> Corpus.packAssignmentsOracleSql(),
     "c1_curation" -> Corpus.curationReportOracleSql(),
+    "c2_mixture" -> Corpus.mixtureSampleOracleSql(),
+    "t9_bm25" -> TextOps.bm25OracleSql(),
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),

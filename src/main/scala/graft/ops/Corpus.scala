@@ -73,6 +73,32 @@ object Corpus {
       .withColumn("pack_id", expr(s"off div $budgetTokens"))
   }
 
+  /** Weighted mixture downsampling: each source shard keeps a deterministic
+    * fraction of its documents — the domain-mixing step of a training-data
+    * pipeline (web vs books vs code weights). The keep rate per source and
+    * the per-document keep decision are BOTH md5-prefix hashes, so the
+    * sample is reproducible, growth-stable (a document's fate never depends
+    * on other documents), and exactly replicable in any SQL engine. Rates
+    * land in [lo, lo+span): by default 30-99% so every source is sampled
+    * but none is emptied. Stateless per-row arithmetic — no shuffle at all
+    * until whatever aggregates downstream. */
+  def mixtureSample(docs: DataFrame, rateLo: Int = 30, rateSpan: Int = 70): DataFrame = {
+    require(rateLo >= 0 && rateSpan > 0 && rateLo + rateSpan <= 100, "invalid rate window")
+    docs.select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("source")), 1, 2), 16, 10).cast("long") % rateSpan + rateLo)
+          .as("rate"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("kept", col("bucket") < col("rate"))
+  }
+
+  /** DuckDB oracle twin of [[mixtureSample]]. */
+  def mixtureSampleOracleSql(rateLo: Int = 30, rateSpan: Int = 70): String =
+    s"""SELECT doc_id, source, rate, bucket, bucket < rate AS kept
+       |FROM (SELECT doc_id, source,
+       |       CAST(CAST('0x' || substr(md5(source), 1, 2) AS INTEGER) % $rateSpan + $rateLo AS BIGINT) AS rate,
+       |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+       |      FROM documents) s""".stripMargin
+
   /** End-to-end curation decision table — the composition a real corpus
     * pipeline runs before training: language ID, quality score, exact-dup
     * canonicalization, and split assignment, joined per document into one

@@ -64,6 +64,65 @@ object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** BM25-style salient-term extraction: the top-k most relevant terms per
+    * document, scored with the BM25 weighting (k1=1.2, b=0.75) over
+    * whitespace tokens — the standard relevance primitive for corpus
+    * exploration and topic filters.
+    *
+    * The idf uses the rational core `(N - df + 0.5)/(df + 0.5)` WITHOUT the
+    * logarithm: `ln` is the one BM25 ingredient whose last-ulp value is
+    * implementation-defined across engines, and since log is monotone the
+    * per-document ranking is identical either way. Everything is therefore
+    * +,*,/ on IEEE doubles with one expression shape — bit-reproducible in
+    * any engine, which is what puts this op under the exact oracle gate.
+    *
+    * Scale shape: tf is one (doc,term) aggregation, df one term-keyed
+    * aggregation of the tf relation, the corpus stats a broadcast one-row
+    * join; the final top-k is a per-doc window that plans as
+    * WindowGroupLimit. */
+  def bm25TopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).cast(LongType).as("len"))
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avglen"))
+    val score =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(lens, Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("bm25"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[bm25TopTerms]] — same expression tree, same
+    * rational idf, same (score DESC, term) rank. */
+  def bm25OracleSql(k: Int = 3): String =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+       | tf AS (SELECT doc_id, unnest(toks) AS term FROM base),
+       | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       | dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |            CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM lens),
+       | scored AS (SELECT t.doc_id, t.term,
+       |    ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+       |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avglen)) AS score
+       |  FROM tfc t JOIN lens l USING (doc_id) JOIN dfreq d USING (term), stats s),
+       | r AS (SELECT doc_id, term, round(score, 4) AS bm25,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+       |       FROM scored)
+       |SELECT doc_id, term, bm25, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
   /** Quality scoring: length, whitespace ratio, stopword ratio, vocabulary
     * richness, and a composite score — the usual cheap pre-filters before
     * expensive pipeline stages. */

@@ -47,6 +47,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(nKept > 0 && nKept < rows.length, s"kept $nKept of ${rows.length}")
   }
 
+  test("mixtureSample: per-source rates honored, deterministic, growth-stable") {
+    val out = Corpus.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    out.foreach { case (_, _, rate, bucket, kept) =>
+      assert(rate >= 30 && rate < 100)
+      assert(kept == (bucket < rate))
+    }
+    // same source → same rate; decision depends only on (doc_id, source)
+    out.groupBy(_._2).foreach { case (_, rows) => assert(rows.map(_._3).distinct.length == 1) }
+    val again = Corpus.mixtureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    out.foreach { case (id, _, _, _, kept) => assert(again(id) == kept) }
+    // something is dropped and something kept (rates < 100 by construction)
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
+
+  test("bm25TopTerms: k per doc, ranked by relevance, rare terms beat stopwords") {
+    val out = TextOps.bm25TopTerms(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+      // scores non-increasing with rank
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3)
+        case _ =>
+      }
+    }
+    // down-weighting: "the" appears in most documents of this corpus, so
+    // its share of top-1 slots must be far below its document frequency
+    // (with tf-only scoring it would win a large share)
+    val dfThe = docs.filter(col("text").contains("the")).count().toDouble / docs.count()
+    val top1The = byDoc.values.count(_.exists(r => r._4 == 1L && r._2 == "the")).toDouble / byDoc.size
+    assert(dfThe > 0.5, s"corpus assumption: 'the' is common (df=$dfThe)")
+    assert(top1The < dfThe / 3, s"'the' wins ${top1The * 100}%% of top-1 slots — idf not discounting")
+  }
+
   test("packAssignments: offsets are the shard-order running sum, packs cut at the budget") {
     val budget = 512
     val out = Corpus.packAssignments(docs, budget)
