@@ -167,6 +167,24 @@ object ArrayOps {
 
   def a6OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a6")
 
+  /** N5 end-to-end: create an n5 dataset, ingest through the engine, reopen
+    * and aggregate the distributed voxel view. Exercises nested block keys,
+    * per-block headers, big-endian payloads, and edge clipping on top of the
+    * same Volume machinery (oracle re-aggregates the dumped voxels). */
+  def a7_n5_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.N5
+    import graft.volume.VoxelBuffer
+    val root = java.nio.file.Files.createTempDirectory("graft-a7").toString
+    val vol = N5.create(spark, root, shape = (20, 12, 8), blockSize = (8, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 20, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, N5.open(spark, root).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a7")
+  }
+
+  def a7OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a7")
+
   def a5OracleSql: String =
     """SELECT CAST(1 AS INT) AS mip,
       | CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,

@@ -142,7 +142,8 @@ object Corpus {
 
   /** DuckDB oracle twin of [[packAssignments]]. */
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
-    s"""SELECT source, doc_id, n_tok, off, off // $budgetTokens AS pack_id
+    s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
+       |       CAST(off // $budgetTokens AS BIGINT) AS pack_id
        |FROM (SELECT source, doc_id,
        |       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
        |       COALESCE(sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT))

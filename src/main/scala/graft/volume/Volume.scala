@@ -23,7 +23,9 @@ final case class VolumeCtx(
     fillMissing: Boolean,
     /** Chunk-object naming: "precomputed" = coordinate-range keys
       * ("x0-x1_y0-y1_z0-z1"); "zarr-c"/"zarr-f" = dot-separated 0-based
-      * grid indices in zarr dim order (C: d0.d1.d2 = z.y.x; F: x.y.z). */
+      * grid indices in zarr dim order (C: d0.d1.d2 = z.y.x; F: x.y.z);
+      * "n5" = nested 0-based grid paths "x/y/z" with per-block
+      * header+big-endian framing (see [[graft.core.N5Block]]). */
     keyStyle: String = "precomputed",
     /** Edge-chunk storage: precomputed clamps boundary chunks to the volume
       * (partial blobs); zarr v2 stores every chunk FULL-SIZE with padding
@@ -40,6 +42,7 @@ final case class VolumeCtx(
     case "zarr-f" => s"${slice.idx - 1}.${slice.idy - 1}.${slice.idz - 1}"
     case "zarr-c2" => s"${slice.idy - 1}.${slice.idx - 1}" // 2-d C: keys are d0.d1 = y.x
     case "zarr-f2" => s"${slice.idx - 1}.${slice.idy - 1}"
+    case "n5" => s"${slice.idx - 1}/${slice.idy - 1}/${slice.idz - 1}" // nested grid path, dim order d0/d1/d2
     case other => throw new IllegalArgumentException(s"unknown key style: $other")
   }
 
@@ -67,13 +70,25 @@ final case class VolumeCtx(
     * Boundary chunks are stored partial — shape comes from the clamped box
     * (reference: src/modes/sequential.jl:43-48). */
   def decodeChunk(slice: ChunkSlice, blob: Array[Byte]): VoxelBuffer = {
-    val raw = codec.decode(blob)
     val b = slice.chunkBox
+    val raw = keyStyle match {
+      case "n5" => // raw header carries the clipped block dims; payload is big-endian
+        val (dims, payload) = graft.core.N5Block.strip(blob)
+        require(dims == ((b.x.len, b.y.len, b.z.len)),
+          s"n5: block ${relKey(slice)} header dims $dims != chunk box (${b.x.len},${b.y.len},${b.z.len})")
+        graft.core.N5Block.swapEndian(codec.decode(payload), dataType.byteSize)
+      case _ => codec.decode(blob)
+    }
     new VoxelBuffer(dataType, b.x.len, b.y.len, b.z.len, numChannels,
       (b.x.lo, b.y.lo, b.z.lo), raw)
   }
 
-  def encodeChunk(buf: VoxelBuffer): Array[Byte] = codec.encode(buf.bytes)
+  def encodeChunk(buf: VoxelBuffer): Array[Byte] = keyStyle match {
+    case "n5" =>
+      graft.core.N5Block.header(buf.sx, buf.sy, buf.sz) ++
+        codec.encode(graft.core.N5Block.swapEndian(buf.bytes, dataType.byteSize))
+    case _ => codec.encode(buf.bytes)
+  }
 }
 
 /** One fetched-and-clipped piece of a cutout, shipped executor → driver. */
