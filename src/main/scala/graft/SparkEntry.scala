@@ -72,6 +72,9 @@ object SparkEntry {
     "c1_curation" -> ((s, d) => Corpus.curationReport(Tables.t(s, d, "documents"))),
     "c2_mixture" -> ((s, d) => Corpus.mixtureSample(Tables.t(s, d, "documents"))),
     "t9_bm25" -> ((s, d) => TextOps.bm25TopTerms(Tables.t(s, d, "documents"))),
+    "t10_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.t(s, d, "documents"))),
+    "c3_decontam" -> ((s, d) => Corpus.decontaminate(Tables.t(s, d, "documents"))),
+    "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
     "m3_modal_resize" -> (Multimodal.modalResize _),
@@ -239,6 +242,9 @@ object SparkEntry {
     "c1_curation" -> Corpus.curationReportOracleSql(),
     "c2_mixture" -> Corpus.mixtureSampleOracleSql(),
     "t9_bm25" -> TextOps.bm25OracleSql(),
+    "t10_repetition" -> TextOps.repetitionOracleSql,
+    "c3_decontam" -> Corpus.decontaminateOracleSql(),
+    "s6_domains" -> Similarity.kmeansDomainsOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),

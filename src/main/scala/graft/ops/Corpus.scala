@@ -140,6 +140,60 @@ object Corpus {
        |      FROM documents) k USING (doc_id)
        |JOIN (${splitAssignOracleSql().replace("\n", "\n      ")}) s USING (doc_id)""".stripMargin
 
+  /** Word n-grams per document as space-joined strings (no per-doc dedup —
+    * callers aggregate). Documents shorter than `n` tokens produce no grams
+    * (the guard also keeps Spark's `sequence` from generating a DESCENDING
+    * range when `size - n + 1 < 1`). */
+  private[ops] def ngramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+        .as("gram"))
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with the held-out evaluation set (here the deterministic
+    * pseudo-benchmark `doc_id % evalMod == 0`) — the standard guard against
+    * test-set leakage into a training corpus.
+    *
+    * Scale shape: evaluation benchmarks are small by nature, so the eval
+    * n-gram set is BROADCAST and the corpus side streams through a map-side
+    * equi-join — the 100 TB corpus is never shuffled on gram; the only
+    * corpus-grain exchange is the final per-document hit count. Output: one
+    * row per training document with its distinct-hit count and the
+    * contamination flag. */
+  def decontaminate(docs: DataFrame, evalMod: Int = 97, n: Int = 8): DataFrame = {
+    require(evalMod > 1 && n > 0, "need evalMod > 1 and n > 0")
+    val grams = ngramsOf(docs, n)
+    val isEval = col("doc_id") % evalMod === 0
+    val evalGrams = grams.filter(isEval).select(col("gram")).distinct()
+    val hits = grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_hits"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** DuckDB oracle twin of [[decontaminate]] — same n-grams (list slices are
+    * 1-based inclusive, so `t[i:i+n-1]` is the Spark `slice(toks, i, n)`),
+    * same eval split, same distinct-hit count (sums cast: DuckDB aggregates
+    * BIGINT into HUGEINT, which would surface as DOUBLE). */
+  def decontaminateOracleSql(evalMod: Int = 97, n: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | grams AS (SELECT doc_id,
+       |            unnest([array_to_string(t[i:i+${n - 1}], ' ') FOR i IN range(1, len(t) - ${n - 2})]) AS gram
+       |           FROM toks WHERE len(t) >= $n),
+       | eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $evalMod = 0),
+       | hits AS (SELECT doc_id, count(DISTINCT gram) AS n_hits
+       |          FROM grams JOIN eg USING (gram) WHERE doc_id % $evalMod <> 0 GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $evalMod <> 0""".stripMargin
+
   /** DuckDB oracle twin of [[packAssignments]]. */
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,

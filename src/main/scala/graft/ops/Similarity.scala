@@ -195,6 +195,68 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  // ---------------- k-means domain clustering ----------------
+
+  /** Where [[kmeansDomains]] dumps its fitted centroids so the oracle can
+    * replay the assignment from the same constants. */
+  val DomainsCentroidDump: String = "/tmp/graft-voxel-dump/s6_centroids"
+
+  /** Domain clustering for mixture design: embeddings are clustered with a
+    * k-means coarse model (trained on a capped sample, like [[annIvf]]) and
+    * every vector is assigned to its max-cosine centroid — the unsupervised
+    * domain-labeling step a mixture pipeline runs before choosing sampling
+    * weights per domain.
+    *
+    * Scale shape: training is the only iterative step and is bounded by
+    * [[IvfTrainCap]]; assignment inlines the `k` centroids as literals into
+    * a row-local `greatest` over score structs — a single map-only pass with
+    * ZERO shuffle (no window, no join), the plan a 100 TB assignment wants.
+    *
+    * Oracle: the training artifact (centroids) is engine-specific, so the
+    * fitted centroids are dumped to parquet and DuckDB replays the
+    * deterministic argmax assignment from them — same replication-oracle
+    * shape as s2's plane literals. Ties break to the smallest cluster id in
+    * both engines (struct max on (cs, -cluster) ≡ ORDER BY cs DESC,
+    * cluster). */
+  def kmeansDomains(spark: SparkSession, dir: String, kClusters: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(spark, dir, "embeddings")
+    val train = emb.select(array_to_vector(col("embedding")).as("fv"))
+      .limit(IvfTrainCap).coalesce(8)
+    val model = new KMeans().setK(kClusters).setSeed(11).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(train)
+    val cents: Seq[(Int, Seq[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    cents.toDF("cluster", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(DomainsCentroidDump)
+    val scored = cents.map { case (i, c) =>
+      struct(vec_cosine(col("embedding"), typedlit(c)).as("cs"), lit(-i).as("negc"))
+    }
+    emb.select(col("vec_id"), greatest(scored: _*).as("best"))
+      .select(col("vec_id"),
+        (-col("best.negc")).cast(LongType).as("cluster"),
+        round(col("best.cs"), 4).as("cs"))
+  }
+
+  /** DuckDB oracle twin of [[kmeansDomains]]: reads the dumped centroids and
+    * recomputes the max-cosine assignment with the same double math and tie
+    * order. */
+  def kmeansDomainsOracleSql: String =
+    s"""WITH c AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |           FROM read_parquet('$DomainsCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | best AS (SELECT vec_id, cluster, cs,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk FROM s)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(cs, 4) AS cs
+       |FROM best WHERE rnk = 1""".stripMargin
+
   // ---------------- int8 scalar quantization (SQ8) ----------------
 
   /** Per-vector symmetric int8 quantization: `code_i = floor(127·x_i/max|x|)`

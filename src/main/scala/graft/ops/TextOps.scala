@@ -141,6 +141,54 @@ object TextOps {
       .withColumn("quality", round(lit(1.0) - col("stop_ratio") + col("uniq_ratio"), 4))
   }
 
+  /** Repetition-based quality signals (the Gopher-report family): the
+    * most-frequent token's share of the document and the duplicated-2-gram
+    * share — the cheap detectors for boilerplate, keyword stuffing, and
+    * decode-loop degeneration that corpus filters cut on.
+    *
+    * Integer numerators/denominators are emitted alongside the 4-decimal
+    * ratios so the cross-engine compare is exact. Scale shape: two
+    * doc-keyed aggregations (token counts, 2-gram counts) and a doc-keyed
+    * join — no corpus-wide state, embarrassingly parallel. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("toks")).filter(size(col("toks")) >= 2)
+    val tokCnt = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val topTok = tokCnt.groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_tok"))
+    val g2 = base.select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val rep2 = g2.groupBy(col("doc_id"))
+      .agg((sum(col("cnt")) - count(lit(1))).as("dup_2gram"), sum(col("cnt")).as("n_2gram"))
+    topTok.join(rep2, Seq("doc_id"))
+      .select(col("doc_id"), col("top_cnt"), col("n_tok"),
+        round(col("top_cnt").cast(DoubleType) / col("n_tok"), 4).as("top_ratio"),
+        col("dup_2gram"), col("n_2gram"),
+        round(col("dup_2gram").cast(DoubleType) / col("n_2gram"), 4).as("rep_ratio"))
+  }
+
+  /** DuckDB oracle twin of [[repetitionStats]] (HUGEINT sums cast back to
+    * BIGINT; same ≥2-token guard; `t[i:i+1]` is Spark's 2-gram window). */
+  def repetitionOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |              FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 2),
+       | tc AS (SELECT doc_id, tok, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY 1, 2),
+       | tt AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+       |         CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc GROUP BY 1),
+       | gc AS (SELECT doc_id, g, count(*) AS cnt
+       |        FROM (SELECT doc_id,
+       |               unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+       |              FROM base) GROUP BY 1, 2),
+       | r2 AS (SELECT doc_id, CAST(sum(cnt) - count(*) AS BIGINT) AS dup_2gram,
+       |         CAST(sum(cnt) AS BIGINT) AS n_2gram FROM gc GROUP BY 1)
+       |SELECT doc_id, top_cnt, n_tok,
+       |       round(CAST(top_cnt AS DOUBLE) / n_tok, 4) AS top_ratio,
+       |       dup_2gram, n_2gram,
+       |       round(CAST(dup_2gram AS DOUBLE) / n_2gram, 4) AS rep_ratio
+       |FROM tt JOIN r2 USING (doc_id)""".stripMargin
+
   /** Heuristic language ID from language-specific stopword profiles
     * (n-gram-free variant suited to whitespace-tokenized text). Returns the
     * argmax language and its evidence ratio. Deterministic: ties break on

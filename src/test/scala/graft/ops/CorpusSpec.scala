@@ -103,4 +103,36 @@ class CorpusSpec extends AnyFunSuite {
     // multiple packs actually occur (the budget is smaller than a shard)
     assert(out.map(_._5).distinct.length > 1)
   }
+
+  test("decontaminate matches a direct Scala ground truth") {
+    val n = 8; val evalMod = 97
+    def grams(text: String): Set[String] = {
+      val t = text.trim.split("\\s+")
+      if (t.length < n) Set.empty
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val all = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalGrams = all.collect { case (id, tx) if id % evalMod == 0 => grams(tx) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    assert(evalGrams.nonEmpty, "pseudo-benchmark produced no n-grams")
+    val expected = all.collect { case (id, tx) if id % evalMod != 0 =>
+      id -> (grams(tx) & evalGrams).size.toLong
+    }
+    val out = Corpus.decontaminate(docs, evalMod, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == expected.size) // eval docs excluded, training docs total
+    out.foreach { case (id, hits, flag) =>
+      assert(hits == expected(id), s"doc $id")
+      assert(flag == (hits > 0))
+    }
+    // an eval doc's full text IS an overlap: planting it must flag the plant
+    val planted = all.find(_._1 % evalMod == 0).get._2
+    import spark.implicits._
+    val plantedDf = docs.select(col("doc_id"), col("text"))
+      .union(Seq((999999L, planted)).toDF("doc_id", "text"))
+    val flagged = Corpus.decontaminate(plantedDf, evalMod, n)
+      .filter(col("doc_id") === 999999L).head()
+    assert(flagged.getBoolean(2), "planted copy of an eval doc not flagged")
+  }
 }

@@ -237,4 +237,50 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val (ck, _) = Multimodal.fakeDecode(d0.getBytes("UTF-8"))
     assert(rows.find(_.getLong(0) == 0L).get.getAs[Long]("checksum") == ck)
   }
+
+  test("repetitionStats: exact hand-computed signals, total over the corpus") {
+    import spark.implicits._
+    // "a a a b": top token a=3/4; 2-grams [a a, a a, a b] → 1 dup of 3
+    val hand = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(hand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out(1L) == ((3L, 4L, 0.75, 1L, 3L, 0.3333)))
+    assert(out(2L) == ((1L, 3L, 0.3333, 0L, 2L, 0.0)))
+    assert(out(3L) == ((4L, 4L, 1.0, 2L, 3L, 0.6667))) // degenerate repeat maxes out
+    // corpus run: total, ratios in range, deterministic
+    val full = TextOps.repetitionStats(docs).collect()
+    assert(full.length == docs.filter(size(split(col("text"), "\\s+")) >= 2).count())
+    full.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("kmeansDomains: total assignment, cluster argmax matches dumped centroids") {
+    val out = Similarity.kmeansDomains(spark, dir, kClusters = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val emb = Tables.t(spark, dir, "embeddings")
+    assert(out.length == emb.count())
+    assert(out.map(_._2).distinct.length > 1, "degenerate single-cluster fit")
+    out.foreach { case (_, c, _) => assert(c >= 0 && c < 8) }
+    // replay the argmax from the dumped centroids for a sample of vectors
+    val cents = spark.read.parquet(Similarity.DomainsCentroidDump).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sample = emb.filter(col("vec_id") < 25).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val byId = out.toSeq.filter(_._1 < 25).map(t => t._1 -> t).toMap
+    sample.foreach { case (id, v) =>
+      val best = cents.toSeq.map { case (c, ct) => (cos(v, ct), -c) }.max
+      assert(byId(id)._2 == -best._2, s"vec $id argmax drifted")
+      assert(math.abs(byId(id)._3 - BigDecimal(best._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
