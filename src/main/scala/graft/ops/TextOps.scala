@@ -151,17 +151,29 @@ object TextOps {
     * doc-keyed aggregations (token counts, 2-gram counts) and a doc-keyed
     * join — no corpus-wide state, embarrassingly parallel. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), toks.as("toks")).filter(size(col("toks")) >= 2)
-    val tokCnt = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val topTok = tokCnt.groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_tok"))
-    val g2 = base.select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-    val rep2 = g2.groupBy(col("doc_id"))
-      .agg((sum(col("cnt")) - count(lit(1))).as("dup_2gram"), sum(col("cnt")).as("n_2gram"))
-    topTok.join(rep2, Seq("doc_id"))
+    // Both signals are row-local, so the whole operator is a single map
+    // pass with ZERO shuffle: the top-token count is the longest run in the
+    // sorted token array (a fold, not a groupBy), and the duplicated-2-gram
+    // count is total minus distinct grams. The per-doc arrays are tens of
+    // elements, so the interpreted HOF fold and ArrayDistinct's nested loop
+    // are nanoseconds per row — unlike the corpus-grain case in
+    // Dedup.shingles where the explode+distinct shuffle wins.
+    val maxRun =
+      """aggregate(sort_array(toks),
+        |  named_struct('p', '', 'r', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)),
+        |  (acc, t) -> named_struct(
+        |    'p', t,
+        |    'r', IF(t = acc.p, acc.r + 1, CAST(1 AS BIGINT)),
+        |    'b', greatest(acc.b, IF(t = acc.p, acc.r + 1, CAST(1 AS BIGINT)))),
+        |  acc -> acc.b)""".stripMargin
+    docs.select(col("doc_id"), toks.as("toks")).filter(size(col("toks")) >= 2)
+      .withColumn("g2",
+        expr("transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+      .select(col("doc_id"),
+        expr(maxRun).as("top_cnt"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).cast(LongType).as("dup_2gram"),
+        size(col("g2")).cast(LongType).as("n_2gram"))
       .select(col("doc_id"), col("top_cnt"), col("n_tok"),
         round(col("top_cnt").cast(DoubleType) / col("n_tok"), 4).as("top_ratio"),
         col("dup_2gram"), col("n_2gram"),
