@@ -81,6 +81,7 @@ object SparkEntry {
     "m4_modal_frames" -> (Multimodal.modalFrames _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
+    "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -288,6 +289,7 @@ object SparkEntry {
         |FROM events GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'), event_type""".stripMargin,
     "e2_stream_dedup" ->
       "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
+    "e3_stream_enrich" -> EventStreams.enrichedAggOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "a2_bbox" ->

@@ -92,6 +92,38 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-static enrichment under the oracle gate: the event stream joined
+    * to the (broadcast) static customer dimension — the canonical streaming
+    * enrichment shape: the static side is planned once, the stream side never
+    * shuffles for the join, and no join state accumulates (unlike
+    * stream-stream joins). Aggregated per (segment, event_type) so the batch
+    * SQL twin can hash-check the result. */
+  def enrichedAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEventStream(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType), 3).as("sv"))
+    val name = s"stream_enrich_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /** DuckDB oracle twin of [[enrichedAggOnce]] (batch ≡ fully-drained
+    * stream; same decimal-sum discipline as the e1 oracle). */
+  def enrichedAggOracleSql: String =
+    """SELECT c.c_mktsegment AS segment, e.event_type,
+      | count(*) AS n,
+      | round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------- stateful sessionization ----------------
 
   final case class Ev(user_id: Long, ts: Timestamp)

@@ -24,6 +24,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch equivalent") {
+    val streamed = EventStreams.enrichedAggOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 3).as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
