@@ -144,24 +144,39 @@ object Dedup {
   def candidatePairs(shingleDf: DataFrame): DataFrame =
     candidatePairsFromSignatures(signatures(shingleDf))
 
+  /** [[signatures]] with the collected shingle set folded into the SAME
+    * `groupBy(doc_id)` — signatures, sizes, and verification sets all come
+    * out of ONE pass over the shingle relation (the heaviest input at
+    * corpus scale). Kept separate from [[signatures]] so the bands-only
+    * path never shuffles the shingle arrays. */
+  private def signaturesWithSets(shingleDf: DataFrame): DataFrame = {
+    val sh = shingleDf.withColumn("h31", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
+    val mins: Seq[Column] = (0 until NumHashes).map { i =>
+      min(pmod(lit(hashA(i)) * col("h31") + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head,
+      mins.tail ++ Seq(count(lit(1)).as("sz"), collect_list(col("shingle")).as("shs")): _*)
+  }
+
   /** MinHash-LSH near-dup pairs with exact Jaccard verification on the
     * candidates only. Output ≡ [[ngramJaccardPairs]] given the recall
-    * analysis above, at a fraction of the join cost. The shingle arrays are
-    * consumed twice (one signature aggregation, one verification join) and
-    * recomputed rather than persisted — a persist here would leak cache for
-    * the session, because the returned DataFrame is lazy and the library can
-    * never safely unpersist; two shingling passes are the explicit price of
-    * a leak-free API. Verification gathers each doc's shingle set into one
-    * array (a single doc-keyed shuffle) and intersects candidates row-locally
-    * (`array_intersect`) instead of re-exploding both sides to shingle rows
-    * and re-aggregating — one Exchange where the old shape paid three. */
+    * analysis above, at a fraction of the join cost.
+    *
+    * The shingle pipeline (explode + per-doc distinct — the heaviest scan
+    * and shuffle of the op) runs exactly ONCE: signatures, set sizes, and
+    * the verification shingle arrays are produced by one fused aggregation
+    * ([[signaturesWithSets]]), materialized eagerly (`localCheckpoint`) so
+    * its two consumers — band bucketing and candidate verification — reuse
+    * the doc-grain rows instead of re-running the shingle pipeline each.
+    * Blocks are reclaimed by the ContextCleaner once the result is
+    * unreachable, keeping the API leak-free without a session-lifetime
+    * persist. Verification intersects candidates row-locally
+    * (`array_intersect`) — one Exchange where re-exploding would pay
+    * three. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs)
-    val sig = signatures(sh)
-    val cand = candidatePairsFromSignatures(sig)
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("sz"))
-    verifyJaccard(cand, sets, minJ)
+    val sigSets = signaturesWithSets(shingles(docs)).localCheckpoint(true)
+    val cand = candidatePairsFromSignatures(sigSets)
+    verifyJaccard(cand, sigSets.select(col("doc_id"), col("shs"), col("sz")), minJ)
   }
 
   // ---------------- duplicate clustering (connected components) ----------------
