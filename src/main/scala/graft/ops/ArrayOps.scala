@@ -185,6 +185,44 @@ object ArrayOps {
 
   def a7OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a7")
 
+  /** Z-order (Morton) chunk layout: the demo grid keyed by the native
+    * `zorder_key` expression and range-partitioned on it — the
+    * multi-dimensional clustering layout that makes 3-d box queries read a
+    * few contiguous key ranges instead of scattering over the store. The
+    * oracle replays the bit-interleave in DuckDB from the same mask
+    * constants. */
+  def a8_zorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrderExpr
+    val ids = Grid.idRanges(demoBox, demoChunk, demoOffset)
+    spark.range(1).select(explode(sequence(lit(ids.lox), lit(ids.hix))).as("cx"))
+      .select(col("cx"), explode(sequence(lit(ids.loy), lit(ids.hiy))).as("cy"))
+      .select(col("cx"), col("cy"), explode(sequence(lit(ids.loz), lit(ids.hiz))).as("cz"))
+      .select(col("cx").cast(IntegerType).as("cx"), col("cy").cast(IntegerType).as("cy"),
+        col("cz").cast(IntegerType).as("cz"))
+      .withColumn("zkey", ZOrderExpr.zorder_key(col("cx"), col("cy"), col("cz")))
+      // the intended layout use: co-locate spatially adjacent cells
+      .repartitionByRange(8, col("zkey"))
+  }
+
+  /** DuckDB oracle twin of [[a8_zorder]]: the same spread steps generated
+    * from [[graft.functions.ZOrderExpr.SpreadMasks]] as a chain of nested
+    * selects (constants can never drift). */
+  def a8OracleSql: String = {
+    import graft.functions.ZOrderExpr.{CoordMask, SpreadMasks}
+    val ids = Grid.idRanges(demoBox, demoChunk, demoOffset)
+    val grid = s"SELECT cx, cy, cz FROM (SELECT unnest(generate_series(${ids.lox},${ids.hix})) AS cx), " +
+      s"(SELECT unnest(generate_series(${ids.loy},${ids.hiy})) AS cy), " +
+      s"(SELECT unnest(generate_series(${ids.loz},${ids.hiz})) AS cz)"
+    var q = s"SELECT cx, cy, cz, (cx & $CoordMask) AS x0, (cy & $CoordMask) AS y0, (cz & $CoordMask) AS z0 FROM ($grid)"
+    SpreadMasks.zipWithIndex.foreach { case ((sh, m), i) =>
+      q = s"SELECT cx, cy, cz, ((x$i | (x$i << $sh)) & $m) AS x${i + 1}, " +
+        s"((y$i | (y$i << $sh)) & $m) AS y${i + 1}, ((z$i | (z$i << $sh)) & $m) AS z${i + 1} FROM ($q)"
+    }
+    val n = SpreadMasks.length
+    s"SELECT CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz, " +
+      s"(x$n | (y$n << 1) | (z$n << 2)) AS zkey FROM ($q)"
+  }
+
   def a5OracleSql: String =
     """SELECT CAST(1 AS INT) AS mip,
       | CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,

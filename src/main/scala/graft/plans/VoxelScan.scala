@@ -374,7 +374,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.{ChunkExprs, SimhashAgg, VectorExprs}
+  import graft.functions.{ChunkExprs, SimhashAgg, VectorExprs, ZOrderExpr}
 
   /** The engine's SQL functions, shared by both registration paths. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -384,13 +384,15 @@ object GraftExtensions {
     "explode_chunk" -> (exprs => ChunkExprs.explodeChunkBuilder(exprs)),
     "vec_dot" -> (exprs => VectorExprs.DotProduct(exprs(0), exprs(1))),
     "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))),
-    "simhash_agg" -> (exprs => SimhashAgg(exprs.head)))
+    "simhash_agg" -> (exprs => SimhashAgg(exprs.head)),
+    "zorder_key" -> (exprs => ZOrderExpr.ZOrderKey(exprs(0), exprs(1), exprs(2))))
 
   /** Install into an already-running session (idempotent). */
   def install(spark: SparkSession): Unit = {
     ChunkExprs.register(spark)
     VectorExprs.register(spark)
     SimhashAgg.register(spark)
+    ZOrderExpr.register(spark)
     if (!spark.experimental.extraStrategies.contains(VoxelScanStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ VoxelScanStrategy

@@ -124,4 +124,48 @@ class FunctionsSpec extends AnyFunSuite {
     val one = voxels.filter("x = 17 and y = 23 and z = 3 and c = 0").collect().head
     assert(one.getShort(4).toLong == buf.getLong(16, 22, 2))
   }
+
+  test("zorder_key: goldens, bit-by-bit reference, codegen path, SQL-callable") {
+    import graft.functions.ZOrderExpr
+    // hand goldens: unit vectors and the all-ones 2-bit cube
+    assert(ZOrderExpr.interleave3(0, 0, 0) == 0L)
+    assert(ZOrderExpr.interleave3(1, 0, 0) == 1L)
+    assert(ZOrderExpr.interleave3(0, 1, 0) == 2L)
+    assert(ZOrderExpr.interleave3(0, 0, 1) == 4L)
+    assert(ZOrderExpr.interleave3(3, 3, 3) == 63L)
+    assert(ZOrderExpr.interleave3(1, 2, 4) == (1L | (8L << 1) | (64L << 2)))
+    // bit-by-bit reference over random in-domain coordinates
+    def slowInterleave(x: Int, y: Int, z: Int): Long =
+      (0 until 21).foldLeft(0L) { (acc, b) =>
+        acc |
+          (((x.toLong >> b) & 1L) << (3 * b)) |
+          (((y.toLong >> b) & 1L) << (3 * b + 1)) |
+          (((z.toLong >> b) & 1L) << (3 * b + 2))
+      }
+    val rnd = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val (x, y, z) = (rnd.nextInt(1 << 21), rnd.nextInt(1 << 21), rnd.nextInt(1 << 21))
+      assert(ZOrderExpr.interleave3(x, y, z) == slowInterleave(x, y, z), s"($x,$y,$z)")
+    }
+    // codegen path through a DataFrame agrees with eval, and SQL resolves
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i * 37 % 1000, i * 91 % 1000, i * 13 % 1000))
+      .toDF("x", "y", "z")
+    val viaExpr = df.select(ZOrderExpr.zorder_key(col("x"), col("y"), col("z"))).as[Long].collect()
+    df.createOrReplaceTempView("zin")
+    graft.plans.GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT zorder_key(x, y, z) FROM zin").as[Long].collect()
+    val expected = (0 until 100)
+      .map(i => ZOrderExpr.interleave3(i * 37 % 1000, i * 91 % 1000, i * 13 % 1000))
+    assert(viaExpr.toSeq == expected)
+    assert(viaSql.toSeq == expected)
+    // z-order locality: sorting the demo grid by zkey keeps axis jumps local
+    // (consecutive keys differ by ≤1 chunk in ≥2 of 3 axes for a 2^k cube)
+    val cube = for { x <- 0 until 8; y <- 0 until 8; z <- 0 until 8 } yield (x, y, z)
+    val sortedCells = cube.sortBy { case (x, y, z) => ZOrderExpr.interleave3(x, y, z) }
+    val jumps = sortedCells.sliding(2).map { case Seq((ax, ay, az), (bx, by, bz)) =>
+      math.abs(ax - bx) + math.abs(ay - by) + math.abs(az - bz)
+    }.toSeq
+    assert(jumps.count(_ == 1) > jumps.length / 2, "z-curve should mostly step to a neighbor cell")
+  }
 }
