@@ -236,6 +236,22 @@ object Relational {
       .filter(col("k_num") > 90)
   }
 
+  /** Exact order statistics: median and tail percentiles per group via
+    * Spark's sort-based `percentile` (linear interpolation — the same
+    * definition as ANSI `percentile_cont`/DuckDB `quantile_cont`, so the
+    * oracle is cross-engine exact after 4-decimal rounding). One shuffle on
+    * the group key; within a group the exact computation is a per-group
+    * sort — the approx sketch path for heavy groups is `q17`'s
+    * `approx_count_distinct` family (`percentile_approx` shares its
+    * plan shape). */
+  def q25_percentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+        round(expr("percentile(l_discount, 0.9)"), 4).as("p90_disc"))
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any
