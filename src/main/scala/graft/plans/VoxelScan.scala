@@ -159,6 +159,19 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
 
   override def supportsColumnar: Boolean = true
 
+  /** Live I/O accounting in the Spark UI / `metrics` map — the numbers that
+    * matter when tuning a 100 TB scan: rows out, objects actually fetched
+    * vs zero-filled, and bytes pulled from the store (coords-only scans
+    * show 0 fetched — the pruning is observable, not just claimed). */
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = {
+    import org.apache.spark.sql.execution.metric.SQLMetrics
+    Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+      "chunksFetched" -> SQLMetrics.createMetric(sparkContext, "chunk objects fetched"),
+      "chunksMissing" -> SQLMetrics.createMetric(sparkContext, "missing chunks zero-filled"),
+      "bytesFetched" -> SQLMetrics.createSizeMetric(sparkContext, "chunk bytes fetched"))
+  }
+
   override protected def doExecuteColumnar(): RDD[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -175,6 +188,9 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     val schema = org.apache.spark.sql.types.StructType(
       output.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
     val numChannels = c.numChannels
+    val (mRows, mChunks, mMissing, mBytes) =
+      (longMetric("numOutputRows"), longMetric("chunksFetched"),
+        longMetric("chunksMissing"), longMetric("bytesFetched"))
     session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
       val fs = ChunkStore.fs(c.root, conf.conf)
       val slices = linearIds.flatMap { id =>
@@ -183,8 +199,10 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
           val buf =
             if (skipFetch) null
             else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
-              case Some(blob) => c.decodeChunk(s, blob)
-              case None if c.fillMissing => null
+              case Some(blob) =>
+                mChunks.add(1); mBytes.add(blob.length)
+                c.decodeChunk(s, blob)
+              case None if c.fillMissing => mMissing.add(1); null
               case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
             }
           (s, buf)
@@ -228,6 +246,7 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
             if (ch >= numChannels) cur = null
           }
           batch.setNumRows(n)
+          mRows.add(n)
           batch
         }
 
@@ -292,6 +311,9 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
     // Strict mode (fillMissing=false) keeps fetching so missing chunks still
     // raise, preserving error semantics.
     val skipFetch = !needValue && c.fillMissing
+    val (mRows, mChunks, mMissing, mBytes) =
+      (longMetric("numOutputRows"), longMetric("chunksFetched"),
+        longMetric("chunksMissing"), longMetric("bytesFetched"))
     session.sparkContext.range(0L, total, 1, parts).mapPartitions { linearIds =>
       val fs = ChunkStore.fs(c.root, conf.conf)
       // one UnsafeRow buffer per partition, rewritten in place per voxel —
@@ -304,12 +326,16 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
           val bufOpt =
             if (skipFetch) None
             else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
-              case Some(blob) => Some(c.decodeChunk(s, blob))
-              case None if c.fillMissing => None
+              case Some(blob) =>
+                mChunks.add(1); mBytes.add(blob.length)
+                Some(c.decodeChunk(s, blob))
+              case None if c.fillMissing => mMissing.add(1); None
               case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
             }
           val buf = bufOpt.orNull
           val cut = s.cutoutBox
+          // slice-grain row accounting (not per voxel — this loop is hot)
+          mRows.add(cut.x.len.toLong * cut.y.len * cut.z.len * c.numChannels)
           for {
             ch <- (0 until c.numChannels).iterator
             z <- (cut.z.lo to cut.z.hi).iterator

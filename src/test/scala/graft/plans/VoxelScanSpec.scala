@@ -112,4 +112,30 @@ class VoxelScanSpec extends AnyFunSuite {
         .select(col("x")).count()
     }
   }
+
+  test("SQL metrics account fetched chunks, bytes, and output rows") {
+    val (vol, _) = newVolume()
+    def runAndMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      // collect() executes df's OWN QueryExecution (a write would plan a
+      // fresh one and leave these metrics untouched)
+      df.collect()
+      val execs = df.queryExecution.executedPlan.collect { case v: VoxelScanExec => v }
+      assert(execs.length == 1, df.queryExecution.executedPlan.toString)
+      execs.head.metrics.map { case (k, m) => k -> m.value }
+    }
+    // value scan over one full chunk: exactly 1 object fetched, bytes > 0
+    val m1 = runAndMetrics(vol.voxels()
+      .filter(col("x").between(1, 100) && col("y").between(1, 100) && col("z").between(1, 5)))
+    assert(m1("numOutputRows") == 100L * 100 * 5)
+    assert(m1("chunksFetched") == 1)
+    assert(m1("chunksMissing") == 0)
+    assert(m1("bytesFetched") > 0)
+    // coords-only scan: zero I/O, full row count (the pruning is observable)
+    val m2 = runAndMetrics(vol.voxels()
+      .filter(col("x").between(1, 200) && col("y").between(1, 200) && col("z").between(1, 10))
+      .select(col("x"), col("y"), col("z")))
+    assert(m2("numOutputRows") == 200L * 200 * 10)
+    assert(m2("chunksFetched") == 0)
+    assert(m2("bytesFetched") == 0)
+  }
 }
