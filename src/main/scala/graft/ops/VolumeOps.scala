@@ -63,6 +63,22 @@ object VolumeOps {
     target.fromVoxels(down)
   }
 
+  /** Re-chunk a volume into a new store with a different chunk size and/or
+    * encoding — the re-layout primitive behind chunk-size tuning (small
+    * chunks for random cutouts vs large for sequential scans). One
+    * distributed pass: the source is read through `toVoxels` (chunk-task
+    * grid, no store listing), `fromVoxels` shuffles once by DESTINATION
+    * chunk id, and each task assembles/encodes/puts its output chunks —
+    * at any volume size the data crosses the cluster exactly once. */
+  def rechunk(vol: Volume, box: Box, destRoot: String, chunkSize: (Int, Int, Int),
+      encoding: Option[String] = None): Long = {
+    val srcScale = vol.meta.scales(vol.mip - 1)
+    val meta2 = vol.meta.copy(scales = Vector(srcScale.copy(
+      chunkSize = chunkSize, encoding = encoding.getOrElse(vol.ctx.encoding))))
+    val dest = Volume.create(vol.spark, destRoot, meta2, 1, vol.fillMissing)
+    dest.fromVoxels(vol.toVoxels(box))
+  }
+
   /** Build mips `vol.mip+1 .. topMip` over `box`, each level fed by the
     * previous (the whole-pyramid form of the reference's numMip constructor,
     * src/Infos.jl:226-229 — which only created metadata). Returns chunks

@@ -86,4 +86,30 @@ class VolumeOpsSpec extends AnyFunSuite {
       new java.util.ArrayList[org.apache.spark.sql.Row](), vol.voxelSchema)
     assert(vol.fromVoxels(empty) == 0L)
   }
+
+  test("rechunk re-lays a volume onto a different grid and encoding, bit-equal") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (100, 100, 5), "gzip", (1, 1, 1), (200, 200, 10), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-rck-src"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 200, 200, 10, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val destRoot = SparkSuite.tempDir("graft-rck-dst")
+    val written = VolumeOps.rechunk(vol, Box(1, 200, 1, 200, 1, 10), destRoot,
+      chunkSize = (64, 64, 8), encoding = Some("zstd"))
+    // ceil(200/64)^2 * ceil(10/8) = 4*4*2 chunks
+    assert(written == 32)
+    val dest = Volume.open(spark, destRoot)
+    assert(dest.ctx.chunkSize == ((64, 64, 8)))
+    assert(dest.ctx.encoding == "zstd")
+    // new grid's keys on disk, clipped at the boundary
+    val dir = new java.io.File(destRoot, "1_1_1")
+    val keys = dir.listFiles().map(_.getName).toSet
+    assert(keys.contains("0-64_0-64_0-8"))
+    assert(keys.contains("192-200_192-200_8-10")) // edge chunk clipped
+    assert(keys.size == 32)
+    // bit-equal content across the re-layout
+    val out = dest.cutout(Box(1, 200, 1, 200, 1, 10))
+    for (z <- 0 until 10; y <- 0 until 200 by 7; x <- 0 until 200 by 7)
+      assert(out.getLong(x, y, z) == buf.getLong(x, y, z), s"($x,$y,$z)")
+  }
 }
