@@ -262,6 +262,7 @@ object SparkEntry {
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,
     "d3_dedup_minhash" -> ngramJaccardOracle, // LSH recall ≈ 1 at j≥0.8 (see Dedup scaladoc)
+    "d4_dedup_simhash" -> simhashOracle,
     "d5_dedup_clusters" -> dupClusterOracle,
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < 10),
@@ -327,6 +328,19 @@ object SparkEntry {
     * path verifies candidates exactly and has ≈1 recall at the threshold). */
   private val ngramJaccardOracle: String =
     s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** SimHash oracle: the same distinct 3-gram shingles, the md5-prefix
+    * 60-bit hash, and the 64 bit-vote sums replayed in DuckDB (bits 60-63
+    * vote all −1 on both sides and emit 0). */
+  private val simhashOracle: String = {
+    val sums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val bits = (63 to 0 by -1).map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH $ngramPairCtes,
+       | h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+       | sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
 
   /** Clustering oracle: transitive closure of the near-dup pair graph via a
     * recursive CTE; cluster = min reachable doc_id (symmetric edges make

@@ -257,7 +257,17 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash per document as a bit string (MSB first): bit j is set
+  /** Cross-engine 60-bit shingle hash: the first 15 hex chars of md5,
+    * parsed as an integer. Chosen over xxhash64 (Spark-only) so the whole
+    * simhash is reproducible in any SQL engine and sits under the DuckDB
+    * oracle; 15 hex digits keep the value inside a signed 64-bit range in
+    * both engines. Bits 60-63 of the hash are always 0, so those counters
+    * only ever see −1 and emit 0 — a 60-bit fingerprint in a 64-char
+    * frame, identical on both sides. */
+  private[ops] def shingleHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SimHash per document as a bit string (MSB first): bit j is set
     * when the sum over shingles of ±1 (sign from bit j of the shingle hash)
     * is positive. Near-dups differ in few bits (small Hamming distance).
     * Uses the native [[graft.functions.SimhashAgg]] TypedImperativeAggregate
@@ -265,7 +275,7 @@ object Dedup {
     * shuffled sum columns. */
   def simhash(docs: DataFrame): DataFrame = {
     import graft.functions.SimhashAgg.simhash_agg
-    shingles(docs).withColumn("h", xxhash64(col("shingle")))
+    shingles(docs).withColumn("h", shingleHash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(simhash_agg(col("h")).as("simhash"))
   }
@@ -273,7 +283,7 @@ object Dedup {
   /** The 64-column formulation of [[simhash]], kept as the differential
     * test twin for the native aggregate (DedupSpec asserts equality). */
   private[ops] def simhashColumns(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("h", xxhash64(col("shingle")))
+    val sh = shingles(docs).withColumn("h", shingleHash64(col("shingle")))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
     }

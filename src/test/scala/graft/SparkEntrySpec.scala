@@ -16,9 +16,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("rows-only queries are the documented engine-specific four plus none") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // d4/t4: Spark-only hash fns; q17: HLL sketch; m2: engine checksum;
-    // s4: k-means cell structure is a training artifact, not SQL-replicable
-    assert(rowsOnly == Set("d4_dedup_simhash", "q17_approx_distinct",
+    // t4: 61-bit rolling hash needs 128-bit products (not SQL-expressible);
+    // q17: HLL sketch; m2: engine checksum; s4: k-means cell structure is a
+    // training artifact reachable only through the probe traversal
+    assert(rowsOnly == Set("q17_approx_distinct",
       "t4_fingerprint", "m2_modal_features", "s4_ann_ivf"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document why not")
   }

@@ -153,7 +153,7 @@ class ExtensionOpsSpec extends AnyFunSuite {
     graft.functions.SimhashAgg.register(spark)
     docs.createOrReplaceTempView("simhash_docs")
     val viaSql = spark.sql(
-      """SELECT doc_id, simhash_agg(xxhash64(shingle)) AS simhash FROM (
+      """SELECT doc_id, simhash_agg(CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)) AS simhash FROM (
         |  SELECT doc_id, explode(transform(sequence(1, size(toks) - 2),
         |    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) AS shingle
         |  FROM (SELECT doc_id, split(text, '\\s+') AS toks FROM simhash_docs)
