@@ -84,6 +84,7 @@ object SparkEntry {
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
+    "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -300,6 +301,7 @@ object SparkEntry {
     "e2_stream_dedup" ->
       "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     "e3_stream_enrich" -> EventStreams.enrichedAggOracleSql,
+    "e4_stream_sessions" -> EventStreams.sessionizeTwsOracleSql(),
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "a2_bbox" ->

@@ -162,6 +162,51 @@ object EventStreams {
       .transformWithState(new SessionProcessor(gapSeconds),
         TimeMode.None(), OutputMode.Update())(Encoders.product[UserSessions])
 
+  /** [[sessionizeTws]] under the oracle gate: drain the event stream through
+    * the StatefulProcessor (RocksDB state store), then reduce the
+    * Update-mode emissions to each user's final state — `n_events` is
+    * monotone per user, so `max(struct(n_events, n_sessions))` is the last
+    * update. The oracle recomputes per-user 30-min-gap session counts with
+    * a lag window; it can only match if the keyed state machinery actually
+    * sessionized the whole stream. (The processor compares `getTime`
+    * MILLISECONDS, so the oracle's gap predicate runs on `epoch_ms` — not
+    * on the µs/ns timestamp — to be truncation-faithful.) */
+  def sessionizeTwsOnce(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc = Encoders.product[Ev]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = s"stream_sessions_${System.nanoTime()}"
+    try {
+      withFewStatePartitions(spark, 8) {
+        val evs = readEventStream(spark, dir).select(col("user_id"), col("ts")).as[Ev]
+        val q = sessionizeTws(evs).toDF()
+          .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(name).groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("f"))
+      .select(col("user_id"),
+        col("f.n_sessions").cast(LongType).as("n_sessions"),
+        col("f.n_events").cast(LongType).as("n_events"))
+  }
+
+  /** DuckDB oracle twin of [[sessionizeTwsOnce]] (ms-truncated gap — see
+    * scaladoc above). */
+  def sessionizeTwsOracleSql(gapSeconds: Long = 1800): String =
+    s"""SELECT user_id, CAST(sum(st) AS BIGINT) AS n_sessions,
+       | CAST(count(*) AS BIGINT) AS n_events FROM (
+       | SELECT user_id,
+       |  CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > ${gapSeconds * 1000} THEN 1 ELSE 0 END AS st
+       | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |       FROM events) l) s
+       |GROUP BY user_id""".stripMargin
+
   /** Per-user session counting with a 30-min inactivity gap, implemented as
     * explicit keyed state — the streaming-native form of q15_sessionize.
     * State is O(1) per user (two counters + last-seen). */
