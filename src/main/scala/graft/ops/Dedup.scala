@@ -51,7 +51,12 @@ object Dedup {
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sh = shingles(docs)
+    // the shingle relation feeds the dfreq aggregate AND the rarity join;
+    // the ranked per-doc relation feeds both prefix self-join sides AND
+    // verification — materialize each once (eager localCheckpoint,
+    // ContextCleaner-reclaimed) instead of re-running the explode+distinct
+    // pipeline per consumer (2x and 3x respectively)
+    val sh = shingles(docs).localCheckpoint(true)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
     // One aggregation builds, per document, the full shingle set sorted by
@@ -64,6 +69,7 @@ object Dedup {
       .select(col("doc_id"),
         expr("transform(ranked, r -> r.shingle)").as("shs"),
         size(col("ranked")).cast("long").as("sz"))
+      .localCheckpoint(true)
     val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
     val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
     val cand = pref.as("pa").join(pref.as("pb"),
