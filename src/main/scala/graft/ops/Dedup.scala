@@ -51,12 +51,14 @@ object Dedup {
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // the shingle relation feeds the dfreq aggregate AND the rarity join;
-    // the ranked per-doc relation feeds both prefix self-join sides AND
-    // verification — materialize each once (eager localCheckpoint,
-    // ContextCleaner-reclaimed) instead of re-running the explode+distinct
-    // pipeline per consumer (2x and 3x respectively)
-    val sh = shingles(docs).localCheckpoint(true)
+    // Deliberately NO checkpoint here (unlike minhashPairs): the ranked
+    // relation's consumers are slim projections (prefix slices, verify
+    // arrays), and measured end-to-end an eager materialization of either
+    // the shingle or the ranked relation costs ~2x what the recompute does
+    // — the reused subtrees are cheap relative to checkpoint write
+    // amplification. Exact dedup at corpus scale should prefer
+    // minhashPairs anyway (same result set, bounded candidates).
+    val sh = shingles(docs)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
     // One aggregation builds, per document, the full shingle set sorted by
@@ -69,7 +71,6 @@ object Dedup {
       .select(col("doc_id"),
         expr("transform(ranked, r -> r.shingle)").as("shs"),
         size(col("ranked")).cast("long").as("sz"))
-      .localCheckpoint(true)
     val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
     val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
     val cand = pref.as("pa").join(pref.as("pb"),
