@@ -280,15 +280,7 @@ object SparkEntry {
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
         | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_len
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents) s""".stripMargin,
-    "t2_quality" ->
-      """SELECT doc_id, len_text, n_space, stop_ratio, uniq_ratio,
-        | round(1.0 - stop_ratio + uniq_ratio, 4) AS quality
-        |FROM (
-        | SELECT doc_id, length(text) AS len_text,
-        |  length(text) - length(replace(text, ' ', '')) AS n_space,
-        |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
-        | FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents) s) r""".stripMargin,
+    "t2_quality" -> TextOps.qualityOracleSql,
     "m1_modal_meta" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -17,14 +17,20 @@ object N5Block {
 
   val headerLen: Int = 2 + 2 + 3 * 4
 
-  /** Strip the default-mode block header; returns (dims, payload). */
+  /** Strip the default-mode block header; returns (dims, payload). Fails
+    * loudly (message, not a BufferUnderflowException) on truncated or
+    * corrupt framing — the caller adds the block key for context. */
   def strip(blob: Array[Byte]): ((Int, Int, Int), Array[Byte]) = {
+    require(blob.length >= headerLen,
+      s"n5: block object truncated (${blob.length} bytes < $headerLen-byte header)")
     val bb = java.nio.ByteBuffer.wrap(blob) // big-endian by default
     val mode = bb.getShort()
     require(mode == 0, s"n5: only default block mode supported, got $mode")
     val nd = bb.getShort()
     require(nd == 3, s"n5: block rank $nd unsupported (3-d only)")
     val dims = (bb.getInt(), bb.getInt(), bb.getInt())
+    require(dims._1 > 0 && dims._2 > 0 && dims._3 > 0,
+      s"n5: non-positive block dims $dims")
     val payload = java.util.Arrays.copyOfRange(blob, bb.position(), blob.length)
     (dims, payload)
   }

@@ -46,6 +46,16 @@ object ZOrderExpr {
     override def third: Expression = z
     override def dataType: DataType = LongType
 
+    // INT coordinates checked at analysis, not as a runtime CCE (the
+    // interpreted path casts; the codegen path would mask the mismatch)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val bad = children.map(_.dataType).filterNot(_ == IntegerType)
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"zorder_key expects INT coordinates, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+    }
+
     override def nullSafeEval(xv: Any, yv: Any, zv: Any): Any =
       interleave3(xv.asInstanceOf[Int], yv.asInstanceOf[Int], zv.asInstanceOf[Int])
 
@@ -66,18 +76,6 @@ object ZOrderExpr {
 
   def zorder_key(x: Column, y: Column, z: Column): Column =
     toColumn(ZOrderKey(toExpression(x), toExpression(y), toExpression(z)))
-
-  /** DuckDB SQL expansion of [[spread]] as a chained-CTE-free expression:
-    * emits the 5 masked spread steps for column `src` (all constants in
-    * decimal — generated from the same [[SpreadMasks]]). Returns SQL
-    * producing the spread value; compose three for the full key. */
-  def spreadSqlSteps(src: String, out: String): Seq[String] = {
-    val first = s"($src & ${CoordMask}) AS ${out}0"
-    val steps = SpreadMasks.zipWithIndex.map { case ((sh, m), i) =>
-      s"((${out}$i | (${out}$i << $sh)) & $m) AS ${out}${i + 1}"
-    }
-    first +: steps
-  }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("zorder_key",

@@ -124,18 +124,15 @@ object Corpus {
   }
 
   /** DuckDB oracle twin of [[curationReport]], composed from the stage
-    * oracles (language ID comes from [[TextOps.langIdOracleSql]] verbatim,
-    * so the profiles can never drift). */
+    * oracles (language ID from [[TextOps.langIdOracleSql]] and quality from
+    * [[TextOps.qualityOracleSql]] verbatim, so neither the profiles nor the
+    * score arithmetic can drift). */
   def curationReportOracleSql(minQuality: Double = 1.4): String =
     s"""SELECT d.doc_id, lid.pred_lang, lid.conf, q.quality, k.is_canonical, s.split,
        | (k.is_canonical AND q.quality >= $minQuality) AS kept
        |FROM documents d
        |JOIN (${TextOps.langIdOracleSql}) lid USING (doc_id)
-       |JOIN (SELECT doc_id, round(1.0 - stop_ratio + uniq_ratio, 4) AS quality
-       |      FROM (SELECT doc_id,
-       |             round(CAST(len(list_filter(toks, t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
-       |             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
-       |            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) t) r) q USING (doc_id)
+       |JOIN (SELECT doc_id, quality FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) qq) q USING (doc_id)
        |JOIN (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
        |      FROM documents) k USING (doc_id)
        |JOIN (${splitAssignOracleSql().replace("\n", "\n      ")}) s USING (doc_id)""".stripMargin

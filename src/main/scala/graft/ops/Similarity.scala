@@ -161,17 +161,23 @@ object Similarity {
   val IvfTrainCap = 100000
 
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+    // nprobe 10/16 on gaussian test data: random embeddings are IVF's
+    // worst case (no cluster structure, neighbors scatter across cells),
+    // so the toy-scale probe ratio is high; production nlist is thousands
+    // with nprobe in the tens, and recall is spec-measured either way
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("fv"))
-    // Training input: capped and coalesced. Every Lloyd iteration is a
-    // Spark job over this relation, so a handful of partitions beats 32
+    // Training input: capped, then spread over a handful of partitions.
+    // A non-terminal limit() plans an Exchange to a SINGLE partition, so a
+    // repartition (not coalesce — that would no-op at 1 partition) is what
+    // actually distributes the Lloyd iterations; 8 tasks beats 32
     // near-empty ones (per-task overhead dominates at bench scale, and at
     // 100 TB the cap keeps iteration cost independent of corpus size).
-    val train = emb.select(col("fv")).limit(IvfTrainCap).coalesce(8)
+    val train = emb.select(col("fv")).limit(IvfTrainCap).repartition(8)
     val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(train)
@@ -228,8 +234,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = t(spark, dir, "embeddings")
+    // repartition, not coalesce: limit() exchanges to one partition first
     val train = emb.select(array_to_vector(col("embedding")).as("fv"))
-      .limit(IvfTrainCap).coalesce(8)
+      .limit(IvfTrainCap).repartition(8)
     val model = new KMeans().setK(kClusters).setSeed(11).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(train)
     val cents: Seq[(Int, Seq[Double])] =

@@ -201,6 +201,21 @@ object TextOps {
        |       round(CAST(dup_2gram AS DOUBLE) / n_2gram, 4) AS rep_ratio
        |FROM tt JOIN r2 USING (doc_id)""".stripMargin
 
+  /** DuckDB oracle twin of [[qualityScores]], generated from [[Stopwords]]
+    * so the word list can never drift; referenced by BOTH the t2 gate and
+    * the curation-report oracle (single source, no hand-copied SQL). */
+  def qualityOracleSql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+    s"""SELECT doc_id, len_text, n_space, stop_ratio, uniq_ratio,
+       | round(1.0 - stop_ratio + uniq_ratio, 4) AS quality
+       |FROM (
+       | SELECT doc_id, length(text) AS len_text,
+       |  length(text) - length(replace(text, ' ', '')) AS n_space,
+       |  round(CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio
+       | FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents) s) r""".stripMargin
+  }
+
   /** Heuristic language ID from language-specific stopword profiles
     * (n-gram-free variant suited to whitespace-tokenized text). Returns the
     * argmax language and its evidence ratio. Deterministic: ties break on

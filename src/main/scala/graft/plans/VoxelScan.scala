@@ -334,8 +334,6 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
             }
           val buf = bufOpt.orNull
           val cut = s.cutoutBox
-          // slice-grain row accounting (not per voxel — this loop is hot)
-          mRows.add(cut.x.len.toLong * cut.y.len * cut.z.len * c.numChannels)
           for {
             ch <- (0 until c.numChannels).iterator
             z <- (cut.z.lo to cut.z.hi).iterator
@@ -376,6 +374,10 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
               }
               i += 1
             }
+            // per-emitted-row accounting (a plain local long add), so a
+            // partially drained iterator (e.g. LIMIT) reports true counts
+            // consistent with the columnar path's per-batch accounting
+            mRows.add(1)
             writer.getRow: InternalRow
           }
         }

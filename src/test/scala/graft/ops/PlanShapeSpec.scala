@@ -42,7 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the centroid cross-join in s4 is an intentional broadcast of an
     // nlist-row relation; everything else must be equi-joined
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(Set("s4_ann_ivf", "e1_stream_hourly", "e2_stream_dedup")) // streaming: no batch plan
+      .filterNot(Set("s4_ann_ivf", "e1_stream_hourly", "e2_stream_dedup",
+        "e3_stream_enrich", "e4_stream_sessions")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
