@@ -73,7 +73,15 @@ object Bench {
           .agg(sum(col("value")), count(lit(1))).collect().head
         require(r.getLong(1) == 192L * 192 * 256, "scan row count mismatch")
       }
-      Seq("v_ingest_256" -> tIngest, "v_cutout_256" -> tCutout, "v_scan_256" -> tScan)
+      // whole-volume re-layout throughput (one shuffle by destination chunk)
+      val tRechunk = best2 {
+        val dst = java.nio.file.Files.createTempDirectory("graft-bench-rck").toString
+        val n = graft.ops.VolumeOps.rechunk(vol, Grid.Box(1, 256, 1, 256, 1, 256),
+          dst, chunkSize = (128, 128, 32))
+        require(n == 2L * 2 * 8, "rechunk chunk count mismatch")
+      }
+      Seq("v_ingest_256" -> tIngest, "v_cutout_256" -> tCutout, "v_scan_256" -> tScan,
+        "v_rechunk_256" -> tRechunk)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] array bench failed: $e"); Seq.empty
     }

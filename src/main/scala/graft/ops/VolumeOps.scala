@@ -65,18 +65,55 @@ object VolumeOps {
 
   /** Re-chunk a volume into a new store with a different chunk size and/or
     * encoding — the re-layout primitive behind chunk-size tuning (small
-    * chunks for random cutouts vs large for sequential scans). One
-    * distributed pass: the source is read through `toVoxels` (chunk-task
-    * grid, no store listing), `fromVoxels` shuffles once by DESTINATION
-    * chunk id, and each task assembles/encodes/puts its output chunks —
-    * at any volume size the data crosses the cluster exactly once. */
+    * chunks for random cutouts vs large for sequential scans).
+    *
+    * Works at CHUNK grain with NO shuffle: one task per destination chunk
+    * reads just the source chunks it overlaps (blob fetch + decode + range
+    * blit), encodes, and writes. Voxels never become rows — a voxel-grain
+    * `toVoxels`→`fromVoxels` pass was measured ~20x slower (24-byte rows
+    * per source byte through an exchange). Read amplification is bounded
+    * by the grid overlap factor (a source chunk is re-read by at most
+    * `∏⌈cs/cs'⌉+1` destination tasks), and planning is the arithmetic
+    * chunk-task grid — nothing lists the store at any volume size. */
   def rechunk(vol: Volume, box: Box, destRoot: String, chunkSize: (Int, Int, Int),
       encoding: Option[String] = None): Long = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum => colSum}
+    import graft.core.Grid
+    import graft.volume.{ChunkStore, VoxelBuffer}
     val srcScale = vol.meta.scales(vol.mip - 1)
     val meta2 = vol.meta.copy(scales = Vector(srcScale.copy(
       chunkSize = chunkSize, encoding = encoding.getOrElse(vol.ctx.encoding))))
     val dest = Volume.create(vol.spark, destRoot, meta2, 1, vol.fillMissing)
-    dest.fromVoxels(vol.toVoxels(box))
+    val sc = vol.ctx; val dc = dest.ctx
+    val hconf = vol.spark.sessionState.newHadoopConf()
+    val sconf = new ChunkStore.SerializableConf(ChunkStore.storeConf(hconf, sc.root, sc.codec.name))
+    val dconf = new ChunkStore.SerializableConf(ChunkStore.storeConf(hconf, dc.root, dc.codec.name))
+    val written = dest.chunkTasks(box).as(Encoders.product[(Int, Int, Int)])
+      .mapPartitions({ it =>
+        val sfs = ChunkStore.fs(sc.root, sconf.conf)
+        val dfs = ChunkStore.fs(dc.root, dconf.conf)
+        it.flatMap { case (cx, cy, cz) =>
+          dc.sliceAt(cx, cy, cz, box).map { ds =>
+            val out = VoxelBuffer.zeros(sc.dataType,
+              ds.chunkBox.x.len, ds.chunkBox.y.len, ds.chunkBox.z.len, sc.numChannels,
+              (ds.chunkBox.x.lo, ds.chunkBox.y.lo, ds.chunkBox.z.lo))
+            val tgt = ds.cutoutBox
+            val src = Grid.idRanges(tgt, sc.chunkSize, sc.voxelOffset)
+            for (sz <- src.loz to src.hiz; sy <- src.loy to src.hiy; sx <- src.lox to src.hix)
+              sc.sliceAt(sx, sy, sz, tgt).foreach { ss =>
+                ChunkStore.readOpt(sfs, sc.root, sc.keyOf(ss)) match {
+                  case Some(blob) => out.blit(sc.decodeChunk(ss, blob), ss.cutoutBox)
+                  case None if sc.fillMissing => () // stays zero
+                  case None => throw new ChunkStore.MissingChunkException(sc.keyOf(ss))
+                }
+              }
+            ChunkStore.write(dfs, dc.root, dc.keyOf(ds), dc.encodeChunk(out))
+            1L
+          }
+        }
+      })(Encoders.scalaLong)
+    written.toDF("n").agg(coalesce(colSum(col("n")), lit(0L))).head.getLong(0)
   }
 
   /** Build mips `vol.mip+1 .. topMip` over `box`, each level fed by the

@@ -275,9 +275,15 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
                     case 1 => vectors(i).putShort(row, buf.getLong(lx, ly, lz, ch).toShort)
                     case 2 => vectors(i).putInt(row, buf.getLong(lx, ly, lz, ch).toInt)
                     case 3 => vectors(i).putLong(row, buf.getLong(lx, ly, lz, ch))
-                    case 4 => vectors(i).putDecimal(row, Decimal(new java.math.BigDecimal(
-                      new java.math.BigInteger(java.lang.Long.toUnsignedString(
-                        buf.getLong(lx, ly, lz, ch))))), 20)
+                    case 4 =>
+                      // u64 widening: values < 2^63 (the overwhelming case)
+                      // take the long constructor; only the high-bit range
+                      // pays the BigInteger-from-string path
+                      val u = buf.getLong(lx, ly, lz, ch)
+                      vectors(i).putDecimal(row,
+                        if (u >= 0) Decimal(u)
+                        else Decimal(new java.math.BigDecimal(new java.math.BigInteger(
+                          java.lang.Long.toUnsignedString(u)))), 20)
                     case 5 => vectors(i).putFloat(row, buf.getDouble(lx, ly, lz, ch).toFloat)
                     case _ => vectors(i).putDouble(row, buf.getDouble(lx, ly, lz, ch))
                   }
@@ -364,9 +370,12 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
                       case 1 => writer.write(i, buf.getLong(lx, ly, lz, ch).toShort)
                       case 2 => writer.write(i, buf.getLong(lx, ly, lz, ch).toInt)
                       case 3 => writer.write(i, buf.getLong(lx, ly, lz, ch))
-                      case 4 => writer.write(i, Decimal(new java.math.BigDecimal(
-                        new java.math.BigInteger(java.lang.Long.toUnsignedString(
-                          buf.getLong(lx, ly, lz, ch))))), 20, 0)
+                      case 4 =>
+                        val u = buf.getLong(lx, ly, lz, ch)
+                        writer.write(i,
+                          if (u >= 0) Decimal(u)
+                          else Decimal(new java.math.BigDecimal(new java.math.BigInteger(
+                            java.lang.Long.toUnsignedString(u)))), 20, 0)
                       case 5 => writer.write(i, buf.getDouble(lx, ly, lz, ch).toFloat)
                       case _ => writer.write(i, buf.getDouble(lx, ly, lz, ch))
                     }

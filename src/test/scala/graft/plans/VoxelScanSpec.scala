@@ -113,6 +113,29 @@ class VoxelScanSpec extends AnyFunSuite {
     }
   }
 
+  test("u64 values scan exactly through both Decimal branches (high bit set and clear)") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt64, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (4, 4, 2), "gzip", (1, 1, 1), (4, 4, 2), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-u64scan"), meta)
+    val buf = new graft.volume.VoxelBuffer(Meta.TUInt64, 4, 4, 2, 1, (1, 1, 1),
+      new Array[Byte](4 * 4 * 2 * 8))
+    // x odd → value above 2^63 (unsigned top half), x even → small
+    for (z <- 0 until 2; y <- 0 until 4; x <- 0 until 4)
+      buf.setLong(x, y, z, 0, if (x % 2 == 1) java.lang.Long.MIN_VALUE + x + y else (x + 10L * y))
+    vol.ingest(buf)
+    val rows = vol.voxels().collect()
+    assert(rows.length == 4 * 4 * 2)
+    rows.foreach { r =>
+      val (x, y) = (r.getInt(0), r.getInt(1))
+      val got = r.getDecimal(4)
+      val expected = if ((x - 1) % 2 == 1)
+        new java.math.BigDecimal(new java.math.BigInteger(
+          java.lang.Long.toUnsignedString(java.lang.Long.MIN_VALUE + (x - 1) + (y - 1))))
+      else new java.math.BigDecimal((x - 1) + 10L * (y - 1))
+      assert(got.compareTo(expected) == 0, s"($x,$y): $got != $expected")
+    }
+  }
+
   test("SQL metrics account fetched chunks, bytes, and output rows") {
     val (vol, _) = newVolume()
     def runAndMetrics(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
