@@ -76,6 +76,7 @@ object SparkEntry {
     "t9_bm25" -> ((s, d) => TextOps.bm25TopTerms(Tables.t(s, d, "documents"))),
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.t(s, d, "documents"))),
     "c3_decontam" -> ((s, d) => Corpus.decontaminate(Tables.t(s, d, "documents"))),
+    "c4_report" -> ((s, d) => Corpus.corpusReport(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -255,6 +256,7 @@ object SparkEntry {
     "t9_bm25" -> TextOps.bm25OracleSql(),
     "t10_repetition" -> TextOps.repetitionOracleSql,
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
+    "c4_report" -> Corpus.corpusReportOracleSql,
     "s6_domains" -> Similarity.kmeansDomainsOracleSql,
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Corpus-preparation operators for training-data pipelines: deterministic
   * train/val/test splits and sequence packing.
@@ -190,6 +191,42 @@ object Corpus {
        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
        |FROM documents d LEFT JOIN hits h USING (doc_id)
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
+
+  /** Corpus-health report: per-source document counts, token totals,
+    * quality mass, and duplicate counts, with a ROLLUP grand-total row —
+    * the dashboard a curation run ends with. Composes the stage operators
+    * ([[TextOps.qualityScores]], exact-dup canonicalization) and
+    * aggregates once on the low-cardinality source key; the quality sum
+    * runs in DECIMAL so the cross-engine compare is exact. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+      (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .as("is_canonical"))
+    base.join(q, Seq("doc_id"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok_sum"),
+        round(sum(col("quality").cast(DecimalType(18, 4))).cast(DoubleType), 3).as("qual_sum"),
+        (count(lit(1)) - sum(when(col("is_canonical"), 1L).otherwise(0L))).as("n_dupes"))
+  }
+
+  /** DuckDB oracle twin of [[corpusReport]] (quality from
+    * [[TextOps.qualityOracleSql]] verbatim; BIGINT casts for the HUGEINT
+    * sums; same ROLLUP). */
+  def corpusReportOracleSql: String =
+    s"""WITH base AS (SELECT d.doc_id, d.source,
+       |  CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tok,
+       |  (d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))) AS is_canonical
+       | FROM documents d),
+       | j AS (SELECT base.*, q.quality FROM base
+       |       JOIN (SELECT doc_id, quality FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) qq) q USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       | round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE), 3) AS qual_sum,
+       | CAST(count(*) - sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+       |FROM j GROUP BY ROLLUP(source)""".stripMargin
 
   /** DuckDB oracle twin of [[packAssignments]]. */
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =

@@ -104,6 +104,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.map(_._5).distinct.length > 1)
   }
 
+  test("corpusReport: rollup total row equals the sum of the per-source rows") {
+    val rows = Corpus.corpusReport(docs).collect()
+    val (total, perSource) = rows.partition(_.isNullAt(0))
+    assert(total.length == 1 && perSource.nonEmpty)
+    assert(total.head.getLong(1) == perSource.map(_.getLong(1)).sum) // n_docs
+    assert(total.head.getLong(2) == perSource.map(_.getLong(2)).sum) // n_tok_sum
+    assert(total.head.getLong(4) == perSource.map(_.getLong(4)).sum) // n_dupes
+    assert(total.head.getLong(1) == docs.count())
+    // quality mass is positive and bounded by 2.0 per doc (see qualityScores)
+    perSource.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 2.0 * r.getLong(1)))
+  }
+
   test("decontaminate matches a direct Scala ground truth") {
     val n = 8; val evalMod = 97
     def grams(text: String): Set[String] = {
