@@ -183,6 +183,9 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q17_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q18_salted_agg" ->
       """SELECT l_returnflag, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS sum_qty,
         | count(*) AS n
@@ -258,6 +261,7 @@ object SparkEntry {
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
     "s6_domains" -> Similarity.kmeansDomainsOracleSql,
+    "s4_ann_ivf" -> Similarity.annIvfOracleSql(),
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),
@@ -296,6 +300,7 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     "e3_stream_enrich" -> EventStreams.enrichedAggOracleSql,
     "e4_stream_sessions" -> EventStreams.sessionizeTwsOracleSql(),
+    "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "a2_bbox" ->

@@ -10,15 +10,25 @@ import Tables._
   * payloads with typed metadata, and feature extraction as a batched
   * per-partition pass.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `fakeDecode` below produces deterministic pseudo-features from the raw
-  * bytes. The Spark-side contract — schema, binary transport, partition-
-  * batched extraction, feature vector shape — is real and tested; swapping
-  * `fakeDecode` for a JNI/FFI decoder is a local change inside the
-  * mapPartitions. */
+  * The IMAGE path is a REAL codec path: the deterministic source raster is
+  * encoded to an actual PNG and decoded back through `javax.imageio` (which
+  * ships with the JDK) before any pixel math runs, so feature extraction and
+  * resizing operate on genuinely decoded pixels. PNG grayscale is lossless,
+  * which keeps every decoded pixel closed-form (the tiled source bytes) —
+  * that is what lets the DuckDB oracle replay m2's pixel checksum without an
+  * engine-side dump. AUDIO/VIDEO decode remains a deterministic stub (the
+  * container has no audio/video codecs; the JDK has none either): payload
+  * bytes stand in for decoded samples, and the honest md5-of-payload
+  * checksum keeps even the stub rows oracle-checkable. Swapping the stub for
+  * an FFI decoder is a local change inside the mapPartitions. */
 object Multimodal {
 
   val FeatureDim = 8
+
+  /** Fixed thumbnail raster for feature extraction (decode-at-fixed-size is
+    * the standard feature-extraction shape; it also bounds oracle cost). */
+  val ThumbW = 64
+  val ThumbH = 48
 
   /** Asset table: payload = UTF-8 bytes of the text (stand-in for real
     * media), modality round-robin by id, metadata struct derived
@@ -34,47 +44,81 @@ object Multimodal {
         (pmod(col("doc_id"), lit(48)) * 16 + 48).cast(IntegerType).as("height"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  /** STUB decoder: a real implementation would decode the codec frame here
-    * (e.g. libjpeg/ffmpeg via JNI). Produces a deterministic byte checksum
-    * and an 8-dim feature vector from byte histograms so the downstream
-    * plumbing is fully exercisable. */
-  private[ops] def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
-    var checksum = 0L
+  /** Tile `src` into a w×h 8-bit grayscale raster:
+    * `pixel(x,y) = src[(y·w+x) mod len]` (zeros for an empty source). This
+    * is the closed-form source image — both the PNG encoder input and the
+    * oracle's replayable definition of the decoded pixels. */
+  private[ops] def tileRaster(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (src.length > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = src(i % src.length); i += 1 }
+    }
+    out
+  }
+
+  /** REAL PNG encode of an 8-bit grayscale raster via `javax.imageio`. */
+  private[ops] def pngEncode(raster: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, raster)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode via `javax.imageio` → (8-bit grayscale pixels, w, h). */
+  private[ops] def pngDecode(png: Array[Byte]): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, out)
+    (out, w, h)
+  }
+
+  private[ops] def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Byte-histogram feature vector: `feat(j) = |{i : b_i mod 8 = j}| / n`.
+    * Doubles (not floats) so the gate's select-time `round(·, 4)` sees the
+    * same raw ratio DuckDB computes. */
+  private[ops] def histFeatures(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Long](FeatureDim)
     var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      checksum = (checksum * 31 + b) & 0x7fffffffffffffL
-      hist(b % FeatureDim) += 1
-      i += 1
-    }
-    val n = math.max(payload.length, 1).toDouble
-    (checksum, hist.map(h => (h / n).toFloat))
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1; i += 1 }
+    val n = math.max(bytes.length, 1).toDouble
+    hist.map(_ / n)
   }
 
   /** Batched feature extraction over the binary column. One pass per
     * partition, no shuffle; output schema
-    * (doc_id, modality, byte_len, checksum, feat: array<float>). */
+    * (doc_id, modality, byte_len, checksum, feat: array<double>).
+    * Image rows run the REAL decode (PNG roundtrip at [[ThumbW]]×[[ThumbH]])
+    * and hash/featurize the DECODED pixels — a broken decoder fails the
+    * driver gate, not just a spec. Audio/video rows featurize payload bytes
+    * directly (stub decode, documented above). */
   def extractFeatures(assetDf: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[(Long, String, Array[Byte])]
-    val outEnc = Encoders.product[(Long, String, Int, Long, Array[Float])]
+    val outEnc = Encoders.product[(Long, String, Int, String, Array[Double])]
     assetDf.select(col("doc_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init point (a real decoder would open its context here)
+        // per-partition init point (an FFI decoder would open its context here)
         it.map { case (id, modality, payload) =>
-          val (checksum, feat) = fakeDecode(payload)
-          (id, modality, payload.length, checksum, feat)
+          val px =
+            if (modality == "image")
+              pngDecode(pngEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
+            else payload
+          (id, modality, payload.length, md5hex(px), histFeatures(px))
         }
       }(outEnc)
       .toDF("doc_id", "modality", "byte_len", "checksum", "feat")
   }
 
-  /** STUB nearest-neighbor resize: the "decoded image" of a payload is the
-    * virtual w×h grayscale raster pixel(x,y) = payload[(y·w+x) mod len] (a
-    * real decoder would supply actual pixels); the resize itself — index
-    * math, batch pass, payload/metadata rewrite — is the real plumbing.
-    * Output payload is exactly tw·th bytes. */
+  /** Closed-form nearest-neighbor resize over the VIRTUAL raster
+    * `pixel(x,y) = payload[(y·w+x) mod len]` — the spec's independent
+    * reference for [[resizeImages]] (which must agree because the PNG
+    * roundtrip is lossless). */
   private[ops] def nnResize(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
     val out = new Array[Byte](tw * th)
     val n = math.max(payload.length, 1)
@@ -92,8 +136,26 @@ object Multimodal {
     out
   }
 
-  /** Resize the image-modality assets to `tw`×`th`; per-partition batch,
-    * no shuffle, metadata struct rewritten alongside the payload. */
+  /** Nearest-neighbor resample of a fully materialized w×h raster. */
+  private[ops] def nnResizeRaster(raster: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = raster(sy * w + x * w / tw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize the image-modality assets to `tw`×`th`; per-partition batch, no
+    * shuffle, metadata-sized source. The source image is materialized as a
+    * REAL PNG and decoded back through `javax.imageio` before resampling —
+    * the pixel math runs on decoded pixels, not on the virtual raster. */
   def resizeImages(assetDf: DataFrame, tw: Int = 32, th: Int = 24): DataFrame = {
     implicit val enc = Encoders.product[(Long, Array[Byte], Int, Int)]
     val outEnc = Encoders.product[(Long, Int, Int, Array[Byte])]
@@ -101,7 +163,8 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, payload, w, h) =>
-        (id, tw, th, nnResize(payload, w, h, tw, th))
+        val (px, dw, dh) = pngDecode(pngEncode(tileRaster(payload, w, h), w, h))
+        (id, tw, th, nnResizeRaster(px, dw, dh, tw, th))
       })(outEnc)
       .toDF("doc_id", "out_w", "out_h", "payload")
   }
@@ -127,7 +190,8 @@ object Multimodal {
   }
 
   /** Resize as a gated query: structural outputs (dims, payload length) are
-    * oracle-exact; byte-level resize math is MultimodalSpec's job. */
+    * oracle-exact; byte-level resize math is spec'd against the closed-form
+    * reference in ExtensionOpsSpec. */
   def modalResize(spark: SparkSession, dir: String): DataFrame =
     resizeImages(assets(t(spark, dir, "documents")))
       .select(col("doc_id"), col("out_w"), col("out_h"),
@@ -139,7 +203,8 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
   /** Frame sampling as a gated query: the sampled frame index set and frame
-    * sizes are oracle-exact; frame byte content is MultimodalSpec's job. */
+    * sizes are oracle-exact; frame byte content is spec'd in
+    * ExtensionOpsSpec. */
   def modalFrames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(assets(t(spark, dir, "documents")))
       .select(col("doc_id"), col("frame_no"),
@@ -157,10 +222,32 @@ object Multimodal {
     assets(t(spark, dir, "documents"))
       .select(col("doc_id"), col("modality"), octet_length(col("payload")).cast(LongType).as("byte_len"))
 
-  /** Full stub pipeline as a query (rows-only check; exactness in
-    * MultimodalSpec). */
+  /** Full decode pipeline as a gated query: for image rows the checksum and
+    * f0 come from pixels that went through a REAL `javax.imageio` decode, so
+    * the hash gate itself proves the codec path; the oracle replays them
+    * from the closed-form tiled raster (PNG grayscale is lossless). */
   def modalFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assets(t(spark, dir, "documents")))
-      .select(col("doc_id"), col("modality"), col("byte_len"), col("checksum"),
-        round(element_at(col("feat"), 1).cast(DoubleType), 4).as("f0"))
+      .select(col("doc_id"), col("modality"), col("byte_len").cast(LongType).as("byte_len"),
+        col("checksum"),
+        round(element_at(col("feat"), 1), 4).as("f0"))
+
+  /** DuckDB twin of [[modalFeatures]]: image rows rebuild the 64×48 tiled
+    * raster (≡ the losslessly decoded PNG pixels) as a string — safe because
+    * the documents are printable ASCII, so char positions are byte
+    * positions — and replay md5 + the mod-8 histogram ratio; audio/video
+    * rows hash/featurize the payload directly, mirroring the stub. */
+  def modalFeaturesOracleSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |        text, octet_length(encode(text)) AS byte_len FROM documents),
+       | r AS (SELECT doc_id, modality, byte_len,
+       |        CASE WHEN modality = 'image'
+       |             THEN substr(repeat(text, CAST(ceil(${ThumbW * ThumbH}.0 / length(text)) AS INT)), 1, ${ThumbW * ThumbH})
+       |             ELSE text END AS raster FROM d)
+       |SELECT doc_id, modality, byte_len, md5(raster) AS checksum,
+       | round(CAST(len(list_filter(range(1, length(raster) + 1),
+       |                            i -> ord(substr(raster, CAST(i AS INT), 1)) % 8 = 0)) AS DOUBLE)
+       |       / length(raster), 4) AS f0
+       |FROM r""".stripMargin
 }

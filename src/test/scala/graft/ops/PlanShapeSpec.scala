@@ -39,10 +39,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no driver query plans a cartesian product") {
-    // the centroid cross-join in s4 is an intentional broadcast of an
-    // nlist-row relation; everything else must be equi-joined
+    // s4's centroid scoring is now inlined literals (row-local argmax +
+    // sort), so even the IVF path must be equi-join-only
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(Set("s4_ann_ivf", "e1_stream_hourly", "e2_stream_dedup",
+      .filterNot(Set("e1_stream_hourly", "e2_stream_dedup",
         "e3_stream_enrich", "e4_stream_sessions")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
