@@ -172,16 +172,18 @@ object Dedup {
     * The shingle pipeline (explode + per-doc distinct — the heaviest scan
     * and shuffle of the op) runs exactly ONCE: signatures, set sizes, and
     * the verification shingle arrays are produced by one fused aggregation
-    * ([[signaturesWithSets]]), materialized eagerly (`localCheckpoint`) so
-    * its two consumers — band bucketing and candidate verification — reuse
-    * the doc-grain rows instead of re-running the shingle pipeline each.
-    * Blocks are reclaimed by the ContextCleaner once the result is
-    * unreachable, keeping the API leak-free without a session-lifetime
+    * ([[signaturesWithSets]]), materialized eagerly ([[Tables.materialize]]
+    * — a RELIABLE checkpoint when a checkpoint dir is configured, else
+    * executor-local blocks, fine for bench runs but lost with an executor)
+    * so its two consumers — band bucketing and candidate verification —
+    * reuse the doc-grain rows instead of re-running the shingle pipeline
+    * each. Local blocks are reclaimed by the ContextCleaner once the result
+    * is unreachable, keeping the API leak-free without a session-lifetime
     * persist. Verification intersects candidates row-locally
     * (`array_intersect`) — one Exchange where re-exploding would pay
     * three. */
   def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sigSets = signaturesWithSets(shingles(docs)).localCheckpoint(true)
+    val sigSets = materialize(signaturesWithSets(shingles(docs)))
     val cand = candidatePairsFromSignatures(sigSets)
     verifyJaccard(cand, sigSets.select(col("doc_id"), col("shs"), col("sz")), minJ)
   }
@@ -211,10 +213,13 @@ object Dedup {
     * sets. Labels strictly decrease until fixpoint, so convergence is
     * detected by an exact decimal checksum (`sum(lbl)` in Decimal(38,0) —
     * overflow-proof under ANSI mode) going flat. Each round's result is
-    * `localCheckpoint`ed: the iteration is executed eagerly (like an MLlib
-    * `fit`), lineage stays O(1), and the returned DataFrame is a plain
-    * in-memory scan whose blocks the ContextCleaner reclaims when the
-    * result is garbage-collected. */
+    * materialized eagerly per round ([[Tables.materialize]]: reliable
+    * checkpoint when a checkpoint dir is configured — the production
+    * setting, since executor loss mid-iteration is otherwise fatal to
+    * local blocks — else executor-local): the iteration executes eagerly
+    * (like an MLlib `fit`), lineage stays O(1), and locally-checkpointed
+    * blocks are reclaimed by the ContextCleaner when the result is
+    * garbage-collected. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // Symmetric edges PLUS a self-loop per vertex: neighbor-min over this
     // list already includes the vertex's own label, so each round is a pure
@@ -225,14 +230,14 @@ object Dedup {
       .union(pairs.select(col("a").as("u"), col("a").as("v")))
       .union(pairs.select(col("b").as("u"), col("b").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(materialize)
     def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))), lit(java.math.BigDecimal.ZERO))
         .as("s")).head.getDecimal(0)
     var labels = edges.groupBy(col("u"))
       .agg(min(col("v")).as("lbl"))
       .select(col("u").as("vtx"), col("lbl"))
-      .localCheckpoint(true)
+      .transform(materialize)
     var sum0 = checksum(labels)
     var round = 0
     var converged = false
@@ -240,12 +245,12 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("u") === labels("vtx"))
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .select(col("v").as("vtx"), col("lbl"))
-        .localCheckpoint(true)
+        .transform(materialize)
       val jumped = nbrMin.as("x")
         .join(nbrMin.select(col("vtx").as("jv"), col("lbl").as("jl")).as("j"),
           col("x.lbl") === col("j.jv"), "left")
         .select(col("x.vtx").as("vtx"), least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(materialize)
       val sum1 = checksum(jumped)
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1

@@ -105,13 +105,13 @@ object Similarity {
     // dedup Exchange shuffles two longs per row, never the embedding arrays.
     // The bucketing pass (48 hyperplane dot products per row over the full
     // scan) is consumed by the hot-bucket aggregate AND the equi-join, so it
-    // is materialized once (eager localCheckpoint of two-long rows — O(1)
-    // lineage, blocks reclaimed by the ContextCleaner) instead of evaluated
-    // per consumer.
+    // is materialized once (two-long rows, O(1) lineage; reliable checkpoint
+    // when a checkpoint dir is set — see Tables.materialize) instead of
+    // evaluated per consumer.
     val sig = capBuckets(
-      withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
-        .select(col("vec_id").as("nb_id"), col("bucket"))
-        .localCheckpoint(true),
+      materialize(
+        withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id").as("nb_id"), col("bucket"))),
       maxBucketWidth)
     val probes = explode(array(probeMasks.map(
       m => col("bucket").bitwiseXOR(lit(m))): _*))
@@ -448,13 +448,13 @@ object Similarity {
     // slim candidate structure: the bucket self-join and pair dedup shuffle
     // (id, bucket) longs only; embeddings re-enter per surviving pair. The
     // bucketing pass feeds three consumers (hot-bucket agg + both self-join
-    // sides), so the two-long relation is materialized once (eager
-    // localCheckpoint, ContextCleaner-reclaimed) rather than re-evaluating
-    // the 48-dot-product scan per consumer.
+    // sides), so the two-long relation is materialized once (reliable
+    // checkpoint when a dir is set — Tables.materialize) rather than
+    // re-evaluating the 48-dot-product scan per consumer.
     val sig = capBuckets(
-      withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
-        .select(col("vec_id"), col("bucket"))
-        .localCheckpoint(true),
+      materialize(
+        withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id"), col("bucket"))),
       maxBucketWidth)
     val candIds = sig.select(col("vec_id").as("a"), col("bucket"))
       .join(sig.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))

@@ -33,4 +33,19 @@ object Tables {
 
   /** Final presentation: double rounded to `s` places. */
   def outd(c: Column, s: Int = 3): Column = round(c.cast(DoubleType), s)
+
+  /** Eagerly materialize a multiply-consumed intermediate.
+    *
+    * With a checkpoint directory configured (`sc.setCheckpointDir`, the
+    * standard knob — point it at durable storage on a real cluster) this is
+    * a RELIABLE checkpoint: blocks survive executor loss, so long jobs under
+    * dynamic allocation / node failure recover instead of failing hard.
+    * Without one it falls back to `localCheckpoint(eager = true)` — cheapest
+    * for bench/local runs, but executor-local: losing an executor loses
+    * blocks that lineage can no longer recompute, turning a retryable
+    * recompute into a job failure. Production 100 TB runs should set the
+    * checkpoint dir; everything here works either way. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 }

@@ -69,12 +69,13 @@ object TextOps {
     * whitespace tokens — the standard relevance primitive for corpus
     * exploration and topic filters.
     *
-    * The idf uses the rational core `(N - df + 0.5)/(df + 0.5)` WITHOUT the
-    * logarithm: `ln` is the one BM25 ingredient whose last-ulp value is
-    * implementation-defined across engines, and since log is monotone the
-    * per-document ranking is identical either way. Everything is therefore
-    * +,*,/ on IEEE doubles with one expression shape — bit-reproducible in
-    * any engine, which is what puts this op under the exact oracle gate.
+    * The idf is the standard (Lucene-shape) smoothed log
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` — the log must stay, because it
+    * scales only the idf FACTOR of the idf×tf-saturation product, so a
+    * log-free variant can rank terms differently within a document (high-idf
+    * low-tf vs low-idf high-tf). `ln` is 1-ulp implementation-defined across
+    * engines, but the gate's `round(score, 4)` absorbs last-ulp differences
+    * (same argument as q25's quantile_cont — measured clean cross-engine).
     *
     * Scale shape: tf is one (doc,term) aggregation, df one term-keyed
     * aggregation of the tf relation, the corpus stats a broadcast one-row
@@ -90,7 +91,8 @@ object TextOps {
     val stats = lens.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avglen"))
     val score =
-      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
@@ -105,7 +107,7 @@ object TextOps {
   }
 
   /** DuckDB oracle twin of [[bm25TopTerms]] — same expression tree, same
-    * rational idf, same (score DESC, term) rank. */
+    * smoothed log idf, same (score DESC, term) rank. */
   def bm25OracleSql(k: Int = 3): String =
     s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
        | lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
@@ -115,7 +117,7 @@ object TextOps {
        | stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |            CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM lens),
        | scored AS (SELECT t.doc_id, t.term,
-       |    ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+       |    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
        |    (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avglen)) AS score
        |  FROM tfc t JOIN lens l USING (doc_id) JOIN dfreq d USING (term), stats s),
        | r AS (SELECT doc_id, term, round(score, 4) AS bm25,

@@ -74,7 +74,12 @@ object VolumeOps {
     * per source byte through an exchange). Read amplification is bounded
     * by the grid overlap factor (a source chunk is re-read by at most
     * `∏⌈cs/cs'⌉+1` destination tasks), and planning is the arithmetic
-    * chunk-task grid — nothing lists the store at any volume size. */
+    * chunk-task grid — nothing lists the store at any volume size.
+    *
+    * With `box` smaller than the volume, destination chunks straddling the
+    * box boundary are filled from SOURCE data over their whole extent (the
+    * boundary spill reads slightly past `box`), so every written voxel is
+    * source-true; chunks wholly outside `box` stay absent. */
   def rechunk(vol: Volume, box: Box, destRoot: String, chunkSize: (Int, Int, Int),
       encoding: Option[String] = None): Long = {
     import org.apache.spark.sql.Encoders
@@ -98,13 +103,24 @@ object VolumeOps {
             val out = VoxelBuffer.zeros(sc.dataType,
               ds.chunkBox.x.len, ds.chunkBox.y.len, ds.chunkBox.z.len, sc.numChannels,
               (ds.chunkBox.x.lo, ds.chunkBox.y.lo, ds.chunkBox.z.lo))
-            val tgt = ds.cutoutBox
+            // Fill the WHOLE destination chunk from source data, not just
+            // its `box` overlap: the new store's metadata claims the full
+            // volume, so every voxel inside a written chunk must be
+            // source-true — a cutout-only blit would persist fabricated
+            // zeros in the uncovered corner of boundary-straddling chunks.
+            // Chunks with no box overlap are never planned, so the only
+            // out-of-box voxels written are this boundary spill.
+            val tgt = ds.chunkBox
             val src = Grid.idRanges(tgt, sc.chunkSize, sc.voxelOffset)
             for (sz <- src.loz to src.hiz; sy <- src.loy to src.hiy; sx <- src.lox to src.hix)
               sc.sliceAt(sx, sy, sz, tgt).foreach { ss =>
                 ChunkStore.readOpt(sfs, sc.root, sc.keyOf(ss)) match {
                   case Some(blob) => out.blit(sc.decodeChunk(ss, blob), ss.cutoutBox)
                   case None if sc.fillMissing => () // stays zero
+                  // absent in the source AND entirely outside the requested
+                  // box: a fill_missing reader of the SOURCE would see zeros
+                  // here too, so zeros are faithful, not fabricated
+                  case None if ss.cutoutBox.intersect(box).isEmpty => ()
                   case None => throw new ChunkStore.MissingChunkException(sc.keyOf(ss))
                 }
               }

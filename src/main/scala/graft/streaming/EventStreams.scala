@@ -56,17 +56,29 @@ object EventStreams {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Reduce an Update-mode emission log to each key's FINAL aggregate:
+    * `n` (a count) is monotone per key, so `max(struct(n, rest…))` picks the
+    * last update — the same reduction e4 uses for session state. This is
+    * the production drain shape: Update mode + watermark keeps streaming
+    * state bounded (evicted as the watermark passes), where Complete mode
+    * would retain every group forever. */
+  private def lastUpdate(updates: DataFrame, keys: Seq[String], vals: Seq[String]): DataFrame =
+    updates.groupBy(keys.map(col): _*)
+      .agg(max(struct(vals.map(col): _*)).as("f"))
+      .select(keys.map(col) ++ vals.map(v => col(s"f.$v").as(v)): _*)
+
   /** Run [[hourlyAgg]] to completion against the batch parquet via the
     * memory sink and return the result table. Used as the `e1_stream_hourly`
-    * query so the driver's oracle exercises real streaming execution. */
+    * query so the driver's oracle exercises real streaming execution —
+    * Update output mode (bounded state), final values via [[lastUpdate]]. */
   def hourlyAggOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_hourly_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
       val q = hourlyAgg(readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name).start()
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "sv"))
   }
 
   /** Streaming dedup under the oracle gate: the event stream unioned with
@@ -85,11 +97,11 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
     val name = s"stream_dedup_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
-      val q = deduped.writeStream.outputMode(OutputMode.Complete)
+      val q = deduped.writeStream.outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    lastUpdate(spark.table(name), Seq("event_type"), Seq("n"))
   }
 
   /** Stream-static enrichment under the oracle gate: the event stream joined
@@ -108,11 +120,11 @@ object EventStreams {
         round(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType), 3).as("sv"))
     val name = s"stream_enrich_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
-      val q = agg.writeStream.outputMode(OutputMode.Complete)
+      val q = agg.writeStream.outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    lastUpdate(spark.table(name), Seq("segment", "event_type"), Seq("n", "sv"))
   }
 
   /** DuckDB oracle twin of [[enrichedAggOnce]] (batch ≡ fully-drained
@@ -134,7 +146,17 @@ object EventStreams {
     * StatefulProcessor — the successor API to flatMapGroupsWithState, with
     * typed per-key state handles (RocksDB-backed; the spec sets the
     * provider). Kept alongside the classic form so both stateful APIs stay
-    * exercised. */
+    * exercised.
+    *
+    * ORDERING ASSUMPTION: events are sorted by ts only WITHIN one
+    * `handleInputRows` call. The bounded verification drive delivers all of
+    * a user's events in a single micro-batch, so this matches the
+    * globally-sorted oracle; a source that splits a user across micro-batches
+    * (multiple event files, `maxFilesPerTrigger`, a live stream) can deliver
+    * cross-batch out-of-order events, which sessionize differently than the
+    * sorted-lag window. Before pointing production traffic here, make the
+    * processor watermark-aware: buffer events in a ListState and emit only
+    * below the watermark, in event-time order. */
   class SessionProcessor(gapSeconds: Long)
       extends StatefulProcessor[Long, Ev, UserSessions] {
     @transient private var st: ValueState[SessionState] = _

@@ -112,4 +112,26 @@ class VolumeOpsSpec extends AnyFunSuite {
     for (z <- 0 until 10; y <- 0 until 200 by 7; x <- 0 until 200 by 7)
       assert(out.getLong(x, y, z) == buf.getLong(x, y, z), s"($x,$y,$z)")
   }
+
+  test("rechunk of a sub-box fills boundary chunks with source data, not zeros") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (100, 100, 5), "gzip", (1, 1, 1), (200, 200, 10), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-rckb-src"), meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 200, 200, 10, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val destRoot = SparkSuite.tempDir("graft-rckb-dst")
+    // box covers x,y in 1..100 — straddles the new 64-grid at 64..128
+    val written = VolumeOps.rechunk(vol, Box(1, 100, 1, 100, 1, 10), destRoot,
+      chunkSize = (64, 64, 8), encoding = Some("zstd"))
+    assert(written == 8) // 2 x-chunks * 2 y-chunks * 2 z-chunks overlap the box
+    val dir = new java.io.File(destRoot, "1_1_1")
+    val keys = dir.listFiles().map(_.getName).toSet
+    assert(keys.contains("64-128_64-128_0-8")) // straddles the box boundary
+    assert(!keys.exists(_.startsWith("128-")), "chunks wholly outside box must stay absent")
+    // the spill region (x,y in 101..128) must be SOURCE values, not zeros
+    val dest = Volume.open(spark, destRoot)
+    val out = dest.cutout(Box(1, 128, 1, 128, 1, 10))
+    for (z <- 0 until 10; y <- 96 until 128 by 5; x <- 96 until 128 by 5)
+      assert(out.getLong(x, y, z) == buf.getLong(x, y, z), s"spill ($x,$y,$z)")
+  }
 }
