@@ -94,7 +94,7 @@ class PrecomputedTable(root: String, mipOpt: Option[Int]) extends Table
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PrecomputedScanBuilder(root, mips)
+    new PrecomputedScanBuilder(root, mips, Option(options.get("planning")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PrecomputedWriteBuilder(root, mips, info.schema())
@@ -111,7 +111,8 @@ final case class IdBounds(
   def acceptsMip(m: Int): Boolean = m >= mipLo && m <= mipHi
 }
 
-class PrecomputedScanBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)])
+class PrecomputedScanBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
+    planning: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val bounds = IdBounds()
@@ -158,24 +159,48 @@ class PrecomputedScanBuilder(root: String, mips: Seq[(Int, Meta.ScaleMeta)])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PrecomputedScan(root, mips, bounds, required)
+  override def build(): Scan = new PrecomputedScan(root, mips, bounds, required, planning)
+}
+
+object PrecomputedScan {
+  /** Grid size beyond which an UNBOUNDED metadata scan switches from
+    * probe-every-cell to listing the scale (auto planning). Below it the
+    * arithmetic probe grid is cheap and parallelizes better. */
+  val ListingThreshold = 4096L
 }
 
 class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
-    bounds: IdBounds, required: StructType) extends Scan with Batch {
+    bounds: IdBounds, required: StructType, planning: Option[String] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PrecomputedScan(root=$root, mips=${mips.map(_._1).mkString(",")}, bounds=$bounds, cols=${required.fieldNames.mkString(",")})"
+    s"PrecomputedScan(root=$root, mips=${mips.map(_._1).mkString(",")}, bounds=$bounds, cols=${required.fieldNames.mkString(",")}, planning=${planning.getOrElse("auto")})"
+
+  private def unbounded: Boolean =
+    bounds.cxLo == Int.MinValue && bounds.cxHi == Int.MaxValue &&
+      bounds.cyLo == Int.MinValue && bounds.cyHi == Int.MaxValue &&
+      bounds.czLo == Int.MinValue && bounds.czHi == Int.MaxValue
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // Compute, don't list: the chunk grid of each scale is derived
-    // arithmetically from `volumeBox ∩ pushed id bounds` — the reference's
-    // "enumerate intersecting chunks" planning (src/ChunkIterators.jl:20-24).
-    // Partitions are linear-id spans, so planning is O(partitions) in driver
-    // time/memory no matter how many chunks the store holds; executors probe
-    // each cell's key and skip missing objects (row set = stored chunks).
+    // Two planning modes, the reference's two enumeration strategies:
+    //  - PROBE (default for pruned reads — the hot path): the chunk grid is
+    //    derived arithmetically from `volumeBox ∩ pushed id bounds`
+    //    (src/ChunkIterators.jl:20-24); partitions are linear-id spans, so
+    //    planning is O(partitions) at any store size and executors probe
+    //    each cell's key, skipping missing objects.
+    //  - LISTING (the reference's `keys` + key-parse enumeration,
+    //    src/backends/S3Dicts.jl:100-118 / src/Indexes.jl:96-106): stream
+    //    the scale's object names and parse chunk ids out of the keys —
+    //    O(objects) work instead of O(grid cells) probes. Auto-selected for
+    //    UNBOUNDED metadata scans of large grids, where a mostly-empty
+    //    (sparse) store would otherwise pay an existence probe per empty
+    //    cell; blob scans keep the probe grid (object reads dominate and
+    //    the id spans parallelize them). Listing is one task per scale
+    //    (flat precomputed dirs have no shardable prefix); override with
+    //    .option("planning", "probe"|"listing").
+    val needBlob = required.fieldNames.contains("blob")
     val parallelism = SparkSession.active.sparkContext.defaultParallelism
     mips.filter { case (m, _) => bounds.acceptsMip(m) }.flatMap { case (m, scale) =>
       val full = Grid.idRanges(scale.volumeBox, scale.chunkSize, scale.voxelOffset)
@@ -193,10 +218,19 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
           scale.volumeBox.x.lo, scale.volumeBox.x.hi,
           scale.volumeBox.y.lo, scale.volumeBox.y.hi,
           scale.volumeBox.z.lo, scale.volumeBox.z.hi, ids)
-        val slices = math.max(1L, math.min(ids.total, parallelism * 2L))
-        val per = (ids.total + slices - 1) / slices
-        (0L until ids.total by per).map(s =>
-          PrecomputedPartition(grid, s, math.min(s + per, ids.total)): InputPartition)
+        val useListing = planning match {
+          case Some("listing") => true
+          case Some("probe") => false
+          case _ => unbounded && !needBlob &&
+            ids.total > PrecomputedScan.ListingThreshold
+        }
+        if (useListing) Seq(ListingPartition(grid, bounds): InputPartition)
+        else {
+          val slices = math.max(1L, math.min(ids.total, parallelism * 2L))
+          val per = (ids.total + slices - 1) / slices
+          (0L until ids.total by per).map(s =>
+            PrecomputedPartition(grid, s, math.min(s + per, ids.total)): InputPartition)
+        }
       }
     }.toArray
   }
@@ -220,16 +254,81 @@ final case class ScaleGrid(mip: Int, scaleKey: String,
 final case class PrecomputedPartition(grid: ScaleGrid, start: Long, end: Long)
   extends InputPartition
 
+/** One whole scale, enumerated by LISTING the store and parsing chunk keys
+  * (reference `keys` + key-parse, src/backends/S3Dicts.jl:100-118) — the
+  * sparse-store plan: O(objects), zero existence probes. */
+final case class ListingPartition(grid: ScaleGrid, bounds: IdBounds)
+  extends InputPartition
+
 class PrecomputedReaderFactory(root: String,
     conf: ChunkStore.SerializableConf, required: StructType)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PrecomputedPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case lp: ListingPartition => listingReader(lp)
+      case pp: PrecomputedPartition => probeReader(pp)
+    }
+
+  /** Row values shared by both readers. */
+  private def rowOf(g: ScaleGrid, cx: Int, cy: Int, cz: Int, box: Grid.Box,
+      keyName: String, blob: Array[Byte]): InternalRow = {
+    val values = required.fieldNames.map {
+      case "mip" => g.mip
+      case "cx" => cx case "cy" => cy case "cz" => cz
+      case "x0" => box.x.lo case "x1" => box.x.hi
+      case "y0" => box.y.lo case "y1" => box.y.hi
+      case "z0" => box.z.lo case "z1" => box.z.hi
+      case "key" => UTF8String.fromString(keyName)
+      case "blob" => blob
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  private def listingReader(p: ListingPartition): PartitionReader[InternalRow] = {
     val g = p.grid
     val needBlob = required.fieldNames.contains("blob")
     new PartitionReader[InternalRow] {
       private lazy val fs = ChunkStore.fs(root, conf.conf)
+      private lazy val names = ChunkStore.listIterator(fs, root, g.scaleKey)
+      private var cx = 0; private var cy = 0; private var cz = 0
+      private var box: Grid.Box = _
+      private var keyName: String = _
+      private var blob: Array[Byte] = _
+
+      /** Accept `name` if it parses as a chunk key inside the pushed
+        * bounds; fills the row state. */
+      private def accept(name: String): Boolean =
+        Grid.parseKey(name) match {
+          case Some(b) =>
+            cx = Grid.chunkIdOf(b.x.lo, g.csx, g.ox)
+            cy = Grid.chunkIdOf(b.y.lo, g.csy, g.oy)
+            cz = Grid.chunkIdOf(b.z.lo, g.csz, g.oz)
+            if (!p.bounds.accepts(cx, cy, cz)) false
+            else {
+              box = b; keyName = name
+              if (needBlob) blob = ChunkStore.read(fs, root, s"${g.scaleKey}/$name")
+              true
+            }
+          case None => false // info/sidecar names are not chunk keys
+        }
+
+      override def next(): Boolean = {
+        while (names.hasNext) { if (accept(names.next())) return true }
+        false
+      }
+
+      override def get(): InternalRow = rowOf(g, cx, cy, cz, box, keyName, blob)
+      override def close(): Unit = ()
+    }
+  }
+
+  private def probeReader(p: PrecomputedPartition): PartitionReader[InternalRow] = {
+    val g = p.grid
+    val needBlob = required.fieldNames.contains("blob")
+    new PartitionReader[InternalRow] {
+      private lazy val fs = ChunkStore.fs(root, conf.conf)
+      private lazy val prober = new ChunkStore.SuffixProber(fs, root)
       private var id = p.start - 1
       private var box: Grid.Box = _
       private var keyName: String = _
@@ -237,7 +336,8 @@ class PrecomputedReaderFactory(root: String,
 
       /** Probe cell `i`; fills box/keyName/blob when the object exists.
         * Stores may carry a ".gz" suffix on keys (reference accepts both,
-        * src/Indexes.jl:96-106) — both spellings are probed. */
+        * src/Indexes.jl:96-106); the prober resolves the store's spelling
+        * from the first hit so each later absent cell costs ONE probe. */
       private def probe(i: Long): Boolean = {
         val (cx, cy, cz) = g.ids.coords(i)
         val chunkBox = Grid.Box(
@@ -245,18 +345,18 @@ class PrecomputedReaderFactory(root: String,
           Grid.chunkIval(cy, g.csy, g.oy),
           Grid.chunkIval(cz, g.csz, g.oz))
         box = Grid.clampHiTo(chunkBox, g.volumeBox)
-        keyName = Grid.boxKey(box)
-        val path = s"${g.scaleKey}/$keyName"
+        val plain = Grid.boxKey(box)
+        val path = s"${g.scaleKey}/$plain"
         if (needBlob) {
-          blob = ChunkStore.readOpt(fs, root, path).orNull
-          if (blob == null) {
-            blob = ChunkStore.readOpt(fs, root, s"$path.gz").orNull
-            if (blob != null) keyName = s"$keyName.gz"
+          prober.readOpt(path) match {
+            case Some((b, stored)) =>
+              blob = b; keyName = plain + stored.stripPrefix(path); true
+            case None => blob = null; false
           }
-          blob != null
-        } else if (ChunkStore.exists(fs, root, path)) true
-        else if (ChunkStore.exists(fs, root, s"$path.gz")) { keyName = s"$keyName.gz"; true }
-        else false
+        } else prober.resolve(path) match {
+          case Some(stored) => keyName = plain + stored.stripPrefix(path); true
+          case None => false
+        }
       }
 
       override def next(): Boolean = {
@@ -267,16 +367,7 @@ class PrecomputedReaderFactory(root: String,
 
       override def get(): InternalRow = {
         val (cx, cy, cz) = g.ids.coords(id)
-        val values = required.fieldNames.map {
-          case "mip" => g.mip
-          case "cx" => cx case "cy" => cy case "cz" => cz
-          case "x0" => box.x.lo case "x1" => box.x.hi
-          case "y0" => box.y.lo case "y1" => box.y.hi
-          case "z0" => box.z.lo case "z1" => box.z.hi
-          case "key" => UTF8String.fromString(keyName)
-          case "blob" => blob
-        }
-        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        rowOf(g, cx, cy, cz, box, keyName, blob)
       }
       override def close(): Unit = ()
     }

@@ -96,8 +96,60 @@ object ChunkStore {
     try out.write(bytes) finally out.close()
   }
 
-  def exists(fs: FileSystem, root: String, key: String): Boolean =
+  def exists(fs: FileSystem, root: String, key: String): Boolean = {
+    probeCalls.incrementAndGet()
     fs.exists(new Path(root, key))
+  }
+
+  /** Test instrumentation: total existence probes (`exists` calls). The
+    * suffix-resolving read paths must cost ONE probe per absent cell once a
+    * store's spelling is known — specs assert the delta. */
+  val probeCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Resolves a store's key-suffix convention — plain `x0-x1_y0-y1_z0-z1`
+    * vs a trailing `.gz` (the reference accepts both spellings,
+    * src/backends/S3Dicts.jl:100-118 / src/Indexes.jl:96-106) — from the
+    * first successful probe, then probes a single spelling per cell.
+    * Without this, every ABSENT cell of an unbounded scan costs two
+    * existence checks (two HEADs per empty cell on an object store).
+    *
+    * A store is written under one convention (every known writer, including
+    * this engine, picks one spelling); until the first hit both spellings
+    * are probed, after it only the resolved one. A hand-mixed store would
+    * need per-key double probes again — documented limitation, not a
+    * supported layout. One instance per reader/partition (cheap, not
+    * thread-safe, resolution is a per-task warm-up). */
+  final class SuffixProber(fs: FileSystem, root: String) {
+    private var suffix: Int = -1 // -1 unknown, 0 plain, 1 ".gz"
+
+    /** The stored spelling of `key` if the object exists, else None. */
+    def resolve(key: String): Option[String] = suffix match {
+      case 0 => if (exists(fs, root, key)) Some(key) else None
+      case 1 => val k = s"$key.gz"; if (exists(fs, root, k)) Some(k) else None
+      case _ =>
+        if (exists(fs, root, key)) { suffix = 0; Some(key) }
+        else {
+          val k = s"$key.gz"
+          if (exists(fs, root, k)) { suffix = 1; Some(k) } else None
+        }
+    }
+
+    /** Read `key` under the resolved convention: (bytes, stored spelling). */
+    def readOpt(key: String): Option[(Array[Byte], String)] = suffix match {
+      case 0 => ChunkStore.readOpt(fs, root, key).map((_, key))
+      case 1 => val k = s"$key.gz"; ChunkStore.readOpt(fs, root, k).map((_, k))
+      case _ =>
+        ChunkStore.readOpt(fs, root, key) match {
+          case Some(b) => suffix = 0; Some((b, key))
+          case None =>
+            val k = s"$key.gz"
+            ChunkStore.readOpt(fs, root, k) match {
+              case Some(b) => suffix = 1; Some((b, k))
+              case None => None
+            }
+        }
+    }
+  }
 
   def delete(fs: FileSystem, root: String, key: String): Boolean =
     fs.delete(new Path(root, key), false)
@@ -114,5 +166,21 @@ object ChunkStore {
     val dir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName).filterNot(_.startsWith("."))
+  }
+
+  /** Streaming variant of [[list]] for unbounded-size prefixes: object names
+    * arrive in listing pages (the object-store LIST API shape), never
+    * materialized whole. */
+  def listIterator(fs: FileSystem, root: String, prefix: String): Iterator[String] = {
+    listCalls.incrementAndGet()
+    val dir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+    if (!fs.exists(dir)) Iterator.empty
+    else {
+      val it = fs.listStatusIterator(dir)
+      new Iterator[String] {
+        def hasNext: Boolean = it.hasNext
+        def next(): String = it.next().getPath.getName
+      }.filterNot(_.startsWith("."))
+    }
   }
 }

@@ -375,11 +375,12 @@ final class Volume(
     chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
       .mapPartitions { it =>
         val fs = ChunkStore.fs(c.root, conf.conf)
+        // suffix convention resolved once per partition (first hit wins):
+        // one existence probe per absent cell, not two
+        val prober = new ChunkStore.SuffixProber(fs, c.root)
         it.flatMap { case (cx, cy, cz) =>
-          c.sliceAt(cx, cy, cz, query).filterNot { s =>
-            val k = c.keyOf(s)
-            ChunkStore.exists(fs, c.root, k) || ChunkStore.exists(fs, c.root, s"$k.gz")
-          }.map(c.relKey)
+          c.sliceAt(cx, cy, cz, query).filterNot(s => prober.resolve(c.keyOf(s)).isDefined)
+            .map(c.relKey)
         }
       }
   }

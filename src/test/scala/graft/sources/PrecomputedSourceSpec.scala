@@ -38,16 +38,21 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     assert(plan.contains("bounds=IdBounds"), plan)
   }
 
-  test("scans never list the store: planning is arithmetic over the grid") {
-    val vol = newVolume()
+  test("pruned/blob scans never list; unbounded metadata scans list once per scale") {
+    val vol = newVolume() // 6x6x405 grid = 14580 cells > ListingThreshold
     val before = graft.volume.ChunkStore.listCalls.get()
-    // bounded scan, unbounded scan, blob-free scan: none may list
     val df = spark.read.format("precomputed").load(vol.root)
+    // bounded scan and blob-materializing scan: arithmetic probe plan, no LIST
     assert(df.filter(col("cx") === 2).count() == 4)
+    assert(df.select("key", "blob").collect().length == 8)
+    assert(graft.volume.ChunkStore.listCalls.get() == before,
+      "pruned/blob DSv2 scans must not call ChunkStore.list")
+    // unbounded metadata scans on a large grid: ONE listing per scale,
+    // instead of an existence probe per grid cell
     assert(df.count() == 8)
     assert(df.select("cx", "key").count() == 8)
-    assert(graft.volume.ChunkStore.listCalls.get() == before,
-      "DSv2 planning/reading must not call ChunkStore.list")
+    val lists = graft.volume.ChunkStore.listCalls.get() - before
+    assert(lists == 2, s"expected one LIST per unbounded metadata scan, got $lists")
   }
 
   test("petavoxel-scale planning: billions of grid cells plan in O(partitions)") {
@@ -137,6 +142,53 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     val dst = Volume.open(spark, dstRoot)
     val buf = VoxelBuffer.sequenced(Meta.TUInt8, 200, 200, 10, 1, (1, 1, 1))
     assert(dst.cutout(buf.box) == buf)
+  }
+
+  test(".gz-suffixed stores read fully; absent cells cost ONE probe once resolved") {
+    val vol = newVolume()
+    val dir = new java.io.File(vol.root, "6_6_30")
+    dir.listFiles().foreach(f => assert(f.renameTo(new java.io.File(dir, f.getName + ".gz"))))
+    // the DSv2 scan resolves the spelling and still surfaces every chunk
+    val df = spark.read.format("precomputed").load(vol.root)
+    val keys = df.select("key").collect().map(_.getString(0)).toSet
+    assert(keys.size == 8 && keys.forall(_.endsWith(".gz")), keys)
+    // blob path resolves too: bytes decode under the suffixed spelling
+    val blob = df.filter(col("key") === "0-100_0-100_0-5.gz")
+      .select("blob").collect().head.getAs[Array[Byte]](0)
+    assert(graft.core.Codec.GzipCodec.decode(blob).nonEmpty)
+    // after the first hit the prober knows the store's convention: an absent
+    // key costs exactly one existence probe, not a plain+.gz pair
+    val fs = graft.volume.ChunkStore.fs(vol.root, spark.sessionState.newHadoopConf())
+    val prober = new graft.volume.ChunkStore.SuffixProber(fs, vol.root)
+    assert(prober.resolve("6_6_30/0-100_0-100_0-5").contains("6_6_30/0-100_0-100_0-5.gz"))
+    val before = graft.volume.ChunkStore.probeCalls.get()
+    assert(prober.resolve("6_6_30/200-300_0-100_0-5").isEmpty)
+    assert(graft.volume.ChunkStore.probeCalls.get() == before + 1,
+      "absent cell after resolution must cost exactly one existence probe")
+  }
+
+  test("sparse store: unbounded metadata scan plans from listing — O(objects), zero probes") {
+    // 1024x1024x64 volume on a 16^3 grid = 16384 cells, only 2 present (<1%)
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 16), "gzip", (1, 1, 1), (1024, 1024, 64), (0, 0, 0))))
+    val vol = Volume.create(spark, SparkSuite.tempDir("graft-sparse"), meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 32, 16, 16, 1, (1, 1, 1))) // 2 chunks
+    val probesBefore = graft.volume.ChunkStore.probeCalls.get()
+    val df = spark.read.format("precomputed").load(vol.root).select("cx", "cy", "cz", "key")
+    assert(df.count() == 2)
+    assert(df.collect().map(_.getString(3)).toSet == Set("0-16_0-16_0-16", "16-32_0-16_0-16"))
+    assert(graft.volume.ChunkStore.probeCalls.get() == probesBefore,
+      "unbounded sparse scan must enumerate by listing, not probe 16384 cells")
+    // bounded scans keep the arithmetic probe plan: no listing
+    val listBefore = graft.volume.ChunkStore.listCalls.get()
+    assert(df.filter(col("cx") === 1 && col("cy") === 1 && col("cz") === 1).count() == 1)
+    assert(graft.volume.ChunkStore.listCalls.get() == listBefore,
+      "pruned scans must not list the store")
+    // explicit override forces the probe plan even unbounded
+    val lb2 = graft.volume.ChunkStore.listCalls.get()
+    assert(spark.read.format("precomputed").option("planning", "probe")
+      .load(vol.root).select("cx").count() == 2)
+    assert(graft.volume.ChunkStore.listCalls.get() == lb2)
   }
 
   test("multi-mip table spans the pyramid; mip filter prunes scales") {

@@ -1,0 +1,62 @@
+package graft.volume
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Grid, Meta}
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+
+/** A Hadoop FileSystem registered under a NON-file scheme (`mock3a:`),
+  * backed by local disk. Exercises the exact mechanics a cloud store uses —
+  * scheme → impl resolution through `fs.<scheme>.impl`, SerializableConf
+  * shipping that registration to executor tasks, Path round-trips through a
+  * scheme-qualified root — without needing egress. Instantiated by Hadoop
+  * via reflection (must be a public top-level class). */
+class Mock3aFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mock3a"
+  override def getUri: java.net.URI = java.net.URI.create("mock3a:///")
+}
+
+/** The cloud-path cycle the zero-egress container can actually prove:
+  * create/ingest/cutout/missingChunks/DSv2-read against a `mock3a:` root.
+  * Every byte moves through FileSystem dispatch exactly as it would for
+  * `s3a://`/`gs://` (same ChunkStore entry points, same conf plumbing);
+  * only the transport under RawLocalFileSystem differs. */
+class MockSchemeSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("full volume cycle over a non-file scheme: dispatch + executor conf plumbing") {
+    // context-level hadoop conf: flows into newHadoopConf() on the driver
+    // AND ships to executors inside ChunkStore.SerializableConf
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3a.impl", classOf[Mock3aFileSystem].getName)
+    val local = SparkSuite.tempDir("graft-mock3a")
+    val root = s"mock3a:$local" // scheme-qualified, no authority
+
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.sequenced(Meta.TUInt8, 32, 32, 4, 1, (1, 1, 1))
+    vol.ingest(buf) // executor-side writes through the mock scheme
+
+    // bytes really landed where the scheme's impl put them (local disk),
+    // in reference key format — proof the dispatch ran, not a file:// bypass
+    val objs = new java.io.File(local, "1_1_1").listFiles().map(_.getName).toSet
+    assert(objs == Set("0-16_0-16_0-4", "16-32_0-16_0-4", "0-16_16-32_0-4", "16-32_16-32_0-4"))
+
+    // read side: open (info), cutout (executor fetch+decode), missing probe
+    val reopened = Volume.open(spark, root)
+    assert(reopened.meta == meta)
+    assert(reopened.cutout(Box(1, 32, 1, 32, 1, 4)) == buf)
+    assert(reopened.missingChunks(Box(1, 32, 1, 32, 1, 4)).collect().isEmpty)
+
+    // DSv2 connector through the same scheme
+    val df = spark.read.format("precomputed").load(root)
+    assert(df.count() == 4)
+
+    // delete one object behind the store's back: missingChunks sees it
+    assert(new java.io.File(local, "1_1_1/16-32_16-32_0-4").delete())
+    assert(reopened.missingChunks(Box(1, 32, 1, 32, 1, 4)).collect().toSeq ==
+      Seq("16-32_16-32_0-4"))
+  }
+}
