@@ -88,7 +88,13 @@ object Bench {
     val results = results0 ++ arrayBench
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver parses this line from the log tail: stop Spark FIRST (its
+    // shutdown logging would otherwise interleave mid-line), flush both
+    // streams, then emit the JSON as one atomic write
     spark.stop()
+    System.err.flush()
+    System.out.flush()
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
