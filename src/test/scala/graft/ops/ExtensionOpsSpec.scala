@@ -244,17 +244,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
       Multimodal.md5hex(d1.getBytes("UTF-8")))
   }
 
-  test("multimodal: javax.imageio PNG roundtrip is byte-exact on gray rasters") {
+  test("multimodal: javax.imageio PNG and BMP roundtrips are byte-exact on gray rasters") {
     // every 8-bit gray value appears; encode writes a real PNG container
     val raster = Array.tabulate(16 * 16)(i => i.toByte)
-    val png = Multimodal.pngEncode(raster, 16, 16)
+    val png = Multimodal.imgEncode(raster, 16, 16)
     assert(png.take(8).sameElements(
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)), "not a PNG stream")
-    val (decoded, w, h) = Multimodal.pngDecode(png)
+    val (decoded, w, h) = Multimodal.imgDecode(png)
     assert(w == 16 && h == 16)
     assert(decoded.sameElements(raster), "decode must invert encode bit-exactly")
+    // BMP (the full-frame fast path in resizeImages): real container + exact
+    // roundtrip, including a non-4-aligned width (BMP row padding)
+    val bmp = Multimodal.imgEncode(raster, 16, 16, "bmp")
+    assert(bmp.take(2).sameElements(Array('B'.toByte, 'M'.toByte)), "not a BMP stream")
+    assert(Multimodal.imgDecode(bmp)._1.sameElements(raster))
+    val odd = Array.tabulate(13 * 3)(i => (i * 7).toByte)
+    assert(Multimodal.imgDecode(Multimodal.imgEncode(odd, 13, 3, "bmp"))._1.sameElements(odd))
     // golden: a known 2x2 raster decodes from independently authored bytes
-    val g = Multimodal.pngDecode(Multimodal.pngEncode(Array[Byte](0, 127, -128, -1), 2, 2))
+    val g = Multimodal.imgDecode(Multimodal.imgEncode(Array[Byte](0, 127, -128, -1), 2, 2))
     assert(g._1.sameElements(Array[Byte](0, 127, -128, -1)))
   }
 

@@ -42,8 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // s4's centroid scoring is now inlined literals (row-local argmax +
     // sort), so even the IVF path must be equi-join-only
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(Set("e1_stream_hourly", "e2_stream_dedup",
-        "e3_stream_enrich", "e4_stream_sessions")) // streaming: no batch plan
+      .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
+        "e4_stream_sessions", "e5_stream_sessions_wm")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")

@@ -85,6 +85,43 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark-aware sessionizer folds cross-batch out-of-order events in event-time order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStreams.Ev
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val evEnc = Encoders.product[Ev]
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val evs = mem.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "10 seconds").as[Ev]
+      val name = s"sessions_wm_${System.nanoTime()}"
+      val q = EventStreams.sessionizeWm(evs, gapSeconds = 3).toDF()
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      try {
+        mem.addData((1L, ts(100)), (1L, ts(105))); q.processAllAvailable()
+        // 102 is OLDER than both buffered events but inside the watermark
+        // (wm = 105s - 10s = 95s): a sort-within-batch processor folds it
+        // out of order and would report 2 sessions
+        mem.addData((1L, ts(102))); q.processAllAvailable()
+        // push the watermark past user 1's events: timer fires, fold runs
+        mem.addData((2L, ts(1000))); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).filter(col("user_id") === 1L).collect()
+        .map(r => (r.getInt(1), r.getInt(2)))
+      // event-time fold: 100,102,105 — gaps 2 and 3, neither > 3 → ONE session
+      assert(rows.nonEmpty && rows.last == ((1, 3)),
+        s"expected one 3-event session from the sorted fold, got ${rows.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark drops late data in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
