@@ -163,8 +163,14 @@ object Multimodal {
   def resizeImages(assetDf: DataFrame, tw: Int = 32, th: Int = 24): DataFrame = {
     implicit val enc = Encoders.product[(Long, Array[Byte], Int, Int)]
     val outEnc = Encoders.product[(Long, Int, Int, Array[Byte])]
+    val slots = assetDf.sparkSession.sparkContext.defaultParallelism
     assetDf.filter(col("modality") === "image")
       .select(col("doc_id"), col("payload"), col("meta.width"), col("meta.height"))
+      // the codec kernel is CPU-heavy (~ms per full frame) while the input
+      // rows are tiny (text payloads), so a small-row shuffle that spreads
+      // the decode over every core wins at any scale — a small parquet
+      // otherwise arrives as ONE partition and serializes the whole job
+      .repartition(slots)
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions(_.map { case (id, payload, w, h) =>
         // full-frame rasters go through BMP: same real ImageIO decode, no
