@@ -259,6 +259,7 @@ object SparkEntry {
     "c2_mixture" -> Corpus.mixtureSampleOracleSql(),
     "t9_bm25" -> TextOps.bm25OracleSql(),
     "t10_repetition" -> TextOps.repetitionOracleSql,
+    "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
     "s6_domains" -> Similarity.kmeansDomainsOracleSql,

@@ -280,6 +280,44 @@ object TextOps {
     out.toDF("doc_id", "fp", "n_fp")
   }
 
+  /** DuckDB oracle twin of [[fingerprints]] — long thought inexpressible
+    * (61-bit modular products overflow BIGINT), but DuckDB's HUGEINT is
+    * 128-bit: each k-gram hash is the direct polynomial
+    * `Σ c_j·257^(7-j) mod (2^61-1)` (powers < 2^57 inlined as literals, the
+    * 8-term sum < 2^69 fits HUGEINT, and the direct sum ≡ the engine's
+    * incremental Rabin–Karp by construction); window minima are slice-mins;
+    * and the set fold replays the unsigned 64-bit wraparound multiply in
+    * HUGEINT mod 2^64 with a `bit_xor` aggregate (XOR is order-insensitive,
+    * exactly why the engine uses it). */
+  def fingerprintsOracleSql(k: Int = 8, window: Int = 16): String = {
+    val M = (1L << 61) - 1
+    // 257^(k-1-j) mod M — all < 2^57 for k=8, so plain Long powers
+    val pows = (0 until k).map { j =>
+      var p = java.math.BigInteger.valueOf(257).modPow(
+        java.math.BigInteger.valueOf(k - 1 - j), java.math.BigInteger.valueOf(M))
+      p.longValueExact()
+    }
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ord(substr(text, i + $j, 1)) AS HUGEINT) * $p"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    [ ($terms) % $M FOR i IN range(1, length(text) - ${k - 2}) ] AS hashes
+       |  FROM documents WHERE length(text) >= $k),
+       | m AS (SELECT doc_id,
+       |        list_distinct([ list_min(hashes[i:i+${window - 1}])
+       |                        FOR i IN range(1, len(hashes) - ${window - 2}) ]) AS minima
+       |       FROM h),
+       | g AS (SELECT doc_id, unnest(minima) AS mh FROM m),
+       | x AS (SELECT doc_id,
+       |        bit_xor(CAST((CAST(mh AS HUGEINT) * 11400714819323198485) % 18446744073709551616 AS UBIGINT)) AS folded
+       |       FROM g GROUP BY doc_id)
+       |SELECT m.doc_id, lower(lpad(hex(x.folded), 16, '0')) AS fp, CAST(len(m.minima) AS INT) AS n_fp
+       |FROM m JOIN x ON m.doc_id = x.doc_id
+       |UNION ALL
+       |SELECT doc_id, '' AS fp, 0 AS n_fp FROM documents WHERE length(text) < $k""".stripMargin
+  }
+
   /** Rabin–Karp rolling hash sequence of all k-grams (base 257, mod 2^61-1). */
   private[ops] def rollingHashes(text: String, k: Int): Array[Long] = {
     val Mod = (1L << 61) - 1

@@ -14,10 +14,10 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("rows-only queries are the documented engine-specific set plus none") {
+  test("every query is under the hash gate: the rows-only set is EMPTY") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // t4: 61-bit rolling hash needs 128-bit products (not SQL-expressible)
-    assert(rowsOnly == Set("t4_fingerprint"),
+    // t4 (the last holdout) fell to HUGEINT arithmetic in round 4
+    assert(rowsOnly.isEmpty,
       s"unexpected rows-only set: $rowsOnly — add an oracle or document why not")
   }
 
