@@ -51,14 +51,22 @@ object Dedup {
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // Deliberately NO checkpoint here (unlike minhashPairs): the ranked
-    // relation's consumers are slim projections (prefix slices, verify
-    // arrays), and measured end-to-end an eager materialization of either
-    // the shingle or the ranked relation costs ~2x what the recompute does
-    // — the reused subtrees are cheap relative to checkpoint write
-    // amplification. Exact dedup at corpus scale should prefer
-    // minhashPairs anyway (same result set, bounded candidates).
-    val sh = shingles(docs)
+    // Deliberately NO checkpoint here (unlike minhashPairs): measured
+    // end-to-end, eager materialization of either the shingle or the
+    // ranked relation costs ~2x what recompute does (checkpoint write
+    // amplification). Instead the r3-flagged "4x recompute" is closed by
+    // EXCHANGE REUSE: with the isnotnull filter below unifying the
+    // consumers' pushed filters, all four uses of the shingle pipeline
+    // canonicalize to the same Exchange and Spark plans ONE parquet
+    // scan + explode + distinct, reused (verified: 4 ReusedExchange,
+    // 1 FileScan in the executed plan). Exact dedup at corpus scale
+    // should still prefer minhashPairs (bounded candidates).
+    // the explicit isnotnull matches the null-filter the doc_id joins infer
+    // on their side, so BOTH consumers' shingle-distinct subtrees
+    // canonicalize identically and ReuseExchange collapses them to one
+    // shuffle (without it the pushed-filter mismatch forces two full
+    // scan+explode+distinct passes)
+    val sh = shingles(docs).filter(col("doc_id").isNotNull)
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
     // One aggregation builds, per document, the full shingle set sorted by
