@@ -167,6 +167,13 @@ object PrecomputedScan {
     * probe-every-cell to listing the scale (auto planning). Below it the
     * arithmetic probe grid is cheap and parallelizes better. */
   val ListingThreshold = 4096L
+
+  /** Listing shards: chunk keys start with the 0-based x0 ordinate, so a
+    * leading-digit glob partitions a flat scale directory into bounded
+    * prefix LISTs that tasks run in parallel ('-' catches negative
+    * offsets). Coarse (≤11-way) but turns the one-task-per-scale listing
+    * into a distributed one at object-store sizes. */
+  val ListingShards: Seq[String] = "-" +: (0 to 9).map(_.toString)
 }
 
 class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
@@ -224,7 +231,9 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
           case _ => unbounded && !needBlob &&
             ids.total > PrecomputedScan.ListingThreshold
         }
-        if (useListing) Seq(ListingPartition(grid, bounds): InputPartition)
+        if (useListing)
+          PrecomputedScan.ListingShards.map(sh =>
+            ListingPartition(grid, bounds, s"$sh*"): InputPartition)
         else {
           val slices = math.max(1L, math.min(ids.total, parallelism * 2L))
           val per = (ids.total + slices - 1) / slices
@@ -254,10 +263,11 @@ final case class ScaleGrid(mip: Int, scaleKey: String,
 final case class PrecomputedPartition(grid: ScaleGrid, start: Long, end: Long)
   extends InputPartition
 
-/** One whole scale, enumerated by LISTING the store and parsing chunk keys
-  * (reference `keys` + key-parse, src/backends/S3Dicts.jl:100-118) — the
-  * sparse-store plan: O(objects), zero existence probes. */
-final case class ListingPartition(grid: ScaleGrid, bounds: IdBounds)
+/** One leading-character shard of a scale, enumerated by LISTING the store
+  * and parsing chunk keys (reference `keys` + key-parse,
+  * src/backends/S3Dicts.jl:100-118) — the sparse-store plan: O(objects),
+  * zero existence probes, one bounded prefix LIST per task. */
+final case class ListingPartition(grid: ScaleGrid, bounds: IdBounds, glob: String)
   extends InputPartition
 
 class PrecomputedReaderFactory(root: String,
@@ -290,7 +300,7 @@ class PrecomputedReaderFactory(root: String,
     val needBlob = required.fieldNames.contains("blob")
     new PartitionReader[InternalRow] {
       private lazy val fs = ChunkStore.fs(root, conf.conf)
-      private lazy val names = ChunkStore.listIterator(fs, root, g.scaleKey)
+      private lazy val names = ChunkStore.globNames(fs, root, g.scaleKey, p.glob)
       private var cx = 0; private var cy = 0; private var cz = 0
       private var box: Grid.Box = _
       private var keyName: String = _

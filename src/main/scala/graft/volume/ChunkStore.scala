@@ -183,4 +183,15 @@ object ChunkStore {
       }.filterNot(_.startsWith("."))
     }
   }
+
+  /** Object names under `root/prefix` matching a name glob — the sharded
+    * LIST: on object stores a leading-literal glob (`3*`) is a bounded
+    * prefix enumeration, which is what lets several tasks list one flat
+    * scale directory in parallel. */
+  def globNames(fs: FileSystem, root: String, prefix: String, pattern: String): Iterator[String] = {
+    listCalls.incrementAndGet()
+    val matches = fs.globStatus(new Path(new Path(root, prefix), pattern))
+    if (matches == null) Iterator.empty
+    else matches.iterator.map(_.getPath.getName).filterNot(_.startsWith("."))
+  }
 }

@@ -47,12 +47,14 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     assert(df.select("key", "blob").collect().length == 8)
     assert(graft.volume.ChunkStore.listCalls.get() == before,
       "pruned/blob DSv2 scans must not call ChunkStore.list")
-    // unbounded metadata scans on a large grid: ONE listing per scale,
-    // instead of an existence probe per grid cell
+    // unbounded metadata scans on a large grid: one bounded prefix LIST per
+    // shard (11-way parallel listing), instead of a probe per grid cell
     assert(df.count() == 8)
     assert(df.select("cx", "key").count() == 8)
     val lists = graft.volume.ChunkStore.listCalls.get() - before
-    assert(lists == 2, s"expected one LIST per unbounded metadata scan, got $lists")
+    val perScan = graft.sources.PrecomputedScan.ListingShards.length
+    assert(lists == 2L * perScan,
+      s"expected $perScan sharded LISTs per unbounded metadata scan, got $lists")
   }
 
   test("petavoxel-scale planning: billions of grid cells plan in O(partitions)") {
