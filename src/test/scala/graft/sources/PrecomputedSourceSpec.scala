@@ -193,6 +193,22 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     assert(graft.volume.ChunkStore.listCalls.get() == lb2)
   }
 
+  test("forced listing honors pushed bounds; listing parses .gz spellings") {
+    val vol = newVolume()
+    // bounded scan under planning=listing: listed keys filtered by IdBounds
+    val bounded = spark.read.format("precomputed").option("planning", "listing")
+      .load(vol.root).filter(col("cx") === 1 && col("cz") === 1)
+    assert(bounded.select("key").collect().map(_.getString(0)).toSet ==
+      Set("0-100_0-100_0-5", "0-100_100-200_0-5"))
+    // a .gz-suffixed store lists and parses identically (suffix kept in key)
+    val dir = new java.io.File(vol.root, "6_6_30")
+    dir.listFiles().foreach(f => assert(f.renameTo(new java.io.File(dir, f.getName + ".gz"))))
+    val listed = spark.read.format("precomputed").option("planning", "listing")
+      .load(vol.root).select("cx", "cy", "cz", "key").collect()
+    assert(listed.length == 8)
+    assert(listed.map(_.getString(3)).forall(_.endsWith(".gz")))
+  }
+
   test("multi-mip table spans the pyramid; mip filter prunes scales") {
     val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
       Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (32, 32, 4), (0, 0, 0)))).withNumMips(2)
