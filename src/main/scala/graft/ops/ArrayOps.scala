@@ -78,7 +78,10 @@ object ArrayOps {
     * independently re-aggregate the same rows (the voxel VALUES are
     * exactness-tested against the buffer in VolumeSpec; the oracle checks
     * the store-roundtrip relation and the aggregation cross-engine). */
-  val voxelDumpRoot: String = "/tmp/graft-voxel-dump"
+  /** Per-JVM dump root (shared with the centroid dumps): a fixed /tmp path
+    * would let concurrent sessions clobber each other's oracle artifacts
+    * between the Spark write and the DuckDB replay. */
+  lazy val voxelDumpRoot: String = s"${Similarity.OracleDumpRoot}/voxels"
 
   private def aggFromDump(spark: SparkSession, voxels: DataFrame, dump: String): DataFrame = {
     voxels.write.mode("overwrite").parquet(dump)
@@ -184,6 +187,24 @@ object ArrayOps {
   }
 
   def a7OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a7")
+
+  /** Zarr v3 end-to-end: create a v3 array (zarr.json + default `c/z/y/x`
+    * chunk keys + [bytes, gzip] codec chain), ingest through the engine,
+    * reopen and aggregate the distributed voxel view — same oracle shape as
+    * a6/a7 (re-aggregate the dumped voxels in DuckDB). */
+  def a9_zarr3_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.Zarr3
+    import graft.volume.VoxelBuffer
+    val root = java.nio.file.Files.createTempDirectory("graft-a9").toString
+    val vol = Zarr3.create(spark, root, shape = (20, 12, 8), chunks = (8, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 24, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, Zarr3.open(spark, root).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a9")
+  }
+
+  def a9OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a9")
 
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.Meta
+import graft.core.Meta.{ScaleMeta, VolumeMeta, VoxelType}
+import graft.volume.{ChunkStore, Volume}
+
+/** Zarr v3 array support (the current zarr spec) — third chunked-array
+  * format on the shared Volume engine, alongside [[Zarr]] (v2) and [[N5]].
+  *
+  * v3 vs v2, as it lands here:
+  *  - one `zarr.json` document (node_type "array") instead of `.zarray`,
+  *    with named dtypes ("uint16", not "<u2"), a `chunk_grid` object, and a
+  *    `codecs` CHAIN in place of the single `compressor`;
+  *  - chunk keys use the v3 "default" chunk-key encoding: a `c/` prefix and
+  *    "/"-separated 0-based grid indices in dim order (`c/z/y/x` after this
+  *    engine's d2→x naming) — `keyStyle = "zarr3-c"`;
+  *  - the first codec must be the `bytes` array→bytes codec (little
+  *    endian), which serializes C-order — naming d2→x makes that exactly
+  *    this engine's x-fastest layout, same zero-transpose trick as v2;
+  *    an optional second codec compresses: `gzip` (RFC-1952 — NOT v2's
+  *    zlib!) or `blosc` with cname blosclz; absent → identity.
+  *  - edge chunks are stored full-size, zero-padded (`padEdgeChunks`),
+  *    like v2.
+  *
+  * Supported: zarr_format 3, node_type "array", 2-d/3-d, dtypes
+  * {bool, uint8/16/32/64, float32/64}, fill_value 0/null/0.0, default
+  * chunk-key encoding with "/" separator, codec chains [bytes] /
+  * [bytes, gzip] / [bytes, blosc(blosclz)]. Anything else fails loudly
+  * with the offending field. */
+object Zarr3 {
+
+  final case class Zarr3Meta(
+      shape: (Int, Int, Int), // (x, y, z) after axis mapping
+      chunks: (Int, Int, Int),
+      dataType: VoxelType,
+      encoding: String, // this engine's codec name
+      keyStyle: String) // zarr3-c | zarr3-c2
+
+  private val DtypeNames: Map[String, VoxelType] = Map(
+    "bool" -> Meta.TBool, "uint8" -> Meta.TUInt8, "uint16" -> Meta.TUInt16,
+    "uint32" -> Meta.TUInt32, "uint64" -> Meta.TUInt64,
+    "float32" -> Meta.TFloat32, "float64" -> Meta.TFloat64)
+
+  private def codecName(c: JValue): String = c \ "name" match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(s"zarr3: codec without name: $other")
+  }
+
+  /** The engine encoding for a v3 codec chain: [bytes(, compressor)]. */
+  private def encodingOf(codecs: JValue): String = codecs match {
+    case JArray(chain) if chain.nonEmpty =>
+      require(codecName(chain.head) == "bytes",
+        s"zarr3: first codec must be 'bytes', got '${codecName(chain.head)}'")
+      chain.head \ "configuration" \ "endian" match {
+        case JString("little") | JNothing | JNull => ()
+        case other => throw new IllegalArgumentException(s"zarr3: bytes endian $other unsupported")
+      }
+      chain.tail match {
+        case Nil => "identity"
+        case compressor :: Nil => codecName(compressor) match {
+          case "gzip" => "gzip" // v3 gzip is RFC-1952 gzip (v2 zlib is NOT)
+          case "blosc" => compressor \ "configuration" \ "cname" match {
+            case JString("blosclz") | JNothing | JNull => "blosclz"
+            case JString(other) => throw new IllegalArgumentException(
+              s"zarr3: blosc cname '$other' unsupported (only blosclz has a pure-JVM codec here)")
+            case other => throw new IllegalArgumentException(s"zarr3: malformed blosc cname $other")
+          }
+          case other => throw new IllegalArgumentException(s"zarr3: codec '$other' unsupported")
+        }
+        case more => throw new IllegalArgumentException(
+          s"zarr3: codec chains longer than [bytes, compressor] unsupported (${more.map(codecName)})")
+      }
+    case _ => throw new IllegalArgumentException("zarr3: missing/empty codecs chain")
+  }
+
+  def parseZarrJson(jsonStr: String): Zarr3Meta = {
+    val j = JsonMethods.parse(jsonStr)
+    (j \ "zarr_format") match {
+      case JInt(v) if v == 3 => ()
+      case other => throw new IllegalArgumentException(s"zarr3: zarr_format must be 3, got $other")
+    }
+    (j \ "node_type") match {
+      case JString("array") => ()
+      case other => throw new IllegalArgumentException(s"zarr3: node_type must be 'array', got $other")
+    }
+    (j \ "fill_value") match {
+      case JNull | JNothing => ()
+      case JInt(v) if v == BigInt(0) => ()
+      case JDouble(0.0) => ()
+      case other => throw new IllegalArgumentException(s"zarr3: only fill_value 0 supported, got $other")
+    }
+    (j \ "chunk_key_encoding") match {
+      case JNothing | JNull => () // spec default: "default" with "/"
+      case cke =>
+        (cke \ "name") match {
+          case JString("default") | JNothing | JNull => ()
+          case other => throw new IllegalArgumentException(s"zarr3: chunk_key_encoding $other unsupported")
+        }
+        (cke \ "configuration" \ "separator") match {
+          case JString("/") | JNothing | JNull => ()
+          case other => throw new IllegalArgumentException(s"zarr3: key separator $other unsupported ('/' only)")
+        }
+    }
+    def ints(v: JValue, what: String): List[Int] = v match {
+      case JArray(xs) => xs.map {
+        case JInt(i) => i.toInt
+        case other => throw new IllegalArgumentException(s"zarr3: non-integer in $what: $other")
+      }
+      case _ => throw new IllegalArgumentException(s"zarr3: missing $what")
+    }
+    val dims = ints(j \ "shape", "shape")
+    val grid = j \ "chunk_grid"
+    (grid \ "name") match {
+      case JString("regular") => ()
+      case other => throw new IllegalArgumentException(s"zarr3: chunk_grid $other unsupported")
+    }
+    val cdims = ints(grid \ "configuration" \ "chunk_shape", "chunk_shape")
+    require(dims.length == cdims.length, "zarr3: shape/chunk_shape rank mismatch")
+    require(dims.length == 2 || dims.length == 3, s"zarr3: rank ${dims.length} unsupported (2-d/3-d only)")
+    val dt = (j \ "data_type") match {
+      case JString(s) => DtypeNames.getOrElse(s,
+        throw new IllegalArgumentException(s"zarr3: unsupported data_type '$s'"))
+      case other => throw new IllegalArgumentException(s"zarr3: missing data_type: $other")
+    }
+    val enc = encodingOf(j \ "codecs")
+    // the bytes codec is C-order (last dim fastest): name d_last → x, zero transpose
+    if (dims.length == 3)
+      Zarr3Meta((dims(2), dims(1), dims(0)), (cdims(2), cdims(1), cdims(0)), dt, enc, "zarr3-c")
+    else
+      Zarr3Meta((dims(1), dims(0), 1), (cdims(1), cdims(0), 1), dt, enc, "zarr3-c2")
+  }
+
+  /** Serialize array metadata to a `zarr.json` document (3-d only — 2-d
+    * stores are read-supported). */
+  def toZarrJson(m: Zarr3Meta): String = {
+    require(m.keyStyle == "zarr3-c", s"zarr3: cannot serialize key style ${m.keyStyle}")
+    val shape = List(m.shape._3, m.shape._2, m.shape._1)
+    val chunks = List(m.chunks._3, m.chunks._2, m.chunks._1)
+    val dtype = DtypeNames.collectFirst { case (n, t) if t == m.dataType => n }.get
+    val bytesCodec: JValue = JObject("name" -> JString("bytes"),
+      "configuration" -> JObject("endian" -> JString("little")))
+    val codecs = m.encoding match {
+      case "identity" => List(bytesCodec)
+      case "gzip" => List(bytesCodec, JObject("name" -> JString("gzip"),
+        "configuration" -> JObject("level" -> JInt(6))))
+      case "blosclz" => List(bytesCodec, JObject("name" -> JString("blosc"),
+        "configuration" -> JObject("cname" -> JString("blosclz"), "clevel" -> JInt(5),
+          "shuffle" -> JString(if (m.dataType.byteSize > 1) "shuffle" else "noshuffle"),
+          "typesize" -> JInt(m.dataType.byteSize))))
+      case other => throw new IllegalArgumentException(s"zarr3: cannot serialize encoding $other")
+    }
+    val obj = JObject(
+      "zarr_format" -> JInt(3),
+      "node_type" -> JString("array"),
+      "shape" -> JArray(shape.map(JInt(_))),
+      "data_type" -> JString(dtype),
+      "chunk_grid" -> JObject("name" -> JString("regular"),
+        "configuration" -> JObject("chunk_shape" -> JArray(chunks.map(JInt(_))))),
+      "chunk_key_encoding" -> JObject("name" -> JString("default"),
+        "configuration" -> JObject("separator" -> JString("/"))),
+      "fill_value" -> JInt(0),
+      "codecs" -> JArray(codecs))
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  private def volumeMetaOf(z: Zarr3Meta): VolumeMeta =
+    VolumeMeta("image", z.dataType, 1, Vector(ScaleMeta(
+      key = "", chunkSize = z.chunks, encoding = z.encoding,
+      resolution = (1.0, 1.0, 1.0), size = z.shape, voxelOffset = (0, 0, 0))))
+
+  /** Open a zarr v3 array as a [[Volume]] (full engine surface). */
+  def open(spark: SparkSession, root: String, fillMissing: Boolean = true): Volume = {
+    val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
+    val z = parseZarrJson(new String(ChunkStore.read(fs, root, "zarr.json"), "UTF-8"))
+    new Volume(spark, root, volumeMetaOf(z), mip = 1, fillMissing = fillMissing,
+      keyStyle = z.keyStyle, padEdgeChunks = true)
+  }
+
+  /** Create a new zarr v3 array: write `zarr.json`, return the handle. */
+  def create(spark: SparkSession, root: String, shape: (Int, Int, Int),
+      chunks: (Int, Int, Int), dataType: VoxelType, encoding: String = "gzip",
+      fillMissing: Boolean = true): Volume = {
+    val z = Zarr3Meta(shape, chunks, dataType, encoding, "zarr3-c")
+    val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
+    ChunkStore.write(fs, root, "zarr.json", toZarrJson(z).getBytes("UTF-8"))
+    new Volume(spark, root, volumeMetaOf(z), mip = 1, fillMissing = fillMissing,
+      keyStyle = z.keyStyle, padEdgeChunks = true)
+  }
+}

@@ -24,6 +24,8 @@ final case class VolumeCtx(
     /** Chunk-object naming: "precomputed" = coordinate-range keys
       * ("x0-x1_y0-y1_z0-z1"); "zarr-c"/"zarr-f" = dot-separated 0-based
       * grid indices in zarr dim order (C: d0.d1.d2 = z.y.x; F: x.y.z);
+      * "zarr3-c"/"zarr3-c2" = zarr v3 default chunk-key encoding
+      * ("c/" prefix, "/"-separated indices in dim order);
       * "n5" = nested 0-based grid paths "x/y/z" with per-block
       * header+big-endian framing (see [[graft.core.N5Block]]). */
     keyStyle: String = "precomputed",
@@ -42,6 +44,8 @@ final case class VolumeCtx(
     case "zarr-f" => s"${slice.idx - 1}.${slice.idy - 1}.${slice.idz - 1}"
     case "zarr-c2" => s"${slice.idy - 1}.${slice.idx - 1}" // 2-d C: keys are d0.d1 = y.x
     case "zarr-f2" => s"${slice.idx - 1}.${slice.idy - 1}"
+    case "zarr3-c" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}" // v3 default encoding
+    case "zarr3-c2" => s"c/${slice.idy - 1}/${slice.idx - 1}"
     case "n5" => s"${slice.idx - 1}/${slice.idy - 1}/${slice.idz - 1}" // nested grid path, dim order d0/d1/d2
     case other => throw new IllegalArgumentException(s"unknown key style: $other")
   }

@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Meta
+import graft.core.Grid.Box
+import graft.testutil.SparkSuite
+import graft.volume.VoxelBuffer
+
+/** Zarr v3 format coverage. Goldens are handcrafted from the PUBLIC v3 spec
+  * (no zarr library in this container): `zarr.json` + `c/`-prefixed chunk
+  * keys + C-order bytes, so a correct reader must get the metadata document,
+  * the default chunk-key encoding, the codec chain, and the edge padding
+  * exactly right. */
+class Zarr3Spec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  /** Handcraft an uncompressed v3 store: shape [4, 8, 16] (d0,d1,d2),
+    * chunk_shape [2, 4, 8], uint8, codecs [bytes], keys c/d0/d1/d2,
+    * value(d0,d1,d2) = (d0*100 + d1*10 + d2) mod 251. */
+  private def handcraftStore(): String = {
+    val root = SparkSuite.tempDir("graft-zarr3-golden")
+    val doc =
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 8, 16],
+        | "data_type": "uint8",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 4, 8]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": 0,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin
+    Files.writeString(Paths.get(root, "zarr.json"), doc)
+    def v(d0: Int, d1: Int, d2: Int): Byte = ((d0 * 100 + d1 * 10 + d2) % 251).toByte
+    for (c0 <- 0 until 2; c1 <- 0 until 2; c2 <- 0 until 2) {
+      val bytes = for {
+        i0 <- 0 until 2; i1 <- 0 until 4; i2 <- 0 until 8
+      } yield v(c0 * 2 + i0, c1 * 4 + i1, c2 * 8 + i2)
+      val dir = Paths.get(root, "c", c0.toString, c1.toString)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(c2.toString), bytes.toArray)
+    }
+    root
+  }
+
+  test("golden: handcrafted v3 store reads with exact axis mapping and c/ keys") {
+    val root = handcraftStore()
+    val vol = Zarr3.open(spark, root)
+    assert(vol.ctx.volumeBox == Box(1, 16, 1, 8, 1, 4)) // x=d2, y=d1, z=d0
+    assert(vol.ctx.chunkSize == (8, 4, 2))
+    assert(vol.ctx.keyStyle == "zarr3-c" && vol.ctx.padEdgeChunks)
+    val cut = vol.cutout(Box(1, 16, 1, 8, 1, 4))
+    for (z <- 1 to 4; y <- 1 to 8; x <- 1 to 16)
+      assert(cut.getLong(x - 1, y - 1, z - 1) == ((z - 1) * 100 + (y - 1) * 10 + (x - 1)) % 251,
+        s"voxel ($x, $y, $z)")
+  }
+
+  test("roundtrip: create + ingest + reopen + cutout across v3 codec chains") {
+    for (enc <- Seq("gzip", "blosclz", "identity")) {
+      val root = SparkSuite.tempDir(s"graft-zarr3-rt-$enc")
+      val vol = Zarr3.create(spark, root, shape = (20, 12, 6), chunks = (8, 4, 2),
+        dataType = Meta.TUInt16, encoding = enc)
+      val buf = VoxelBuffer.sequenced(Meta.TUInt16, 24, 12, 6, 1, (1, 1, 1))
+        .slice(Box(1, 20, 1, 12, 1, 6))
+      vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 24, 12, 6, 1, (1, 1, 1)))
+      val re = Zarr3.open(spark, root)
+      assert(re.ctx.encoding == enc)
+      val cut = re.cutout(Box(1, 20, 1, 12, 1, 6))
+      for (x <- 1 to 20; y <- 1 to 12 by 3; z <- 1 to 6)
+        assert(cut.getLong(x - 1, y - 1, z - 1) == buf.getLong(x - 1, y - 1, z - 1), s"$enc ($x,$y,$z)")
+      // v3 layout on disk: zarr.json + nested c/z/y/x objects
+      assert(new java.io.File(root, "zarr.json").isFile)
+      assert(new java.io.File(root, "c/0/0/0").isFile)
+      assert(new java.io.File(root, "c/2/2/2").isFile)
+    }
+  }
+
+  test("v3 gzip codec writes RFC-1952 gzip bytes (not zlib)") {
+    val root = SparkSuite.tempDir("graft-zarr3-gz")
+    val vol = Zarr3.create(spark, root, shape = (8, 4, 2), chunks = (8, 4, 2),
+      dataType = Meta.TUInt8, encoding = "gzip")
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 8, 4, 2, 1, (1, 1, 1)))
+    val bytes = Files.readAllBytes(Paths.get(root, "c/0/0/0"))
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b,
+      "v3 'gzip' must be RFC-1952 gzip framing")
+  }
+
+  test("unsupported zarr.json fields fail loudly") {
+    def parse(s: String) = Zarr3.parseZarrJson(s)
+    // v2 document
+    intercept[IllegalArgumentException](parse(
+      """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "|u1"}"""))
+    // transpose codec chains unsupported
+    intercept[IllegalArgumentException](parse(
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4], "data_type": "uint8",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "codecs": [{"name": "transpose"}, {"name": "bytes"}]}""".stripMargin))
+    // non-default separator
+    intercept[IllegalArgumentException](parse(
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4], "data_type": "uint8",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}},
+        | "codecs": [{"name": "bytes"}]}""".stripMargin))
+    // sharding unsupported
+    intercept[IllegalArgumentException](parse(
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4], "data_type": "uint8",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "codecs": [{"name": "sharding_indexed"}]}""".stripMargin))
+  }
+
+  test("zarr.json roundtrips through the serializer") {
+    for (enc <- Seq("gzip", "blosclz", "identity")) {
+      val z = Zarr3.Zarr3Meta((16, 8, 4), (8, 4, 2), Meta.TUInt16, enc, "zarr3-c")
+      assert(Zarr3.parseZarrJson(Zarr3.toZarrJson(z)) == z)
+    }
+  }
+}
