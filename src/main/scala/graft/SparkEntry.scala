@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_window_analytic" -> (Relational.q23_window_analytic _),
     "q24_json" -> (Relational.q24_json_arrays _),
     "q25_percentile" -> (Relational.q25_percentile _),
+    "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
     "t5_array_fns" -> ((s, d) => TextOps.arrayOps(Tables.t(s, d, "documents"))),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
     "a1_chunk_plan" -> (ArrayOps.a1_chunk_plan _),
@@ -238,6 +239,10 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
         | round(quantile_cont(l_discount, 0.9), 4) AS p90_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q26_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "t5_array_fns" ->
       """SELECT doc_id,
         | list_sort(toks)[1] AS first_tok,

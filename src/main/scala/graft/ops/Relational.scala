@@ -259,6 +259,29 @@ object Relational {
         round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
         round(expr("percentile(l_discount, 0.9)"), 4).as("p90_disc"))
 
+  /** Approximate percentile (the KLL-family sketch behind
+    * `approx_percentile`) next to the exact order statistic — the quantile
+    * sibling of q17's HLL: on 100 TB, exact percentiles need a full sort
+    * per group where the sketch is one mergeable pass. Gated exactly like
+    * q17: the sketch VALUE is engine-specific, but the claim — the
+    * estimate lands within the accuracy envelope of the exact percentile —
+    * is deterministic given the inputs, so `within_bound` is hash-checked
+    * against an always-true oracle column (the exact p50 rides along). The
+    * bound is ±2% of the group's value range (1/accuracy = 1/10000 rank
+    * error would be tighter; 2% absorbs value-gap amplification on skewed
+    * columns). */
+  def q26_approx_percentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        (max(col("l_quantity")) - min(col("l_quantity"))).as("rng"))
+      .select(col("l_returnflag"),
+        round(col("exact_p50"), 4).as("p50_qty"),
+        (abs(col("approx_p50") - col("exact_p50")) <= col("rng") * lit(0.02))
+          .as("within_bound"))
+
   /** Banded interval (range) join: events against generated week intervals.
     * The interval side is tiny and broadcast, so the non-equi predicate is a
     * broadcast nested-loop over 5 rows — constant-cost per event at any
