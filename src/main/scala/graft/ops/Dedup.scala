@@ -51,38 +51,49 @@ object Dedup {
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
   def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    // Deliberately NO checkpoint here (unlike minhashPairs): measured
-    // end-to-end, eager materialization of either the shingle or the
-    // ranked relation costs ~2x what recompute does (checkpoint write
-    // amplification). Instead the r3-flagged "4x recompute" is closed by
-    // EXCHANGE REUSE: with the isnotnull filter below unifying the
-    // consumers' pushed filters, all four uses of the shingle pipeline
-    // canonicalize to the same Exchange and Spark plans ONE parquet
-    // scan + explode + distinct, reused (verified: 4 ReusedExchange,
-    // 1 FileScan in the executed plan). Exact dedup at corpus scale
-    // should still prefer minhashPairs (bounded candidates).
-    // the explicit isnotnull matches the null-filter the doc_id joins infer
-    // on their side, so BOTH consumers' shingle-distinct subtrees
-    // canonicalize identically and ReuseExchange collapses them to one
-    // shuffle (without it the pushed-filter mismatch forces two full
-    // scan+explode+distinct passes)
+    import org.apache.spark.sql.expressions.Window
+    // ONE pass builds the ranked per-document shingle relation: document
+    // frequency comes from a count-over-window on the shingle partition (a
+    // spill-safe sort-based exchange — no dfreq join, so the shingle
+    // pipeline has a single consumer and the doc relation is scanned
+    // exactly once), then one aggregation collects, per document, the full
+    // shingle set sorted by global rarity (struct sort: dfreq asc, shingle
+    // asc). The prefix is then just a row-local slice(); no per-row window
+    // functions anywhere downstream.
+    //
+    // The result is MATERIALIZED eagerly ([[Tables.materialize]] — reliable
+    // checkpoint when a checkpoint dir is configured, else executor-local
+    // blocks) because it feeds FOUR consumers: the prefix explode (twice,
+    // via the candidate self-join) and both verification sides. Without
+    // the checkpoint each consumer re-instantiates the whole pipeline:
+    // static ReuseExchange would collapse them, but under AQE (the default
+    // everywhere this runs) exchange reuse defers to runtime
+    // stage-matching, which does NOT fire across these self-join
+    // aliasings — the r4 executed adaptive plan ran EIGHT FileScans of the
+    // doc relation (PlanShapeSpec now pins scans == 1). Exact dedup at
+    // corpus scale should still prefer minhashPairs (bounded candidates).
     val sh = shingles(docs).filter(col("doc_id").isNotNull)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
-    // One aggregation builds, per document, the full shingle set sorted by
-    // global rarity (struct sort: dfreq asc, shingle asc — same order the
-    // old window rank used). The prefix is then just a row-local slice();
-    // no per-row window functions anywhere.
-    val docSh = sh.join(dfreq, Seq("shingle"))
+    val docSh = materialize(sh
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ranked"))
       .select(col("doc_id"),
         expr("transform(ranked, r -> r.shingle)").as("shs"),
-        size(col("ranked")).cast("long").as("sz"))
+        size(col("ranked")).cast("long").as("sz")))
     val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
-    val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
+    val pref = docSh.select(col("doc_id"), col("sz"),
+      explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
+    // Length filter (AllPairs): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ⟹
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — exact, so candidates between
+    // incompatibly-sized documents are dropped BEFORE the pair ever
+    // shuffles a shingle array (measured 118k→a fraction at sf0.1; at
+    // corpus scale it is what keeps a hot prefix shingle from pairing
+    // every tweet with every novel). Decimal t, so the bound can never
+    // round against recall.
     val cand = pref.as("pa").join(pref.as("pb"),
-        col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id") &&
+          least(col("pa.sz"), col("pb.sz")) >= tExact * greatest(col("pa.sz"), col("pb.sz")))
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
     verifyJaccard(cand, docSh.select(col("doc_id"), col("shs"), col("sz")), minJ)
@@ -229,14 +240,20 @@ object Dedup {
     * blocks are reclaimed by the ContextCleaner when the result is
     * garbage-collected. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // The pair list is materialized FIRST: the edge union below consumes it
+    // four times, and under AQE each consumer would otherwise re-execute the
+    // caller's whole pair-generation pipeline (for dupClusters: the LSH
+    // candidate join + verification, 4x). Pairs are two longs per row —
+    // the cheapest possible checkpoint.
+    val pr = materialize(pairs.select(col("a"), col("b")))
     // Symmetric edges PLUS a self-loop per vertex: neighbor-min over this
     // list already includes the vertex's own label, so each round is a pure
     // join+aggregate with no union in the loop (unions whose children share
     // a lineage leaf trip Catalyst's Union constraint rewrite).
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .union(pairs.select(col("a").as("u"), col("a").as("v")))
-      .union(pairs.select(col("b").as("u"), col("b").as("v")))
+    val edges = pr.select(col("a").as("u"), col("b").as("v"))
+      .union(pr.select(col("b").as("u"), col("a").as("v")))
+      .union(pr.select(col("a").as("u"), col("a").as("v")))
+      .union(pr.select(col("b").as("u"), col("b").as("v")))
       .distinct()
       .transform(materialize)
     def checksum(l: DataFrame): java.math.BigDecimal =

@@ -38,6 +38,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  // ---- executed-plan scan counts (AQE ON — the driver/Bench default) ----
+  //
+  // Multi-consumer operators must not re-execute their heavy input pipeline
+  // per consumer. Static ReuseExchange does NOT survive AQE (r4 finding: d2's
+  // executed adaptive plan ran 8 FileScans where the static plan showed 1),
+  // so each op materializes its shared intermediates and these probes pin the
+  // scan count Spark ACTUALLY executed, eager checkpoints included.
+
+  private def scansOf(table: String, name: String): Int = {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "scan-count probes must run under AQE, the driver/Bench default")
+    graft.testutil.PlanProbe.totalFileScans(spark, table) {
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+    }
+  }
+
+  test("d2: one scan of documents under AQE (shingle pipeline materialized)") {
+    assert(scansOf("documents", "d2_dedup_ngram") == 1)
+  }
+
+  test("d3: one scan of documents under AQE (fused signature aggregation)") {
+    assert(scansOf("documents", "d3_dedup_minhash") == 1)
+  }
+
+  test("d5: one scan of documents under AQE (pairs materialized before CC)") {
+    assert(scansOf("documents", "d5_dedup_clusters") == 1)
+  }
+
+  test("s2: four scans of embeddings under AQE (bucketing materialized)") {
+    // 1 full scan in the materialized bucketing pass + 2 vec_id<10
+    // pushdown-filtered query-side scans + 1 full scan in the candidate
+    // rerank join; a regression of the materialization shows up as 5+
+    assert(scansOf("embeddings", "s2_ann_lsh") == 4)
+  }
+
+  test("s3: two scans of embeddings under AQE (bucketing materialized)") {
+    // 1 full scan in the materialized bucketing pass + 1 for the rerank:
+    // both pair-side joins shuffle the same (vec_id, embedding) scan by
+    // vec_id, so their exchanges canonicalize identically and AQE's runtime
+    // stage-matching reuses the stage (hot-bucket agg and both self-join
+    // sides read the checkpoint, not parquet)
+    assert(scansOf("embeddings", "s3_embed_dups") == 2)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is now inlined literals (row-local argmax +
     // sort), so even the IVF path must be equi-join-only
