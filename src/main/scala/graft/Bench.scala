@@ -19,6 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in reliable-checkpoint mode: with a dir set, Tables.materialize
+    // takes the production (executor-loss-safe) branch instead of
+    // localCheckpoint — same results, slightly more I/O (MaterializeSpec
+    // pins the equivalence; this knob lets the branch run under the bench)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
 
     def force(name: String): Double = {
       val t0 = System.nanoTime()

@@ -186,27 +186,26 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(train)
-    val cents: Seq[(Int, Seq[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     import spark.implicits._
-    cents.toDF("cluster", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(IvfCentroidDump)
-    // per-centroid cosine scores as inlined literals; ties break to the
-    // smallest cluster id via the negated-id struct field (≡ ORDER BY
-    // cs DESC, cluster in the oracle)
-    val scored = cents.map { case (i, c) =>
-      struct(vec_cosine(col("embedding"), typedlit(c)).as("cs"), lit(-i).as("negc"))
-    }
-    // assignment = row-local argmax over the nlist scores — zero shuffle
+    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid").select(col("cluster"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(IvfCentroidDump)
+    // assignment = row-local argmax over the nlist scores — zero shuffle.
+    // The centroid matrix rides as ONE reference object in a codegen'd
+    // kernel (graft.functions.CentroidArgmax), so generated-code size is
+    // independent of nlist — production nlist in the thousands cannot
+    // blow the 64KB method limit the old per-centroid-literal tree hit.
+    // Ties break to the smallest cluster id (≡ ORDER BY cs DESC, cluster
+    // in the oracle).
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      (-greatest(scored: _*).getField("negc")).cast(IntegerType).as("cluster"))
-    // each query's nprobe best cells: row-local sort of the same scores
-    // (reverse of ascending (cs, negc) = cs DESC with ties to smaller id)
-    val probed = slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
+    // each query's nprobe best cells: row-local top-n of the same scores
     val queryCells = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
-        explode(probed).as("cell"))
-      .select(col("q_id"), col("qa"), (-col("cell.negc")).cast(IntegerType).as("cluster"))
+        explode(centroid_topn(col("embedding"), centMatrix, nprobe)).as("cell"))
+      .select(col("q_id"), col("qa"), col("cell.cluster").as("cluster"))
     // candidates = members of the probed cells; exact cosine rerank
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
     assigned.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("cluster"))
@@ -291,17 +290,18 @@ object Similarity {
       .limit(IvfTrainCap).repartition(8)
     val model = new KMeans().setK(kClusters).setSeed(11).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(train)
-    val cents: Seq[(Int, Seq[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     import spark.implicits._
-    cents.toDF("cluster", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(DomainsCentroidDump)
-    val scored = cents.map { case (i, c) =>
-      struct(vec_cosine(col("embedding"), typedlit(c)).as("cs"), lit(-i).as("negc"))
-    }
-    emb.select(col("vec_id"), greatest(scored: _*).as("best"))
+    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid").select(col("cluster"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(DomainsCentroidDump)
+    // single codegen'd argmax kernel over the centroid matrix (constant
+    // code size in k — see CentroidExprs); bit-identical to the oracle's
+    // per-centroid replay, ties to the smallest cluster id
+    import graft.functions.CentroidExprs.centroid_argmax
+    emb.select(col("vec_id"), centroid_argmax(col("embedding"), centMatrix).as("best"))
       .select(col("vec_id"),
-        (-col("best.negc")).cast(LongType).as("cluster"),
+        col("best.cluster").cast(LongType).as("cluster"),
         round(col("best.cs"), 4).as("cs"))
   }
 

@@ -37,15 +37,24 @@ object Tables {
   /** Eagerly materialize a multiply-consumed intermediate.
     *
     * With a checkpoint directory configured (`sc.setCheckpointDir`, the
-    * standard knob — point it at durable storage on a real cluster) this is
-    * a RELIABLE checkpoint: blocks survive executor loss, so long jobs under
-    * dynamic allocation / node failure recover instead of failing hard.
-    * Without one it falls back to `localCheckpoint(eager = true)` — cheapest
-    * for bench/local runs, but executor-local: losing an executor loses
-    * blocks that lineage can no longer recompute, turning a retryable
-    * recompute into a job failure. Production 100 TB runs should set the
-    * checkpoint dir; everything here works either way. */
+    * standard knob — point it at durable storage on a real cluster; the
+    * bench/driver honor `SPARK_GRAFT_CHECKPOINT_DIR`) this is a RELIABLE
+    * checkpoint: blocks survive executor loss, so long jobs under dynamic
+    * allocation / node failure recover instead of failing hard. The input
+    * is cached across the two checkpoint jobs — a bare `checkpoint(true)`
+    * recomputes its RDD when the checkpoint-WRITE job runs (the
+    * `RDD.checkpoint` contract), which would re-scan the source twice; with
+    * the cache, the write job reads blocks, keeping the source-scan count
+    * at one (the invariant PlanShapeSpec pins). The cache is dropped as
+    * soon as the checkpoint files exist.
+    * Without a checkpoint dir it falls back to `localCheckpoint(eager =
+    * true)` — cheapest for bench/local runs, but executor-local: losing an
+    * executor loses blocks that lineage can no longer recompute, turning a
+    * retryable recompute into a job failure. Production 100 TB runs should
+    * set the checkpoint dir; everything here works either way. */
   def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(true) finally df.unpersist(false)
+    } else df.localCheckpoint(true)
 }

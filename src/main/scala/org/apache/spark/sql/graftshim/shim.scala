@@ -25,4 +25,11 @@ object shim {
     * (they are delivered asynchronously). */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Unset the context checkpoint directory (`setCheckpointDir` has no
+    * inverse in the public API) — lets a spec exercise the
+    * reliable-checkpoint branch of Tables.materialize and restore the
+    * shared session afterwards so suite order stays irrelevant. */
+  def clearCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.checkpointDir = None
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.testutil.SparkSuite
+
+/** CentroidExprs: the reference-object centroid kernels must (a) be
+  * bit-identical to the per-centroid-literal `greatest`/`array_sort`
+  * formulation they replaced (that form is what the DuckDB replay oracle
+  * mirrors), and (b) stay inside whole-stage codegen at production
+  * centroid counts (nlist≈1024) where the literal tree blew the 64KB
+  * generated-method limit. */
+class CentroidExprsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import CentroidExprs.{centroid_argmax, centroid_topn}
+  import graft.functions.VectorExprs.vec_cosine
+
+  private def mat(k: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(k, dim)(r.nextGaussian())
+  }
+
+  private def embDf(n: Int, dim: Int, seed: Long) = {
+    val r = new scala.util.Random(seed)
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+  test("centroid_argmax is bit-identical to the greatest-over-literals form") {
+    val cents = mat(16, 8, 3)
+    val df = embDf(200, 8, 5)
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(col("embedding"), typedlit(c.toSeq)).as("cs"), lit(-i).as("negc"))
+    }
+    val legacy = df.select(col("vec_id"), greatest(scored: _*).as("b"))
+      .select(col("vec_id"), (-col("b.negc")).as("cluster"), col("b.cs").as("cs"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), bits(r.getDouble(2))))).toMap
+    val kernel = df.select(col("vec_id"), centroid_argmax(col("embedding"), cents).as("b"))
+      .select(col("vec_id"), col("b.cluster").as("cluster"), col("b.cs").as("cs"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), bits(r.getDouble(2))))).toMap
+    assert(kernel.size == 200)
+    assert(kernel == legacy)
+  }
+
+  test("centroid_topn is bit-identical to the array_sort-over-literals form") {
+    val cents = mat(16, 8, 7)
+    val df = embDf(60, 8, 11)
+    val scored = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(col("embedding"), typedlit(c.toSeq)).as("cs"), lit(-i).as("negc"))
+    }
+    val legacy = df.select(col("vec_id"),
+        explode(slice(reverse(array_sort(array(scored: _*))), 1, 5)).as("cell"))
+      .select(col("vec_id"), (-col("cell.negc")).as("cluster"), col("cell.cs").as("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), bits(r.getDouble(2)))).toSet
+    val kernel = df.select(col("vec_id"),
+        explode(centroid_topn(col("embedding"), cents, 5)).as("cell"))
+      .select(col("vec_id"), col("cell.cluster").as("cluster"), col("cell.cs").as("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), bits(r.getDouble(2)))).toSet
+    assert(kernel.size == 60 * 5)
+    assert(kernel == legacy)
+  }
+
+  test("nlist=1024 executes inside whole-stage codegen (no interpreted fallback)") {
+    val cents = mat(1024, 64, 13)
+    // spark.range (not a local Seq) so the projection survives to a real
+    // codegen'd stage instead of constant-folding into LocalTableScan
+    val df = spark.range(50).toDF("vec_id").withColumn("embedding",
+      expr("transform(sequence(1, 64), j -> cast(sin(vec_id * 64 + j) as float))"))
+    // fallback=false turns any codegen failure into a hard error instead of
+    // a silent interpreted downgrade — the assertion the r4 verdict asked for
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val q = df.select(col("vec_id"), col("embedding"),
+          centroid_argmax(col("embedding"), cents).as("b"))
+        .select(col("vec_id"), col("b.cluster").as("cluster"), col("b.cs").as("cs"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), plan) // '*' marks whole-stage-codegen stages
+      val rows = q.collect()
+      assert(rows.length == 50)
+      // independent scala-side argmax replay on a few rows
+      val embs = df.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+      rows.take(5).foreach { r =>
+        val e = embs(r.getLong(0))
+        val scored = cents.map { c =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < e.length) {
+            val x = e(i).toDouble; val y = c(i)
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val d = math.sqrt(na) * math.sqrt(nb)
+          if (d == 0.0) 0.0 else dot / d
+        }
+        val best = scored.indices.maxBy(i => (scored(i), -i))
+        assert(r.getInt(1) == best)
+        assert(bits(r.getDouble(2)) == bits(scored(best)))
+      }
+      // query side at the same scale: top-10 of 1024, still codegen'd
+      val qt = df.select(explode(centroid_topn(col("embedding"), cents, 10)).as("cell"))
+      assert(qt.queryExecution.executedPlan.toString.contains("*(1)"))
+      assert(qt.count() == 50 * 10)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+}

@@ -83,8 +83,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no driver query plans a cartesian product") {
-    // s4's centroid scoring is now inlined literals (row-local argmax +
-    // sort), so even the IVF path must be equi-join-only
+    // s4's centroid scoring is a row-local argmax/top-n kernel over the
+    // fitted matrix (CentroidExprs), so even the IVF path must be
+    // equi-join-only
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
         "e4_stream_sessions", "e5_stream_sessions_wm")) // streaming: no batch plan
