@@ -168,12 +168,23 @@ object PrecomputedScan {
     * arithmetic probe grid is cheap and parallelizes better. */
   val ListingThreshold = 4096L
 
-  /** Listing shards: chunk keys start with the 0-based x0 ordinate, so a
-    * leading-digit glob partitions a flat scale directory into bounded
-    * prefix LISTs that tasks run in parallel ('-' catches negative
-    * offsets). Coarse (≤11-way) but turns the one-task-per-scale listing
-    * into a distributed one at object-store sizes. */
-  val ListingShards: Seq[String] = "-" +: (0 to 9).map(_.toString)
+  /** Listing shards: chunk keys start with the 0-based x0 ordinate
+    * (`boxKey`: `"${x.lo - 1}-..."`), and the grid makes every possible x0
+    * enumerable as `(cx-1)·csx + ox` — so the scale directory partitions
+    * into EXACT per-x-column prefix LISTs, one bounded glob per chunk
+    * column. Fan-out therefore scales with store width (r4 review: the old
+    * leading-DIGIT shards capped parallelism at 11 regardless of size)
+    * while staying O(objects) total: every object is matched by exactly one
+    * glob, and planning work is O(x-columns) strings — bounded by
+    * cells^(1/3), never by cell or object count. */
+  def listingGlobs(ids: Grid.IdRanges, csx: Int, ox: Int): Seq[String] =
+    (ids.lox to ids.hix).map(cx => s"${(cx - 1) * csx + ox}-*")
+
+  /** Cap on listing tasks per scale: above it consecutive columns share a
+    * task (each task then runs several bounded LISTs). Scales with the
+    * session's core count; the floor keeps narrow test/laptop sessions from
+    * serializing a wide store's listing. */
+  def maxListingTasks(parallelism: Int): Int = math.max(parallelism * 4, 32)
 }
 
 class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
@@ -204,8 +215,9 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
     //    UNBOUNDED metadata scans of large grids, where a mostly-empty
     //    (sparse) store would otherwise pay an existence probe per empty
     //    cell; blob scans keep the probe grid (object reads dominate and
-    //    the id spans parallelize them). Listing is one task per scale
-    //    (flat precomputed dirs have no shardable prefix); override with
+    //    the id spans parallelize them). The listing is sharded into one
+    //    bounded prefix LIST per x chunk column (see listingGlobs), so
+    //    LIST fan-out grows with store width; override with
     //    .option("planning", "probe"|"listing").
     val needBlob = required.fieldNames.contains("blob")
     val parallelism = SparkSession.active.sparkContext.defaultParallelism
@@ -231,9 +243,14 @@ class PrecomputedScan(root: String, mips: Seq[(Int, Meta.ScaleMeta)],
           case _ => unbounded && !needBlob &&
             ids.total > PrecomputedScan.ListingThreshold
         }
-        if (useListing)
-          PrecomputedScan.ListingShards.map(sh =>
-            ListingPartition(grid, bounds, s"$sh*"): InputPartition)
+        if (useListing) {
+          val globs = PrecomputedScan.listingGlobs(ids, csx, grid.ox)
+          val per = math.max(1L,
+            (globs.size + PrecomputedScan.maxListingTasks(parallelism) - 1L) /
+              PrecomputedScan.maxListingTasks(parallelism)).toInt
+          globs.grouped(per).map(gs =>
+            ListingPartition(grid, bounds, gs): InputPartition).toSeq
+        }
         else {
           val slices = math.max(1L, math.min(ids.total, parallelism * 2L))
           val per = (ids.total + slices - 1) / slices
@@ -263,11 +280,11 @@ final case class ScaleGrid(mip: Int, scaleKey: String,
 final case class PrecomputedPartition(grid: ScaleGrid, start: Long, end: Long)
   extends InputPartition
 
-/** One leading-character shard of a scale, enumerated by LISTING the store
-  * and parsing chunk keys (reference `keys` + key-parse,
+/** A group of per-x-column shards of a scale, enumerated by LISTING the
+  * store and parsing chunk keys (reference `keys` + key-parse,
   * src/backends/S3Dicts.jl:100-118) — the sparse-store plan: O(objects),
-  * zero existence probes, one bounded prefix LIST per task. */
-final case class ListingPartition(grid: ScaleGrid, bounds: IdBounds, glob: String)
+  * zero existence probes, a bounded prefix LIST per chunk column. */
+final case class ListingPartition(grid: ScaleGrid, bounds: IdBounds, globs: Seq[String])
   extends InputPartition
 
 class PrecomputedReaderFactory(root: String,
@@ -300,7 +317,8 @@ class PrecomputedReaderFactory(root: String,
     val needBlob = required.fieldNames.contains("blob")
     new PartitionReader[InternalRow] {
       private lazy val fs = ChunkStore.fs(root, conf.conf)
-      private lazy val names = ChunkStore.globNames(fs, root, g.scaleKey, p.glob)
+      private lazy val names =
+        p.globs.iterator.flatMap(ChunkStore.globNames(fs, root, g.scaleKey, _))
       private var cx = 0; private var cy = 0; private var cz = 0
       private var box: Grid.Box = _
       private var keyName: String = _

@@ -48,13 +48,12 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     assert(graft.volume.ChunkStore.listCalls.get() == before,
       "pruned/blob DSv2 scans must not call ChunkStore.list")
     // unbounded metadata scans on a large grid: one bounded prefix LIST per
-    // shard (11-way parallel listing), instead of a probe per grid cell
+    // x chunk column (6 columns at 510/100), instead of a probe per grid cell
     assert(df.count() == 8)
     assert(df.select("cx", "key").count() == 8)
     val lists = graft.volume.ChunkStore.listCalls.get() - before
-    val perScan = graft.sources.PrecomputedScan.ListingShards.length
-    assert(lists == 2L * perScan,
-      s"expected $perScan sharded LISTs per unbounded metadata scan, got $lists")
+    assert(lists == 2L * 6,
+      s"expected 6 per-column LISTs per unbounded metadata scan, got $lists")
   }
 
   test("petavoxel-scale planning: billions of grid cells plan in O(partitions)") {
@@ -177,6 +176,13 @@ class PrecomputedSourceSpec extends AnyFunSuite {
     vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 32, 16, 16, 1, (1, 1, 1))) // 2 chunks
     val probesBefore = graft.volume.ChunkStore.probeCalls.get()
     val df = spark.read.format("precomputed").load(vol.root).select("cx", "cy", "cz", "key")
+    // listing fan-out scales with store width: 64 x-columns plan as >11
+    // partitions (the r4 leading-digit shards capped at 11 at any size),
+    // bounded by maxListingTasks so a million-column store can't explode
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    assert(parts > 11, s"wide store must shard listing beyond 11 ways, got $parts")
+    assert(parts <= graft.sources.PrecomputedScan.maxListingTasks(
+      spark.sparkContext.defaultParallelism))
     assert(df.count() == 2)
     assert(df.collect().map(_.getString(3)).toSet == Set("0-16_0-16_0-16", "16-32_0-16_0-16"))
     assert(graft.volume.ChunkStore.probeCalls.get() == probesBefore,
