@@ -61,11 +61,13 @@ object SparkEntry {
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
     "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8)),
+    "d6_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "s3_embed_dups" -> ((s, d) => Similarity.embeddingDupPairs(s, d, 0.2)),
     "s5_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
+    "s7_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -79,6 +81,11 @@ object SparkEntry {
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.t(s, d, "documents"))),
     "c3_decontam" -> ((s, d) => Corpus.decontaminate(Tables.t(s, d, "documents"))),
     "c4_report" -> ((s, d) => Corpus.corpusReport(Tables.t(s, d, "documents"))),
+    "c5_quota_sample" -> ((s, d) => Corpus.quotaSample(Tables.t(s, d, "documents"))),
+    // the synthetic corpus has no PII, so the gate masks deterministically
+    // injected emails/phones/IPs (same injection in the oracle)
+    "t11_pii" -> ((s, d) =>
+      TextOps.piiMask(TextOps.withSyntheticPii(Tables.t(s, d, "documents")))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -94,6 +101,7 @@ object SparkEntry {
     // reordering — see EventStreams.sessionizeWm scaladoc
     "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
     "e5_stream_sessions_wm" -> (EventStreams.sessionizeWmOnce _),
+    "e6_stream_ivjoin" -> ((s, d) => EventStreams.intervalJoinOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -271,6 +279,8 @@ object SparkEntry {
     "c2_mixture" -> Corpus.mixtureSampleOracleSql(),
     "t9_bm25" -> TextOps.bm25OracleSql(),
     "t10_repetition" -> TextOps.repetitionOracleSql,
+    "t11_pii" -> TextOps.piiMaskOracleSql,
+    "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -279,12 +289,14 @@ object SparkEntry {
     "s3_embed_dups" -> Similarity.embeddingDupOracleSql(0.2),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),
+    "s7_pq_topk" -> Similarity.pqOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,
     "d3_dedup_minhash" -> ngramJaccardOracle, // LSH recall ≈ 1 at j≥0.8 (see Dedup scaladoc)
     "d4_dedup_simhash" -> simhashOracle,
     "d5_dedup_clusters" -> dupClusterOracle,
+    "d6_span_dedup" -> Dedup.spanDedupOracleSql(),
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < 10),
         | pairs AS (
@@ -316,6 +328,7 @@ object SparkEntry {
     "e4_stream_sessions" -> EventStreams.sessionizeTwsOracleSql(),
     // the watermark-aware sessionizer must produce the same final states
     "e5_stream_sessions_wm" -> EventStreams.sessionizeTwsOracleSql(),
+    "e6_stream_ivjoin" -> EventStreams.intervalJoinOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

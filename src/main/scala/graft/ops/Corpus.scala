@@ -100,6 +100,38 @@ object Corpus {
        |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
        |      FROM documents) s""".stripMargin
 
+  /** Deterministic per-stratum quota sampling: exactly `quota` documents
+    * per `source` stratum (fewer when the stratum is smaller) — the
+    * fixed-size companion to the rate-based [[mixtureSample]], and the
+    * standard construction for balanced eval/calibration sets. Selection
+    * order is the md5 of the document id, so the sample is a uniform,
+    * reproducible, growth-stable shuffle of each stratum (appending
+    * documents can displace at most the quota boundary, never reorder the
+    * chosen prefix arbitrarily).
+    *
+    * Scale shape: one window per stratum whose rank-filter plans as
+    * WindowGroupLimit (per-partition top-k before the exchange), so the
+    * shuffle carries at most `quota` rows per stratum per input partition
+    * — never the corpus. */
+  def quotaSample(docs: DataFrame, quota: Int = 10): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= quota)
+  }
+
+  /** DuckDB oracle twin of [[quotaSample]] — md5 hex strings collate
+    * identically (lowercase hex, byte order) in both engines. */
+  def quotaSampleOracleSql(quota: Int = 10): String =
+    s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+       |FROM (SELECT doc_id, source,
+       |       row_number() OVER (PARTITION BY source
+       |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      FROM documents) s
+       |WHERE rn <= $quota""".stripMargin
+
   /** End-to-end curation decision table — the composition a real corpus
     * pipeline runs before training: language ID, quality score, exact-dup
     * canonicalization, and split assignment, joined per document into one

@@ -292,6 +292,63 @@ object Dedup {
   def dupClusters(docs: DataFrame, minJ: Double, maxRounds: Int = 20): DataFrame =
     connectedComponents(minhashPairs(docs, minJ).select(col("a"), col("b")), maxRounds)
 
+  // ---------------- span-level exact dedup ----------------
+
+  /** Cross-document SPAN dedup — the paragraph/line-grain pass of a corpus
+    * pipeline, run at fixed token-block granularity: the text is cut into
+    * `blockTokens`-token blocks and every block that exactly repeats an
+    * earlier occurrence (corpus order = (doc_id, block index)) is dropped;
+    * each document is reassembled from its surviving blocks. This is the
+    * distributed form of exact-substring dedup (the suffix-array
+    * formulation is a single-machine structure; block hashing keeps the
+    * operation join/aggregate-shaped at any corpus size — production block
+    * size is ~50 tokens, the gate uses a small block so the synthetic
+    * corpus actually collides).
+    *
+    * Scale shape: one explode to block grain, ONE shuffle of the block
+    * text (the first-occurrence window, keyed on md5(block) so key
+    * comparison is 16 bytes regardless of block length), one doc-keyed
+    * aggregation to reassemble — a linear pipeline with a single consumer
+    * at every stage, so nothing needs materializing. Documents that lose
+    * every block surface with empty `text_dedup`, never disappear. */
+  def spanDedup(docs: DataFrame, blockTokens: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $blockTokens.0) as int) - 1),
+           |          b -> array_join(slice(toks, b * $blockTokens + 1, $blockTokens), ' '))""".stripMargin)))
+      .toDF("doc_id", "idx", "block")
+      .withColumn("idx", col("idx").cast(LongType))
+    val firstWins = Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("idx"))
+    blocks
+      .withColumn("keep", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(IF(keep, struct(idx, block), NULL))), s -> s.block)"),
+          " ").as("text_dedup"))
+  }
+
+  /** DuckDB oracle twin of [[spanDedup]]: same block slicing (1-based
+    * inclusive list slices ≡ Spark `slice`), same md5-keyed first-occurrence
+    * window, same in-order reassembly (`string_agg ... ORDER BY idx` skips
+    * the NULLed dropped blocks exactly like Spark's `collect_list`). */
+  def spanDedupOracleSql(blockTokens: Int = 3): String =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | b AS (SELECT doc_id, u.idx AS idx, u.block AS block FROM (
+       |    SELECT doc_id, unnest([{'idx': i, 'block': array_to_string(t[i*$blockTokens+1:i*$blockTokens+$blockTokens], ' ')}
+       |                           FOR i IN range(0, CAST(ceil(len(t) / $blockTokens.0) AS BIGINT))]) AS u
+       |    FROM base) s),
+       | k AS (SELECT doc_id, idx, block,
+       |        row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, idx) = 1 AS keep
+       |       FROM b)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY idx), '') AS text_dedup
+       |FROM k GROUP BY doc_id""".stripMargin
+
   // ---------------- SimHash ----------------
 
   /** Cross-engine 60-bit shingle hash: the first 15 hex chars of md5,

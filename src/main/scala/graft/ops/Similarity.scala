@@ -376,6 +376,111 @@ object Similarity {
        |        row_number() OVER (PARTITION BY q_id ORDER BY p.qcs DESC, nb_id) AS rnk FROM p)
        |SELECT q_id, nb_id, qcs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  // ---------------- product quantization (PQ / ADC) ----------------
+
+  val PqSubspaces = 8
+  val PqCodes = 16
+
+  /** Where [[pqTopK]] dumps its fitted per-subspace codebooks for the
+    * replay oracle. */
+  lazy val PqCodebookDump: String = s"$OracleDumpRoot/s7_codebooks"
+
+  /** Product-quantization top-k (asymmetric distance): vectors are encoded
+    * as `m` one-byte centroid ids — 8 bytes instead of 256 for a 64-dim
+    * float32 vector, the standard 100 TB-scale memory ladder below SQ8's
+    * 4× (s5) — and queries score EXACT query × quantized corpus by inner
+    * product against the code reconstruction (ADC), so compression costs
+    * corpus-side memory only, not query precision.
+    *
+    * Scale shape: training = `m` independent k-means fits on one capped,
+    * materialized sample (bounded driver iteration, like [[annIvf]]);
+    * encode = one zero-shuffle map pass with the codebook tensor as a
+    * single reference object ([[graft.functions.PqEncode]] — constant
+    * codegen size in m·k, same engineering as [[graft.functions.CentroidExprs]]);
+    * scoring = broadcast queries × streamed code scan, decode once per
+    * corpus row. Production composes this with [[annIvf]]'s cell routing
+    * (IVFADC); here the flat scan keeps the oracle exact.
+    *
+    * Oracle: fitted codebooks are dumped and DuckDB replays encode
+    * (three-dot-product distance expansion, associated EXACTLY as the
+    * kernel computes it, ties to the smaller code), reconstruction, and
+    * ADC scoring from the same constants — see [[pqOracleSql]]. Recall vs
+    * the float ranking is spec-measured (SimilaritySpec). */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
+    val subDim = Dim / m
+    val emb = t(spark, dir, "embeddings")
+    // one capped training sample, materialized once for all m fits
+    // (repartition, not coalesce: limit() exchanges to a single partition)
+    val trainEmb = materialize(
+      emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
+    // the m fits are independent subproblems on disjoint dimension slices:
+    // submit them concurrently (Spark's scheduler interleaves the jobs) —
+    // wall-clock ~one fit instead of m. Few iterations suffice for an
+    // 8-dim 16-code quantizer, and fit quality only shifts recall; the
+    // oracle replays whatever codebooks were fitted.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cbs: Array[Array[Array[Double]]] = Await.result(
+      Future.sequence((0 until m).map { s => Future {
+        new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(trainEmb.select(
+            array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
+          .clusterCenters.map(_.toArray)
+      } }), Duration.Inf).toArray
+    import spark.implicits._
+    cbs.zipWithIndex.toSeq
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) } }
+      .toDF("m", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(PqCodebookDump)
+    import graft.functions.PqExprs.{pq_decode, pq_encode}
+    // the PQ index: m ints per row after one zero-shuffle encode pass
+    val coded = emb.select(col("vec_id").as("nb_id"),
+      pq_encode(col("embedding"), cbs).as("codes"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id").asc)
+    coded.join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("score", vec_dot(col("qa"), pq_decode(col("codes"), cbs)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("score"), 4).as("adc"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[pqTopK]]: reads the dumped codebooks and
+    * replays subspace assignment (same distance association, same
+    * tie-break), reconstruction (`flatten` in subspace order ≡ the decode
+    * kernel's concatenation), and the ADC inner product. */
+  def pqOracleSql(nQueries: Int = 10, k: Int = 5, m: Int = PqSubspaces): String = {
+    val subDim = Dim / m
+    s"""WITH cb AS (SELECT m, code, list_transform(cent, x -> CAST(x AS DOUBLE)) AS cent
+       |            FROM read_parquet('$PqCodebookDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | sub AS (SELECT vec_id, r.m AS m, emb[r.m*$subDim+1:r.m*$subDim+$subDim] AS sv
+       |         FROM e, range(0, $m) r(m)),
+       | d2 AS (SELECT s.vec_id, s.m, c.code,
+       |         (list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cent))
+       |           + list_dot_product(c.cent, c.cent) AS dist
+       |        FROM sub s JOIN cb c ON s.m = c.m),
+       | asg AS (SELECT vec_id, m, code FROM (
+       |          SELECT vec_id, m, code,
+       |                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |          FROM d2) x WHERE rn = 1),
+       | rec AS (SELECT a.vec_id, flatten(list(c.cent ORDER BY a.m)) AS dec
+       |         FROM asg a JOIN cb c ON a.m = c.m AND a.code = c.code GROUP BY a.vec_id),
+       | p AS (SELECT q.vec_id AS q_id, r.vec_id AS nb_id, list_dot_product(q.emb, r.dec) AS score
+       |       FROM e q JOIN rec r ON r.vec_id != q.vec_id WHERE q.vec_id < $nQueries),
+       | rk AS (SELECT q_id, nb_id, round(score, 4) AS adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, nb_id, adc, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
     * hyperplane bucketing exactly, with the plane constants inlined as
     * DOUBLE literals (shortest-roundtrip formatting, so both engines see

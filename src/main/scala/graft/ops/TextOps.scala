@@ -257,6 +257,74 @@ object TextOps {
         round(col("best.hits").cast(DoubleType) / col("n_tok"), 4).as("conf"))
   }
 
+  /** PII patterns, restricted (like [[BpeTokenRe]]) to constructs whose
+    * semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded repetition, `\b`/`\d` — no lookaround, no
+    * backreferences (RE2 has neither). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction — the standard pre-training privacy pass
+    * (emails, phone numbers, IPv4 addresses → typed placeholder tokens),
+    * with per-document match counts for the curation report. Pure row-local
+    * regex work: a single map pass, zero shuffle, codegen'd `RegExpReplace`
+    * / `RegExpExtractAll` — embarrassingly parallel at any corpus size.
+    * Masking order (email → phone → ip) is fixed and mirrored in the
+    * oracle, so overlapping-class inputs cannot produce engine-dependent
+    * output. */
+  def piiMask(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast(LongType).as("n_phone"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).cast(LongType).as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+
+  /** Deterministic PII injection for the correctness gate: the synthetic
+    * corpus carries no real emails/phones/IPs, so the t11 gate appends
+    * reproducible ones derived from `doc_id` (same expression in the DuckDB
+    * oracle) — otherwise the redaction path would be tested on a corpus
+    * where it never fires. Every doc gains one email, one phone, one IP;
+    * every third doc a second email — so counts vary and the redacted text
+    * hash-checks every substitution. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com via 10."),
+      col("doc_id") % 256, lit(".0."), col("doc_id") % 100,
+      lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" alt u"), col("doc_id"), lit("@x2.example.org")))
+        .otherwise(lit(""))))
+
+  /** DuckDB oracle twin of [[withSyntheticPii]] ∘ [[piiMask]], built from
+    * the same regex constants (single source, no drift). RE2 string
+    * literals keep backslashes literal, so the Scala pattern embeds
+    * verbatim; `'g'` makes `regexp_replace` global like Spark's. */
+  def piiMaskOracleSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com via 10.' ||
+       |  CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+       |  ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN ' alt u' || CAST(doc_id AS VARCHAR) || '@x2.example.org'
+       |       ELSE '' END AS t
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+       | CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       | regexp_replace(regexp_replace(regexp_replace(t,
+       |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS redacted
+       |FROM p""".stripMargin
+
   /** Winnowing fingerprint (MOSS-style): rolling polynomial hash over
     * character k-grams, minimum hash per sliding window, document
     * fingerprint = set of window minima; returned here as the overall

@@ -136,6 +136,56 @@ object EventStreams {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Stream-STREAM interval join under the oracle gate — the attribution
+    * shape: each purchase joined to the same user's clicks in the
+    * preceding `windowMin` minutes. Both sides are streams with watermarks
+    * and the join predicate carries an event-time RANGE over the
+    * watermarked columns, so Spark plans a StreamingSymmetricHashJoin
+    * whose per-side buffered state is evicted as the watermark passes —
+    * bounded state on an unbounded stream, the property that distinguishes
+    * this from a stream-static enrich (e3). Joined rows emit append-mode;
+    * the gate aggregates pairs per user and the batch twin
+    * ([[intervalJoinOracleSql]]) replays the same interval self-join.
+    * (Events are µs-grain, and the stream reader truncates ns→µs exactly,
+    * so the interval boundary comparisons agree with the ns-native batch
+    * oracle bit-for-bit.) */
+  def intervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
+    val name = s"stream_ivjoin_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks"),
+        count_distinct(col("p_id")).as("n_purchases"))
+  }
+
+  /** DuckDB oracle twin of [[intervalJoinOnce]] (batch ≡ fully-drained
+    * append stream for an inner join). */
+  def intervalJoinOracleSql(windowMin: Int = 30): String =
+    s"""SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+       | CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases
+       |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts >= p.ts - INTERVAL $windowMin MINUTE
+       | AND c.ts <= p.ts
+       |GROUP BY 1""".stripMargin
+
   // ---------------- stateful sessionization ----------------
 
   final case class Ev(user_id: Long, ts: Timestamp)

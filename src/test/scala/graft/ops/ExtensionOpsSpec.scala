@@ -95,6 +95,66 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // clustered embeddings nprobe/nlist shrinks dramatically
   }
 
+  test("pq: encode/decode kernels are exact on codebook-aligned vectors and codegen'd") {
+    import graft.functions.PqExprs.{pq_decode, pq_encode}
+    // deterministic tiny codebooks: 4 subspaces x 3 codes x 2 dims
+    val cbs = Array.tabulate(4, 3, 2)((m, c, j) => (m * 100 + c * 10 + j).toDouble / 7.0)
+    // build vectors that ARE centroid concatenations -> encode must return
+    // exactly the chosen code pattern and decode must invert it
+    val patterns = Seq(Seq(0, 1, 2, 0), Seq(2, 2, 1, 1), Seq(1, 0, 0, 2))
+    import spark.implicits._
+    val df = patterns.zipWithIndex
+      .map { case (p, i) =>
+        (i.toLong, p.zipWithIndex.flatMap { case (c, m) => cbs(m)(c).map(_.toFloat) }) }
+      .toDF("id", "embedding")
+    val got = df.select(col("id"), pq_encode(col("embedding"), cbs).as("codes"))
+      .withColumn("dec", pq_decode(col("codes"), cbs))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2))).toSeq
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      val (_, codes, dec) = got.find(_._1 == i).get
+      assert(codes == p, s"encode mismatch for $p: $codes")
+      // decode returns the codebook's DOUBLE centroids verbatim (the
+      // float32 rounding of the input affects which code wins, never the
+      // reconstruction values)
+      val want = p.zipWithIndex.flatMap { case (c, m) => cbs(m)(c) }
+      assert(dec == want)
+    }
+    // codegen: the kernels run inside a whole-stage span over a real scan
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val big = spark.range(40).toDF("id").withColumn("embedding",
+        expr("transform(sequence(1, 8), j -> cast(sin(id * 8 + j) as float))"))
+        .select(pq_encode(col("embedding"), cbs).as("codes"))
+        .select(explode(col("codes")).as("c"))
+      assert(big.queryExecution.executedPlan.toString.contains("*(1)"))
+      val cs = big.collect().map(_.getInt(0))
+      assert(cs.length == 160 && cs.forall(c => c >= 0 && c <= 2))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("pq: ADC ranking tracks the exact dot-product ranking") {
+    import graft.functions.VectorExprs.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("nb_id").asc)
+    val exact = emb.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("s", vec_dot(col("qa"), col("ea")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random gaussian 64-dim data is PQ's worst case (no cluster structure,
+    // 8 subspaces x 16 codes = 32x compression — measured ~0.16 recall@5
+    // here vs a ~0.0025 chance rate, i.e. ~60x above random): the bar
+    // asserts the ADC signal is real, not that the toy configuration is
+    // production-tuned (production uses 16-32 subspaces and 256 codes)
+    assert(recall >= 0.08, s"recall $recall")
+  }
+
   test("sq8: codes bounded to [-127,127], tinyint kernel exact, ranking tracks float cosine") {
     import graft.functions.VectorExprs.vec_cosine
     val emb = Tables.t(spark, dir, "embeddings")

@@ -38,6 +38,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("c5: quota rank-filter pushes through the window as WindowGroupLimit") {
+    val p = plan("c5_quota_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   // ---- executed-plan scan counts (AQE ON — the driver/Bench default) ----
   //
   // Multi-consumer operators must not re-execute their heavy input pipeline
@@ -88,17 +93,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // equi-join-only
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
-        "e4_stream_sessions", "e5_stream_sessions_wm")) // streaming: no batch plan
+        "e4_stream_sessions", "e5_stream_sessions_wm",
+        "e6_stream_ivjoin")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk", "t9_bm25"),
+    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk", "s7_pq_topk", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders")
-    // s1/s5 are the EXACT brute-force baselines (float and int8-quantized):
-    // a query×corpus comparison is definitionally all-pairs, implemented as
-    // a broadcast nested loop of the 10-row query side — the approximate
-    // paths (s2/s3/s4) exist precisely to avoid this shape at scale.
+    // s1/s5/s7 are flat query×corpus scans (float, int8-quantized, and
+    // PQ-compressed): definitionally all-pairs, implemented as a broadcast
+    // nested loop of the 10-row query side — the approximate paths
+    // (s2/s3/s4) exist precisely to avoid this shape at scale (s7's
+    // production composition is IVFADC: s4's cell routing over PQ codes).
     // t9 cross-joins a broadcast ONE-ROW global-stats aggregate (n_docs,
     // avglen) onto every term row — a 1-row BNLJ is the standard way to
     // attach corpus constants and is shuffle-free at any scale
