@@ -86,6 +86,7 @@ object SparkEntry {
     // injected emails/phones/IPs (same injection in the oracle)
     "t11_pii" -> ((s, d) =>
       TextOps.piiMask(TextOps.withSyntheticPii(Tables.t(s, d, "documents")))),
+    "t12_unigram_lp" -> ((s, d) => TextOps.unigramLogProb(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -280,6 +281,7 @@ object SparkEntry {
     "t9_bm25" -> TextOps.bm25OracleSql(),
     "t10_repetition" -> TextOps.repetitionOracleSql,
     "t11_pii" -> TextOps.piiMaskOracleSql,
+    "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),

@@ -325,6 +325,52 @@ object TextOps {
        |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS redacted
        |FROM p""".stripMargin
 
+  /** Unigram language-model scoring — the cheap, self-contained stand-in
+    * for the perplexity filter of CCNet-family pipelines: a unigram LM
+    * with add-one smoothing is fitted on the corpus itself in ONE
+    * token-keyed aggregation, and every document is scored by its mean
+    * token log-probability (monotone in perplexity: lp = −ln(ppl)).
+    * Documents full of corpus-typical tokens score high; rare-token noise
+    * scores low — the signal the real filter thresholds on.
+    *
+    * Scale shape: corpus term frequencies are one map-side-combined
+    * aggregation; the corpus constants (total tokens, vocab size) are a
+    * broadcast one-row join; scoring joins tokens to the frequency table
+    * (token-keyed shuffle — broadcast the table instead when the vocab
+    * fits, as it does for most natural-language corpora) and reduces per
+    * document. No driver state, no iteration.
+    *
+    * Cross-engine: each token's ln rounds to DECIMAL(18,8) before the
+    * per-document sum, so the reduction is order-insensitive and exact in
+    * both engines (the same discipline as every dsum aggregate; the 1-ulp
+    * `ln` risk is absorbed by the 8-decimal rounding, as with t9's idf). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toksOf = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val tf = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"),
+      count(lit(1)).cast(DoubleType).as("vocab"))
+    val tokLp = log((col("cnt").cast(DoubleType) + lit(1.0)) / (col("total") + col("vocab")))
+      .cast(DecimalType(18, 8))
+    toksOf.join(tf, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(tokLp).cast(DoubleType) / count(lit(1)), 4).as("lp"))
+  }
+
+  /** DuckDB oracle twin of [[unigramLogProb]] — same smoothing, same
+    * per-token decimal rounding, same exact sum (HUGEINT-safe casts). */
+  def unigramLogProbOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       | tf AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       | st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM tf),
+       | lp AS (SELECT t.doc_id,
+       |         CAST(ln((CAST(tf.cnt AS DOUBLE) + 1.0) / (st.total + st.vocab)) AS DECIMAL(18,8)) AS l
+       |        FROM t JOIN tf USING (tok), st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |       round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS lp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Winnowing fingerprint (MOSS-style): rolling polynomial hash over
     * character k-grams, minimum hash per sliding window, document
     * fingerprint = set of window minima; returned here as the overall

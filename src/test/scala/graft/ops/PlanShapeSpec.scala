@@ -99,15 +99,17 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk", "s7_pq_topk", "t9_bm25"),
+    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk", "s7_pq_topk",
+      "t12_unigram_lp", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders")
     // s1/s5/s7 are flat query×corpus scans (float, int8-quantized, and
     // PQ-compressed): definitionally all-pairs, implemented as a broadcast
     // nested loop of the 10-row query side — the approximate paths
     // (s2/s3/s4) exist precisely to avoid this shape at scale (s7's
     // production composition is IVFADC: s4's cell routing over PQ codes).
-    // t9 cross-joins a broadcast ONE-ROW global-stats aggregate (n_docs,
-    // avglen) onto every term row — a 1-row BNLJ is the standard way to
-    // attach corpus constants and is shuffle-free at any scale
+    // t9/t12 cross-join a broadcast ONE-ROW global-stats aggregate
+    // (n_docs+avglen / total+vocab) onto every term row — a 1-row BNLJ is
+    // the standard way to attach corpus constants and is shuffle-free at
+    // any scale
   }
 }
