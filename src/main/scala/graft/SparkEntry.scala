@@ -56,6 +56,7 @@ object SparkEntry {
     "a7_n5_pipeline" -> (ArrayOps.a7_n5_pipeline _),
     "a8_zorder" -> (ArrayOps.a8_zorder _),
     "a9_zarr3_pipeline" -> (ArrayOps.a9_zarr3_pipeline _),
+    "a10_zarr3_sharded" -> (ArrayOps.a10_zarr3_sharded _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -272,6 +273,7 @@ object SparkEntry {
     "a7_n5_pipeline" -> ArrayOps.a7OracleSql,
     "a8_zorder" -> ArrayOps.a8OracleSql,
     "a9_zarr3_pipeline" -> ArrayOps.a9OracleSql,
+    "a10_zarr3_sharded" -> ArrayOps.a10OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "t7_split" -> Corpus.splitAssignOracleSql(),

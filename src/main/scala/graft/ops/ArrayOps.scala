@@ -206,6 +206,27 @@ object ArrayOps {
 
   def a9OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a9")
 
+  /** SHARDED zarr v3 end-to-end (`sharding_indexed` — the petavoxel
+    * layout): create a sharded array (one stored object per 2×2×2 inner
+    * chunks, gzip inner chain, CRC32C'd offset index), ingest through the
+    * shard-grouped write path, reopen and aggregate the distributed voxel
+    * view — reads go index + ranged-GET per inner chunk. Same oracle shape
+    * as a9. */
+  def a10_zarr3_sharded(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.Zarr3
+    import graft.volume.VoxelBuffer
+    val root = java.nio.file.Files.createTempDirectory("graft-a10").toString
+    val vol = Zarr3.createSharded(spark, root, shape = (20, 12, 8),
+      shardShape = (16, 8, 4), innerChunks = (8, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 24, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, Zarr3.open(spark, root).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a10")
+  }
+
+  def a10OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a10")
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

@@ -198,7 +198,7 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
         c.sliceAt(cx, cy, cz, query).map { s =>
           val buf =
             if (skipFetch) null
-            else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+            else c.fetchChunk(fs, s) match {
               case Some(blob) =>
                 mChunks.add(1); mBytes.add(blob.length)
                 c.decodeChunk(s, blob)
@@ -331,7 +331,7 @@ final case class VoxelScanExec(ctx: VolumeCtx, box: Box, output: Seq[Attribute])
         c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
           val bufOpt =
             if (skipFetch) None
-            else ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+            else c.fetchChunk(fs, s) match {
               case Some(blob) =>
                 mChunks.add(1); mBytes.add(blob.length)
                 Some(c.decodeChunk(s, blob))

@@ -35,10 +35,16 @@ object Zarr3 {
 
   final case class Zarr3Meta(
       shape: (Int, Int, Int), // (x, y, z) after axis mapping
-      chunks: (Int, Int, Int),
+      chunks: (Int, Int, Int), // outer grid unit: the chunk, or the SHARD when sharded
       dataType: VoxelType,
-      encoding: String, // this engine's codec name
-      keyStyle: String) // zarr3-c | zarr3-c2
+      encoding: String, // this engine's codec name (the inner chain when sharded)
+      keyStyle: String, // zarr3-c | zarr3-c2 | zarr3-shard
+      /** `sharding_indexed`: inner chunk shape (x, y, z) + index framing.
+        * `chunks` is then the shard shape; the engine's addressable unit is
+        * the inner chunk. */
+      innerChunks: Option[(Int, Int, Int)] = None,
+      indexCrc: Boolean = true,
+      indexAtEnd: Boolean = true)
 
   private val DtypeNames: Map[String, VoxelType] = Map(
     "bool" -> Meta.TBool, "uint8" -> Meta.TUInt8, "uint16" -> Meta.TUInt16,
@@ -126,24 +132,63 @@ object Zarr3 {
         throw new IllegalArgumentException(s"zarr3: unsupported data_type '$s'"))
       case other => throw new IllegalArgumentException(s"zarr3: missing data_type: $other")
     }
-    val enc = encodingOf(j \ "codecs")
-    // the bytes codec is C-order (last dim fastest): name d_last → x, zero transpose
-    if (dims.length == 3)
-      Zarr3Meta((dims(2), dims(1), dims(0)), (cdims(2), cdims(1), cdims(0)), dt, enc, "zarr3-c")
-    else
-      Zarr3Meta((dims(1), dims(0), 1), (cdims(1), cdims(0), 1), dt, enc, "zarr3-c2")
+    // sharding_indexed wraps the whole chain: the outer grid unit becomes
+    // the SHARD and the codec's configuration carries the inner chunk
+    // shape, the inner codec chain, and the index framing
+    (j \ "codecs") match {
+      case JArray(chain @ (head :: _)) if codecName(head) == "sharding_indexed" =>
+        require(chain.lengthCompare(1) == 0,
+          "zarr3: sharding_indexed must be the only array->bytes codec in the chain")
+        require(dims.length == 3, "zarr3: sharded 2-d arrays unsupported (3-d only)")
+        val cfg = head \ "configuration"
+        val idims = ints(cfg \ "chunk_shape", "sharding chunk_shape")
+        require(idims.length == 3, "zarr3: sharding chunk_shape rank mismatch")
+        (0 until 3).foreach { d =>
+          require(idims(d) > 0 && cdims(d) % idims(d) == 0,
+            s"zarr3: shard shape $cdims not a multiple of inner chunk shape $idims")
+        }
+        val innerEnc = encodingOf(cfg \ "codecs")
+        val idxCodecs = (cfg \ "index_codecs") match {
+          case JArray(ics) => ics.map(codecName)
+          case JNothing | JNull => List("bytes", "crc32c") // spec default
+          case other => throw new IllegalArgumentException(s"zarr3: malformed index_codecs $other")
+        }
+        val crc = idxCodecs match {
+          case List("bytes") => false
+          case List("bytes", "crc32c") => true
+          case other => throw new IllegalArgumentException(
+            s"zarr3: index_codecs $other unsupported ([bytes] or [bytes, crc32c])")
+        }
+        val atEnd = (cfg \ "index_location") match {
+          case JString("end") | JNothing | JNull => true
+          case JString("start") => false
+          case other => throw new IllegalArgumentException(s"zarr3: index_location $other unsupported")
+        }
+        Zarr3Meta((dims(2), dims(1), dims(0)), (cdims(2), cdims(1), cdims(0)), dt,
+          innerEnc, "zarr3-shard",
+          innerChunks = Some((idims(2), idims(1), idims(0))),
+          indexCrc = crc, indexAtEnd = atEnd)
+      case codecs =>
+        val enc = encodingOf(codecs)
+        // the bytes codec is C-order (last dim fastest): name d_last → x, zero transpose
+        if (dims.length == 3)
+          Zarr3Meta((dims(2), dims(1), dims(0)), (cdims(2), cdims(1), cdims(0)), dt, enc, "zarr3-c")
+        else
+          Zarr3Meta((dims(1), dims(0), 1), (cdims(1), cdims(0), 1), dt, enc, "zarr3-c2")
+    }
   }
 
   /** Serialize array metadata to a `zarr.json` document (3-d only — 2-d
     * stores are read-supported). */
   def toZarrJson(m: Zarr3Meta): String = {
-    require(m.keyStyle == "zarr3-c", s"zarr3: cannot serialize key style ${m.keyStyle}")
+    require(m.keyStyle == "zarr3-c" || m.keyStyle == "zarr3-shard",
+      s"zarr3: cannot serialize key style ${m.keyStyle}")
     val shape = List(m.shape._3, m.shape._2, m.shape._1)
     val chunks = List(m.chunks._3, m.chunks._2, m.chunks._1)
     val dtype = DtypeNames.collectFirst { case (n, t) if t == m.dataType => n }.get
     val bytesCodec: JValue = JObject("name" -> JString("bytes"),
       "configuration" -> JObject("endian" -> JString("little")))
-    val codecs = m.encoding match {
+    val innerCodecs = m.encoding match {
       case "identity" => List(bytesCodec)
       case "gzip" => List(bytesCodec, JObject("name" -> JString("gzip"),
         "configuration" -> JObject("level" -> JInt(6))))
@@ -152,6 +197,17 @@ object Zarr3 {
           "shuffle" -> JString(if (m.dataType.byteSize > 1) "shuffle" else "noshuffle"),
           "typesize" -> JInt(m.dataType.byteSize))))
       case other => throw new IllegalArgumentException(s"zarr3: cannot serialize encoding $other")
+    }
+    val codecs = m.innerChunks match {
+      case None => innerCodecs
+      case Some((ix, iy, iz)) =>
+        List(JObject("name" -> JString("sharding_indexed"),
+          "configuration" -> JObject(
+            "chunk_shape" -> JArray(List(iz, iy, ix).map(JInt(_))),
+            "codecs" -> JArray(innerCodecs),
+            "index_codecs" -> JArray(bytesCodec ::
+              (if (m.indexCrc) List(JObject("name" -> JString("crc32c"))) else Nil)),
+            "index_location" -> JString(if (m.indexAtEnd) "end" else "start"))))
     }
     val obj = JObject(
       "zarr_format" -> JInt(3),
@@ -169,15 +225,27 @@ object Zarr3 {
 
   private def volumeMetaOf(z: Zarr3Meta): VolumeMeta =
     VolumeMeta("image", z.dataType, 1, Vector(ScaleMeta(
-      key = "", chunkSize = z.chunks, encoding = z.encoding,
+      // the engine's addressable unit: the inner chunk when sharded
+      key = "", chunkSize = z.innerChunks.getOrElse(z.chunks), encoding = z.encoding,
       resolution = (1.0, 1.0, 1.0), size = z.shape, voxelOffset = (0, 0, 0))))
 
-  /** Open a zarr v3 array as a [[Volume]] (full engine surface). */
+  private def shardParamsOf(z: Zarr3Meta): Option[graft.core.Shard.Params] =
+    z.innerChunks.map { case (ix, iy, iz) =>
+      graft.core.Shard.Params(z.chunks._1 / ix, z.chunks._2 / iy, z.chunks._3 / iz,
+        crc32c = z.indexCrc, indexAtEnd = z.indexAtEnd)
+    }
+
+  private def volumeOf(spark: SparkSession, root: String, z: Zarr3Meta,
+      fillMissing: Boolean): Volume =
+    new Volume(spark, root, volumeMetaOf(z), mip = 1, fillMissing = fillMissing,
+      keyStyle = z.keyStyle, padEdgeChunks = true, shard = shardParamsOf(z))
+
+  /** Open a zarr v3 array as a [[Volume]] (full engine surface), sharded
+    * (`sharding_indexed`) or per-chunk. */
   def open(spark: SparkSession, root: String, fillMissing: Boolean = true): Volume = {
     val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
     val z = parseZarrJson(new String(ChunkStore.read(fs, root, "zarr.json"), "UTF-8"))
-    new Volume(spark, root, volumeMetaOf(z), mip = 1, fillMissing = fillMissing,
-      keyStyle = z.keyStyle, padEdgeChunks = true)
+    volumeOf(spark, root, z, fillMissing)
   }
 
   /** Create a new zarr v3 array: write `zarr.json`, return the handle. */
@@ -187,7 +255,25 @@ object Zarr3 {
     val z = Zarr3Meta(shape, chunks, dataType, encoding, "zarr3-c")
     val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
     ChunkStore.write(fs, root, "zarr.json", toZarrJson(z).getBytes("UTF-8"))
-    new Volume(spark, root, volumeMetaOf(z), mip = 1, fillMissing = fillMissing,
-      keyStyle = z.keyStyle, padEdgeChunks = true)
+    volumeOf(spark, root, z, fillMissing)
+  }
+
+  /** Create a SHARDED zarr v3 array (`sharding_indexed`): `shardShape`
+    * voxels per stored object, `innerChunks` voxels per addressable unit.
+    * Sharding is the petavoxel layout — object count shrinks by the
+    * shard/chunk volume ratio while reads stay inner-chunk-granular via
+    * ranged GETs against the shard index. */
+  def createSharded(spark: SparkSession, root: String, shape: (Int, Int, Int),
+      shardShape: (Int, Int, Int), innerChunks: (Int, Int, Int),
+      dataType: VoxelType, encoding: String = "gzip",
+      fillMissing: Boolean = true): Volume = {
+    require(shardShape._1 % innerChunks._1 == 0 && shardShape._2 % innerChunks._2 == 0 &&
+      shardShape._3 % innerChunks._3 == 0,
+      s"zarr3: shard shape $shardShape must be a multiple of inner chunk shape $innerChunks")
+    val z = Zarr3Meta(shape, shardShape, dataType, encoding, "zarr3-shard",
+      innerChunks = Some(innerChunks))
+    val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
+    ChunkStore.write(fs, root, "zarr.json", toZarrJson(z).getBytes("UTF-8"))
+    volumeOf(spark, root, z, fillMissing)
   }
 }

@@ -154,6 +154,30 @@ object ChunkStore {
   def delete(fs: FileSystem, root: String, key: String): Boolean =
     fs.delete(new Path(root, key), false)
 
+  /** Object length, or None if absent — one metadata probe (HEAD). */
+  def lengthOf(fs: FileSystem, root: String, key: String): Option[Long] =
+    try Some(fs.getFileStatus(new Path(root, key)).getLen)
+    catch { case _: FileNotFoundException => None }
+
+  /** Ranged read `[off, off+len)` — the object-store GET-Range primitive
+    * (sharded formats depend on it: fetch an index or one inner chunk
+    * without downloading the shard). Hadoop `seek` + bounded `readFully`
+    * maps to a Range GET on s3a/gs connectors. */
+  def readRange(fs: FileSystem, root: String, key: String, off: Long, len: Int): Array[Byte] = {
+    val p = new Path(root, key)
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new Array[Byte](len)
+        in.seek(off)
+        in.readFully(out, 0, len)
+        out
+      } finally in.close()
+    } catch {
+      case _: FileNotFoundException => throw new MissingChunkException(key)
+    }
+  }
+
   /** Test instrumentation: total `list` invocations. Read-side planning must
     * never list the store (the chunk grid is computed arithmetically, like the
     * reference's ChunkIterators); specs assert this stays flat across scans. */

@@ -33,7 +33,14 @@ final case class VolumeCtx(
       * (partial blobs); zarr v2 stores every chunk FULL-SIZE with padding
       * past the array edge. When true, chunk boxes stay unclamped (decode/
       * encode the full chunk) and only the cutout is volume-clamped. */
-    padEdgeChunks: Boolean = false) {
+    padEdgeChunks: Boolean = false,
+    /** Zarr v3 `sharding_indexed` container: when set, `chunkSize` is the
+      * INNER chunk shape (the engine's addressable unit — grid math,
+      * cutouts, scans, missing-chunk probes all stay inner-chunk-grain) and
+      * the storage object is the SHARD holding a `gx×gy×gz` grid of inner
+      * chunks behind an offset index. Reads are index + ranged GET
+      * ([[graft.core.Shard]]); writes group inner chunks per shard. */
+    shard: Option[graft.core.Shard.Params] = None) {
 
   def codec: Codec.ChunkCodec = Codec.forEncoding(encoding, dataType.byteSize)
 
@@ -46,12 +53,57 @@ final case class VolumeCtx(
     case "zarr-f2" => s"${slice.idx - 1}.${slice.idy - 1}"
     case "zarr3-c" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}" // v3 default encoding
     case "zarr3-c2" => s"c/${slice.idy - 1}/${slice.idx - 1}"
+    // sharded: the LOGICAL inner-chunk key (messages, missing listings);
+    // storage addressing goes through shardKeyOf + the shard index
+    case "zarr3-shard" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}"
     case "n5" => s"${slice.idx - 1}/${slice.idy - 1}/${slice.idz - 1}" // nested grid path, dim order d0/d1/d2
     case other => throw new IllegalArgumentException(s"unknown key style: $other")
   }
 
   def keyOf(slice: ChunkSlice): String =
     if (scaleKey.isEmpty) relKey(slice) else s"$scaleKey/${relKey(slice)}"
+
+  /** Shard-grid coords of an inner chunk (sharded stores only). */
+  def shardCoords(cx: Int, cy: Int, cz: Int): (Int, Int, Int) = {
+    val p = shard.get
+    (Math.floorDiv(cx - 1, p.gx), Math.floorDiv(cy - 1, p.gy), Math.floorDiv(cz - 1, p.gz))
+  }
+
+  /** Storage key of the shard OBJECT holding an inner chunk. */
+  def shardKeyOf(slice: ChunkSlice): String = {
+    val (sx, sy, sz) = shardCoords(slice.idx, slice.idy, slice.idz)
+    val rel = s"c/$sz/$sy/$sx"
+    if (scaleKey.isEmpty) rel else s"$scaleKey/$rel"
+  }
+
+  /** Cell coords of an inner chunk within its shard. */
+  def innerCoords(slice: ChunkSlice): (Int, Int, Int) = {
+    val p = shard.get
+    (Math.floorMod(slice.idx - 1, p.gx), Math.floorMod(slice.idy - 1, p.gy),
+      Math.floorMod(slice.idz - 1, p.gz))
+  }
+
+  /** Stored blob of a chunk: direct object read for per-chunk layouts,
+    * index lookup + ranged GET for sharded stores. */
+  def fetchChunk(fs: org.apache.hadoop.fs.FileSystem, slice: ChunkSlice): Option[Array[Byte]] =
+    shard match {
+      case None => ChunkStore.readOpt(fs, root, keyOf(slice))
+      case Some(p) =>
+        val (wx, wy, wz) = innerCoords(slice)
+        graft.core.Shard.readInner(fs, root, shardKeyOf(slice), p, wx, wy, wz)
+    }
+
+  /** Existence of a chunk without fetching its bytes: one suffix-resolved
+    * probe for per-chunk layouts; a (cached) index lookup for sharded. */
+  def chunkExists(fs: org.apache.hadoop.fs.FileSystem,
+      prober: ChunkStore.SuffixProber, slice: ChunkSlice): Boolean = shard match {
+    case None => prober.resolve(keyOf(slice)).isDefined
+    case Some(p) =>
+      graft.core.Shard.cachedIndex(fs, root, shardKeyOf(slice), p).exists { idx =>
+        val (wx, wy, wz) = innerCoords(slice)
+        idx(p.linear(wx, wy, wz) * 2) != graft.core.Shard.Missing
+      }
+  }
 
   /** Chunk slice for grid coords. Precomputed style: volume-stop clamping
     * like adjust_volume_boundary (reference: src/type.jl:165-205); padded
@@ -119,13 +171,14 @@ final class Volume(
     val mip: Int = 1,
     val fillMissing: Boolean = true,
     val keyStyle: String = "precomputed",
-    val padEdgeChunks: Boolean = false) extends Serializable {
+    val padEdgeChunks: Boolean = false,
+    val shard: Option[graft.core.Shard.Params] = None) extends Serializable {
 
   val scaleMeta: ScaleMeta = meta.scale(mip)
 
   val ctx: VolumeCtx = VolumeCtx(root, scaleMeta.key, scaleMeta.chunkSize,
     scaleMeta.voxelOffset, scaleMeta.volumeBox, meta.dataType, meta.numChannels,
-    scaleMeta.encoding, fillMissing, keyStyle, padEdgeChunks)
+    scaleMeta.encoding, fillMissing, keyStyle, padEdgeChunks, shard)
 
   private def hconf = new ChunkStore.SerializableConf(
     ChunkStore.storeConf(spark.sessionState.newHadoopConf(), root, ctx.codec.name))
@@ -165,7 +218,7 @@ final class Volume(
       val fs = ChunkStore.fs(c.root, conf.conf)
       it.flatMap { case (cx, cy, cz) =>
         c.sliceAt(cx, cy, cz, query).flatMap { s =>
-          ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+          c.fetchChunk(fs, s) match {
             case Some(blob) =>
               val chunk = c.decodeChunk(s, blob)
               val piece = chunk.slice(s.cutoutBox)
@@ -223,7 +276,7 @@ final class Volume(
       val fs = ChunkStore.fs(c.root, conf.conf)
       it.flatMap { case (cx, cy, cz) =>
         c.sliceAt(cx, cy, cz, query).toSeq.flatMap { s =>
-          val bufOpt = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
+          val bufOpt = c.fetchChunk(fs, s) match {
             case Some(blob) => Some(c.decodeChunk(s, blob))
             case None if c.fillMissing => None
             case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
@@ -280,34 +333,75 @@ final class Volume(
     require(buf.dataType == meta.dataType, "dtype mismatch")
     val c = ctx; val conf = hconf
     val bufBc = spark.sparkContext.broadcast(buf)
-    val written = chunkTasks(q).as(Encoders.product[(Int, Int, Int)]).mapPartitions({ it =>
-      val fs = ChunkStore.fs(c.root, conf.conf)
-      val b = bufBc.value
-      it.flatMap { case (cx, cy, cz) =>
-        c.sliceAt(cx, cy, cz, q).map { s =>
-          // the stored blob must always cover the volume-clamped chunk box
-          // (that's the shape the read path reconstructs from the key). A
-          // chunk only partially covered by the write box is read-modify-
-          // written so existing data outside the write box survives.
-          val cb = s.chunkBox
-          val covered = cb.intersect(b.box)
-          val chunkBuf =
-            if (covered == cb) b.slice(cb)
-            else {
-              val merged = ChunkStore.readOpt(fs, c.root, c.keyOf(s)) match {
-                case Some(blob) => c.decodeChunk(s, blob)
-                case None => VoxelBuffer.zeros(c.dataType, cb.x.len, cb.y.len, cb.z.len,
-                  c.numChannels, (cb.x.lo, cb.y.lo, cb.z.lo))
-              }
-              merged.blit(b, covered)
-              merged
-            }
-          ChunkStore.write(fs, c.root, c.keyOf(s), c.encodeChunk(chunkBuf))
-          1
+    /** Encoded bytes for one chunk of the write, read-modify-merged when the
+      * write box only partially covers it (so existing data survives). The
+      * stored blob must always cover the chunk box — that's the shape the
+      * read path reconstructs from the grid. */
+    def encodeCovered(fs: org.apache.hadoop.fs.FileSystem, b: VoxelBuffer,
+        s: Grid.ChunkSlice): Array[Byte] = {
+      val cb = s.chunkBox
+      val covered = cb.intersect(b.box)
+      val chunkBuf =
+        if (covered == cb) b.slice(cb)
+        else {
+          val merged = c.fetchChunk(fs, s) match {
+            case Some(blob) => c.decodeChunk(s, blob)
+            case None => VoxelBuffer.zeros(c.dataType, cb.x.len, cb.y.len, cb.z.len,
+              c.numChannels, (cb.x.lo, cb.y.lo, cb.z.lo))
+          }
+          merged.blit(b, covered)
+          merged
         }
-      }
-    })(Encoders.scalaInt)
-    written.count() // force the job
+      c.encodeChunk(chunkBuf)
+    }
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val written = c.shard match {
+      case None =>
+        chunkTasks(q).as(taskEnc).mapPartitions({ it =>
+          val fs = ChunkStore.fs(c.root, conf.conf)
+          val b = bufBc.value
+          it.flatMap { case (cx, cy, cz) =>
+            c.sliceAt(cx, cy, cz, q).map { s =>
+              ChunkStore.write(fs, c.root, c.keyOf(s), encodeCovered(fs, b, s))
+              1
+            }
+          }
+        })(Encoders.scalaInt)
+      case Some(p) =>
+        // sharded: ALL inner chunks of one shard object must be written
+        // together (per-cell writes would clobber each other), so tasks
+        // group by shard key — one assembled PUT per shard, inner cells
+        // untouched by the write preserved from the existing object
+        chunkTasks(q).as(taskEnc)
+          .groupByKey { case (cx, cy, cz) => c.shardCoords(cx, cy, cz) }(taskEnc)
+          .mapGroups({ (_: (Int, Int, Int), cells: Iterator[(Int, Int, Int)]) =>
+            val fs = ChunkStore.fs(c.root, conf.conf)
+            val b = bufBc.value
+            var shardKey: String = null
+            var inner = Map.empty[Int, Array[Byte]]
+            var loadedExisting = false
+            var n = 0
+            cells.foreach { case (cx, cy, cz) =>
+              c.sliceAt(cx, cy, cz, q).foreach { s =>
+                if (!loadedExisting) {
+                  shardKey = c.shardKeyOf(s)
+                  inner = ChunkStore.readOpt(fs, c.root, shardKey)
+                    .map(graft.core.Shard.parseAll(p, _)).getOrElse(Map.empty)
+                  loadedExisting = true
+                }
+                val (wx, wy, wz) = c.innerCoords(s)
+                inner += (p.linear(wx, wy, wz) -> encodeCovered(fs, b, s))
+                n += 1
+              }
+            }
+            if (shardKey != null) {
+              ChunkStore.write(fs, c.root, shardKey, graft.core.Shard.build(p, inner))
+              graft.core.Shard.invalidate(c.root, shardKey)
+            }
+            n
+          })(Encoders.scalaInt)
+    }
+    written.toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head // force the job
     bufBc.destroy()
   }
 
@@ -339,28 +433,67 @@ final class Volume(
         col("x").cast(IntegerType), col("y").cast(IntegerType), col("z").cast(IntegerType),
         col("c").cast(IntegerType), vLong.as("vl"), vDbl.as("vd"))
     implicit val enc = Encoders.product[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]
-    val keyed = prepared.as[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]
-      .groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }(Encoders.product[(Int, Int, Int)])
-    val results = keyed.mapGroups((key: (Int, Int, Int), voxels: Iterator[(Int, Int, Int, Int, Int, Int, Int, Long, Double)]) => {
-      val (cx, cy, cz) = key
-      val fs = ChunkStore.fs(c.root, conf.conf)
-      // whole-box query so sliceAt clamps to the volume only
-      c.sliceAt(cx, cy, cz, c.volumeBox) match {
-        case Some(s) =>
-          val b = s.chunkBox
-          val chunkBuf = VoxelBuffer.zeros(c.dataType, b.x.len, b.y.len, b.z.len,
-            c.numChannels, (b.x.lo, b.y.lo, b.z.lo))
-          voxels.foreach { case (_, _, _, x, y, z, ch, vl, vd) =>
-            if (b.x.contains(x) && b.y.contains(y) && b.z.contains(z)) {
-              if (isFloat) chunkBuf.setDouble(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vd)
-              else chunkBuf.setLong(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vl)
-            }
-          }
-          ChunkStore.write(fs, c.root, c.keyOf(s), c.encodeChunk(chunkBuf))
-          1L
-        case None => 0L
+    type Vox = (Int, Int, Int, Int, Int, Int, Int, Long, Double)
+    /** Assemble one whole chunk from its voxels (absent voxels = zero). */
+    def assemble(s: Grid.ChunkSlice, voxels: Iterator[Vox]): VoxelBuffer = {
+      val b = s.chunkBox
+      val chunkBuf = VoxelBuffer.zeros(c.dataType, b.x.len, b.y.len, b.z.len,
+        c.numChannels, (b.x.lo, b.y.lo, b.z.lo))
+      voxels.foreach { case (_, _, _, x, y, z, ch, vl, vd) =>
+        if (b.x.contains(x) && b.y.contains(y) && b.z.contains(z)) {
+          if (isFloat) chunkBuf.setDouble(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vd)
+          else chunkBuf.setLong(x - b.x.lo, y - b.y.lo, z - b.z.lo, ch, vl)
+        }
       }
-    })(Encoders.scalaLong)
+      chunkBuf
+    }
+    val ds = prepared.as[Vox]
+    val results = c.shard match {
+      case None =>
+        ds.groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }(Encoders.product[(Int, Int, Int)])
+          .mapGroups((key: (Int, Int, Int), voxels: Iterator[Vox]) => {
+            val (cx, cy, cz) = key
+            val fs = ChunkStore.fs(c.root, conf.conf)
+            // whole-box query so sliceAt clamps to the volume only
+            c.sliceAt(cx, cy, cz, c.volumeBox) match {
+              case Some(s) =>
+                ChunkStore.write(fs, c.root, c.keyOf(s), c.encodeChunk(assemble(s, voxels)))
+                1L
+              case None => 0L
+            }
+          })(Encoders.scalaLong)
+      case Some(p) =>
+        // sharded: shuffle by SHARD id (the storage unit — a chunk-grain
+        // shuffle would have concurrent tasks clobbering one object), then
+        // assemble each touched inner chunk and rewrite the shard, cells
+        // outside the input preserved from the existing object
+        ds.groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => c.shardCoords(cx, cy, cz) }(
+            Encoders.product[(Int, Int, Int)])
+          .mapGroups((_: (Int, Int, Int), voxels: Iterator[Vox]) => {
+            val fs = ChunkStore.fs(c.root, conf.conf)
+            val byChunk = voxels.toSeq.groupBy { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }
+            var shardKey: String = null
+            var inner = Map.empty[Int, Array[Byte]]
+            var n = 0L
+            byChunk.foreach { case ((cx, cy, cz), vs) =>
+              c.sliceAt(cx, cy, cz, c.volumeBox).foreach { s =>
+                if (shardKey == null) {
+                  shardKey = c.shardKeyOf(s)
+                  inner = ChunkStore.readOpt(fs, c.root, shardKey)
+                    .map(graft.core.Shard.parseAll(p, _)).getOrElse(Map.empty)
+                }
+                val (wx, wy, wz) = c.innerCoords(s)
+                inner += (p.linear(wx, wy, wz) -> c.encodeChunk(assemble(s, vs.iterator)))
+                n += 1
+              }
+            }
+            if (shardKey != null) {
+              ChunkStore.write(fs, c.root, shardKey, graft.core.Shard.build(p, inner))
+              graft.core.Shard.invalidate(c.root, shardKey)
+            }
+            n
+          })(Encoders.scalaLong)
+    }
     // empty-safe sum (reduce throws on an empty Dataset — e.g. every voxel
     // filtered out by the volume-box bounds)
     val total = results.toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
@@ -383,7 +516,7 @@ final class Volume(
         // one existence probe per absent cell, not two
         val prober = new ChunkStore.SuffixProber(fs, c.root)
         it.flatMap { case (cx, cy, cz) =>
-          c.sliceAt(cx, cy, cz, query).filterNot(s => prober.resolve(c.keyOf(s)).isDefined)
+          c.sliceAt(cx, cy, cz, query).filterNot(s => c.chunkExists(fs, prober, s))
             .map(c.relKey)
         }
       }
