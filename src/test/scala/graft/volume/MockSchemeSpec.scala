@@ -59,4 +59,27 @@ class MockSchemeSpec extends AnyFunSuite {
     assert(reopened.missingChunks(Box(1, 32, 1, 32, 1, 4)).collect().toSeq ==
       Seq("16-32_16-32_0-4"))
   }
+
+  test("sharded zarr v3 over a non-file scheme: ranged GETs through FS dispatch") {
+    // the sharded read path is index fetch + ranged read (seek + bounded
+    // readFully — a Range GET on cloud connectors); driving it through the
+    // mock scheme proves those primitives work behind scheme dispatch, not
+    // just through file:// shortcuts
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3a.impl", classOf[Mock3aFileSystem].getName)
+    val local = SparkSuite.tempDir("graft-mock3a-shard")
+    val root = s"mock3a:$local"
+    val vol = graft.sources.Zarr3.createSharded(spark, root, shape = (16, 8, 4),
+      shardShape = (8, 8, 4), innerChunks = (4, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 16, 8, 4, 1, (1, 1, 1))
+    vol.ingest(buf)
+    // two shard objects on the backing disk, no per-chunk objects
+    def files(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) p.listFiles().toSeq.flatMap(files) else Seq(p)
+    assert(files(new java.io.File(local, "c")).length == 2)
+    val reopened = graft.sources.Zarr3.open(spark, root)
+    assert(reopened.cutout(Box(1, 16, 1, 8, 1, 4)) == buf)
+    assert(reopened.missingChunks(Box(1, 16, 1, 8, 1, 4)).collect().isEmpty)
+  }
 }
