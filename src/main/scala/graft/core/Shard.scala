@@ -94,33 +94,36 @@ object Shard {
       parseIndex(p, ChunkStore.readRange(fs, root, key, off, p.indexBytes))
     }
 
-  /** Small per-JVM index cache: cutout/scan tasks touch several inner
-    * chunks of the same shard, and one bounded LRU spares the repeated
-    * index GETs. Writers invalidate their shard's entry; external writers
-    * follow the store's last-writer-wins contract (same as every other
-    * object in the engine). */
-  private val MaxCached = 1024
+  /** TASK-scoped index cache: cutout/scan tasks touch several inner chunks
+    * of the same shard, and caching the index for the task's lifetime
+    * spares the repeated index GETs. Scoping the key to the task attempt
+    * (thread id on the driver) is what makes the cache CORRECT on a
+    * multi-executor cluster: a later task — e.g. a read scheduled after an
+    * ingest that ran on a different executor — always fetches a fresh
+    * index, so the engine's own write-then-read sequences can never see a
+    * stale (or negatively-cached absent) index. Within one task the store
+    * is read at a point in time, the same consistency every object read
+    * already has. `computeIfAbsent` stripes the in-flight fetch per key —
+    * concurrent tasks reading different shards never serialize on a
+    * global lock. */
+  private val MaxCached = 4096
   private val indexCache =
-    new java.util.LinkedHashMap[(String, String), Option[Array[Long]]](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Option[Array[Long]]]): Boolean =
-        size() > MaxCached
-    }
+    new java.util.concurrent.ConcurrentHashMap[(Long, String, String), Option[Array[Long]]]()
 
-  def cachedIndex(fs: FileSystem, root: String, key: String, p: Params): Option[Array[Long]] =
-    indexCache.synchronized {
-      val k = (root, key)
-      val hit = indexCache.get(k)
-      if (hit != null) hit
-      else {
-        val v = readIndex(fs, root, key, p)
-        indexCache.put(k, v)
-        v
-      }
-    }
+  private def taskScope: Long = org.apache.spark.TaskContext.get() match {
+    case null => Thread.currentThread().getId // driver-side calls
+    case tc => tc.taskAttemptId()
+  }
 
-  def invalidate(root: String, key: String): Unit =
-    indexCache.synchronized { indexCache.remove((root, key)) }
+  def cachedIndex(fs: FileSystem, root: String, key: String, p: Params): Option[Array[Long]] = {
+    if (indexCache.size() > MaxCached) indexCache.clear() // bound, rebuilt on demand
+    indexCache.computeIfAbsent((taskScope, root, key), _ => readIndex(fs, root, key, p))
+  }
+
+  def invalidate(root: String, key: String): Unit = {
+    val scope = taskScope
+    indexCache.remove((scope, root, key))
+  }
 
   /** Decompose a fully-read shard blob into its present inner cells
     * (cell → stored bytes) — the read half of a shard rewrite. */

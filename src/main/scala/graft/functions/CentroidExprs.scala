@@ -62,11 +62,19 @@ sealed trait CentroidKernel extends UnaryExpression {
     math.sqrt(nb)
   }
 
-  private def elem(arr: ArrayData, i: Int): Double = elemType match {
-    case FloatType => arr.getFloat(i).toDouble
-    case DoubleType => arr.getDouble(i)
-    case ByteType => arr.getByte(i).toDouble
-    case _ => throw new IllegalStateException(s"unsupported element type $elemType")
+  // hoisted once per expression instance — elem runs (nlist+1)·dim times
+  // per row, a DataType pattern match there is pure hot-loop overhead
+  @transient private lazy val elemTag: Int = elemType match {
+    case FloatType => 0
+    case DoubleType => 1
+    case ByteType => 2
+    case t => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  private def elem(arr: ArrayData, i: Int): Double = elemTag match {
+    case 0 => arr.getFloat(i).toDouble
+    case 1 => arr.getDouble(i)
+    case _ => arr.getByte(i).toDouble
   }
 
   /** All nlist cosine scores for one row, or null on a null element
@@ -111,9 +119,16 @@ sealed trait CentroidKernel extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val self = ctx.addReferenceObj("centroidKernel", this, "graft.functions.CentroidKernel")
       val r = ctx.freshName("r")
+      // when the expression is non-nullable, nullSafeCodeGen never DECLARES
+      // ev.isNull — referencing it would be uncompilable generated Java
+      // (silent interpreted fallback). compute() can only return null for
+      // nullable inputs, so the guard degrades to a defensive throw.
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"non-nullable centroid kernel returned null\");"
       s"""
          |Object $r = $self.compute($a);
-         |if ($r == null) { ${ev.isNull} = true; }
+         |if ($r == null) { $onNull }
          |else { ${ev.value} = ($resultJavaType) $r; }
        """.stripMargin
     })

@@ -45,9 +45,15 @@ sealed trait PqKernel extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val self = ctx.addReferenceObj("pqKernel", this, "graft.functions.PqKernel")
       val r = ctx.freshName("r")
+      // ev.isNull is only DECLARED by nullSafeCodeGen for nullable
+      // expressions — referencing it otherwise is uncompilable generated
+      // Java (silent interpreted fallback); see CentroidKernel.doGenCode
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"non-nullable pq kernel returned null\");"
       s"""
          |Object $r = $self.compute($a);
-         |if ($r == null) { ${ev.isNull} = true; }
+         |if ($r == null) { $onNull }
          |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
        """.stripMargin
     })
@@ -74,13 +80,19 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       s"$prettyName requires array<float> or array<double>, got ${t.simpleString}")
   }
 
+  // hoisted once per expression instance — elem runs m·k·subDim times per
+  // row, a DataType pattern match there is pure hot-loop overhead
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   private def elem(arr: ArrayData, i: Int): Double =
-    child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => arr.getFloat(i).toDouble
-      case _ => arr.getDouble(i)
-    }
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
   override def compute(arr: ArrayData): AnyRef = {
+    // a short row would otherwise read past numElements on UnsafeArrayData
+    // (no bounds check) and emit plausible-looking garbage codes
+    require(arr.numElements() == codebooks.length * subDim,
+      s"pq_encode: expected ${codebooks.length * subDim}-dim vector, got ${arr.numElements()}")
     if (mayHaveNullElems) {
       var i = 0
       while (i < arr.numElements()) {

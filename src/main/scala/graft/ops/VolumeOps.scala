@@ -114,7 +114,9 @@ object VolumeOps {
             val src = Grid.idRanges(tgt, sc.chunkSize, sc.voxelOffset)
             for (sz <- src.loz to src.hiz; sy <- src.loy to src.hiy; sx <- src.lox to src.hix)
               sc.sliceAt(sx, sy, sz, tgt).foreach { ss =>
-                ChunkStore.readOpt(sfs, sc.root, sc.keyOf(ss)) match {
+                // fetchChunk, not readOpt-by-key: on sharded stores the key
+                // is logical and bytes live behind the shard index
+                sc.fetchChunk(sfs, ss) match {
                   case Some(blob) => out.blit(sc.decodeChunk(ss, blob), ss.cutoutBox)
                   case None if sc.fillMissing => () // stays zero
                   // absent in the source AND entirely outside the requested

@@ -336,15 +336,17 @@ final class Volume(
     /** Encoded bytes for one chunk of the write, read-modify-merged when the
       * write box only partially covers it (so existing data survives). The
       * stored blob must always cover the chunk box — that's the shape the
-      * read path reconstructs from the grid. */
-    def encodeCovered(fs: org.apache.hadoop.fs.FileSystem, b: VoxelBuffer,
-        s: Grid.ChunkSlice): Array[Byte] = {
+      * read path reconstructs from the grid. `existing` supplies the stored
+      * blob (None = absent) — sharded callers serve it from the shard
+      * object they already read, never a second ranged GET. */
+    def encodeCovered(b: VoxelBuffer, s: Grid.ChunkSlice,
+        existing: => Option[Array[Byte]]): Array[Byte] = {
       val cb = s.chunkBox
       val covered = cb.intersect(b.box)
       val chunkBuf =
         if (covered == cb) b.slice(cb)
         else {
-          val merged = c.fetchChunk(fs, s) match {
+          val merged = existing match {
             case Some(blob) => c.decodeChunk(s, blob)
             case None => VoxelBuffer.zeros(c.dataType, cb.x.len, cb.y.len, cb.z.len,
               c.numChannels, (cb.x.lo, cb.y.lo, cb.z.lo))
@@ -362,7 +364,8 @@ final class Volume(
           val b = bufBc.value
           it.flatMap { case (cx, cy, cz) =>
             c.sliceAt(cx, cy, cz, q).map { s =>
-              ChunkStore.write(fs, c.root, c.keyOf(s), encodeCovered(fs, b, s))
+              ChunkStore.write(fs, c.root, c.keyOf(s),
+                encodeCovered(b, s, c.fetchChunk(fs, s)))
               1
             }
           }
@@ -390,7 +393,8 @@ final class Volume(
                   loadedExisting = true
                 }
                 val (wx, wy, wz) = c.innerCoords(s)
-                inner += (p.linear(wx, wy, wz) -> encodeCovered(fs, b, s))
+                val cell = p.linear(wx, wy, wz)
+                inner += (cell -> encodeCovered(b, s, inner.get(cell)))
                 n += 1
               }
             }
@@ -463,34 +467,44 @@ final class Volume(
             }
           })(Encoders.scalaLong)
       case Some(p) =>
-        // sharded: shuffle by SHARD id (the storage unit — a chunk-grain
-        // shuffle would have concurrent tasks clobbering one object), then
-        // assemble each touched inner chunk and rewrite the shard, cells
-        // outside the input preserved from the existing object
-        ds.groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => c.shardCoords(cx, cy, cz) }(
+        // sharded: the storage unit is the SHARD object (a chunk-grain
+        // write would have concurrent tasks clobbering one object), but
+        // buffering a whole shard's VOXELS in one task would not survive
+        // production shard sizes. Two stages instead: (1) chunk-grain
+        // groups stream their voxels into encoded inner-chunk blobs —
+        // bounded by ONE chunk buffer per task, same memory contract as
+        // the per-chunk path; (2) shard-grain groups compose the
+        // (compressed, shard-object-sized) blobs and rewrite each shard
+        // once, cells outside the input preserved from the existing
+        // object.
+        implicit val blobEnc = Encoders.product[(Int, Int, Int, Int, Array[Byte])]
+        val encoded = ds
+          .groupByKey { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }(
             Encoders.product[(Int, Int, Int)])
-          .mapGroups((_: (Int, Int, Int), voxels: Iterator[Vox]) => {
+          .flatMapGroups((key: (Int, Int, Int), voxels: Iterator[Vox]) => {
+            val (cx, cy, cz) = key
+            c.sliceAt(cx, cy, cz, c.volumeBox).map { s =>
+              val (sx, sy, sz) = c.shardCoords(cx, cy, cz)
+              val (wx, wy, wz) = c.innerCoords(s)
+              (sx, sy, sz, p.linear(wx, wy, wz), c.encodeChunk(assemble(s, voxels)))
+            }.iterator
+          })
+        encoded
+          .groupByKey { case (sx, sy, sz, _, _) => (sx, sy, sz) }(
+            Encoders.product[(Int, Int, Int)])
+          .mapGroups((sk: (Int, Int, Int), blobs: Iterator[(Int, Int, Int, Int, Array[Byte])]) => {
             val fs = ChunkStore.fs(c.root, conf.conf)
-            val byChunk = voxels.toSeq.groupBy { case (cx, cy, cz, _, _, _, _, _, _) => (cx, cy, cz) }
-            var shardKey: String = null
-            var inner = Map.empty[Int, Array[Byte]]
+            val (sx, sy, sz) = sk
+            val rel = s"c/$sz/$sy/$sx"
+            val shardKey = if (c.scaleKey.isEmpty) rel else s"${c.scaleKey}/$rel"
+            var inner = ChunkStore.readOpt(fs, c.root, shardKey)
+              .map(graft.core.Shard.parseAll(p, _)).getOrElse(Map.empty)
             var n = 0L
-            byChunk.foreach { case ((cx, cy, cz), vs) =>
-              c.sliceAt(cx, cy, cz, c.volumeBox).foreach { s =>
-                if (shardKey == null) {
-                  shardKey = c.shardKeyOf(s)
-                  inner = ChunkStore.readOpt(fs, c.root, shardKey)
-                    .map(graft.core.Shard.parseAll(p, _)).getOrElse(Map.empty)
-                }
-                val (wx, wy, wz) = c.innerCoords(s)
-                inner += (p.linear(wx, wy, wz) -> c.encodeChunk(assemble(s, vs.iterator)))
-                n += 1
-              }
+            blobs.foreach { case (_, _, _, cell, bytes) =>
+              inner += (cell -> bytes); n += 1
             }
-            if (shardKey != null) {
-              ChunkStore.write(fs, c.root, shardKey, graft.core.Shard.build(p, inner))
-              graft.core.Shard.invalidate(c.root, shardKey)
-            }
+            ChunkStore.write(fs, c.root, shardKey, graft.core.Shard.build(p, inner))
+            graft.core.Shard.invalidate(c.root, shardKey)
             n
           })(Encoders.scalaLong)
     }

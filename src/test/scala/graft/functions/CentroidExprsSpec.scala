@@ -64,6 +64,33 @@ class CentroidExprsSpec extends AnyFunSuite {
     assert(kernel == legacy)
   }
 
+  test("NON-NULLABLE input stays codegen'd (generated code must not reference undeclared isNull)") {
+    // regression: nullSafeCodeGen only DECLARES ev.isNull for nullable
+    // expressions; the kernels' null-result guard referenced it
+    // unconditionally, so a provably non-null array child produced
+    // uncompilable generated Java and fell back to interpreted — the exact
+    // failure the kernels exist to avoid
+    val cents = mat(8, 4, 19)
+    val cbs = Array.tabulate(2, 3, 2)((m, c, j) => (m * 10 + c * 3 + j).toDouble / 3.0)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // NOTE: no %, /, or math functions in the lambda — those are nullable
+      // expressions and would defeat the point of the test
+      val df = spark.range(20).toDF("id").withColumn("embedding",
+        expr("transform(sequence(1, 4), j -> cast(id * 4 + j as float))"))
+      val at = df.schema("embedding")
+      assert(!at.nullable && !at.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+        "precondition: the test input must be provably non-nullable")
+      val q = df.select(centroid_argmax(col("embedding"), cents).getField("cluster").as("c"),
+        graft.functions.PqExprs.pq_encode(col("embedding"), cbs).as("codes"))
+      assert(q.queryExecution.executedPlan.toString.contains("*(1)"))
+      val rows = q.collect()
+      assert(rows.length == 20)
+      assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+      assert(rows.forall(r => r.getSeq[Int](1).forall(c => c >= 0 && c < 3)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("nlist=1024 executes inside whole-stage codegen (no interpreted fallback)") {
     val cents = mat(1024, 64, 13)
     // spark.range (not a local Seq) so the projection survives to a real

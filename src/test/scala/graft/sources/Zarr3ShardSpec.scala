@@ -146,6 +146,24 @@ class Zarr3ShardSpec extends AnyFunSuite {
     assert(after.getLong(8, 8, 5, 0) == buf.getLong(8, 8, 5, 0))
   }
 
+  test("rechunk reads sharded sources through the shard index (not zero-filled)") {
+    // regression: rechunk used readOpt-by-key, which is a purely LOGICAL
+    // key on sharded stores — every chunk read None and the destination
+    // silently became all zeros
+    val root = SparkSuite.tempDir("graft-z3shard-rck")
+    val vol = graft.sources.Zarr3.createSharded(spark, root, shape = (16, 8, 4),
+      shardShape = (8, 8, 4), innerChunks = (4, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 16, 8, 4, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val dst = SparkSuite.tempDir("graft-z3shard-rck-dst")
+    val n = graft.ops.VolumeOps.rechunk(
+      graft.sources.Zarr3.open(spark, root), Box(1, 16, 1, 8, 1, 4), dst, (8, 8, 4))
+    assert(n == 2L)
+    val out = graft.volume.Volume.open(spark, dst).cutout(Box(1, 16, 1, 8, 1, 4))
+    assert(out == buf, "rechunked store must carry the source voxels bit-for-bit")
+  }
+
   test("distributed write (fromVoxels) groups by shard; voxels() scans shards") {
     import org.apache.spark.sql.functions._
     val root = SparkSuite.tempDir("graft-z3shard-fv")
