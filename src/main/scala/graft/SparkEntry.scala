@@ -69,6 +69,7 @@ object SparkEntry {
     "s3_embed_dups" -> ((s, d) => Similarity.embeddingDupPairs(s, d, 0.2)),
     "s5_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "s7_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "s8_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -294,6 +295,7 @@ object SparkEntry {
     "s2_ann_lsh" -> Similarity.annLshOracleSql(),
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),
     "s7_pq_topk" -> Similarity.pqOracleSql(),
+    "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

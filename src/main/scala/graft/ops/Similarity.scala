@@ -481,6 +481,129 @@ object Similarity {
        |SELECT q_id, nb_id, adc, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= $k""".stripMargin
   }
 
+  /** Where [[ivfAdcTopK]] dumps its fitted coarse centroids / codebooks. */
+  lazy val IvfAdcCentroidDump: String = s"$OracleDumpRoot/s8_centroids"
+  lazy val IvfAdcCodebookDump: String = s"$OracleDumpRoot/s8_codebooks"
+
+  /** IVFADC — the production composition the [[annIvf]] and [[pqTopK]]
+    * scaladocs both point at, delivered as one operator: a k-means coarse
+    * quantizer routes the corpus into `nlist` cells AND every vector is
+    * product-quantized to `m` one-byte codes, in the SAME zero-shuffle map
+    * pass; a query probes its `nprobe` best cells and reranks only those
+    * cells' members by asymmetric distance against the code
+    * reconstructions. This is the standard billion-vector serving shape:
+    * candidate count bounded by cell routing, memory bounded by PQ
+    * compression (8 B/vector here), the full-precision corpus never
+    * touched after indexing.
+    *
+    * Scale shape: coarse + m codebook fits run CONCURRENTLY on one capped,
+    * materialized sample; index build is one map pass (both kernels carry
+    * their tensors as single codegen reference objects); the only join is
+    * the cell equi-join with the broadcast query→cell table.
+    *
+    * Oracle: both training artifacts dump to parquet and DuckDB replays
+    * routing, probe choice, PQ encode, reconstruction, and ADC rerank from
+    * the same constants ([[ivfAdcOracleSql]]) — the composition of the s4
+    * and s7 replay oracles. */
+  def ivfAdcTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 10, m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
+    val subDim = Dim / m
+    val emb = t(spark, dir, "embeddings")
+    val trainEmb = materialize(
+      emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val coarseF = Future {
+      new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cluster")
+        .fit(trainEmb.select(array_to_vector(col("embedding")).as("fv")))
+        .clusterCenters.map(_.toArray)
+    }
+    val cbF = Future.sequence((0 until m).map { s => Future {
+      new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(trainEmb.select(
+          array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
+        .clusterCenters.map(_.toArray)
+    } })
+    val centMatrix: Array[Array[Double]] = Await.result(coarseF, Duration.Inf)
+    val cbs: Array[Array[Array[Double]]] = Await.result(cbF, Duration.Inf).toArray
+    import spark.implicits._
+    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(IvfAdcCentroidDump)
+    cbs.zipWithIndex.toSeq
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) } }
+      .toDF("m", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(IvfAdcCodebookDump)
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
+    import graft.functions.PqExprs.{pq_decode, pq_encode}
+    // the index: route + compress in ONE map pass — 4 B cluster + m B codes
+    // per vector is all that survives
+    val indexed = emb.select(col("vec_id").as("nb_id"),
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"),
+      pq_encode(col("embedding"), cbs).as("codes"))
+    val queryCells = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        explode(centroid_topn(col("embedding"), centMatrix, nprobe)).as("cell"))
+      .select(col("q_id"), col("qa"), col("cell.cluster").as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("nb_id").asc)
+    indexed
+      .join(broadcast(queryCells), Seq("cluster"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .withColumn("adc", vec_dot(col("qa"), pq_decode(col("codes"), cbs)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("adc"), 4).as("adc"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[ivfAdcTopK]] — the s4 routing replay composed
+    * with the s7 PQ replay, from the s8 artifact dumps. */
+  def ivfAdcOracleSql(nQueries: Int = 10, k: Int = 5, nprobe: Int = 10,
+      m: Int = PqSubspaces): String = {
+    val subDim = Dim / m
+    s"""WITH cc AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |            FROM read_parquet('$IvfAdcCentroidDump/*.parquet')),
+       | cb AS (SELECT m, code, list_transform(cent, x -> CAST(x AS DOUBLE)) AS cent
+       |        FROM read_parquet('$IvfAdcCodebookDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, cc),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | qc AS (SELECT vec_id AS q_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS crnk
+       |          FROM s WHERE vec_id < $nQueries) x WHERE crnk <= $nprobe),
+       | sub AS (SELECT vec_id, r.m AS m, emb[r.m*$subDim+1:r.m*$subDim+$subDim] AS sv
+       |         FROM e, range(0, $m) r(m)),
+       | d2 AS (SELECT su.vec_id, su.m, c.code,
+       |         (list_dot_product(su.sv, su.sv) - 2 * list_dot_product(su.sv, c.cent))
+       |           + list_dot_product(c.cent, c.cent) AS dist
+       |        FROM sub su JOIN cb c ON su.m = c.m),
+       | pasg AS (SELECT vec_id, m, code FROM (
+       |           SELECT vec_id, m, code,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |           FROM d2) x WHERE rn = 1),
+       | rec AS (SELECT a.vec_id, flatten(list(c.cent ORDER BY a.m)) AS dec
+       |         FROM pasg a JOIN cb c ON a.m = c.m AND a.code = c.code GROUP BY a.vec_id),
+       | cand AS (SELECT qc.q_id, a.vec_id AS nb_id FROM qc JOIN asg a USING (cluster)
+       |          WHERE a.vec_id != qc.q_id),
+       | p AS (SELECT cand.q_id, cand.nb_id, list_dot_product(eq.emb, r.dec) AS score
+       |       FROM cand JOIN e eq ON eq.vec_id = cand.q_id JOIN rec r ON r.vec_id = cand.nb_id),
+       | rk AS (SELECT q_id, nb_id, round(score, 4) AS adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, nb_id, adc, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
     * hyperplane bucketing exactly, with the plane constants inlined as
     * DOUBLE literals (shortest-roundtrip formatting, so both engines see
