@@ -105,6 +105,7 @@ object SparkEntry {
     "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
     "e5_stream_sessions_wm" -> (EventStreams.sessionizeWmOnce _),
     "e6_stream_ivjoin" -> ((s, d) => EventStreams.intervalJoinOnce(s, d)),
+    "e7_stream_leftjoin" -> ((s, d) => EventStreams.leftIntervalJoinOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -335,6 +336,7 @@ object SparkEntry {
     // the watermark-aware sessionizer must produce the same final states
     "e5_stream_sessions_wm" -> EventStreams.sessionizeTwsOracleSql(),
     "e6_stream_ivjoin" -> EventStreams.intervalJoinOracleSql(),
+    "e7_stream_leftjoin" -> EventStreams.leftIntervalJoinOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -186,6 +186,77 @@ object EventStreams {
        | AND c.ts <= p.ts
        |GROUP BY 1""".stripMargin
 
+  /** LEFT-OUTER stream-stream interval join — the semantics [[intervalJoinOnce]]
+    * doesn't cover: purchases with NO qualifying click must still emit,
+    * null-padded, and a streaming outer join may only do that once the
+    * watermark proves no matching click can still arrive. State eviction is
+    * gated by the GLOBAL watermark (min over both sides), so a bounded
+    * replay must push both sides' watermarks past the data or the final
+    * unmatched rows stay buffered forever: the drive stages the events file
+    * plus one far-future sentinel row PER SIDE (user_id −1, filtered from
+    * the result) into a temp dir, so the closing no-data micro-batch
+    * flushes every real row. Production streams advance watermarks
+    * naturally; the sentinel is purely a bounded-replay device.
+    * Output: per user, total result rows, matched pairs, unmatched
+    * purchases — exactly a batch LEFT JOIN's shape, which is the oracle. */
+  def leftIntervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-e7").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/events0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // sentinel rows: one purchase + one click far past the data (2100-01-01
+    // in raw int64 nanos, the source file's ts encoding)
+    val farNs = 4102444800L * 1000000000L
+    import spark.implicits._
+    val sentinels = Seq(
+      (-1L, farNs, -1L, "purchase", 0.0, null.asInstanceOf[String]),
+      (-2L, farNs, -1L, "click", 0.0, null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmpOut = s"$stage/__sentinel_out"
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(s"$stage/events1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val name = s"stream_ivjoin_left_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val ev = readEventStream(spark, stage)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      val q = joined.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .filter(col("p_user") >= 0)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_id")).as("n_matched"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+  }
+
+  /** DuckDB oracle twin of [[leftIntervalJoinOnce]] (batch LEFT JOIN ≡ a
+    * fully-flushed outer stream join). */
+  def leftIntervalJoinOracleSql(windowMin: Int = 30): String =
+    s"""SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       | CAST(count(c.event_id) AS BIGINT) AS n_matched,
+       | CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+       |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts >= p.ts - INTERVAL $windowMin MINUTE
+       | AND c.ts <= p.ts
+       |GROUP BY 1""".stripMargin
+
   // ---------------- stateful sessionization ----------------
 
   final case class Ev(user_id: Long, ts: Timestamp)
