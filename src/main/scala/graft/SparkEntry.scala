@@ -89,6 +89,8 @@ object SparkEntry {
     "t11_pii" -> ((s, d) =>
       TextOps.piiMask(TextOps.withSyntheticPii(Tables.t(s, d, "documents")))),
     "t12_unigram_lp" -> ((s, d) => TextOps.unigramLogProb(Tables.t(s, d, "documents"))),
+    "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
+    "c6_token_budget" -> ((s, d) => Corpus.tokenBudgetSample(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -286,7 +288,9 @@ object SparkEntry {
     "t10_repetition" -> TextOps.repetitionOracleSql,
     "t11_pii" -> TextOps.piiMaskOracleSql,
     "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
+    "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
+    "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

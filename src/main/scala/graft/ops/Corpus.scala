@@ -132,6 +132,40 @@ object Corpus {
        |      FROM documents) s
        |WHERE rn <= $quota""".stripMargin
 
+  /** Token-budget sampling: fill each `source` stratum with documents — in
+    * deterministic md5 order, like [[quotaSample]] — until the RUNNING
+    * token total would exceed `budgetTokens`. This is how a training
+    * mixture is actually filled ("2B tokens of web, 500M of code"): the
+    * unit that matters is tokens, not documents, so a doc-count quota
+    * over- or under-fills by the length distribution.
+    *
+    * Scale shape: one window per stratum (running sum over the hash
+    * order); the filter is monotone in the running sum. Growth-stable like
+    * every hash-ordered sampler here: adding documents only perturbs the
+    * boundary of the kept prefix. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 1000): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+  }
+
+  /** DuckDB oracle twin of [[tokenBudgetSample]]. */
+  def tokenBudgetSampleOracleSql(budgetTokens: Long = 1000): String =
+    s"""SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+       |FROM (SELECT doc_id, source, n_tok,
+       |       sum(n_tok) OVER (PARTITION BY source
+       |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |      FROM (SELECT doc_id, source,
+       |             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |            FROM documents) t) s
+       |WHERE cum_tok <= $budgetTokens""".stripMargin
+
   /** End-to-end curation decision table — the composition a real corpus
     * pipeline runs before training: language ID, quality score, exact-dup
     * canonicalization, and split assignment, joined per document into one

@@ -325,6 +325,33 @@ object TextOps {
        |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS redacted
        |FROM p""".stripMargin
 
+  /** Text canonicalization — the normalization every exact-dedup pass runs
+    * first (a case or punctuation difference must not defeat an md5
+    * match): lowercase, strip everything outside `[a-z0-9 ]`, collapse
+    * whitespace runs, trim. Restricted to the engine-portable subset (no
+    * ICU/NFKC — locale-dependent and not replicable in the oracle); ASCII
+    * corpora normalize identically in any engine. Row-local single map
+    * pass, zero shuffle. Emits the canonical text, its md5 (the dedup
+    * key), and both lengths so the curation report can measure shrink. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm"),
+        length(col("text")).cast(LongType).as("len_raw"))
+      .select(col("doc_id"), col("norm"), md5(col("norm")).as("h"),
+        col("len_raw"), length(col("norm")).cast(LongType).as("len_norm"))
+
+  /** DuckDB oracle twin of [[normalizeText]] (RE2 'g' ≡ Spark's
+    * replace-all; same replacement order). */
+  def normalizeTextOracleSql: String =
+    s"""SELECT doc_id, norm, md5(norm) AS h, len_raw,
+       | CAST(length(norm) AS BIGINT) AS len_norm
+       |FROM (SELECT doc_id,
+       |       trim(regexp_replace(regexp_replace(lower(text),
+       |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+       |       CAST(length(text) AS BIGINT) AS len_raw
+       |      FROM documents) s""".stripMargin
+
   /** Unigram language-model scoring — the cheap, self-contained stand-in
     * for the perplexity filter of CCNet-family pipelines: a unigram LM
     * with add-one smoothing is fitted on the corpus itself in ONE
