@@ -16,11 +16,15 @@ import Tables._
   * resizing operate on genuinely decoded pixels. PNG grayscale is lossless,
   * which keeps every decoded pixel closed-form (the tiled source bytes) —
   * that is what lets the DuckDB oracle replay m2's pixel checksum without an
-  * engine-side dump. AUDIO/VIDEO decode remains a deterministic stub (the
-  * container has no audio/video codecs; the JDK has none either): payload
-  * bytes stand in for decoded samples, and the honest md5-of-payload
-  * checksum keeps even the stub rows oracle-checkable. Swapping the stub for
-  * an FFI decoder is a local change inside the mapPartitions. */
+  * engine-side dump. The AUDIO path is likewise REAL as of m5: waveforms
+  * roundtrip through the JDK's WAV codec (`javax.sound.sampled` — RIFF
+  * container parse, PCM16 LE) before featurization, with the same
+  * lossless ⇒ closed-form-oracle argument. VIDEO decode remains a
+  * deterministic stub (no video codec ships with the JDK or container):
+  * payload bytes stand in for decoded frames, and the honest
+  * md5-of-payload checksum keeps even the stub rows oracle-checkable.
+  * Swapping that stub for an FFI decoder is a local change inside the
+  * mapPartitions. */
 object Multimodal {
 
   val FeatureDim = 8
@@ -262,4 +266,101 @@ object Multimodal {
        |                            i -> ord(substr(raster, CAST(i AS INT), 1)) % 8 = 0)) AS DOUBLE)
        |       / length(raster), 4) AS f0
        |FROM r""".stripMargin
+
+  // ---------------- REAL audio codec path (WAV / javax.sound) ----------------
+
+  /** Deterministic PCM16 waveform for doc `id`: `n = 400 + (id mod 97)·8`
+    * samples, `s_i = ((id·7919 + i·104729) mod 65536) − 32768` — closed
+    * form, so the oracle replays the DECODED samples without a dump
+    * (WAV PCM16 is lossless, the m2 argument exactly). */
+  private[ops] def synthSamples(id: Long): Array[Short] = {
+    val n = (400 + (id % 97) * 8).toInt
+    Array.tabulate(n)(i => (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+  }
+
+  val AudioRate = 16000f
+
+  /** REAL WAV encode via `javax.sound.sampled` (RIFF container, PCM16 LE
+    * mono) — the JDK's audio codec, same ships-with-the-JDK status as
+    * ImageIO. */
+  private[ops] def wavEncode(samples: Array[Short], rate: Float = AudioRate): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // signed, little-endian
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode: parse the RIFF container, return the PCM16 samples
+    * plus the HEADER-declared format (rate, channels, bits) — emitting the
+    * parsed fields is what proves the container really was read. */
+  private[ops] def wavDecode(bytes: Array[Byte]): (Array[Short], Int, Int, Int) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+    (out, fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits)
+  }
+
+  /** Audio feature extraction through a REAL codec roundtrip: per document,
+    * synthesize the closed-form waveform, encode it to an actual WAV file
+    * with the JDK encoder, decode it back (container parse + PCM read), and
+    * featurize the DECODED samples — integer-exact aggregates (peak,
+    * energy, zero crossings) plus an RMS, so a broken encoder, parser, or
+    * byte-order handling fails the driver's hash gate, not just a spec.
+    * Row-local mapPartitions, zero shuffle — the m2 shape for audio. */
+  def modalAudio(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long, Long, Double)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, sr, ch, bits) = wavDecode(wavEncode(synthSamples(id)))
+          var sumSq = 0L
+          var peak = 0L
+          var zeroX = 0L
+          var i = 0
+          while (i < smp.length) {
+            val s = smp(i).toLong
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && ((s < 0) != (smp(i - 1) < 0))) zeroX += 1
+            i += 1
+          }
+          (id, sr, ch, bits, smp.length.toLong, peak, sumSq, zeroX,
+            math.sqrt(sumSq.toDouble / smp.length))
+        }
+      }(outEnc)
+      .toDF("doc_id", "sr", "ch", "bits", "n_samples", "peak", "sum_sq", "zero_x", "rms")
+      // HALF_UP like every gated rounding (kernel emits the raw double)
+      .withColumn("rms", round(col("rms"), 4))
+  }
+
+  /** DuckDB oracle twin of [[modalAudio]]: replays the closed-form
+    * synthesis and the same integer aggregates — it can only match if the
+    * engine's WAV roundtrip returned the samples bit-exactly and the
+    * parsed header carried (16000 Hz, mono, 16-bit). */
+  def modalAudioOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n FROM documents),
+       | s AS (SELECT doc_id, n,
+       |        [ ((doc_id * 7919 + i * 104729) % 65536) - 32768 FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d)
+       |SELECT doc_id, 16000 AS sr, 1 AS ch, 16 AS bits,
+       | CAST(n AS BIGINT) AS n_samples,
+       | CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+       | CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+       | CAST(len(list_filter(range(2, CAST(n AS BIGINT) + 1),
+       |                      i -> (smp[CAST(i AS INT)] < 0) <> (smp[CAST(i AS INT) - 1] < 0))) AS BIGINT) AS zero_x,
+       | round(sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n), 4) AS rms
+       |FROM s""".stripMargin
 }

@@ -155,6 +155,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.08, s"recall $recall")
   }
 
+  test("audio: WAV roundtrip through javax.sound is lossless; corrupt container fails loudly") {
+    val smp = Multimodal.synthSamples(42L)
+    val wav = Multimodal.wavEncode(smp)
+    // a real RIFF/WAVE container came out of the encoder
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (decoded, sr, ch, bits) = Multimodal.wavDecode(wav)
+    assert((sr, ch, bits) == (16000, 1, 16))
+    assert(decoded.toSeq == smp.toSeq, "PCM16 WAV roundtrip must be bit-exact")
+    // a corrupted container is a loud failure, not silent garbage
+    val broken = wav.clone(); broken(0) = 'X'.toByte
+    intercept[Exception](Multimodal.wavDecode(broken))
+  }
+
   test("sq8: codes bounded to [-127,127], tinyint kernel exact, ranking tracks float cosine") {
     import graft.functions.VectorExprs.vec_cosine
     val emb = Tables.t(spark, dir, "embeddings")
