@@ -97,33 +97,57 @@ object Shard {
   /** TASK-scoped index cache: cutout/scan tasks touch several inner chunks
     * of the same shard, and caching the index for the task's lifetime
     * spares the repeated index GETs. Scoping the key to the task attempt
-    * (thread id on the driver) is what makes the cache CORRECT on a
-    * multi-executor cluster: a later task — e.g. a read scheduled after an
-    * ingest that ran on a different executor — always fetches a fresh
-    * index, so the engine's own write-then-read sequences can never see a
-    * stale (or negatively-cached absent) index. Within one task the store
-    * is read at a point in time, the same consistency every object read
-    * already has. `computeIfAbsent` stripes the in-flight fetch per key —
-    * concurrent tasks reading different shards never serialize on a
-    * global lock. */
+    * is what makes the cache CORRECT on a multi-executor cluster: a later
+    * task — e.g. a read scheduled after an ingest that ran on a different
+    * executor — always fetches a fresh index, so the engine's own
+    * write-then-read sequences can never see a stale (or negatively-cached
+    * absent) index. Within one task the store is read at a point in time —
+    * the consistency every object read already has — and entries are NEVER
+    * evicted mid-task (an eviction-refetch could mix pre- and post-rewrite
+    * offsets inside one cutout); instead a completion listener drops the
+    * task's entries when it finishes, so memory is bounded by LIVE tasks ×
+    * shards-per-task, and a pathological task simply stops caching at
+    * [[MaxCached]] rather than evicting others. Cross-task sharing is
+    * deliberately traded away for the snapshot guarantee. Driver-side
+    * calls (no TaskContext — direct API use) are uncached: a long-lived
+    * driver thread has no completion point, and a stale index there would
+    * outlive any write. A task is single-threaded, so plain get/put needs
+    * no striping. */
   private val MaxCached = 4096
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, String, String), Option[Array[Long]]]()
-
-  private def taskScope: Long = org.apache.spark.TaskContext.get() match {
-    case null => Thread.currentThread().getId // driver-side calls
-    case tc => tc.taskAttemptId()
-  }
+  private val registeredTasks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   def cachedIndex(fs: FileSystem, root: String, key: String, p: Params): Option[Array[Long]] = {
-    if (indexCache.size() > MaxCached) indexCache.clear() // bound, rebuilt on demand
-    indexCache.computeIfAbsent((taskScope, root, key), _ => readIndex(fs, root, key, p))
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) return readIndex(fs, root, key, p) // driver: uncached
+    val scope = tc.taskAttemptId()
+    if (registeredTasks.add(scope))
+      tc.addTaskCompletionListener[Unit] { _ =>
+        registeredTasks.remove(scope)
+        indexCache.keySet().removeIf(k => k._1 == scope)
+      }
+    val k = (scope, root, key)
+    val hit = indexCache.get(k)
+    if (hit != null) hit
+    else {
+      val v = readIndex(fs, root, key, p)
+      if (indexCache.size() < MaxCached) indexCache.put(k, v)
+      v
+    }
   }
 
-  def invalidate(root: String, key: String): Unit = {
-    val scope = taskScope
-    indexCache.remove((scope, root, key))
-  }
+  /** Drop the CURRENT task's cached entry for a shard it just rewrote (a
+    * task that reads, writes, then re-reads the same shard must see its
+    * own write). Other scopes hold point-in-time snapshots by design, and
+    * tasks that start later never see stale state because their scope is
+    * new. Driver-side calls cache nothing, so there is nothing to drop. */
+  def invalidate(root: String, key: String): Unit =
+    org.apache.spark.TaskContext.get() match {
+      case null => ()
+      case tc => indexCache.remove((tc.taskAttemptId(), root, key))
+    }
 
   /** Decompose a fully-read shard blob into its present inner cells
     * (cell → stored bytes) — the read half of a shard rewrite. */

@@ -166,31 +166,77 @@ object Similarity {
     * single-pass assignment. */
   val IvfTrainCap = 100000
 
+  /** One capped training sample, materialized so every fit that consumes
+    * it reads blocks instead of re-scanning parquet. Capped, then spread
+    * over a handful of partitions: a non-terminal limit() plans an
+    * Exchange to a SINGLE partition, so a repartition (not coalesce —
+    * that would no-op at 1 partition) is what actually distributes the
+    * Lloyd iterations; 8 tasks beats 32 near-empty ones at bench scale,
+    * and at 100 TB the cap keeps iteration cost independent of corpus
+    * size. */
+  private def cappedTrainSample(emb: DataFrame): DataFrame =
+    materialize(emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
+
+  /** Coarse k-means quantizer (maxIter 10) over the capped sample — the
+    * ONE fit definition s4, s6, and s8 share. */
+  private def fitCoarseCentroids(trainEmb: DataFrame, nlist: Int,
+      seed: Long = 7): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(trainEmb.select(array_to_vector(col("embedding")).as("fv")))
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** `m` per-subspace PQ codebooks (seeds 7+s, maxIter 5 — plenty for an
+    * (dim/m)-dim nCodes-code quantizer), fitted CONCURRENTLY: the fits are
+    * independent subproblems on disjoint dimension slices and Spark's
+    * scheduler interleaves the jobs, so wall-clock ≈ one fit instead of m.
+    * The ONE fit definition s7 and s8 share. */
+  private def fitPqCodebooks(trainEmb: DataFrame, m: Int, nCodes: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val subDim = Dim / m
+    Await.result(
+      Future.sequence((0 until m).map { s => Future {
+        new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(trainEmb.select(
+            array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
+          .clusterCenters.map(_.toArray)
+      } }), Duration.Inf).toArray
+  }
+
+  /** Dump fitted coarse centroids for a replay oracle (schema the oracles
+    * depend on: (cluster int, centroid array<double>)). */
+  private def dumpCentroids(spark: SparkSession, cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Dump fitted PQ codebooks for a replay oracle (schema the oracles
+    * depend on: (m int, code int, cent array<double>)). */
+  private def dumpCodebooks(spark: SparkSession, cbs: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.toSeq
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) } }
+      .toDF("m", "code", "cent").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 10): DataFrame = {
     // nprobe 10/16 on gaussian test data: random embeddings are IVF's
     // worst case (no cluster structure, neighbors scatter across cells),
     // so the toy-scale probe ratio is high; production nlist is thousands
     // with nprobe in the tens, and recall is spec-measured either way
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = t(spark, dir, "embeddings")
-    // Training input: capped, then spread over a handful of partitions.
-    // A non-terminal limit() plans an Exchange to a SINGLE partition, so a
-    // repartition (not coalesce — that would no-op at 1 partition) is what
-    // actually distributes the Lloyd iterations; 8 tasks beats 32
-    // near-empty ones (per-task overhead dominates at bench scale, and at
-    // 100 TB the cap keeps iteration cost independent of corpus size).
-    val train = emb.select(array_to_vector(col("embedding")).as("fv"))
-      .limit(IvfTrainCap).repartition(8)
-    val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(train)
-    val centMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    import spark.implicits._
-    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "centroid").select(col("cluster"), col("centroid"))
-      .coalesce(1).write.mode("overwrite").parquet(IvfCentroidDump)
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    dumpCentroids(spark, centMatrix, IvfCentroidDump)
     // assignment = row-local argmax over the nlist scores — zero shuffle.
     // The centroid matrix rides as ONE reference object in a codegen'd
     // kernel (graft.functions.CentroidArgmax), so generated-code size is
@@ -282,19 +328,9 @@ object Similarity {
     * both engines (struct max on (cs, -cluster) ≡ ORDER BY cs DESC,
     * cluster). */
   def kmeansDomains(spark: SparkSession, dir: String, kClusters: Int = 8): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = t(spark, dir, "embeddings")
-    // repartition, not coalesce: limit() exchanges to one partition first
-    val train = emb.select(array_to_vector(col("embedding")).as("fv"))
-      .limit(IvfTrainCap).repartition(8)
-    val model = new KMeans().setK(kClusters).setSeed(11).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(train)
-    val centMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    import spark.implicits._
-    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "centroid").select(col("cluster"), col("centroid"))
-      .coalesce(1).write.mode("overwrite").parquet(DomainsCentroidDump)
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), kClusters, seed = 11)
+    dumpCentroids(spark, centMatrix, DomainsCentroidDump)
     // single codegen'd argmax kernel over the centroid matrix (constant
     // code size in k — see CentroidExprs); bit-identical to the oracle's
     // per-centroid replay, ties to the smallest cluster id
@@ -408,36 +444,12 @@ object Similarity {
     * the float ranking is spec-measured (SimilaritySpec). */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
-    val subDim = Dim / m
     val emb = t(spark, dir, "embeddings")
-    // one capped training sample, materialized once for all m fits
-    // (repartition, not coalesce: limit() exchanges to a single partition)
-    val trainEmb = materialize(
-      emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
-    // the m fits are independent subproblems on disjoint dimension slices:
-    // submit them concurrently (Spark's scheduler interleaves the jobs) —
-    // wall-clock ~one fit instead of m. Few iterations suffice for an
-    // 8-dim 16-code quantizer, and fit quality only shifts recall; the
-    // oracle replays whatever codebooks were fitted.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val cbs: Array[Array[Array[Double]]] = Await.result(
-      Future.sequence((0 until m).map { s => Future {
-        new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("c")
-          .fit(trainEmb.select(
-            array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
-          .clusterCenters.map(_.toArray)
-      } }), Duration.Inf).toArray
-    import spark.implicits._
-    cbs.zipWithIndex.toSeq
-      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) } }
-      .toDF("m", "code", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(PqCodebookDump)
+    // fit quality only shifts recall; the oracle replays whatever
+    // codebooks were fitted
+    val cbs = fitPqCodebooks(cappedTrainSample(emb), m, nCodes)
+    dumpCodebooks(spark, cbs, PqCodebookDump)
     import graft.functions.PqExprs.{pq_decode, pq_encode}
     // the PQ index: m ints per row after one zero-shuffle encode pass
     val coded = emb.select(col("vec_id").as("nb_id"),
@@ -507,39 +519,20 @@ object Similarity {
     * and s7 replay oracles. */
   def ivfAdcTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 10, m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
-    val subDim = Dim / m
     val emb = t(spark, dir, "embeddings")
-    val trainEmb = materialize(
-      emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
+    val trainEmb = cappedTrainSample(emb)
+    // the coarse fit runs concurrently with the (already-concurrent)
+    // codebook fits — same shared fit definitions as s4 and s7, so the
+    // three operators can never drift apart
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val coarseF = Future {
-      new KMeans().setK(nlist).setSeed(7).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cluster")
-        .fit(trainEmb.select(array_to_vector(col("embedding")).as("fv")))
-        .clusterCenters.map(_.toArray)
-    }
-    val cbF = Future.sequence((0 until m).map { s => Future {
-      new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("c")
-        .fit(trainEmb.select(
-          array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
-        .clusterCenters.map(_.toArray)
-    } })
-    val centMatrix: Array[Array[Double]] = Await.result(coarseF, Duration.Inf)
-    val cbs: Array[Array[Array[Double]]] = Await.result(cbF, Duration.Inf).toArray
-    import spark.implicits._
-    centMatrix.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(IvfAdcCentroidDump)
-    cbs.zipWithIndex.toSeq
-      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) } }
-      .toDF("m", "code", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(IvfAdcCodebookDump)
+    val coarseF = Future(fitCoarseCentroids(trainEmb, nlist))
+    val cbs = fitPqCodebooks(trainEmb, m, nCodes)
+    val centMatrix = Await.result(coarseF, Duration.Inf)
+    dumpCentroids(spark, centMatrix, IvfAdcCentroidDump)
+    dumpCodebooks(spark, cbs, IvfAdcCodebookDump)
     import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
     import graft.functions.PqExprs.{pq_decode, pq_encode}
     // the index: route + compress in ONE map pass — 4 B cluster + m B codes

@@ -219,22 +219,33 @@ object EventStreams {
     Files.move(part.toPath, Paths.get(s"$stage/events1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     val name = s"stream_ivjoin_left_${System.nanoTime()}"
-    withFewStatePartitions(spark, 8) {
-      val ev = readEventStream(spark, stage)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-        .withWatermark("p_ts", "1 hour")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-        .withWatermark("c_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
-          col("c_ts") <= col("p_ts"),
-        "left_outer")
-      val q = joined.writeStream.outputMode(OutputMode.Append)
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+    try {
+      withFewStatePartitions(spark, 8) {
+        val ev = readEventStream(spark, stage)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        val q = joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally {
+      // the staging copy is per-call scratch — delete it once drained
+      // (repeated bench invocations would otherwise accumulate full
+      // copies of the events table in the temp dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(stage))
     }
     spark.table(name)
       .filter(col("p_user") >= 0)

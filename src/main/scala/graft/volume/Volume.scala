@@ -69,11 +69,18 @@ final case class VolumeCtx(
     (Math.floorDiv(cx - 1, p.gx), Math.floorDiv(cy - 1, p.gy), Math.floorDiv(cz - 1, p.gz))
   }
 
+  /** Storage key of the shard OBJECT at shard-grid coords — the ONE place
+    * that encodes the sharded key layout (readers and writers both come
+    * through here). */
+  def shardKeyAt(sx: Int, sy: Int, sz: Int): String = {
+    val rel = s"c/$sz/$sy/$sx"
+    if (scaleKey.isEmpty) rel else s"$scaleKey/$rel"
+  }
+
   /** Storage key of the shard OBJECT holding an inner chunk. */
   def shardKeyOf(slice: ChunkSlice): String = {
     val (sx, sy, sz) = shardCoords(slice.idx, slice.idy, slice.idz)
-    val rel = s"c/$sz/$sy/$sx"
-    if (scaleKey.isEmpty) rel else s"$scaleKey/$rel"
+    shardKeyAt(sx, sy, sz)
   }
 
   /** Cell coords of an inner chunk within its shard. */
@@ -495,8 +502,7 @@ final class Volume(
           .mapGroups((sk: (Int, Int, Int), blobs: Iterator[(Int, Int, Int, Int, Array[Byte])]) => {
             val fs = ChunkStore.fs(c.root, conf.conf)
             val (sx, sy, sz) = sk
-            val rel = s"c/$sz/$sy/$sx"
-            val shardKey = if (c.scaleKey.isEmpty) rel else s"${c.scaleKey}/$rel"
+            val shardKey = c.shardKeyAt(sx, sy, sz)
             var inner = ChunkStore.readOpt(fs, c.root, shardKey)
               .map(graft.core.Shard.parseAll(p, _)).getOrElse(Map.empty)
             var n = 0L
