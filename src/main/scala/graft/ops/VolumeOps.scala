@@ -53,6 +53,14 @@ object VolumeOps {
     * return the chunk count written. The target handle uses mip+1's metadata
     * (derived via ScaleMeta.nextMip when absent). */
   def buildNextMip(vol: Volume, box: Box): Long = {
+    // mip pyramids are a precomputed-layout concept in this engine: the
+    // scale key addresses the level. A zarr/n5 handle is a single-array
+    // store whose key layout has no scale dimension — writing a pyramid
+    // there would drop chunks under keys no reader of that format looks
+    // at, so fail loudly instead (same contract as the other declared
+    // scope edges).
+    require(vol.keyStyle == "precomputed",
+      s"mip pyramids are precomputed-layout only; ${vol.keyStyle} stores are single-scale")
     val meta2 =
       if (vol.meta.scales.length > vol.mip) vol.meta
       else vol.meta.withNumMips(vol.mip + 1)

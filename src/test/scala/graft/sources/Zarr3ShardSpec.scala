@@ -146,6 +146,17 @@ class Zarr3ShardSpec extends AnyFunSuite {
     assert(after.getLong(8, 8, 5, 0) == buf.getLong(8, 8, 5, 0))
   }
 
+  test("mip building on a non-precomputed layout fails loudly") {
+    val root = SparkSuite.tempDir("graft-z3shard-mip")
+    val vol = graft.sources.Zarr3.createSharded(spark, root, shape = (8, 8, 4),
+      shardShape = (8, 8, 4), innerChunks = (4, 4, 2),
+      dataType = Meta.TUInt8, encoding = "gzip")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.VolumeOps.buildNextMip(vol, Box(1, 8, 1, 8, 1, 4))
+    }
+    assert(e.getMessage.contains("precomputed-layout only"))
+  }
+
   test("rechunk reads sharded sources through the shard index (not zero-filled)") {
     // regression: rechunk used readOpt-by-key, which is a purely LOGICAL
     // key on sharded stores — every chunk read None and the destination
