@@ -108,6 +108,12 @@ object SparkEntry {
     "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
     "e5_stream_sessions_wm" -> (EventStreams.sessionizeWmOnce _),
     "e6_stream_ivjoin" -> ((s, d) => EventStreams.intervalJoinOnce(s, d)),
+    // e7's BOUNDED-replay harness injects one far-future sentinel event per
+    // side to push the global watermark so left-outer null rows flush at
+    // end-of-input. That sentinel is test-harness machinery, NOT part of
+    // the operator: in an unbounded production pipeline the watermark
+    // advances from live data and the sentinel does nothing — do not copy
+    // it out of leftIntervalJoinOnce. See EventStreams.leftIntervalJoin.
     "e7_stream_leftjoin" -> ((s, d) => EventStreams.leftIntervalJoinOnce(s, d)),
   )
 

@@ -107,17 +107,23 @@ object Shard {
     * offsets inside one cutout); instead a completion listener drops the
     * task's entries when it finishes, so memory is bounded by LIVE tasks ×
     * shards-per-task, and a pathological task simply stops caching at
-    * [[MaxCached]] rather than evicting others. Cross-task sharing is
+    * [[MaxCachedPerTask]] rather than evicting others — the cap is tracked
+    * PER task scope, so one task touching many shards never disables
+    * caching for innocent concurrent tasks. Cross-task sharing is
     * deliberately traded away for the snapshot guarantee. Driver-side
     * calls (no TaskContext — direct API use) are uncached: a long-lived
     * driver thread has no completion point, and a stale index there would
     * outlive any write. A task is single-threaded, so plain get/put needs
     * no striping. */
-  private val MaxCached = 4096
+  private val MaxCachedPerTask = 4096
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, String, String), Option[Array[Long]]]()
   private val registeredTasks =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  // entries currently cached per task scope — bumped on put, dropped with
+  // the scope's entries by the completion listener
+  private val scopeCounts =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicInteger]()
 
   def cachedIndex(fs: FileSystem, root: String, key: String, p: Params): Option[Array[Long]] = {
     val tc = org.apache.spark.TaskContext.get()
@@ -126,6 +132,7 @@ object Shard {
     if (registeredTasks.add(scope))
       tc.addTaskCompletionListener[Unit] { _ =>
         registeredTasks.remove(scope)
+        scopeCounts.remove(scope)
         indexCache.keySet().removeIf(k => k._1 == scope)
       }
     val k = (scope, root, key)
@@ -133,7 +140,8 @@ object Shard {
     if (hit != null) hit
     else {
       val v = readIndex(fs, root, key, p)
-      if (indexCache.size() < MaxCached) indexCache.put(k, v)
+      val n = scopeCounts.computeIfAbsent(scope, _ => new java.util.concurrent.atomic.AtomicInteger())
+      if (n.get() < MaxCachedPerTask && indexCache.put(k, v) == null) n.incrementAndGet()
       v
     }
   }
@@ -146,7 +154,12 @@ object Shard {
   def invalidate(root: String, key: String): Unit =
     org.apache.spark.TaskContext.get() match {
       case null => ()
-      case tc => indexCache.remove((tc.taskAttemptId(), root, key))
+      case tc =>
+        val scope = tc.taskAttemptId()
+        if (indexCache.remove((scope, root, key)) != null) {
+          val n = scopeCounts.get(scope)
+          if (n != null) n.decrementAndGet()
+        }
     }
 
   /** Decompose a fully-read shard blob into its present inner cells

@@ -94,10 +94,14 @@ sealed trait CentroidKernel extends UnaryExpression {
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val n = math.min(nElems, cent.length)
+      // a wrong-dim row would otherwise truncate the dot product while the
+      // row norm spans all elements — plausible-but-wrong assignments; fail
+      // loudly like PqEncode instead
+      require(nElems == cent.length,
+        s"$prettyName: embedding dim $nElems != centroid dim ${cent.length}")
       var dot = 0.0
       var j = 0
-      while (j < n) { dot += elem(arr, j) * cent(j); j += 1 }
+      while (j < nElems) { dot += elem(arr, j) * cent(j); j += 1 }
       val d = sna * sqrtNorms(c)
       out(c) = if (d == 0.0) 0.0 else dot / d
       c += 1

@@ -140,7 +140,12 @@ case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends PqKernel {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_decode"
-  override def nullable: Boolean = child.nullable
+
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || mayHaveNullElems
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -151,10 +156,23 @@ case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def compute(arr: ArrayData): AnyRef = {
     val m = codebooks.length
     require(arr.numElements() == m, s"expected $m codes, got ${arr.numElements()}")
+    // getInt on a null slot silently reads 0 (decodes centroid 0) — poison
+    // instead, mirroring pq_encode's null handling
+    if (mayHaveNullElems) {
+      var i = 0
+      while (i < m) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
+    }
     val out = new Array[Any](m * subDim)
     var s = 0
     while (s < m) {
-      val cent = codebooks(s)(arr.getInt(s))
+      val code = arr.getInt(s)
+      val cb = codebooks(s)
+      require(code >= 0 && code < cb.length,
+        s"pq_decode: code $code out of range [0, ${cb.length}) in subspace $s")
+      val cent = cb(code)
       var i = 0
       while (i < subDim) { out(s * subDim + i) = cent(i); i += 1 }
       s += 1

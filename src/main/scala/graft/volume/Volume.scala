@@ -327,7 +327,17 @@ final class Volume(
     * like the reference (src/modes/multithreads.jl:45-47: alignment uses the
     * raw voxel offset), clamps at the volume boundary, slices/encodes/puts
     * one object per chunk. The buffer ships to executors via broadcast —
-    * fine for cutout-sized writes; use `fromVoxels` for bulk loads. */
+    * fine for cutout-sized writes; use `fromVoxels` for bulk loads.
+    *
+    * Concurrency contract (this and `fromVoxels`): writes are
+    * last-PUT-wins per stored OBJECT, with no cross-job coordination —
+    * object stores offer no compare-and-swap to build one cheaply
+    * (the reference engines carry the same non-coordinated-writer caveat).
+    * For per-chunk layouts the lost-update blast radius is one chunk; for
+    * SHARDED layouts the read-modify-write is per whole shard, so two
+    * concurrent jobs touching DISJOINT inner chunks of the same shard can
+    * still drop each other's cells. Run concurrent writers only on
+    * shard-disjoint (per-chunk: chunk-disjoint) regions. */
   def ingest(buf: VoxelBuffer): Unit = {
     val q = buf.box
     val (csx, csy, csz) = ctx.chunkSize
@@ -420,7 +430,9 @@ final class Volume(
     * One shuffle (by chunk id), then per-chunk assembly + encode + put.
     * Whole chunks are written: voxels absent from the input within a touched
     * chunk become zero. Values outside the volume box are dropped (boundary
-    * clamp). */
+    * clamp). Same single-writer-per-object contract as [[ingest]]: for
+    * sharded layouts concurrent jobs must target disjoint SHARDS, not just
+    * disjoint chunks. */
   def fromVoxels(df: DataFrame): Long = {
     val c = ctx; val conf = hconf
     val (csx, csy, csz) = ctx.chunkSize
