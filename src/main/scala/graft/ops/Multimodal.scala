@@ -19,11 +19,15 @@ import Tables._
   * engine-side dump. The AUDIO path is likewise REAL as of m5: waveforms
   * roundtrip through the JDK's WAV codec (`javax.sound.sampled` — RIFF
   * container parse, PCM16 LE) before featurization, with the same
-  * lossless ⇒ closed-form-oracle argument. VIDEO decode remains a
-  * deterministic stub (no video codec ships with the JDK or container):
-  * payload bytes stand in for decoded frames, and the honest
-  * md5-of-payload checksum keeps even the stub rows oracle-checkable.
-  * Swapping that stub for an FFI decoder is a local change inside the
+  * lossless ⇒ closed-form-oracle argument. The VIDEO path is REAL too:
+  * no video codec ships with the JDK, so the engine carries its own
+  * writer + parser for the public RIFF/AVI container with uncompressed
+  * 8-bit DIB frames ('00db', BI_RGB, bottom-up rows padded to 4-byte
+  * stride, grayscale palette) — lossless, hence the decoded pixels stay
+  * closed-form and the oracle replays per-frame md5s; the frame sampler
+  * emits the HEADER-declared width/height/fps, which is what proves the
+  * container was genuinely parsed rather than echoed. Swapping in an FFI
+  * decoder for compressed codecs stays a local change inside the
   * mapPartitions. */
 object Multimodal {
 
@@ -185,24 +189,227 @@ object Multimodal {
       .toDF("doc_id", "out_w", "out_h", "payload")
   }
 
-  /** STUB frame sampler: treats a video payload as consecutive
-    * `frameBytes`-byte frames and keeps every `every`-th complete frame
-    * (a real implementation would seek keyframes via the container codec);
-    * the explode-to-rows shape (doc_id, frame_no, frame) is the real
-    * plumbing. */
-  def sampleFrames(assetDf: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame = {
+  // ---------------- REAL video codec path (RIFF/AVI, hand-built) ----------------
+
+  /** Video frame geometry. Width is deliberately NOT a multiple of 4 so the
+    * DIB row stride (rows pad to 4-byte boundaries) differs from the row
+    * width — a parser that ignores stride produces sheared garbage and
+    * fails the hash gate. */
+  val VideoW = 30
+  val VideoH = 20
+  private val VideoStride = (VideoW + 3) / 4 * 4 // 32
+  /** Byte offset between consecutive synthesized frames in the payload's
+    * cyclic extension (coprime-ish with typical text lengths). */
+  val FrameStride = 131
+
+  /** Per-doc frame count and frame rate — both closed-form in doc_id, and
+    * the fps additionally roundtrips through the AVI stream header
+    * (dwRate/dwScale), so the gated fps column proves the header parse. */
+  def videoFrameCount(id: Long): Int = (4 + (id % 7)).toInt
+  def videoFps(id: Long): Int = (8 + (id % 9)).toInt
+
+  /** Frame `f` of a payload as a top-down VideoW×VideoH raster:
+    * `pixel(i) = payload[(f·FrameStride + i) mod len]` — the closed-form
+    * definition the oracle replays via substr-over-repeat. */
+  private[ops] def synthFrame(payload: Array[Byte], f: Int): Array[Byte] = {
+    val out = new Array[Byte](VideoW * VideoH)
+    if (payload.length > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = payload((f * FrameStride + i) % payload.length); i += 1 }
+    }
+    out
+  }
+
+  private def leInt(bb: java.nio.ByteBuffer, v: Int): Unit = bb.putInt(v)
+
+  private def riffChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1 // RIFF chunks are word-aligned
+    val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(tag.getBytes("US-ASCII")); out.putInt(body.length); out.put(body)
+    out.array()
+  }
+
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", kind.getBytes("US-ASCII") ++ body)
+
+  /** Convert a top-down w×h raster to DIB frame bytes: bottom-up row order,
+    * each row padded to a 4-byte stride (the on-disk layout BI_RGB DIBs
+    * use inside '00db' chunks). */
+  private[ops] def dibFromRaster(raster: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val stride = (w + 3) / 4 * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) { System.arraycopy(raster, y * w, out, (h - 1 - y) * stride, w); y += 1 }
+    out
+  }
+
+  private[ops] def rasterFromDib(dib: Array[Byte], w: Int, h: Int, bottomUp: Boolean): Array[Byte] = {
+    val stride = (w + 3) / 4 * 4
+    require(dib.length == stride * h,
+      s"DIB frame is ${dib.length} bytes, expected stride($stride) x h($h)")
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      System.arraycopy(dib, srcRow * stride, out, y * w, w)
+      y += 1
+    }
+    out
+  }
+
+  /** REAL AVI encode, hand-built against the public RIFF/AVI container
+    * layout (no video codec ships with the JDK): RIFF('AVI ') holding
+    * LIST(hdrl){avih, LIST(strl){strh 'vids'/'DIB ', strf
+    * BITMAPINFOHEADER(8-bit, BI_RGB) + 256-entry grayscale palette}},
+    * LIST(movi){'00db' uncompressed DIB frames}, and an idx1 keyframe
+    * index. Frames are top-down rasters; storage is bottom-up + padded. */
+  private[ops] def aviEncode(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    require(fps > 0, "fps must be positive")
+    val stride = (w + 3) / 4 * 4
+    val frameBytes = stride * h
+    val n = frames.length
+
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      leInt(bb, 1000000 / fps)   // dwMicroSecPerFrame
+      leInt(bb, frameBytes * fps) // dwMaxBytesPerSec
+      leInt(bb, 0)               // dwPaddingGranularity
+      leInt(bb, 0x10)            // dwFlags = AVIF_HASINDEX
+      leInt(bb, n); leInt(bb, 0) // dwTotalFrames, dwInitialFrames
+      leInt(bb, 1)               // dwStreams
+      leInt(bb, frameBytes)      // dwSuggestedBufferSize
+      leInt(bb, w); leInt(bb, h)
+      leInt(bb, 0); leInt(bb, 0); leInt(bb, 0); leInt(bb, 0) // dwReserved[4]
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")); bb.put("DIB ".getBytes("US-ASCII"))
+      leInt(bb, 0)                       // dwFlags
+      bb.putShort(0); bb.putShort(0)     // wPriority, wLanguage
+      leInt(bb, 0)                       // dwInitialFrames
+      leInt(bb, 1); leInt(bb, fps)       // dwScale, dwRate → fps = rate/scale
+      leInt(bb, 0); leInt(bb, n)         // dwStart, dwLength (frames)
+      leInt(bb, frameBytes)              // dwSuggestedBufferSize
+      leInt(bb, -1); leInt(bb, 0)        // dwQuality (default), dwSampleSize
+      bb.putShort(0); bb.putShort(0)     // rcFrame
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40 + 256 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      leInt(bb, 40)              // biSize
+      leInt(bb, w); leInt(bb, h) // biWidth, biHeight > 0 → bottom-up
+      bb.putShort(1)             // biPlanes
+      bb.putShort(8)             // biBitCount: 8-bit paletted
+      leInt(bb, 0)               // biCompression = BI_RGB (uncompressed)
+      leInt(bb, frameBytes)      // biSizeImage
+      leInt(bb, 0); leInt(bb, 0) // biXPelsPerMeter, biYPelsPerMeter
+      leInt(bb, 256); leInt(bb, 0) // biClrUsed, biClrImportant
+      var i = 0                  // grayscale palette: RGBQUAD(b,g,r,0) = (i,i,i,0)
+      while (i < 256) { bb.put(i.toByte); bb.put(i.toByte); bb.put(i.toByte); bb.put(0.toByte); i += 1 }
+      bb.array()
+    }
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++ riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val frameChunks = frames.map { fr =>
+      require(fr.length == w * h, s"frame is ${fr.length} px, expected ${w * h}")
+      riffChunk("00db", dibFromRaster(fr, w, h))
+    }
+    val movi = riffList("movi", frameChunks.reduceOption(_ ++ _).getOrElse(Array.empty))
+    val idx1 = {
+      val bb = java.nio.ByteBuffer.allocate(16 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 4 // offsets are relative to the 'movi' fourcc
+      frameChunks.foreach { ck =>
+        bb.put("00db".getBytes("US-ASCII"))
+        leInt(bb, 0x10)          // AVIIF_KEYFRAME (every uncompressed frame)
+        leInt(bb, off); leInt(bb, ck.length - 8)
+        off += ck.length
+      }
+      riffChunk("idx1", bb.array())
+    }
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /** REAL AVI decode: walks the RIFF chunk tree, reads geometry from
+    * `avih`, the frame rate from `strh` (dwRate/dwScale), the pixel format
+    * and row order from `strf`'s BITMAPINFOHEADER, then de-pads and
+    * re-orders every '00db'/'00dc' DIB in LIST(movi) into top-down
+    * rasters. Returns (frames, width, height, fps) — ALL from the parsed
+    * headers. A corrupted container fails loudly at the first bad chunk. */
+  private[ops] def aviDecode(bytes: Array[Byte]): (Vector[Array[Byte]], Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && str4(0) == "RIFF" && str4(8) == "AVI ",
+      "not a RIFF/AVI container")
+    var w = -1; var h = -1; var fps = -1; var bits = -1
+    var bottomUp = true
+    var dibs = Vector.empty[Array[Byte]]
+    def walk(start: Int, end: Int, inHdrl: Boolean, inStrl: Boolean, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val tag = str4(off)
+        val size = bb.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end, s"chunk '$tag' overruns the container")
+        tag match {
+          case "LIST" =>
+            val kind = str4(off + 8)
+            walk(off + 12, off + 8 + size,
+              inHdrl || kind == "hdrl", inStrl || kind == "strl", inMovi || kind == "movi")
+          case "avih" if inHdrl =>
+            require(size >= 56, s"avih chunk is $size bytes, expected >= 56")
+            w = bb.getInt(off + 8 + 32); h = bb.getInt(off + 8 + 36)
+          case "strh" if inStrl =>
+            require(str4(off + 8) == "vids", s"stream type '${str4(off + 8)}', expected 'vids'")
+            val scale = bb.getInt(off + 8 + 20)
+            val rate = bb.getInt(off + 8 + 24)
+            require(scale > 0 && rate > 0 && rate % scale == 0,
+              s"non-integral frame rate $rate/$scale")
+            fps = rate / scale
+          case "strf" if inStrl =>
+            require(size >= 40, s"strf chunk is $size bytes, expected >= 40 (BITMAPINFOHEADER)")
+            require(bb.getInt(off + 8 + 16) == 0, "compressed DIB (biCompression != BI_RGB)")
+            bits = bb.getShort(off + 8 + 14)
+            bottomUp = bb.getInt(off + 8 + 8) >= 0 // negative biHeight = top-down
+          case t if inMovi && (t == "00db" || t == "00dc") =>
+            dibs :+= java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+          case _ => () // unknown chunks (JUNK, idx1, ...) skip by size
+        }
+        off += 8 + size + (size & 1) // word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + bb.getInt(4)), inHdrl = false, inStrl = false, inMovi = false)
+    require(w > 0 && h > 0, "missing or malformed avih header")
+    require(fps > 0, "missing or malformed strh header")
+    require(bits == 8, s"biBitCount $bits, this decoder handles 8-bit DIBs")
+    (dibs.map(rasterFromDib(_, w, h, bottomUp)), w, h, fps)
+  }
+
+  /** REAL frame sampler: per video doc, synthesize the closed-form frame
+    * sequence, encode it into an actual AVI container, decode it back
+    * (full RIFF walk + DIB de-pad), and keep every `every`-th DECODED
+    * frame. Output carries the header-declared (w, h, fps) — the proof the
+    * container was parsed — alongside each decoded frame. Row-local after
+    * a decode-parallel repartition (same rationale as [[resizeImages]]:
+    * tiny input rows, CPU-heavy kernel). */
+  def sampleFrames(assetDf: DataFrame, every: Int = 2): DataFrame = {
     implicit val enc = Encoders.product[(Long, Array[Byte])]
-    val outEnc = Encoders.product[(Long, Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Long, Int, Int, Int, Array[Byte])]
+    val slots = assetDf.sparkSession.sparkContext.defaultParallelism
     assetDf.filter(col("modality") === "video")
       .select(col("doc_id"), col("payload"))
+      .repartition(slots)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        val nFrames = payload.length / frameBytes
-        (0 until nFrames by every).iterator.map { f =>
-          (id, f.toLong, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+        val frames = (0 until videoFrameCount(id)).map(synthFrame(payload, _))
+        val avi = aviEncode(frames, VideoW, VideoH, videoFps(id))
+        val (decoded, w, h, fps) = aviDecode(avi)
+        (0 until decoded.length by every).iterator.map { f =>
+          (id, f.toLong, w, h, fps, decoded(f))
         }
       })(outEnc)
-      .toDF("doc_id", "frame_no", "frame")
+      .toDF("doc_id", "frame_no", "w", "h", "fps", "frame")
   }
 
   /** Resize as a gated query: structural outputs (dims, payload length) are
@@ -218,19 +425,38 @@ object Multimodal {
       | CAST(768 AS BIGINT) AS byte_len
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
-  /** Frame sampling as a gated query: the sampled frame index set and frame
-    * sizes are oracle-exact; frame byte content is spec'd in
-    * ExtensionOpsSpec. */
+  /** Frame sampling as a gated query through the REAL AVI roundtrip: the
+    * (w, h, fps) columns come from the PARSED container headers and each
+    * checksum is the md5 of a DECODED frame — a broken writer, chunk walk,
+    * stride de-pad, or row re-order fails the driver's hash gate, not just
+    * a spec. */
   def modalFrames(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(assets(t(spark, dir, "documents")))
-      .select(col("doc_id"), col("frame_no"),
-        octet_length(col("frame")).cast(LongType).as("frame_len"))
+      .select(col("doc_id"), col("frame_no"), col("w"), col("h"), col("fps"),
+        octet_length(col("frame")).cast(LongType).as("frame_len"),
+        md5(col("frame")).as("checksum"))
 
-  def modalFramesOracleSql: String =
-    """SELECT doc_id,
-      | unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 4)) AS frame_no,
-      | CAST(64 AS BIGINT) AS frame_len
-      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+  /** DuckDB twin of [[modalFrames]]: replays frame `f` of each video doc as
+    * `substr` over a repeated text (≡ `payload[(f·131 + i) mod len]`,
+    * printable-ASCII documents make char positions byte positions — the m2
+    * argument) and md5s it. It can only match if the engine's AVI roundtrip
+    * returned every sampled frame bit-exactly, top-down, de-padded, with
+    * headers carrying (30, 20, 8 + doc_id mod 9). */
+  def modalFramesOracleSql: String = {
+    val px = VideoW * VideoH
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |        4 + (doc_id % 7) AS nf, CAST(8 + (doc_id % 9) AS INT) AS fps
+       |       FROM documents WHERE doc_id % 3 = 2),
+       | f AS (SELECT doc_id, text, len, fps, unnest(range(0, nf, 2)) AS frame_no FROM d),
+       | r AS (SELECT doc_id, frame_no, fps,
+       |        substr(repeat(text, CAST(ceil(((frame_no * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |               CAST((frame_no * $FrameStride) % len AS INT) + 1, $px) AS raster
+       |       FROM f)
+       |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       | CAST($VideoW AS INT) AS w, CAST($VideoH AS INT) AS h, fps,
+       | CAST($px AS BIGINT) AS frame_len, md5(raster) AS checksum
+       |FROM r""".stripMargin
+  }
 
   /** Oracle-checkable metadata projection (byte length is exact — UTF-8 of
     * ASCII text). */

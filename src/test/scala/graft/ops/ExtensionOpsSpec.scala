@@ -278,21 +278,53 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(resized(3L).sameElements(expect))
   }
 
-  test("multimodal: frame sampling keeps every 4th complete 64-byte frame") {
+  test("video: AVI roundtrip is lossless, headers parsed, corrupt container fails loudly") {
+    val payload = "the quick brown fox jumps over the lazy dog 0123456789".getBytes("UTF-8")
+    val frames = (0 until 5).map(Multimodal.synthFrame(payload, _))
+    val avi = Multimodal.aviEncode(frames, Multimodal.VideoW, Multimodal.VideoH, 12)
+    // a real RIFF/AVI container came out of the writer
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (decoded, w, h, fps) = Multimodal.aviDecode(avi)
+    // header-declared geometry and rate survive the roundtrip
+    assert((w, h, fps) == (Multimodal.VideoW, Multimodal.VideoH, 12))
+    assert(decoded.length == frames.length)
+    // every frame bit-exact through bottom-up storage + stride de-pad
+    // (VideoW=30 forces a stride of 32, so a parser ignoring padding shears)
+    decoded.zip(frames).foreach { case (d, f) => assert(d.sameElements(f)) }
+    // corrupted container / truncated chunk are loud failures
+    val broken = avi.clone(); broken(0) = 'X'.toByte
+    intercept[Exception](Multimodal.aviDecode(broken))
+    intercept[Exception](Multimodal.aviDecode(java.util.Arrays.copyOf(avi, avi.length - 7)))
+  }
+
+  test("video: DIB layout stores rows bottom-up with 4-byte stride") {
+    val w = Multimodal.VideoW; val h = Multimodal.VideoH
+    val raster = Array.tabulate[Byte](w * h)(i => (i % 251).toByte)
+    val dib = Multimodal.dibFromRaster(raster, w, h)
+    assert(dib.length == 32 * h) // stride 32 for w=30
+    // first stored row is the LAST raster row; pad bytes untouched (zero)
+    assert(dib.slice(0, w).sameElements(raster.slice((h - 1) * w, h * w)))
+    assert(dib(w) == 0 && dib(w + 1) == 0)
+    assert(Multimodal.rasterFromDib(dib, w, h, bottomUp = true).sameElements(raster))
+  }
+
+  test("multimodal: sampled frames carry parsed headers and every-2nd decoded frames") {
     val assets = Multimodal.assets(docs)
     val frames = Multimodal.sampleFrames(assets).collect()
     assert(frames.nonEmpty)
-    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length == 64))
-    // frame content equals the payload slice at frame_no * 64
     val byDoc = frames.groupBy(_.getLong(0))
     val (docId, fs) = byDoc.maxBy(_._2.length)
     val payload = assets.filter(col("doc_id") === docId).select("payload")
       .collect().head.getAs[Array[Byte]](0)
+    assert(fs.length == (Multimodal.videoFrameCount(docId) + 1) / 2)
     fs.foreach { r =>
       val f = r.getLong(1).toInt
-      assert(f % 4 == 0)
-      assert(r.getAs[Array[Byte]]("frame").sameElements(
-        java.util.Arrays.copyOfRange(payload, f * 64, (f + 1) * 64)))
+      assert(f % 2 == 0)
+      assert((r.getInt(2), r.getInt(3), r.getInt(4)) ==
+        (Multimodal.VideoW, Multimodal.VideoH, Multimodal.videoFps(docId)))
+      // decoded frame content equals the closed-form synthesis
+      assert(r.getAs[Array[Byte]]("frame").sameElements(Multimodal.synthFrame(payload, f)))
     }
   }
 
