@@ -75,6 +75,7 @@ object SparkEntry {
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.t(s, d, "documents"))),
     "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
+    "t6b_bpe_encode" -> (TextOps.bpeEncode _),
     "t7_split" -> ((s, d) => Corpus.splitAssign(Tables.t(s, d, "documents"))),
     "t8_packing" -> ((s, d) => Corpus.packAssignments(Tables.t(s, d, "documents"))),
     "c1_curation" -> ((s, d) => Corpus.curationReport(Tables.t(s, d, "documents"))),
@@ -287,6 +288,7 @@ object SparkEntry {
     "a10_zarr3_sharded" -> ArrayOps.a10OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
+    "t6b_bpe_encode" -> TextOps.bpeEncodeOracleSql,
     "t7_split" -> Corpus.splitAssignOracleSql(),
     "t8_packing" -> Corpus.packAssignmentsOracleSql(),
     "c1_curation" -> Corpus.curationReportOracleSql(),

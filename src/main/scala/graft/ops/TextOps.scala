@@ -62,6 +62,175 @@ object TextOps {
        |             string_split_regex(text, '\\s+') AS wt
        |      FROM documents) s""".stripMargin
 
+  // ---------------- REAL BPE (fitted merges + encode) ----------------
+
+  /** Merge-table size and the word-vocabulary cap for the fit. The cap is
+    * what makes the fit corpus-size-INDEPENDENT at 100 TB: the driver loop
+    * runs over the top-`BpeVocabCap` (word, freq) rows — the same
+    * bounded-artifact shape as [[Similarity]]'s IvfTrainCap — while the
+    * distributed side is one (token → count) aggregation. */
+  val BpeNumMerges = 120
+  val BpeVocabCap = 20000
+
+  /** Where the fitted merge table is dumped so the oracle can replay
+    * encoding from the same artifact (the centroid/codebook pattern). */
+  lazy val BpeMergesDump: String = s"${Similarity.OracleDumpRoot}/t6b_merges"
+
+  /** One merge step applied to a symbol sequence: greedy left-to-right,
+    * non-overlapping — the BPE learner's replacement rule. A merged symbol
+    * can never re-merge within the same pass (`l+r == l` or `== r` would
+    * need the other side empty), which is exactly why this fold is
+    * equivalent to DuckDB's left-to-right non-overlapping `replace()` on
+    * the delimited string form the oracle uses. */
+  private[ops] def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == l && syms(i) == r)
+        out(out.length - 1) = l + r
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Fit a BPE merge table on the corpus: pre-tokenize with [[BpeTokenRe]],
+    * aggregate the (token, freq) vocabulary (ONE shuffle, capped at
+    * [[BpeVocabCap]] by freq DESC, token ASC — deterministic), then run the
+    * classic learner loop on the driver: count adjacent symbol pairs
+    * weighted by word frequency, merge the most frequent pair (ties to the
+    * lexicographically smallest), repeat. Stops early when the best pair
+    * occurs once — merging hapax pairs is noise. */
+  private[ops] def fitBpeMerges(docs: DataFrame, nMerges: Int = BpeNumMerges,
+      cap: Int = BpeVocabCap): Array[(String, String)] = {
+    val wf: Array[(String, Long)] = docs
+      .select(explode(expr(s"regexp_extract_all(text, '$BpeTokenRe', 0)")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.length < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, bestN) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (bestN < 2) done = true
+        else {
+          out += best
+          words = words.map { case (syms, f) => (mergePair(syms, best._1, best._2), f) }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Dump the fitted merges for the replay oracle
+    * (schema: rank int starting at 1, l string, r string). */
+  private def dumpMerges(spark: SparkSession, merges: Array[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.toSeq.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "l", "r").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Encode one pre-token: apply every merge in rank order (one greedy
+    * left-to-right pass each — identical operation sequence to the
+    * oracle's recursive replace), return the surviving symbol count. */
+  private[ops] def bpeSymbolCount(tok: String, merges: Array[(String, String)]): Int = {
+    var syms = tok.toCharArray.map(_.toString)
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = mergePair(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    syms.length
+  }
+
+  /** REAL BPE encoding as a gated query: fit merges on the corpus, dump
+    * them, then encode every document row-locally (per-partition memo
+    * cache over the token vocabulary — the encode cost is per DISTINCT
+    * token, not per occurrence). Emits per-doc pre-token count, total
+    * post-merge symbol count, and the chars-per-symbol compression ratio.
+    *
+    * Scale shape: the fit is one capped aggregation + a driver loop over
+    * ≤[[BpeVocabCap]] rows (corpus-size independent); the encode pass is a
+    * zero-shuffle map with the ~120-pair merge table riding in the task
+    * closure. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = fitBpeMerges(docs)
+    dumpMerges(spark, merges, BpeMergesDump)
+    implicit val inEnc = Encoders.product[(Long, Seq[String])]
+    val outEnc = Encoders.product[(Long, Long, Long, Long)]
+    docs.select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$BpeTokenRe', 0)").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, toks) =>
+          var nTok = 0L; var nChar = 0L; var nSym = 0L
+          toks.foreach { t =>
+            nTok += 1; nChar += t.length
+            nSym += cache.getOrElseUpdate(t, bpeSymbolCount(t, merges))
+          }
+          (id, nTok, nChar, nSym)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n_tok", "n_char", "n_sym")
+      .withColumn("ratio", round(col("n_char").cast(DoubleType) / col("n_sym"), 4))
+  }
+
+  /** DuckDB twin of [[bpeEncode]]: reads the dumped merge table and
+    * replays encoding over the DISTINCT token vocabulary with a recursive
+    * CTE — one step per merge rank, each step a left-to-right
+    * non-overlapping `replace()` on a chr(1)-delimited symbol string
+    * (symbols never contain chr(1), so matches cannot span or split
+    * symbols) — then joins symbol counts back to token occurrences. It can
+    * only match if the engine applied the same merges in the same order
+    * with the same greedy semantics. */
+  def bpeEncodeOracleSql: String =
+    s"""WITH RECURSIVE
+       | merges AS (SELECT CAST(rank AS INT) AS rank, l, r
+       |            FROM read_parquet('$BpeMergesDump/*.parquet')),
+       | nm AS (SELECT CAST(coalesce(max(rank), 0) AS INT) AS n FROM merges),
+       | toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '$BpeTokenRe')) AS tok
+       |          FROM documents),
+       | vocab AS (SELECT DISTINCT tok FROM toks),
+       | enc AS (
+       |   SELECT tok,
+       |     array_to_string(list_transform(range(1, length(tok) + 1),
+       |       i -> chr(1) || substr(tok, CAST(i AS INT), 1) || chr(1)), '') AS s,
+       |     0 AS rank
+       |   FROM vocab
+       |   UNION ALL
+       |   SELECT e.tok,
+       |     replace(e.s, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+       |             chr(1) || m.l || m.r || chr(1)),
+       |     e.rank + 1
+       |   FROM enc e JOIN merges m ON m.rank = e.rank + 1
+       | ),
+       | fin AS (SELECT tok,
+       |          CAST((length(s) - length(replace(s, chr(1), ''))) / 2 AS BIGINT) AS n_sym,
+       |          CAST(length(tok) AS BIGINT) AS n_char
+       |         FROM enc, nm WHERE enc.rank = nm.n)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       | CAST(sum(f.n_char) AS BIGINT) AS n_char,
+       | CAST(sum(f.n_sym) AS BIGINT) AS n_sym,
+       | round(CAST(sum(f.n_char) AS DOUBLE) / sum(f.n_sym), 4) AS ratio
+       |FROM toks t JOIN fin f USING (tok)
+       |GROUP BY t.doc_id""".stripMargin
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** BM25-style salient-term extraction: the top-k most relevant terms per

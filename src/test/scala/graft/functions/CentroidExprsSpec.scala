@@ -133,4 +133,44 @@ class CentroidExprsSpec extends AnyFunSuite {
       assert(qt.count() == 50 * 10)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("PQ kernels at production m=8 x 256 codes execute inside whole-stage codegen") {
+    // same 64KB-method-limit regression class the nlist=1024 pin closes for
+    // the centroid kernels: the codebook tensor (8 x 256 x 8 doubles) must
+    // ride as ONE reference object, with generated-code size independent of
+    // m·nCodes. fallback=false turns any codegen failure into a hard error.
+    import graft.functions.PqExprs.{pq_decode, pq_encode}
+    val m = 8; val nCodes = 256; val subDim = 8
+    val cbs = Array.tabulate(m, nCodes, subDim)((s, c, j) =>
+      math.sin(s * 7919 + c * 104729 + j * 13).abs * 10)
+    val df = spark.range(40).toDF("vec_id").withColumn("embedding",
+      expr(s"transform(sequence(1, ${m * subDim}), j -> cast(sin(vec_id * ${m * subDim} + j) * 5 as double))"))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val q = df.select(col("vec_id"), pq_encode(col("embedding"), cbs).as("codes"))
+        .withColumn("recon", pq_decode(col("codes"), cbs))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), plan)
+      val rows = q.collect()
+      assert(rows.length == 40)
+      // codes bounded by the 256-code books; reconstruction = selected cents
+      rows.foreach { r =>
+        val codes = r.getSeq[Int](1)
+        assert(codes.length == m && codes.forall(c => c >= 0 && c < nCodes))
+        val recon = r.getSeq[Double](2)
+        codes.zipWithIndex.foreach { case (c, s) =>
+          assert(recon.slice(s * subDim, (s + 1) * subDim) == cbs(s)(c).toSeq)
+        }
+      }
+      // codegen result == interpreted kernel on a sample row
+      val e0 = df.orderBy("vec_id").limit(1).collect().head.getSeq[Double](1).toArray
+      val interp = graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e0,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false)), cbs)
+        .compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(e0.map(_.asInstanceOf[Any])))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      val viaCodegen = rows.find(_.getLong(0) == 0L).get.getSeq[Int](1)
+      assert(viaCodegen == interp.toSeq)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }

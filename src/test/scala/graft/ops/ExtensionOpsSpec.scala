@@ -238,6 +238,47 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(viaSql.count() == docs.filter(size(split(col("text"), "\\s+")) >= 3).count())
   }
 
+  test("bpe: mergePair is greedy left-to-right non-overlapping") {
+    def m(s: Seq[String], l: String, r: String) = TextOps.mergePair(s.toArray, l, r).toSeq
+    // leftmost-first, no re-merge of merged output
+    assert(m(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(m(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "ab", "y"))
+    assert(m(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // merged symbol may seed a LATER rank but never re-merges in-pass
+    assert(m(Seq("ab", "ab"), "ab", "ab") == Seq("abab"))
+    assert(m(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("bpe: fit learns the most frequent pair first and encode applies ranks in order") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aaab aaab aaab"), (2L, "aaab ccc"), (3L, "ccc")).toDF("doc_id", "text")
+    val merges = TextOps.fitBpeMerges(tiny, nMerges = 3, cap = 100)
+    assert(merges.nonEmpty)
+    // "aaab" occurs 4x: pairs (a,a) weight 8, (a,b) 4, (c,c) weight 4 over
+    // "ccc"(2x) + " ccc"... the clear winner is (a,a)
+    assert(merges.head == ("a", "a"))
+    // encoding shrinks and is consistent with a manual replay
+    val n = TextOps.bpeSymbolCount("aaab", merges)
+    var syms = "aaab".toCharArray.map(_.toString)
+    merges.foreach { case (l, r) => syms = TextOps.mergePair(syms, l, r) }
+    assert(n == syms.length && n < 4)
+    // determinism: same corpus, same merges
+    assert(TextOps.fitBpeMerges(tiny, nMerges = 3, cap = 100).toSeq == merges.toSeq)
+  }
+
+  test("bpe: corpus fit compresses real documents and caps are honored") {
+    val merges = TextOps.fitBpeMerges(docs, nMerges = 30, cap = 5000)
+    assert(merges.length == 30, "500 real docs easily support 30 merges")
+    val out = TextOps.bpeEncode(spark, dir).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (nTok, nChar, nSym) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSym <= nChar, "merges can only shrink")
+      assert(nSym >= nTok, "each token keeps at least one symbol")
+    }
+  }
+
   test("fingerprints are deterministic and discriminative") {
     val fp1 = TextOps.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val fp2 = TextOps.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

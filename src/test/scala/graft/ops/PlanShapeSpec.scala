@@ -87,6 +87,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "s3_embed_dups") == 2)
   }
 
+  test("s4: three scans of embeddings under AQE (sample materialized once; index + query passes)") {
+    // 1 scan materializing the capped train sample (every Lloyd iteration
+    // of the k-means fit then reads the checkpoint, NOT parquet) + the
+    // executed query's 2: full corpus assign pass and the vec_id<10
+    // pushdown-filtered query side. A regression of cappedTrainSample's
+    // materialization shows up as one scan PER KMEANS ITERATION
+    assert(scansOf("embeddings", "s4_ann_ivf") == 3)
+  }
+
+  test("s8: three scans of embeddings under AQE (shared sample; route+compress is one pass)") {
+    // same decomposition as s4 — and the coarse fit plus all m=8 codebook
+    // fits share the ONE materialized sample, so the 9 concurrent fits
+    // contribute zero parquet scans; route+PQ-encode is a single map pass
+    // over the corpus scan
+    assert(scansOf("embeddings", "s8_ivfadc") == 3)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
