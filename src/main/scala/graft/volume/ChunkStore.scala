@@ -218,4 +218,22 @@ object ChunkStore {
     if (matches == null) Iterator.empty
     else matches.iterator.map(_.getPath.getName).filterNot(_.startsWith("."))
   }
+
+  /** Like [[globNames]] but returns paths RELATIVE to `root/prefix` —
+    * required for NESTED key layouts (zarr v3 `c/z/y/x`, N5 `x/y/z`) where
+    * the last path segment alone does not identify the chunk. A multi-level
+    * glob with a literal leading segment (wildcards only BELOW it, e.g.
+    * "c/5" then per-level wildcards) is still one bounded prefix
+    * enumeration on an object store (delimiter-less LIST under the literal
+    * prefix), so this counts as ONE list call like its flat sibling. */
+  def globRelPaths(fs: FileSystem, root: String, prefix: String, pattern: String): Iterator[String] = {
+    listCalls.incrementAndGet()
+    val base = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+    val basePath = fs.makeQualified(base).toUri.getPath.stripSuffix("/")
+    val matches = fs.globStatus(new Path(base, pattern))
+    if (matches == null) Iterator.empty
+    else matches.iterator
+      .map(st => st.getPath.toUri.getPath.stripPrefix(basePath).stripPrefix("/"))
+      .filterNot(rel => rel.isEmpty || rel.split('/').exists(_.startsWith(".")))
+  }
 }

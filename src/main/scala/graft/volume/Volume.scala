@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.core.{Codec, Grid, Meta}
 import graft.core.Grid.{Box, ChunkSlice, Ival}
 import graft.core.Meta.{ScaleMeta, VolumeMeta, VoxelType}
+import graft.sources.PrecomputedScan
 
 /** Everything an executor needs to plan/fetch/decode chunks for one mip level
   * — a serializable projection of the volume handle (the reference's
@@ -110,6 +111,67 @@ final case class VolumeCtx(
         val (wx, wy, wz) = innerCoords(slice)
         idx(p.linear(wx, wy, wz) * 2) != graft.core.Shard.Missing
       }
+  }
+
+  /** Per-leading-coordinate bounded LIST globs for this key layout — the
+    * sparse-store enumeration (see PrecomputedScan.listingGlobs for the
+    * full rationale: one bounded prefix LIST per chunk column, fan-out
+    * scaling with store width, O(objects) total). Precomputed keys shard
+    * by the x0 ordinate; dotted zarr keys by their LEADING dim index
+    * (z for C-order, x for F-order — whatever comes first in the key);
+    * nested zarr3/n5 keys by their first variable path segment. */
+  def listingGlobs(ids: Grid.IdRanges): Seq[String] = {
+    val csx = chunkSize._1
+    val ox = Grid.gridOffset(voxelOffset._1, csx)
+    keyStyle match {
+      case "precomputed" => (ids.lox to ids.hix).map(cx => s"${(cx - 1) * csx + ox}-*")
+      case "zarr-c" => (ids.loz to ids.hiz).map(cz => s"${cz - 1}.*")
+      case "zarr-c2" => (ids.loy to ids.hiy).map(cy => s"${cy - 1}.*")
+      case "zarr-f" | "zarr-f2" => (ids.lox to ids.hix).map(cx => s"${cx - 1}.*")
+      case "zarr3-c" => (ids.loz to ids.hiz).map(cz => s"c/${cz - 1}/*/*")
+      case "zarr3-c2" => (ids.loy to ids.hiy).map(cy => s"c/${cy - 1}/*")
+      case "n5" => (ids.lox to ids.hix).map(cx => s"${cx - 1}/*/*")
+      // sharded stores never list: the shard index IS the listing
+      // (chunkExists costs one cached index GET per shard, not per cell)
+      case other => throw new IllegalArgumentException(
+        s"listing enumeration unsupported for key style: $other")
+    }
+  }
+
+  /** Parse a LISTED relative key (scale prefix stripped, either stored
+    * spelling — the `.gz` suffix convention is accepted like the read
+    * path) back to 1-based grid coords; None for foreign objects
+    * (`.zarray`, `attributes.json`, user files) so listings are robust to
+    * non-chunk neighbors. Inverse of [[relKey]] per key style. */
+  def parseRelKey(rel0: String): Option[(Int, Int, Int)] = {
+    val rel = if (rel0.endsWith(".gz")) rel0.dropRight(3) else rel0
+    def ints(parts: Array[String]): Option[Array[Int]] = {
+      val parsed = parts.map(_.toIntOption)
+      if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+    }
+    keyStyle match {
+      case "precomputed" => Grid.parseKey(rel).map { b =>
+        val (csx, csy, csz) = chunkSize
+        (Grid.chunkIdOf(b.x.lo, csx, Grid.gridOffset(voxelOffset._1, csx)),
+          Grid.chunkIdOf(b.y.lo, csy, Grid.gridOffset(voxelOffset._2, csy)),
+          Grid.chunkIdOf(b.z.lo, csz, Grid.gridOffset(voxelOffset._3, csz)))
+      }
+      case "zarr-c" => ints(rel.split('.')).collect { case Array(z, y, x) => (x + 1, y + 1, z + 1) }
+      case "zarr-f" => ints(rel.split('.')).collect { case Array(x, y, z) => (x + 1, y + 1, z + 1) }
+      case "zarr-c2" => ints(rel.split('.')).collect { case Array(y, x) => (x + 1, y + 1, 1) }
+      case "zarr-f2" => ints(rel.split('.')).collect { case Array(x, y) => (x + 1, y + 1, 1) }
+      case "zarr3-c" => rel.split('/') match {
+        case Array("c", z, y, x) => ints(Array(z, y, x)).map(a => (a(2) + 1, a(1) + 1, a(0) + 1))
+        case _ => None
+      }
+      case "zarr3-c2" => rel.split('/') match {
+        case Array("c", y, x) => ints(Array(y, x)).map(a => (a(1) + 1, a(0) + 1, 1))
+        case _ => None
+      }
+      case "n5" => ints(rel.split('/')).collect { case Array(x, y, z) => (x + 1, y + 1, z + 1) }
+      case other => throw new IllegalArgumentException(
+        s"listing enumeration unsupported for key style: $other")
+    }
   }
 
   /** Chunk slice for grid coords. Precomputed style: volume-stop clamping
@@ -532,26 +594,88 @@ final class Volume(
     total
   }
 
+  /** Grid coordinates of chunks PRESENT in the store within `query` — the
+    * reference's `keys` + key-parse enumeration (reference:
+    * src/backends/S3Dicts.jl:100-118 / src/Indexes.jl:96-106),
+    * distributed: one bounded prefix LIST per leading-coordinate column
+    * ([[VolumeCtx.listingGlobs]] — the same strategy every key layout now
+    * shares with the precomputed DSv2 scan), names parsed back to grid
+    * coords and bounds-filtered. Sparse-store cost is O(objects) with ZERO
+    * existence probes; LIST fan-out grows with store width. Sharded stores
+    * enumerate via the shard index instead (it IS a listing — one cached
+    * GET per shard). */
+  def presentChunks(query: Box): Dataset[(Int, Int, Int)] = {
+    val c = ctx; val conf = hconf
+    require(c.shard.isEmpty,
+      "presentChunks: sharded stores enumerate via the shard index (one cached GET per shard)")
+    implicit val enc3 = Encoders.product[(Int, Int, Int)]
+    val q = query.intersect(c.volumeBox)
+    if (q.isEmpty) return spark.emptyDataset[(Int, Int, Int)]
+    val ids = Grid.idRanges(q, c.chunkSize, c.voxelOffset)
+    val globs = c.listingGlobs(ids)
+    val slots = math.max(1, math.min(globs.size,
+      PrecomputedScan.maxListingTasks(spark.sparkContext.defaultParallelism)))
+    spark.createDataset(globs)(Encoders.STRING).repartition(slots)
+      .mapPartitions { git =>
+        val fs = ChunkStore.fs(c.root, conf.conf)
+        git.flatMap(g => ChunkStore.globRelPaths(fs, c.root, c.scaleKey, g))
+          .flatMap(c.parseRelKey)
+          .filter { case (cx, cy, cz) =>
+            cx >= ids.lox && cx <= ids.hix && cy >= ids.loy && cy <= ids.hiy &&
+              cz >= ids.loz && cz <= ids.hiz }
+      }
+  }
+
   /** Keys of expected-but-absent chunks — the reference's
-    * `list_missing_chunks` (reference: src/type.jl:299-328), re-expressed as
-    * a distributed existence probe over the arithmetic chunk grid: the
-    * expected cells come from `chunkTasks` (never materialized on the
-    * driver) and each executor probes its own cells, so nothing lists the
-    * store and driver memory stays O(partitions) at any volume size. */
-  def missingChunks(query: Box): Dataset[String] = {
+    * `list_missing_chunks` (reference: src/type.jl:299-328). Two planning
+    * modes, mirroring the precomputed DSv2 scan's probe-vs-listing choice:
+    *
+    *  - PROBE (small grids): a distributed existence probe over the
+    *    arithmetic chunk grid — the expected cells come from `chunkTasks`
+    *    (never materialized on the driver) and each executor probes its
+    *    own cells. O(cells) HEADs; nothing lists the store.
+    *  - LISTING (`auto` above [[PrecomputedScan.ListingThreshold]] cells,
+    *    non-sharded): LIST the present chunks (O(objects), bounded per-
+    *    column globs) and anti-join the expected grid — the sparse-store
+    *    plan, where a mostly-empty 100 TB store would otherwise pay an
+    *    existence probe per EMPTY cell.
+    *
+    *  Sharded stores always probe: `chunkExists` reads the per-shard index
+    *  (one cached GET per shard, then in-memory lookups per cell), already
+    *  O(shard objects) I/O. */
+  def missingChunks(query: Box, planning: String = "auto"): Dataset[String] = {
     val c = ctx; val conf = hconf
     implicit val se = Encoders.STRING
-    chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
-      .mapPartitions { it =>
-        val fs = ChunkStore.fs(c.root, conf.conf)
-        // suffix convention resolved once per partition (first hit wins):
-        // one existence probe per absent cell, not two
-        val prober = new ChunkStore.SuffixProber(fs, c.root)
-        it.flatMap { case (cx, cy, cz) =>
-          c.sliceAt(cx, cy, cz, query).filterNot(s => c.chunkExists(fs, prober, s))
-            .map(c.relKey)
+    val useListing = planning match {
+      case "listing" => true
+      case "probe" => false
+      case "auto" => c.shard.isEmpty &&
+        numChunks(query) > PrecomputedScan.ListingThreshold
+      case other => throw new IllegalArgumentException(
+        s"missingChunks planning must be auto|probe|listing, got $other")
+    }
+    if (useListing) {
+      implicit val enc3 = Encoders.product[(Int, Int, Int)]
+      val expected = chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
+        .flatMap { case (cx, cy, cz) =>
+          c.sliceAt(cx, cy, cz, query).map(s => (s.idx, s.idy, s.idz)) }
+      expected.toDF("cx", "cy", "cz")
+        .join(presentChunks(query).toDF("cx", "cy", "cz"), Seq("cx", "cy", "cz"), "left_anti")
+        .as[(Int, Int, Int)]
+        .mapPartitions(_.flatMap { case (cx, cy, cz) =>
+          c.sliceAt(cx, cy, cz, query).map(c.relKey) })
+    } else
+      chunkTasks(query).as(Encoders.product[(Int, Int, Int)])
+        .mapPartitions { it =>
+          val fs = ChunkStore.fs(c.root, conf.conf)
+          // suffix convention resolved once per partition (first hit wins):
+          // one existence probe per absent cell, not two
+          val prober = new ChunkStore.SuffixProber(fs, c.root)
+          it.flatMap { case (cx, cy, cz) =>
+            c.sliceAt(cx, cy, cz, query).filterNot(s => c.chunkExists(fs, prober, s))
+              .map(c.relKey)
+          }
         }
-      }
   }
 
   /** Write the info JSON back to the store (reference: src/type.jl:335-339). */
