@@ -87,8 +87,12 @@ object Bench {
         n -> QRes(a, best, reps)
       }
     }
+    // reps >= 3 guarantees the escalation loop really ran: a query whose
+    // first run FAILED never escalated, and flagging it off one sample is
+    // the exact false positive this mechanism exists to prevent (its -1
+    // in `queries` already reports the failure)
     val suspects = measured.collect {
-      case (n, r) if r.best >= 0 && bands.get(n).exists(over(r.best, _)) =>
+      case (n, r) if r.best >= 0 && r.reps >= 3 && bands.get(n).exists(over(r.best, _)) =>
         (n, r.best, bands(n))
     }
     val results0 = measured.map { case (n, r) => n -> r.best }
@@ -137,9 +141,12 @@ object Bench {
     val results = results0 ++ arrayBench
     // regenerate the band file for the NEXT round's comparisons (run on an
     // idle box; commit the output as bench_bands.json)
+    // Locale.ROOT: f"" uses the default locale, which writes comma decimals
+    // on e.g. de_DE JVMs — corrupting the band file and the JSON line
+    def dec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     sys.env.get("SPARK_GRAFT_BANDS_OUT").foreach { out =>
       val body = results.filter(_._2 >= 0)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{\n", ",\n", "\n}\n")
+        .map { case (k, v) => "\"" + k + "\":" + dec3(v) }.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -150,7 +157,7 @@ object Bench {
     val singles = measured.map { case (k, r) => "\"" + k + "\":" + r.first }
       .mkString("{", ",", "}")
     val suspectJson = suspects.map { case (n, best, band) =>
-      f"""{"name":"$n","best":$best%.3f,"band":$band%.3f,"ratio":${best / band}%.2f}"""
+      s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)},"ratio":${dec3(best / band)}}"""
     }.mkString("[", ",", "]")
     spark.stop()
     System.err.flush()

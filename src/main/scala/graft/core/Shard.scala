@@ -109,13 +109,16 @@ object Shard {
     * shards-per-task, and a pathological task simply stops caching at
     * [[MaxCachedPerTask]] rather than evicting others — the cap is tracked
     * PER task scope, so one task touching many shards never disables
-    * caching for innocent concurrent tasks. Cross-task sharing is
-    * deliberately traded away for the snapshot guarantee. Driver-side
-    * calls (no TaskContext — direct API use) are uncached: a long-lived
-    * driver thread has no completion point, and a stale index there would
-    * outlive any write. A task is single-threaded, so plain get/put needs
-    * no striping. */
-  private val MaxCachedPerTask = 4096
+    * caching for innocent concurrent tasks, while [[MaxCachedGlobal]]
+    * keeps the old executor-wide memory backstop (worst case stays
+    * global-cap × index size regardless of task-slot count). Cross-task
+    * sharing is deliberately traded away for the snapshot guarantee.
+    * Driver-side calls (no TaskContext — direct API use) are uncached: a
+    * long-lived driver thread has no completion point, and a stale index
+    * there would outlive any write. A task is single-threaded, so plain
+    * get/put needs no striping. */
+  private val MaxCachedPerTask = 1024
+  private val MaxCachedGlobal = 4096
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, String, String), Option[Array[Long]]]()
   private val registeredTasks =
@@ -141,7 +144,8 @@ object Shard {
     else {
       val v = readIndex(fs, root, key, p)
       val n = scopeCounts.computeIfAbsent(scope, _ => new java.util.concurrent.atomic.AtomicInteger())
-      if (n.get() < MaxCachedPerTask && indexCache.put(k, v) == null) n.incrementAndGet()
+      if (n.get() < MaxCachedPerTask && indexCache.size() < MaxCachedGlobal &&
+        indexCache.put(k, v) == null) n.incrementAndGet()
       v
     }
   }

@@ -89,16 +89,17 @@ sealed trait CentroidKernel extends UnaryExpression {
       val x = elem(arr, i); na += x * x
       i += 1
     }
+    // a wrong-dim row would otherwise truncate the dot product while the
+    // row norm spans all elements — plausible-but-wrong assignments; fail
+    // loudly like PqEncode. Once per ROW (centroid dims are uniform by
+    // construction — a fitted matrix), not inside the nlist loop
+    require(centroids.length == 0 || nElems == centroids(0).length,
+      s"$prettyName: embedding dim $nElems != centroid dim ${centroids(0).length}")
     val sna = math.sqrt(na)
     val out = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      // a wrong-dim row would otherwise truncate the dot product while the
-      // row norm spans all elements — plausible-but-wrong assignments; fail
-      // loudly like PqEncode instead
-      require(nElems == cent.length,
-        s"$prettyName: embedding dim $nElems != centroid dim ${cent.length}")
       var dot = 0.0
       var j = 0
       while (j < nElems) { dot += elem(arr, j) * cent(j); j += 1 }

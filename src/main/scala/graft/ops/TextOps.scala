@@ -178,7 +178,10 @@ object TextOps {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap.empty[String, Int]
-        it.map { case (id, toks) =>
+        // zero-token docs (empty text — every nonempty string matches the
+        // pre-tokenizer) emit NO row, matching the oracle's inner join on
+        // the token vocabulary
+        it.filter(_._2.nonEmpty).map { case (id, toks) =>
           var nTok = 0L; var nChar = 0L; var nSym = 0L
           toks.foreach { t =>
             nTok += 1; nChar += t.length

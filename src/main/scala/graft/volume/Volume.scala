@@ -124,7 +124,9 @@ final case class VolumeCtx(
     val csx = chunkSize._1
     val ox = Grid.gridOffset(voxelOffset._1, csx)
     keyStyle match {
-      case "precomputed" => (ids.lox to ids.hix).map(cx => s"${(cx - 1) * csx + ox}-*")
+      // same formula as the DSv2 scan — delegate so the two planners can
+      // never enumerate differently
+      case "precomputed" => PrecomputedScan.listingGlobs(ids, csx, ox)
       case "zarr-c" => (ids.loz to ids.hiz).map(cz => s"${cz - 1}.*")
       case "zarr-c2" => (ids.loy to ids.hiy).map(cy => s"${cy - 1}.*")
       case "zarr-f" | "zarr-f2" => (ids.lox to ids.hix).map(cx => s"${cx - 1}.*")
