@@ -78,6 +78,7 @@ object SparkEntry {
     "t6b_bpe_encode" -> (TextOps.bpeEncode _),
     "t7_split" -> ((s, d) => Corpus.splitAssign(Tables.t(s, d, "documents"))),
     "t8_packing" -> ((s, d) => Corpus.packAssignments(Tables.t(s, d, "documents"))),
+    "t14_chunking" -> ((s, d) => Corpus.chunkWindows(Tables.t(s, d, "documents"))),
     "c1_curation" -> ((s, d) => Corpus.curationReport(Tables.t(s, d, "documents"))),
     "c2_mixture" -> ((s, d) => Corpus.mixtureSample(Tables.t(s, d, "documents"))),
     "t9_bm25" -> ((s, d) => TextOps.bm25TopTerms(Tables.t(s, d, "documents"))),
@@ -291,6 +292,7 @@ object SparkEntry {
     "t6b_bpe_encode" -> TextOps.bpeEncodeOracleSql,
     "t7_split" -> Corpus.splitAssignOracleSql(),
     "t8_packing" -> Corpus.packAssignmentsOracleSql(),
+    "t14_chunking" -> Corpus.chunkWindowsOracleSql(),
     "c1_curation" -> Corpus.curationReportOracleSql(),
     "c2_mixture" -> Corpus.mixtureSampleOracleSql(),
     "t9_bm25" -> TextOps.bm25OracleSql(),

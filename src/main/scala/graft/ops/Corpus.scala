@@ -295,6 +295,57 @@ object Corpus {
        |FROM j GROUP BY ROLLUP(source)""".stripMargin
 
   /** DuckDB oracle twin of [[packAssignments]]. */
+  /** Sliding-window document chunking — the context-window prep step a
+    * training/RAG pipeline runs before tokenization proper: pre-tokenize
+    * (the [[TextOps.BpeTokenRe]] partition of the text, so concatenating a
+    * token window reconstructs the exact source span), then emit windows of
+    * `window` tokens every `window - overlap` tokens; the last window is
+    * clamped short rather than padded. Emits the span checksum so the gate
+    * proves byte-exact span reconstruction, not just counts.
+    *
+    * Scale shape: pure native higher-order functions (regexp_extract_all /
+    * sequence / slice / concat_ws) — whole-stage codegen, one map pass,
+    * ZERO shuffle; chunk fan-out is a generator explode, never a driver
+    * loop. */
+  def chunkWindows(docs: DataFrame, window: Int = 64, overlap: Int = 16): DataFrame = {
+    require(window > overlap && overlap >= 0, s"need window > overlap >= 0, got $window/$overlap")
+    val step = window - overlap
+    docs
+      .select(col("doc_id"), expr(s"regexp_extract_all(text, '${TextOps.BpeTokenRe}', 0)").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, greatest(0, cast(ceil((size(toks) - $window) / cast($step as double)) as int)))"))
+          .as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast(LongType).as("chunk_no"),
+        expr(s"slice(toks, chunk_no * $step + 1, $window)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("ctoks")).cast(LongType).as("n_tok"),
+        length(concat_ws("", col("ctoks"))).cast(LongType).as("span_len"),
+        md5(encode(concat_ws("", col("ctoks")), "UTF-8")).as("checksum"))
+  }
+
+  /** DuckDB twin of [[chunkWindows]] — same regex partition, same window
+    * arithmetic (ceil over double), same inclusive-clamped list slice,
+    * span md5 over the re-concatenated tokens (ASCII documents: char
+    * positions are byte positions). */
+  def chunkWindowsOracleSql(window: Int = 64, overlap: Int = 16): String = {
+    val step = window - overlap
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '${TextOps.BpeTokenRe}') AS toks
+       |           FROM documents WHERE length(text) > 0),
+       | c AS (SELECT doc_id, toks,
+       |        unnest(range(0, 1 + greatest(0, CAST(ceil((len(toks) - $window) / CAST($step AS DOUBLE)) AS BIGINT)))) AS chunk_no
+       |       FROM d WHERE len(toks) > 0),
+       | s AS (SELECT doc_id, chunk_no,
+       |        toks[chunk_no * $step + 1 : chunk_no * $step + $window] AS ctoks
+       |       FROM c)
+       |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       | CAST(len(ctoks) AS BIGINT) AS n_tok,
+       | CAST(length(array_to_string(ctoks, '')) AS BIGINT) AS span_len,
+       | md5(array_to_string(ctoks, '')) AS checksum
+       |FROM s""".stripMargin
+  }
+
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
        |       CAST(off // $budgetTokens AS BIGINT) AS pack_id

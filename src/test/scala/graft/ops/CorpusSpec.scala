@@ -147,4 +147,35 @@ class CorpusSpec extends AnyFunSuite {
       .filter(col("doc_id") === 999999L).head()
     assert(flagged.getBoolean(2), "planted copy of an eval doc not flagged")
   }
+
+  test("chunkWindows: windows tile every doc; spans reconstruct the text; stride honored") {
+    import spark.implicits._
+    val window = 8; val overlap = 2; val step = window - overlap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toksOf(t: String): Vector[String] =
+      ("""( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +)""".r).findAllIn(t).toVector
+    val out = Corpus.chunkWindows(docs, window, overlap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet.filter(id => texts(id).nonEmpty))
+    byDoc.foreach { case (id, chunks) =>
+      val toks = toksOf(texts(id))
+      val expectChunks = 1 + math.max(0, math.ceil((toks.length - window).toDouble / step).toInt)
+      assert(chunks.length == expectChunks, s"doc $id")
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until expectChunks).map(_.toLong))
+      sorted.foreach { case (_, no, nTok, spanLen, sum) =>
+        val span = toks.slice(no.toInt * step, no.toInt * step + window)
+        assert(nTok == span.length && spanLen == span.mkString.length, s"doc $id chunk $no")
+        assert(sum == Multimodal.md5hex(span.mkString.getBytes("UTF-8")), s"doc $id chunk $no")
+      }
+      // stitching chunk spans (dropping each successor's overlap) = the text
+      val stitched = sorted.map(c => toks.slice(c._2.toInt * step, c._2.toInt * step + window))
+        .zipWithIndex.map { case (s, i) => if (i == 0) s else s.drop(overlap min s.length) }
+        .flatten.mkString
+      // overlap tokens beyond a short final window never duplicate
+      assert(stitched == texts(id), s"doc $id reconstruction")
+    }
+  }
 }

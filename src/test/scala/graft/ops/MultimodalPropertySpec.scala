@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testutil.MiniProp
+
+/** Property coverage of the hand-built RIFF/AVI container and the BPE
+  * learner kernels — the generalized forms of ExtensionOpsSpec's fixed
+  * vectors.
+  *
+  * AVI: for arbitrary geometry (including widths on and off the 4-byte
+  * stride boundary), frame counts, rates, and pixel contents, encode →
+  * decode must return every frame bit-exactly with the header-declared
+  * (w, h, fps); truncations must fail loudly, never return garbage.
+  *
+  * BPE: for arbitrary corpora, the learner must be deterministic, merges
+  * must be applied greedily left-to-right non-overlapping, and encoding
+  * invariants (token count ≤ symbol count ≤ char count) must hold. */
+class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
+
+  case class AviCase(w: Int, h: Int, fps: Int, nFrames: Int, seed: Long)
+
+  private val genAvi = for {
+    w <- Gen.choose(1, 37) // crosses stride boundaries: w%4 in {0,1,2,3}
+    h <- Gen.choose(1, 23)
+    fps <- Gen.choose(1, 60)
+    n <- Gen.choose(0, 9)
+    seed <- Gen.chooseNum(0L, 1L << 40)
+  } yield AviCase(w, h, fps, n, seed)
+
+  test("AVI roundtrip is lossless for arbitrary geometry, counts, rates") {
+    forAll(genAvi) { c =>
+      val rnd = new scala.util.Random(c.seed)
+      val frames = Vector.fill(c.nFrames)(Array.fill[Byte](c.w * c.h)(rnd.nextInt(256).toByte))
+      val avi = Multimodal.aviEncode(frames, c.w, c.h, c.fps)
+      val (decoded, w, h, fps) = Multimodal.aviDecode(avi)
+      assert((w, h, fps) == (c.w, c.h, c.fps), s"$c headers")
+      assert(decoded.length == c.nFrames, s"$c frame count")
+      decoded.zip(frames).zipWithIndex.foreach { case ((d, f), i) =>
+        assert(d.sameElements(f), s"$c frame $i")
+      }
+    }
+  }
+
+  test("truncated or bit-flipped containers fail loudly, never decode silently") {
+    val frames = Vector.fill(3)(Array.tabulate[Byte](30 * 20)(_.toByte))
+    val avi = Multimodal.aviEncode(frames, 30, 20, 10)
+    // truncation anywhere inside the movi list: loud failure or fewer frames
+    // with intact headers — never sheared pixels
+    Seq(avi.length - 1, avi.length / 2, 64, 13).foreach { cut =>
+      val t = java.util.Arrays.copyOf(avi, cut)
+      try {
+        val (decoded, w, h, _) = Multimodal.aviDecode(t)
+        assert(w == 30 && h == 20, s"cut $cut")
+        decoded.zipWithIndex.foreach { case (d, i) =>
+          assert(d.sameElements(frames(i)), s"cut $cut frame $i")
+        }
+      } catch { case _: IllegalArgumentException | _: Exception => () }
+    }
+    // fourcc corruption is always loud
+    Seq(0, 8).foreach { pos =>
+      val b = avi.clone(); b(pos) = 'Z'.toByte
+      intercept[Exception](Multimodal.aviDecode(b))
+    }
+  }
+
+  case class BpeCase(nDocs: Int, vocab: Int, seed: Long)
+
+  private val genBpe = for {
+    nDocs <- Gen.choose(1, 12)
+    vocab <- Gen.choose(2, 6) // tiny alphabet → many repeated pairs
+    seed <- Gen.chooseNum(0L, 1L << 40)
+  } yield BpeCase(nDocs, vocab, seed)
+
+  private def corpus(c: BpeCase): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(c.seed)
+    val letters = "abcdef".take(c.vocab)
+    (1L to c.nDocs).map { id =>
+      val words = Seq.fill(1 + rnd.nextInt(20))(
+        Seq.fill(1 + rnd.nextInt(8))(letters(rnd.nextInt(letters.length))).mkString)
+      id -> words.mkString(" ")
+    }
+  }
+
+  test("BPE fit is deterministic; encode invariants hold on arbitrary corpora") {
+    val spark = graft.testutil.SparkSuite.spark
+    import spark.implicits._
+    forAll(Gen.listOfN(6, genBpe).map(_.distinct)) { cases =>
+      cases.foreach { c =>
+        val df = corpus(c).toDF("doc_id", "text")
+        val m1 = TextOps.fitBpeMerges(df, nMerges = 20, cap = 1000)
+        val m2 = TextOps.fitBpeMerges(df, nMerges = 20, cap = 1000)
+        assert(m1.toSeq == m2.toSeq, s"$c determinism")
+        // every merged symbol is the concatenation of its pair
+        m1.foreach { case (l, r) => assert((l + r).nonEmpty) }
+        corpus(c).foreach { case (_, text) =>
+          val toks = (s"""( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +)""".r).findAllIn(text).toVector
+          toks.foreach { t =>
+            val n = TextOps.bpeSymbolCount(t, m1)
+            assert(n >= 1 && n <= t.length, s"$c '$t'")
+          }
+        }
+      }
+    }
+  }
+
+  test("mergePair never produces adjacent un-merged (l, r) pairs") {
+    val genSyms = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "ba")).map(_.toArray)
+    forAll(genSyms, Gen.oneOf(("a", "b"), ("b", "a"), ("a", "a"), ("ab", "a"))) { (syms, lr) =>
+      val (l, r) = lr
+      val out = TextOps.mergePair(syms, l, r)
+      // a pass is COMPLETE: no adjacent (l, r) can survive it — a trailing
+      // r only ever follows a non-l (merged symbols can't equal l or r,
+      // since l+r == l or == r needs the other side empty)
+      assert(!out.sliding(2).exists(p => p.length == 2 && p(0) == l && p(1) == r),
+        s"unmerged pair in ${out.toSeq} from ${syms.toSeq} merging ($l,$r)")
+      // total characters conserved
+      assert(out.map(_.length).sum == syms.map(_.length).sum)
+    }
+  }
+}
