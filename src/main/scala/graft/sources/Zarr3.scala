@@ -29,8 +29,11 @@ import graft.volume.{ChunkStore, Volume}
   * Supported: zarr_format 3, node_type "array", 2-d/3-d, dtypes
   * {bool, uint8/16/32/64, float32/64}, fill_value 0/null/0.0, default
   * chunk-key encoding with "/" separator, codec chains [bytes] /
-  * [bytes, gzip] / [bytes, blosc(blosclz)]. Anything else fails loudly
-  * with the offending field. */
+  * [bytes, gzip] / [bytes, blosc(blosclz)], each optionally preceded by a
+  * 3-d `transpose` codec (any of the 6 permutations — handled by
+  * re-deriving the axis naming, zero data movement; key style
+  * "zarr3-p:<order>"). Anything else fails loudly with the offending
+  * field. */
 object Zarr3 {
 
   final case class Zarr3Meta(
@@ -136,6 +139,23 @@ object Zarr3 {
     // the SHARD and the codec's configuration carries the inner chunk
     // shape, the inner codec chain, and the index framing
     (j \ "codecs") match {
+      // transpose: an array->array codec permuting dims BEFORE the bytes
+      // codec serializes C-order. No data movement needed here — the
+      // engine just re-derives its axis naming from the permutation
+      // (x = the serialized-FASTEST dim = order.last), the same zero-copy
+      // trick the C/F-order mapping uses; only the chunk KEY layout (which
+      // stays in ORIGINAL dim order per the spec) needs the permutation,
+      // carried in the key style as "zarr3-p:<order digits>".
+      case JArray(head :: tail) if codecName(head) == "transpose" =>
+        require(dims.length == 3, "zarr3: transpose on 2-d arrays unsupported (3-d only)")
+        val order = ints(head \ "configuration" \ "order", "transpose order")
+        require(order.sorted == List(0, 1, 2),
+          s"zarr3: transpose order $order must be a permutation of [0, 1, 2]")
+        val enc = encodingOf(JArray(tail))
+        val style =
+          if (order == List(0, 1, 2)) "zarr3-c" else s"zarr3-p:${order.mkString}"
+        Zarr3Meta((dims(order(2)), dims(order(1)), dims(order(0))),
+          (cdims(order(2)), cdims(order(1)), cdims(order(0))), dt, enc, style)
       case JArray(chain @ (head :: _)) if codecName(head) == "sharding_indexed" =>
         require(chain.lengthCompare(1) == 0,
           "zarr3: sharding_indexed must be the only array->bytes codec in the chain")
@@ -178,13 +198,32 @@ object Zarr3 {
     }
   }
 
+  /** The dim permutation encoded in a key style: identity for the
+    * C-order styles, the transpose codec's order for "zarr3-p:...". */
+  private[sources] def orderOf(keyStyle: String): List[Int] = keyStyle match {
+    case s if s.startsWith("zarr3-p:") =>
+      val o = s.drop("zarr3-p:".length).map(_ - '0').toList
+      require(o.sorted == List(0, 1, 2), s"zarr3: malformed key style $s")
+      o
+    case _ => List(0, 1, 2)
+  }
+
   /** Serialize array metadata to a `zarr.json` document (3-d only — 2-d
     * stores are read-supported). */
   def toZarrJson(m: Zarr3Meta): String = {
-    require(m.keyStyle == "zarr3-c" || m.keyStyle == "zarr3-shard",
+    require(m.keyStyle == "zarr3-c" || m.keyStyle == "zarr3-shard" ||
+      m.keyStyle.startsWith("zarr3-p:"),
       s"zarr3: cannot serialize key style ${m.keyStyle}")
-    val shape = List(m.shape._3, m.shape._2, m.shape._1)
-    val chunks = List(m.chunks._3, m.chunks._2, m.chunks._1)
+    val order = orderOf(m.keyStyle)
+    // engine (x, y, z) sit at original dim positions (order(2), order(1),
+    // order(0)) — invert the mapping to write original-dim-order lists
+    def toOriginal(t: (Int, Int, Int)): List[Int] = {
+      val out = new Array[Int](3)
+      out(order(2)) = t._1; out(order(1)) = t._2; out(order(0)) = t._3
+      out.toList
+    }
+    val shape = toOriginal(m.shape)
+    val chunks = toOriginal(m.chunks)
     val dtype = DtypeNames.collectFirst { case (n, t) if t == m.dataType => n }.get
     val bytesCodec: JValue = JObject("name" -> JString("bytes"),
       "configuration" -> JObject("endian" -> JString("little")))
@@ -198,8 +237,12 @@ object Zarr3 {
           "typesize" -> JInt(m.dataType.byteSize))))
       case other => throw new IllegalArgumentException(s"zarr3: cannot serialize encoding $other")
     }
+    val transposeCodec: List[JValue] =
+      if (order == List(0, 1, 2)) Nil
+      else List(JObject("name" -> JString("transpose"),
+        "configuration" -> JObject("order" -> JArray(order.map(JInt(_))))))
     val codecs = m.innerChunks match {
-      case None => innerCodecs
+      case None => transposeCodec ++ innerCodecs
       case Some((ix, iy, iz)) =>
         List(JObject("name" -> JString("sharding_indexed"),
           "configuration" -> JObject(
@@ -248,11 +291,19 @@ object Zarr3 {
     volumeOf(spark, root, z, fillMissing)
   }
 
-  /** Create a new zarr v3 array: write `zarr.json`, return the handle. */
+  /** Create a new zarr v3 array: write `zarr.json`, return the handle.
+    * `shape`/`chunks` are ENGINE axes (x, y, z); a non-identity
+    * `transposeOrder` writes a `transpose` codec ahead of `bytes`, storing
+    * dims permuted so original dim `order(2)` serializes fastest (= engine
+    * x) — zero data movement either way. */
   def create(spark: SparkSession, root: String, shape: (Int, Int, Int),
       chunks: (Int, Int, Int), dataType: VoxelType, encoding: String = "gzip",
-      fillMissing: Boolean = true): Volume = {
-    val z = Zarr3Meta(shape, chunks, dataType, encoding, "zarr3-c")
+      fillMissing: Boolean = true, transposeOrder: Seq[Int] = Seq(0, 1, 2)): Volume = {
+    require(transposeOrder.sorted == Seq(0, 1, 2),
+      s"zarr3: transposeOrder $transposeOrder must be a permutation of [0, 1, 2]")
+    val style =
+      if (transposeOrder == Seq(0, 1, 2)) "zarr3-c" else s"zarr3-p:${transposeOrder.mkString}"
+    val z = Zarr3Meta(shape, chunks, dataType, encoding, style)
     val fs = ChunkStore.fs(root, spark.sessionState.newHadoopConf())
     ChunkStore.write(fs, root, "zarr.json", toZarrJson(z).getBytes("UTF-8"))
     volumeOf(spark, root, z, fillMissing)

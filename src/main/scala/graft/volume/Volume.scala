@@ -54,6 +54,16 @@ final case class VolumeCtx(
     case "zarr-f2" => s"${slice.idx - 1}.${slice.idy - 1}"
     case "zarr3-c" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}" // v3 default encoding
     case "zarr3-c2" => s"c/${slice.idy - 1}/${slice.idx - 1}"
+    // transposed v3: keys stay in ORIGINAL dim order; engine (x, y, z) sit
+    // at original dims (order(2), order(1), order(0)) per the transpose
+    // codec's permutation carried in the style suffix
+    case s if s.startsWith("zarr3-p:") =>
+      val o = s.drop(8)
+      val idxAt = Array.fill(3)(0)
+      idxAt(o(2) - '0') = slice.idx - 1
+      idxAt(o(1) - '0') = slice.idy - 1
+      idxAt(o(0) - '0') = slice.idz - 1
+      s"c/${idxAt(0)}/${idxAt(1)}/${idxAt(2)}"
     // sharded: the LOGICAL inner-chunk key (messages, missing listings);
     // storage addressing goes through shardKeyOf + the shard index
     case "zarr3-shard" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}"
@@ -132,6 +142,13 @@ final case class VolumeCtx(
       case "zarr-f" | "zarr-f2" => (ids.lox to ids.hix).map(cx => s"${cx - 1}.*")
       case "zarr3-c" => (ids.loz to ids.hiz).map(cz => s"c/${cz - 1}/*/*")
       case "zarr3-c2" => (ids.loy to ids.hiy).map(cy => s"c/${cy - 1}/*")
+      // transposed v3: the leading key segment is original dim 0 — the
+      // engine axis at order.indexOf(0) (x when it serializes fastest, etc.)
+      case s if s.startsWith("zarr3-p:") =>
+        val o = s.drop(8)
+        if (o(2) == '0') (ids.lox to ids.hix).map(cx => s"c/${cx - 1}/*/*")
+        else if (o(1) == '0') (ids.loy to ids.hiy).map(cy => s"c/${cy - 1}/*/*")
+        else (ids.loz to ids.hiz).map(cz => s"c/${cz - 1}/*/*")
       case "n5" => (ids.lox to ids.hix).map(cx => s"${cx - 1}/*/*")
       // sharded stores never list: the shard index IS the listing
       // (chunkExists costs one cached index GET per shard, not per cell)
@@ -166,6 +183,14 @@ final case class VolumeCtx(
         case Array("c", z, y, x) => ints(Array(z, y, x)).map(a => (a(2) + 1, a(1) + 1, a(0) + 1))
         case _ => None
       }
+      case s if s.startsWith("zarr3-p:") =>
+        val o = s.drop(8)
+        rel.split('/') match {
+          case Array("c", i0, i1, i2) => ints(Array(i0, i1, i2)).map { a =>
+            (a(o(2) - '0') + 1, a(o(1) - '0') + 1, a(o(0) - '0') + 1)
+          }
+          case _ => None
+        }
       case "zarr3-c2" => rel.split('/') match {
         case Array("c", y, x) => ints(Array(y, x)).map(a => (a(1) + 1, a(0) + 1, 1))
         case _ => None

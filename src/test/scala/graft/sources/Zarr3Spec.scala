@@ -74,6 +74,36 @@ class Zarr3Spec extends AnyFunSuite {
     }
   }
 
+  test("transpose codec: every 3-d permutation roundtrips; keys stay in original dim order") {
+    for (order <- Seq(Seq(2, 1, 0), Seq(1, 2, 0), Seq(0, 2, 1), Seq(2, 0, 1), Seq(1, 0, 2))) {
+      val root = SparkSuite.tempDir(s"graft-zarr3-t${order.mkString}")
+      val vol = Zarr3.create(spark, root, shape = (12, 8, 4), chunks = (4, 4, 2),
+        dataType = Meta.TUInt16, encoding = "gzip", transposeOrder = order)
+      assert(vol.ctx.keyStyle == s"zarr3-p:${order.mkString}")
+      vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 12, 8, 4, 1, (1, 1, 1)))
+      // reopen parses the transpose codec back from zarr.json
+      val re = Zarr3.open(spark, root)
+      assert(re.ctx.keyStyle == vol.ctx.keyStyle, order.toString)
+      val buf = VoxelBuffer.sequenced(Meta.TUInt16, 12, 8, 4, 1, (1, 1, 1))
+      val cut = re.cutout(Box(1, 12, 1, 8, 1, 4))
+      for (x <- 1 to 12; y <- 1 to 8 by 2; z <- 1 to 4)
+        assert(cut.getLong(x - 1, y - 1, z - 1) == buf.getLong(x - 1, y - 1, z - 1),
+          s"order $order ($x,$y,$z)")
+      // key layout: engine grid (3, 2, 2); the grid index along ORIGINAL
+      // dim d comes from the engine axis order maps to d — spot-check the
+      // far-corner chunk (engine (3, 2, 2) → 0-based (2, 1, 1))
+      val eng = Array(2, 1, 1) // engine (x, y, z) 0-based far corner
+      val expect = Array.fill(3)(0)
+      expect(order(2)) = eng(0); expect(order(1)) = eng(1); expect(order(0)) = eng(2)
+      assert(new java.io.File(root, s"c/${expect(0)}/${expect(1)}/${expect(2)}").isFile,
+        s"order $order key layout")
+      // total object count = full grid (padded edge chunks, all written)
+      assert(vol.missingChunks(Box(1, 12, 1, 8, 1, 4)).count() == 0, order.toString)
+      // listing enumeration agrees with the permuted key layout
+      assert(vol.presentChunks(Box(1, 12, 1, 8, 1, 4)).count() == 12, order.toString)
+    }
+  }
+
   test("v3 gzip codec writes RFC-1952 gzip bytes (not zlib)") {
     val root = SparkSuite.tempDir("graft-zarr3-gz")
     val vol = Zarr3.create(spark, root, shape = (8, 4, 2), chunks = (8, 4, 2),
@@ -89,11 +119,17 @@ class Zarr3Spec extends AnyFunSuite {
     // v2 document
     intercept[IllegalArgumentException](parse(
       """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "|u1"}"""))
-    // transpose codec chains unsupported
+    // transpose on 2-d arrays unsupported (3-d only; also missing order)
     intercept[IllegalArgumentException](parse(
       """{"zarr_format": 3, "node_type": "array", "shape": [4, 4], "data_type": "uint8",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
         | "codecs": [{"name": "transpose"}, {"name": "bytes"}]}""".stripMargin))
+    // transpose with a non-permutation order fails loudly
+    intercept[IllegalArgumentException](parse(
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4, 4], "data_type": "uint8",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2, 2]}},
+        | "codecs": [{"name": "transpose", "configuration": {"order": [0, 0, 2]}},
+        |            {"name": "bytes"}]}""".stripMargin))
     // non-default separator
     intercept[IllegalArgumentException](parse(
       """{"zarr_format": 3, "node_type": "array", "shape": [4, 4], "data_type": "uint8",
