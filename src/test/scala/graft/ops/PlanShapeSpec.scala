@@ -87,6 +87,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "s3_embed_dups") == 2)
   }
 
+  test("t14: chunking is one exchange-free whole-stage-codegen pass") {
+    // the context-window fan-out must stay a generator inside ONE codegen
+    // span — a shuffle or a fallen-out-of-codegen higher-order function
+    // here would serialize the token arrays for no reason
+    val p = plan("t14_chunking")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate") && p.contains("*(1)"), p)
+  }
+
   test("s4: three scans of embeddings under AQE (sample materialized once; index + query passes)") {
     // 1 scan materializing the capped train sample (every Lloyd iteration
     // of the k-means fit then reads the checkpoint, NOT parquet) + the
