@@ -99,6 +99,7 @@ object SparkEntry {
     "m3_modal_resize" -> (Multimodal.modalResize _),
     "m4_modal_frames" -> (Multimodal.modalFrames _),
     "m5_modal_audio" -> (Multimodal.modalAudio _),
+    "m6_modal_video" -> (Multimodal.modalVideo _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
@@ -356,6 +357,7 @@ object SparkEntry {
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
+    "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,

@@ -312,10 +312,15 @@ object Corpus {
     val step = window - overlap
     docs
       .select(col("doc_id"), expr(s"regexp_extract_all(text, '${TextOps.BpeTokenRe}', 0)").as("toks"))
-      .filter(size(col("toks")) > 0)
+      // emptiness is handled INSIDE the generator (empty array -> zero
+      // rows) rather than a filter: a filter on size(toks) gets its alias
+      // re-substituted below the projection by Catalyst, running the
+      // tokenizer regex TWICE per document (measured ~2x the pass cost)
       .select(col("doc_id"), col("toks"),
         explode(expr(
-          s"sequence(0, greatest(0, cast(ceil((size(toks) - $window) / cast($step as double)) as int)))"))
+          s"""if(size(toks) > 0,
+             |   sequence(0, greatest(0, cast(ceil((size(toks) - $window) / cast($step as double)) as int))),
+             |   array())""".stripMargin))
           .as("chunk_no"))
       .select(col("doc_id"), col("chunk_no").cast(LongType).as("chunk_no"),
         expr(s"slice(toks, chunk_no * $step + 1, $window)").as("ctoks"))

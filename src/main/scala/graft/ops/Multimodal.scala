@@ -425,6 +425,71 @@ object Multimodal {
       | CAST(768 AS BIGINT) AS byte_len
       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  /** Video feature extraction over REALLY-DECODED frames — the
+    * feature-extract step of the video path (m4 proves decode, this
+    * derives signal from it): per video doc, roundtrip the closed-form
+    * frame sequence through the AVI container, then compute integer-exact
+    * aggregates over the decoded pixels — total brightness and motion
+    * energy (sum of |Δpixel| between consecutive frames, the classic
+    * cheap shot-change signal). Row-local after the decode-parallel
+    * repartition; zero shuffle beyond it. */
+  def modalVideo(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long)]
+    val slots = spark.sparkContext.defaultParallelism
+    assets(t(spark, dir, "documents")).filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .repartition(slots)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val frames = (0 until videoFrameCount(id)).map(synthFrame(payload, _))
+        val (decoded, w, h, fps) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        var pix = 0L
+        var motion = 0L
+        var f = 0
+        while (f < decoded.length) {
+          val cur = decoded(f)
+          val prev = if (f > 0) decoded(f - 1) else null
+          var i = 0
+          while (i < cur.length) {
+            pix += (cur(i) & 0xff)
+            if (prev != null) motion += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+            i += 1
+          }
+          f += 1
+        }
+        (id, w, h, fps, decoded.length.toLong, pix, motion)
+      })(outEnc)
+      .toDF("doc_id", "w", "h", "fps", "n_frames", "pix_sum", "motion_sum")
+  }
+
+  /** DuckDB twin of [[modalVideo]]: replays every decoded frame closed-form
+    * (the m4 substr-over-repeat construction) and the same integer sums —
+    * brightness via ord() per char (printable-ASCII documents: char codes
+    * are byte values) and motion via the consecutive-frame self-join. */
+  def modalVideoOracleSql: String = {
+    val px = VideoW * VideoH
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |        4 + (doc_id % 7) AS nf, CAST(8 + (doc_id % 9) AS INT) AS fps
+       |       FROM documents WHERE doc_id % 3 = 2),
+       | f AS (SELECT doc_id, len, text, unnest(range(0, nf)) AS fno FROM d),
+       | r AS (SELECT doc_id, fno,
+       |        substr(repeat(text, CAST(ceil(((fno * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |               CAST((fno * $FrameStride) % len AS INT) + 1, $px) AS raster
+       |       FROM f),
+       | ps AS (SELECT doc_id, CAST(sum(list_sum(list_transform(range(1, $px + 1),
+       |          i -> ord(substr(raster, CAST(i AS INT), 1))))) AS BIGINT) AS pix_sum
+       |        FROM r GROUP BY doc_id),
+       | ms AS (SELECT a.doc_id, CAST(sum(list_sum(list_transform(range(1, $px + 1),
+       |          i -> abs(ord(substr(a.raster, CAST(i AS INT), 1)) -
+       |               ord(substr(b.raster, CAST(i AS INT), 1)))))) AS BIGINT) AS motion_sum
+       |        FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.fno = a.fno - 1
+       |        GROUP BY a.doc_id)
+       |SELECT d.doc_id, CAST($VideoW AS INT) AS w, CAST($VideoH AS INT) AS h, d.fps,
+       | CAST(d.nf AS BIGINT) AS n_frames, ps.pix_sum, ms.motion_sum
+       |FROM d JOIN ps USING (doc_id) JOIN ms USING (doc_id)""".stripMargin
+  }
+
   /** Frame sampling as a gated query through the REAL AVI roundtrip: the
     * (w, h, fps) columns come from the PARSED container headers and each
     * checksum is the md5 of a DECODED frame — a broken writer, chunk walk,
