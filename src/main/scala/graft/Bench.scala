@@ -146,7 +146,15 @@ object Bench {
     def dec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     sys.env.get("SPARK_GRAFT_BANDS_OUT").foreach { out =>
       val body = results.filter(_._2 >= 0)
-        .map { case (k, v) => "\"" + k + "\":" + dec3(v) }.mkString("{\n", ",\n", "\n}\n")
+        .map { case (k, v) =>
+          // a measurement the run itself flagged suspect must not become
+          // the new band (a 5x in-context JVM spike would make the band
+          // blind to real regressions of that size); keep the prior band —
+          // after a CONFIRMED regression, delete the stale entry and rerun
+          val recorded =
+            if (suspects.exists(_._1 == k) && bands.contains(k)) bands(k) else v
+          "\"" + k + "\":" + dec3(recorded)
+        }.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

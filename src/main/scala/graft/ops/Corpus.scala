@@ -294,7 +294,6 @@ object Corpus {
        | CAST(count(*) - sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
        |FROM j GROUP BY ROLLUP(source)""".stripMargin
 
-  /** DuckDB oracle twin of [[packAssignments]]. */
   /** Sliding-window document chunking — the context-window prep step a
     * training/RAG pipeline runs before tokenization proper: pre-tokenize
     * (the [[TextOps.BpeTokenRe]] partition of the text, so concatenating a
@@ -351,6 +350,7 @@ object Corpus {
        |FROM s""".stripMargin
   }
 
+  /** DuckDB oracle twin of [[packAssignments]]. */
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
        |       CAST(off // $budgetTokens AS BIGINT) AS pack_id

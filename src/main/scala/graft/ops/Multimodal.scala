@@ -393,9 +393,16 @@ object Multimodal {
     * container was parsed — alongside each decoded frame. Row-local after
     * a decode-parallel repartition (same rationale as [[resizeImages]]:
     * tiny input rows, CPU-heavy kernel). */
-  def sampleFrames(assetDf: DataFrame, every: Int = 2): DataFrame = {
+  /** The ONE video decode prologue both m4 and m6 run: the video-modality
+    * subset, decode-parallel repartition (tiny rows, CPU-heavy kernel —
+    * the [[resizeImages]] rationale), then per doc the closed-form frame
+    * sequence through a full AVI encode → decode roundtrip. The kernel
+    * receives (doc_id, decoded frames, header w, header h, header fps) —
+    * keeping m4 and m6 on one container path so a codec change can never
+    * desynchronize them. */
+  private def decodedVideo[T: org.apache.spark.sql.Encoder](assetDf: DataFrame)(
+      kernel: (Long, Vector[Array[Byte]], Int, Int, Int) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] = {
     implicit val enc = Encoders.product[(Long, Array[Byte])]
-    val outEnc = Encoders.product[(Long, Long, Int, Int, Int, Array[Byte])]
     val slots = assetDf.sparkSession.sparkContext.defaultParallelism
     assetDf.filter(col("modality") === "video")
       .select(col("doc_id"), col("payload"))
@@ -403,13 +410,18 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         val frames = (0 until videoFrameCount(id)).map(synthFrame(payload, _))
-        val avi = aviEncode(frames, VideoW, VideoH, videoFps(id))
-        val (decoded, w, h, fps) = aviDecode(avi)
-        (0 until decoded.length by every).iterator.map { f =>
-          (id, f.toLong, w, h, fps, decoded(f))
-        }
-      })(outEnc)
-      .toDF("doc_id", "frame_no", "w", "h", "fps", "frame")
+        val (decoded, w, h, fps) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        kernel(id, decoded, w, h, fps)
+      })
+  }
+
+  def sampleFrames(assetDf: DataFrame, every: Int = 2): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Int, Int, Int, Array[Byte])]
+    decodedVideo(assetDf) { (id, decoded, w, h, fps) =>
+      (0 until decoded.length by every).iterator.map { f =>
+        (id, f.toLong, w, h, fps, decoded(f))
+      }
+    }.toDF("doc_id", "frame_no", "w", "h", "fps", "frame")
   }
 
   /** Resize as a gated query: structural outputs (dims, payload length) are
@@ -434,33 +446,24 @@ object Multimodal {
     * cheap shot-change signal). Row-local after the decode-parallel
     * repartition; zero shuffle beyond it. */
   def modalVideo(spark: SparkSession, dir: String): DataFrame = {
-    implicit val enc = Encoders.product[(Long, Array[Byte])]
-    val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long)]
-    val slots = spark.sparkContext.defaultParallelism
-    assets(t(spark, dir, "documents")).filter(col("modality") === "video")
-      .select(col("doc_id"), col("payload"))
-      .repartition(slots)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        val frames = (0 until videoFrameCount(id)).map(synthFrame(payload, _))
-        val (decoded, w, h, fps) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
-        var pix = 0L
-        var motion = 0L
-        var f = 0
-        while (f < decoded.length) {
-          val cur = decoded(f)
-          val prev = if (f > 0) decoded(f - 1) else null
-          var i = 0
-          while (i < cur.length) {
-            pix += (cur(i) & 0xff)
-            if (prev != null) motion += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
-            i += 1
-          }
-          f += 1
+    implicit val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long)]
+    decodedVideo(assets(t(spark, dir, "documents"))) { (id, decoded, w, h, fps) =>
+      var pix = 0L
+      var motion = 0L
+      var f = 0
+      while (f < decoded.length) {
+        val cur = decoded(f)
+        val prev = if (f > 0) decoded(f - 1) else null
+        var i = 0
+        while (i < cur.length) {
+          pix += (cur(i) & 0xff)
+          if (prev != null) motion += math.abs((cur(i) & 0xff) - (prev(i) & 0xff))
+          i += 1
         }
-        (id, w, h, fps, decoded.length.toLong, pix, motion)
-      })(outEnc)
-      .toDF("doc_id", "w", "h", "fps", "n_frames", "pix_sum", "motion_sum")
+        f += 1
+      }
+      Iterator.single((id, w, h, fps, decoded.length.toLong, pix, motion))
+    }.toDF("doc_id", "w", "h", "fps", "n_frames", "pix_sum", "motion_sum")
   }
 
   /** DuckDB twin of [[modalVideo]]: replays every decoded frame closed-form

@@ -214,6 +214,11 @@ object Zarr3 {
     require(m.keyStyle == "zarr3-c" || m.keyStyle == "zarr3-shard" ||
       m.keyStyle.startsWith("zarr3-p:"),
       s"zarr3: cannot serialize key style ${m.keyStyle}")
+    // transpose + sharding_indexed composition is unsupported end-to-end
+    // (the parser rejects it too) — silently dropping the transpose codec
+    // here would write metadata whose reopen transposes the voxels
+    require(m.innerChunks.isEmpty || !m.keyStyle.startsWith("zarr3-p:"),
+      "zarr3: transpose inside a sharded store is unsupported")
     val order = orderOf(m.keyStyle)
     // engine (x, y, z) sit at original dim positions (order(2), order(1),
     // order(0)) — invert the mapping to write original-dim-order lists

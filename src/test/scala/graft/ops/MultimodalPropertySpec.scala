@@ -47,16 +47,18 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     val frames = Vector.fill(3)(Array.tabulate[Byte](30 * 20)(_.toByte))
     val avi = Multimodal.aviEncode(frames, 30, 20, 10)
     // truncation anywhere inside the movi list: loud failure or fewer frames
-    // with intact headers — never sheared pixels
+    // with intact headers — never sheared pixels. The decode either throws
+    // (checked AFTER the try so a failing assertion can't be swallowed) or
+    // its output must be a bit-exact prefix of the original frames
     Seq(avi.length - 1, avi.length / 2, 64, 13).foreach { cut =>
       val t = java.util.Arrays.copyOf(avi, cut)
-      try {
-        val (decoded, w, h, _) = Multimodal.aviDecode(t)
+      val outcome = scala.util.Try(Multimodal.aviDecode(t))
+      outcome.foreach { case (decoded, w, h, _) =>
         assert(w == 30 && h == 20, s"cut $cut")
         decoded.zipWithIndex.foreach { case (d, i) =>
           assert(d.sameElements(frames(i)), s"cut $cut frame $i")
         }
-      } catch { case _: IllegalArgumentException | _: Exception => () }
+      }
     }
     // fourcc corruption is always loud
     Seq(0, 8).foreach { pos =>
@@ -92,8 +94,10 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
         val m1 = TextOps.fitBpeMerges(df, nMerges = 20, cap = 1000)
         val m2 = TextOps.fitBpeMerges(df, nMerges = 20, cap = 1000)
         assert(m1.toSeq == m2.toSeq, s"$c determinism")
-        // every merged symbol is the concatenation of its pair
-        m1.foreach { case (l, r) => assert((l + r).nonEmpty) }
+        // well-formed merge table: both sides non-empty (an empty side
+        // would make the greedy fold degenerate) and no duplicate pairs
+        m1.foreach { case (l, r) => assert(l.nonEmpty && r.nonEmpty, s"$c ($l,$r)") }
+        assert(m1.toSeq.distinct.length == m1.length, s"$c duplicate merges")
         corpus(c).foreach { case (_, text) =>
           val toks = (s"""( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +)""".r).findAllIn(text).toVector
           toks.foreach { t =>
