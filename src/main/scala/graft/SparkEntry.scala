@@ -70,6 +70,7 @@ object SparkEntry {
     "s5_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "s7_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "s8_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
+    "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -313,6 +314,7 @@ object SparkEntry {
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),
     "s7_pq_topk" -> Similarity.pqOracleSql(),
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
+    "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

@@ -37,6 +37,56 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** kNN label-vote evaluation — the standard embedding-quality check a
+    * training pipeline runs after (re)embedding: each query vector is
+    * classified by majority label of its exact top-`k` cosine neighbors
+    * (ties to the smallest label), compared against its own label. High
+    * agreement = the embedding space clusters labels = the corpus signals
+    * are intact.
+    *
+    * Scale shape: inherits [[cosineTopK]]'s broadcast-queries × streamed
+    * flat scan (an EVAL over a query sample, so the definitional all-pairs
+    * is bounded by nQueries · corpus, not corpus²); the vote is a tiny
+    * aggregation of nQueries·k rows, and label attachment broadcasts the
+    * small top-k relation against the labels scan. */
+  def knnLabelVote(spark: SparkSession, dir: String, nQueries: Int = 50, k: Int = 5): DataFrame = {
+    val labels = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val topk = cosineTopK(spark, dir, nQueries, k)
+    val votes = labels.withColumnRenamed("vec_id", "nb_id")
+      .join(broadcast(topk.select(col("q_id"), col("nb_id"))), Seq("nb_id"))
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label").asc)
+    val pred = votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+    labels.withColumnRenamed("vec_id", "q_id").withColumnRenamed("label", "true_label")
+      .join(broadcast(pred), Seq("q_id"))
+      .select(col("q_id"), col("pred_label"), col("votes"),
+        col("true_label"), (col("pred_label") === col("true_label")).as("correct"))
+  }
+
+  /** DuckDB twin of [[knnLabelVote]] — the s1 ranking replay with the same
+    * vote and tie orders. */
+  def knnLabelVoteOracleSql(nQueries: Int = 50, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < $nQueries),
+       | pairs AS (
+       |  SELECT q.q_id, e.vec_id AS nb_id,
+       |   (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x, unnest(e.embedding) AS y) z) /
+       |   (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x) z2)) *
+       |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y) z3))) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
+       | ranked AS (SELECT q_id, nb_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs),
+       | votes AS (SELECT r.q_id, e.label, count(*) AS votes
+       |           FROM ranked r JOIN embeddings e ON e.vec_id = r.nb_id
+       |           WHERE r.rnk <= $k GROUP BY r.q_id, e.label),
+       | pred AS (SELECT q_id, label AS pred_label, votes FROM (
+       |            SELECT q_id, label, votes,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS r
+       |            FROM votes) v WHERE r = 1)
+       |SELECT p.q_id, p.pred_label, CAST(p.votes AS BIGINT) AS votes,
+       | e.label AS true_label, p.pred_label = e.label AS correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin
+
   // ---------------- random-hyperplane LSH ----------------
 
   val Dim = 64
