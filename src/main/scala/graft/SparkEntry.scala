@@ -74,6 +74,7 @@ object SparkEntry {
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
+    "t15_langid_eval" -> ((s, d) => TextOps.langIdEval(Tables.t(s, d, "documents"))),
     "t4_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.t(s, d, "documents"))),
     "t6_bpe_tokens" -> ((s, d) => TextOps.bpeTokens(Tables.t(s, d, "documents"))),
     "t6b_bpe_encode" -> (TextOps.bpeEncode _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "a9_zarr3_pipeline" -> ArrayOps.a9OracleSql,
     "a10_zarr3_sharded" -> ArrayOps.a10OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
+    "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
     "t6b_bpe_encode" -> TextOps.bpeEncodeOracleSql,
     "t7_split" -> Corpus.splitAssignOracleSql(),

@@ -416,17 +416,56 @@ object TextOps {
        |SELECT doc_id, best.lang AS pred_lang, round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s""".stripMargin
   }
 
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+  /** The per-language stopword-hit score structs over a `toks` column —
+    * the ONE scoring definition [[langId]] and [[langIdEval]] share. */
+  private def langScoreStructs: Seq[Column] =
+    LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(",")
       struct(expr(s"size(filter(toks, t -> t IN ($list)))").as("hits"), lit(lang).as("lang"))
     }
+
+  def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
-        greatest(scored: _*).as("best"))
+        greatest(langScoreStructs: _*).as("best"))
       .select(col("doc_id"),
         col("best.lang").as("pred_lang"),
         round(col("best.hits").cast(DoubleType) / col("n_tok"), 4).as("conf"))
+
+  /** Language-ID accuracy evaluation against the corpus's ground-truth
+    * `lang` column — the quality check a pipeline runs on its langid
+    * filter before trusting it for routing: one row per (true, predicted)
+    * confusion cell with the document count and mean confidence. The mean
+    * follows the exact-decimal discipline (conf is already 4-decimal;
+    * summed as DECIMAL(18,4) so the reduction is order-insensitive, then
+    * one presentation rounding). ONE scan, one confusion-cell-keyed
+    * aggregation — no join against a second read of the table. */
+  def langIdEval(docs: DataFrame): DataFrame =
+    docs.select(col("lang").as("true_lang"), toks.as("toks"))
+      .select(col("true_lang"), size(col("toks")).as("n_tok"),
+        greatest(langScoreStructs: _*).as("best"))
+      .select(col("true_lang"), col("best.lang").as("pred_lang"),
+        round(col("best.hits").cast(DoubleType) / col("n_tok"), 4).as("conf"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("conf").cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1)), 4)
+          .as("mean_conf"))
+
+  /** DuckDB twin of [[langIdEval]] — the t3 scoring replay grouped into
+    * confusion cells with the same decimal-sum discipline. */
+  def langIdEvalOracleSql: String = {
+    val structs = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      s"{'hits': len(list_filter(toks, x -> x IN ($list))), 'lang': '$lang'}"
+    }.mkString(",\n      |    ".stripMargin)
+    s"""WITH t AS (SELECT lang AS true_lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | s AS (SELECT true_lang, len(toks) AS n_tok, list_reverse_sort([
+       |    $structs])[1] AS best FROM t),
+       | p AS (SELECT true_lang, best.lang AS pred_lang,
+       |        round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s)
+       |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       | round(CAST(sum(CAST(conf AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_conf
+       |FROM p GROUP BY true_lang, pred_lang""".stripMargin
   }
 
   /** PII patterns, restricted (like [[BpeTokenRe]]) to constructs whose
