@@ -57,6 +57,7 @@ object SparkEntry {
     "a8_zorder" -> (ArrayOps.a8_zorder _),
     "a9_zarr3_pipeline" -> (ArrayOps.a9_zarr3_pipeline _),
     "a10_zarr3_sharded" -> (ArrayOps.a10_zarr3_sharded _),
+    "a11_tiff_stack" -> (ArrayOps.a11_tiff_stack _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "a8_zorder" -> ArrayOps.a8OracleSql,
     "a9_zarr3_pipeline" -> ArrayOps.a9OracleSql,
     "a10_zarr3_sharded" -> ArrayOps.a10OracleSql,
+    "a11_tiff_stack" -> ArrayOps.a11OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

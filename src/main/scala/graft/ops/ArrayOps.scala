@@ -227,6 +227,27 @@ object ArrayOps {
 
   def a10OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a10")
 
+  /** TIFF stack end-to-end: create a per-z-slice image stack, ingest
+    * through the engine (each chunk encodes to a REAL grayscale TIFF via
+    * `javax.imageio`), reopen WITH GEOMETRY AND DTYPE DERIVED FROM THE
+    * SLICE FILES (one LIST + one header read — a stack has no metadata
+    * document), and aggregate the distributed voxel view. Same oracle
+    * shape as a6/a7/a9: re-aggregate the dumped voxels in DuckDB. A
+    * header-derivation bug (wrong width, depth, or bit width) shifts
+    * every voxel and fails the hash gate. */
+  def a11_tiff_stack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.TiffStack
+    import graft.volume.VoxelBuffer
+    val root = java.nio.file.Files.createTempDirectory("graft-a11").toString
+    val vol = TiffStack.create(spark, root, shape = (20, 12, 8), dataType = Meta.TUInt16)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 20, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, TiffStack.open(spark, root).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a11")
+  }
+
+  def a11OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a11")
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

@@ -214,7 +214,8 @@ object ChunkStore {
     * scale directory in parallel. */
   def globNames(fs: FileSystem, root: String, prefix: String, pattern: String): Iterator[String] = {
     listCalls.incrementAndGet()
-    val matches = fs.globStatus(new Path(new Path(root, prefix), pattern))
+    val base = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+    val matches = fs.globStatus(new Path(base, pattern))
     if (matches == null) Iterator.empty
     else matches.iterator.map(_.getPath.getName).filterNot(_.startsWith("."))
   }

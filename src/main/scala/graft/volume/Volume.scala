@@ -28,7 +28,9 @@ final case class VolumeCtx(
       * "zarr3-c"/"zarr3-c2" = zarr v3 default chunk-key encoding
       * ("c/" prefix, "/"-separated indices in dim order);
       * "n5" = nested 0-based grid paths "x/y/z" with per-block
-      * header+big-endian framing (see [[graft.core.N5Block]]). */
+      * header+big-endian framing (see [[graft.core.N5Block]]);
+      * "tiff-z" = one grayscale TIFF image per z slice, zero-padded
+      * "NNNN.tif" names (chunkSize is the full XY plane x 1). */
     keyStyle: String = "precomputed",
     /** Edge-chunk storage: precomputed clamps boundary chunks to the volume
       * (partial blobs); zarr v2 stores every chunk FULL-SIZE with padding
@@ -68,6 +70,10 @@ final case class VolumeCtx(
     // storage addressing goes through shardKeyOf + the shard index
     case "zarr3-shard" => s"c/${slice.idz - 1}/${slice.idy - 1}/${slice.idx - 1}"
     case "n5" => s"${slice.idx - 1}/${slice.idy - 1}/${slice.idz - 1}" // nested grid path, dim order d0/d1/d2
+    // TIFF stack: one full-XY-plane image object per z slice, zero-padded
+    // slice numbering (the microscopy image-sequence layout; chunkSize is
+    // (W, H, 1) by construction so idz-1 IS the slice index)
+    case "tiff-z" => f"${slice.idz - 1}%04d.tif"
     case other => throw new IllegalArgumentException(s"unknown key style: $other")
   }
 
@@ -150,6 +156,8 @@ final case class VolumeCtx(
         else if (o(1) == '0') (ids.loy to ids.hiy).map(cy => s"c/${cy - 1}/*/*")
         else (ids.loz to ids.hiz).map(cz => s"c/${cz - 1}/*/*")
       case "n5" => (ids.lox to ids.hix).map(cx => s"${cx - 1}/*/*")
+      // one z column = exactly one slice object; still bounded per-column
+      case "tiff-z" => (ids.loz to ids.hiz).map(cz => f"${cz - 1}%04d.tif")
       // sharded stores never list: the shard index IS the listing
       // (chunkExists costs one cached index GET per shard, not per cell)
       case other => throw new IllegalArgumentException(
@@ -196,6 +204,8 @@ final case class VolumeCtx(
         case _ => None
       }
       case "n5" => ints(rel.split('/')).collect { case Array(x, y, z) => (x + 1, y + 1, z + 1) }
+      case "tiff-z" =>
+        if (rel.endsWith(".tif")) rel.dropRight(4).toIntOption.map(z => (1, 1, z + 1)) else None
       case other => throw new IllegalArgumentException(
         s"listing enumeration unsupported for key style: $other")
     }
@@ -229,6 +239,30 @@ final case class VolumeCtx(
         require(dims == ((b.x.len, b.y.len, b.z.len)),
           s"n5: block ${relKey(slice)} header dims $dims != chunk box (${b.x.len},${b.y.len},${b.z.len})")
         graft.core.N5Block.swapEndian(codec.decode(payload), dataType.byteSize)
+      case "tiff-z" =>
+        // a REAL image container per slice: TIFF rows are top-down
+        // row-major — exactly this engine's x-fastest-then-y layout for a
+        // single z plane, so no pixel shuffling, only the typed view
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(img != null, s"tiff: slice ${relKey(slice)} is not a decodable image")
+        require(img.getWidth == b.x.len && img.getHeight == b.y.len,
+          s"tiff: slice ${relKey(slice)} is ${img.getWidth}x${img.getHeight}, " +
+            s"chunk box wants ${b.x.len}x${b.y.len}")
+        dataType.byteSize match {
+          case 1 =>
+            val out = new Array[Byte](b.x.len * b.y.len)
+            img.getRaster.getDataElements(0, 0, b.x.len, b.y.len, out)
+            out
+          case 2 =>
+            val px = new Array[Short](b.x.len * b.y.len)
+            img.getRaster.getDataElements(0, 0, b.x.len, b.y.len, px)
+            val bb = java.nio.ByteBuffer.allocate(px.length * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            px.foreach(bb.putShort)
+            bb.array()
+          case n => throw new IllegalArgumentException(
+            s"tiff: ${n * 8}-bit voxels unsupported (8/16-bit grayscale only)")
+        }
       case _ => codec.decode(blob)
     }
     new VoxelBuffer(dataType, b.x.len, b.y.len, b.z.len, numChannels,
@@ -239,6 +273,30 @@ final case class VolumeCtx(
     case "n5" =>
       graft.core.N5Block.header(buf.sx, buf.sy, buf.sz) ++
         codec.encode(graft.core.N5Block.swapEndian(buf.bytes, dataType.byteSize))
+    case "tiff-z" =>
+      require(buf.sz == 1, s"tiff: a slice chunk must have depth 1, got ${buf.sz}")
+      val img = dataType.byteSize match {
+        case 1 =>
+          val i = new java.awt.image.BufferedImage(buf.sx, buf.sy,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          i.getRaster.setDataElements(0, 0, buf.sx, buf.sy, buf.bytes)
+          i
+        case 2 =>
+          val bb = java.nio.ByteBuffer.wrap(buf.bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val px = new Array[Short](buf.sx * buf.sy)
+          var j = 0
+          while (j < px.length) { px(j) = bb.getShort(); j += 1 }
+          val i = new java.awt.image.BufferedImage(buf.sx, buf.sy,
+            java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+          i.getRaster.setDataElements(0, 0, buf.sx, buf.sy, px)
+          i
+        case n => throw new IllegalArgumentException(
+          s"tiff: ${n * 8}-bit voxels unsupported (8/16-bit grayscale only)")
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "tif", bos)
+      bos.toByteArray
     case _ => codec.encode(buf.bytes)
   }
 }
