@@ -326,17 +326,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> simhashOracle,
     "d5_dedup_clusters" -> dupClusterOracle,
     "d6_span_dedup" -> Dedup.spanDedupOracleSql(),
-    "s1_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < 10),
-        | pairs AS (
-        |  SELECT q.q_id, e.vec_id AS nb_id,
-        |   (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x, unnest(e.embedding) AS y) z) /
-        |   (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x) z2)) *
-        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y) z3))) AS cos
-        |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
-        | ranked AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
-        |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs)
-        |SELECT q_id, nb_id, cs, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
         | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_len

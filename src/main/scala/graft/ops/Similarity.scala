@@ -64,18 +64,30 @@ object Similarity {
         col("true_label"), (col("pred_label") === col("true_label")).as("correct"))
   }
 
-  /** DuckDB twin of [[knnLabelVote]] — the s1 ranking replay with the same
-    * vote and tie orders. */
-  def knnLabelVoteOracleSql(nQueries: Int = 50, k: Int = 5): String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < $nQueries),
+  /** The exact-cosine q/pairs/ranked CTE chain — the ONE SQL definition of
+    * [[cosineTopK]]'s ranking that the s1 and s9 oracles share (the Spark
+    * side shares `cosineTopK` itself; the oracles must share the SQL twin
+    * for the same can-never-drift reason). */
+  private def cosineRankedCtes(nQueries: Int): String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qa FROM embeddings WHERE vec_id < $nQueries),
        | pairs AS (
        |  SELECT q.q_id, e.vec_id AS nb_id,
        |   (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x, unnest(e.embedding) AS y) z) /
        |   (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x) z2)) *
        |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y) z3))) AS cos
        |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
-       | ranked AS (SELECT q_id, nb_id,
-       |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs),
+       | ranked AS (SELECT q_id, nb_id, cos,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs)""".stripMargin
+
+  /** DuckDB twin of [[cosineTopK]] (the s1 oracle). */
+  def cosineTopKOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH ${cosineRankedCtes(nQueries)}
+       |SELECT q_id, nb_id, round(cos, 4) AS cs, rnk FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** DuckDB twin of [[knnLabelVote]] — the s1 ranking replay with the same
+    * vote and tie orders. */
+  def knnLabelVoteOracleSql(nQueries: Int = 50, k: Int = 5): String =
+    s"""WITH ${cosineRankedCtes(nQueries)},
        | votes AS (SELECT r.q_id, e.label, count(*) AS votes
        |           FROM ranked r JOIN embeddings e ON e.vec_id = r.nb_id
        |           WHERE r.rnk <= $k GROUP BY r.q_id, e.label),

@@ -405,16 +405,20 @@ object TextOps {
     * so the word lists can never drift. DuckDB 1.0's `greatest` rejects
     * structs, but struct comparison itself is lexicographic like Spark's, so
     * the argmax is `list_reverse_sort([...structs...])[1]`. */
-  def langIdOracleSql: String = {
-    val structs = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+  /** The SQL twin of [[langScoreStructs]] — the per-language score-struct
+    * list both langid oracles build their `best` from (shared for the same
+    * can-never-drift reason as the Spark-side helper). */
+  private def langScoreStructsSql: String =
+    LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(",")
       s"{'hits': len(list_filter(toks, x -> x IN ($list))), 'lang': '$lang'}"
     }.mkString(",\n      |    ".stripMargin)
+
+  def langIdOracleSql: String =
     s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
        | s AS (SELECT doc_id, len(toks) AS n_tok, list_reverse_sort([
-       |    $structs])[1] AS best FROM t)
+       |    $langScoreStructsSql])[1] AS best FROM t)
        |SELECT doc_id, best.lang AS pred_lang, round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s""".stripMargin
-  }
 
   /** The per-language stopword-hit score structs over a `toks` column —
     * the ONE scoring definition [[langId]] and [[langIdEval]] share. */
@@ -451,22 +455,18 @@ object TextOps {
         round(sum(col("conf").cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1)), 4)
           .as("mean_conf"))
 
-  /** DuckDB twin of [[langIdEval]] — the t3 scoring replay grouped into
-    * confusion cells with the same decimal-sum discipline. */
-  def langIdEvalOracleSql: String = {
-    val structs = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val list = words.map(w => s"'$w'").mkString(",")
-      s"{'hits': len(list_filter(toks, x -> x IN ($list))), 'lang': '$lang'}"
-    }.mkString(",\n      |    ".stripMargin)
+  /** DuckDB twin of [[langIdEval]] — the t3 scoring replay (same shared
+    * struct list) grouped into confusion cells with the same decimal-sum
+    * discipline. */
+  def langIdEvalOracleSql: String =
     s"""WITH t AS (SELECT lang AS true_lang, string_split_regex(text, '\\s+') AS toks FROM documents),
        | s AS (SELECT true_lang, len(toks) AS n_tok, list_reverse_sort([
-       |    $structs])[1] AS best FROM t),
+       |    $langScoreStructsSql])[1] AS best FROM t),
        | p AS (SELECT true_lang, best.lang AS pred_lang,
        |        round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s)
        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
        | round(CAST(sum(CAST(conf AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_conf
        |FROM p GROUP BY true_lang, pred_lang""".stripMargin
-  }
 
   /** PII patterns, restricted (like [[BpeTokenRe]]) to constructs whose
     * semantics are identical in Java regex (Spark) and RE2 (DuckDB):

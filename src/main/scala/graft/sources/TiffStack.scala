@@ -27,7 +27,10 @@ import graft.volume.{ChunkStore, Volume}
   * closed-form). Anything else fails loudly at decode. */
 object TiffStack {
 
-  private val SliceRe = "^(\\d{4})\\.tif$".r
+  // any digit count: relKey zero-pads to 4 but emits 5+ digits naturally
+  // past slice 9999, and externally produced stacks vary — a narrower
+  // pattern would silently truncate the derived depth
+  private val SliceRe = "^(\\d+)\\.tif$".r
 
   private def volumeMetaOf(w: Int, h: Int, depth: Int, dt: VoxelType): VolumeMeta =
     VolumeMeta("image", dt, 1, Vector(ScaleMeta(

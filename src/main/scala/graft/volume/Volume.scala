@@ -258,7 +258,7 @@ final case class VolumeCtx(
             img.getRaster.getDataElements(0, 0, b.x.len, b.y.len, px)
             val bb = java.nio.ByteBuffer.allocate(px.length * 2)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            px.foreach(bb.putShort)
+            bb.asShortBuffer().put(px) // bulk copy — no per-voxel boxing
             bb.array()
           case n => throw new IllegalArgumentException(
             s"tiff: ${n * 8}-bit voxels unsupported (8/16-bit grayscale only)")
@@ -295,7 +295,11 @@ final case class VolumeCtx(
           s"tiff: ${n * 8}-bit voxels unsupported (8/16-bit grayscale only)")
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "tif", bos)
+      // write() returns false (no exception) when no TIFF writer is
+      // registered — that must fail HERE, not as zero-byte store objects
+      // discovered by a later read
+      require(javax.imageio.ImageIO.write(img, "tif", bos),
+        "tiff: no ImageIO TIFF writer registered in this runtime")
       bos.toByteArray
     case _ => codec.encode(buf.bytes)
   }
