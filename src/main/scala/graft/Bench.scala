@@ -98,7 +98,12 @@ object Bench {
     val results0 = measured.map { case (n, r) => n -> r.best }
 
     // array-surface throughput (the reference's per-call MB/s metric,
-    // src/modes/sequential.jl:62-63): 256^3 uint8 = 16 MiB ingest + cutout
+    // src/modes/sequential.jl:62-63): 256^3 uint8 = 16 MiB ingest + cutout.
+    // Each metric goes through the SAME best-of-2 → escalate-to-5 band
+    // adjudication as the queries (r6 advice: bands that are written but
+    // never adjudicated are dead entries — a spike in the array surface
+    // would never be flagged), so v_* entries feed `suspects` too.
+    var arraySuspects = List.empty[(String, Double, Double)]
     val arrayBench = try {
       import graft.core.{Grid, Meta}
       import graft.volume.{Volume, VoxelBuffer}
@@ -107,27 +112,34 @@ object Bench {
         Meta.ScaleMeta("1_1_1", (64, 64, 64), "gzip", (1, 1, 1), (256, 256, 256), (0, 0, 0))))
       val vol = Volume.create(spark, root, meta)
       val buf = VoxelBuffer.sequenced(Meta.TUInt8, 256, 256, 256, 1, (1, 1, 1))
-      def best2(f: => Unit): Double = {
+      def adjudicated(name: String)(f: => Unit): Double = {
         def once = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
-        val a = once; math.min(a, once)
+        var best = math.min(once, once)
+        var reps = 2
+        while (reps < 5 && bands.get(name).exists(over(best, _))) {
+          best = math.min(best, once); reps += 1
+        }
+        if (reps >= 3 && bands.get(name).exists(over(best, _)))
+          arraySuspects ::= ((name, best, bands(name)))
+        best
       }
-      val tIngest = best2(vol.ingest(buf))
+      val tIngest = adjudicated("v_ingest_256")(vol.ingest(buf))
       var out: VoxelBuffer = null
-      val tCutout = best2 { out = vol.cutout(Grid.Box(1, 256, 1, 256, 1, 256)) }
+      val tCutout = adjudicated("v_cutout_256") { out = vol.cutout(Grid.Box(1, 256, 1, 256, 1, 256)) }
       require(out == buf, "array bench roundtrip mismatch")
       // native VoxelScan throughput: box-pruned scan + aggregate over ~9.4M
       // voxels through the custom Catalyst leaf (exercises VoxelScanExec's
       // row production, not the driver cutout path)
       graft.plans.GraftExtensions.install(spark)
       import org.apache.spark.sql.functions.{col, sum, count, lit}
-      val tScan = best2 {
+      val tScan = adjudicated("v_scan_256") {
         val r = vol.voxels()
           .filter(col("x") <= 192 && col("y") <= 192)
           .agg(sum(col("value")), count(lit(1))).collect().head
         require(r.getLong(1) == 192L * 192 * 256, "scan row count mismatch")
       }
       // whole-volume re-layout throughput (one shuffle by destination chunk)
-      val tRechunk = best2 {
+      val tRechunk = adjudicated("v_rechunk_256") {
         val dst = java.nio.file.Files.createTempDirectory("graft-bench-rck").toString
         val n = graft.ops.VolumeOps.rechunk(vol, Grid.Box(1, 256, 1, 256, 1, 256),
           dst, chunkSize = (128, 128, 32))
@@ -138,6 +150,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] array bench failed: $e"); Seq.empty
     }
+    val allSuspects = suspects ++ arraySuspects.reverse
     val results = results0 ++ arrayBench
     // regenerate the band file for the NEXT round's comparisons (run on an
     // idle box; commit the output as bench_bands.json)
@@ -152,25 +165,35 @@ object Bench {
           // blind to real regressions of that size); keep the prior band —
           // after a CONFIRMED regression, delete the stale entry and rerun
           val recorded =
-            if (suspects.exists(_._1 == k) && bands.contains(k)) bands(k) else v
+            if (allSuspects.exists(_._1 == k) && bands.contains(k)) bands(k) else v
           "\"" + k + "\":" + dec3(recorded)
         }.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + dec3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // the driver parses this line from the log tail: stop Spark FIRST (its
     // shutdown logging would otherwise interleave mid-line), flush both
-    // streams, then emit the JSON as one atomic write
-    val singles = measured.map { case (k, r) => "\"" + k + "\":" + r.first }
+    // streams, then emit the JSON as one atomic write.
+    // FIELD ORDER IS LOAD-BEARING for the archived artifact: the driver
+    // keeps only a ~2 KB log TAIL, so the r6 artifact lost `queries`, the
+    // total and every v_* metric behind the truncation point. The two long
+    // per-query maps therefore go FIRST and every verdict-relevant scalar —
+    // suspect list, v_* array metrics, total — rides in the last few
+    // hundred bytes, surviving any truncation. (JSON object key order is
+    // semantically irrelevant, so an untruncated line parses identically.)
+    val singles = measured.map { case (k, r) => "\"" + k + "\":" + dec3(r.first) }
       .mkString("{", ",", "}")
-    val suspectJson = suspects.map { case (n, best, band) =>
+    val suspectJson = allSuspects.map { case (n, best, band) =>
       s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)},"ratio":${dec3(best / band)}}"""
     }.mkString("[", ",", "]")
+    val vTail = arrayBench.map { case (k, v) => "\"" + k + "\":" + dec3(v) }
+      .mkString(",")
+    val vPart = if (vTail.isEmpty) "" else vTail + ","
     spark.stop()
     System.err.flush()
     System.out.flush()
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"singles":$singles,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    System.out.println(s"""{"queries":$qs,"singles":$singles,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
     System.out.flush()
   }
 }

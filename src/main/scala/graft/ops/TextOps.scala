@@ -571,19 +571,24 @@ object TextOps {
     * Documents full of corpus-typical tokens score high; rare-token noise
     * scores low — the signal the real filter thresholds on.
     *
-    * Scale shape: corpus term frequencies are one map-side-combined
-    * aggregation; the corpus constants (total tokens, vocab size) are a
-    * broadcast one-row join; scoring joins tokens to the frequency table
-    * (token-keyed shuffle — broadcast the table instead when the vocab
-    * fits, as it does for most natural-language corpora) and reduces per
-    * document. No driver state, no iteration.
+    * Scale shape: the tokenized relation is materialized ONCE
+    * ([[Tables.materialize]]) because BOTH the frequency fit and the
+    * scoring join consume it — left as lineage, Catalyst re-tokenizes the
+    * whole corpus per consumer (the exact double-regex trap t14's chunking
+    * hit, and the r6 bench-variance suspect here). Corpus term frequencies
+    * are then one map-side-combined aggregation over the checkpoint; the
+    * corpus constants (total tokens, vocab size) are a broadcast one-row
+    * join; scoring joins tokens to the frequency table (token-keyed
+    * shuffle — broadcast the table instead when the vocab fits, as it does
+    * for most natural-language corpora) and reduces per document. No
+    * driver state, no iteration.
     *
     * Cross-engine: each token's ln rounds to DECIMAL(18,8) before the
     * per-document sum, so the reduction is order-insensitive and exact in
     * both engines (the same discipline as every dsum aggregate; the 1-ulp
     * `ln` risk is absorbed by the 8-decimal rounding, as with t9's idf). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toksOf = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val toksOf = materialize(docs.select(col("doc_id"), explode(toks).as("tok")))
     val tf = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val stats = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"),
       count(lit(1)).cast(DoubleType).as("vocab"))
