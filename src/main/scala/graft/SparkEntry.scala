@@ -103,6 +103,10 @@ object SparkEntry {
     "m4_modal_frames" -> (Multimodal.modalFrames _),
     "m5_modal_audio" -> (Multimodal.modalAudio _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
+    // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
+    // through spark.read.format("binaryFile") + the real decoders — the
+    // external-file boundary the m1-m6 in-kernel roundtrips don't cross
+    "m7_modal_ingest" -> (Multimodal.modalIngest _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
@@ -354,6 +358,7 @@ object SparkEntry {
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
+    "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,

@@ -96,6 +96,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("*(1)"), p)
   }
 
+  test("m7: media files enter through a binaryFile FileScan; decode is shuffle-free") {
+    // the ingestion-path proof: payloads cross the FILE boundary via the
+    // binaryFile source (not synthesized in the kernel), and the per-file
+    // decode plans with no Exchange — one row per file, partition-parallel
+    val p = plan("m7_modal_ingest")
+    assert(p.contains("binaryFile"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("s4: three scans of embeddings under AQE (sample materialized once; index + query passes)") {
     // 1 scan materializing the capped train sample (every Lloyd iteration
     // of the k-means fit then reads the checkpoint, NOT parquet) + the
