@@ -95,6 +95,7 @@ object SparkEntry {
       TextOps.piiMask(TextOps.withSyntheticPii(Tables.t(s, d, "documents")))),
     "t12_unigram_lp" -> ((s, d) => TextOps.unigramLogProb(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
+    "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     "c6_token_budget" -> ((s, d) => Corpus.tokenBudgetSample(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "t11_pii" -> TextOps.piiMaskOracleSql,
     "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
+    "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),

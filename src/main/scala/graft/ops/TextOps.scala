@@ -539,9 +539,9 @@ object TextOps {
   /** Text canonicalization — the normalization every exact-dedup pass runs
     * first (a case or punctuation difference must not defeat an md5
     * match): lowercase, strip everything outside `[a-z0-9 ]`, collapse
-    * whitespace runs, trim. Restricted to the engine-portable subset (no
-    * ICU/NFKC — locale-dependent and not replicable in the oracle); ASCII
-    * corpora normalize identically in any engine. Row-local single map
+    * whitespace runs, trim. ASCII-level canonicalization; Unicode
+    * compatibility folding is the separate [[nfkcNormalize]] pass (t13b),
+    * which runs BEFORE this one in a full pipeline. Row-local single map
     * pass, zero shuffle. Emits the canonical text, its md5 (the dedup
     * key), and both lengths so the curation report can measure shrink. */
   def normalizeText(docs: DataFrame): DataFrame =
@@ -562,6 +562,66 @@ object TextOps {
        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
        |       CAST(length(text) AS BIGINT) AS len_raw
        |      FROM documents) s""".stripMargin
+
+  /** Compatibility characters injected for the NFKC gate, with their known
+    * NFKC images — ligatures, superscript, circled digit, full-width forms,
+    * roman numeral, unit square, no-break space. Every source char is a
+    * single BMP codepoint and every image is plain ASCII (or space), which
+    * is what lets the DuckDB oracle replay the normalization from the
+    * image table without an ICU/NFKC implementation of its own. */
+  private[graft] val CompatChars: Seq[(String, String)] = Seq(
+    "ﬁ" -> "fi", // LATIN SMALL LIGATURE FI
+    "ﬀ" -> "ff", // LATIN SMALL LIGATURE FF
+    "²" -> "2", // SUPERSCRIPT TWO
+    "③" -> "3", // CIRCLED DIGIT THREE
+    "Ｈ" -> "H", // FULLWIDTH LATIN CAPITAL LETTER H
+    "ｗ" -> "w", // FULLWIDTH LATIN SMALL LETTER W
+    "Ⅸ" -> "IX", // ROMAN NUMERAL NINE
+    "㎒" -> "MHz", // SQUARE MHZ
+    " " -> " ") // NO-BREAK SPACE
+
+  /** Deterministic Unicode-compat injection (the [[withSyntheticPii]]
+    * pattern): appends one rotating compat char plus a fixed tail holding
+    * a decomposed accent (`e` + U+0301 — must COMPOSE to é), a composed é
+    * (must pass through), and a ligature+superscript pair. The base corpus
+    * is printable ASCII (NFKC-invariant), so the oracle replays the
+    * normalized text as `text` + the known images. */
+  private[ops] def withCompatText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(array(CompatChars.map(c => lit(c._1)): _*),
+          (pmod(col("doc_id"), lit(CompatChars.size)) + 1).cast(IntegerType)),
+        lit(" é é ﬁ²")).as("text"))
+
+  /** Unicode NFKC normalization (t13b) — the compatibility-folding pass a
+    * dedup pipeline runs before [[normalizeText]]'s ASCII canonicalization:
+    * JDK `java.text.Normalizer` behind the codegen'd `nfkc()` expression
+    * ([[graft.functions.NfkcExpr]]), no ICU dependency, zero shuffle.
+    * Gated through the synthetic compat injection: DuckDB has no NFKC, but
+    * it doesn't need one — the injected chars' NFKC images are known
+    * constants ([[CompatChars]]), so the oracle rebuilds the expected
+    * normalized string and its md5 exactly. */
+  def nfkcNormalize(docs: DataFrame): DataFrame =
+    withCompatText(docs)
+      .select(col("doc_id"),
+        graft.functions.NfkcExpr.nfkc(col("text")).as("kc"),
+        length(col("text")).cast(LongType).as("len_in"))
+      .select(col("doc_id"), col("kc"), md5(col("kc")).as("h"),
+        col("len_in"), length(col("kc")).cast(LongType).as("len_kc"))
+
+  /** DuckDB oracle twin of [[nfkcNormalize]]: the normalized text is
+    * replayed from the known NFKC images (rotating char by doc_id, fixed
+    * tail " é é fi2"), `len_in` as length(text) + 10 because every
+    * injected char is one codepoint (1 space + 1 rotating + 8 tail). */
+  def nfkcNormalizeOracleSql: String = {
+    val imgs = CompatChars.map(c => s"'${c._2}'").mkString("[", ",", "]")
+    s"""SELECT doc_id, kc, md5(kc) AS h, len_in, CAST(length(kc) AS BIGINT) AS len_kc
+       |FROM (SELECT doc_id,
+       |       text || ' ' || ($imgs)[CAST(doc_id % ${CompatChars.size} AS INT) + 1] ||
+       |         ' ' || chr(233) || ' ' || chr(233) || ' fi2' AS kc,
+       |       CAST(length(text) + 10 AS BIGINT) AS len_in
+       |      FROM documents) s""".stripMargin
+  }
 
   /** Unigram language-model scoring — the cheap, self-contained stand-in
     * for the perplexity filter of CCNet-family pipelines: a unigram LM

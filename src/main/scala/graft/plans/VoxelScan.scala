@@ -411,7 +411,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.{ChunkExprs, SimhashAgg, VectorExprs, ZOrderExpr}
+  import graft.functions.{ChunkExprs, NfkcExpr, SimhashAgg, VectorExprs, ZOrderExpr}
 
   /** The engine's SQL functions, shared by both registration paths. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -422,7 +422,8 @@ object GraftExtensions {
     "vec_dot" -> (exprs => VectorExprs.DotProduct(exprs(0), exprs(1))),
     "vec_cosine" -> (exprs => VectorExprs.CosineSim(exprs(0), exprs(1))),
     "simhash_agg" -> (exprs => SimhashAgg(exprs.head)),
-    "zorder_key" -> (exprs => ZOrderExpr.ZOrderKey(exprs(0), exprs(1), exprs(2))))
+    "zorder_key" -> (exprs => ZOrderExpr.ZOrderKey(exprs(0), exprs(1), exprs(2))),
+    "nfkc" -> (exprs => NfkcExpr.Nfkc(exprs.head)))
 
   /** Install into an already-running session (idempotent). */
   def install(spark: SparkSession): Unit = {
@@ -430,6 +431,7 @@ object GraftExtensions {
     VectorExprs.register(spark)
     SimhashAgg.register(spark)
     ZOrderExpr.register(spark)
+    NfkcExpr.register(spark)
     if (!spark.experimental.extraStrategies.contains(VoxelScanStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ VoxelScanStrategy

@@ -168,4 +168,31 @@ class FunctionsSpec extends AnyFunSuite {
     }.toSeq
     assert(jumps.count(_ == 1) > jumps.length / 2, "z-curve should mostly step to a neighbor cell")
   }
+
+  test("nfkc: compat folding, composition, pass-through; codegen'd and SQL-callable") {
+    import spark.implicits._
+    NfkcExpr.register(spark)
+    // every CompatChars source maps to its documented image
+    graft.ops.TextOps.CompatChars.foreach { case (src, img) =>
+      assert(java.text.Normalizer.normalize(src, java.text.Normalizer.Form.NFKC) == img,
+        s"CompatChars table stale for ${src.codePoints().toArray.toSeq}")
+    }
+    val df = graft.ops.TextOps.CompatChars.map(_._1).toDF("s")
+      .select(NfkcExpr.nfkc(col("s")).as("kc"))
+    assert(df.as[String].collect().toSeq == graft.ops.TextOps.CompatChars.map(_._2))
+    // codegen probe needs a non-local child — a local Seq folds to
+    // LocalTableScan via ConvertToLocalRelation, which never codegens
+    // NOTE Spark's chr() is mod-256 ASCII (DuckDB's is codepoint) — embed
+    // the exact codepoints as UTF-8 literals instead
+    val cg = spark.range(3).selectExpr("nfkc('é' || cast(id AS string)) AS kc")
+    assert(cg.queryExecution.executedPlan.toString.contains("*(1)"),
+      "nfkc fell out of whole-stage codegen")
+    assert(cg.as[String].collect().toSeq == (0 until 3).map(i => s"é$i"))
+    // decomposed sequence composes; composed char passes through; ASCII is invariant
+    val r = spark.sql("SELECT nfkc('é') AS a, nfkc('é') AS b, nfkc('Abc 123!') AS c")
+      .collect().head
+    assert(r.getString(0) == "é" && r.getString(1) == "é" && r.getString(2) == "Abc 123!")
+    // null propagates
+    assert(spark.sql("SELECT nfkc(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
 }
