@@ -111,11 +111,10 @@ object SparkEntry {
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
-    // e4 demonstrates transformWithState under a SINGLE-batch ordering
-    // assumption (events arrive in-order within the batch); production
-    // sessionization should start from e5, the watermark-aware form whose
-    // event-time timers + ListState buffering are correct under cross-batch
-    // reordering — see EventStreams.sessionizeWm scaladoc
+    // e4 exercises transformWithState's TimeMode.None path; its
+    // single-batch ordering precondition is ASSERTED by the drive (exactly
+    // one Update per user, or it fails loudly — see sessionizeTwsOnce).
+    // Cross-batch/out-of-order arrival is e5's watermark-aware contract.
     "e4_stream_sessions" -> (EventStreams.sessionizeTwsOnce _),
     "e5_stream_sessions_wm" -> (EventStreams.sessionizeWmOnce _),
     "e6_stream_ivjoin" -> ((s, d) => EventStreams.intervalJoinOnce(s, d)),

@@ -418,7 +418,16 @@ object EventStreams {
     * a lag window; it can only match if the keyed state machinery actually
     * sessionized the whole stream. (The processor compares `getTime`
     * MILLISECONDS, so the oracle's gap predicate runs on `epoch_ms` — not
-    * on the µs/ns timestamp — to be truncation-faithful.) */
+    * on the µs/ns timestamp — to be truncation-faithful.)
+    *
+    * [[SessionProcessor]]'s within-batch-sorted contract is ASSERTED here,
+    * not assumed: the drive requires exactly one Update emission per user
+    * (one parquet file ⇒ one data micro-batch ⇒ every user's events arrive
+    * in a single sorted `handleInputRows` call). A source configuration
+    * that split a user across micro-batches — more files,
+    * `maxFilesPerTrigger`, a live stream — would emit that user twice and
+    * fail THIS require loudly instead of silently mis-sessionizing;
+    * cross-batch arrival is [[sessionizeWmOnce]]'s (e5's) contract. */
   def sessionizeTwsOnce(spark: SparkSession, dir: String): DataFrame = {
     implicit val evEnc = Encoders.product[Ev]
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -437,7 +446,14 @@ object EventStreams {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    spark.table(name).groupBy(col("user_id"))
+    val emitted = spark.table(name)
+    val maxEmissions = emitted.groupBy(col("user_id")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    require(maxEmissions <= 1,
+      s"sessionizeTws drive: a user emitted $maxEmissions updates — the source split " +
+        "a user across micro-batches, violating the single-batch ordering contract; " +
+        "use sessionizeWm (e5) for cross-batch arrival")
+    emitted.groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("f"))
       .select(col("user_id"),
         col("f.n_sessions").cast(LongType).as("n_sessions"),
