@@ -27,9 +27,11 @@ import graft.volume.{ChunkStore, Volume}
   * closed-form). Anything else fails loudly at decode. */
 object TiffStack {
 
-  // any digit count: relKey zero-pads to 4 but emits 5+ digits naturally
-  // past slice 9999, and externally produced stacks vary — a narrower
-  // pattern would silently truncate the derived depth
+  // any digit count so nothing silently truncates the derived depth (relKey
+  // zero-pads to 4 but emits 5+ digits naturally past slice 9999); open()
+  // then VALIDATES each matched name against the canonical %04d spelling,
+  // because the read path resolves only that spelling — an externally
+  // produced stack with other padding must fail at open, not read zeros
   private val SliceRe = "^(\\d+)\\.tif$".r
 
   private def volumeMetaOf(w: Int, h: Int, depth: Int, dt: VoxelType): VolumeMeta =
@@ -46,6 +48,20 @@ object TiffStack {
       .flatMap { n => SliceRe.findFirstMatchIn(n).map(m => m.group(1).toInt -> n) }
       .toSeq.sortBy(_._1)
     require(slices.nonEmpty, s"tiff stack: no NNNN.tif slices under $root")
+    // every subsequent READ resolves only the canonical zero-padded
+    // spelling (VolumeCtx.relKey "tiff-z"), so an externally produced
+    // stack with different padding would open fine here and then silently
+    // read every voxel as zero under fillMissing — fail loudly instead
+    val dups = slices.groupBy(_._1).filter(_._2.size > 1)
+    require(dups.isEmpty, s"tiff stack: duplicate spellings for slice " +
+      s"index(es) ${dups.map { case (i, ns) => s"$i (${ns.map(_._2).mkString(", ")})" }.mkString("; ")} " +
+      s"under $root — one NNNN.tif per index")
+    slices.foreach { case (i, n) =>
+      val canon = f"$i%04d.tif"
+      require(n == canon, s"tiff stack: slice '$n' is not the canonical " +
+        s"zero-padded spelling '$canon' this engine reads — rename the stack " +
+        s"(e.g. 7.tif -> 0007.tif)")
+    }
     val depth = slices.last._1 + 1
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(ChunkStore.read(fs, root, slices.head._2)))

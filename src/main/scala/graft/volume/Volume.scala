@@ -156,8 +156,11 @@ final case class VolumeCtx(
         else if (o(1) == '0') (ids.loy to ids.hiy).map(cy => s"c/${cy - 1}/*/*")
         else (ids.loz to ids.hiz).map(cz => s"c/${cz - 1}/*/*")
       case "n5" => (ids.lox to ids.hix).map(cx => s"${cx - 1}/*/*")
-      // one z column = exactly one slice object; still bounded per-column
-      case "tiff-z" => (ids.loz to ids.hiz).map(cz => f"${cz - 1}%04d.tif")
+      // the stack is one FLAT directory of NNNN.tif objects: a single
+      // directory-wide LIST enumerates the whole stack in one request —
+      // per-z exact-name globs would pay one globStatus per slice, the
+      // same request count as the probe plan listing mode exists to beat
+      case "tiff-z" => Seq("*.tif")
       // sharded stores never list: the shard index IS the listing
       // (chunkExists costs one cached index GET per shard, not per cell)
       case other => throw new IllegalArgumentException(

@@ -53,9 +53,34 @@ class TiffStackSpec extends AnyFunSuite {
     for (z <- 2 to 5) assert(cut.getLong(3, 2, z - 1) == 0, s"slice $z should be zero-filled")
     assert(re.missingChunks(Box(1, 8, 1, 4, 1, 6)).collect().toSet ==
       Set("0001.tif", "0002.tif", "0003.tif", "0004.tif"))
-    // listing enumeration agrees
+    // listing enumeration agrees — and costs ONE directory-wide LIST (a
+    // per-slice exact-name glob would pay the probe plan's request count)
+    val lists0 = graft.volume.ChunkStore.listCalls.get()
     assert(re.presentChunks(Box(1, 8, 1, 4, 1, 6)).collect().toSet ==
       Set((1, 1, 1), (1, 1, 6)))
+    assert(graft.volume.ChunkStore.listCalls.get() - lists0 == 1,
+      "tiff-z listing must be a single flat-directory LIST")
+  }
+
+  test("open rejects non-canonical padding and duplicate slice indices") {
+    val root = SparkSuite.tempDir("graft-tiff-pad")
+    val vol = TiffStack.create(spark, root, shape = (8, 4, 2), dataType = Meta.TUInt8)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 8, 4, 1, 1, (1, 1, 1)))
+    import java.nio.file.{Files, Paths}
+    // duplicate spellings for one index (7.tif AND 0007.tif): the read path
+    // would resolve only one of them — open must refuse
+    Files.copy(Paths.get(root, "0000.tif"), Paths.get(root, "7.tif"))
+    Files.copy(Paths.get(root, "0000.tif"), Paths.get(root, "0007.tif"))
+    val dup = intercept[IllegalArgumentException](TiffStack.open(spark, root))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    // non-canonical padding alone: every read of slice 7 would silently
+    // come back zero-filled — open must name the expected spelling
+    Files.delete(Paths.get(root, "0007.tif"))
+    val pad = intercept[IllegalArgumentException](TiffStack.open(spark, root))
+    assert(pad.getMessage.contains("0007.tif"), pad.getMessage)
+    // canonical stack still opens (depth re-derived from the one slice left)
+    Files.delete(Paths.get(root, "7.tif"))
+    assert(TiffStack.open(spark, root).ctx.volumeBox == Box(1, 8, 1, 4, 1, 1))
   }
 
   test("empty directory and corrupt slice fail loudly") {
