@@ -73,27 +73,31 @@ object Bench {
     case class QRes(first: Double, best: Double, reps: Int)
     def over(best: Double, band: Double): Boolean =
       best > 2.0 * band && best - band > 0.75
-    val measured: Seq[(String, QRes)] = names.map { n =>
-      val a = force(n); val b = force(n)
-      if (a < 0 || b < 0) n -> QRes(a, math.max(a, b), 2)
-      else {
-        var best = math.min(a, b)
-        var reps = 2
-        while (reps < 5 && bands.get(n).exists(over(best, _))) {
-          val r = force(n)
-          if (r >= 0) best = math.min(best, r)
-          reps += 1
-        }
-        n -> QRes(a, best, reps)
+    // ONE adjudication policy, shared by the query loop and the v_* array
+    // metrics below — two hand-maintained copies of the escalation rule
+    // would drift. `sample` returns <0 on failure (queries only).
+    def adjudicate(name: String, sample: () => Double): QRes = {
+      val a = sample(); val b = sample()
+      if (a < 0 || b < 0) return QRes(a, math.max(a, b), 2)
+      var best = math.min(a, b)
+      var reps = 2
+      while (reps < 5 && bands.get(name).exists(over(best, _))) {
+        val r = sample()
+        if (r >= 0) best = math.min(best, r)
+        reps += 1
       }
+      QRes(a, best, reps)
     }
     // reps >= 3 guarantees the escalation loop really ran: a query whose
     // first run FAILED never escalated, and flagging it off one sample is
     // the exact false positive this mechanism exists to prevent (its -1
     // in `queries` already reports the failure)
+    def isSuspect(name: String, r: QRes): Boolean =
+      r.best >= 0 && r.reps >= 3 && bands.get(name).exists(over(r.best, _))
+    val measured: Seq[(String, QRes)] =
+      names.map(n => n -> adjudicate(n, () => force(n)))
     val suspects = measured.collect {
-      case (n, r) if r.best >= 0 && r.reps >= 3 && bands.get(n).exists(over(r.best, _)) =>
-        (n, r.best, bands(n))
+      case (n, r) if isSuspect(n, r) => (n, r.best, bands(n))
     }
     val results0 = measured.map { case (n, r) => n -> r.best }
 
@@ -113,15 +117,11 @@ object Bench {
       val vol = Volume.create(spark, root, meta)
       val buf = VoxelBuffer.sequenced(Meta.TUInt8, 256, 256, 256, 1, (1, 1, 1))
       def adjudicated(name: String)(f: => Unit): Double = {
-        def once = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
-        var best = math.min(once, once)
-        var reps = 2
-        while (reps < 5 && bands.get(name).exists(over(best, _))) {
-          best = math.min(best, once); reps += 1
-        }
-        if (reps >= 3 && bands.get(name).exists(over(best, _)))
-          arraySuspects ::= ((name, best, bands(name)))
-        best
+        val r = adjudicate(name, () => {
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        })
+        if (isSuspect(name, r)) arraySuspects ::= ((name, r.best, bands(name)))
+        r.best
       }
       val tIngest = adjudicated("v_ingest_256")(vol.ingest(buf))
       var out: VoxelBuffer = null

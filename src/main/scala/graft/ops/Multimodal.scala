@@ -679,7 +679,7 @@ object Multimodal {
     * input dir. */
   private def mediaFixtureDir(spark: SparkSession, dir: String): String =
     mediaFixtures.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/m7_media_${Integer.toHexString(dir.hashCode)}"
+      val p = s"${Similarity.OracleDumpRoot}/m7_media_${Similarity.dirToken(dir)}"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
       implicit val enc = Encoders.product[(Long, String, Array[Byte])]
       assets(t(spark, dir, "documents")).filter(col("doc_id") < IngestDocCount)

@@ -450,9 +450,17 @@ object Similarity {
     * operator actually has in production. */
   private val sq8CodeDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Collision-free path token for a per-input-dir artifact: md5 of the
+    * full dir string. 32-bit `String.hashCode` can collide across two dirs
+    * in one JVM, which would silently serve one corpus's artifact for the
+    * other. */
+  private[ops] def dirToken(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def sq8CodesAtRest(spark: SparkSession, dir: String): DataFrame = {
     val path = sq8CodeDumps.computeIfAbsent(dir, _ => {
-      val p = s"$OracleDumpRoot/s5_codes_${Integer.toHexString(dir.hashCode)}"
+      val p = s"$OracleDumpRoot/s5_codes_${dirToken(dir)}"
       sq8Codes(t(spark, dir, "embeddings")).select(col("vec_id"), col("codes"))
         .write.mode("overwrite").parquet(p)
       p

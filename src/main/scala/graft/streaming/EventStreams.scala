@@ -447,8 +447,10 @@ object EventStreams {
       case None => spark.conf.unset(key)
     }
     val emitted = spark.table(name)
+    // coalesce: zero emissions (empty events input) is a valid drive —
+    // max over no groups is NULL, not a contract violation
     val maxEmissions = emitted.groupBy(col("user_id")).count()
-      .agg(max(col("count"))).collect().head.getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).collect().head.getLong(0)
     require(maxEmissions <= 1,
       s"sessionizeTws drive: a user emitted $maxEmissions updates — the source split " +
         "a user across micro-batches, violating the single-batch ordering contract; " +

@@ -184,10 +184,16 @@ class FunctionsSpec extends AnyFunSuite {
     // LocalTableScan via ConvertToLocalRelation, which never codegens
     // NOTE Spark's chr() is mod-256 ASCII (DuckDB's is codepoint) — embed
     // the exact codepoints as UTF-8 literals instead
-    val cg = spark.range(3).selectExpr("nfkc('é' || cast(id AS string)) AS kc")
-    assert(cg.queryExecution.executedPlan.toString.contains("*(1)"),
-      "nfkc fell out of whole-stage codegen")
-    assert(cg.as[String].collect().toSeq == (0 until 3).map(i => s"é$i"))
+    // fallback=false turns a broken doGenCode into a hard error instead of
+    // a silent interpreted downgrade (plan strings are built BEFORE janino
+    // compiles, so the *(1) check alone can't catch it)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cg = spark.range(3).selectExpr("nfkc('é' || cast(id AS string)) AS kc")
+      assert(cg.queryExecution.executedPlan.toString.contains("*(1)"),
+        "nfkc fell out of whole-stage codegen")
+      assert(cg.as[String].collect().toSeq == (0 until 3).map(i => s"é$i"))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
     // decomposed sequence composes; composed char passes through; ASCII is invariant
     val r = spark.sql("SELECT nfkc('é') AS a, nfkc('é') AS b, nfkc('Abc 123!') AS c")
       .collect().head
