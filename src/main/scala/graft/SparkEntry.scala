@@ -64,6 +64,9 @@ object SparkEntry {
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
     "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8)),
     "d6_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.t(s, d, "documents"))),
+    // the standing-pipeline dedup shape: new shard vs corpus hash index at
+    // rest — the corpus is never re-scanned (see Dedup.incrementalDedup)
+    "d7_dedup_incremental" -> (Dedup.incrementalDedup _),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -331,6 +334,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> simhashOracle,
     "d5_dedup_clusters" -> dupClusterOracle,
     "d6_span_dedup" -> Dedup.spanDedupOracleSql(),
+    "d7_dedup_incremental" -> Dedup.incrementalDedupOracleSql,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

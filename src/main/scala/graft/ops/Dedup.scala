@@ -374,6 +374,58 @@ object Dedup {
       .agg(simhash_agg(col("h")).as("simhash"))
   }
 
+  // ---------------- incremental dedup (delta vs corpus-at-rest) ----------------
+
+  /** Every 10th document plays the "newly arrived shard"; the rest are the
+    * standing corpus whose hash index lives at rest. */
+  val DeltaMod = 10
+
+  /** Per-JVM registry of materialized corpus hash indexes (input dir →
+    * parquet path), the codes-at-rest pattern: at 100 TB the content-hash
+    * index is maintained BY THE INGEST PATH (appended as shards land,
+    * bucketed by hash) — no query ever re-hashes the standing corpus. */
+  private val hashIndexDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusHashIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = hashIndexDumps.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/d7_hashidx_${Similarity.dirToken(dir)}"
+      t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(DeltaMod)) =!= 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Incremental exact dedup — THE dedup shape a standing 100 TB pipeline
+    * actually runs: a new shard (the delta) is deduplicated within itself
+    * (keep the smallest doc_id per hash) and then anti-joined against the
+    * corpus hash index AT REST ([[corpusHashIndex]]). The standing corpus
+    * is never re-scanned, never re-hashed: the query touches delta text +
+    * index hashes only, so per-shard cost is O(delta + index-probe), not
+    * O(corpus) — d1 is the bootstrap that builds the index, this is every
+    * day after. The anti-join shuffles both sides by `h`; in production
+    * the index is bucketed on `h` so only the (small) delta moves. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val delta = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(DeltaMod)) === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val keep = delta.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_delta_dups"))
+    keep.join(corpusHashIndex(spark, dir), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"), col("n_delta_dups"))
+  }
+
+  /** DuckDB oracle twin of [[incrementalDedup]] — same split, same
+    * keep-smallest rule, same anti-join. */
+  def incrementalDedupOracleSql: String =
+    s"""WITH delta AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % $DeltaMod = 0),
+       | corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % $DeltaMod <> 0),
+       | keep AS (SELECT h, min(doc_id) AS doc_id, count(*) AS n_delta_dups
+       |          FROM delta GROUP BY h)
+       |SELECT k.doc_id, k.h, k.n_delta_dups
+       |FROM keep k WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = k.h)""".stripMargin
+
   /** The 64-column formulation of [[simhash]], kept as the differential
     * test twin for the native aggregate (DedupSpec asserts equality). */
   private[ops] def simhashColumns(docs: DataFrame): DataFrame = {

@@ -96,6 +96,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("*(1)"), p)
   }
 
+  test("d7: one scan of documents — the standing corpus enters via the at-rest hash index") {
+    // first call may build the index (one extra scan, ingest-path work);
+    // warmed, the incremental query hashes ONLY the delta
+    graft.SparkEntry.queries("d7_dedup_incremental")(spark, dir).collect()
+    assert(scansOf("documents", "d7_dedup_incremental") == 1)
+  }
+
   test("m7: media files enter through a binaryFile FileScan; decode is shuffle-free") {
     // the ingestion-path proof: payloads cross the FILE boundary via the
     // binaryFile source (not synthesized in the kernel), and the per-file

@@ -32,6 +32,12 @@ object PlanProbe {
         plans.add(qe.executedPlan)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     }
+    // drain FIRST: the listener bus is asynchronous, so a success event
+    // from an action run BEFORE this probe (e.g. a warm-up/materialization
+    // call in the same test) can still be queued and would be delivered to
+    // the listener we are about to register, inflating the count (observed
+    // as a flaky d7 probe)
+    shim.drainListenerBus(spark)
     spark.listenerManager.register(listener)
     try {
       thunk
