@@ -128,6 +128,10 @@ object SparkEntry {
     // advances from live data and the sentinel does nothing — do not copy
     // it out of leftIntervalJoinOnce. See EventStreams.leftIntervalJoin.
     "e7_stream_leftjoin" -> ((s, d) => EventStreams.leftIntervalJoinOnce(s, d)),
+    // e8 streams the DOCUMENTS table: content-hash dedup with bounded
+    // state + quality filter + running corpus stats — the real-time form
+    // of the d1/d7 batch dedup (see EventStreams.corpusIngestOnce)
+    "e8_stream_corpus" -> ((s, d) => EventStreams.corpusIngestOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -358,6 +362,7 @@ object SparkEntry {
     "e5_stream_sessions_wm" -> EventStreams.sessionizeTwsOracleSql(),
     "e6_stream_ivjoin" -> EventStreams.intervalJoinOracleSql(),
     "e7_stream_leftjoin" -> EventStreams.leftIntervalJoinOracleSql(),
+    "e8_stream_corpus" -> EventStreams.corpusIngestOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

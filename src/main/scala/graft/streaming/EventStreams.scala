@@ -149,6 +149,58 @@ object EventStreams {
     * (Events are µs-grain, and the stream reader truncates ns→µs exactly,
     * so the interval boundary comparisons agree with the ns-native batch
     * oracle bit-for-bit.) */
+  /** Raw schema of documents.parquet for the corpus-ingestion stream. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming CORPUS ingestion (e8) — the real-time form of the d1/d7
+    * batch dedup: documents arrive as a stream, get content-hashed,
+    * exact-deduped with BOUNDED state (`dropDuplicatesWithinWatermark` on
+    * the md5 — state evicted as the ingest-time watermark passes, the only
+    * dedup that survives an unbounded feed), quality-filtered, and folded
+    * into running per-band corpus stats. The drive doubles the stream
+    * (union with itself) so the gate can only pass if the dedup actually
+    * collapsed every duplicate.
+    *
+    * Ingest time is synthesized from doc_id (deterministic bounded drive);
+    * a production feed carries its own arrival time. The aggregate groups
+    * by a TEXT-derived key (length band) and sums text-derived quantities
+    * only, so the result is invariant to WHICH copy of a duplicate
+    * survives — the property that makes the oracle exact. */
+  def corpusIngestOnce(spark: SparkSession, dir: String): DataFrame = {
+    def docStream = spark.readStream.schema(docSchema)
+      .parquet(s"$dir/documents*.parquet")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600))))
+    val staged = docStream.union(docStream)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .withColumn("n_tok", size(split(col("text"), "\\s+")).cast(LongType))
+      .filter(col("n_tok") >= 5)
+      .groupBy(floor(length(col("text")) / 500).cast(IntegerType).as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_sum"))
+    val name = s"stream_corpus_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = staged.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("band"), Seq("n", "tok_sum"))
+  }
+
+  /** DuckDB oracle twin of [[corpusIngestOnce]]: distinct texts (the dedup
+    * contract), same quality cut, same text-derived banding. */
+  def corpusIngestOracleSql: String =
+    """WITH u AS (SELECT DISTINCT text FROM documents),
+      | q AS (SELECT text, len(string_split_regex(text, '\s+')) AS n_tok FROM u),
+      | f AS (SELECT CAST(floor(length(text) / 500) AS INT) AS band, n_tok
+      |       FROM q WHERE n_tok >= 5)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(n_tok) AS BIGINT) AS tok_sum
+      |FROM f GROUP BY band""".stripMargin
+
   def intervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
     val name = s"stream_ivjoin_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {

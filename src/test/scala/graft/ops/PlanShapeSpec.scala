@@ -135,8 +135,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // equi-join-only
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
-        "e4_stream_sessions", "e5_stream_sessions_wm",
-        "e6_stream_ivjoin", "e7_stream_leftjoin")) // streaming: no batch plan
+        "e4_stream_sessions", "e5_stream_sessions_wm", "e6_stream_ivjoin",
+        "e7_stream_leftjoin", "e8_stream_corpus")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
