@@ -8,7 +8,7 @@ import graft.core.Grid.Box
 import graft.testutil.SparkSuite
 import graft.volume.{Volume, VoxelBuffer}
 
-class FunctionsSpec extends AnyFunSuite {
+class FunctionsSpec extends AnyFunSuite with graft.testutil.MiniProp {
   lazy val spark = SparkSuite.spark
 
   test("chunk_id matches Grid math incl. negatives, SQL-callable") {
@@ -200,5 +200,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "é" && r.getString(1) == "é" && r.getString(2) == "Abc 123!")
     // null propagates
     assert(spark.sql("SELECT nfkc(CAST(NULL AS STRING))").collect().head.isNullAt(0))
+  }
+
+  test("nfkc property: expression output equals java.text.Normalizer on random BMP mixtures") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    NfkcExpr.register(spark)
+    // atoms: plain ASCII, the compat table, and assorted canonical/compat
+    // cases (decomposed accents, ligature ffi, vulgar fraction, unit m2)
+    val atom = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(graft.ops.TextOps.CompatChars.map(_._1)),
+      Gen.oneOf("é", "ö", "é", "ﬃ", "⅓", "㎡"))
+    val gen = Gen.listOfN(6, atom).map(_.mkString(" "))
+    val inputs = scala.collection.mutable.ArrayBuffer.empty[String]
+    forAll(gen)(s => inputs += s)
+    val expect = inputs.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    // drive through the CODEGEN path: array-literal lookup over a range
+    // child (a local Seq would constant-fold to the interpreted eval)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val arr = array(inputs.toSeq.map(lit): _*)
+      val got = spark.range(inputs.length)
+        .select(NfkcExpr.nfkc(element_at(arr, (col("id") + 1).cast("int"))).as("kc"))
+        .as[String].collect()
+      assert(got.toSeq == expect.toSeq)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }
