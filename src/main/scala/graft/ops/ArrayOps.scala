@@ -248,6 +248,44 @@ object ArrayOps {
 
   def a11OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a11")
 
+  /** Cross-FORMAT conversion pipeline (a12) — the reference domain's actual
+    * ingestion workflow: raw microscopy arrives as a TIFF image stack, gets
+    * converted into a chunked precomputed store, and a downsample pyramid is
+    * built on top. Composes three engine primitives across two formats:
+    * TiffStack ingest → [[VolumeOps.rechunk]] (chunk-grain copy, no voxel
+    * rows, no shuffle) into a precomputed layout with a real 3-d chunk
+    * grid → [[VolumeOps.buildNextMip]] (2×2×1 average). Both mip levels are
+    * then read back through the converted store and aggregated; the oracle
+    * re-aggregates the dump. A byte wrong anywhere in the TIFF decode, the
+    * cross-format blit, or the downsample shifts a sum and fails the gate. */
+  def a12_convert_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.TiffStack
+    import graft.volume.{Volume, VoxelBuffer}
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-a12-tiff").toString
+    val src = TiffStack.create(spark, srcRoot, shape = (20, 12, 8), dataType = Meta.TUInt16)
+    src.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 20, 12, 8, 1, (1, 1, 1)))
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-a12-pre").toString
+    val box = Box(1, 20, 1, 12, 1, 8)
+    VolumeOps.rechunk(TiffStack.open(spark, srcRoot), box, dstRoot,
+      chunkSize = (8, 4, 2), encoding = Some("gzip"))
+    val converted = Volume.open(spark, dstRoot)
+    VolumeOps.buildNextMip(converted, box)
+    val v1 = converted.toVoxels(box).withColumn("mip", lit(1))
+    val v2 = Volume.open(spark, dstRoot, mip = 2)
+      .toVoxels(Box(1, 10, 1, 6, 1, 8)).withColumn("mip", lit(2))
+    val dump = s"$voxelDumpRoot/a12"
+    v1.unionByName(v2).write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("mip"), col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .orderBy(col("mip"), col("z"))
+  }
+
+  def a12OracleSql: String =
+    s"SELECT mip, z, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv " +
+      s"FROM read_parquet('$voxelDumpRoot/a12/*.parquet') GROUP BY mip, z"
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a
