@@ -70,6 +70,9 @@ object SparkEntry {
     // the standing-pipeline dedup shape: new shard vs corpus hash index at
     // rest — the corpus is never re-scanned (see Dedup.incrementalDedup)
     "d7_dedup_incremental" -> (Dedup.incrementalDedup _),
+    // d7 lifted to NEAR-dup: delta bands probe the at-rest corpus LSH
+    // index, exact-verify against at-rest shingle sets
+    "d8_dedup_incr_near" -> ((s, d) => Dedup.incrementalNearDup(s, d, 0.8)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -343,6 +346,14 @@ object SparkEntry {
     "d5_dedup_clusters" -> dupClusterOracle,
     "d6_span_dedup" -> Dedup.spanDedupOracleSql(),
     "d7_dedup_incremental" -> Dedup.incrementalDedupOracleSql,
+    // exact delta × corpus Jaccard pairs (LSH recall ≈ 1 at j≥0.8, the d3
+    // argument; only pairs straddling the split qualify)
+    "d8_dedup_incr_near" ->
+      s"""WITH $ngramPairCtes
+         |SELECT CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN a ELSE b END AS delta_id,
+         |       CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN b ELSE a END AS corpus_id, jac
+         |FROM jpairs
+         |WHERE (a % ${Dedup.DeltaMod} = 0) <> (b % ${Dedup.DeltaMod} = 0)""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

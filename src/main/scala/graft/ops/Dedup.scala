@@ -426,6 +426,56 @@ object Dedup {
        |SELECT k.doc_id, k.h, k.n_delta_dups
        |FROM keep k WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = k.h)""".stripMargin
 
+  /** Per-JVM registry of the at-rest corpus LSH index: (band-bucket table,
+    * verification-set table) parquet paths per input dir. At 100 TB both
+    * live next to the corpus, appended by the ingest path — the near-dup
+    * counterpart of [[corpusHashIndex]]. */
+  private val lshIndexDumps =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def corpusLshIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (bp, sp) = lshIndexDumps.computeIfAbsent(dir, _ => {
+      val tok = Similarity.dirToken(dir)
+      val bPath = s"${Similarity.OracleDumpRoot}/d8_bands_$tok"
+      val sPath = s"${Similarity.OracleDumpRoot}/d8_sets_$tok"
+      val corpus = t(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(DeltaMod)) =!= 0)
+      val sigSets = materialize(signaturesWithSets(shingles(corpus)))
+      bands(sigSets).write.mode("overwrite").parquet(bPath)
+      sigSets.select(col("doc_id"), col("shs"), col("sz"))
+        .write.mode("overwrite").parquet(sPath)
+      (bPath, sPath)
+    })
+    (spark.read.parquet(bp), spark.read.parquet(sp))
+  }
+
+  /** Incremental NEAR-dup (d8): the delta shard's MinHash bands probe the
+    * corpus LSH index AT REST, candidates verify with exact Jaccard against
+    * the at-rest shingle sets — [[incrementalDedup]]'s shape lifted from
+    * exact to near-duplicate. Only the delta is ever shingled or signed at
+    * query time; per-shard cost is O(delta + bucket collisions), never
+    * O(corpus). Same signature scheme as [[minhashPairs]], so the ≈1 recall
+    * argument at j≥0.8 carries over and the oracle is the EXACT delta ×
+    * corpus Jaccard pair set. */
+  def incrementalNearDup(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+    val (cBands, cSets) = corpusLshIndex(spark, dir)
+    val dSigSets = materialize(signaturesWithSets(shingles(
+      t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(DeltaMod)) === 0))))
+    val cand = bands(dSigSets).as("x")
+      .join(cBands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(dSigSets.select(col("doc_id").as("delta_id"), col("shs").as("sha"),
+        col("sz").as("sza")), Seq("delta_id"))
+      .join(cSets.select(col("doc_id").as("corpus_id"), col("shs").as("shb"),
+        col("sz").as("szb")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("delta_id"), col("corpus_id"),
+        round(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 4).as("jac"))
+      .filter(col("jac") >= minJ)
+  }
+
   /** The 64-column formulation of [[simhash]], kept as the differential
     * test twin for the native aggregate (DedupSpec asserts equality). */
   private[ops] def simhashColumns(docs: DataFrame): DataFrame = {

@@ -73,7 +73,10 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, w, h, raster)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    // write() returns false (no exception) for an unregistered format —
+    // that must fail HERE, not as zero-byte payloads found downstream
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"imgEncode: no ImageIO writer registered for format '$format'")
     bos.toByteArray
   }
 
