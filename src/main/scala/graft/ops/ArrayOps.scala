@@ -83,17 +83,22 @@ object ArrayOps {
     * between the Spark write and the DuckDB replay. */
   lazy val voxelDumpRoot: String = s"${Similarity.OracleDumpRoot}/voxels"
 
-  private def aggFromDump(spark: SparkSession, voxels: DataFrame, dump: String): DataFrame = {
+  /** Dump a voxel relation and re-aggregate it by `keys` — ONE copy of the
+    * dump/agg shape shared by every a-pipeline (the Spark agg and
+    * [[voxelAggOracle]] must stay column-for-column in sync for the
+    * driver's hash gate). */
+  private def aggFromDump(spark: SparkSession, voxels: DataFrame, dump: String,
+      keys: Seq[String] = Seq("z")): DataFrame = {
     voxels.write.mode("overwrite").parquet(dump)
     spark.read.parquet(dump)
-      .groupBy(col("z"))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      .orderBy(col("z"))
+      .orderBy(keys.map(col): _*)
   }
 
-  private def voxelAggOracle(dump: String): String =
-    s"SELECT z, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv " +
-      s"FROM read_parquet('$dump/*.parquet') GROUP BY z"
+  private def voxelAggOracle(dump: String, keys: Seq[String] = Seq("z")): String =
+    s"SELECT ${keys.mkString(", ")}, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv " +
+      s"FROM read_parquet('$dump/*.parquet') GROUP BY ${keys.mkString(", ")}"
 
   /** Full array-surface pipeline through the store: build a small volume
     * from deterministic data, ingest, read back as voxels, dump the voxel
@@ -274,17 +279,10 @@ object ArrayOps {
     val v1 = converted.toVoxels(box).withColumn("mip", lit(1))
     val v2 = Volume.open(spark, dstRoot, mip = 2)
       .toVoxels(Box(1, 10, 1, 6, 1, 8)).withColumn("mip", lit(2))
-    val dump = s"$voxelDumpRoot/a12"
-    v1.unionByName(v2).write.mode("overwrite").parquet(dump)
-    spark.read.parquet(dump)
-      .groupBy(col("mip"), col("z"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      .orderBy(col("mip"), col("z"))
+    aggFromDump(spark, v1.unionByName(v2), s"$voxelDumpRoot/a12", keys = Seq("mip", "z"))
   }
 
-  def a12OracleSql: String =
-    s"SELECT mip, z, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv " +
-      s"FROM read_parquet('$voxelDumpRoot/a12/*.parquet') GROUP BY mip, z"
+  def a12OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a12", keys = Seq("mip", "z"))
 
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the

@@ -105,14 +105,23 @@ object Dedup {
     * (doc, shingle) rows and re-aggregated — two extra shuffles of
     * shingle-grain data per verification; this shuffles only doc-grain rows
     * for the two candidate joins. */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
+  /** Exact-Jaccard verification of candidate pairs: ONE copy of the
+    * round-then-threshold rule (it must stay in lockstep with the shared
+    * `ngramPairCtes` oracle), generalized over two set relations so the
+    * self-join paths (d2/d3: both sides the same relation) and the
+    * delta-vs-corpus path (d8) share it. */
+  private def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      minJ: Double, aCol: String, bCol: String): DataFrame =
     cand
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb")), Seq("b"))
+      .join(setsA.select(col("doc_id").as(aCol), col("shs").as("sha"), col("sz").as("sza")), Seq(aCol))
+      .join(setsB.select(col("doc_id").as(bCol), col("shs").as("shb"), col("sz").as("szb")), Seq(bCol))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .select(col("a"), col("b"),
+      .select(col(aCol), col(bCol),
         round(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 4).as("jac"))
       .filter(col("jac") >= minJ)
+
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
+    verifyJaccard2(cand, sets, sets, minJ, "a", "b")
 
   // ---------------- MinHash + LSH ----------------
 
@@ -465,15 +474,7 @@ object Dedup {
       .join(cBands.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    cand
-      .join(dSigSets.select(col("doc_id").as("delta_id"), col("shs").as("sha"),
-        col("sz").as("sza")), Seq("delta_id"))
-      .join(cSets.select(col("doc_id").as("corpus_id"), col("shs").as("shb"),
-        col("sz").as("szb")), Seq("corpus_id"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .select(col("delta_id"), col("corpus_id"),
-        round(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 4).as("jac"))
-      .filter(col("jac") >= minJ)
+    verifyJaccard2(cand, dSigSets, cSets, minJ, "delta_id", "corpus_id")
   }
 
   /** The 64-column formulation of [[simhash]], kept as the differential

@@ -136,19 +136,6 @@ object EventStreams {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2""".stripMargin
 
-  /** Stream-STREAM interval join under the oracle gate — the attribution
-    * shape: each purchase joined to the same user's clicks in the
-    * preceding `windowMin` minutes. Both sides are streams with watermarks
-    * and the join predicate carries an event-time RANGE over the
-    * watermarked columns, so Spark plans a StreamingSymmetricHashJoin
-    * whose per-side buffered state is evicted as the watermark passes —
-    * bounded state on an unbounded stream, the property that distinguishes
-    * this from a stream-static enrich (e3). Joined rows emit append-mode;
-    * the gate aggregates pairs per user and the batch twin
-    * ([[intervalJoinOracleSql]]) replays the same interval self-join.
-    * (Events are µs-grain, and the stream reader truncates ns→µs exactly,
-    * so the interval boundary comparisons agree with the ns-native batch
-    * oracle bit-for-bit.) */
   /** Raw schema of documents.parquet for the corpus-ingestion stream. */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -201,6 +188,19 @@ object EventStreams {
       | CAST(sum(n_tok) AS BIGINT) AS tok_sum
       |FROM f GROUP BY band""".stripMargin
 
+  /** Stream-STREAM interval join under the oracle gate — the attribution
+    * shape: each purchase joined to the same user's clicks in the
+    * preceding `windowMin` minutes. Both sides are streams with watermarks
+    * and the join predicate carries an event-time RANGE over the
+    * watermarked columns, so Spark plans a StreamingSymmetricHashJoin
+    * whose per-side buffered state is evicted as the watermark passes —
+    * bounded state on an unbounded stream, the property that distinguishes
+    * this from a stream-static enrich (e3). Joined rows emit append-mode;
+    * the gate aggregates pairs per user and the batch twin
+    * ([[intervalJoinOracleSql]]) replays the same interval self-join.
+    * (Events are µs-grain, and the stream reader truncates ns→µs exactly,
+    * so the interval boundary comparisons agree with the ns-native batch
+    * oracle bit-for-bit.) */
   def intervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
     val name = s"stream_ivjoin_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
