@@ -73,6 +73,9 @@ object SparkEntry {
     // d7 lifted to NEAR-dup: delta bands probe the at-rest corpus LSH
     // index, exact-verify against at-rest shingle sets
     "d8_dedup_incr_near" -> ((s, d) => Dedup.incrementalNearDup(s, d, 0.8)),
+    // SemDeDup: embedding near-dup pruning WITHIN k-means clusters — the
+    // curation form whose quadratic term is bounded by cluster size
+    "d9_semdedup" -> ((s, d) => Similarity.semDedupPrune(s, d, 0.4)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -354,6 +357,7 @@ object SparkEntry {
          |       CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN b ELSE a END AS corpus_id, jac
          |FROM jpairs
          |WHERE (a % ${Dedup.DeltaMod} = 0) <> (b % ${Dedup.DeltaMod} = 0)""".stripMargin,
+    "d9_semdedup" -> Similarity.semDedupOracleSql(0.4),
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

@@ -372,6 +372,10 @@ object Similarity {
   /** Where [[annIvf]] dumps its fitted centroids for [[annIvfOracleSql]]. */
   lazy val IvfCentroidDump: String = s"$OracleDumpRoot/s4_centroids"
 
+  /** Where [[semDedupPrune]] dumps its fitted centroids for the replay
+    * oracle. */
+  lazy val SemDedupCentroidDump: String = s"$OracleDumpRoot/d9_centroids"
+
   /** Domain clustering for mixture design: embeddings are clustered with a
     * k-means coarse model (trained on a capped sample, like [[annIvf]]) and
     * every vector is assigned to its max-cosine centroid — the unsupervised
@@ -783,4 +787,77 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are k-means-clustered and near-duplicate
+    * pruning runs WITHIN clusters only — each vector whose cosine to a
+    * lower-id cluster-mate reaches `minCos` is pruned, keeping its
+    * highest-cosine such mate as the keeper (ties to the smallest id).
+    * Unlike [[embeddingDupPairs]] (LSH-bucketed exact near-dup pairs), this
+    * is the curation form: cluster membership bounds the quadratic term, so
+    * at 100 TB `kClusters` scales with the corpus to hold cluster sizes
+    * roughly constant and the pair join never goes corpus-wide.
+    *
+    * Scale shape: one k-means fit on a capped sample (corpus-size-
+    * independent), one codegen'd argmax assignment pass, then a cluster-
+    * keyed self-join over a SLIM (id, cluster) relation materialized once —
+    * embeddings re-enter per surviving candidate pair only (the
+    * [[embeddingDupPairs]] pattern). The keeper choice is a per-pruned-id
+    * window over candidate rows, not a corpus-wide sort.
+    *
+    * Oracle: like [[kmeansDomains]], the fitted centroids are dumped and
+    * DuckDB replays assignment + within-cluster pairing + keeper choice
+    * from the same constants with the same double math and tie orders. */
+  def semDedupPrune(spark: SparkSession, dir: String, minCos: Double = 0.4,
+      kClusters: Int = 8): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), kClusters, seed = 13)
+    dumpCentroids(spark, centMatrix, SemDedupCentroidDump)
+    import graft.functions.CentroidExprs.centroid_argmax
+    // slim assignment relation: the cluster self-join shuffles two longs per
+    // row; it feeds both join sides, so it is materialized once
+    val assigned = materialize(
+      emb.select(col("vec_id"),
+        centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster")))
+    val pairs = assigned.select(col("vec_id").as("a"), col("cluster"))
+      .join(assigned.select(col("vec_id").as("b"), col("cluster")), Seq("cluster"))
+      .filter(col("a") > col("b")) // a = prune candidate, b = keeper candidate
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("qa")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("ea")), Seq("b"))
+      .withColumn("cos", cosine("qa", "ea"))
+      .filter(col("cos") >= minCos)
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("a").as("pruned_id"), col("b").as("keeper_id"),
+        col("cluster").cast(LongType).as("cluster"), round(col("cos"), 4).as("cs"))
+  }
+
+  /** DuckDB oracle twin of [[semDedupPrune]]: reads the dumped centroids,
+    * replays the max-cosine assignment (same tie order as [[kmeansDomains]]'s
+    * oracle), then the within-cluster pairing and keeper window. */
+  def semDedupOracleSql(minCos: Double = 0.4): String =
+    s"""WITH c AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |           FROM read_parquet('$SemDedupCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk FROM s)
+       |         WHERE rnk = 1),
+       | p AS (SELECT ca.vec_id AS a, cb.vec_id AS b, ca.cluster AS cluster,
+       |        CASE WHEN sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)) = 0 THEN 0.0
+       |             ELSE list_dot_product(ea.emb, eb.emb) /
+       |                  (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) END AS cos
+       |       FROM asg ca JOIN asg cb ON ca.cluster = cb.cluster AND ca.vec_id > cb.vec_id
+       |        JOIN e ea ON ea.vec_id = ca.vec_id JOIN e eb ON eb.vec_id = cb.vec_id),
+       | q AS (SELECT a, b, cluster, cos,
+       |        row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+       |       FROM p WHERE cos >= $minCos)
+       |SELECT a AS pruned_id, b AS keeper_id, CAST(cluster AS BIGINT) AS cluster, round(cos, 4) AS cs
+       |FROM q WHERE rnk = 1""".stripMargin
 }

@@ -457,4 +457,41 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(math.abs(byId(id)._3 - BigDecimal(best._1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  test("semDedupPrune: exact vs brute-force within-cluster pruning from the dumped centroids") {
+    val out = Similarity.semDedupPrune(spark, dir, 0.4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty, "threshold 0.4 should prune some vectors on this fixture")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // brute-force replay from the SAME dumped-centroid artifact the oracle uses
+    val cents = spark.read.parquet(Similarity.SemDedupCentroidDump).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq.sortBy(_._1)
+    val embs = Tables.t(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val asg = embs.map { case (id, e) =>
+      id -> -cents.map { case (c, ct) => (cos(e, ct), -c) }.max._2
+    }.toMap
+    val expected = embs.flatMap { case (a, ea) =>
+      val mates = embs.filter { case (b, _) => b < a && asg(b) == asg(a) }
+        .map { case (b, eb) => (b, cos(ea, eb)) }.filter(_._2 >= 0.4)
+      if (mates.isEmpty) None
+      else {
+        val (b, c) = mates.maxBy { case (bb, cc) => (cc, -bb) }
+        Some(a -> ((b, asg(a).toLong, c)))
+      }
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"pruned-set drift: missing=${expected.keySet -- out.keySet} extra=${out.keySet -- expected.keySet}")
+    out.foreach { case (a, (b, cl, cs)) =>
+      val (eb, ecl, ecs) = expected(a)
+      assert(b == eb, s"keeper drift for $a: $b vs $eb")
+      assert(cl == ecl, s"cluster drift for $a")
+      assert(math.abs(cs - ecs) < 1e-3, s"cos drift for $a: $cs vs $ecs")
+    }
+  }
 }
