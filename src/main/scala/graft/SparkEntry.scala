@@ -108,6 +108,10 @@ object SparkEntry {
     "t12_unigram_lp" -> ((s, d) => TextOps.unigramLogProb(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
+    // the synthetic corpus is single-line, so the gate injects line
+    // structure first (the t11 pattern); the rules are the real operator
+    "t16_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(TextOps.withSyntheticLines(Tables.t(s, d, "documents")))),
     "c6_token_budget" -> ((s, d) => Corpus.tokenBudgetSample(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
@@ -328,6 +332,7 @@ object SparkEntry {
     "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
+    "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),

@@ -236,6 +236,108 @@ object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Deterministic line-structure injection for the t16 gate (the
+    * [[withSyntheticPii]] pattern): the synthetic corpus is single-line, so
+    * the gate synthesizes the structure the line-level Gopher rules read —
+    * 12-token lines, every line with `(doc_id + line) % 4 == 0` bulleted
+    * with `"- "`, every line with `(doc_id + line) % 5 == 0` suffixed with
+    * `" ..."`. Purely positional, so DuckDB replays it exactly. */
+  def withSyntheticLines(docs: DataFrame): DataFrame = {
+    val toksC = split(col("text"), "\\s+")
+    val nLines = ceil(size(toksC).cast(DoubleType) / lit(12.0)).cast(IntegerType)
+    val linesC = transform(sequence(lit(0), nLines - 1), j =>
+      concat(
+        when((col("doc_id") + j) % 4 === 0, lit("- ")).otherwise(lit("")),
+        concat_ws(" ", slice(toksC, j * lit(12) + 1, lit(12))),
+        when((col("doc_id") + j) % 5 === 0, lit(" ...")).otherwise(lit(""))))
+    docs.withColumn("text", array_join(linesC, "\n"))
+  }
+
+  /** Gopher-style quality-rule verdicts (Rae et al. 2021, the repetition
+    * signals are [[repetitionStats]]'s job): per-document rule flags and the
+    * composite `keep` decision a corpus filter actually cuts on —
+    * word-count bounds, mean-word-length bounds, bullet-line and
+    * ellipsis-line ratios, and a minimum stopword-variety count. Words are
+    * whitespace tokens containing a letter, so injected bullet/ellipsis
+    * markers count toward line structure, not toward words.
+    *
+    * Every flag compares INTEGERS (cross-multiplied rationals: mean word
+    * length in [3, 23/5], bullet ratio ≤ 3/10, ellipsis ratio ≤ 1/4), so
+    * the verdicts are bit-exact cross-engine; the 4-decimal ratio columns
+    * are reporting only. The word-length band is tightened from Gopher's
+    * published [3, 10] so the synthetic corpus exercises both outcomes.
+    *
+    * Scale shape: zero shuffle — one row-local pass; at 100 TB this is a
+    * map-only filter stage ahead of every expensive operator. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20, maxWords: Int = 80,
+      minStop: Int = 2): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val sig = docs.select(col("doc_id"),
+      split(col("text"), "\n").as("lns"),
+      filter(split(col("text"), "\\s+"), w => w.rlike("[a-z]")).as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast(LongType).as("n_words"),
+        aggregate(col("words"), lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
+        size(col("lns")).cast(LongType).as("n_lines"),
+        size(filter(col("lns"), l => l.startsWith("- "))).cast(LongType).as("n_bullet"),
+        size(filter(col("lns"), l => l.endsWith("..."))).cast(LongType).as("n_ellipsis"),
+        size(array_intersect(array_distinct(col("words")), stopArr)).cast(LongType).as("n_stop"))
+    sig.select(col("doc_id"), col("n_words"), col("sum_wlen"), col("n_lines"),
+        col("n_bullet"), col("n_ellipsis"), col("n_stop"),
+        round(col("sum_wlen").cast(DoubleType) / col("n_words"), 4).as("mean_wlen"),
+        round(col("n_bullet").cast(DoubleType) / col("n_lines"), 4).as("bullet_ratio"),
+        round(col("n_ellipsis").cast(DoubleType) / col("n_lines"), 4).as("ellipsis_ratio"),
+        col("n_words").between(minWords, maxWords).as("ok_words"),
+        (col("sum_wlen") >= lit(3) * col("n_words") &&
+          lit(5) * col("sum_wlen") <= lit(23) * col("n_words")).as("ok_wlen"),
+        (lit(10) * col("n_bullet") <= lit(3) * col("n_lines")).as("ok_bullet"),
+        (lit(4) * col("n_ellipsis") <= col("n_lines")).as("ok_ellipsis"),
+        (col("n_stop") >= minStop).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_wlen") && col("ok_bullet") && col("ok_ellipsis") && col("ok_stop"))
+  }
+
+  /** DuckDB oracle twin of [[withSyntheticLines]] ∘ [[gopherRules]] —
+    * injection and every rule replayed from the same constants
+    * ([[Stopwords]] interpolated, never copied). */
+  def gopherRulesOracleSql(minWords: Int = 20, maxWords: Int = 80,
+      minStop: Int = 2): String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | inj AS (SELECT doc_id,
+       |   [CASE WHEN (doc_id + j) % 4 = 0 THEN '- ' ELSE '' END ||
+       |    array_to_string(t[12*j+1:12*j+12], ' ') ||
+       |    CASE WHEN (doc_id + j) % 5 = 0 THEN ' ...' ELSE '' END
+       |    FOR j IN range(0, CAST(ceil(len(t) / 12.0) AS INT))] AS ls
+       |   FROM base),
+       | st AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM inj),
+       | r AS (SELECT doc_id, string_split(text, chr(10)) AS lns,
+       |        list_filter(string_split_regex(text, '\\s+'), w -> regexp_matches(w, '[a-z]')) AS words
+       |       FROM st),
+       | sig AS (SELECT doc_id,
+       |   CAST(len(words) AS BIGINT) AS n_words,
+       |   CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |   CAST(len(lns) AS BIGINT) AS n_lines,
+       |   CAST(len(list_filter(lns, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+       |   CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+       |   CAST(len(list_intersect(list_distinct(words), [$stopList])) AS BIGINT) AS n_stop
+       |  FROM r)
+       |SELECT doc_id, n_words, sum_wlen, n_lines, n_bullet, n_ellipsis, n_stop,
+       | round(CAST(sum_wlen AS DOUBLE) / n_words, 4) AS mean_wlen,
+       | round(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_ratio,
+       | round(CAST(n_ellipsis AS DOUBLE) / n_lines, 4) AS ellipsis_ratio,
+       | (n_words BETWEEN $minWords AND $maxWords) AS ok_words,
+       | (sum_wlen >= 3 * n_words AND 5 * sum_wlen <= 23 * n_words) AS ok_wlen,
+       | (10 * n_bullet <= 3 * n_lines) AS ok_bullet,
+       | (4 * n_ellipsis <= n_lines) AS ok_ellipsis,
+       | (n_stop >= $minStop) AS ok_stop,
+       | ((n_words BETWEEN $minWords AND $maxWords) AND
+       |  (sum_wlen >= 3 * n_words AND 5 * sum_wlen <= 23 * n_words) AND
+       |  (10 * n_bullet <= 3 * n_lines) AND (4 * n_ellipsis <= n_lines) AND
+       |  (n_stop >= $minStop)) AS keep
+       |FROM sig""".stripMargin
+  }
+
   /** BM25-style salient-term extraction: the top-k most relevant terms per
     * document, scored with the BM25 weighting (k1=1.2, b=0.75) over
     * whitespace tokens — the standard relevance primitive for corpus

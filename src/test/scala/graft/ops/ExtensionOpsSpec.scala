@@ -458,6 +458,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: exact hand-computed signals on structured text; gate composition is total") {
+    import spark.implicits._
+    val doc = "- the cat sat on a mat ...\nplain line with stopwords of and to\n- bullet two"
+    val row = TextOps.gopherRules(Seq((1L, doc)).toDF("doc_id", "text")).collect()(0)
+    assert(row.getLong(1) == 15, "n_words counts letter-tokens only")     // words
+    assert(row.getLong(2) == 53, "sum_wlen")
+    assert(row.getLong(3) == 3 && row.getLong(4) == 2 && row.getLong(5) == 1, "line structure")
+    assert(row.getLong(6) == 5, "distinct stopwords: the a of and to")
+    assert(!row.getBoolean(10), "15 words is under the floor")            // ok_words
+    assert(row.getBoolean(11), "mean 53/15 within [3, 23/5]")             // ok_wlen
+    assert(!row.getBoolean(12) && !row.getBoolean(13), "2/3 bullets, 1/3 ellipsis over limits")
+    assert(row.getBoolean(14) && !row.getBoolean(15), "ok_stop holds, keep is the conjunction")
+    // the gate composition: injection is total and both verdicts occur
+    val gate = TextOps.gopherRules(TextOps.withSyntheticLines(docs)).collect()
+    assert(gate.length == docs.count())
+    val keeps = gate.map(_.getBoolean(15)).toSet
+    assert(keeps == Set(true, false), "synthetic structure should exercise both outcomes")
+  }
+
   test("semDedupPrune: exact vs brute-force within-cluster pruning from the dumped centroids") {
     val out = Similarity.semDedupPrune(spark, dir, 0.4).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
