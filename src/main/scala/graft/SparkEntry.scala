@@ -61,6 +61,9 @@ object SparkEntry {
     // a12 converts ACROSS formats: TIFF stack → precomputed (chunk-grain
     // rechunk copy) → mip pyramid — the domain's raw-data ingestion flow
     "a12_convert_pipeline" -> (ArrayOps.a12_convert_pipeline _),
+    // segmentation object stats: count + bbox + centroid per label, all
+    // folded in ONE map-side-combined aggregation over the voxel view
+    "a13_label_stats" -> (ArrayOps.a13_label_stats _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -317,6 +320,7 @@ object SparkEntry {
     "a10_zarr3_sharded" -> ArrayOps.a10OracleSql,
     "a11_tiff_stack" -> ArrayOps.a11OracleSql,
     "a12_convert_pipeline" -> ArrayOps.a12OracleSql,
+    "a13_label_stats" -> ArrayOps.a13OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -284,6 +284,55 @@ object ArrayOps {
 
   def a12OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a12", keys = Seq("mip", "z"))
 
+  /** Segmentation label statistics — the connectomics "object stats" pass
+    * over a segmentation-typed volume (the reference's second layer type,
+    * src/Infos.jl:208): per-label voxel count, tight bounding box, and
+    * centroid. A uint16 segmentation volume is built and ingested, read
+    * back through the distributed voxel view, labels derived from the
+    * stored ids, and ALL stats fold in ONE scan — count, six bbox extrema,
+    * and three centroid sums share a single map-side-combined groupBy on
+    * label, no joins, no second pass. That is the shape that holds at
+    * 100 TB: object stats over a petavoxel segmentation are exactly one
+    * shuffle of (label → 10 partial aggregates). The oracle re-aggregates
+    * the dumped voxel relation (label included in the dump, so the oracle
+    * replays aggregation, not label derivation). */
+  def a13_label_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a13").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1)))
+    val dump = s"$voxelDumpRoot/a13"
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .withColumn("label", expr("CAST(value AS BIGINT) DIV 1024"))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"),
+        min(col("z")).as("z0"), max(col("z")).as("z1"),
+        sum(col("x").cast(LongType)).as("sx"),
+        sum(col("y").cast(LongType)).as("sy"),
+        sum(col("z").cast(LongType)).as("sz"))
+      .select(col("label"), col("n"),
+        col("x0"), col("x1"), col("y0"), col("y1"), col("z0"), col("z1"),
+        round(col("sx").cast(DoubleType) / col("n"), 4).as("cx"),
+        round(col("sy").cast(DoubleType) / col("n"), 4).as("cy"),
+        round(col("sz").cast(DoubleType) / col("n"), 4).as("cz"))
+      .orderBy(col("label"))
+  }
+
+  def a13OracleSql: String =
+    s"""SELECT label, count(*) AS n,
+       | min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1, min(z) AS z0, max(z) AS z1,
+       | round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS cx,
+       | round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS cy,
+       | round(CAST(sum(z) AS DOUBLE) / count(*), 4) AS cz
+       |FROM read_parquet('$voxelDumpRoot/a13/*.parquet') GROUP BY label""".stripMargin
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

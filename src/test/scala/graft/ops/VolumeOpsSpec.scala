@@ -10,6 +10,38 @@ import graft.volume.{Volume, VoxelBuffer}
 class VolumeOpsSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("a13 label stats: exact vs direct recomputation from the sequenced buffer") {
+    val out = ArrayOps.a13_label_stats(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1))
+    case class Acc(var n: Long = 0, var x0: Int = Int.MaxValue, var x1: Int = Int.MinValue,
+      var y0: Int = Int.MaxValue, var y1: Int = Int.MinValue,
+      var z0: Int = Int.MaxValue, var z1: Int = Int.MinValue,
+      var sx: Long = 0, var sy: Long = 0, var sz: Long = 0)
+    val acc = scala.collection.mutable.Map[Long, Acc]()
+    for (z <- 1 to 8; y <- 1 to 64; x <- 1 to 64) {
+      val label = buf.getLong(x - 1, y - 1, z - 1) / 1024
+      val a = acc.getOrElseUpdate(label, Acc())
+      a.n += 1
+      a.x0 = a.x0 min x; a.x1 = a.x1 max x
+      a.y0 = a.y0 min y; a.y1 = a.y1 max y
+      a.z0 = a.z0 min z; a.z1 = a.z1 max z
+      a.sx += x; a.sy += y; a.sz += z
+    }
+    assert(out.keySet == acc.keySet.toSet, "label sets differ")
+    assert(acc.values.map(_.n).sum == 64L * 64 * 8)
+    def r4(v: Double): Double = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    acc.foreach { case (label, a) =>
+      val row = out(label)
+      assert(row.getLong(1) == a.n, s"label $label count")
+      assert((row.getInt(2), row.getInt(3), row.getInt(4), row.getInt(5), row.getInt(6), row.getInt(7)) ==
+        ((a.x0, a.x1, a.y0, a.y1, a.z0, a.z1)), s"label $label bbox")
+      assert(math.abs(row.getDouble(8) - r4(a.sx.toDouble / a.n)) < 1e-9, s"label $label cx")
+      assert(math.abs(row.getDouble(9) - r4(a.sy.toDouble / a.n)) < 1e-9, s"label $label cy")
+      assert(math.abs(row.getDouble(10) - r4(a.sz.toDouble / a.n)) < 1e-9, s"label $label cz")
+    }
+  }
+
   test("downsampleAvg mean-pools 2x2x1 blocks into the next mip") {
     val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
       Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0)))).withNumMips(2)
