@@ -44,6 +44,9 @@ object SparkEntry {
     "q23_window_analytic" -> (Relational.q23_window_analytic _),
     "q24_json" -> (Relational.q24_json_arrays _),
     "q25_percentile" -> (Relational.q25_percentile _),
+    // value-based (time-RANGE) window frame over exact epoch micros —
+    // the linear form of the trailing-window self-join
+    "q27_range_frame" -> (Relational.q27_range_frame _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
     "t5_array_fns" -> ((s, d) => TextOps.arrayOps(Tables.t(s, d, "documents"))),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
@@ -302,6 +305,12 @@ object SparkEntry {
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         | TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_range_frame" ->
+      """SELECT event_id, user_id, count(*) OVER w AS n_1h,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 3) AS sv_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "t5_array_fns" ->
       """SELECT doc_id,
         | list_sort(toks)[1] AS first_tok,

@@ -336,4 +336,24 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(sum(col("is_start")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
+
+  /** Time-RANGE window frame: per-user trailing-hour event count and value
+    * sum at every event — the value-based (not row-based) frame that
+    * sliding-window feature engineering needs (q05's running frame is
+    * ROWS). The frame is expressed over exact epoch MICROSECONDS on both
+    * engines, so peer membership is bit-identical — no truncation, no
+    * fractional-second drift; ties (equal timestamps) are frame peers in
+    * both, so the result is deterministic regardless of tie order.
+    *
+    * Scale shape: one shuffle on user_id, then a per-partition ordered
+    * sliding frame — no self-join (the naive formulation is an O(n·w)
+    * range self-join; the window frame is the linear form). */
+  def q27_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    e.select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      outd(sum(col("value").cast(DecimalType(18, 6))).over(w)).as("sv_1h"))
+  }
 }

@@ -129,6 +129,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "s8_ivfadc") == 3)
   }
 
+  test("d9: three scans of embeddings under AQE (sample; assign pass; shared pair-attach)") {
+    // 1 scan materializing the capped k-means train sample + 1 for the
+    // assignment pass (the slim (id, cluster) relation is then
+    // materialized, so the cluster self-join adds NO scans) + 1 for the
+    // pair-attach: both embedding-attach joins canonicalize to the same
+    // scan subtree, so the exchange is reused across the a- and b-sides. A
+    // regression of either materialization shows up as extra scans here.
+    assert(scansOf("embeddings", "d9_semdedup") == 3)
+  }
+
+  test("t16: gopher rules are a single exchange-free map pass") {
+    val p = plan("t16_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be

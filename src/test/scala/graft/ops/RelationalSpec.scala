@@ -20,6 +20,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q27 range frame equals a brute-force trailing-hour self-count") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.q27_range_frame(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.size == ev.length, "frame query must be total over events")
+    val byUser = ev.groupBy(_._2)
+    ev.foreach { case (id, user, us, _) =>
+      val peers = byUser(user).filter(e => e._3 >= us - 3600L * 1000000 && e._3 <= us)
+      assert(out(id)._1 == peers.length, s"event $id trailing-hour count")
+      assert(math.abs(out(id)._2 - peers.map(_._4).sum) < 1e-2, s"event $id trailing-hour sum")
+    }
+  }
+
   test("grouping sets covers exactly the declared sets") {
     val rows = Relational.q16_grouping_sets(spark, dir).collect()
     val statuses = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
