@@ -90,6 +90,10 @@ object SparkEntry {
     "s7_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "s8_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
+    // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
+    // wide exchange never carries vectors. Gated at cell grain (the
+    // driver's value hash is defined over scalar columns, not arrays).
+    "s10_class_centroids" -> (Similarity.classCentroidCells _),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -359,6 +363,7 @@ object SparkEntry {
     "s7_pq_topk" -> Similarity.pqOracleSql(),
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
+    "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

@@ -788,6 +788,46 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }
 
+  /** Per-label mean-embedding class centroids — the nearest-class-mean
+    * prototype pass a pipeline runs to audit embedding quality and to seed
+    * classifiers/routers. Declarative two-level aggregation: `posexplode`
+    * to (label, dim) grain, a map-side-combined sum per cell, then one tiny
+    * per-label reassembly — at 100 TB the wide exchange carries only
+    * (label × dim) partial sums, never vectors, and no stage collects or
+    * crosses rows. Sums accumulate in DOUBLE from the float column (exact
+    * widening) and present at 4 decimals; counts ride alongside so the
+    * oracle's division is the same one the engine performs. */
+  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cells = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast(DoubleType)).as("s"), count(lit(1)).as("cnt"))
+    cells.groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vecs"),
+        array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label"), col("n_vecs"),
+        transform(col("ps"), x => round(x.getField("s") / col("n_vecs"), 4)).as("centroid"))
+  }
+
+  /** [[classCentroids]] flattened back to (label, dim) grain for the gate:
+    * the driver's value hash is defined over scalar columns, not arrays. */
+  def classCentroidCells(spark: SparkSession, dir: String): DataFrame =
+    classCentroids(spark, dir)
+      .select(col("label"), col("n_vecs"), posexplode(col("centroid")).as(Seq("pos", "mean")))
+      .withColumn("pos", col("pos").cast(LongType))
+
+  /** DuckDB oracle twin of [[classCentroidCells]]: the same (label, dim)-
+    * grain double sums and rounded division. */
+  def classCentroidsOracleSql: String =
+    """WITH d AS (SELECT label, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+      |            SELECT label, unnest([{'pos': i - 1, 'v': embedding[i]}
+      |                                  FOR i IN range(1, len(embedding) + 1)]) AS u
+      |            FROM embeddings)),
+      | s AS (SELECT label, pos, sum(v) AS s, count(*) AS cnt FROM d GROUP BY 1, 2)
+      |SELECT label, CAST(cnt AS BIGINT) AS n_vecs, CAST(pos AS BIGINT) AS pos,
+      | round(s / cnt, 4) AS mean
+      |FROM s""".stripMargin
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,
     * arXiv:2303.09540): embeddings are k-means-clustered and near-duplicate
     * pruning runs WITHIN clusters only — each vector whose cosine to a

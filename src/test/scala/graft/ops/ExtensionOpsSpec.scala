@@ -458,6 +458,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classCentroids: per-label elementwise means match brute force; arrays reassemble in dim order") {
+    val out = Similarity.classCentroids(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toArray))).toMap
+    val embs = Tables.t(spark, dir, "embeddings").select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byLabel = embs.groupBy(_._1)
+    assert(out.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, vs) =>
+      val (n, cent) = out(label)
+      assert(n == vs.length, s"label $label count")
+      assert(cent.length == vs.head._2.length, s"label $label dim")
+      cent.zipWithIndex.foreach { case (m, i) =>
+        val want = vs.map(_._2(i)).sum / vs.length
+        assert(math.abs(m - want) < 1e-3, s"label $label dim $i: $m vs $want")
+      }
+    }
+  }
+
   test("gopherRules: exact hand-computed signals on structured text; gate composition is total") {
     import spark.implicits._
     val doc = "- the cat sat on a mat ...\nplain line with stopwords of and to\n- bullet two"
