@@ -82,6 +82,9 @@ object SparkEntry {
     // SemDeDup: embedding near-dup pruning WITHIN k-means clusters — the
     // curation form whose quadratic term is bounded by cluster size
     "d9_semdedup" -> ((s, d) => Similarity.semDedupPrune(s, d, 0.4)),
+    // inter-source duplication matrix: which sources near-duplicate each
+    // other and by how much — the report that drives source weighting
+    "d10_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.t(s, d, "documents"), 0.8)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -381,6 +384,15 @@ object SparkEntry {
          |FROM jpairs
          |WHERE (a % ${Dedup.DeltaMod} = 0) <> (b % ${Dedup.DeltaMod} = 0)""".stripMargin,
     "d9_semdedup" -> Similarity.semDedupOracleSql(0.4),
+    "d10_dup_sources" ->
+      s"""WITH $ngramPairCtes,
+         | src AS (SELECT doc_id, source FROM documents),
+         | e AS (SELECT least(sa.source, sb.source) AS source_lo,
+         |        greatest(sa.source, sb.source) AS source_hi, p.jac
+         |       FROM jpairs p JOIN src sa ON p.a = sa.doc_id JOIN src sb ON p.b = sb.doc_id)
+         |SELECT source_lo, source_hi, count(*) AS n_pairs,
+         | round(CAST(sum(CAST(jac AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_jac
+         |FROM e GROUP BY source_lo, source_hi""".stripMargin,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

@@ -395,6 +395,26 @@ object Dedup {
     * bucketed by hash) — no query ever re-hashes the standing corpus. */
   private val hashIndexDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Inter-source duplication matrix — the curation report that drives
+    * source weighting: for every (source, source) pair, how many near-dup
+    * document pairs straddle it and their total similarity mass. Built on
+    * [[ngramJaccardPairs]]; the pair relation is tiny relative to the
+    * corpus, so the source attachment joins broadcast the slim (id, source)
+    * projection against it and the final matrix is a constant-size
+    * aggregate (|sources|² at most). The similarity mass sums the
+    * 4-decimal jaccards as exact decimals, so the total is
+    * order-insensitive cross-engine. */
+  def dupSourceMatrix(docs: DataFrame, minJ: Double): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(docs, minJ)
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jac").cast(DecimalType(18, 4))).cast(DoubleType), 4).as("sum_jac"))
+  }
+
   private def corpusHashIndex(spark: SparkSession, dir: String): DataFrame = {
     val path = hashIndexDumps.computeIfAbsent(dir, _ => {
       val p = s"${Similarity.OracleDumpRoot}/d7_hashidx_${Similarity.dirToken(dir)}"

@@ -458,6 +458,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSourceMatrix: canonical source pairs, totals tie out to the pair relation") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.dupSourceMatrix(docs, 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    out.keys.foreach { case (lo, hi) => assert(lo <= hi, "pairs must be canonicalized") }
+    assert(out.values.map(_._1).sum == pairs.length, "every near-dup pair lands in one cell")
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> ((ps.length.toLong,
+        (ps.map(p => BigDecimal(p._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out == expect)
+  }
+
   test("classCentroids: per-label elementwise means match brute force; arrays reassemble in dim order") {
     val out = Similarity.classCentroids(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2).toArray))).toMap
