@@ -67,6 +67,9 @@ object SparkEntry {
     // segmentation object stats: count + bbox + centroid per label, all
     // folded in ONE map-side-combined aggregation over the voxel view
     "a13_label_stats" -> (ArrayOps.a13_label_stats _),
+    // storage audit from ONE LIST pass (zero GETs): stored vs raw bytes
+    // and compression ratio per z layer, partial edge chunks sized exactly
+    "a14_storage_report" -> (ArrayOps.a14_storage_report _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -337,6 +340,7 @@ object SparkEntry {
     "a11_tiff_stack" -> ArrayOps.a11OracleSql,
     "a12_convert_pipeline" -> ArrayOps.a12OracleSql,
     "a13_label_stats" -> ArrayOps.a13OracleSql,
+    "a14_storage_report" -> ArrayOps.a14OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

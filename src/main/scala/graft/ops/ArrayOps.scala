@@ -325,6 +325,40 @@ object ArrayOps {
       .orderBy(col("label"))
   }
 
+  /** Storage audit under the oracle gate: a gzip'd volume with PARTIAL edge
+    * chunks (60×60×7 over a 32×32×4 grid), audited by
+    * [[graft.volume.Volume.storageReport]] — one LIST pass carries stored
+    * object sizes, raw sizes come from the engine's own chunk clamping, and
+    * the per-z-layer compression report aggregates the dumped relation in
+    * both engines. Zero GETs: at petavoxel scale this is the health check
+    * that never reads a blob. */
+  def a14_storage_report(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a14").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (60, 60, 7), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 60, 60, 7, 1, (1, 1, 1)))
+    val dump = s"$voxelDumpRoot/a14"
+    vol.storageReport(Box(1, 60, 1, 60, 1, 7))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("cz"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("stored_bytes")).as("stored"),
+        sum(col("raw_bytes")).as("raw"))
+      .select(col("cz"), col("n_chunks"), col("stored"), col("raw"),
+        round(col("stored").cast(DoubleType) / col("raw"), 4).as("ratio"))
+      .orderBy(col("cz"))
+  }
+
+  def a14OracleSql: String =
+    s"""SELECT cz, count(*) AS n_chunks, CAST(sum(stored_bytes) AS BIGINT) AS stored,
+       | CAST(sum(raw_bytes) AS BIGINT) AS raw,
+       | round(CAST(sum(stored_bytes) AS DOUBLE) / sum(raw_bytes), 4) AS ratio
+       |FROM read_parquet('$voxelDumpRoot/a14/*.parquet') GROUP BY cz""".stripMargin
+
   def a13OracleSql: String =
     s"""SELECT label, count(*) AS n,
        | min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1, min(z) AS z0, max(z) AS z1,

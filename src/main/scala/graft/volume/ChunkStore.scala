@@ -228,13 +228,21 @@ object ChunkStore {
     * enumeration on an object store (delimiter-less LIST under the literal
     * prefix), so this counts as ONE list call like its flat sibling. */
   def globRelPaths(fs: FileSystem, root: String, prefix: String, pattern: String): Iterator[String] = {
+    globRelSizes(fs, root, prefix, pattern).map(_._1)
+  }
+
+  /** Like [[globRelPaths]] but keeps the object size the listing already
+    * carries (`FileStatus.getLen`) — the storage-audit primitive: byte
+    * sizes for a whole store from LIST calls alone, zero GETs. */
+  def globRelSizes(fs: FileSystem, root: String, prefix: String,
+      pattern: String): Iterator[(String, Long)] = {
     listCalls.incrementAndGet()
     val base = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
     val basePath = fs.makeQualified(base).toUri.getPath.stripSuffix("/")
     val matches = fs.globStatus(new Path(base, pattern))
     if (matches == null) Iterator.empty
     else matches.iterator
-      .map(st => st.getPath.toUri.getPath.stripPrefix(basePath).stripPrefix("/"))
-      .filterNot(rel => rel.isEmpty || rel.split('/').exists(_.startsWith(".")))
+      .map(st => (st.getPath.toUri.getPath.stripPrefix(basePath).stripPrefix("/"), st.getLen))
+      .filterNot { case (rel, _) => rel.isEmpty || rel.split('/').exists(_.startsWith(".")) }
   }
 }

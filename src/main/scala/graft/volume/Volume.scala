@@ -718,6 +718,47 @@ final class Volume(
       }
   }
 
+  /** Storage audit over ONE LIST pass, ZERO GETs: per present chunk, the
+    * stored object size (the listing already carries `FileStatus.getLen`)
+    * beside the raw decoded size from the grid geometry — compression
+    * ratios and store health for a petavoxel layer without touching a
+    * single blob. Same distribution/glob strategy as [[presentChunks]];
+    * the raw size reuses the engine's own `sliceAt` clamping, so partial
+    * edge chunks are sized exactly as the codec stores them. */
+  def storageReport(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.shard.isEmpty,
+      "storageReport: sharded stores audit via the shard index (one cached GET per shard)")
+    implicit val enc = Encoders.product[(Int, Int, Int, Long, Long)]
+    val q = query.intersect(c.volumeBox)
+    if (q.isEmpty)
+      return spark.emptyDataset[(Int, Int, Int, Long, Long)]
+        .toDF("cx", "cy", "cz", "stored_bytes", "raw_bytes")
+    val ids = Grid.idRanges(q, c.chunkSize, c.voxelOffset)
+    val globs = c.listingGlobs(ids)
+    val slots = math.max(1, math.min(globs.size,
+      PrecomputedScan.maxListingTasks(spark.sparkContext.defaultParallelism)))
+    val bytesPerVoxel = c.dataType.byteSize.toLong * c.numChannels
+    spark.createDataset(globs)(Encoders.STRING).repartition(slots)
+      .mapPartitions { git =>
+        val fs = ChunkStore.fs(c.root, conf.conf)
+        git.flatMap(g => ChunkStore.globRelSizes(fs, c.root, c.scaleKey, g))
+          .flatMap { case (rel, len) =>
+            c.parseRelKey(rel).iterator
+              .filter { case (cx, cy, cz) =>
+                cx >= ids.lox && cx <= ids.hix && cy >= ids.loy && cy <= ids.hiy &&
+                  cz >= ids.loz && cz <= ids.hiz }
+              .flatMap { case (cx, cy, cz) =>
+                c.sliceAt(cx, cy, cz, q).map { s =>
+                  val b = s.chunkBox
+                  (cx, cy, cz, len, b.x.len.toLong * b.y.len * b.z.len * bytesPerVoxel)
+                }
+              }
+          }
+      }
+      .toDF("cx", "cy", "cz", "stored_bytes", "raw_bytes")
+  }
+
   /** Keys of expected-but-absent chunks — the reference's
     * `list_missing_chunks` (reference: src/type.jl:299-328). Two planning
     * modes, mirroring the precomputed DSv2 scan's probe-vs-listing choice:

@@ -10,6 +10,29 @@ import graft.volume.{Volume, VoxelBuffer}
 class VolumeOpsSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("storageReport: stored bytes match the on-disk objects; raw bytes match clamped extents") {
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (60, 60, 7), (0, 0, 0))))
+    val root = SparkSuite.tempDir("graft-srep")
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 60, 60, 7, 1, (1, 1, 1)))
+    val rows = vol.storageReport(Box(1, 60, 1, 60, 1, 7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.size == 8, "2x2x2 chunk grid")
+    val files = new java.io.File(s"$root/1_1_1").listFiles()
+      .filterNot(_.getName.startsWith(".")).map(_.length())
+    assert(files.length == 8, "exactly one object per chunk, no sidecars")
+    assert(rows.values.map(_._1).toSeq.sorted == files.toSeq.sorted,
+      "listing sizes must equal the on-disk object sizes")
+    val (cxs, cys, czs) = (rows.keys.map(_._1), rows.keys.map(_._2), rows.keys.map(_._3))
+    rows.foreach { case ((cx, cy, cz), (_, raw)) =>
+      val ex = if (cx == cxs.max) 28 else 32 // 60 = 32 + 28
+      val ey = if (cy == cys.max) 28 else 32
+      val ez = if (cz == czs.max) 3 else 4 // 7 = 4 + 3
+      assert(raw == ex.toLong * ey * ez, s"chunk ($cx,$cy,$cz) clamped raw size")
+    }
+  }
+
   test("a13 label stats: exact vs direct recomputation from the sequenced buffer") {
     val out = ArrayOps.a13_label_stats(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getLong(0) -> r).toMap
