@@ -411,8 +411,7 @@ object Dedup {
       .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
       .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
         greatest(col("src_a"), col("src_b")).as("source_hi"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("jac").cast(DecimalType(18, 4))).cast(DoubleType), 4).as("sum_jac"))
+      .agg(count(lit(1)).as("n_pairs"), outd(dsum(col("jac")), 4).as("sum_jac"))
   }
 
   private def corpusHashIndex(spark: SparkSession, dir: String): DataFrame = {

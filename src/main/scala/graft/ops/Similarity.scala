@@ -794,38 +794,50 @@ object Similarity {
     * to (label, dim) grain, a map-side-combined sum per cell, then one tiny
     * per-label reassembly — at 100 TB the wide exchange carries only
     * (label × dim) partial sums, never vectors, and no stage collects or
-    * crosses rows. Sums accumulate in DOUBLE from the float column (exact
-    * widening) and present at 4 decimals; counts ride alongside so the
-    * oracle's division is the same one the engine performs. */
-  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val cells = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    * crosses rows. Elements round to 8 decimals and sum as EXACT decimals
+    * (order-insensitive cross-engine — see [[centroidCells]]); per-cell
+    * counts ride alongside so the division is by each cell's own
+    * contributor count. */
+  /** The shared (label, dim)-grain cell relation: each element rounds to 8
+    * decimals and sums as an EXACT decimal (the t12 pattern — double sums
+    * are partial-aggregation-order-dependent, so the repo's cross-engine
+    * sum discipline demands decimals), with the per-cell contributor count
+    * carried alongside so division is always by the cell's own count (exact
+    * even on ragged inputs). */
+  private def centroidCells(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("v").cast(DoubleType)).as("s"), count(lit(1)).as("cnt"))
-    cells.groupBy(col("label"))
+      .agg(sum(round(col("v").cast(DoubleType), 8).cast(DecimalType(18, 8))).as("s"),
+        count(lit(1)).as("cnt"))
+
+  def classCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidCells(spark, dir).groupBy(col("label"))
       .agg(max(col("cnt")).as("n_vecs"),
-        array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"))
+        array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))).as("ps"))
       .select(col("label"), col("n_vecs"),
-        transform(col("ps"), x => round(x.getField("s") / col("n_vecs"), 4)).as("centroid"))
-  }
+        transform(col("ps"), x =>
+          round(x.getField("s").cast(DoubleType) / x.getField("cnt"), 4)).as("centroid"))
 
-  /** [[classCentroids]] flattened back to (label, dim) grain for the gate:
-    * the driver's value hash is defined over scalar columns, not arrays. */
+  /** [[classCentroids]] at (label, dim) grain for the gate: the driver's
+    * value hash is defined over scalar columns, not arrays. */
   def classCentroidCells(spark: SparkSession, dir: String): DataFrame =
-    classCentroids(spark, dir)
-      .select(col("label"), col("n_vecs"), posexplode(col("centroid")).as(Seq("pos", "mean")))
-      .withColumn("pos", col("pos").cast(LongType))
+    centroidCells(spark, dir)
+      .select(col("label"), col("cnt").cast(LongType).as("n_vecs"),
+        col("pos").cast(LongType).as("pos"),
+        round(col("s").cast(DoubleType) / col("cnt"), 4).as("mean"))
 
-  /** DuckDB oracle twin of [[classCentroidCells]]: the same (label, dim)-
-    * grain double sums and rounded division. */
+  /** DuckDB oracle twin of [[classCentroidCells]]: the same rounded-element
+    * exact-decimal sums and per-cell rounded division. */
   def classCentroidsOracleSql: String =
     """WITH d AS (SELECT label, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
       |            SELECT label, unnest([{'pos': i - 1, 'v': embedding[i]}
       |                                  FOR i IN range(1, len(embedding) + 1)]) AS u
       |            FROM embeddings)),
-      | s AS (SELECT label, pos, sum(v) AS s, count(*) AS cnt FROM d GROUP BY 1, 2)
+      | s AS (SELECT label, pos, sum(CAST(round(v, 8) AS DECIMAL(18,8))) AS s, count(*) AS cnt
+      |       FROM d GROUP BY 1, 2)
       |SELECT label, CAST(cnt AS BIGINT) AS n_vecs, CAST(pos AS BIGINT) AS pos,
-      | round(s / cnt, 4) AS mean
+      | round(CAST(s AS DOUBLE) / cnt, 4) AS mean
       |FROM s""".stripMargin
 
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023,

@@ -284,7 +284,9 @@ object TextOps {
         size(array_intersect(array_distinct(col("words")), stopArr)).cast(LongType).as("n_stop"))
     sig.select(col("doc_id"), col("n_words"), col("sum_wlen"), col("n_lines"),
         col("n_bullet"), col("n_ellipsis"), col("n_stop"),
-        round(col("sum_wlen").cast(DoubleType) / col("n_words"), 4).as("mean_wlen"),
+        // ANSI mode throws on /0, DuckDB yields NULL — make NULL explicit
+        when(col("n_words") > 0,
+          round(col("sum_wlen").cast(DoubleType) / col("n_words"), 4)).as("mean_wlen"),
         round(col("n_bullet").cast(DoubleType) / col("n_lines"), 4).as("bullet_ratio"),
         round(col("n_ellipsis").cast(DoubleType) / col("n_lines"), 4).as("ellipsis_ratio"),
         col("n_words").between(minWords, maxWords).as("ok_words"),
@@ -316,7 +318,7 @@ object TextOps {
        |       FROM st),
        | sig AS (SELECT doc_id,
        |   CAST(len(words) AS BIGINT) AS n_words,
-       |   CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |   CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS sum_wlen,
        |   CAST(len(lns) AS BIGINT) AS n_lines,
        |   CAST(len(list_filter(lns, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
        |   CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,

@@ -697,12 +697,21 @@ final class Volume(
     * enumerate via the shard index instead (it IS a listing — one cached
     * GET per shard). */
   def presentChunks(query: Box): Dataset[(Int, Int, Int)] = {
+    implicit val enc3 = Encoders.product[(Int, Int, Int)]
+    listedChunkSizes(query, "presentChunks").map { case (cx, cy, cz, _) => (cx, cy, cz) }
+  }
+
+  /** The shared distributed-listing scaffold behind [[presentChunks]] and
+    * [[storageReport]]: glob the store (one LIST per bounded glob, sizes
+    * carried by the listing itself), parse names back to grid coords,
+    * bounds-filter to the query's id ranges. */
+  private def listedChunkSizes(query: Box, caller: String): Dataset[(Int, Int, Int, Long)] = {
     val c = ctx; val conf = hconf
     require(c.shard.isEmpty,
-      "presentChunks: sharded stores enumerate via the shard index (one cached GET per shard)")
-    implicit val enc3 = Encoders.product[(Int, Int, Int)]
+      s"$caller: sharded stores enumerate via the shard index (one cached GET per shard)")
+    implicit val enc4 = Encoders.product[(Int, Int, Int, Long)]
     val q = query.intersect(c.volumeBox)
-    if (q.isEmpty) return spark.emptyDataset[(Int, Int, Int)]
+    if (q.isEmpty) return spark.emptyDataset[(Int, Int, Int, Long)]
     val ids = Grid.idRanges(q, c.chunkSize, c.voxelOffset)
     val globs = c.listingGlobs(ids)
     val slots = math.max(1, math.min(globs.size,
@@ -710,9 +719,10 @@ final class Volume(
     spark.createDataset(globs)(Encoders.STRING).repartition(slots)
       .mapPartitions { git =>
         val fs = ChunkStore.fs(c.root, conf.conf)
-        git.flatMap(g => ChunkStore.globRelPaths(fs, c.root, c.scaleKey, g))
-          .flatMap(c.parseRelKey)
-          .filter { case (cx, cy, cz) =>
+        git.flatMap(g => ChunkStore.globRelSizes(fs, c.root, c.scaleKey, g))
+          .flatMap { case (rel, len) =>
+            c.parseRelKey(rel).map { case (cx, cy, cz) => (cx, cy, cz, len) } }
+          .filter { case (cx, cy, cz, _) =>
             cx >= ids.lox && cx <= ids.hix && cy >= ids.loy && cy <= ids.hiy &&
               cz >= ids.loz && cz <= ids.hiz }
       }
@@ -726,35 +736,16 @@ final class Volume(
     * the raw size reuses the engine's own `sliceAt` clamping, so partial
     * edge chunks are sized exactly as the codec stores them. */
   def storageReport(query: Box): DataFrame = {
-    val c = ctx; val conf = hconf
-    require(c.shard.isEmpty,
-      "storageReport: sharded stores audit via the shard index (one cached GET per shard)")
+    val c = ctx
     implicit val enc = Encoders.product[(Int, Int, Int, Long, Long)]
     val q = query.intersect(c.volumeBox)
-    if (q.isEmpty)
-      return spark.emptyDataset[(Int, Int, Int, Long, Long)]
-        .toDF("cx", "cy", "cz", "stored_bytes", "raw_bytes")
-    val ids = Grid.idRanges(q, c.chunkSize, c.voxelOffset)
-    val globs = c.listingGlobs(ids)
-    val slots = math.max(1, math.min(globs.size,
-      PrecomputedScan.maxListingTasks(spark.sparkContext.defaultParallelism)))
     val bytesPerVoxel = c.dataType.byteSize.toLong * c.numChannels
-    spark.createDataset(globs)(Encoders.STRING).repartition(slots)
-      .mapPartitions { git =>
-        val fs = ChunkStore.fs(c.root, conf.conf)
-        git.flatMap(g => ChunkStore.globRelSizes(fs, c.root, c.scaleKey, g))
-          .flatMap { case (rel, len) =>
-            c.parseRelKey(rel).iterator
-              .filter { case (cx, cy, cz) =>
-                cx >= ids.lox && cx <= ids.hix && cy >= ids.loy && cy <= ids.hiy &&
-                  cz >= ids.loz && cz <= ids.hiz }
-              .flatMap { case (cx, cy, cz) =>
-                c.sliceAt(cx, cy, cz, q).map { s =>
-                  val b = s.chunkBox
-                  (cx, cy, cz, len, b.x.len.toLong * b.y.len * b.z.len * bytesPerVoxel)
-                }
-              }
-          }
+    listedChunkSizes(query, "storageReport")
+      .flatMap { case (cx, cy, cz, len) =>
+        c.sliceAt(cx, cy, cz, q).map { s =>
+          val b = s.chunkBox
+          (cx, cy, cz, len, b.x.len.toLong * b.y.len * b.z.len * bytesPerVoxel)
+        }
       }
       .toDF("cx", "cy", "cz", "stored_bytes", "raw_bytes")
   }

@@ -509,6 +509,12 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(11), "mean 53/15 within [3, 23/5]")             // ok_wlen
     assert(!row.getBoolean(12) && !row.getBoolean(13), "2/3 bullets, 1/3 ellipsis over limits")
     assert(row.getBoolean(14) && !row.getBoolean(15), "ok_stop holds, keep is the conjunction")
+    // zero-word document (no letter-bearing token): totals stay 0, mean is
+    // NULL (0/0) on BOTH engines, verdict is a clean reject
+    val zr = TextOps.gopherRules(Seq((2L, "123 !! 456")).toDF("doc_id", "text")).collect()(0)
+    assert(zr.getLong(1) == 0 && zr.getLong(2) == 0, "no words, zero length mass")
+    assert(zr.isNullAt(7), "mean_wlen is NULL for a wordless doc")
+    assert(!zr.getBoolean(10) && !zr.getBoolean(15), "wordless doc is rejected")
     // the gate composition: injection is total and both verdicts occur
     val gate = TextOps.gopherRules(TextOps.withSyntheticLines(docs)).collect()
     assert(gate.length == docs.count())
