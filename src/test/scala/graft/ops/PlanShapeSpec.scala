@@ -139,6 +139,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "d9_semdedup") == 3)
   }
 
+  test("d10: two scans of documents under AQE (d2 pipeline + shared pruned source-attach)") {
+    // the near-dup pair pipeline keeps d2's single materialized scan; the
+    // two (doc_id, source) attach sides canonicalize to the same
+    // column-pruned scan subtree, so the exchange is reused and the whole
+    // matrix costs ONE extra thin-column pass — no path re-runs the
+    // shingle pipeline
+    assert(scansOf("documents", "d10_dup_sources") == 2)
+  }
+
+  test("s10: one scan of embeddings (posexplode + two-level aggregation, no joins)") {
+    assert(scansOf("embeddings", "s10_class_centroids") == 1)
+  }
+
   test("t16: gopher rules are a single exchange-free map pass") {
     val p = plan("t16_gopher_rules")
     assert(!p.contains("Exchange"), p)
