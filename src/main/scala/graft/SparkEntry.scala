@@ -161,6 +161,10 @@ object SparkEntry {
     // state + quality filter + running corpus stats — the real-time form
     // of the d1/d7 batch dedup (see EventStreams.corpusIngestOnce)
     "e8_stream_corpus" -> ((s, d) => EventStreams.corpusIngestOnce(s, d)),
+    // e9 is d8 lifted to a live feed: arriving documents sign themselves
+    // row-locally (zero streaming state) and probe the corpus LSH index
+    // at rest — near-dup admission control on an unbounded stream
+    "e9_stream_neardup" -> ((s, d) => EventStreams.nearDupStreamOnce(s, d, 0.8)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -381,12 +385,7 @@ object SparkEntry {
     "d7_dedup_incremental" -> Dedup.incrementalDedupOracleSql,
     // exact delta × corpus Jaccard pairs (LSH recall ≈ 1 at j≥0.8, the d3
     // argument; only pairs straddling the split qualify)
-    "d8_dedup_incr_near" ->
-      s"""WITH $ngramPairCtes
-         |SELECT CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN a ELSE b END AS delta_id,
-         |       CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN b ELSE a END AS corpus_id, jac
-         |FROM jpairs
-         |WHERE (a % ${Dedup.DeltaMod} = 0) <> (b % ${Dedup.DeltaMod} = 0)""".stripMargin,
+    "d8_dedup_incr_near" -> deltaCorpusPairOracle,
     "d9_semdedup" -> Similarity.semDedupOracleSql(0.4),
     "d10_dup_sources" ->
       s"""WITH $ngramPairCtes,
@@ -421,6 +420,7 @@ object SparkEntry {
     "e6_stream_ivjoin" -> EventStreams.intervalJoinOracleSql(),
     "e7_stream_leftjoin" -> EventStreams.leftIntervalJoinOracleSql(),
     "e8_stream_corpus" -> EventStreams.corpusIngestOracleSql,
+    "e9_stream_neardup" -> deltaCorpusPairOracle,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
@@ -453,6 +453,18 @@ object SparkEntry {
     * path verifies candidates exactly and has ≈1 recall at the threshold). */
   private val ngramJaccardOracle: String =
     s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** Exact delta × corpus Jaccard pairs (LSH recall ≈ 1 at j≥0.8, the d3
+    * argument; only pairs straddling the split qualify). Shared by d8
+    * (batch incremental) and e9 (streaming) — the two are the SAME
+    * relation computed through different execution engines, which is
+    * exactly the claim the shared oracle enforces. */
+  private val deltaCorpusPairOracle: String =
+    s"""WITH $ngramPairCtes
+       |SELECT CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN a ELSE b END AS delta_id,
+       |       CASE WHEN a % ${Dedup.DeltaMod} = 0 THEN b ELSE a END AS corpus_id, jac
+       |FROM jpairs
+       |WHERE (a % ${Dedup.DeltaMod} = 0) <> (b % ${Dedup.DeltaMod} = 0)""".stripMargin
 
   /** SimHash oracle: the same distinct 3-gram shingles, the md5-prefix
     * 60-bit hash, and the 64 bit-vote sums replayed in DuckDB (bits 60-63

@@ -112,8 +112,19 @@ object Dedup {
     * delta-vs-corpus path (d8) share it. */
   private def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
       minJ: Double, aCol: String, bCol: String): DataFrame =
+    verifyJaccardInline(
+      cand.join(setsA.select(col("doc_id").as(aCol), col("shs").as("sha"), col("sz").as("sza")),
+        Seq(aCol)),
+      setsB, minJ, aCol, bCol)
+
+  /** The verification kernel for candidates that already CARRY the a-side's
+    * shingle set inline (`sha`, `sza`) — the streaming path (e9), where the
+    * delta row computed its set row-locally and a by-id re-join would need
+    * another stateful stage. Batch paths reach it through [[verifyJaccard2]]
+    * so the round-then-threshold rule has exactly one copy. */
+  private[graft] def verifyJaccardInline(cand: DataFrame, setsB: DataFrame,
+      minJ: Double, aCol: String, bCol: String): DataFrame =
     cand
-      .join(setsA.select(col("doc_id").as(aCol), col("shs").as("sha"), col("sz").as("sza")), Seq(aCol))
       .join(setsB.select(col("doc_id").as(bCol), col("shs").as("shb"), col("sz").as("szb")), Seq(bCol))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .select(col(aCol), col(bCol),
@@ -461,7 +472,7 @@ object Dedup {
   private val lshIndexDumps =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def corpusLshIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def corpusLshIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (bp, sp) = lshIndexDumps.computeIfAbsent(dir, _ => {
       val tok = Similarity.dirToken(dir)
       val bPath = s"${Similarity.OracleDumpRoot}/d8_bands_$tok"
@@ -494,6 +505,37 @@ object Dedup {
       .select(col("x.doc_id").as("delta_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     verifyJaccard2(cand, dSigSets, cSets, minJ, "delta_id", "corpus_id")
+  }
+
+  /** Row-local twin of [[shingles]]→[[signatures]]→[[bands]] for STREAMING
+    * micro-batches, where each input row carries a whole document: distinct
+    * shingles, the 96 MinHash mins, and the 32 band hashes all compute
+    * INSIDE the row, so signing a stream needs no stateful shuffle at all.
+    * (`array_distinct`'s quadratic nested loop — see [[shingles]] — is the
+    * right trade here: it buys state-freedom, not just a saved exchange,
+    * and a document's shingle set is tens of elements.) Same hash constants
+    * and arithmetic as the batch pipeline, so streamed bands probe the SAME
+    * at-rest index — bit-equality is spec-asserted. Keeps every input
+    * column (e.g. the event-time column a downstream watermark needs) and
+    * appends `shs`, `sz`, `bands`. */
+  private[graft] def rowLocalSigSets(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shs", array_distinct(
+        expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+      .withColumn("h31s", expr(s"transform(shs, s -> pmod(xxhash64(s), ${MersennePrime}L))"))
+    val minCols = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(h31s, h -> pmod(${hashA(i)}L * h + ${hashB(i)}L, ${MersennePrime}L)))")
+        .as(s"m$i")
+    }
+    val withM = base.select(base.columns.map(col).toSeq ++ minCols: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols :+ (lit(b): Column): _*).as("bh"))
+    }
+    withM.select(docs.columns.map(col).toSeq :+ col("shs") :+
+      size(col("shs")).cast(LongType).as("sz") :+ array(bandStructs: _*).as("bands"): _*)
   }
 
   /** The 64-column formulation of [[simhash]], kept as the differential

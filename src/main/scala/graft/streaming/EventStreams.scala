@@ -188,6 +188,44 @@ object EventStreams {
       | CAST(sum(n_tok) AS BIGINT) AS tok_sum
       |FROM f GROUP BY band""".stripMargin
 
+  /** Streaming NEAR-dup ingestion (e9) — d8's incremental MinHash dedup
+    * lifted to a live feed, and deliberately STATELESS: each arriving
+    * document signs itself row-locally ([[graft.ops.Dedup.rowLocalSigSets]]
+    * — shingles, 96 MinHash mins, and 32 band hashes all inside the row,
+    * bit-identical to the batch pipeline by spec), its bands probe the
+    * corpus LSH index AT REST via a stream-static inner join, and
+    * candidates verify with exact Jaccard against the at-rest shingle
+    * sets. No watermark, no state store: the "memory" of the corpus lives
+    * in the index, not in streaming state, so per-document cost is
+    * O(1 + bucket collisions) regardless of feed lifetime — the property
+    * that makes near-dup admission control viable on an unbounded stream.
+    * A pair that collides in k bands emits k times in append mode
+    * (idempotent duplicates, same verified jac); the gate distincts the
+    * drained sink, and a production sink would MERGE on the pair key. */
+  def nearDupStreamOnce(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+    import graft.ops.Dedup
+    val (cBands, cSets) = Dedup.corpusLshIndex(spark, dir)
+    val name = s"stream_neardup_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val delta = spark.readStream.schema(docSchema)
+        .parquet(s"$dir/documents*.parquet")
+        .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) === 0)
+        .select(col("doc_id"), col("text"))
+      val cand = Dedup.rowLocalSigSets(delta)
+        .select(col("doc_id").as("delta_id"), col("shs").as("sha"),
+          col("sz").as("sza"), explode(col("bands")).as("bd"))
+        .join(cBands.as("ix"),
+          col("bd.band") === col("ix.band") && col("bd.bh") === col("ix.bh"))
+        .select(col("delta_id"), col("ix.doc_id").as("corpus_id"),
+          col("sha"), col("sza"))
+      val verified = Dedup.verifyJaccardInline(cand, cSets, minJ, "delta_id", "corpus_id")
+      val q = verified.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).distinct()
+  }
+
   /** Stream-STREAM interval join under the oracle gate — the attribution
     * shape: each purchase joined to the same user's clicks in the
     * preceding `windowMin` minutes. Both sides are streams with watermarks

@@ -458,6 +458,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rowLocalSigSets matches the batch shingle→signature→band pipeline bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val batchBands = Dedup.bands(Dedup.signatures(Dedup.shingles(docs))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rl = Dedup.rowLocalSigSets(docs.select("doc_id", "text"))
+    val rlBands = rl.select(col("doc_id"), explode(col("bands")).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.bh")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rlBands == batchBands, "band hashes must probe the SAME at-rest index")
+    val batchSz = Dedup.signatures(Dedup.shingles(docs)).select("doc_id", "sz").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rlSz = rl.select("doc_id", "sz").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rlSz == batchSz, "distinct-shingle counts must agree")
+  }
+
   test("dupSourceMatrix: canonical source pairs, totals tie out to the pair relation") {
     val pairs = Dedup.ngramJaccardPairs(docs, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
