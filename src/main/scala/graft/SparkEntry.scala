@@ -100,6 +100,9 @@ object SparkEntry {
     // wide exchange never carries vectors. Gated at cell grain (the
     // driver's value hash is defined over scalar columns, not arrays).
     "s10_class_centroids" -> (Similarity.classCentroidCells _),
+    // recall@k of each ANN path vs the exact scan — the acceptance gate
+    // that lets an approximate index replace s1 in production
+    "s11_ann_recall" -> ((s, d) => Similarity.annRecallEval(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -375,6 +378,7 @@ object SparkEntry {
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
+    "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

@@ -99,6 +99,45 @@ object Similarity {
        | e.label AS true_label, p.pred_label = e.label AS correct
        |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin
 
+  /** ANN recall@k evaluation (s11) — the acceptance gate every approximate
+    * index needs before it replaces the exact scan: each ANN path's top-k
+    * ([[annLsh]], [[annIvf]]) is scored against the exact ground truth
+    * ([[cosineTopK]]) per query, recall@k = |approx ∩ exact| / k. This is
+    * the measurement behind the "production composition is IVFADC" claim —
+    * run it after every re-embed or index refit, alert on regression.
+    *
+    * Scale shape: all the heavy lifting (flat exact scan, bucket probes,
+    * coarse quantizer) happens INSIDE the composed operators, each already
+    * plan-audited; the eval itself joins three nQueries·k-row relations —
+    * broadcast-sized by construction at any corpus scale. */
+  def annRecallEval(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, nQueries, k).select(col("q_id"), col("nb_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(broadcast(approx.select(col("q_id"), col("nb_id"), lit(1L).as("hit"))),
+          Seq("q_id", "nb_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), col("q_id"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / lit(k), 4).as("recall"))
+    recallOf("ivf", annIvf(spark, dir, nQueries, k))
+      .unionByName(recallOf("lsh", annLsh(spark, dir, nQueries, k)))
+  }
+
+  /** DuckDB twin of [[annRecallEval]]: the s1/s2/s4 oracle queries verbatim
+    * as sub-selects (they must stay bit-identical to their own gates), the
+    * same per-method left join and count. */
+  def annRecallEvalOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH ex AS (SELECT q_id, nb_id FROM (${cosineTopKOracleSql(nQueries, k)})),
+       | ap AS (SELECT 'lsh' AS method, q_id, nb_id FROM (${annLshOracleSql(nQueries, k)})
+       |        UNION ALL
+       |        SELECT 'ivf' AS method, q_id, nb_id FROM (${annIvfOracleSql(nQueries, k)}))
+       |SELECT m.method, e.q_id, CAST(count(a.nb_id) AS BIGINT) AS n_hit,
+       | round(CAST(count(a.nb_id) AS DOUBLE) / $k, 4) AS recall
+       |FROM (SELECT DISTINCT method FROM ap) m
+       |CROSS JOIN ex e
+       |LEFT JOIN ap a ON a.method = m.method AND a.q_id = e.q_id AND a.nb_id = e.nb_id
+       |GROUP BY m.method, e.q_id""".stripMargin
+
   // ---------------- random-hyperplane LSH ----------------
 
   val Dim = 64
