@@ -202,24 +202,31 @@ object EventStreams {
     * A pair that collides in k bands emits k times in append mode
     * (idempotent duplicates, same verified jac); the gate distincts the
     * drained sink, and a production sink would MERGE on the pair key. */
-  def nearDupStreamOnce(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+  /** The e9 streaming pipeline as an unstarted DataFrame — split from the
+    * drive so StreamingShapeSpec can start its own query on it and assert
+    * `lastProgress.stateOperators` is EMPTY (the zero-state claim above,
+    * machine-checked). */
+  private[graft] def nearDupStream(spark: SparkSession, dir: String, minJ: Double): DataFrame = {
     import graft.ops.Dedup
     val (cBands, cSets) = Dedup.corpusLshIndex(spark, dir)
+    val delta = spark.readStream.schema(docSchema)
+      .parquet(s"$dir/documents*.parquet")
+      .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    val cand = Dedup.rowLocalSigSets(delta)
+      .select(col("doc_id").as("delta_id"), col("shs").as("sha"),
+        col("sz").as("sza"), explode(col("bands")).as("bd"))
+      .join(cBands.as("ix"),
+        col("bd.band") === col("ix.band") && col("bd.bh") === col("ix.bh"))
+      .select(col("delta_id"), col("ix.doc_id").as("corpus_id"),
+        col("sha"), col("sza"))
+    Dedup.verifyJaccardInline(cand, cSets, minJ, "delta_id", "corpus_id")
+  }
+
+  def nearDupStreamOnce(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val name = s"stream_neardup_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
-      val delta = spark.readStream.schema(docSchema)
-        .parquet(s"$dir/documents*.parquet")
-        .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) === 0)
-        .select(col("doc_id"), col("text"))
-      val cand = Dedup.rowLocalSigSets(delta)
-        .select(col("doc_id").as("delta_id"), col("shs").as("sha"),
-          col("sz").as("sza"), explode(col("bands")).as("bd"))
-        .join(cBands.as("ix"),
-          col("bd.band") === col("ix.band") && col("bd.bh") === col("ix.bh"))
-        .select(col("delta_id"), col("ix.doc_id").as("corpus_id"),
-          col("sha"), col("sza"))
-      val verified = Dedup.verifyJaccardInline(cand, cSets, minJ, "delta_id", "corpus_id")
-      val q = verified.writeStream.outputMode(OutputMode.Append)
+      val q = nearDupStream(spark, dir, minJ).writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }

@@ -39,6 +39,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("e9 near-dup stream plans ZERO stateful operators and matches d8's pair relation") {
+    import graft.ops.Dedup
+    val name = s"neardup_shape_${System.nanoTime()}"
+    val q = EventStreams.nearDupStream(spark, dir, 0.8)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // the zero-state claim, machine-checked: no state stores, so per-doc
+    // cost cannot grow with feed lifetime (the corpus memory lives in the
+    // at-rest LSH index, not in streaming state)
+    val prog = q.lastProgress
+    assert(prog != null && prog.stateOperators.isEmpty,
+      s"expected stateless plan, got ${prog.stateOperators.length} state operators")
+    val streamed = spark.table(name).select("delta_id", "corpus_id", "jac").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.incrementalNearDup(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "stream and batch must produce the same verified pairs")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
