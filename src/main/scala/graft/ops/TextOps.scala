@@ -778,6 +778,61 @@ object TextOps {
        |       round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS lp
        |FROM lp GROUP BY doc_id""".stripMargin
 
+  /** Per-document BIGRAM LM score (t17) — [[unigramLogProb]] lifted one
+    * order: mean ln p(w2|w1) with add-1 smoothing over the corpus-fitted
+    * bigram table, p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). The CCNet/KenLM
+    * quality-filter shape: a low-order LM fitted on the corpus itself
+    * scores fluency far better than unigram frequency (word salad built
+    * from common tokens fools t12 but not the bigram table).
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY from the token array (a
+    * transform over sequence — no window, no position self-join, zero
+    * exchange before the fits) and materialized ONCE for the three
+    * consumers (bigram fit, context fit, scoring join) — the same
+    * re-tokenize-per-consumer trap t12/t14 hit. The two fits are map-side
+    * combined; vocab is a broadcast one-row join; scoring shuffles on the
+    * bigram key (broadcast the table instead when the vocab fits). Per-ln
+    * DECIMAL(18,8) rounding before the per-document sum, so the reduction
+    * is order-insensitive cross-engine. Documents under 2 tokens have no
+    * bigram to score and drop at the source filter. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val bg = materialize(docs
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).cast(DoubleType).as("vocab"))
+    val pairLp = log((col("c2").cast(DoubleType) + lit(1.0)) / (col("c1").cast(DoubleType) + col("vocab")))
+      .cast(DecimalType(18, 8))
+    bg.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"),
+        round(sum(pairLp).cast(DoubleType) / count(lit(1)), 4).as("lp"))
+  }
+
+  /** DuckDB oracle twin of [[bigramLogProb]] — same row-local bigram
+    * construction, same smoothing, same decimal rounding discipline. */
+  def bigramLogProbOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | bge AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |          SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS b
+       |          FROM t WHERE len(toks) >= 2)),
+       | big AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY w1, w2),
+       | ctx AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
+       | v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+       |       FROM (SELECT unnest(toks) AS tok FROM t)),
+       | lp AS (SELECT g.doc_id,
+       |         CAST(ln((CAST(big.c2 AS DOUBLE) + 1.0) / (CAST(ctx.c1 AS DOUBLE) + v.vocab)) AS DECIMAL(18,8)) AS l
+       |        FROM bge g JOIN big USING (w1, w2) JOIN ctx USING (w1), v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+       |       round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS lp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Winnowing fingerprint (MOSS-style): rolling polynomial hash over
     * character k-grams, minimum hash per sliding window, document
     * fingerprint = set of window minima; returned here as the overall
