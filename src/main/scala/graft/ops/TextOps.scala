@@ -804,7 +804,10 @@ object TextOps {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = docs.select(explode(toks).as("tok"))
+    // vocab from the SAME materialized relation (w1 ∪ w2 covers every token
+    // of every scored document) — a second corpus scan + tokenize pass just
+    // to count distinct tokens is the t12/t14 trap in miniature
+    val vocab = bg.select(col("w1").as("tok")).union(bg.select(col("w2").as("tok")))
       .agg(count_distinct(col("tok")).cast(DoubleType).as("vocab"))
     val pairLp = log((col("c2").cast(DoubleType) + lit(1.0)) / (col("c1").cast(DoubleType) + col("vocab")))
       .cast(DecimalType(18, 8))
@@ -825,7 +828,7 @@ object TextOps {
        | big AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY w1, w2),
        | ctx AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
        | v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
-       |       FROM (SELECT unnest(toks) AS tok FROM t)),
+       |       FROM (SELECT w1 AS tok FROM bge UNION ALL SELECT w2 FROM bge)),
        | lp AS (SELECT g.doc_id,
        |         CAST(ln((CAST(big.c2 AS DOUBLE) + 1.0) / (CAST(ctx.c1 AS DOUBLE) + v.vocab)) AS DECIMAL(18,8)) AS l
        |        FROM bge g JOIN big USING (w1, w2) JOIN ctx USING (w1), v)
