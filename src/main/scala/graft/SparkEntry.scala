@@ -135,6 +135,9 @@ object SparkEntry {
     "t16_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(TextOps.withSyntheticLines(Tables.t(s, d, "documents")))),
     "c6_token_budget" -> ((s, d) => Corpus.tokenBudgetSample(Tables.t(s, d, "documents"))),
+    // temperature-scaled source rebalancing (alpha = 1/2): kept counts
+    // proportional to sqrt(n_src) — rates fitted FROM the data, unlike c2
+    "c7_temperature_mix" -> ((s, d) => Corpus.temperatureMix(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -370,6 +373,7 @@ object SparkEntry {
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
+    "c7_temperature_mix" -> Corpus.temperatureMixOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

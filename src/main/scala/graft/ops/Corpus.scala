@@ -132,6 +132,54 @@ object Corpus {
        |      FROM documents) s
        |WHERE rn <= $quota""".stripMargin
 
+  /** Temperature-scaled source rebalancing (c7) — the multilingual/source
+    * mixing rule (α = 0.5 here): downsample each `source` so expected kept
+    * counts are ∝ n_s^α instead of n_s, flattening the head without
+    * starving the tail. Acceptance rate r_s = sqrt(n_min / n_s) — the
+    * smallest source keeps everything, a source 100× larger keeps 1/10.
+    * Unlike [[mixtureSample]] (rates assigned per source a priori) the
+    * rates here are fitted FROM the data distribution, so the op is
+    * re-runnable as the corpus drifts.
+    *
+    * α is fixed at 1/2 because sqrt, division, and multiplication are all
+    * exactly-rounded IEEE ops — bit-identical in the JVM and DuckDB, so
+    * the floor to basis points can never straddle engines. (A production
+    * α knob would use pow and gate on a rounded rate instead.)
+    *
+    * Scale shape: source counts are one map-side-combined aggregate over a
+    * single column; the per-source rate table is broadcast back; keep/drop
+    * is a row-local hash test — one scan, no corpus-wide shuffle. Growth-
+    * stable like every hash sampler here. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nMin = n.agg(min(col("n_src")).as("n_min"))
+    val rates = n.crossJoin(broadcast(nMin))
+      .select(col("source"), col("n_src"),
+        floor(sqrt(col("n_min").cast(DoubleType) / col("n_src").cast(DoubleType)) * 10000)
+          .cast(LongType).as("rate_bp"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket)
+      .withColumn("kept", col("bucket") < col("rate_bp"))
+  }
+
+  /** DuckDB oracle twin of [[temperatureMix]] — same IEEE-exact rate
+    * arithmetic, same 16-bit hash bucket mod 10000. */
+  def temperatureMixOracleSql: String =
+    """WITH n AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+      | mn AS (SELECT min(n_src) AS n_min FROM n),
+      | r AS (SELECT source, n_src,
+      |        CAST(floor(sqrt(CAST(mn.n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+      |       FROM n, mn),
+      | d AS (SELECT doc_id, source,
+      |        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10000 AS BIGINT) AS bucket
+      |       FROM documents)
+      |SELECT d.doc_id, d.source, r.n_src, r.rate_bp, d.bucket,
+      |       d.bucket < r.rate_bp AS kept
+      |FROM d JOIN r USING (source)""".stripMargin
+
   /** Token-budget sampling: fill each `source` stratum with documents — in
     * deterministic md5 order, like [[quotaSample]] — until the RUNNING
     * token total would exceed `budgetTokens`. This is how a training
