@@ -149,6 +149,9 @@ object SparkEntry {
     // through spark.read.format("binaryFile") + the real decoders — the
     // external-file boundary the m1-m6 in-kernel roundtrips don't cross
     "m7_modal_ingest" -> (Multimodal.modalIngest _),
+    // perceptual image dedup: block-mean aHash over the really-decoded
+    // pixels — keys on brightness structure, not bytes (the LAION step)
+    "m8_image_phash" -> (Multimodal.imagePhash _),
     "e1_stream_hourly" -> (EventStreams.hourlyAggOnce _),
     "e2_stream_dedup" -> (EventStreams.dedupCountsOnce _),
     "e3_stream_enrich" -> (EventStreams.enrichedAggOnce _),
@@ -439,6 +442,7 @@ object SparkEntry {
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
+    "m8_image_phash" -> Multimodal.imagePhashOracleSql,
     "a2_bbox" ->
       """SELECT o_orderpriority, min(o_custkey) AS xlo, max(o_custkey) AS xhi,
         | min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS ylo,

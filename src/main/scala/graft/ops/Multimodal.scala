@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -808,5 +809,98 @@ object Multimodal {
        |SELECT vs.doc_id, 'video', CAST($VideoW AS INT), CAST($VideoH AS INT), vs.fps,
        | CAST(vs.nf AS BIGINT), vs.pix_sum, v0.checksum
        |FROM vs JOIN v0 USING (doc_id)""".stripMargin
+  }
+
+  // ---------------- perceptual image dedup (m8) ----------------
+
+  /** 64-bit block-mean average hash (aHash) of a decoded grayscale raster:
+    * the [[ThumbW]]×[[ThumbH]] image divides exactly into an 8×8 grid of
+    * 8×6 blocks; bit `j` is set iff block `j`'s pixel sum exceeds the
+    * global mean (cross-multiplied — `blockSum·64 > totalSum` — so the
+    * comparison is integer-exact, never a float mean). Returned as 16 hex
+    * nibbles so the oracle can rebuild it without 64-bit shift semantics. */
+  private[ops] def aHashHex(px: Array[Byte]): String = {
+    val blockSums = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = (px(i) & 0xff).toLong
+      val x = i % ThumbW
+      val y = i / ThumbW
+      blockSums((y / 6) * 8 + (x / 8)) += v
+      total += v
+      i += 1
+    }
+    val sb = new StringBuilder(16)
+    var k = 0
+    while (k < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (blockSums(k * 4 + b) * 64 > total) nib |= 8 >> b
+        b += 1
+      }
+      sb.append(Integer.toHexString(nib))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual image dedup (m8) — the LAION-style pipeline step: every
+    * image doc's REALLY-DECODED pixels (PNG roundtrip, as m2) reduce to a
+    * 64-bit block-mean aHash, and images sharing a hash form a dedup group
+    * (keeper = smallest doc_id). Unlike m2's md5 checksum, the aHash keys
+    * on brightness STRUCTURE, so re-encoded or benignly perturbed copies
+    * of an image still collide — the property that makes it a dedup key
+    * rather than an integrity check. Near-dup at Hamming ≤ k would band
+    * the 16 nibbles exactly like d4's simhash banding; exact-group is the
+    * gated form.
+    *
+    * Scale shape: decode + hash are row-local in one typed pass; the group
+    * stats are a window over (hash) on the slim (doc_id, phash) relation —
+    * two longs per image, never pixels, through the exchange. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, String)]
+    val hashed = assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val px = imgDecode(imgEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
+          (id, aHashHex(px))
+        }
+      }
+      .toDF("doc_id", "phash")
+    val w = Window.partitionBy(col("phash"))
+    hashed
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+  }
+
+  /** DuckDB twin of [[imagePhash]]: rebuilds the tiled raster (lossless
+    * PNG, the m2 argument), replays the integer-exact block sums, the
+    * cross-multiplied mean test, and the nibble hex packing. */
+  def imagePhashOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil($ipx.0 / length(text)) AS INT)), 1, $ipx) AS raster
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | px AS (SELECT doc_id, i - 1 AS p, ord(substr(raster, CAST(i AS INT), 1)) AS v
+       |        FROM img, range(1, $ipx + 1) AS u(i)),
+       | blk AS (SELECT doc_id, (((p // $ThumbW) // 6) * 8 + ((p % $ThumbW) // 8)) AS block,
+       |          sum(v) AS bs FROM px GROUP BY 1, 2),
+       | tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY doc_id),
+       | bits AS (SELECT b.doc_id, b.block,
+       |           CASE WHEN b.bs * 64 > t.ts THEN 1 ELSE 0 END AS bit
+       |          FROM blk b JOIN tot t USING (doc_id)),
+       | nib AS (SELECT doc_id, block // 4 AS k,
+       |          sum(bit * (CASE block % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v
+       |         FROM bits GROUP BY 1, 2),
+       | ph AS (SELECT doc_id, string_agg(lower(to_hex(v)), '' ORDER BY k) AS phash FROM nib GROUP BY doc_id)
+       |SELECT doc_id, phash,
+       | CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS grp_n,
+       | min(doc_id) OVER (PARTITION BY phash) AS keeper
+       |FROM ph""".stripMargin
   }
 }

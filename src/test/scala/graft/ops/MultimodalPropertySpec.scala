@@ -109,6 +109,37 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("aHash: brightness-shift invariant, byte-hash is not; identical rasters collide") {
+    val ipx = Multimodal.ThumbW * Multimodal.ThumbH
+    val genRaster = for {
+      seed <- Gen.chooseNum(0L, 1L << 40)
+      delta <- Gen.choose(1, 40)
+    } yield (seed, delta)
+    forAll(genRaster) { case (seed, delta) =>
+      val rnd = new scala.util.Random(seed)
+      // headroom so the +delta shift never clips at 255
+      val px = Array.fill(ipx)((rnd.nextInt(200)).toByte)
+      val shifted = px.map(b => ((b & 0xff) + delta).toByte)
+      // the perceptual property: bs*64 > ts is invariant under a global
+      // shift (48*64*d on the left == 3072*d on the right), so re-graded
+      // copies of an image collide — while any byte hash separates them
+      assert(Multimodal.aHashHex(px) == Multimodal.aHashHex(shifted),
+        s"aHash must be brightness-shift invariant (seed=$seed delta=$delta)")
+      assert(!java.util.Arrays.equals(px, shifted))
+      // and a structural change (one block forced dark) flips the hash
+      val dark = px.clone()
+      var y = 0
+      while (y < 6) { // block (0,0): x<8, y<6
+        var x = 0
+        while (x < 8) { dark(y * Multimodal.ThumbW + x) = 0; x += 1 }
+        y += 1
+      }
+      // only guaranteed to differ when block 0 was not already all-below-mean
+      if (Multimodal.aHashHex(px).charAt(0) >= '8')
+        assert(Multimodal.aHashHex(px) != Multimodal.aHashHex(dark))
+    }
+  }
+
   test("mergePair never produces adjacent un-merged (l, r) pairs") {
     val genSyms = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "ba")).map(_.toArray)
     forAll(genSyms, Gen.oneOf(("a", "b"), ("b", "a"), ("a", "a"), ("ab", "a"))) { (syms, lr) =>
