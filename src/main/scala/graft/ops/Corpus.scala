@@ -152,8 +152,12 @@ object Corpus {
     * stable like every hash sampler here. */
   def temperatureMix(docs: DataFrame): DataFrame = {
     val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val nMin = n.agg(min(col("n_src")).as("n_min"))
-    val rates = n.crossJoin(broadcast(nMin))
+    // n_min via a window over the (tiny, one-row-per-source) count relation
+    // — a separate agg + 1-row attach would re-plan the count fit and cost
+    // a second corpus scan under AQE (the lineage-reuse trap, pinned in
+    // PlanShapeSpec)
+    val rates = n
+      .withColumn("n_min", min(col("n_src")).over(Window.partitionBy(lit(1))))
       .select(col("source"), col("n_src"),
         floor(sqrt(col("n_min").cast(DoubleType) / col("n_src").cast(DoubleType)) * 10000)
           .cast(LongType).as("rate_bp"))

@@ -158,6 +158,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("t17: one scan of documents under AQE (bigram relation materialized for 3 consumers)") {
+    // bigram fit, context fit, vocab, and the scoring join all read the
+    // materialized row-local bigram build — a regression re-tokenizes the
+    // corpus per consumer (the t12/t14 trap)
+    assert(scansOf("documents", "t17_bigram_lp") == 1)
+  }
+
+  test("c7: two column-pruned scans of documents (count fit + keep pass); rates broadcast") {
+    // scan 1 feeds the per-source count aggregate (source column only),
+    // scan 2 the row-local keep test (doc_id, source); the fitted rate
+    // table must come back as a broadcast, never a shuffle of the corpus
+    assert(scansOf("documents", "c7_temperature_mix") == 2)
+    val p = plan("c7_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m8: one scan of documents; only the slim (doc_id, phash) relation shuffles") {
+    assert(scansOf("documents", "m8_image_phash") == 1)
+  }
+
+  test("s11: the eval joins broadcast — no sort-merge over the tiny top-k relations") {
+    val p = plan("s11_ann_recall")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
@@ -165,24 +191,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
         "e4_stream_sessions", "e5_stream_sessions_wm", "e6_stream_ivjoin",
-        "e7_stream_leftjoin", "e8_stream_corpus")) // streaming: no batch plan
+        "e7_stream_leftjoin", "e8_stream_corpus",
+        "e9_stream_neardup")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk", "s7_pq_topk",
-      "s9_knn_label", "t12_unigram_lp", "t9_bm25"),
-      s"unexpected non-equi joins in: $offenders")
+    assert(offenders == Seq("s11_ann_recall", "s1_cosine_topk", "s5_sq8_topk",
+      "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp", "t9_bm25"),
+      s"unexpected non-equi joins in: $offenders") // c7 attaches n_min via a
+    // window over the tiny count relation, so it must NOT appear here
     // s9 inherits s1's flat scan (it votes over s1's exact top-k — an EVAL
-    // on a bounded query sample, nQueries·corpus not corpus²)
+    // on a bounded query sample, nQueries·corpus not corpus²); s11 likewise
+    // — it IS the eval that justifies replacing that flat scan with an index
     // s1/s5/s7 are flat query×corpus scans (float, int8-quantized, and
     // PQ-compressed): definitionally all-pairs, implemented as a broadcast
     // nested loop of the 10-row query side — the approximate paths
     // (s2/s3/s4) exist precisely to avoid this shape at scale (s7's
     // production composition is IVFADC: s4's cell routing over PQ codes).
-    // t9/t12 cross-join a broadcast ONE-ROW global-stats aggregate
+    // t9/t12/t17 cross-join a broadcast ONE-ROW global-stats aggregate
     // (n_docs+avglen / total+vocab) onto every term row — a 1-row BNLJ is
     // the standard way to attach corpus constants and is shuffle-free at
-    // any scale
+    // any scale (c7's 1-row n_min attach folds into its broadcast rate
+    // join, so it does not appear here)
   }
 }
