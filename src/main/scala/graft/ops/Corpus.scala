@@ -23,8 +23,8 @@ object Corpus {
     * reshuffles every run and every repartition. Uses the first 4 hex chars
     * (16 bits) so the mod-100 bias is ≤ 1/655 — negligible for split
     * purposes and identical in both engines. */
-  private def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+  private def hashBucket(id: Column, span: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % span
 
   /** Assign every document to train/val/test by deterministic hash bucket:
     * bucket < trainPct → train, < trainPct+valPct → val, else test.
@@ -161,11 +161,9 @@ object Corpus {
       .select(col("source"), col("n_src"),
         floor(sqrt(col("n_min").cast(DoubleType) / col("n_src").cast(DoubleType)) * 10000)
           .cast(LongType).as("rate_bp"))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long") % 10000
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), Seq("source"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", hashBucket(col("doc_id"), 10000))
       .withColumn("kept", col("bucket") < col("rate_bp"))
   }
 

@@ -111,7 +111,10 @@ object Similarity {
     * plan-audited; the eval itself joins three nQueries·k-row relations —
     * broadcast-sized by construction at any corpus scale. */
   def annRecallEval(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(spark, dir, nQueries, k).select(col("q_id"), col("nb_id"))
+    // materialized: both recallOf branches consume it, and its LINEAGE is
+    // the flat query×corpus scan — left as lineage the BNLJ executes twice
+    // (the AQE lineage-reuse trap, same as d2/t12)
+    val exact = materialize(cosineTopK(spark, dir, nQueries, k).select(col("q_id"), col("nb_id")))
     def recallOf(method: String, approx: DataFrame): DataFrame =
       exact.join(broadcast(approx.select(col("q_id"), col("nb_id"), lit(1L).as("hit"))),
           Seq("q_id", "nb_id"), "left")
@@ -133,7 +136,7 @@ object Similarity {
        |        SELECT 'ivf' AS method, q_id, nb_id FROM (${annIvfOracleSql(nQueries, k)}))
        |SELECT m.method, e.q_id, CAST(count(a.nb_id) AS BIGINT) AS n_hit,
        | round(CAST(count(a.nb_id) AS DOUBLE) / $k, 4) AS recall
-       |FROM (SELECT DISTINCT method FROM ap) m
+       |FROM (VALUES ('lsh'), ('ivf')) m(method)
        |CROSS JOIN ex e
        |LEFT JOIN ap a ON a.method = m.method AND a.q_id = e.q_id AND a.nb_id = e.nb_id
        |GROUP BY m.method, e.q_id""".stripMargin

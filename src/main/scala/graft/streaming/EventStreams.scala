@@ -188,24 +188,11 @@ object EventStreams {
       | CAST(sum(n_tok) AS BIGINT) AS tok_sum
       |FROM f GROUP BY band""".stripMargin
 
-  /** Streaming NEAR-dup ingestion (e9) — d8's incremental MinHash dedup
-    * lifted to a live feed, and deliberately STATELESS: each arriving
-    * document signs itself row-locally ([[graft.ops.Dedup.rowLocalSigSets]]
-    * — shingles, 96 MinHash mins, and 32 band hashes all inside the row,
-    * bit-identical to the batch pipeline by spec), its bands probe the
-    * corpus LSH index AT REST via a stream-static inner join, and
-    * candidates verify with exact Jaccard against the at-rest shingle
-    * sets. No watermark, no state store: the "memory" of the corpus lives
-    * in the index, not in streaming state, so per-document cost is
-    * O(1 + bucket collisions) regardless of feed lifetime — the property
-    * that makes near-dup admission control viable on an unbounded stream.
-    * A pair that collides in k bands emits k times in append mode
-    * (idempotent duplicates, same verified jac); the gate distincts the
-    * drained sink, and a production sink would MERGE on the pair key. */
   /** The e9 streaming pipeline as an unstarted DataFrame — split from the
-    * drive so StreamingShapeSpec can start its own query on it and assert
-    * `lastProgress.stateOperators` is EMPTY (the zero-state claim above,
-    * machine-checked). */
+    * drive ([[nearDupStreamOnce]], which carries the operator doc) so the
+    * spec can start its own query on it and assert
+    * `lastProgress.stateOperators` is EMPTY (the zero-state claim,
+    * machine-checked in EventStreamsSpec). */
   private[graft] def nearDupStream(spark: SparkSession, dir: String, minJ: Double): DataFrame = {
     import graft.ops.Dedup
     val (cBands, cSets) = Dedup.corpusLshIndex(spark, dir)
@@ -223,6 +210,20 @@ object EventStreams {
     Dedup.verifyJaccardInline(cand, cSets, minJ, "delta_id", "corpus_id")
   }
 
+  /** Streaming NEAR-dup ingestion (e9) — d8's incremental MinHash dedup
+    * lifted to a live feed, and deliberately STATELESS: each arriving
+    * document signs itself row-locally ([[graft.ops.Dedup.rowLocalSigSets]]
+    * — shingles, 96 MinHash mins, and 32 band hashes all inside the row,
+    * bit-identical to the batch pipeline by spec), its bands probe the
+    * corpus LSH index AT REST via a stream-static inner join, and
+    * candidates verify with exact Jaccard against the at-rest shingle
+    * sets. No watermark, no state store: the "memory" of the corpus lives
+    * in the index, not in streaming state, so per-document cost is
+    * O(1 + bucket collisions) regardless of feed lifetime — the property
+    * that makes near-dup admission control viable on an unbounded stream.
+    * A pair that collides in k bands emits k times in append mode
+    * (idempotent duplicates, same verified jac); the gate distincts the
+    * drained sink, and a production sink would MERGE on the pair key. */
   def nearDupStreamOnce(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val name = s"stream_neardup_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {

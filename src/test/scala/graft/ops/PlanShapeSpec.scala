@@ -177,6 +177,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("m8: one scan of documents; only the slim (doc_id, phash) relation shuffles") {
     assert(scansOf("documents", "m8_image_phash") == 1)
+    // the slim-exchange claim, asserted: no Exchange in the plan carries
+    // the pixel payload — the window partitions the hashed relation only
+    val p = plan("m8_image_phash")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l => !l.contains("payload") && !l.contains("text")), exchanges)
   }
 
   test("s11: the eval joins broadcast — no sort-merge over the tiny top-k relations") {
