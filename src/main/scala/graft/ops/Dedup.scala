@@ -517,7 +517,16 @@ object Dedup {
     * and arithmetic as the batch pipeline, so streamed bands probe the SAME
     * at-rest index — bit-equality is spec-asserted. Keeps every input
     * column (e.g. the event-time column a downstream watermark needs) and
-    * appends `shs`, `sz`, `bands`. */
+    * appends `shs`, `sz`, `bands`.
+    *
+    * The typed-map BARRIER between the shingle/hash prologue and the 96
+    * min columns is load-bearing: without it CollapseProject inlines the
+    * whole tokenize→distinct-shingle→hash subtree into EVERY min (and
+    * transitively every band hash) — a ~100× expression-tree blowup whose
+    * optimize+codegen cost dominated the query at 80-180 s per run at
+    * sf0.1 (measured; the barrier returns it to data cost). The batch
+    * pipeline never hits this because its mins are aggregate functions
+    * over exploded rows, not projected copies of the prologue. */
   private[graft] def rowLocalSigSets(docs: DataFrame): DataFrame = {
     val base = docs
       .withColumn("toks", split(col("text"), "\\s+"))
@@ -525,11 +534,13 @@ object Dedup {
       .withColumn("shs", array_distinct(
         expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
       .withColumn("h31s", expr(s"transform(shs, s -> pmod(xxhash64(s), ${MersennePrime}L))"))
+      .drop("toks")
+    val barrier = base.map(identity(_))(org.apache.spark.sql.Encoders.row(base.schema))
     val minCols = (0 until NumHashes).map { i =>
       expr(s"array_min(transform(h31s, h -> pmod(${hashA(i)}L * h + ${hashB(i)}L, ${MersennePrime}L)))")
         .as(s"m$i")
     }
-    val withM = base.select(base.columns.map(col).toSeq ++ minCols: _*)
+    val withM = barrier.select(barrier.columns.map(col).toSeq ++ minCols: _*)
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols :+ (lit(b): Column): _*).as("bh"))
