@@ -70,6 +70,9 @@ object SparkEntry {
     // storage audit from ONE LIST pass (zero GETs): stored vs raw bytes
     // and compression ratio per z layer, partial edge chunks sized exactly
     "a14_storage_report" -> (ArrayOps.a14_storage_report _),
+    // per-segment image stats: TWO volumes zipped chunk-aligned (the same
+    // task fetches both aligned objects) — no voxel-grain join anywhere
+    "a15_label_intensity" -> (ArrayOps.a15_label_intensity _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -357,6 +360,7 @@ object SparkEntry {
     "a12_convert_pipeline" -> ArrayOps.a12OracleSql,
     "a13_label_stats" -> ArrayOps.a13OracleSql,
     "a14_storage_report" -> ArrayOps.a14OracleSql,
+    "a15_label_intensity" -> ArrayOps.a15OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -325,6 +325,45 @@ object ArrayOps {
       .orderBy(col("label"))
   }
 
+  /** Per-segment image statistics under the oracle gate (a15): an IMAGE
+    * volume and a SEGMENTATION volume on the SAME chunk grid, zipped
+    * chunk-aligned ([[graft.volume.Volume.zipVoxels]] — the same chunk task
+    * fetches both aligned objects and zips decoded buffers; no voxel-grain
+    * join exists), then aggregated per label: voxel count, min/max/sum and
+    * mean intensity — the "mean intensity per segment" measurement every
+    * overlay analysis runs. The one exchange in the whole query is the
+    * final (label → 4 partial aggregates) map-side-combined shuffle; at
+    * petavoxel scale that is the only data that ever moves. Oracle
+    * re-aggregates the dumped zipped relation (label + intensity both in
+    * the dump, so the oracle replays aggregation, not volume plumbing). */
+  def a15_label_intensity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val segRoot = java.nio.file.Files.createTempDirectory("graft-a15-seg").toString
+    val imgRoot = java.nio.file.Files.createTempDirectory("graft-a15-img").toString
+    val segMeta = Meta.VolumeMeta("segmentation", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val imgMeta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "raw", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val seg = Volume.create(spark, segRoot, segMeta)
+    val img = Volume.create(spark, imgRoot, imgMeta)
+    seg.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1)))
+    img.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    val dump = s"$voxelDumpRoot/a15"
+    img.zipVoxels(seg, Box(1, 64, 1, 64, 1, 8))
+      .withColumn("label", expr("CAST(vb AS BIGINT) DIV 1024"))
+      .select(col("x"), col("y"), col("z"), col("va").cast(LongType).as("v"), col("label"))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("v")).as("vsum"))
+      .select(col("label"), col("n"), col("vmin"), col("vmax"), col("vsum"),
+        round(col("vsum").cast(DoubleType) / col("n"), 4).as("vmean"))
+      .orderBy(col("label"))
+  }
+
   /** Storage audit under the oracle gate: a gzip'd volume with PARTIAL edge
     * chunks (60×60×7 over a 32×32×4 grid), audited by
     * [[graft.volume.Volume.storageReport]] — one LIST pass carries stored
@@ -366,6 +405,14 @@ object ArrayOps {
        | round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS cy,
        | round(CAST(sum(z) AS DOUBLE) / count(*), 4) AS cz
        |FROM read_parquet('$voxelDumpRoot/a13/*.parquet') GROUP BY label""".stripMargin
+
+  /** Oracle twin of [[a15_label_intensity]]: the zipped (label, intensity)
+    * relation re-aggregated in DuckDB. */
+  def a15OracleSql: String =
+    s"""SELECT label, count(*) AS n,
+       | min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum,
+       | round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS vmean
+       |FROM read_parquet('$voxelDumpRoot/a15/*.parquet') GROUP BY label""".stripMargin
 
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the

@@ -464,6 +464,66 @@ final class Volume(
     rows
   }
 
+  /** Chunk-ALIGNED zip of two volumes over `query`: one row per voxel
+    * `(x, y, z, va, vb)` with `va` from this volume, `vb` from `other`.
+    * Both volumes must share the chunk grid (size + offset), which turns
+    * the pairing into a TASK-LOCAL second fetch: the same chunk task GETs
+    * the two aligned objects and zips the decoded buffers in place. No
+    * voxel-grain join exists anywhere — the naive
+    * `toVoxels(a) JOIN toVoxels(b) ON (x,y,z)` shuffles two petavoxel
+    * relations on a 3-int key, while this is one co-located pass over
+    * chunk tasks whose only exchange is whatever aggregation follows.
+    * This is the operator behind overlay analytics (segmentation ×
+    * intensity, mask × image). Single-channel volumes; a missing chunk on
+    * either side fills zeros under that volume's fillMissing, mirroring
+    * [[toVoxels]]. */
+  def zipVoxels(other: Volume, query: Box): DataFrame = {
+    val c = ctx; val c2 = other.ctx
+    require(c.chunkSize == c2.chunkSize && c.voxelOffset == c2.voxelOffset,
+      s"zipVoxels needs one chunk grid: ${c.chunkSize}@${c.voxelOffset} vs ${c2.chunkSize}@${c2.voxelOffset}")
+    require(c.numChannels == 1 && c2.numChannels == 1, "zipVoxels: single-channel volumes only")
+    val (conf, conf2) = (hconf, other.hconf)
+    val schema = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false),
+      StructField("va", Volume.widenedType(meta.dataType), nullable = false),
+      StructField("vb", Volume.widenedType(other.meta.dataType), nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      val fs2 = ChunkStore.fs(c2.root, conf2.conf)
+      def decodeOrNone(cc: VolumeCtx, f: org.apache.hadoop.fs.FileSystem, s: ChunkSlice) =
+        cc.fetchChunk(f, s) match {
+          case Some(blob) => Some(cc.decodeChunk(s, blob))
+          case None if cc.fillMissing => None
+          case None => throw new ChunkStore.MissingChunkException(cc.keyOf(s))
+        }
+      it.flatMap { case (cx, cy, cz) =>
+        (c.sliceAt(cx, cy, cz, query), c2.sliceAt(cx, cy, cz, query)) match {
+          case (Some(s), Some(s2)) =>
+            val bufA = decodeOrNone(c, fs, s)
+            val bufB = decodeOrNone(c2, fs2, s2)
+            val cut = s.cutoutBox // ≡ s2.cutoutBox: same grid, same query
+            for {
+              z <- (cut.z.lo to cut.z.hi).iterator
+              y <- (cut.y.lo to cut.y.hi).iterator
+              x <- (cut.x.lo to cut.x.hi).iterator
+            } yield {
+              def at(cc: VolumeCtx, b: Option[VoxelBuffer]): Any = b match {
+                case Some(bb) => Volume.widenedValue(cc.dataType, bb,
+                  x - bb.origin._1, y - bb.origin._2, z - bb.origin._3, 0)
+                case None => Volume.zeroValue(cc.dataType)
+              }
+              Row(x, y, z, at(c, bufA), at(c2, bufB))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    })(rowEnc)
+  }
+
   /** The whole volume as a Catalyst-native voxel relation: a custom
     * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
     * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes

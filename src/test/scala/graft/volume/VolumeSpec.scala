@@ -244,4 +244,33 @@ class VolumeSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](
       vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 8, 6, 4, 1, (1, 1, 1))))
   }
+
+  test("zipVoxels equals the voxel-grain join; mismatched grids are rejected") {
+    import org.apache.spark.sql.functions.col
+    def mk(name: String, dt: Meta.VoxelType, enc: String): Volume = {
+      val meta = Meta.VolumeMeta(name, dt, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (32, 32, 4), enc, (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+      Volume.create(spark, graft.testutil.SparkSuite.tempDir(s"graft-zip-$name"), meta)
+    }
+    val img = mk("image", Meta.TUInt8, "raw")
+    val seg = mk("segmentation", Meta.TUInt16, "gzip")
+    img.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    seg.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1)))
+    val box = Box(3, 40, 5, 34, 1, 8) // non-aligned: crosses chunk borders
+    val zipped = img.zipVoxels(seg, box)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getShort(3).toLong, r.getInt(4).toLong))).toMap
+    val joined = img.toVoxels(box).select(col("x"), col("y"), col("z"), col("value").as("va"))
+      .join(seg.toVoxels(box).select(col("x"), col("y"), col("z"), col("value").as("vb")),
+        Seq("x", "y", "z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getShort(3).toLong, r.getInt(4).toLong))).toMap
+    assert(zipped == joined)
+    assert(zipped.size == 38 * 30 * 8)
+    // a volume on a different chunk grid must be rejected loudly
+    val other = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-zip-bad"),
+      Meta.VolumeMeta("segmentation", Meta.TUInt16, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (16, 16, 4), "raw", (1, 1, 1), (64, 64, 8), (0, 0, 0)))))
+    assertThrows[IllegalArgumentException](img.zipVoxels(other, box))
+  }
 }
