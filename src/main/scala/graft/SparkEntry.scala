@@ -73,6 +73,9 @@ object SparkEntry {
     // per-segment image stats: TWO volumes zipped chunk-aligned (the same
     // task fetches both aligned objects) — no voxel-grain join anywhere
     "a15_label_intensity" -> (ArrayOps.a15_label_intensity _),
+    // distributed connected components: chunk-local union-find, O(surface)
+    // face graph, pointer-jumping merge — voxels never shuffle
+    "a16_connected_components" -> (ArrayOps.a16_connected_components _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -361,6 +364,7 @@ object SparkEntry {
     "a13_label_stats" -> ArrayOps.a13OracleSql,
     "a14_storage_report" -> ArrayOps.a14OracleSql,
     "a15_label_intensity" -> ArrayOps.a15OracleSql,
+    "a16_connected_components" -> ArrayOps.a16OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

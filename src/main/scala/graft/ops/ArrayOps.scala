@@ -414,6 +414,125 @@ object ArrayOps {
        | round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS vmean
        |FROM read_parquet('$voxelDumpRoot/a15/*.parquet') GROUP BY label""".stripMargin
 
+  /** Distributed connected-components labeling under the oracle gate (a16):
+    * the canonical chunked-segmentation graph operator. A uint8 mask volume
+    * is built with pillars + a bridge that straddle chunk seams on all three
+    * axes, ingested, and labeled in three scale-shaped stages:
+    *  1. chunk-local union-find ([[graft.volume.Volume.localComponents]]) —
+    *     one pass over chunks, emitting per-LOCAL-component stats plus only
+    *     the face voxels (O(surface), not O(volume));
+    *  2. cross-chunk edges from three +1-shifted equi-joins of the face
+    *     relation (face voxels adjacent across a seam link their provisional
+    *     components; same-chunk matches collapse to `a = b` and drop);
+    *  3. [[Dedup.connectedComponents]] pointer jumping merges the
+    *     provisional-component graph in O(log diameter) label-grain rounds,
+    *     and per-component stats fold with one map-side-combined groupBy.
+    * At petavoxel scale the voxel relation never shuffles — stage 2+3 move
+    * only face voxels and (component → 8 partial aggregates) rows. The
+    * component id is the min linearized voxel index (z<<40|y<<20|x), fully
+    * deterministic, which lets the DuckDB oracle recompute the SAME labels
+    * independently via a recursive-CTE min-label closure over the dumped
+    * foreground voxel relation — the oracle replays the graph semantics,
+    * not the chunk decomposition. */
+  def a16_connected_components(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a16").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    // mask: pillars every 16 voxels on x/y, 3 wide in the interior and
+    // clipped to 1-2 wide at the volume edges (25 pillars of varied size;
+    // the {31,32,33} pillars straddle the x=32|33 and y=32|33 chunk seams,
+    // every pillar spans the z=4|5 seam), plus a z=1 bridge merging three
+    // pillars of one row into one multi-chunk component (multi-hop merge)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val pillar = (x + 1) % 16 < 3 && (y + 1) % 16 < 3
+          val bridge = z == 1 && y >= 15 && y <= 17 && x >= 15 && x <= 49
+          if (pillar || bridge) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    // dump the foreground voxel relation for the oracle's independent replay
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a16")
+    componentStats(vol.localComponents(box))
+  }
+
+  /** Stages 2+3 of distributed CC over a [[graft.volume.Volume.localComponents]]
+    * relation: build the O(surface) cross-chunk face graph with three
+    * +1-shifted equi-joins, merge provisional components with pointer
+    * jumping, fold per-component stats in one map-side-combined groupBy.
+    * Exposed separately so specs can drive it over arbitrary volumes. */
+  private[graft] def componentStats(localComponents: DataFrame): DataFrame = {
+    // materialized: consumed by both the face-graph build and the stats fold
+    // (without it each consumer would re-read + re-label every chunk)
+    val lc = Tables.materialize(localComponents)
+    val bnd = lc.select(col("prov"), explode(col("face")).as("f"))
+      .select(col("prov"), col("f.x").as("x"), col("f.y").as("y"), col("f.z").as("z"))
+    def shifted(dx: Int, dy: Int, dz: Int): DataFrame =
+      bnd.as("a").join(bnd.as("b"),
+        col("b.x") === col("a.x") + dx &&
+          col("b.y") === col("a.y") + dy &&
+          col("b.z") === col("a.z") + dz)
+        .select(col("a.prov").as("a"), col("b.prov").as("b"))
+    val pairs = shifted(1, 0, 0).union(shifted(0, 1, 0)).union(shifted(0, 0, 1))
+      .filter(col("a") =!= col("b")).distinct()
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vtx"), col("cluster").as("lbl"))
+    lc.join(comp, lc("prov") === comp("vtx"), "left")
+      .select(coalesce(col("lbl"), col("prov")).as("comp"), col("n"),
+        col("x0"), col("x1"), col("y0"), col("y1"), col("z0"), col("z1"))
+      .groupBy(col("comp"))
+      .agg(sum(col("n")).as("n_voxels"),
+        min(col("x0")).as("x0"), max(col("x1")).as("x1"),
+        min(col("y0")).as("y0"), max(col("y1")).as("y1"),
+        min(col("z0")).as("z0"), max(col("z1")).as("z1"))
+      .orderBy(col("comp"))
+  }
+
+  /** Oracle twin of [[a16_connected_components]]: min-label closure over the
+    * dumped foreground voxels as a DuckDB recursive CTE (reachability
+    * enumeration is fine at oracle scale — components are designed small),
+    * then the same per-component aggregation. Same linearization constants,
+    * so the labels must agree bit-for-bit. */
+  def a16OracleSql: String =
+    s"""WITH RECURSIVE fg AS (
+       |  SELECT x, y, z,
+       |    (CAST(z AS BIGINT) << 40) | (CAST(y AS BIGINT) << 20) | CAST(x AS BIGINT) AS lin
+       |  FROM read_parquet('$voxelDumpRoot/a16/*.parquet')
+       |), e AS (
+       |  SELECT a.lin AS u, b.lin AS v FROM fg a JOIN fg b ON
+       |    (b.x = a.x + 1 AND b.y = a.y AND b.z = a.z) OR
+       |    (b.x = a.x AND b.y = a.y + 1 AND b.z = a.z) OR
+       |    (b.x = a.x AND b.y = a.y AND b.z = a.z + 1)
+       |), sym AS (
+       |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+       |), reach(v, l) AS (
+       |  SELECT lin, lin FROM fg
+       |  UNION
+       |  SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.v
+       |), lbl AS (
+       |  SELECT v, min(l) AS comp FROM reach GROUP BY v
+       |)
+       |SELECT l.comp, count(*) AS n_voxels,
+       |  min(f.x) AS x0, max(f.x) AS x1, min(f.y) AS y0, max(f.y) AS y1,
+       |  min(f.z) AS z0, max(f.z) AS z1
+       |FROM fg f JOIN lbl l ON l.v = f.lin
+       |GROUP BY l.comp""".stripMargin
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

@@ -524,6 +524,146 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk connected components (6-connectivity, foreground = nonzero):
+    * the chunk-grain building block of distributed CC labeling over a
+    * segmentation/mask volume. Each chunk task decodes its chunk and labels
+    * LOCAL components with an in-buffer union-find, emitting ONE row per
+    * local component:
+    *  - `prov` — provisional id = min linearized voxel index of the
+    *    component (ids are globally unique and deterministic with no
+    *    chunk-id arithmetic; linearization packs (z,y,x) as
+    *    `z<<40 | y<<20 | x`, so coords must sit in [0, 2^20));
+    *  - `n`, `x0..z1` — voxel count and bbox partials;
+    *  - `face` — the component's voxels lying on the chunk's cutout faces,
+    *    the ONLY voxels that can connect across chunks.
+    * The caller merges across chunks on the O(surface) face graph
+    * ([[graft.ops.ArrayOps.a16_connected_components]] runs
+    * `Dedup.connectedComponents` pointer jumping over it), never on the
+    * O(volume) voxel relation: at petavoxel scale the voxel data is read
+    * once where it lives and only face voxels + per-component partials ever
+    * move. This is the chunked decomposition connectomics pipelines run
+    * over reference-format segmentations (the same chunk grid drives both;
+    * reference: src/ChunkIterators.jl). A missing chunk under fillMissing
+    * is all-background and emits nothing. */
+  def localComponents(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localComponents: single-channel volumes only")
+    require(query.x.lo >= 0 && query.x.hi < (1 << 20) &&
+      query.y.lo >= 0 && query.y.hi < (1 << 20) &&
+      query.z.lo >= 0 && query.z.hi < (1 << 20),
+      s"localComponents: coords must lie in [0, 2^20) for linearized ids, got $query")
+    val schema = StructType(Seq(
+      StructField("prov", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("x0", IntegerType, nullable = false),
+      StructField("x1", IntegerType, nullable = false),
+      StructField("y0", IntegerType, nullable = false),
+      StructField("y1", IntegerType, nullable = false),
+      StructField("z0", IntegerType, nullable = false),
+      StructField("z1", IntegerType, nullable = false),
+      StructField("face", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val isFloat = c.dataType == graft.core.Meta.TFloat32 || c.dataType == graft.core.Meta.TFloat64
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, query).iterator.flatMap { s =>
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Iterator.empty // all-zero: no foreground
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              val cut = s.cutoutBox
+              val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+              // union-find over the cut box; -1 = background
+              val parent = new Array[Int](nx * ny * nz)
+              java.util.Arrays.fill(parent, -1)
+              @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+              def find(i0: Int): Int = {
+                var i = i0
+                while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+                i
+              }
+              @inline def isFg(lx: Int, ly: Int, lz: Int): Boolean = {
+                val bx = cut.x.lo - b.origin._1 + lx
+                val by = cut.y.lo - b.origin._2 + ly
+                val bz = cut.z.lo - b.origin._3 + lz
+                if (isFloat) b.getDouble(bx, by, bz, 0) != 0.0
+                else b.getLong(bx, by, bz, 0) != 0L
+              }
+              // pass 1: mark foreground, union each voxel with its already-
+              // visited -x/-y/-z neighbors (x-fastest scan order)
+              var lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    if (isFg(lx, ly, lz)) {
+                      val i = li(lx, ly, lz)
+                      parent(i) = i
+                      @inline def union(j: Int): Unit = {
+                        val ri = find(i); val rj = find(j)
+                        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+                      }
+                      if (lx > 0 && parent(li(lx - 1, ly, lz)) >= 0) union(li(lx - 1, ly, lz))
+                      if (ly > 0 && parent(li(lx, ly - 1, lz)) >= 0) union(li(lx, ly - 1, lz))
+                      if (lz > 0 && parent(li(lx, ly, lz - 1)) >= 0) union(li(lx, ly, lz - 1))
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              // pass 2: fold per-root stats + face voxel lists
+              final class Acc {
+                var n = 0L; var minLin = Long.MaxValue
+                var x0 = Int.MaxValue; var x1 = Int.MinValue
+                var y0 = Int.MaxValue; var y1 = Int.MinValue
+                var z0 = Int.MaxValue; var z1 = Int.MinValue
+                val face = scala.collection.mutable.ArrayBuffer.empty[Row]
+              }
+              val accs = scala.collection.mutable.LongMap.empty[Acc]
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val i = li(lx, ly, lz)
+                    if (parent(i) >= 0) {
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      val lin = (gz.toLong << 40) | (gy.toLong << 20) | gx.toLong
+                      val a = accs.getOrElseUpdate(find(i).toLong, new Acc)
+                      a.n += 1
+                      if (lin < a.minLin) a.minLin = lin
+                      if (gx < a.x0) a.x0 = gx; if (gx > a.x1) a.x1 = gx
+                      if (gy < a.y0) a.y0 = gy; if (gy > a.y1) a.y1 = gy
+                      if (gz < a.z0) a.z0 = gz; if (gz > a.z1) a.z1 = gz
+                      if (lx == 0 || lx == nx - 1 || ly == 0 || ly == ny - 1 ||
+                        lz == 0 || lz == nz - 1) a.face += Row(gx, gy, gz)
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              accs.values.iterator.map { a =>
+                Row(a.minLin, a.n, a.x0, a.x1, a.y0, a.y1, a.z0, a.z1, a.face.toSeq)
+              }
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
   /** The whole volume as a Catalyst-native voxel relation: a custom
     * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
     * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes

@@ -273,4 +273,54 @@ class VolumeSpec extends AnyFunSuite {
         Meta.ScaleMeta("1_1_1", (16, 16, 4), "raw", (1, 1, 1), (64, 64, 8), (0, 0, 0)))))
     assertThrows[IllegalArgumentException](img.zipVoxels(other, box))
   }
+
+  test("distributed CC (localComponents + merge) equals driver-side BFS on a random mask") {
+    // deterministic pseudo-random mask at ~35% density over a 40x40x8 volume
+    // on a 16x16x4 grid: plenty of components straddle the x=16|17, x=32|33,
+    // y seams and the z=4|5 seam, so the cross-chunk merge path is exercised
+    // hard, not just on hand-drawn shapes
+    val (w, h, d) = (40, 40, 8)
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-cc"), meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, w, h, d, 1, (1, 1, 1))
+    def fg(x: Int, y: Int, z: Int): Boolean =
+      (scala.util.hashing.MurmurHash3.productHash((x, y, z, 16)) & 0xffff) < 23000
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w)
+      if (fg(x, y, z)) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+    vol.ingest(buf)
+    val got = graft.ops.ArrayOps.componentStats(vol.localComponents(Box(1, w, 1, h, 1, d)))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    // ground truth: flood fill on the driver over the same mask
+    def lin(x: Int, y: Int, z: Int): Long = (z.toLong << 40) | (y.toLong << 20) | x.toLong
+    val seen = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Int, Int, Int, Int, Int, Int)]
+    for (z0 <- 1 to d; y0 <- 1 to h; x0 <- 1 to w)
+      if (fg(x0, y0, z0) && !seen((x0, y0, z0))) {
+        val queue = scala.collection.mutable.Queue((x0, y0, z0))
+        val comp = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        seen += ((x0, y0, z0))
+        while (queue.nonEmpty) {
+          val (x, y, z) = queue.dequeue()
+          comp += ((x, y, z))
+          for ((nx, ny, nz) <- Seq((x + 1, y, z), (x - 1, y, z), (x, y + 1, z),
+            (x, y - 1, z), (x, y, z + 1), (x, y, z - 1)))
+            if (nx >= 1 && nx <= w && ny >= 1 && ny <= h && nz >= 1 && nz <= d &&
+              fg(nx, ny, nz) && !seen((nx, ny, nz))) {
+              seen += ((nx, ny, nz)); queue += ((nx, ny, nz))
+            }
+        }
+        val id = comp.map { case (x, y, z) => lin(x, y, z) }.min
+        want(id) = (comp.size.toLong,
+          comp.map(_._1).min, comp.map(_._1).max,
+          comp.map(_._2).min, comp.map(_._2).max,
+          comp.map(_._3).min, comp.map(_._3).max)
+      }
+    assert(want.nonEmpty && want.exists(_._2._1 > 50), "mask degenerate: no sizable component")
+    assert(got == want.toMap)
+    // guards: multi-channel and out-of-range coords are rejected loudly
+    assertThrows[IllegalArgumentException](
+      vol.localComponents(Box(1, 1 << 21, 1, h, 1, d)))
+  }
 }
