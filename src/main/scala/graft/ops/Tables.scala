@@ -15,12 +15,23 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the raw int64 and convert to a µs timestamp
-    * (truncation — consistent with ms-precision presentation downstream). */
+  /** The events fixture has shipped two physical ts encodings: parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects (read as raw
+    * int64 via `nanosAsLong` and truncated to µs), and plain
+    * TIMESTAMP(MICROS) without timezone, which Spark reads natively as
+    * TIMESTAMP_NTZ. Normalize both to a session-tz TIMESTAMP — sessions run
+    * UTC, so the NTZ cast preserves the wall-clock epoch micros DuckDB sees. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events `ts` column (int64 nanos or TIMESTAMP_NTZ µs)
+    * to TIMESTAMP; shared by the batch and streaming loaders. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 
   /** Exact decimal sum of a double column (identical in Spark and DuckDB

@@ -8,6 +8,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
+import graft.ops.Tables
+
 /** Structured Streaming surface: windowed aggregation with watermarks over
   * the events table, and a stateful sessionizer
   * (flatMapGroupsWithState) — the streaming counterparts of
@@ -16,18 +18,23 @@ import org.apache.spark.sql.types._
   * live source. */
 object EventStreams {
 
-  /** Raw schema of events.parquet (ts read as int64 nanos — Spark can't scan
-    * parquet TIMESTAMP(NANOS) natively). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Raw schema of events.parquet with `ts` left abstract — the fixture has
+    * shipped both TIMESTAMP(NANOS) (scanned as raw int64 via `nanosAsLong`)
+    * and TIMESTAMP(MICROS) (scanned natively as TIMESTAMP_NTZ); the stream
+    * loader peeks at the batch footer to declare the matching type. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a file-stream source needs an explicit schema; take the ts type from a
+    // batch read of the same fixture so both encodings stream correctly
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // glob form: the file-stream source requires a directory basePath
-    spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(tsType)).parquet(s"$dir/events*.parquet"))
   }
 
   /** Hourly tumbling-window counts/sums per event type with a 1-hour
