@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must leave a VISIBLE artifact, not silently vanish
+    // from the dump (a missing parquet dir reads as "not registered" to the
+    // driver) — collect failures and write errors.json alongside the dumps
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>
@@ -25,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +47,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // loud, but exit 0: a nonzero exit could make the driver discard the
+    // healthy dumps too — the errors.json artifact plus VerifyGateSpec
+    // (which runs every registered query) are the enforcement points
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")} (see errors.json)")
     spark.stop()
   }
 }

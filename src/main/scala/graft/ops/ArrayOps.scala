@@ -410,7 +410,7 @@ object ArrayOps {
     * relation re-aggregated in DuckDB. */
   def a15OracleSql: String =
     s"""SELECT label, count(*) AS n,
-       | min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum,
+       | min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
        | round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS vmean
        |FROM read_parquet('$voxelDumpRoot/a15/*.parquet') GROUP BY label""".stripMargin
 

@@ -30,7 +30,12 @@ object Tables {
     * to TIMESTAMP; shared by the batch and streaming loaders. */
   private[graft] def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      // the NTZ→TZ cast preserves epoch micros only under a UTC session —
+      // enforce it here rather than trusting every entrypoint's builder
+      require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+        "normalizeTs requires spark.sql.session.timeZone=UTC (the NTZ cast shifts otherwise)")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
   }
 

@@ -30,8 +30,10 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a file-stream source needs an explicit schema; take the ts type from a
-    // batch read of the same fixture so both encodings stream correctly
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // batch read over the SAME glob the stream uses, so staged dirs whose
+    // files are named events0/events1.parquet (the e7 bounded-replay drive)
+    // resolve just like the fixture's literal events.parquet
+    val tsType = spark.read.parquet(s"$dir/events*.parquet").schema("ts").dataType
     // glob form: the file-stream source requires a directory basePath
     Tables.normalizeTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(s"$dir/events*.parquet"))
@@ -251,9 +253,10 @@ object EventStreams {
     * this from a stream-static enrich (e3). Joined rows emit append-mode;
     * the gate aggregates pairs per user and the batch twin
     * ([[intervalJoinOracleSql]]) replays the same interval self-join.
-    * (Events are µs-grain, and the stream reader truncates ns→µs exactly,
-    * so the interval boundary comparisons agree with the ns-native batch
-    * oracle bit-for-bit.) */
+    * (Events are µs-grain under both fixture encodings — a NANOS fixture is
+    * truncated ns→µs by the stream reader, a MICROS fixture is already
+    * µs-native — so the interval boundary comparisons agree with the batch
+    * oracle bit-for-bit either way.) */
   def intervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
     val name = s"stream_ivjoin_${System.nanoTime()}"
     withFewStatePartitions(spark, 8) {
@@ -309,14 +312,25 @@ object EventStreams {
     val stage = Files.createTempDirectory("graft-e7").toString
     Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/events0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    // sentinel rows: one purchase + one click far past the data (2100-01-01
-    // in raw int64 nanos, the source file's ts encoding)
+    // sentinel rows: one purchase + one click far past the data
+    // (2100-01-01). The sentinel file must carry the SAME physical ts
+    // encoding as the fixture — the declared stream schema covers both
+    // files — so branch on the fixture's footer type: raw int64 nanos for
+    // the NANOS encoding (read via nanosAsLong as LongType), a real
+    // TIMESTAMP_NTZ column for the MICROS encoding.
+    val srcTsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val farNs = 4102444800L * 1000000000L
     import spark.implicits._
-    val sentinels = Seq(
+    val sentinelsRaw = Seq(
       (-1L, farNs, -1L, "purchase", 0.0, null.asInstanceOf[String]),
       (-2L, farNs, -1L, "click", 0.0, null.asInstanceOf[String]))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinels = srcTsType match {
+      case TimestampNTZType =>
+        sentinelsRaw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => sentinelsRaw // LongType: keep raw int64 nanos
+    }
     val tmpOut = s"$stage/__sentinel_out"
     sentinels.coalesce(1).write.mode("overwrite").parquet(tmpOut)
     val part = new java.io.File(tmpOut).listFiles()

@@ -59,6 +59,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("e6 stream-stream interval join matches the batch interval self-join") {
+    val streamed = EventStreams.intervalJoinOnce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val batch = p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks"),
+        count_distinct(col("p_id")).as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("e7 LEFT interval join: staged sentinel drive flushes unmatched purchases") {
+    // the r7 regression: this drive stages events0/events1.parquet into a
+    // temp dir (no literal events.parquet), so it exercises both the
+    // glob-based ts sniff AND the encoding-matched sentinel file
+    val out = EventStreams.leftIntervalJoinOnce(spark, dir).cache()
+    try {
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty, "e7 returned no rows")
+      // every row: n_rows = n_matched + n_unmatched, and unmatched rows exist
+      // somewhere (purchases with no click in-window), else LEFT degenerated
+      // to INNER
+      rows.foreach { case (u, n, m, um) =>
+        assert(n == m + um, s"user $u: n_rows $n != matched $m + unmatched $um")
+      }
+      assert(rows.map(_._4).sum > 0, "no unmatched purchases — left join degenerated to inner")
+      // batch LEFT JOIN twin (the oracle shape) must agree exactly
+      val ev = Tables.events(spark, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val batch = p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_id")).as("n_matched"),
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.toSet == batch, "streamed left join disagrees with batch twin")
+    } finally { out.unpersist(); () }
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
