@@ -69,7 +69,11 @@ object Bench {
     // only a persistent regression stays flagged as `suspect`.
     // Sub-second queries on this box swing 2-4x run-to-run, so a suspect
     // needs BOTH >2x the band AND >0.75 s absolute excess.
+    // optional args: bench only queries whose name contains one of them
+    // (dev iteration; the driver passes no args → full sweep)
+    val only = args.toSeq
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.exists(n.contains))
     case class QRes(first: Double, best: Double, reps: Int)
     def over(best: Double, band: Double): Boolean =
       best > 2.0 * band && best - band > 0.75
@@ -194,6 +198,19 @@ object Bench {
     System.err.flush()
     System.out.flush()
     System.out.println(s"""{"queries":$qs,"singles":$singles,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
+    // COMPACT final line, emitted LAST so it sits fully inside the driver's
+    // ~2 KB log tail (the full line above overflows it — BENCH_r07's
+    // `"parsed": null`). Query names shrink to their unique leading token
+    // (q01_agg → q01); `singles` is dropped. ~1.8 KB total, so the tail
+    // always contains one complete parseable JSON line.
+    val shortName: Map[String, String] = {
+      val cand = results0.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      val dup = cand.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }.toSet
+      cand.map { case (k, v) => k -> (if (dup(v)) k else v) }
+    }
+    val qsShort = results0.map { case (k, v) => "\"" + shortName(k) + "\":" + dec3(v) }
+      .mkString("{", ",", "}")
+    System.out.println(s"""{"queries":$qsShort,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
     System.out.flush()
   }
 }

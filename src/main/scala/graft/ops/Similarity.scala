@@ -270,49 +270,91 @@ object Similarity {
     * single-pass assignment. */
   val IvfTrainCap = 100000
 
-  /** One capped training sample, materialized so every fit that consumes
-    * it reads blocks instead of re-scanning parquet. Capped, then spread
-    * over a handful of partitions: a non-terminal limit() plans an
-    * Exchange to a SINGLE partition, so a repartition (not coalesce —
-    * that would no-op at 1 partition) is what actually distributes the
-    * Lloyd iterations; 8 tasks beats 32 near-empty ones at bench scale,
-    * and at 100 TB the cap keeps iteration cost independent of corpus
-    * size. */
-  private def cappedTrainSample(emb: DataFrame): DataFrame =
-    materialize(emb.select(col("embedding")).limit(IvfTrainCap).repartition(8))
+  /** The capped training sample, COLLECTED once: quantizer training is a
+    * constant-size problem ([[IvfTrainCap]] × dim doubles ≈ 50 MB) and at
+    * that size a distributed Lloyd pays more in per-iteration job
+    * scheduling than in math — the r7 bench put s6/s8 at 2–8 s with Spark
+    * ML KMeans where the arithmetic is tens of milliseconds. This is the
+    * standard ANN-serving shape (train-then-index): the quantizer trains
+    * node-local on a bounded sample, and the FULL corpus is touched only
+    * by the distributed single-pass assignment/encode that follows. Same
+    * capped-driver-fit precedent as the BPE vocabulary (TextOps). */
+  private def cappedTrainSample(emb: DataFrame): Array[Array[Double]] =
+    emb.select(col("embedding")).limit(IvfTrainCap).collect()
+      .map(_.getSeq[Number](0).iterator.map(_.doubleValue).toArray)
+
+  /** Seeded in-process Lloyd (squared-L2, mean update): deterministic
+    * init via partial Fisher–Yates, empty clusters keep their previous
+    * centroid. Assignment parallelizes across cores; the update pass is a
+    * single accumulation sweep. Exactness doesn't matter to the gates —
+    * every consumer dumps its fitted centroids and the oracle REPLAYS
+    * downstream math from the dump — but determinism (seed → same
+    * centroids) keeps runs reproducible. */
+  private[ops] def lloydLocal(points: Array[Array[Double]], k: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "empty k-means training sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val idx = Array.tabulate(n)(identity)
+    val kk = math.min(k, n)
+    var i = 0
+    while (i < kk) { // partial Fisher–Yates: first kk slots are distinct picks
+      val j = i + rnd.nextInt(n - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t; i += 1
+    }
+    val cents = Array.tabulate(k)(c => points(idx(c % kk)).clone)
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < maxIter) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { p =>
+        val pt = points(p)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val ce = cents(c); var d = 0.0; var j = 0
+          while (j < dim) { val df = pt(j) - ce(j); d += df * df; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val c = assign(p); cnt(c) += 1
+        val pt = points(p); val s = sums(c); var j = 0
+        while (j < dim) { s(j) += pt(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var j = 0; while (j < dim) { cents(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
 
   /** Coarse k-means quantizer (maxIter 10) over the capped sample — the
     * ONE fit definition s4, s6, and s8 share. */
-  private def fitCoarseCentroids(trainEmb: DataFrame, nlist: Int,
-      seed: Long = 7): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(trainEmb.select(array_to_vector(col("embedding")).as("fv")))
-      .clusterCenters.map(_.toArray)
-  }
+  private def fitCoarseCentroids(train: Array[Array[Double]], nlist: Int,
+      seed: Long = 7): Array[Array[Double]] =
+    lloydLocal(train, nlist, maxIter = 10, seed)
 
   /** `m` per-subspace PQ codebooks (seeds 7+s, maxIter 5 — plenty for an
-    * (dim/m)-dim nCodes-code quantizer), fitted CONCURRENTLY: the fits are
-    * independent subproblems on disjoint dimension slices and Spark's
-    * scheduler interleaves the jobs, so wall-clock ≈ one fit instead of m.
-    * The ONE fit definition s7 and s8 share. */
-  private def fitPqCodebooks(trainEmb: DataFrame, m: Int, nCodes: Int): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    * (dim/m)-dim nCodes-code quantizer) over disjoint dimension slices of
+    * the same sample. The ONE fit definition s7 and s8 share. */
+  private def fitPqCodebooks(train: Array[Array[Double]], m: Int,
+      nCodes: Int): Array[Array[Array[Double]]] = {
     val subDim = Dim / m
-    Await.result(
-      Future.sequence((0 until m).map { s => Future {
-        new KMeans().setK(nCodes).setSeed(7 + s).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("c")
-          .fit(trainEmb.select(
-            array_to_vector(expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("fv")))
-          .clusterCenters.map(_.toArray)
-      } }), Duration.Inf).toArray
+    Array.tabulate(m) { s =>
+      val slice = train.map(p => java.util.Arrays.copyOfRange(p, s * subDim, (s + 1) * subDim))
+      lloydLocal(slice, nCodes, maxIter = 5, seed = 7 + s)
+    }
   }
 
   /** Dump fitted coarse centroids for a replay oracle (schema the oracles
@@ -661,16 +703,11 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 10, m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
     require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
     val emb = t(spark, dir, "embeddings")
+    // one collected sample feeds both fits — same shared fit definitions
+    // as s4 and s7, so the three operators can never drift apart
     val trainEmb = cappedTrainSample(emb)
-    // the coarse fit runs concurrently with the (already-concurrent)
-    // codebook fits — same shared fit definitions as s4 and s7, so the
-    // three operators can never drift apart
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val coarseF = Future(fitCoarseCentroids(trainEmb, nlist))
+    val centMatrix = fitCoarseCentroids(trainEmb, nlist)
     val cbs = fitPqCodebooks(trainEmb, m, nCodes)
-    val centMatrix = Await.result(coarseF, Duration.Inf)
     dumpCentroids(spark, centMatrix, IvfAdcCentroidDump)
     dumpCodebooks(spark, cbs, IvfAdcCodebookDump)
     import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
