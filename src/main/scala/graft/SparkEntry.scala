@@ -109,6 +109,13 @@ object SparkEntry {
     // recall@k of each ANN path vs the exact scan — the acceptance gate
     // that lets an approximate index replace s1 in production
     "s11_ann_recall" -> ((s, d) => Similarity.annRecallEval(s, d)),
+    // sparse tf-idf retrieval: postings-list inverted index, broadcast
+    // query postings, integer stop-list prune — the IR-shaped sparse
+    // counterpart of s1's dense scan
+    "s12_sparse_topk" -> ((s, d) => Similarity.sparseTfidfTopK(s, d)),
+    // JL random projection: Dim->16 via a seeded Gaussian matrix carried
+    // as foldable codegen constants; exact scan runs in the reduced space
+    "s13_rp_topk" -> ((s, d) => Similarity.randomProjTopK(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -183,6 +190,9 @@ object SparkEntry {
     // row-locally (zero streaming state) and probe the corpus LSH index
     // at rest — near-dup admission control on an unbounded stream
     "e9_stream_neardup" -> ((s, d) => EventStreams.nearDupStreamOnce(s, d, 0.8)),
+    // built-in session_window: the declarative sessionizer (vs e4/e5's
+    // stateful-processor forms); append-mode flush via the e7 sentinel
+    "e10_session_window" -> ((s, d) => EventStreams.sessionWindowOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -398,6 +408,8 @@ object SparkEntry {
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
+    "s12_sparse_topk" -> Similarity.sparseTfidfOracleSql(),
+    "s13_rp_topk" -> Similarity.randomProjOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,
@@ -444,6 +456,7 @@ object SparkEntry {
     "e7_stream_leftjoin" -> EventStreams.leftIntervalJoinOracleSql(),
     "e8_stream_corpus" -> EventStreams.corpusIngestOracleSql,
     "e9_stream_neardup" -> deltaCorpusPairOracle,
+    "e10_session_window" -> EventStreams.sessionWindowOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

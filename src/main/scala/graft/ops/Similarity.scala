@@ -991,4 +991,152 @@ object Similarity {
        |       FROM p WHERE cos >= $minCos)
        |SELECT a AS pruned_id, b AS keeper_id, CAST(cluster AS BIGINT) AS cluster, round(cos, 4) AS cs
        |FROM q WHERE rnk = 1""".stripMargin
+
+  /** Where [[randomProjTopK]] dumps its projection matrix for the replay
+    * oracle. */
+  lazy val RpMatrixDump: String = s"$OracleDumpRoot/s13_rp_matrix"
+
+  /** Johnson–Lindenstrauss random-projection top-k (s13): embeddings are
+    * projected Dim→rdim through a seeded Gaussian matrix (entries
+    * N(0,1)/√rdim — the JL scaling, so expected norms and hence cosines
+    * are approximately preserved) and the s1 exact-scan shape runs in the
+    * REDUCED space. This is the cheap front half of dimensionality-reduced
+    * serving: 4× fewer multiplies per candidate at rdim=16, with the
+    * projection itself a zero-shuffle row-local map (each output
+    * coordinate one codegen'd [[vec_dot]] against a foldable matrix row —
+    * no UDF, no shuffle, constant plan size in rdim).
+    *
+    * Scale shape: at 100 TB the projected table is the index-at-rest
+    * (materialized once here, written by ingest in production) — 4×
+    * smaller than the float corpus, scanned instead of it; the matrix is
+    * a driver constant (rdim × Dim doubles), never a join side.
+    *
+    * Oracle: the matrix dumps to parquet and DuckDB replays projection
+    * (same sequential-accumulation dot product), cosine, and the
+    * (cos DESC, nb_id) rank from the same constants. */
+  def randomProjTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, rdim: Int = 16, seed: Long = 42): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val mat = Array.fill(rdim, Dim)(rnd.nextGaussian() / math.sqrt(rdim))
+    import spark.implicits._
+    mat.toSeq.zipWithIndex.map { case (r, j) => (j, r.toSeq) }
+      .toDF("j", "row").coalesce(1).write.mode("overwrite").parquet(RpMatrixDump)
+    val proj = array((0 until rdim).map(j =>
+      vec_dot(col("embedding"), typedLit(mat(j).toSeq))): _*)
+    val e = materialize(
+      t(spark, dir, "embeddings").select(col("vec_id"), proj.as("y")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("y").as("qy"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    e.select(col("vec_id").as("nb_id"), col("y").as("ny"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("cos", vec_cosine(col("qy"), col("ny")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[randomProjTopK]] — projection, cosine and
+    * rank replayed from the dumped matrix with the same double math. */
+  def randomProjOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH m AS (SELECT j, row FROM read_parquet('$RpMatrixDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | p AS (SELECT e.vec_id, list(list_dot_product(e.emb, m.row) ORDER BY m.j) AS y
+       |       FROM e, m GROUP BY e.vec_id),
+       | pairs AS (SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+       |        CASE WHEN sqrt(list_dot_product(q.y, q.y)) * sqrt(list_dot_product(n.y, n.y)) = 0 THEN 0.0
+       |             ELSE list_dot_product(q.y, n.y) /
+       |                  (sqrt(list_dot_product(q.y, q.y)) * sqrt(list_dot_product(n.y, n.y))) END AS cos
+       |       FROM p q JOIN p n ON n.vec_id != q.vec_id WHERE q.vec_id < $nQueries),
+       | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs)
+       |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Sparse tf-idf cosine top-k over the documents table via an INVERTED
+    * INDEX (s12) — the classic IR retrieval shape and the sparse
+    * counterpart of the dense s1: each document is a sparse
+    * (term → tf·ln(N/df)) vector, and query·document dot products
+    * accumulate from postings-list matches instead of dense array kernels.
+    *
+    * Scale shape: the postings relation (doc_id, term, w) is the
+    * index-at-rest (materialized here; appended by ingest in a standing
+    * pipeline, cf. d7/d8's codes-at-rest). The query side — nQueries
+    * documents' postings — is BROADCAST, so the corpus postings never
+    * shuffle for the match; partial products then reduce on the slim
+    * (q_id, nb_id) key. Terms appearing in over half the corpus are
+    * dropped from the index above a df ceiling (`maxDfPct`, the standard
+    * stop-list prune, decided by the EXACT integer test 100·df < pct·N —
+    * production corpora use 50–90; the default 95 suits short-vocabulary
+    * test data): per-query cost is bounded by the df of
+    * the query's surviving terms, not corpus size, and idf weighting
+    * already pushes those hot terms toward zero contribution.
+    *
+    * Cross-engine: every pairwise product and squared-norm term rounds to
+    * DECIMAL(18,8) before its sum (t12's discipline — order-insensitive,
+    * exact in both engines; the 1-ulp ln risk is absorbed by the
+    * rounding); the cosine divides in double, identically on both sides,
+    * and presents at 4 dp. */
+  def sparseTfidfTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, maxDfPct: Int = 95): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tfM = materialize(tf) // feeds the df fit AND the weighting — one token pass
+    val dfreq = tfM.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // doc count derives from the materialized postings (every document
+    // yields >=1 token, the empty string included), so documents is
+    // scanned exactly once
+    val stats = tfM.agg(count_distinct(col("doc_id")).as("n_docs_l"),
+      count_distinct(col("doc_id")).cast(DoubleType).as("n_docs"))
+    val wts = materialize(
+      tfM.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .filter(col("df") * 100 < col("n_docs_l") * maxDfPct) // exact integer stop-list prune
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast(DoubleType) * log(col("n_docs") / col("df").cast(DoubleType))).as("w")))
+    val norms = wts.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast(DecimalType(18, 8))).cast(DoubleType).as("nsq"))
+    val qpost = wts.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term"), col("w").as("wq"))
+    val dots = wts.select(col("doc_id").as("nb_id"), col("term"), col("w").as("wd"))
+      .join(broadcast(qpost), Seq("term"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("nb_id"))
+      .agg(sum((col("wq") * col("wd")).cast(DecimalType(18, 8))).cast(DoubleType).as("dot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    dots
+      .join(norms.select(col("doc_id").as("q_id"), col("nsq").as("qn")), Seq("q_id"))
+      .join(norms.select(col("doc_id").as("nb_id"), col("nsq").as("dn")), Seq("nb_id"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("dn"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[sparseTfidfTopK]] — same tokenization, same
+    * integer stop-list prune, same per-term decimal rounding, same
+    * (cos DESC, nb_id) rank order. */
+  def sparseTfidfOracleSql(nQueries: Int = 10, k: Int = 5, maxDfPct: Int = 95): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_l,
+       |         CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+       | wts AS (SELECT t.doc_id, t.term,
+       |          CAST(t.tf AS DOUBLE) * ln(s.n_docs / CAST(d.df AS DOUBLE)) AS w
+       |         FROM tf t JOIN dfreq d USING (term), st s WHERE d.df * 100 < s.n_docs_l * $maxDfPct),
+       | norms AS (SELECT doc_id, CAST(sum(CAST(w * w AS DECIMAL(18,8))) AS DOUBLE) AS nsq
+       |           FROM wts GROUP BY 1),
+       | dots AS (SELECT q.doc_id AS q_id, d.doc_id AS nb_id,
+       |           CAST(sum(CAST(q.w * d.w AS DECIMAL(18,8))) AS DOUBLE) AS dot
+       |          FROM wts q JOIN wts d USING (term)
+       |          WHERE q.doc_id < $nQueries AND d.doc_id <> q.doc_id GROUP BY 1, 2),
+       | c AS (SELECT q_id, nb_id, dot / (sqrt(nq.nsq) * sqrt(nd.nsq)) AS cos
+       |       FROM dots JOIN norms nq ON nq.doc_id = dots.q_id
+       |                 JOIN norms nd ON nd.doc_id = dots.nb_id),
+       | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM c)
+       |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 }

@@ -307,24 +307,29 @@ object EventStreams {
     * naturally; the sentinel is purely a bounded-replay device.
     * Output: per user, total result rows, matched pairs, unmatched
     * purchases — exactly a batch LEFT JOIN's shape, which is the oracle. */
-  def leftIntervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
+  /** Stage the events fixture plus far-future SENTINEL rows
+    * (2100-01-01, user_id −1 — filtered from every consumer's result)
+    * into a temp dir: a bounded replay of an append-mode stateful query
+    * only flushes its final state once the watermark passes the data, and
+    * the sentinel is what pushes it there. The sentinel file must carry
+    * the SAME physical ts encoding as the fixture — the declared stream
+    * schema covers both files — so this branches on the fixture's footer
+    * type: raw int64 nanos for the NANOS encoding (read via nanosAsLong
+    * as LongType), a real TIMESTAMP_NTZ column for the MICROS encoding.
+    * `sentinelTypes` gives one sentinel row per entry (e7 needs one per
+    * join side; e10 needs one total). Caller deletes the dir. */
+  private def stageWithSentinels(spark: SparkSession, dir: String,
+      sentinelTypes: Seq[String]): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft-e7").toString
+    val stage = Files.createTempDirectory("graft-stage").toString
     Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$stage/events0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    // sentinel rows: one purchase + one click far past the data
-    // (2100-01-01). The sentinel file must carry the SAME physical ts
-    // encoding as the fixture — the declared stream schema covers both
-    // files — so branch on the fixture's footer type: raw int64 nanos for
-    // the NANOS encoding (read via nanosAsLong as LongType), a real
-    // TIMESTAMP_NTZ column for the MICROS encoding.
     val srcTsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val farNs = 4102444800L * 1000000000L
     import spark.implicits._
-    val sentinelsRaw = Seq(
-      (-1L, farNs, -1L, "purchase", 0.0, null.asInstanceOf[String]),
-      (-2L, farNs, -1L, "click", 0.0, null.asInstanceOf[String]))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinelsRaw = sentinelTypes.zipWithIndex.map { case (tpe, i) =>
+      (-(i + 1).toLong, farNs, -1L, tpe, 0.0, null.asInstanceOf[String])
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val sentinels = srcTsType match {
       case TimestampNTZType =>
         sentinelsRaw.withColumn("ts",
@@ -337,6 +342,21 @@ object EventStreams {
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
     Files.move(part.toPath, Paths.get(s"$stage/events1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    stage
+  }
+
+  /** Recursively delete a bounded-replay staging dir (repeated bench
+    * invocations would otherwise accumulate copies of the events table). */
+  private def rmStage(stage: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(stage))
+  }
+
+  def leftIntervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
+    val stage = stageWithSentinels(spark, dir, Seq("purchase", "click"))
     val name = s"stream_ivjoin_left_${System.nanoTime()}"
     try {
       withFewStatePartitions(spark, 8) {
@@ -356,16 +376,7 @@ object EventStreams {
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
-    } finally {
-      // the staging copy is per-call scratch — delete it once drained
-      // (repeated bench invocations would otherwise accumulate full
-      // copies of the events table in the temp dir)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(stage))
-    }
+    } finally rmStage(stage)
     spark.table(name)
       .filter(col("p_user") >= 0)
       .groupBy(col("p_user").as("user_id"))
@@ -386,6 +397,60 @@ object EventStreams {
        | AND c.ts >= p.ts - INTERVAL $windowMin MINUTE
        | AND c.ts <= p.ts
        |GROUP BY 1""".stripMargin
+
+  /** NATIVE session-window aggregation (e10) — the declarative
+    * counterpart of e4/e5's hand-built stateful sessionizers:
+    * `session_window(ts, gap)` lets Spark's own streaming state machinery
+    * grow/merge sessions (state bounded by the watermark, sessions merge
+    * across micro-batches, no user code holds state). The three
+    * sessionization forms now cover the full design space: e4
+    * transformWithState (arbitrary state), e5 watermark-aware custom fold
+    * (event-time ordering under out-of-order input), e10 built-in
+    * session_window (the form to reach for FIRST in production).
+    *
+    * Append mode only emits a session once the watermark proves it can no
+    * longer grow, so the bounded replay stages one far-future sentinel
+    * ([[stageWithSentinels]], e7's device) to flush the final sessions.
+    *
+    * Close semantics (and therefore the batch oracle): a session covers
+    * [first ts, last ts + gap); an event at EXACTLY last ts + gap starts
+    * a NEW session — the batch twin breaks on `ts - prev >= gap`. */
+  def sessionWindowOnce(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame = {
+    val stage = stageWithSentinels(spark, dir, Seq("view"))
+    val name = s"stream_swin_${System.nanoTime()}"
+    try {
+      withFewStatePartitions(spark, 8) {
+        val perSession = readEventStream(spark, stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes").as("sw"))
+          .agg(count(lit(1)).as("n"))
+        val q = perSession.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally rmStage(stage)
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_len"))
+  }
+
+  /** DuckDB oracle twin of [[sessionWindowOnce]]: classic island
+    * detection with the SAME close rule (break at `ts - prev >= gap`). */
+  def sessionWindowOracleSql(gapMin: Int = 30): String =
+    s"""WITH o AS (SELECT user_id, ts, event_id,
+       |        CASE WHEN lag(ts) OVER w IS NULL
+       |               OR ts - lag(ts) OVER w >= INTERVAL $gapMin MINUTE THEN 1 ELSE 0 END AS brk
+       |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       | s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS sid
+       |       FROM o),
+       | g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       |       CAST(sum(n) AS BIGINT) AS n_events, CAST(max(n) AS BIGINT) AS max_len
+       |FROM g GROUP BY 1""".stripMargin
 
   // ---------------- stateful sessionization ----------------
 

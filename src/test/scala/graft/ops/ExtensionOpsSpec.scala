@@ -573,4 +573,59 @@ class ExtensionOpsSpec extends AnyFunSuite {
       assert(math.abs(cs - ecs) < 1e-3, s"cos drift for $a: $cs vs $ecs")
     }
   }
+
+  test("s12 sparse tf-idf equals a driver-side dense recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sparseTfidfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // brute-force ground truth: tf-idf vectors computed naively on the
+    // driver from the raw text (no inverted index, no prune shortcuts
+    // beyond the same df ceiling)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val n = docs.size
+    val dfc = docs.values.flatMap(_.distinct).groupBy(identity).map { case (t, g) => t -> g.size }
+    val kept = dfc.filter { case (_, df) => df * 100 < n.toLong * 95 }.keySet
+    def wvec(toks: Seq[String]): Map[String, Double] =
+      toks.filter(kept).groupBy(identity).map { case (t, g) =>
+        t -> g.size * math.log(n.toDouble / dfc(t)) }
+    val vecs = docs.map { case (id, tk) => id -> wvec(tk) }
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keysIterator.filter(b.contains).map(t => a(t) * b(t)).sum
+      val na = math.sqrt(a.values.map(x => x * x).sum)
+      val nb = math.sqrt(b.values.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expected = (for {
+      q <- vecs.keys.filter(_ < 10)
+      ranked = vecs.keys.filter(o => o != q && cos(vecs(q), vecs(o)) > 0)
+        .map(o => o -> cos(vecs(q), vecs(o))).toSeq
+        .sortBy { case (o, c) => (-c, o) }.take(5)
+      ((o, c), i) <- ranked.zipWithIndex
+    } yield (q, o) -> (c, (i + 1).toLong)).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair drift: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (k, (c, rnk)) =>
+      assert(math.abs(c - expected(k)._1) < 1e-3 && rnk == expected(k)._2, s"drift at $k")
+    }
+  }
+
+  test("s13 random projection: deterministic, self-similarity 1, ranking sane") {
+    val a = Similarity.randomProjTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = Similarity.randomProjTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == b, "seeded projection must be deterministic")
+    assert(a.nonEmpty && a.forall { case (_, _, cs, _) => cs <= 1.0001 && cs >= -1.0001 })
+    // per query: ranks are 1..k and cosines non-increasing along ranks
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.toSeq.sortBy(_._4)
+      assert(byRank.map(_._4) == (1L to byRank.size).toSeq, s"rank gap for query $q")
+      assert(byRank.sliding(2).forall {
+        case Seq(x, y) => x._3 >= y._3 - 1e-9
+        case _ => true
+      }, s"non-monotone cosine for query $q")
+    }
+  }
 }

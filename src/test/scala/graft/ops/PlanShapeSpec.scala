@@ -190,6 +190,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s12: corpus postings never shuffle for the match — query side broadcast") {
+    val p = plan("s12_sparse_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s12: ONE documents scan feeds tf, df, weights and both join sides") {
+    assert(scansOf("documents", "s12_sparse_topk") == 1)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
@@ -198,12 +208,12 @@ class PlanShapeSpec extends AnyFunSuite {
       .filterNot(Set("e1_stream_hourly", "e2_stream_dedup", "e3_stream_enrich",
         "e4_stream_sessions", "e5_stream_sessions_wm", "e6_stream_ivjoin",
         "e7_stream_leftjoin", "e8_stream_corpus",
-        "e9_stream_neardup")) // streaming: no batch plan
+        "e9_stream_neardup", "e10_session_window")) // streaming: no batch plan
       .filter { n =>
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("s1_cosine_topk", "s5_sq8_topk",
+    assert(offenders == Seq("s13_rp_topk", "s1_cosine_topk", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // c7 attaches n_min via a
     // window over the tiny count relation, and s11's exact ground truth is

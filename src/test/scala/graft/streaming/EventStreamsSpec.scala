@@ -113,6 +113,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("e10 native session_window matches batch island detection") {
+    val streamed = EventStreams.sessionWindowOnce(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // batch twin: break a new session when ts - prev >= gap (session
+    // covers [first, last+gap) — an event at exactly last+gap is outside)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts") >= col("prev") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"), max(col("n")).as("max_len"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
