@@ -76,6 +76,9 @@ object SparkEntry {
     // distributed connected components: chunk-local union-find, O(surface)
     // face graph, pointer-jumping merge — voxels never shuffle
     "a16_connected_components" -> (ArrayOps.a16_connected_components _),
+    // halo-exchange morphology: chunk-local dilation + O(surface) spill/
+    // shell anti-join — the voxel relation never shuffles
+    "a17_dilate" -> (ArrayOps.a17_dilate _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -151,6 +154,9 @@ object SparkEntry {
     // temperature-scaled source rebalancing (alpha = 1/2): kept counts
     // proportional to sqrt(n_src) — rates fitted FROM the data, unlike c2
     "c7_temperature_mix" -> ((s, d) => Corpus.temperatureMix(Tables.t(s, d, "documents"))),
+    // URL-provenance curation: parse_url + eTLD+1 fold + blocklist, all
+    // row-local; only the per-domain aggregate exchanges
+    "c8_domains" -> ((s, d) => Corpus.domainCuration(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -375,6 +381,7 @@ object SparkEntry {
     "a14_storage_report" -> ArrayOps.a14OracleSql,
     "a15_label_intensity" -> ArrayOps.a15OracleSql,
     "a16_connected_components" -> ArrayOps.a16OracleSql,
+    "a17_dilate" -> ArrayOps.a17OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
@@ -395,6 +402,7 @@ object SparkEntry {
     "c5_quota_sample" -> Corpus.quotaSampleOracleSql(),
     "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
     "c7_temperature_mix" -> Corpus.temperatureMixOracleSql,
+    "c8_domains" -> Corpus.domainCurationOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

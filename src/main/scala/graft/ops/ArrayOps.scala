@@ -533,6 +533,101 @@ object ArrayOps {
        |FROM fg f JOIN lbl l ON l.v = f.lin
        |GROUP BY l.comp""".stripMargin
 
+  /** Distributed binary DILATION under the oracle gate (a17) — the
+    * canonical HALO-EXCHANGE morphological operator over a chunked mask
+    * volume. A pseudo-random (deterministic) sparse mask is ingested and
+    * dilated by one 6-connected step in three scale-shaped stages:
+    *  1. chunk-local dilation ([[graft.volume.Volume.localDilate]]) — one
+    *     decode pass per chunk, emitting per-chunk counts plus only the
+    *     O(surface) `shell` (dilated face voxels) and `spill` (the halo
+    *     pushed one step across each seam) lists;
+    *  2. spill coords dedup and ANTI-JOIN the shell — a target already in
+    *     its owner's local dilated set must not double-count; both sides
+    *     are O(surface);
+    *  3. survivors fold per target chunk and add to the local counts.
+    * The voxel relation never shuffles — at petavoxel scale only face-deep
+    * halos move, which is exactly how production morphology (erosion/
+    * dilation/closing passes over segmentation masks) is decomposed.
+    * Output grain: one row per chunk (cx, cy, cz, n_fg, n_dil). The
+    * oracle replays dilation as a 7-shift DISTINCT union over the dumped
+    * foreground voxels with the same chunk-id arithmetic
+    * (fld(x−1, cs)+1 — Grid.chunkIdOf's 1-based rule). */
+  def a17_dilate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a17").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    // ~4% pseudo-random mask; hits every chunk and every seam direction
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          if ((x * 7 + y * 3 + z * 5) % 23 == 0) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a17")
+    dilateStats(vol.localDilate(box))
+  }
+
+  /** Stages 2+3 of distributed dilation over a
+    * [[graft.volume.Volume.localDilate]] relation. Exposed separately so
+    * specs can drive it over arbitrary volumes. */
+  private[graft] def dilateStats(localDilate: DataFrame): DataFrame = {
+    // materialized: consumed by the per-chunk counts AND both halo sides
+    val ld = Tables.materialize(localDilate)
+    val shell = ld.select(explode(col("shell")).as("s"))
+      .select(col("s.x").as("x"), col("s.y").as("y"), col("s.z").as("z"))
+    val spill = ld.select(explode(col("spill")).as("p"))
+      .select(col("p.tcx").as("cx"), col("p.tcy").as("cy"), col("p.tcz").as("cz"),
+        col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"))
+      .distinct() // a corner coord can arrive from several source chunks
+    val extra = spill.join(shell, Seq("x", "y", "z"), "left_anti")
+      .groupBy(col("cx"), col("cy"), col("cz")).agg(count(lit(1)).as("n_extra"))
+    ld.select(col("cx"), col("cy"), col("cz"), col("n_fg"), col("n_dil"))
+      .join(extra, Seq("cx", "cy", "cz"), "full_outer")
+      .select(col("cx").cast(LongType).as("cx"), col("cy").cast(LongType).as("cy"),
+        col("cz").cast(LongType).as("cz"),
+        coalesce(col("n_fg"), lit(0L)).as("n_fg"),
+        (coalesce(col("n_dil"), lit(0L)) + coalesce(col("n_extra"), lit(0L))).as("n_dil"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** Oracle twin of [[a17_dilate]]: dilation as a 7-shift DISTINCT union
+    * over the dumped foreground voxels, clipped to the query box, with the
+    * same 1-based chunk-id arithmetic. */
+  def a17OracleSql: String =
+    s"""WITH fg AS (SELECT x, y, z FROM read_parquet('$voxelDumpRoot/a17/*.parquet')),
+       | d AS (SELECT * FROM (VALUES (0,0,0),(1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1))
+       |        t(dx, dy, dz)),
+       | dil AS (SELECT DISTINCT f.x + s.dx AS x, f.y + s.dy AS y, f.z + s.dz AS z
+       |         FROM fg f CROSS JOIN d s
+       |         WHERE f.x + s.dx BETWEEN 1 AND 64 AND f.y + s.dy BETWEEN 1 AND 64
+       |           AND f.z + s.dz BETWEEN 1 AND 8),
+       | fgc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_fg FROM fg GROUP BY 1, 2, 3),
+       | dlc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_dil FROM dil GROUP BY 1, 2, 3)
+       |SELECT CAST(coalesce(f.cx, l.cx) AS BIGINT) AS cx,
+       |       CAST(coalesce(f.cy, l.cy) AS BIGINT) AS cy,
+       |       CAST(coalesce(f.cz, l.cz) AS BIGINT) AS cz,
+       |       CAST(coalesce(f.n_fg, 0) AS BIGINT) AS n_fg,
+       |       CAST(coalesce(l.n_dil, 0) AS BIGINT) AS n_dil
+       |FROM fgc f FULL OUTER JOIN dlc l
+       |  ON f.cx = l.cx AND f.cy = l.cy AND f.cz = l.cz""".stripMargin
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

@@ -401,6 +401,73 @@ object Corpus {
   }
 
   /** DuckDB oracle twin of [[packAssignments]]. */
+  /** Deterministic URL injection for the c8 gate: the synthetic corpus
+    * carries no URLs (t11's device, applied to provenance) — every doc
+    * gains one reproducible URL derived from `doc_id`, with enough host
+    * diversity (7 base names × 4 numeric variants × 3 TLDs, some www-
+    * prefixed, one path level) to exercise parsing, eTLD+1 folding and
+    * blocklisting. Same expression in the DuckDB oracle. */
+  def withSyntheticUrl(docs: DataFrame): DataFrame = {
+    val bases = array(Seq("news", "blog", "spam", "shop", "wiki", "forum", "docs").map(lit): _*)
+    val tlds = array(Seq("com", "org", "net").map(lit): _*)
+    docs.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+      element_at(bases, (col("doc_id") % 7 + 1).cast("int")),
+      col("doc_id") % 4, lit("."),
+      element_at(tlds, (col("doc_id") % 3 + 1).cast("int")),
+      lit("/p/"), col("doc_id")))
+  }
+
+  /** Per-domain curation report (c8) — the URL-provenance pipeline every
+    * web-scale corpus runs before mixing (C4/RefinedWeb shape): parse each
+    * document's URL, fold hosts to their registered domain (eTLD+1 — last
+    * two dot-labels under this fixture's flat TLD set), apply a domain
+    * blocklist, and aggregate per registered domain.
+    *
+    * Scale shape: parse (`parse_url`, the built-in — not a UDF) and the
+    * eTLD+1 fold are row-local; the only exchange is the per-domain
+    * aggregation, map-side combined, carrying (domain) keys — the text
+    * column never moves. A real blocklist arrives as a broadcast table;
+    * here the deterministic prefix rule keeps the oracle closed-form.
+    * Output: per domain, docs, distinct hosts, blocked and kept counts. */
+  def domainCuration(docs: DataFrame): DataFrame = {
+    val host = parse_url(col("url"), lit("HOST"))
+    val labels = split(host, "\\.")
+    val regdom = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    withSyntheticUrl(docs)
+      .select(col("doc_id"), host.as("host"), regdom.as("domain"))
+      .withColumn("blocked", col("domain").startsWith("spam"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("host")).as("n_hosts"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("blocked"), 0L).otherwise(1L)).as("n_kept"))
+      .orderBy(col("domain"))
+  }
+
+  /** DuckDB oracle twin of [[domainCuration]] — the same URL construction,
+    * a closed-form host parse (substring between the scheme and the first
+    * path slash), the same eTLD+1 fold and prefix blocklist. */
+  def domainCurationOracleSql: String =
+    s"""WITH u AS (SELECT doc_id,
+       |  'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+       |  ['news','blog','spam','shop','wiki','forum','docs'][CAST(doc_id % 7 + 1 AS INT)] ||
+       |  CAST(doc_id % 4 AS VARCHAR) || '.' ||
+       |  ['com','org','net'][CAST(doc_id % 3 + 1 AS INT)] ||
+       |  '/p/' || CAST(doc_id AS VARCHAR) AS url
+       | FROM documents),
+       | h AS (SELECT doc_id, string_split(url, '/')[3] AS host FROM u),
+       | d AS (SELECT doc_id, host,
+       |        string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
+       |       FROM h),
+       | f AS (SELECT doc_id, host, domain, starts_with(domain, 'spam') AS blocked FROM d)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       |       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       |       CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+       |FROM f GROUP BY domain""".stripMargin
+
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
        |       CAST(off // $budgetTokens AS BIGINT) AS pack_id

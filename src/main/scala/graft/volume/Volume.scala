@@ -664,6 +664,135 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk binary DILATION partials (6-connectivity, foreground =
+    * nonzero) — the HALO-EXCHANGE building block morphological operators
+    * run on at petavoxel scale. Each chunk task decodes its chunk once and
+    * emits ONE row:
+    *  - `cx/cy/cz` — the chunk's grid indices;
+    *  - `n_fg` — foreground voxels in this chunk's cut box;
+    *  - `n_dil` — voxels of the cut box in the LOCAL dilated set (fg or
+    *    any in-box 6-neighbor fg — correct except for growth arriving
+    *    across a seam);
+    *  - `shell` — local-dilated voxels lying on the cut faces: the only
+    *    voxels a neighbor's spill can target, so membership tests against
+    *    the full dilated set reduce to this O(surface) list;
+    *  - `spill` — (target chunk, coord) pairs one step ACROSS a seam from
+    *    this chunk's face foreground (clipped to `query`): the halo this
+    *    chunk pushes to its neighbors.
+    * The caller ([[graft.ops.ArrayOps.a17_dilate]]) dedups spill coords,
+    * anti-joins the shell, and adds the survivors per target chunk — the
+    * voxel relation never shuffles; only shell + spill (O(surface)) rows
+    * move. Restricting to `query`-interior semantics: dilation does not
+    * grow outside the query box. */
+  def localDilate(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localDilate: single-channel volumes only")
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("n_fg", LongType, nullable = false),
+      StructField("n_dil", LongType, nullable = false),
+      StructField("shell", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false))), containsNull = false),
+        nullable = false),
+      StructField("spill", ArrayType(StructType(Seq(
+        StructField("tcx", IntegerType, nullable = false),
+        StructField("tcy", IntegerType, nullable = false),
+        StructField("tcz", IntegerType, nullable = false),
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val isFloat = c.dataType == graft.core.Meta.TFloat32 || c.dataType == graft.core.Meta.TFloat64
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.flatMap { s =>
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Iterator.empty // all-background
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              val cut = s.cutoutBox
+              val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+              @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+              val fg = new Array[Boolean](nx * ny * nz)
+              var nFg = 0L
+              var lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val bx = cut.x.lo - b.origin._1 + lx
+                    val by = cut.y.lo - b.origin._2 + ly
+                    val bz = cut.z.lo - b.origin._3 + lz
+                    val v = if (isFloat) b.getDouble(bx, by, bz, 0) != 0.0
+                      else b.getLong(bx, by, bz, 0) != 0L
+                    if (v) { fg(li(lx, ly, lz)) = true; nFg += 1 }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              var nDil = 0L
+              val shell = scala.collection.mutable.ArrayBuffer.empty[Row]
+              val spill = scala.collection.mutable.ArrayBuffer.empty[Row]
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val self = fg(li(lx, ly, lz))
+                    val dil = self ||
+                      (lx > 0 && fg(li(lx - 1, ly, lz))) ||
+                      (lx < nx - 1 && fg(li(lx + 1, ly, lz))) ||
+                      (ly > 0 && fg(li(lx, ly - 1, lz))) ||
+                      (ly < ny - 1 && fg(li(lx, ly + 1, lz))) ||
+                      (lz > 0 && fg(li(lx, ly, lz - 1))) ||
+                      (lz < nz - 1 && fg(li(lx, ly, lz + 1)))
+                    if (dil) {
+                      nDil += 1
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      if (lx == 0 || lx == nx - 1 || ly == 0 || ly == ny - 1 ||
+                        lz == 0 || lz == nz - 1) shell += Row(gx, gy, gz)
+                    }
+                    if (self) {
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      @inline def push(dcx: Int, dcy: Int, dcz: Int,
+                          tx: Int, ty: Int, tz: Int): Unit = {
+                        if (qbox.x.contains(tx) && qbox.y.contains(ty) && qbox.z.contains(tz))
+                          spill += Row(cx + dcx, cy + dcy, cz + dcz, tx, ty, tz)
+                        ()
+                      }
+                      if (lx == 0) push(-1, 0, 0, gx - 1, gy, gz)
+                      if (lx == nx - 1) push(1, 0, 0, gx + 1, gy, gz)
+                      if (ly == 0) push(0, -1, 0, gx, gy - 1, gz)
+                      if (ly == ny - 1) push(0, 1, 0, gx, gy + 1, gz)
+                      if (lz == 0) push(0, 0, -1, gx, gy, gz - 1)
+                      if (lz == nz - 1) push(0, 0, 1, gx, gy, gz + 1)
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              Iterator.single(Row(cx, cy, cz, nFg, nDil, shell.toSeq, spill.toSeq))
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
   /** The whole volume as a Catalyst-native voxel relation: a custom
     * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
     * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes

@@ -178,4 +178,18 @@ class CorpusSpec extends AnyFunSuite {
       assert(stitched == texts(id), s"doc $id reconstruction")
     }
   }
+
+  test("c8 domain curation: totals tie out, blocklist splits cleanly, hosts bounded") {
+    val out = Corpus.domainCuration(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sum == docs.count(), "every doc lands in exactly one domain")
+    out.foreach { case (dom, n, hosts, blocked, kept) =>
+      assert(blocked + kept == n, s"$dom: blocked+kept != n_docs")
+      assert(hosts >= 1 && hosts <= n, s"$dom: host count out of range")
+      if (dom.startsWith("spam")) assert(kept == 0, s"$dom must be fully blocked")
+      else assert(blocked == 0, s"$dom must not block")
+    }
+    // the fixture produces both blocked and kept mass
+    assert(out.exists(_._4 > 0) && out.exists(_._5 > 0))
+  }
 }

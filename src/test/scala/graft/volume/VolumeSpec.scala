@@ -323,4 +323,38 @@ class VolumeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       vol.localComponents(Box(1, 1 << 21, 1, h, 1, d)))
   }
+
+  test("distributed dilation (localDilate + halo) equals driver-side brute force on a random mask") {
+    // same adversarial setup as the CC spec: dense pseudo-random mask over a
+    // multi-seam grid so spills cross every seam direction, including
+    // corner coords spilled by several source chunks at once
+    val (w, h, d) = (40, 40, 8)
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-dil"), meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, w, h, d, 1, (1, 1, 1))
+    def fg(x: Int, y: Int, z: Int): Boolean =
+      (scala.util.hashing.MurmurHash3.productHash((x, y, z, 17)) & 0xffff) < 9000
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w)
+      if (fg(x, y, z)) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+    vol.ingest(buf)
+    val got = graft.ops.ArrayOps.dilateStats(vol.localDilate(Box(1, w, 1, h, 1, d)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // ground truth: per-chunk counts of fg and of the 7-shift dilated set
+    def cid(v: Int, cs: Int): Long = (v - 1) / cs + 1L
+    val fgSet = (for (z <- 1 to d; y <- 1 to h; x <- 1 to w if fg(x, y, z)) yield (x, y, z)).toSet
+    val dilSet = fgSet.flatMap { case (x, y, z) =>
+      Seq((x, y, z), (x + 1, y, z), (x - 1, y, z), (x, y + 1, z), (x, y - 1, z),
+        (x, y, z + 1), (x, y, z - 1))
+    }.filter { case (x, y, z) => x >= 1 && x <= w && y >= 1 && y <= h && z >= 1 && z <= d }
+    def perChunk(s: Set[(Int, Int, Int)]): Map[(Long, Long, Long), Long] =
+      s.groupBy { case (x, y, z) => (cid(x, 16), cid(y, 16), cid(z, 4)) }
+        .map { case (k, v) => k -> v.size.toLong }
+    val wantFg = perChunk(fgSet); val wantDil = perChunk(dilSet)
+    val want = (wantFg.keySet ++ wantDil.keySet).map(k =>
+      k -> (wantFg.getOrElse(k, 0L), wantDil.getOrElse(k, 0L))).toMap
+    assert(dilSet.size > fgSet.size, "mask degenerate: dilation grew nothing")
+    assert(got == want)
+  }
 }
