@@ -119,6 +119,9 @@ object SparkEntry {
     // JL random projection: Dim->16 via a seeded Gaussian matrix carried
     // as foldable codegen constants; exact scan runs in the reduced space
     "s13_rp_topk" -> ((s, d) => Similarity.randomProjTopK(s, d)),
+    // MMR diversity re-rank over the exact top-10: unrolled greedy
+    // selection as ONE Catalyst plan over the bounded candidate relation
+    "s14_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "t1_tokens" -> ((s, d) => TextOps.tokenStats(Tables.t(s, d, "documents"))),
     "t2_quality" -> ((s, d) => TextOps.qualityScores(Tables.t(s, d, "documents"))),
     "t3_langid" -> ((s, d) => TextOps.langId(Tables.t(s, d, "documents"))),
@@ -418,6 +421,7 @@ object SparkEntry {
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
     "s12_sparse_topk" -> Similarity.sparseTfidfOracleSql(),
     "s13_rp_topk" -> Similarity.randomProjOracleSql(),
+    "s14_mmr_rerank" -> Similarity.mmrOracleSql(),
     "d1_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",
     "d2_dedup_ngram" -> ngramJaccardOracle,

@@ -1053,6 +1053,109 @@ object Similarity {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM pairs)
        |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** MMR diversity re-rank (s14) — maximal marginal relevance over each
+    * query's exact top-`nCand` cosine candidates: greedily select `k`
+    * results maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * standard de-redundancy step between retrieval and a RAG/annotation
+    * consumer (near-identical top hits waste the downstream budget).
+    *
+    * Scale shape: the expensive part is candidate generation (the s1 scan
+    * — or s8's index in production); MMR itself touches only
+    * nQueries×nCand rows, materialized once, and each greedy step is a
+    * slim join + window over that bounded relation. The greedy loop is
+    * UNROLLED (k is a small constant), so the whole selection is one
+    * deterministic Catalyst plan — no driver-side row handling.
+    *
+    * Oracle: the same unrolled selection in DuckDB — identical cosine
+    * double math (the s1 discipline), identical λ arithmetic, ties to the
+    * smaller nb_id at every step. */
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int = 10,
+      nCand: Int = 10, k: Int = 3, lambda: Double = 0.7): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("nb_id").asc)
+    // candidates carry their embeddings so pairwise sims stay row-local
+    val cand = materialize(
+      e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
+        .join(broadcast(q), col("nb_id") =!= col("q_id"))
+        .withColumn("rel", vec_cosine(col("qa"), col("ea")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= nCand)
+        .select(col("q_id"), col("nb_id"), col("rel"), col("ea")))
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("pk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("nb_id").asc)))
+        .filter(col("pk") === 1)
+        .select(col("q_id"), col("nb_id"), col("mmr"), lit(step.toLong).as("step"))
+    var sel = pick(cand.select(col("q_id"), col("nb_id"),
+      (col("rel") * lambda).as("mmr")), 1)
+    var s = 2
+    while (s <= k) {
+      val selEmb = sel.join(cand.select(col("q_id"), col("nb_id"), col("ea")),
+          Seq("q_id", "nb_id"))
+        .select(col("q_id"), col("ea").as("sea"))
+      val remaining = cand.join(sel.select(col("q_id"), col("nb_id")),
+        Seq("q_id", "nb_id"), "left_anti")
+      val scored = remaining.join(selEmb, Seq("q_id"))
+        .groupBy(col("q_id"), col("nb_id"))
+        .agg(max(col("rel")).as("rel"), max(vec_cosine(col("ea"), col("sea"))).as("pen"))
+        .select(col("q_id"), col("nb_id"),
+          (col("rel") * lambda - col("pen") * (1.0 - lambda)).as("mmr"))
+      sel = sel.union(pick(scored, s))
+      s += 1
+    }
+    sel.select(col("q_id"), col("nb_id"), round(col("mmr"), 4).as("mmr"), col("step"))
+  }
+
+  /** DuckDB oracle twin of [[mmrRerank]] — the same unrolled greedy
+    * selection (k steps as chained CTEs) with the s1 cosine formula. */
+  def mmrOracleSql(nQueries: Int = 10, nCand: Int = 10, k: Int = 3,
+      lambda: Double = 0.7): String = {
+    require(k == 3, "oracle is unrolled for k = 3")
+    val l = lambda; val m = 1.0 - lambda
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | r AS (SELECT q.vec_id AS q_id, n.vec_id AS nb_id,
+       |        CASE WHEN sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(n.emb, n.emb)) = 0 THEN 0.0
+       |             ELSE list_dot_product(q.emb, n.emb) /
+       |                  (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(n.emb, n.emb))) END AS rel
+       |       FROM e q JOIN e n ON n.vec_id != q.vec_id WHERE q.vec_id < $nQueries),
+       | cand AS (SELECT q_id, nb_id, rel FROM (
+       |           SELECT q_id, nb_id, rel,
+       |                  row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, nb_id) AS rk
+       |           FROM r) x WHERE rk <= $nCand),
+       | sim AS (SELECT a.q_id, a.nb_id AS a, b.nb_id AS b,
+       |          CASE WHEN sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb)) = 0 THEN 0.0
+       |               ELSE list_dot_product(ea.emb, eb.emb) /
+       |                    (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) END AS s
+       |         FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.nb_id != b.nb_id
+       |         JOIN e ea ON ea.vec_id = a.nb_id JOIN e eb ON eb.vec_id = b.nb_id),
+       | s1 AS (SELECT q_id, nb_id, $l * rel AS mmr, 1 AS step FROM (
+       |          SELECT q_id, nb_id, rel,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, nb_id) AS pk
+       |          FROM cand) x WHERE pk = 1),
+       | p2 AS (SELECT c.q_id, c.nb_id, $l * c.rel - $m * s.s AS mmr
+       |        FROM cand c JOIN s1 ON s1.q_id = c.q_id AND s1.nb_id != c.nb_id
+       |        JOIN sim s ON s.q_id = c.q_id AND s.a = c.nb_id AND s.b = s1.nb_id),
+       | s2 AS (SELECT q_id, nb_id, mmr, 2 AS step FROM (
+       |          SELECT q_id, nb_id, mmr,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, nb_id) AS pk
+       |          FROM p2) x WHERE pk = 1),
+       | selu AS (SELECT q_id, nb_id FROM s1 UNION ALL SELECT q_id, nb_id FROM s2),
+       | p3 AS (SELECT c.q_id, c.nb_id, $l * max(c.rel) - $m * max(s.s) AS mmr
+       |        FROM cand c
+       |        JOIN sim s ON s.q_id = c.q_id AND s.a = c.nb_id
+       |        JOIN selu u ON u.q_id = s.q_id AND u.nb_id = s.b
+       |        WHERE NOT EXISTS (SELECT 1 FROM selu v WHERE v.q_id = c.q_id AND v.nb_id = c.nb_id)
+       |        GROUP BY c.q_id, c.nb_id),
+       | s3 AS (SELECT q_id, nb_id, mmr, 3 AS step FROM (
+       |          SELECT q_id, nb_id, mmr,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, nb_id) AS pk
+       |          FROM p3) x WHERE pk = 1),
+       | allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |SELECT q_id, nb_id, round(mmr, 4) AS mmr, CAST(step AS BIGINT) AS step FROM allsel""".stripMargin
+  }
+
   /** Sparse tf-idf cosine top-k over the documents table via an INVERTED
     * INDEX (s12) — the classic IR retrieval shape and the sparse
     * counterpart of the dense s1: each document is a sparse

@@ -200,6 +200,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("documents", "s12_sparse_topk") == 1)
   }
 
+  test("c8: the only exchange carries per-domain aggregate keys, never text") {
+    val p = plan("c8_domains")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text")), exchanges)
+  }
+
+  test("a17: halo relations exchange, the voxel value column never does") {
+    // shell/spill (O(surface)) rows may shuffle; the decoded voxel
+    // relation must not — no exchange carries a `value` column
+    val p = plan("a17_dilate")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("value")), exchanges)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
