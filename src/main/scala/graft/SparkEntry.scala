@@ -79,6 +79,7 @@ object SparkEntry {
     // halo-exchange morphology: chunk-local dilation + O(surface) spill/
     // shell anti-join — the voxel relation never shuffles
     "a17_dilate" -> (ArrayOps.a17_dilate _),
+    "a18_erode" -> (ArrayOps.a18_erode _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -385,6 +386,7 @@ object SparkEntry {
     "a15_label_intensity" -> ArrayOps.a15OracleSql,
     "a16_connected_components" -> ArrayOps.a16OracleSql,
     "a17_dilate" -> ArrayOps.a17OracleSql,
+    "a18_erode" -> ArrayOps.a18OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

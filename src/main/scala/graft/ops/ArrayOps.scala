@@ -628,6 +628,97 @@ object ArrayOps {
        |FROM fgc f FULL OUTER JOIN dlc l
        |  ON f.cx = l.cx AND f.cy = l.cy AND f.cz = l.cz""".stripMargin
 
+  /** Distributed binary EROSION under the oracle gate (a18) — [[a17_dilate]]'s
+    * dual, completing the halo-exchange morphology pair (together they
+    * give opening/closing): a voxel survives iff it and all 6 neighbors
+    * are foreground, neighbors outside the query box counting as
+    * background. Chunk-local pass decides interior voxels and collects
+    * face candidates needing across-seam confirmation; the combiner
+    * left-joins each candidate's needed coords against the O(surface)
+    * face-foreground relation and keeps candidates with EVERY need
+    * confirmed. The mask is the a17 pattern's ~96% dense complement, so
+    * erosion removes a shell around every hole and every seam carries
+    * confirmations. */
+  def a18_erode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a18").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          if ((x * 7 + y * 3 + z * 5) % 23 != 0) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a18")
+    erodeStats(vol.localErode(box))
+  }
+
+  /** Stage 2 of distributed erosion over a
+    * [[graft.volume.Volume.localErode]] relation: confirm every candidate
+    * need against the face-foreground relation; a candidate survives iff
+    * all its needs are present. Exposed separately for specs. */
+  private[graft] def erodeStats(localErode: DataFrame): DataFrame = {
+    val le = Tables.materialize(localErode)
+    val face = le.select(explode(col("face")).as("f"))
+      .select(col("f.x").as("nx"), col("f.y").as("ny"), col("f.z").as("nz"),
+        lit(1).as("present"))
+    val cand = le.select(col("cx"), col("cy"), col("cz"), explode(col("cand")).as("c"))
+      .select(col("cx"), col("cy"), col("cz"),
+        col("c.x").as("x"), col("c.y").as("y"), col("c.z").as("z"),
+        explode(col("c.needs")).as("nd"))
+      .select(col("cx"), col("cy"), col("cz"), col("x"), col("y"), col("z"),
+        col("nd.x").as("nx"), col("nd.y").as("ny"), col("nd.z").as("nz"))
+    val confirmed = cand.join(face, Seq("nx", "ny", "nz"), "left_outer")
+      .groupBy(col("cx"), col("cy"), col("cz"), col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("n_needs"), count(col("present")).as("n_found"))
+      .filter(col("n_needs") === col("n_found"))
+      .groupBy(col("cx"), col("cy"), col("cz")).agg(count(lit(1)).as("n_border"))
+    le.select(col("cx"), col("cy"), col("cz"), col("n_fg"), col("n_inner"))
+      .join(confirmed, Seq("cx", "cy", "cz"), "left_outer")
+      .select(col("cx").cast(LongType).as("cx"), col("cy").cast(LongType).as("cy"),
+        col("cz").cast(LongType).as("cz"), col("n_fg"),
+        (col("n_inner") + coalesce(col("n_border"), lit(0L))).as("n_erode"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** Oracle twin of [[a18_erode]]: a voxel survives iff its 6-neighbor
+    * count within the dumped foreground is exactly 6 (an out-of-box
+    * neighbor is absent from the dump, so box-boundary voxels drop out
+    * automatically); same 1-based chunk-id arithmetic. */
+  def a18OracleSql: String =
+    s"""WITH fg AS (SELECT x, y, z FROM read_parquet('$voxelDumpRoot/a18/*.parquet')),
+       | d AS (SELECT * FROM (VALUES (1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1))
+       |        t(dx, dy, dz)),
+       | nb AS (SELECT f.x, f.y, f.z, count(*) AS cnt
+       |        FROM fg f CROSS JOIN d s
+       |        JOIN fg n ON n.x = f.x + s.dx AND n.y = f.y + s.dy AND n.z = f.z + s.dz
+       |        GROUP BY 1, 2, 3),
+       | er AS (SELECT x, y, z FROM nb WHERE cnt = 6),
+       | fgc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_fg FROM fg GROUP BY 1, 2, 3),
+       | erc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_erode FROM er GROUP BY 1, 2, 3)
+       |SELECT CAST(f.cx AS BIGINT) AS cx, CAST(f.cy AS BIGINT) AS cy,
+       |       CAST(f.cz AS BIGINT) AS cz, CAST(f.n_fg AS BIGINT) AS n_fg,
+       |       CAST(coalesce(e.n_erode, 0) AS BIGINT) AS n_erode
+       |FROM fgc f LEFT JOIN erc e
+       |  ON f.cx = e.cx AND f.cy = e.cy AND f.cz = e.cz""".stripMargin
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

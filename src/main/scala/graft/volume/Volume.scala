@@ -793,6 +793,130 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk binary EROSION partials (6-connectivity) — [[localDilate]]'s
+    * dual, where the halo carries PRESENCE proofs instead of growth: a
+    * voxel survives erosion iff it and all 6 neighbors are foreground
+    * (neighbors outside `query` count as background — strict box-interior
+    * semantics). Interior voxels decide locally; a foreground voxel on a
+    * cut face needs its across-seam neighbors' values, so each chunk emits
+    *  - `n_fg`, `n_inner` — foreground count and locally-decided erosion
+    *    survivors (all 6 neighbors in-cut and foreground);
+    *  - `cand` — face foreground voxels whose IN-CUT neighbors all pass
+    *    but which still need 1–3 across-seam confirmations (`needs`);
+    *    voxels with an out-of-`query` neighbor are dropped here (decided:
+    *    background neighbor);
+    *  - `face` — this chunk's foreground face voxels, the presence proofs
+    *    neighbors probe.
+    * The caller ([[graft.ops.ArrayOps.a18_erode]]) left-joins each cand's
+    * needs against the face relation and keeps candidates with every need
+    * confirmed — O(surface) rows move, the voxel relation never shuffles. */
+  def localErode(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localErode: single-channel volumes only")
+    val coord = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false)))
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("n_fg", LongType, nullable = false),
+      StructField("n_inner", LongType, nullable = false),
+      StructField("cand", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false),
+        StructField("needs", ArrayType(coord, containsNull = false), nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("face", ArrayType(coord, containsNull = false), nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val isFloat = c.dataType == graft.core.Meta.TFloat32 || c.dataType == graft.core.Meta.TFloat64
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.flatMap { s =>
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Iterator.empty // all-background
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              val cut = s.cutoutBox
+              val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+              @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+              val fg = new Array[Boolean](nx * ny * nz)
+              var nFg = 0L
+              var lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val bx = cut.x.lo - b.origin._1 + lx
+                    val by = cut.y.lo - b.origin._2 + ly
+                    val bz = cut.z.lo - b.origin._3 + lz
+                    val v = if (isFloat) b.getDouble(bx, by, bz, 0) != 0.0
+                      else b.getLong(bx, by, bz, 0) != 0L
+                    if (v) { fg(li(lx, ly, lz)) = true; nFg += 1 }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              var nInner = 0L
+              val cand = scala.collection.mutable.ArrayBuffer.empty[Row]
+              val face = scala.collection.mutable.ArrayBuffer.empty[Row]
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    if (fg(li(lx, ly, lz))) {
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      val onFace = lx == 0 || lx == nx - 1 || ly == 0 || ly == ny - 1 ||
+                        lz == 0 || lz == nz - 1
+                      if (onFace) face += Row(gx, gy, gz)
+                      var localOk = true
+                      var outOfBox = false
+                      val needs = scala.collection.mutable.ArrayBuffer.empty[Row]
+                      @inline def probe(dlx: Int, dly: Int, dlz: Int): Unit = {
+                        val tlx = lx + dlx; val tly = ly + dly; val tlz = lz + dlz
+                        if (tlx >= 0 && tlx < nx && tly >= 0 && tly < ny &&
+                          tlz >= 0 && tlz < nz) {
+                          if (!fg(li(tlx, tly, tlz))) localOk = false
+                        } else {
+                          val tx = gx + dlx; val ty = gy + dly; val tz = gz + dlz
+                          if (qbox.x.contains(tx) && qbox.y.contains(ty) && qbox.z.contains(tz))
+                            needs += Row(tx, ty, tz)
+                          else outOfBox = true // background by definition
+                        }
+                        ()
+                      }
+                      probe(-1, 0, 0); probe(1, 0, 0)
+                      probe(0, -1, 0); probe(0, 1, 0)
+                      probe(0, 0, -1); probe(0, 0, 1)
+                      if (localOk && !outOfBox) {
+                        if (needs.isEmpty) nInner += 1
+                        else cand += Row(gx, gy, gz, needs.toSeq)
+                      }
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              Iterator.single(Row(cx, cy, cz, nFg, nInner, cand.toSeq, face.toSeq))
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
   /** The whole volume as a Catalyst-native voxel relation: a custom
     * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
     * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes

@@ -357,4 +357,36 @@ class VolumeSpec extends AnyFunSuite {
     assert(dilSet.size > fgSet.size, "mask degenerate: dilation grew nothing")
     assert(got == want)
   }
+
+  test("distributed erosion (localErode + halo confirm) equals driver-side brute force") {
+    // DENSE pseudo-random mask (~86%) so erosion survivors exist in every
+    // chunk and seam-crossing confirmations fire in all six directions
+    val (w, h, d) = (40, 40, 8)
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-ero"), meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, w, h, d, 1, (1, 1, 1))
+    def fg(x: Int, y: Int, z: Int): Boolean =
+      (scala.util.hashing.MurmurHash3.productHash((x, y, z, 18)) & 0xffff) < 56000
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w)
+      if (fg(x, y, z)) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+    vol.ingest(buf)
+    val got = graft.ops.ArrayOps.erodeStats(vol.localErode(Box(1, w, 1, h, 1, d)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    def cid(v: Int, cs: Int): Long = (v - 1) / cs + 1L
+    def inBox(x: Int, y: Int, z: Int) = x >= 1 && x <= w && y >= 1 && y <= h && z >= 1 && z <= d
+    val fgSet = (for (z <- 1 to d; y <- 1 to h; x <- 1 to w if fg(x, y, z)) yield (x, y, z)).toSet
+    val eroSet = fgSet.filter { case (x, y, z) =>
+      Seq((x + 1, y, z), (x - 1, y, z), (x, y + 1, z), (x, y - 1, z), (x, y, z + 1), (x, y, z - 1))
+        .forall { case (nx, ny, nz) => inBox(nx, ny, nz) && fgSet((nx, ny, nz)) }
+    }
+    def perChunk(s: Set[(Int, Int, Int)]): Map[(Long, Long, Long), Long] =
+      s.groupBy { case (x, y, z) => (cid(x, 16), cid(y, 16), cid(z, 4)) }
+        .map { case (k, v) => k -> v.size.toLong }
+    val wantFg = perChunk(fgSet); val wantEr = perChunk(eroSet)
+    val want = wantFg.map { case (k, n) => k -> (n, wantEr.getOrElse(k, 0L)) }
+    assert(eroSet.nonEmpty && eroSet.size < fgSet.size, "mask degenerate for erosion")
+    assert(got == want)
+  }
 }
