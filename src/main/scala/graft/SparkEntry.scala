@@ -98,6 +98,9 @@ object SparkEntry {
     // inter-source duplication matrix: which sources near-duplicate each
     // other and by how much — the report that drives source weighting
     "d10_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.t(s, d, "documents"), 0.8)),
+    // duplicate-graph centrality: power iteration at label grain over the
+    // LSH pair relation — the canonical-keeper rule beyond min-id
+    "d11_pagerank" -> ((s, d) => Dedup.pageRank(Tables.t(s, d, "documents"), 0.8)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -445,6 +448,7 @@ object SparkEntry {
          |SELECT source_lo, source_hi, count(*) AS n_pairs,
          | round(CAST(sum(CAST(jac AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_jac
          |FROM e GROUP BY source_lo, source_hi""".stripMargin,
+    "d11_pagerank" -> pageRankOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -484,6 +488,31 @@ object SparkEntry {
         | max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS yhi
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
+
+  /** d11 oracle: PageRank power iteration UNROLLED to 10 steps over the
+    * exact near-dup pair graph (jpairs — the d3 recall-1 argument).
+    * Per-edge contributions round to DECIMAL(18,8) before the sum; damping
+    * constants are interpolated as exact doubles (a bare SQL decimal
+    * literal would be DECIMAL-typed and round differently). */
+  private def pageRankOracle: String = {
+    val damp = 0.85
+    val iters = 10
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""pr$i AS (SELECT e.b AS node,
+         | CAST(${1 - damp} AS DOUBLE) / (SELECT cnt FROM n) +
+         | CAST($damp AS DOUBLE) * CAST(sum(CAST(p.pr / e.deg AS DECIMAL(18,8))) AS DOUBLE) AS pr
+         |FROM ed e JOIN $prev p ON p.node = e.a GROUP BY e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ngramPairCtes,
+       | sympairs AS (SELECT a, b FROM jpairs UNION ALL SELECT b AS a, a AS b FROM jpairs),
+       | deg AS (SELECT a, count(*) AS deg FROM sympairs GROUP BY a),
+       | ed AS (SELECT s.a, s.b, d.deg FROM sympairs s JOIN deg d USING (a)),
+       | n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM deg),
+       | pr0 AS (SELECT a AS node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM n) AS pr FROM deg),
+       | $steps
+       |SELECT node AS doc_id, round(pr, 6) AS pr FROM pr$iters""".stripMargin
+  }
 
   /** CTE chain producing the exact n-gram Jaccard near-dup pairs
     * (`jpairs(a, b, jac)` at threshold 0.8) — shared by the pair oracles and

@@ -561,4 +561,45 @@ object Dedup {
         concat((63 to 0 by -1).map(j => when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
           .as("simhash"))
   }
+
+  /** PageRank over the near-duplicate pair graph (d11) — duplicate-graph
+    * centrality: within a duplicate cluster the highest-PR member is the
+    * natural CANONICAL choice (the variant most other variants are close
+    * to), a strictly better keeper rule than d5's min-id convention when
+    * clusters mix a master document with derived fragments.
+    *
+    * Scale shape: power iteration at LABEL grain — the graph is the
+    * O(pairs) near-dup relation (built by the LSH path, never all-pairs),
+    * and each of the `iters` rounds is ONE join + ONE map-side-combined
+    * aggregation over (node, pr) rows; each round's pr relation is
+    * materialized, so plan depth stays constant and a failed executor
+    * re-reads blocks instead of recomputing the whole chain.
+    *
+    * Cross-engine: per-edge contributions `pr(u)/deg(u)` round to
+    * DECIMAL(18,8) before the order-insensitive sum (t12's discipline),
+    * so both engines iterate on bit-identical doubles; damping constants
+    * are interpolated as exact doubles into the oracle. */
+  def pageRank(docs: DataFrame, minJ: Double, iters: Int = 10,
+      damp: Double = 0.85): DataFrame = {
+    val pairs = minhashPairs(docs, minJ).select(col("a"), col("b"))
+    val edges = materialize(pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))))
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val edgesD = materialize(edges.join(deg, Seq("a")))
+    val n = edgesD.select(col("a")).distinct().count()
+    var pr = materialize(edgesD.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("pr")))
+    var i = 0
+    while (i < iters) {
+      pr = materialize(
+        edgesD.join(pr, edgesD("a") === pr("node"))
+          .select(col("b"), (col("pr") / col("deg")).cast(DecimalType(18, 8)).as("c"))
+          .groupBy(col("b"))
+          .agg(sum(col("c")).as("cs"))
+          .select(col("b").as("node"),
+            (lit((1 - damp) / n) + lit(damp) * col("cs").cast(DoubleType)).as("pr")))
+      i += 1
+    }
+    pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("doc_id"))
+  }
 }

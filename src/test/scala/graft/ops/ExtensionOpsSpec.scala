@@ -674,4 +674,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
     assert(diverged, "MMR never diverged from plain top-3 — fixture degenerate or penalty dead")
   }
+
+  test("d11 PageRank equals a driver-side power iteration; mass conserved") {
+    val got = Dedup.pageRank(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = Dedup.minhashPairs(docs, 0.8).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val n = adj.size
+    var pr = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, BigDecimal].withDefaultValue(BigDecimal(0))
+      adj.foreach { case (u, outs) =>
+        val c = BigDecimal(pr(u) / outs.size).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        outs.foreach(v => contrib(v) = contrib(v) + c)
+      }
+      pr = adj.keys.map(k => k -> (0.15 / n + 0.85 * contrib(k).toDouble)).toMap
+    }
+    val want = pr.map { case (k, v) => k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6, s"pr drift at $k: $v vs ${want(k)}") }
+    // PageRank mass is conserved on a symmetric graph with no dangling nodes
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, s"mass ${got.values.sum}")
+    assert(got.values.forall(_ > 0))
+  }
 }
