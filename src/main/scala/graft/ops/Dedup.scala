@@ -590,13 +590,18 @@ object Dedup {
       .select(col("node"), lit(1.0 / n).as("pr")))
     var i = 0
     while (i < iters) {
-      pr = materialize(
-        edgesD.join(pr, edgesD("a") === pr("node"))
-          .select(col("b"), (col("pr") / col("deg")).cast(DecimalType(18, 8)).as("c"))
-          .groupBy(col("b"))
-          .agg(sum(col("c")).as("cs"))
-          .select(col("b").as("node"),
-            (lit((1 - damp) / n) + lit(damp) * col("cs").cast(DoubleType)).as("pr")))
+      val next = edgesD.join(pr, edgesD("a") === pr("node"))
+        .select(col("b"), (col("pr") / col("deg")).cast(DecimalType(18, 8)).as("c"))
+        .groupBy(col("b"))
+        .agg(sum(col("c")).as("cs"))
+        .select(col("b").as("node"),
+          (lit((1 - damp) / n) + lit(damp) * col("cs").cast(DoubleType)).as("pr"))
+      // one materialization per round: bounded plan depth, and on a real
+      // cluster each round's blocks are the failure-recovery point (a
+      // every-3rd-round variant measured SLOWER at bench scale — the
+      // un-checkpointed rounds nest into bigger plans whose optimize +
+      // codegen cost exceeds the checkpoint saved)
+      pr = materialize(next)
       i += 1
     }
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
