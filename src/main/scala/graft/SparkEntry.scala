@@ -206,6 +206,9 @@ object SparkEntry {
     // built-in session_window: the declarative sessionizer (vs e4/e5's
     // stateful-processor forms); append-mode flush via the e7 sentinel
     "e10_session_window" -> ((s, d) => EventStreams.sessionWindowOnce(s, d)),
+    // curation as an ingest filter: row-local Gopher verdicts on the
+    // stream, broadcast provenance enrich, domain-bounded report state
+    "e11_quality_gate" -> ((s, d) => EventStreams.qualityGateOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -475,6 +478,7 @@ object SparkEntry {
     "e8_stream_corpus" -> EventStreams.corpusIngestOracleSql,
     "e9_stream_neardup" -> deltaCorpusPairOracle,
     "e10_session_window" -> EventStreams.sessionWindowOracleSql(),
+    "e11_quality_gate" -> EventStreams.qualityGateOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

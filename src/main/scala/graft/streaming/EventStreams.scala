@@ -197,6 +197,44 @@ object EventStreams {
       | CAST(sum(n_tok) AS BIGINT) AS tok_sum
       |FROM f GROUP BY band""".stripMargin
 
+  /** Streaming QUALITY-GATE admission (e11) — curation as an ingest
+    * filter, the remaining corner of the streaming-curation story (e8
+    * dedups, e9 near-dup-screens, e11 quality-screens): each arriving
+    * document gets its Gopher-rule verdict ROW-LOCALLY
+    * ([[graft.ops.TextOps.gopherRules]] applied to the stream UNCHANGED —
+    * one copy of the rule set serves batch t16 and the stream), is
+    * enriched with the static provenance dimension (broadcast
+    * stream-static join, the e3 shape), and folds into a per-(source,
+    * keep) admission report. The only streaming state is the report
+    * aggregate itself, keyed by a DOMAIN-bounded key (sources × 2) —
+    * state is constant regardless of feed lifetime, and the verdict path
+    * holds zero state (e9's property). */
+  def qualityGateOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val stream = spark.readStream.schema(docSchema).parquet(s"$dir/documents*.parquet")
+    val flagged = TextOps.gopherRules(TextOps.withSyntheticLines(stream))
+      .select(col("doc_id"), col("keep"))
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val agg = flagged.join(broadcast(src), Seq("doc_id"))
+      .groupBy(col("source"), col("keep"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"stream_qgate_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("source", "keep"), Seq("n"))
+  }
+
+  /** DuckDB oracle twin of [[qualityGateOnce]]: the t16 injection + rule
+    * replay joined to provenance and folded to the same report. */
+  def qualityGateOracleSql: String =
+    s"""WITH g AS (${graft.ops.TextOps.gopherRulesOracleSql()}),
+       | j AS (SELECT d.source, g.keep FROM g JOIN documents d USING (doc_id))
+       |SELECT source, keep, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2""".stripMargin
+
   /** The e9 streaming pipeline as an unstarted DataFrame — split from the
     * drive ([[nearDupStreamOnce]], which carries the operator doc) so the
     * spec can start its own query on it and assert

@@ -133,6 +133,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("e11 streaming quality gate matches the batch verdict report") {
+    import graft.ops.TextOps
+    val streamed = EventStreams.qualityGateOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = TextOps.gopherRules(TextOps.withSyntheticLines(docs))
+      .select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("keep")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // both verdicts must occur somewhere, else the gate is degenerate
+    assert(streamed.keys.exists(_._2) && streamed.keys.exists(!_._2))
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
