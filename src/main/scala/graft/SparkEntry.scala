@@ -101,6 +101,9 @@ object SparkEntry {
     // duplicate-graph centrality: power iteration at label grain over the
     // LSH pair relation — the canonical-keeper rule beyond min-id
     "d11_pagerank" -> ((s, d) => Dedup.pageRank(Tables.t(s, d, "documents"), 0.8)),
+    // C4-rule line dedup: first occurrence wins corpus-wide, documents
+    // reassemble from surviving lines — one line-hash exchange
+    "d12_line_dedup" -> ((s, d) => Dedup.lineDedup(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -452,6 +455,7 @@ object SparkEntry {
          | round(CAST(sum(CAST(jac AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_jac
          |FROM e GROUP BY source_lo, source_hi""".stripMargin,
     "d11_pagerank" -> pageRankOracle,
+    "d12_line_dedup" -> Dedup.lineDedupOracleSql,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

@@ -562,6 +562,67 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Cross-corpus LINE deduplication (d12) — the C4 cleanup rule (Raffel
+    * et al. 2020): a line occurring more than once in the corpus survives
+    * only at its FIRST occurrence (smallest (doc_id, position)); all other
+    * occurrences are cut and each document reassembles from its surviving
+    * lines in order. d6's span dedup cuts fixed token BLOCKS; this cuts
+    * CONTENT-delimited units — the form the C4 pipeline actually ran.
+    * Line structure is synthesized deterministically
+    * ([[graft.ops.TextOps.withSyntheticLines]], the t16 device — the
+    * synthetic corpus is single-line).
+    *
+    * Scale shape: ONE md5(line)-keyed exchange decides winners (a min-
+    * struct aggregation, not a corpus-wide window), one doc-keyed fold
+    * reassembles; the line relation is materialized once and feeds the
+    * winner fit, both join sides and the per-doc line counts. Output: per
+    * document, lines before/after and the md5 of the reassembled text —
+    * a hash-gate-friendly proof of exact reassembly. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lined = TextOps.withSyntheticLines(docs)
+    val lines = materialize(
+      lined.select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("h", md5(col("line"))))
+    val firsts = lines.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val kept = lines.join(firsts, Seq("h"))
+      .filter(col("doc_id") === col("fdoc") && col("pos") === col("fpos"))
+    val re = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")))).as("kept_md5"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(re, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle twin of [[lineDedup]]: the shared t16 line-injection
+    * replay, first-occurrence winners via the same (doc_id, pos) order,
+    * the same ordered reassembly hash. */
+  def lineDedupOracleSql: String =
+    s"""WITH ${TextOps.syntheticLinesCtes},
+       | lraw AS (SELECT doc_id,
+       |   unnest([{'pos': j, 'line': ls[j+1]} FOR j IN range(0, len(ls))]) AS u FROM inj),
+       | lh AS (SELECT doc_id, u.pos AS pos, u.line AS line, md5(u.line) AS h FROM lraw),
+       | firsts AS (SELECT h, doc_id AS fdoc, pos AS fpos FROM (
+       |    SELECT h, doc_id, pos,
+       |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM lh) x WHERE rn = 1),
+       | kept AS (SELECT l.doc_id, l.pos, l.line
+       |          FROM lh l JOIN firsts f ON f.h = l.h AND l.doc_id = f.fdoc AND l.pos = f.fpos),
+       | re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+       |        FROM kept GROUP BY doc_id),
+       | nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lh GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+       |       coalesce(r.kept_md5, md5('')) AS kept_md5
+       |FROM nl n LEFT JOIN re r ON r.doc_id = n.doc_id""".stripMargin
+
   /** PageRank over the near-duplicate pair graph (d11) — duplicate-graph
     * centrality: within a duplicate cluster the highest-PR member is the
     * natural CANONICAL choice (the variant most other variants are close

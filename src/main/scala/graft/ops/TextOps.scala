@@ -302,17 +302,24 @@ object TextOps {
   /** DuckDB oracle twin of [[withSyntheticLines]] ∘ [[gopherRules]] —
     * injection and every rule replayed from the same constants
     * ([[Stopwords]] interpolated, never copied). */
+  /** The [[withSyntheticLines]] injection as DuckDB CTEs — `inj(doc_id,
+    * ls)` (the line list) and `st(doc_id, text)` (rejoined). ONE copy
+    * shared by the t16 and d12 oracles so the replay can never drift from
+    * itself. */
+  private[ops] val syntheticLinesCtes: String =
+    """base AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      | inj AS (SELECT doc_id,
+      |   [CASE WHEN (doc_id + j) % 4 = 0 THEN '- ' ELSE '' END ||
+      |    array_to_string(t[12*j+1:12*j+12], ' ') ||
+      |    CASE WHEN (doc_id + j) % 5 = 0 THEN ' ...' ELSE '' END
+      |    FOR j IN range(0, CAST(ceil(len(t) / 12.0) AS INT))] AS ls
+      |   FROM base),
+      | st AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM inj)""".stripMargin
+
   def gopherRulesOracleSql(minWords: Int = 20, maxWords: Int = 80,
       minStop: Int = 2): String = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(",")
-    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-       | inj AS (SELECT doc_id,
-       |   [CASE WHEN (doc_id + j) % 4 = 0 THEN '- ' ELSE '' END ||
-       |    array_to_string(t[12*j+1:12*j+12], ' ') ||
-       |    CASE WHEN (doc_id + j) % 5 = 0 THEN ' ...' ELSE '' END
-       |    FOR j IN range(0, CAST(ceil(len(t) / 12.0) AS INT))] AS ls
-       |   FROM base),
-       | st AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM inj),
+    s"""WITH $syntheticLinesCtes,
        | r AS (SELECT doc_id, string_split(text, chr(10)) AS lns,
        |        list_filter(string_split_regex(text, '\\s+'), w -> regexp_matches(w, '[a-z]')) AS words
        |       FROM st),

@@ -698,4 +698,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-3, s"mass ${got.values.sum}")
     assert(got.values.forall(_ > 0))
   }
+
+  test("d12 line dedup equals a driver-side first-occurrence recomputation") {
+    val got = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val lined = TextOps.withSyntheticLines(docs)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\n", -1).toSeq)
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = lined.map { case (id, lns) =>
+      val kept = lns.filter(l => seen.add(l))
+      id -> (lns.size.toLong, kept.size.toLong,
+        graft.ops.Multimodal.md5hex(kept.mkString("\n").getBytes("UTF-8")))
+    }.toMap
+    assert(got == want)
+    // the rule actually fires: some doc loses a line, every doc keeps its count
+    assert(want.exists { case (_, (n, k, _)) => k < n }, "no duplicate lines cut — fixture degenerate")
+    assert(got.values.map(_._2).sum == want.values.map(_._2).sum)
+  }
 }
