@@ -167,6 +167,9 @@ object SparkEntry {
     // URL-provenance curation: parse_url + eTLD+1 fold + blocklist, all
     // row-local; only the per-domain aggregate exchanges
     "c8_domains" -> ((s, d) => Corpus.domainCuration(Tables.t(s, d, "documents"))),
+    // the dedup impact report: exact-dup / near-dup / line-cut mass per
+    // source, composed from the d1/d3/d12 relations by doc-keyed joins
+    "c9_dedup_report" -> ((s, d) => Corpus.dedupReport(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -417,6 +420,7 @@ object SparkEntry {
     "c6_token_budget" -> Corpus.tokenBudgetSampleOracleSql(),
     "c7_temperature_mix" -> Corpus.temperatureMixOracleSql,
     "c8_domains" -> Corpus.domainCurationOracleSql,
+    "c9_dedup_report" -> dedupReportOracle,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -521,6 +525,27 @@ object SparkEntry {
        | $steps
        |SELECT node AS doc_id, round(pr, 6) AS pr FROM pr$iters""".stripMargin
   }
+
+  /** c9 oracle: the d1 (md5 keeper), d3≡jpairs (near-dup docs) and d12
+    * (line-cut) replays composed by doc-keyed joins and folded per
+    * source — mirrors Corpus.dedupReport exactly. */
+  private def dedupReportOracle: String =
+    s"""WITH d12r AS (${graft.ops.Dedup.lineDedupOracleSql}),
+       | near0 AS (WITH $ngramPairCtes
+       |   SELECT a AS doc_id FROM jpairs UNION SELECT b AS doc_id FROM jpairs),
+       | base AS (SELECT doc_id, source,
+       |           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+       |           md5(text) AS h FROM documents),
+       | keep AS (SELECT h, min(doc_id) AS keeper FROM base GROUP BY h)
+       |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN b.doc_id != k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |       CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |       CAST(sum(d.n_lines - d.n_kept) AS BIGINT) AS n_lines_cut
+       |FROM base b JOIN keep k USING (h)
+       |LEFT JOIN near0 n ON n.doc_id = b.doc_id
+       |JOIN d12r d ON d.doc_id = b.doc_id
+       |GROUP BY b.source""".stripMargin
 
   /** CTE chain producing the exact n-gram Jaccard near-dup pairs
     * (`jpairs(a, b, jac)` at threshold 0.8) — shared by the pair oracles and

@@ -468,6 +468,39 @@ object Corpus {
        |       CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
        |FROM f GROUP BY domain""".stripMargin
 
+  /** Per-source dedup IMPACT report (c9) — the composition a pipeline
+    * owner reads before committing a cleanup: for each source, document
+    * and token mass, exact-duplicate docs (non-keeper members of an md5
+    * group), docs implicated in a near-dup pair (the d3 relation), and
+    * lines the C4 rule (d12) would cut. All inputs are doc-keyed
+    * relations produced by the existing operators; the report is four
+    * equi-joins + one per-source fold — composition, not recomputation,
+    * is the point (each sub-relation scales exactly as its own operator
+    * does). */
+  def dedupReport(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+      md5(col("text")).as("h"))
+    val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val nearDocs = {
+      val p = Dedup.minhashPairs(docs, 0.8)
+      p.select(col("a").as("doc_id")).union(p.select(col("b").as("doc_id"))).distinct()
+        .withColumn("near", lit(1))
+    }
+    val lines = Dedup.lineDedup(docs)
+      .select(col("doc_id"), (col("n_lines") - col("n_kept")).as("cut"))
+    base.join(keep, Seq("h"))
+      .join(nearDocs, Seq("doc_id"), "left_outer")
+      .join(lines, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("near").isNotNull, 1L).otherwise(0L)).as("n_near_dup"),
+        sum(col("cut")).as("n_lines_cut"))
+      .orderBy(col("source"))
+  }
+
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
        |       CAST(off // $budgetTokens AS BIGINT) AS pack_id

@@ -192,4 +192,20 @@ class CorpusSpec extends AnyFunSuite {
     // the fixture produces both blocked and kept mass
     assert(out.exists(_._4 > 0) && out.exists(_._5 > 0))
   }
+
+  test("c9 dedup report ties out against its component operators") {
+    val rep = Corpus.dedupReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rep.map(_._2._1).sum == docs.count())
+    val exactDups = Dedup.exactDuplicates(docs).agg(sum(col("n") - 1)).collect().head.getLong(0)
+    assert(rep.map(_._2._3).sum == exactDups, "exact-dup mass drift vs d1")
+    val p = Dedup.minhashPairs(docs, 0.8)
+    val nearDocs = p.select("a").union(p.select("b")).distinct().count()
+    assert(rep.map(_._2._4).sum == nearDocs, "near-dup mass drift vs d3")
+    val cut = Dedup.lineDedup(docs).agg(sum(col("n_lines") - col("n_kept"))).collect().head.getLong(0)
+    assert(rep.map(_._2._5).sum == cut, "line-cut mass drift vs d12")
+    // exact duplicates may legitimately be absent at sf0.001; the near-dup
+    // and line-cut channels must fire for the report to be meaningful
+    assert(rep.map(_._2._4).sum > 0 && cut > 0, "fixture degenerate")
+  }
 }
