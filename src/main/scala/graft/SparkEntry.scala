@@ -80,6 +80,9 @@ object SparkEntry {
     // shell anti-join — the voxel relation never shuffles
     "a17_dilate" -> (ArrayOps.a17_dilate _),
     "a18_erode" -> (ArrayOps.a18_erode _),
+    // pyramid integrity audit: re-derive mip-1 from mip-0 and diff the
+    // store (a tampered chunk is planted so detection is proven)
+    "a19_mip_audit" -> (ArrayOps.a19_mip_audit _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -399,6 +402,7 @@ object SparkEntry {
     "a16_connected_components" -> ArrayOps.a16OracleSql,
     "a17_dilate" -> ArrayOps.a17OracleSql,
     "a18_erode" -> ArrayOps.a18OracleSql,
+    "a19_mip_audit" -> ArrayOps.a19OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

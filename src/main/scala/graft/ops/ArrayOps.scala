@@ -137,6 +137,84 @@ object ArrayOps {
 
   def a4OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a4")
 
+  /** Mip-pyramid INTEGRITY AUDIT under the oracle gate (a19) — the
+    * data-quality check a pyramid-maintaining pipeline runs after every
+    * bulk write: re-derive each mip-1 cell from the mip-0 voxels
+    * ([[VolumeOps.downsampleAvg]], the same kernel `buildNextMip` used)
+    * and compare against what the STORE actually holds at mip 1, folding
+    * per-z match/mismatch counts. A corrupted, stale or half-written mip
+    * chunk shows up as a nonzero mismatch count for its z range.
+    *
+    * Scale shape: both sides are chunk-pruned voxel scans; the re-derived
+    * cells come from one map-side-combined aggregation and the comparison
+    * is a (x, y, z)-keyed equi-join at mip-1 grain (an 8× reduction of
+    * the mip-0 relation) — no driver-side data. The fixture corrupts one
+    * mip-1 chunk on purpose, so the audit provably DETECTS (n_mismatch >
+    * 0 for exactly the tampered z range) rather than vacuously passing.
+    *
+    * Oracle: both mip relations dump to parquet; DuckDB re-derives the
+    * mean-pool (same half-up rounding in double) and the same join +
+    * fold. */
+  def a19_mip_audit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a19").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
+    val vol1 = new Volume(spark, root, meta, 2)
+    // tamper with one stored mip-1 region (z 5..8 of one chunk): the audit
+    // must localize the damage, not just pass on pristine data
+    val tamper = VoxelBuffer.zeros(Meta.TUInt8, 32, 32, 4, 1, (1, 1, 5))
+    var tz = 0
+    while (tz < 4) {
+      var ty = 0
+      while (ty < 32) {
+        var tx = 0
+        while (tx < 32) { tamper.setLong(tx, ty, tz, 0, 7L); tx += 1 }
+        ty += 1
+      }
+      tz += 1
+    }
+    vol1.ingest(tamper)
+    val m0 = vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+    val m1 = vol1.toVoxels(Box(1, 32, 1, 32, 1, 8))
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+    m0.write.mode("overwrite").parquet(s"$voxelDumpRoot/a19m0")
+    m1.write.mode("overwrite").parquet(s"$voxelDumpRoot/a19m1")
+    val derived = spark.read.parquet(s"$voxelDumpRoot/a19m0")
+      .groupBy(
+        (floor((col("x") - 1) / 2) + 1).cast(IntegerType).as("x"),
+        (floor((col("y") - 1) / 2) + 1).cast(IntegerType).as("y"),
+        col("z"))
+      .agg(round(avg(col("value"))).cast(LongType).as("want"))
+    spark.read.parquet(s"$voxelDumpRoot/a19m1")
+      .join(derived, Seq("x", "y", "z"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("value") === col("want"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("value") =!= col("want"), 1L).otherwise(0L)).as("n_mismatch"))
+      .orderBy(col("z"))
+  }
+
+  /** Oracle twin of [[a19_mip_audit]]: the same mean-pool re-derivation
+    * (double avg, half-up round) and match fold from the two dumps. */
+  def a19OracleSql: String =
+    s"""WITH m0 AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a19m0/*.parquet')),
+       | m1 AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a19m1/*.parquet')),
+       | ds AS (SELECT CAST(floor((x-1)/2) + 1 AS INT) AS x,
+       |         CAST(floor((y-1)/2) + 1 AS INT) AS y, z,
+       |         CAST(round(CAST(sum(value) AS DOUBLE) / count(*)) AS BIGINT) AS want
+       |        FROM m0 GROUP BY 1, 2, 3)
+       |SELECT m1.z, CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(sum(CASE WHEN m1.value = ds.want THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |       CAST(sum(CASE WHEN m1.value != ds.want THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+       |FROM m1 JOIN ds ON ds.x = m1.x AND ds.y = m1.y AND ds.z = m1.z
+       |GROUP BY m1.z""".stripMargin
+
   /** The DSv2 "precomputed" chunk table itself under the oracle gate: build
     * a deterministic fully-ingested volume, read it through
     * `spark.read.format("precomputed")`, and emit the chunk metadata. With

@@ -189,4 +189,15 @@ class VolumeOpsSpec extends AnyFunSuite {
     for (z <- 0 until 10; y <- 96 until 128 by 5; x <- 96 until 128 by 5)
       assert(out.getLong(x, y, z) == buf.getLong(x, y, z), s"spill ($x,$y,$z)")
   }
+
+  test("a19 mip audit localizes the planted corruption to its z range") {
+    val rows = ArrayOps.a19_mip_audit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == (1 to 8).toSet)
+    rows.foreach { case (z, (cells, m, mm)) =>
+      assert(m + mm == cells, s"z=$z counts don't tie out")
+      if (z <= 4) assert(mm == 0, s"pristine z=$z flagged: $mm mismatches")
+      else assert(mm > 0, s"tampered z=$z not detected")
+    }
+  }
 }
