@@ -83,6 +83,9 @@ object SparkEntry {
     // pyramid integrity audit: re-derive mip-1 from mip-0 and diff the
     // store (a tampered chunk is planted so detection is proven)
     "a19_mip_audit" -> (ArrayOps.a19_mip_audit _),
+    // contact sites: chunk-local label pairs + probe⋈negface seam join —
+    // the connectomics adjacency operator; only O(surface) halos move
+    "a20_contact_area" -> (ArrayOps.a20_contact_area _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -403,6 +406,7 @@ object SparkEntry {
     "a17_dilate" -> ArrayOps.a17OracleSql,
     "a18_erode" -> ArrayOps.a18OracleSql,
     "a19_mip_audit" -> ArrayOps.a19OracleSql,
+    "a20_contact_area" -> ArrayOps.a20OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -797,6 +797,93 @@ object ArrayOps {
        |FROM fgc f LEFT JOIN erc e
        |  ON f.cx = e.cx AND f.cy = e.cy AND f.cz = e.cz""".stripMargin
 
+  /** Distributed CONTACT-AREA extraction under the oracle gate (a20) —
+    * the connectomics "contact sites" operator completing the halo-exchange
+    * morphology family (a16 components, a17 dilate, a18 erode): per pair of
+    * distinct nonzero segment labels, count the 6-adjacent voxel pairs
+    * where the two segments touch (the quantity synapse-candidate and
+    * segment-adjacency-graph pipelines aggregate over petavoxel
+    * segmentations). Three scale-shaped stages:
+    *  1. chunk-local pass ([[graft.volume.Volume.localContacts]]) — one
+    *     decode per chunk; in-cut +x/+y/+z pairs fold into a per-chunk
+    *     (la, lb)→count map; positive faces emit O(surface) `probe` rows,
+    *     negative faces O(surface) `negface` presence rows;
+    *  2. seam pairs: probe⋈negface on coordinates (each seam pair formed
+    *     exactly once, by the lower chunk's probe) with differing labels;
+    *  3. local maps explode and union with the seam pairs into per-pair
+    *     totals. The voxel relation never shuffles — only face-deep halos
+    *     move. Output grain: (la, lb, n_pairs), la < lb, both nonzero. The
+    *     oracle replays adjacency as a 3-positive-shift self-join over the
+    *     dumped labeled voxels. */
+  def a20_contact_area(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a20").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    // ~39% dense 5-label pattern: every chunk holds several labels and every
+    // seam direction carries cross-label contacts
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          if ((x * 7 + y * 3 + z * 5) % 23 < 9)
+            buf.setLong(x - 1, y - 1, z - 1, 0, 1L + (x * 5 + y * 11 + z * 3) % 5)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("label"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a20")
+    contactStats(vol.localContacts(box))
+  }
+
+  /** Stages 2+3 of distributed contact extraction over a
+    * [[graft.volume.Volume.localContacts]] relation. Exposed separately so
+    * specs can drive it over arbitrary volumes. */
+  private[graft] def contactStats(localContacts: DataFrame): DataFrame = {
+    // materialized: consumed by the local-pair explode AND both halo sides
+    val lc = Tables.materialize(localContacts)
+    val localPairs = lc.select(explode(col("pairs")).as("p"))
+      .select(col("p.la").as("la"), col("p.lb").as("lb"), col("p.n").as("n"))
+    val probes = lc.select(explode(col("probe")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.z").as("z"),
+        col("p.label").as("l1"))
+    val negface = lc.select(explode(col("negface")).as("t"))
+      .select(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"),
+        col("t.label").as("l2"))
+    val seamPairs = probes.join(negface, Seq("x", "y", "z"))
+      .filter(col("l1") =!= col("l2"))
+      .select(least(col("l1"), col("l2")).as("la"),
+        greatest(col("l1"), col("l2")).as("lb"), lit(1L).as("n"))
+    localPairs.unionByName(seamPairs)
+      .groupBy(col("la"), col("lb")).agg(sum(col("n")).as("n_pairs"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  /** Oracle twin of [[a20_contact_area]]: adjacency as a 3-positive-shift
+    * self-join over the dumped labeled voxels — each unordered adjacent
+    * pair appears exactly once because only positive shifts are probed. */
+  def a20OracleSql: String =
+    s"""WITH fg AS (SELECT x, y, z, label FROM read_parquet('$voxelDumpRoot/a20/*.parquet')),
+       | d AS (SELECT * FROM (VALUES (1,0,0),(0,1,0),(0,0,1)) t(dx, dy, dz)),
+       | pr AS (SELECT least(f.label, n.label) AS la, greatest(f.label, n.label) AS lb
+       |        FROM fg f CROSS JOIN d s
+       |        JOIN fg n ON n.x = f.x + s.dx AND n.y = f.y + s.dy AND n.z = f.z + s.dz
+       |        WHERE f.label <> n.label)
+       |SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   /** Z-order (Morton) chunk layout: the demo grid keyed by the native
     * `zorder_key` expression and range-partitioned on it — the
     * multi-dimensional clustering layout that makes 3-d box queries read a

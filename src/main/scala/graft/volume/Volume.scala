@@ -917,6 +917,122 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk CONTACT-SURFACE partials over a labeled segmentation volume
+    * — the connectomics "contact sites" primitive (a synapse-candidate
+    * pipeline counts, per pair of distinct nonzero labels, the 6-adjacent
+    * voxel pairs where the two segments touch). Each chunk task decodes its
+    * chunk once and emits ONE row:
+    *  - `cx/cy/cz` — the chunk's grid indices;
+    *  - `pairs` — the chunk-LOCAL contact counts: for every in-cut voxel
+    *    pair adjacent along +x/+y/+z with differing nonzero labels, one
+    *    count keyed by (min label, max label). Positive directions only, so
+    *    each local pair is counted exactly once;
+    *  - `probe` — for each nonzero voxel on a POSITIVE cut face, the
+    *    across-seam coordinate it touches (clipped to `query`) plus its own
+    *    label: the halo this chunk pushes forward;
+    *  - `negface` — this chunk's nonzero voxels on any NEGATIVE cut face
+    *    (x/y/z local index 0) with their labels: the presence relation the
+    *    previous chunk's probes join against.
+    * Cross-seam pairs are formed ONLY by lower-chunk probes joining
+    * upper-chunk negfaces, so each seam pair is counted exactly once and
+    * only O(surface) rows move — the voxel relation never shuffles. The
+    * caller ([[graft.ops.ArrayOps.contactStats]]) explodes `pairs`, joins
+    * probe→negface on coordinates, and folds both into per-label-pair
+    * totals. Integer label volumes only. */
+  def localContacts(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localContacts: single-channel volumes only")
+    require(c.dataType != graft.core.Meta.TFloat32 && c.dataType != graft.core.Meta.TFloat64,
+      "localContacts: integer label volumes only")
+    val labeled = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("pairs", ArrayType(StructType(Seq(
+        StructField("la", LongType, nullable = false),
+        StructField("lb", LongType, nullable = false),
+        StructField("n", LongType, nullable = false))), containsNull = false),
+        nullable = false),
+      StructField("probe", ArrayType(labeled, containsNull = false), nullable = false),
+      StructField("negface", ArrayType(labeled, containsNull = false), nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.flatMap { s =>
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Iterator.empty // all-background
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              val cut = s.cutoutBox
+              val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+              @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+              val lab = new Array[Long](nx * ny * nz)
+              var lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    lab(li(lx, ly, lz)) = b.getLong(
+                      cut.x.lo - b.origin._1 + lx, cut.y.lo - b.origin._2 + ly,
+                      cut.z.lo - b.origin._3 + lz, 0)
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              val pairCnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+              val probe = scala.collection.mutable.ArrayBuffer.empty[Row]
+              val negface = scala.collection.mutable.ArrayBuffer.empty[Row]
+              @inline def addPair(a: Long, bb: Long): Unit = {
+                val k = if (a < bb) (a, bb) else (bb, a)
+                pairCnt.update(k, pairCnt.getOrElse(k, 0L) + 1L)
+              }
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val v = lab(li(lx, ly, lz))
+                    if (v != 0L) {
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      // local +x/+y/+z pairs — each counted exactly once
+                      if (lx + 1 < nx) { val n = lab(li(lx + 1, ly, lz)); if (n != 0L && n != v) addPair(v, n) }
+                      if (ly + 1 < ny) { val n = lab(li(lx, ly + 1, lz)); if (n != 0L && n != v) addPair(v, n) }
+                      if (lz + 1 < nz) { val n = lab(li(lx, ly, lz + 1)); if (n != 0L && n != v) addPair(v, n) }
+                      // forward halo: positive faces push a probe across the seam
+                      if (lx == nx - 1 && qbox.x.contains(gx + 1)) probe += Row(gx + 1, gy, gz, v)
+                      if (ly == ny - 1 && qbox.y.contains(gy + 1)) probe += Row(gx, gy + 1, gz, v)
+                      if (lz == nz - 1 && qbox.z.contains(gz + 1)) probe += Row(gx, gy, gz + 1, v)
+                      // backward presence: negative faces are probe targets
+                      if (lx == 0 || ly == 0 || lz == 0) negface += Row(gx, gy, gz, v)
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              val pairs = pairCnt.toSeq.sortBy(_._1)
+                .map { case ((a, bb), n) => Row(a, bb, n) }
+              Iterator.single(Row(cx, cy, cz, pairs, probe.toSeq, negface.toSeq))
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
   /** The whole volume as a Catalyst-native voxel relation: a custom
     * `VoxelScan` leaf whose box is narrowed by the `PushBoxFilters`
     * optimizer rule, so `voxels().filter($"x".between(a, b) && ...)` prunes

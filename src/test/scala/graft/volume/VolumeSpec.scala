@@ -389,4 +389,41 @@ class VolumeSpec extends AnyFunSuite {
     assert(eroSet.nonEmpty && eroSet.size < fgSet.size, "mask degenerate for erosion")
     assert(got == want)
   }
+
+  test("distributed contact area (localContacts + seam join) equals driver-side brute force") {
+    // dense pseudo-random multi-label mask over a multi-seam grid so
+    // cross-label contacts cross every seam direction
+    val (w, h, d) = (40, 40, 8)
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-cta"), meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, w, h, d, 1, (1, 1, 1))
+    def lab(x: Int, y: Int, z: Int): Long = {
+      val hsh = scala.util.hashing.MurmurHash3.productHash((x, y, z, 19)) & 0xffff
+      if (hsh < 30000) 1L + hsh % 4 else 0L
+    }
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w)
+      if (lab(x, y, z) != 0L) buf.setLong(x - 1, y - 1, z - 1, 0, lab(x, y, z))
+    vol.ingest(buf)
+    val got = graft.ops.ArrayOps.contactStats(vol.localContacts(Box(1, w, 1, h, 1, d)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth: positive-shift scan over the full mask
+    val want = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w; v = lab(x, y, z) if v != 0L;
+         (nx, ny, nz) <- Seq((x + 1, y, z), (x, y + 1, z), (x, y, z + 1))
+         if nx <= w && ny <= h && nz <= d) {
+      val n = lab(nx, ny, nz)
+      if (n != 0L && n != v) {
+        val k = (math.min(v, n), math.max(v, n))
+        want.update(k, want.getOrElse(k, 0L) + 1L)
+      }
+    }
+    assert(want.size >= 6, "mask degenerate: too few label pairs")
+    assert(got == want.toMap)
+    // guard: float volumes are rejected loudly
+    val fmeta = Meta.VolumeMeta("image", Meta.TFloat32, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val fvol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-cta-f"), fmeta)
+    assertThrows[IllegalArgumentException](fvol.localContacts(Box(1, w, 1, h, 1, d)))
+  }
 }
