@@ -160,6 +160,9 @@ object SparkEntry {
     // bigram LM quality score — the CCNet/KenLM filter shape; word salad
     // of common tokens fools the unigram model (t12) but not this one
     "t17_bigram_lp" -> ((s, d) => TextOps.bigramLogProb(Tables.t(s, d, "documents"))),
+    // corpus Zipf diagnostic: distributed top-k head (no global window),
+    // regression over exact decimal sums
+    "t18_zipf" -> ((s, d) => TextOps.zipfFit(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -421,6 +424,7 @@ object SparkEntry {
     "t11_pii" -> TextOps.piiMaskOracleSql,
     "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
     "t17_bigram_lp" -> TextOps.bigramLogProbOracleSql,
+    "t18_zipf" -> TextOps.zipfFitOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

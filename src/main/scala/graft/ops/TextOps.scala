@@ -904,6 +904,76 @@ object TextOps {
        |SELECT doc_id, '' AS fp, 0 AS n_fp FROM documents WHERE length(text) < $k""".stripMargin
   }
 
+  /** How many top-frequency tokens the Zipf fit regresses over — the
+    * head of the rank–frequency curve, where Zipf's law holds and where a
+    * corpus-health drift (boilerplate explosion, templated spam) shows up
+    * as a slope change. */
+  val ZipfTopK: Int = 1000
+
+  /** Corpus Zipf diagnostic (t18): least-squares slope/intercept of
+    * ln(freq) against ln(rank) over the [[ZipfTopK]] most frequent tokens,
+    * plus the vocabulary size. Natural corpora sit near slope −1; a corpus
+    * polluted by templated or machine-generated text bends the head of the
+    * curve — this is the drift monitor curation dashboards track per
+    * snapshot.
+    *
+    * Scale shape: term frequencies are ONE map-side-combined aggregation;
+    * the head is a distributed top-k (`orderBy.limit` →
+    * TakeOrderedAndProject — NOT a global row_number, which would funnel
+    * the whole vocabulary through one partition); the rank window then
+    * runs over [[ZipfTopK]] rows only, and the regression reduces five
+    * scalars. The frequency relation is materialized once because both
+    * the vocab count and the top-k consume it.
+    *
+    * Cross-engine: each point's ln rounds to DECIMAL(18,8) before the
+    * sums; products stay in exact decimal arithmetic, so every regression
+    * sum is order-insensitive and identical in both engines (the t12/t9
+    * discipline); only the final slope/intercept divisions run in DOUBLE,
+    * as one deterministic scalar expression each. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(18, 8)
+    val tf = materialize(
+      docs.select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq")))
+    val top = tf.orderBy(col("freq").desc, col("tok")).limit(ZipfTopK)
+    val pts = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+      .select(log(col("rank").cast(DoubleType)).cast(dec).as("lr"),
+        log(col("freq").cast(DoubleType)).cast(dec).as("lf"))
+    val s = pts.agg(count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("lr")).cast(DoubleType).as("sx"),
+      sum(col("lf")).cast(DoubleType).as("sy"),
+      sum(col("lr") * col("lf")).cast(DoubleType).as("sxy"),
+      sum(col("lr") * col("lr")).cast(DoubleType).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    tf.agg(count(lit(1)).as("n_vocab"))
+      .crossJoin(broadcast(s))
+      .select(col("n_vocab"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+  }
+
+  /** DuckDB oracle twin of [[zipfFit]] — same top-[[ZipfTopK]] head, same
+    * per-point decimal rounding, same exact decimal sums, same final
+    * DOUBLE divisions. */
+  def zipfFitOracleSql: String =
+    s"""WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       | tf AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+       | top AS (SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT $ZipfTopK),
+       | pts AS (SELECT
+       |    CAST(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS DECIMAL(18,8)) AS lr,
+       |    CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,8)) AS lf FROM top),
+       | s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(lr) AS DOUBLE) AS sx, CAST(sum(lf) AS DOUBLE) AS sy,
+       |    CAST(sum(lr*lf) AS DOUBLE) AS sxy, CAST(sum(lr*lr) AS DOUBLE) AS sxx FROM pts),
+       | v AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM tf)
+       |SELECT v.n_vocab,
+       | round((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx), 4) AS slope,
+       | round((s.sy - ((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx))*s.sx)/s.n, 4) AS intercept
+       |FROM s, v""".stripMargin
+
   /** Rabin–Karp rolling hash sequence of all k-grams (base 257, mod 2^61-1). */
   private[ops] def rollingHashes(text: String, k: Int): Array[Long] = {
     val Mod = (1L << 61) - 1

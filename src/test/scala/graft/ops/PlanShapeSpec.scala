@@ -214,6 +214,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(l => !l.contains("value")), exchanges)
   }
 
+  test("t18: Zipf head is a distributed top-k, not a global-window funnel") {
+    // the vocabulary must reach the rank window already cut to TopK rows:
+    // orderBy.limit plans TakeOrderedAndProject (distributed partial top-k),
+    // never a global sort of the full term-frequency relation
+    val p = plan("t18_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a20: halo relations exchange, the voxel relation never does") {
+    // probe/negface (O(surface)) rows may shuffle; the decoded voxel
+    // relation must not — no exchange carries the raw `value` column
+    val p = plan("a20_contact_area")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("value")), exchanges)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
@@ -228,7 +244,8 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("s13_rp_topk", "s1_cosine_topk", "s5_sq8_topk",
-      "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp", "t9_bm25"),
+      "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
+      "t18_zipf", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // c7 attaches n_min via a
     // window over the tiny count relation, and s11's exact ground truth is
     // materialized (its flat scan runs once, at build; the gated plan reads
