@@ -47,6 +47,9 @@ object SparkEntry {
     // value-based (time-RANGE) window frame over exact epoch micros —
     // the linear form of the trailing-window self-join
     "q27_range_frame" -> (Relational.q27_range_frame _),
+    // manual skew-join: content-hash salt on the probe side, ×16 build
+    // replication — result identical to the plain join (the oracle is one)
+    "q28_salted_join" -> (Relational.q28_salted_join _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
     "t5_array_fns" -> ((s, d) => TextOps.arrayOps(Tables.t(s, d, "documents"))),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
@@ -384,6 +387,12 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q28_salted_join" ->
+      """SELECT o_orderpriority,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "t5_array_fns" ->
       """SELECT doc_id,
         | list_sort(toks)[1] AS first_tok,

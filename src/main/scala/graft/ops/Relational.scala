@@ -356,4 +356,20 @@ object Relational {
       count(lit(1)).over(w).as("n_1h"),
       outd(sum(col("value").cast(DecimalType(18, 6))).over(w)).as("sv_1h"))
   }
+
+  /** Salted skew JOIN ([[Skew.saltedJoin]]) — the manual hot-key
+    * decomposition demonstrated end-to-end: lineitem (probe, the side a
+    * hot order key would concentrate) joins a salt-replicated orders
+    * projection, then reduces to per-priority revenue. The oracle is the
+    * PLAIN join + aggregate — salting must be invisible in the result. */
+  def q28_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ord, "l_orderkey", buckets = 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -37,4 +37,26 @@ object Skew {
       .agg(sum(s"__p_${sums.head._2}").as(sums.head._2),
         sums.tail.map { case (_, n) => sum(s"__p_$n").as(n) } :+ sum("__p_n").as("n"): _*)
   }
+
+  /** Salt-and-replicate equi-join for a skewed PROBE side — the manual
+    * skew-join decomposition for when AQE's OptimizeSkewedJoin can't fire
+    * (its split works per shuffle partition at runtime; a probe side whose
+    * single hottest key dwarfs every split threshold, or a join forced
+    * under a strict shuffle reuse, still hot-spots one reducer). Each probe
+    * row gets a deterministic content-hash salt in [0, buckets) — stable
+    * under fetch-failure recompute (SPARK-23207, same discipline as
+    * [[saltedAgg]]) — and the build side replicates `buckets` times so
+    * every (key, salt) bucket finds its matches. Output multiset is
+    * IDENTICAL to the plain equi-join (the oracle checks exactly that);
+    * only the reducer-key histogram flattens. Build-side cost: ×`buckets`
+    * rows through one shuffle — use for moderate build sides that are
+    * still too big to broadcast. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col): _*), lit(buckets.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -46,4 +46,21 @@ class RelationalSpec extends AnyFunSuite {
     // grand total equals the table size
     assert(rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getLong(2) == 1500L)
   }
+
+  test("saltedJoin multiset equals the plain equi-join, including hot keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one hot key (700 of 1000 rows) plus a key missing from the build side
+    val probe = (1 to 1000).map(i => (if (i <= 700) 1L else i.toLong % 90 + 2L, i))
+      .toDF("k", "pv")
+    val build = (1L to 60L).map(k => (k, s"b$k")).toDF("k", "bv")
+    val got = Skew.saltedJoin(probe, build, "k", buckets = 8)
+      .select(col("k"), col("pv"), col("bv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val want = probe.join(build, Seq("k"))
+      .select(col("k"), col("pv"), col("bv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(got.length == want.length && got.sameElements(want))
+    assert(got.count(_._1 == 1L) == 700, "hot key must survive salting intact")
+  }
 }
