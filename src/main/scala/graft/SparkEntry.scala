@@ -120,6 +120,9 @@ object SparkEntry {
     "s5_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "s7_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "s8_ivfadc" -> ((s, d) => Similarity.ivfAdcTopK(s, d)),
+    // two-stage serve path: ADC shortlist → exact re-rank over fetched
+    // true vectors (FAISS IndexRefineFlat composition)
+    "s15_ivf_refine" -> ((s, d) => Similarity.ivfRefineTopK(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -452,6 +455,7 @@ object SparkEntry {
     "s5_sq8_topk" -> Similarity.sq8OracleSql(),
     "s7_pq_topk" -> Similarity.pqOracleSql(),
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
+    "s15_ivf_refine" -> Similarity.ivfRefineOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

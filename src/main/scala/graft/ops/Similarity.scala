@@ -774,6 +774,110 @@ object Similarity {
        |SELECT q_id, nb_id, adc, CAST(rnk AS BIGINT) AS rnk FROM rk WHERE rnk <= $k""".stripMargin
   }
 
+  /** Where [[ivfRefineTopK]] dumps its fitted coarse centroids / codebooks. */
+  lazy val IvfRefineCentroidDump: String = s"$OracleDumpRoot/s15_centroids"
+  lazy val IvfRefineCodebookDump: String = s"$OracleDumpRoot/s15_codebooks"
+
+  /** IVFADC + EXACT RE-RANK (s15) — the standard production two-stage ANN
+    * serve path (FAISS's `IndexRefineFlat` composition): stage 1 is the s8
+    * shape (coarse route, nprobe cell equi-join, ADC scoring against the
+    * 4 B + m B compressed index) but kept to a SHORTLIST of `shortlist`
+    * candidates per query instead of k; stage 2 fetches only the
+    * queries×shortlist TRUE vectors by key and re-ranks on exact dot
+    * product. Compression makes the scan cheap; the refine step buys back
+    * the quantization error where it matters — the final ordering — while
+    * touching a candidate set orders of magnitude below the corpus.
+    *
+    * Scale shape: stage 1 is s8's (equi-joins only, broadcast query cells,
+    * per-query WindowGroupLimit top-R); the stage-2 candidate list
+    * (queries×shortlist rows) broadcasts against the corpus, so the true
+    * vectors are served by an equi-join on the vector key — no second scan
+    * ranks the corpus, and only the shortlist's vectors leave it. */
+  def ivfRefineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      shortlist: Int = 20, nlist: Int = 16, nprobe: Int = 10,
+      m: Int = PqSubspaces, nCodes: Int = PqCodes): DataFrame = {
+    require(Dim % m == 0, s"dim $Dim not divisible by $m subspaces")
+    require(shortlist >= k, "shortlist must cover the final k")
+    val emb = t(spark, dir, "embeddings")
+    val trainEmb = cappedTrainSample(emb)
+    val centMatrix = fitCoarseCentroids(trainEmb, nlist)
+    val cbs = fitPqCodebooks(trainEmb, m, nCodes)
+    dumpCentroids(spark, centMatrix, IvfRefineCentroidDump)
+    dumpCodebooks(spark, cbs, IvfRefineCodebookDump)
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
+    import graft.functions.PqExprs.{pq_decode, pq_encode}
+    val indexed = emb.select(col("vec_id").as("nb_id"),
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"),
+      pq_encode(col("embedding"), cbs).as("codes"))
+    val queryCells = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        explode(centroid_topn(col("embedding"), centMatrix, nprobe)).as("cell"))
+      .select(col("q_id"), col("qa"), col("cell.cluster").as("cluster"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("nb_id").asc)
+    val short = indexed
+      .join(broadcast(queryCells), Seq("cluster"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .withColumn("adc", vec_dot(col("qa"), pq_decode(col("codes"), cbs)))
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select(col("q_id"), col("qa"), col("nb_id"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id").asc)
+    broadcast(short)
+      .join(emb.select(col("vec_id").as("nb_id"), col("embedding").as("nba")), Seq("nb_id"))
+      .withColumn("score", vec_dot(col("qa"), col("nba")))
+      .withColumn("rnk", row_number().over(wEx))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), round(col("score"), 4).as("score"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[ivfRefineTopK]] — the s8 replay kept to the
+    * shortlist, composed with an exact-dot re-rank over the true vectors. */
+  def ivfRefineOracleSql(nQueries: Int = 10, k: Int = 5, shortlist: Int = 20,
+      nprobe: Int = 10, m: Int = PqSubspaces): String = {
+    val subDim = Dim / m
+    s"""WITH cc AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |            FROM read_parquet('$IvfRefineCentroidDump/*.parquet')),
+       | cb AS (SELECT m, code, list_transform(cent, x -> CAST(x AS DOUBLE)) AS cent
+       |        FROM read_parquet('$IvfRefineCodebookDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, cc),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | qc AS (SELECT vec_id AS q_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS crnk
+       |          FROM s WHERE vec_id < $nQueries) x WHERE crnk <= $nprobe),
+       | sub AS (SELECT vec_id, r.m AS m, emb[r.m*$subDim+1:r.m*$subDim+$subDim] AS sv
+       |         FROM e, range(0, $m) r(m)),
+       | d2 AS (SELECT su.vec_id, su.m, c.code,
+       |         (list_dot_product(su.sv, su.sv) - 2 * list_dot_product(su.sv, c.cent))
+       |           + list_dot_product(c.cent, c.cent) AS dist
+       |        FROM sub su JOIN cb c ON su.m = c.m),
+       | pasg AS (SELECT vec_id, m, code FROM (
+       |           SELECT vec_id, m, code,
+       |                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+       |           FROM d2) x WHERE rn = 1),
+       | rec AS (SELECT a.vec_id, flatten(list(c.cent ORDER BY a.m)) AS dec
+       |         FROM pasg a JOIN cb c ON a.m = c.m AND a.code = c.code GROUP BY a.vec_id),
+       | cand AS (SELECT qc.q_id, a.vec_id AS nb_id FROM qc JOIN asg a USING (cluster)
+       |          WHERE a.vec_id != qc.q_id),
+       | p AS (SELECT cand.q_id, cand.nb_id, list_dot_product(eq.emb, r.dec) AS adc
+       |       FROM cand JOIN e eq ON eq.vec_id = cand.q_id JOIN rec r ON r.vec_id = cand.nb_id),
+       | sh AS (SELECT q_id, nb_id FROM (
+       |          SELECT q_id, nb_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nb_id) AS srnk
+       |          FROM p) x WHERE srnk <= $shortlist),
+       | ex AS (SELECT sh.q_id, sh.nb_id, list_dot_product(eq.emb, en.emb) AS score
+       |        FROM sh JOIN e eq ON eq.vec_id = sh.q_id JOIN e en ON en.vec_id = sh.nb_id),
+       | fin AS (SELECT q_id, nb_id, round(score, 4) AS score,
+       |          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nb_id) AS rnk FROM ex)
+       |SELECT q_id, nb_id, score, CAST(rnk AS BIGINT) AS rnk FROM fin WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB oracle for [[embeddingDupPairs]]: replicates the deterministic
     * hyperplane bucketing exactly, with the plane constants inlined as
     * DOUBLE literals (shortest-roundtrip formatting, so both engines see

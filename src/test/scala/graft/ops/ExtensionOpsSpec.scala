@@ -155,6 +155,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.08, s"recall $recall")
   }
 
+  test("ivf-refine: exact re-rank recall@5 at least matches plain IVFADC recall@5") {
+    import graft.functions.VectorExprs.vec_dot
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("nb_id").asc)
+    val exact = emb.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("s", vec_dot(col("qa"), col("ea")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("q_id", "nb_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.ivfAdcTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Similarity.ivfRefineTopK(spark, dir).select("q_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rAdc = (exact intersect adc).size.toDouble / exact.size
+    val rRef = (exact intersect ref).size.toDouble / exact.size
+    // refine re-ranks the ADC shortlist by TRUE score: every ground-truth
+    // neighbor the shortlist contains must surface in the final top-k, so
+    // refine recall can only match or beat plain ADC recall
+    assert(rRef >= rAdc, s"refine recall $rRef < adc recall $rAdc")
+    assert(rRef > 0.2, s"refine recall $rRef implausibly low")
+  }
+
   test("audio: WAV roundtrip through javax.sound is lossless; corrupt container fails loudly") {
     val smp = Multimodal.synthSamples(42L)
     val wav = Multimodal.wavEncode(smp)
