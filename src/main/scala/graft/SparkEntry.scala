@@ -191,6 +191,9 @@ object SparkEntry {
     "m3_modal_resize" -> (Multimodal.modalResize _),
     "m4_modal_frames" -> (Multimodal.modalFrames _),
     "m5_modal_audio" -> (Multimodal.modalAudio _),
+    // energy VAD over the real WAV roundtrip: 10 ms frames, integer
+    // energies, maximal active runs — row-local, zero shuffle
+    "m9_modal_vad" -> (Multimodal.modalVad _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -516,6 +519,7 @@ object SparkEntry {
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
+    "m9_modal_vad" -> Multimodal.modalVadOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

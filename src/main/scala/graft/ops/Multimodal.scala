@@ -662,6 +662,104 @@ object Multimodal {
        | round(sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n), 4) AS rms
        |FROM s""".stripMargin
 
+  /** VAD frame size: 10 ms at [[AudioRate]]. */
+  val VadFrame = 160
+
+  /** Frame-energy threshold separating the synthetic quiet floor (per-frame
+    * sum-of-squares PROVABLY ≤ 160·1023² ≈ 1.7e8, ~5.6e7 expected) from
+    * active full-range bursts (~5.7e10 expected): quiet frames can never
+    * cross it, active frames clear it by ~60×. Both engines compare the
+    * SAME integer energies, so the gate holds regardless — the margin is
+    * what makes the classification itself meaningful. */
+  val VadThreshold = 1000000000L
+
+  /** Deterministic amplitude-modulated PCM16 waveform for doc `id`:
+    * `n = 1600 + (id mod 97)·16` samples; frame `f = i / 160` is ACTIVE iff
+    * `(id·31 + f·17) mod 7 < 3`; active samples take the full-range base
+    * `((id·7919 + i·104729) mod 65536) − 32768`, quiet samples the base
+    * modulo 1024 (Java truncated `%` — matching DuckDB's dividend-sign
+    * `%`). Closed form, so the oracle replays the decoded samples without
+    * a dump. */
+  private[ops] def synthVadSamples(id: Long): Array[Short] = {
+    val n = (1600 + (id % 97) * 16).toInt
+    Array.tabulate(n) { i =>
+      val base = ((id * 7919 + i.toLong * 104729) % 65536) - 32768
+      val active = (id * 31 + (i / VadFrame).toLong * 17) % 7 < 3
+      (if (active) base else base % 1024).toShort
+    }
+  }
+
+  /** Voice-activity segmentation (m9) through a REAL codec roundtrip: per
+    * document, synthesize the amplitude-modulated waveform, WAV-encode and
+    * decode it back (container parse + PCM read), then run the classic
+    * energy VAD over the DECODED samples — 10 ms frames, integer
+    * sum-of-squares energy, a frame is active iff energy >
+    * [[VadThreshold]], and maximal active runs become segments (the
+    * speech/music/silence partitioning an audio-corpus pipeline runs
+    * before transcription, so only voiced spans reach the expensive ASR
+    * stage). Emits the parsed sample rate plus integer-exact frame/
+    * segment counts and the peak frame energy — a broken codec roundtrip
+    * fails the hash gate. Row-local mapPartitions, zero shuffle. */
+  def modalVad(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Int, Long, Long, Long, Long)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, sr, _, _) = wavDecode(wavEncode(synthVadSamples(id)))
+          val nFrames = smp.length / VadFrame
+          var nActive = 0L
+          var nSeg = 0L
+          var peakFe = 0L
+          var prevActive = false
+          var f = 0
+          while (f < nFrames) {
+            var fe = 0L
+            var i = f * VadFrame
+            val end = i + VadFrame
+            while (i < end) { val s = smp(i).toLong; fe += s * s; i += 1 }
+            if (fe > peakFe) peakFe = fe
+            val active = fe > VadThreshold
+            if (active) {
+              nActive += 1
+              if (!prevActive) nSeg += 1
+            }
+            prevActive = active
+            f += 1
+          }
+          (id, sr, nFrames.toLong, nActive, nSeg, peakFe)
+        }
+      }(outEnc)
+      .toDF("doc_id", "sr", "n_frames", "n_active", "n_seg", "peak_fe")
+  }
+
+  /** DuckDB oracle twin of [[modalVad]]: replays the closed-form modulated
+    * synthesis, the 160-sample frame energies, the threshold, and the
+    * run-start segment count (active frame whose predecessor is quiet) —
+    * matching only if the engine's WAV roundtrip was bit-exact. */
+  def modalVadOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 1600 + (doc_id % 97) * 16 AS n FROM documents),
+       | s AS (SELECT doc_id, n,
+       |        [ CASE WHEN ((doc_id * 31 + (i // $VadFrame) * 17) % 7) < 3
+       |               THEN ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |               ELSE (((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024 END
+       |          FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d),
+       | f AS (SELECT doc_id, unnest(range(0, n // $VadFrame)) AS fi, smp FROM s),
+       | fe AS (SELECT doc_id, fi,
+       |         list_sum(list_transform(
+       |           smp[CAST(fi * $VadFrame + 1 AS INT):CAST((fi + 1) * $VadFrame AS INT)],
+       |           x -> x * x)) AS fe
+       |        FROM f),
+       | mk AS (SELECT doc_id, fi, fe, fe > $VadThreshold AS act,
+       |         coalesce(lag(fe > $VadThreshold) OVER (PARTITION BY doc_id ORDER BY fi), false) AS pact
+       |        FROM fe)
+       |SELECT doc_id, 16000 AS sr, CAST(count(*) AS BIGINT) AS n_frames,
+       | CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       | CAST(sum(CASE WHEN act AND NOT pact THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
+       | CAST(max(fe) AS BIGINT) AS peak_fe
+       |FROM mk GROUP BY doc_id""".stripMargin
+
   // ------------- external-FILE media ingestion (binaryFile source) -------------
 
   /** How many leading documents are materialized as REAL media files for

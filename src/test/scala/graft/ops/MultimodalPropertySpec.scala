@@ -154,4 +154,20 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
       assert(out.map(_.length).sum == syms.map(_.length).sum)
     }
   }
+
+  test("VAD kernel invariants and brute-force agreement over arbitrary doc ids") {
+    forAll(Gen.chooseNum(0L, 1L << 40)) { id =>
+      val smp = Multimodal.synthVadSamples(id)
+      // WAV roundtrip stays bit-exact on the modulated waveform
+      val (dec, sr, _, _) = Multimodal.wavDecode(Multimodal.wavEncode(smp))
+      assert(sr == 16000 && dec.toSeq == smp.toSeq)
+      // brute-force frame classification agrees with the closed form
+      val frames = smp.grouped(Multimodal.VadFrame).filter(_.length == Multimodal.VadFrame).toSeq
+      val acts = frames.map(f => f.map(s => s.toLong * s).sum > Multimodal.VadThreshold)
+      val nSeg = acts.zip(false +: acts).count { case (a, p) => a && !p }
+      val wantActive = frames.indices.map(f => (id * 31 + f.toLong * 17) % 7 < 3)
+      assert(acts == wantActive, s"id=$id energy classification must mirror the envelope")
+      assert(nSeg <= acts.count(identity) && (acts.count(identity) == 0 || nSeg >= 1))
+    }
+  }
 }
