@@ -233,6 +233,9 @@ object SparkEntry {
     // curation as an ingest filter: row-local Gopher verdicts on the
     // stream, broadcast provenance enrich, domain-bounded report state
     "e11_quality_gate" -> ((s, d) => EventStreams.qualityGateOnce(s, d)),
+    // overlapping 2h/1h sliding windows — every event in exactly two
+    // windows; watermark-bounded state like e1
+    "e12_stream_sliding" -> (EventStreams.slidingAggOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -515,6 +518,7 @@ object SparkEntry {
     "e9_stream_neardup" -> deltaCorpusPairOracle,
     "e10_session_window" -> EventStreams.sessionWindowOracleSql(),
     "e11_quality_gate" -> EventStreams.qualityGateOracleSql,
+    "e12_stream_sliding" -> EventStreams.slidingAggOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

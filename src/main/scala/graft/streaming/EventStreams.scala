@@ -90,6 +90,47 @@ object EventStreams {
     lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "sv"))
   }
 
+  /** SLIDING-window counts/sums per event type (e12) — the overlapping
+    * window shape the tumbling e1 can't express: 2-hour windows sliding
+    * hourly, so every event contributes to exactly TWO windows (`window()`
+    * with a slide emits one row per covering window, epoch-aligned). The
+    * 1-hour watermark bounds state exactly as in e1 — a window's state is
+    * evicted once the watermark passes its end, so the overlap factor
+    * changes the state constant, not its boundedness. The trailing-rate
+    * monitor shape (events/hour over the last 2 h, updated hourly). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType), 3).as("sv"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("ws"), col("event_type"),
+        col("n"), col("sv"))
+
+  /** Run [[slidingAgg]] to completion against the batch parquet (memory
+    * sink, Update mode, final values via [[lastUpdate]]) — the
+    * `e12_stream_sliding` gate drive. */
+  def slidingAggOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sliding_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = slidingAgg(readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("ws", "event_type"), Seq("n", "sv"))
+  }
+
+  /** DuckDB oracle twin of [[slidingAggOnce]]: each event is replayed into
+    * its two epoch-hour-aligned covering windows (start = floor-hour and
+    * floor-hour − 1 h) and aggregated identically. */
+  def slidingAggOracleSql: String =
+    """WITH x AS (SELECT event_type, value,
+      |            date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS w0
+      |           FROM events CROSS JOIN (VALUES (0), (1)) o(o))
+      |SELECT strftime(w0, '%Y-%m-%d %H:%M') AS ws, event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
+      |FROM x GROUP BY strftime(w0, '%Y-%m-%d %H:%M'), event_type""".stripMargin
+
   /** Streaming dedup under the oracle gate: the event stream unioned with
     * itself (every id duplicated) must collapse back to the distinct ids
     * through `dropDuplicatesWithinWatermark` — the state-bounded dedup

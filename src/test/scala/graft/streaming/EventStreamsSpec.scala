@@ -24,6 +24,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("e12 sliding-window agg equals the two-windows-per-event batch replay") {
+    val streamed = EventStreams.slidingAggOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val e = Tables.events(spark, dir)
+    val batch = e.select(col("event_type"), col("value"), col("ts"),
+        explode(array(lit(0), lit(1))).as("o"))
+      .select(col("event_type"), col("value"),
+        date_format(
+          (unix_timestamp(date_trunc("hour", col("ts"))) - col("o") * 3600).cast("timestamp"),
+          "yyyy-MM-dd HH:mm").as("ws"))
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 3).as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    // overlap invariant: total window-rows are exactly 2× the event count
+    assert(streamed.toSeq.map(_._3).sum == 2 * e.count())
+  }
+
   test("stream-static enrichment join equals the batch equivalent") {
     val streamed = EventStreams.enrichedAggOnce(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
