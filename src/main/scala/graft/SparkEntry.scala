@@ -113,6 +113,9 @@ object SparkEntry {
     // C4-rule line dedup: first occurrence wins corpus-wide, documents
     // reassemble from surviving lines — one line-hash exchange
     "d12_line_dedup" -> ((s, d) => Dedup.lineDedup(Tables.t(s, d, "documents"))),
+    // asymmetric containment: rarity-prefix probes the full inverted
+    // shingle relation — catches quotes symmetric Jaccard is blind to
+    "d13_containment" -> ((s, d) => Dedup.containmentPairs(Tables.t(s, d, "documents"), 0.9)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -491,6 +494,7 @@ object SparkEntry {
          |FROM e GROUP BY source_lo, source_hi""".stripMargin,
     "d11_pagerank" -> pageRankOracle,
     "d12_line_dedup" -> Dedup.lineDedupOracleSql,
+    "d13_containment" -> containmentOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -599,6 +603,32 @@ object SparkEntry {
     * path verifies candidates exactly and has ≈1 recall at the threshold). */
   private val ngramJaccardOracle: String =
     s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** Containment oracle (d13): the same quote-augmented corpus (leading
+    * ⌈3n/10⌉ tokens of every QuoteMod-th document as a derived doc), the
+    * same distinct 3-gram shingles, and the asymmetric overlap
+    * |A∩B| / min(|A|,|B|) — all-pairs in SQL, prefix-filtered in the
+    * engine. */
+  private val containmentOracle: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.QuoteIdOffset} AS doc_id,
+       |         array_to_string(toks[1:(3*len(toks)+9)//10], ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+       |  WHERE doc_id % ${Dedup.QuoteMod} = 0 AND len(toks) >= 10),
+       | t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM t0),
+       | t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       | sh0 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) AS s FROM t3),
+       | sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       | ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | cpairs AS (SELECT p.a, p.b,
+       |             round(CAST(p.inter AS DOUBLE) / least(za.sz, zb.sz), 4) AS cont
+       |            FROM ipairs p JOIN sizes za ON p.a = za.doc_id JOIN sizes zb ON p.b = zb.doc_id)
+       |SELECT a, b, cont, b >= ${Dedup.QuoteIdOffset} AS is_quote
+       |FROM cpairs WHERE cont >= 0.9""".stripMargin
 
   /** Exact delta × corpus Jaccard pairs (LSH recall ≈ 1 at j≥0.8, the d3
     * argument; only pairs straddling the split qualify). Shared by d8

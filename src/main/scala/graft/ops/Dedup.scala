@@ -134,6 +134,81 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
     verifyJaccard2(cand, sets, sets, minJ, "a", "b")
 
+  // ---------------- Containment (quote / sub-document detection) ----------------
+
+  /** Synthetic-quote id offset: derived quote documents live at
+    * `original_id + QuoteIdOffset` so a pair's direction is readable. */
+  val QuoteIdOffset = 1000000L
+
+  /** Which documents contribute a quote (one in QuoteMod). */
+  val QuoteMod = 10
+
+  /** The corpus augmented with synthetic QUOTE documents: every
+    * [[QuoteMod]]-th document (with ≥ 10 tokens) contributes its leading
+    * ⌈3n/10⌉ tokens as a derived document at `doc_id + QuoteIdOffset` —
+    * the t11/c8/d12 injection device, here planting the sub-document
+    * structure the synthetic corpus lacks (its only overlapping pairs are
+    * full near-dups). The quote's shingle set is a subset of its source's,
+    * so containment is 1.0 while Jaccard sits near 0.3 — exactly the pair
+    * class symmetric dedup (d2/d3) is blind to. Integer prefix arithmetic
+    * (⌈3n/10⌉ = (3n+9) div 10), so both engines cut identically. */
+  private[ops] def withQuotes(docs: DataFrame): DataFrame = {
+    val quotes = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(pmod(col("doc_id"), lit(QuoteMod)) === 0 && size(col("toks")) >= 10)
+      .select((col("doc_id") + lit(QuoteIdOffset)).as("doc_id"),
+        array_join(slice(col("toks"), lit(1), expr("(size(toks) * 3 + 9) div 10")), " ")
+          .as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(quotes)
+  }
+
+  /** All pairs with shingle CONTAINMENT ≥ `minC` over the quote-augmented
+    * corpus (d13): C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) — the
+    * asymmetric overlap that catches a document EMBEDDED in a larger one
+    * (quotation, boilerplate wrapping, page-in-crawl duplication), where
+    * Jaccard divides by the union and a large host document hides the
+    * copy. The training-data failure mode this screens is memorized
+    * passages surviving dedup inside otherwise-novel pages.
+    *
+    * Candidate generation is the d2 prefix principle adapted to the
+    * asymmetric measure: a qualifying pair shares o ≥ ⌈t·|A|⌉ shingles
+    * (A the smaller side), so A's rarity-ranked `|A| − ⌈t·|A|⌉ + 1` prefix
+    * must hit the pair — each doc's PREFIX probes the FULL inverted
+    * shingle relation. No length-ratio filter applies (that is the point:
+    * a 30-shingle quote must pair with a 300-shingle host), but the probe
+    * keys are each document's globally RAREST shingles, so the per-key
+    * fan-out of the prefix×full join stays small by construction —
+    * stopword-class shingles never appear as probe keys. Verification is
+    * one row-local exact intersection per candidate at doc grain. */
+  def containmentPairs(docs: DataFrame, minC: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(withQuotes(docs)).filter(col("doc_id").isNotNull)
+    val tExact = lit(new java.math.BigDecimal(minC.toString))
+    val docSh = materialize(sh
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"),
+        expr("transform(ranked, r -> r.shingle)").as("shs"),
+        size(col("ranked")).cast("long").as("sz")))
+    val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
+    val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
+    val full = docSh.select(col("doc_id").as("doc_b"), explode(col("shs")).as("shingle"))
+    val cand = pref.join(full, Seq("shingle"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(least(col("doc_id"), col("doc_b")).as("a"),
+        greatest(col("doc_id"), col("doc_b")).as("b"))
+      .distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza")), Seq("a"))
+      .join(docSh.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast(DoubleType) / least(col("sza"), col("szb")), 4).as("cont"),
+        (col("b") >= QuoteIdOffset).as("is_quote"))
+      .filter(col("cont") >= minC)
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** 96 permutations, 32 bands × 3 rows: detection probability at j=0.8 is

@@ -155,6 +155,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.08, s"recall $recall")
   }
 
+  test("d13 containment finds planted quotes that symmetric Jaccard misses") {
+    val pairs = Dedup.containmentPairs(Tables.t(spark, dir, "documents"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // quote→source pairs exist and are PERFECT containment (subset shingles)
+    val sourcePairs = pairs.filter { case (a, b, _, q) => q && b == a + Dedup.QuoteIdOffset }
+    assert(sourcePairs.nonEmpty)
+    assert(sourcePairs.forall(_._3 == 1.0),
+      s"quote-of-source containment must be exactly 1.0: ${sourcePairs.filter(_._3 != 1.0).toSeq}")
+    // ...and at least some of them are invisible to symmetric near-dup at
+    // the same corpus: a 30% prefix sits near J≈0.3, far under the 0.8 bar
+    val jac = Dedup.ngramJaccardPairs(
+        Dedup.withQuotes(Tables.t(spark, dir, "documents")), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sourcePairs.exists { case (a, b, _, _) => !jac((a, b)) },
+      "every planted quote pair was also a Jaccard near-dup — fixture degenerate")
+  }
+
   test("ivf-refine: exact re-rank recall@5 at least matches plain IVFADC recall@5") {
     import graft.functions.VectorExprs.vec_dot
     import org.apache.spark.sql.expressions.Window
