@@ -89,6 +89,8 @@ object SparkEntry {
     // contact sites: chunk-local label pairs + probe⋈negface seam join —
     // the connectomics adjacency operator; only O(surface) halos move
     "a20_contact_area" -> (ArrayOps.a20_contact_area _),
+    // exact quantiles from a 256-bin histogram fold — no voxel sort ever
+    "a21_percentiles" -> (ArrayOps.a21_percentiles _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -431,6 +433,7 @@ object SparkEntry {
     "a18_erode" -> ArrayOps.a18OracleSql,
     "a19_mip_audit" -> ArrayOps.a19OracleSql,
     "a20_contact_area" -> ArrayOps.a20OracleSql,
+    "a21_percentiles" -> ArrayOps.a21OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

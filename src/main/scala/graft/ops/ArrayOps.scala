@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -796,6 +796,74 @@ object ArrayOps {
        |       CAST(coalesce(e.n_erode, 0) AS BIGINT) AS n_erode
        |FROM fgc f LEFT JOIN erc e
        |  ON f.cx = e.cx AND f.cy = e.cy AND f.cz = e.cz""".stripMargin
+
+  /** EXACT distributed intensity percentiles via histogram fold (a21) —
+    * the contrast-normalization quantiles imaging QC derives per volume
+    * (window/level presets, percentile normalization before training).
+    * At petavoxel scale you never sort voxels for a quantile: the value
+    * domain is DISCRETE (uint8 here — 256 possible values), so a
+    * map-side-combined `groupBy(value).count` reduces the whole volume to
+    * ≤256 rows, a window cumsum orders them once, and every percentile is
+    * EXACT — `p_q` = the smallest value whose cumulative count reaches
+    * ⌈q·n⌉. One tiny shuffle of (value → count) partials; the voxel
+    * relation itself never moves. The oracle replays the same cumulative
+    * rule over the dumped voxels. */
+  def a21_percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a21").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    // skewed deterministic intensity field: quadratic term concentrates
+    // mass at low values the way microscopy background does
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val u = (x * 31 + y * 17 + z * 7) % 251
+          buf.setLong(x - 1, y - 1, z - 1, 0, (u * u / 251).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val dump = s"$voxelDumpRoot/a21"
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .select(col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(dump)
+    val hist = spark.read.parquet(dump)
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cc", sum(col("cnt")).over(
+      Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = hist.agg(sum(col("cnt")).as("n_voxels"))
+    def pct(q: Double): Column =
+      min(when(col("cc") >= ceil(lit(q) * col("n_voxels")), col("value"))).as(s"p${(q * 100).toInt}")
+    cum.crossJoin(broadcast(n))
+      .agg(max(col("n_voxels")).as("n_voxels"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        pct(0.5), pct(0.9), pct(0.99))
+  }
+
+  /** Oracle twin of [[a21_percentiles]]: the same histogram → cumulative
+    * count → smallest-value-reaching-⌈q·n⌉ rule over the dumped voxels. */
+  def a21OracleSql: String =
+    s"""WITH v AS (SELECT value FROM read_parquet('$voxelDumpRoot/a21/*.parquet')),
+       | h AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+       | n AS (SELECT sum(cnt) AS n_voxels FROM h),
+       | c AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cc FROM h)
+       |SELECT CAST(n.n_voxels AS BIGINT) AS n_voxels,
+       | (SELECT min(value) FROM h) AS vmin, (SELECT max(value) FROM h) AS vmax,
+       | (SELECT min(value) FROM c WHERE cc >= ceil(0.5 * n.n_voxels)) AS p50,
+       | (SELECT min(value) FROM c WHERE cc >= ceil(0.9 * n.n_voxels)) AS p90,
+       | (SELECT min(value) FROM c WHERE cc >= ceil(0.99 * n.n_voxels)) AS p99
+       |FROM n""".stripMargin
 
   /** Distributed CONTACT-AREA extraction under the oracle gate (a20) —
     * the connectomics "contact sites" operator completing the halo-exchange

@@ -200,4 +200,21 @@ class VolumeOpsSpec extends AnyFunSuite {
       else assert(mm > 0, s"tampered z=$z not detected")
     }
   }
+
+  test("a21 histogram percentiles equal the sorted-array brute force") {
+    val row = ArrayOps.a21_percentiles(spark, "/root/testdata/sf0.001").collect().head
+    // replay the closed-form intensity field and take percentiles the naive
+    // way: sort every voxel value, index at ceil(q*n)
+    val vals = (for (z <- 1 to 8; y <- 1 to 64; x <- 1 to 64) yield {
+      val u = (x * 31 + y * 17 + z * 7) % 251
+      (u * u / 251).toLong
+    }).sorted
+    def pct(q: Double): Long = vals(math.ceil(q * vals.size).toInt - 1)
+    assert(row.getLong(0) == vals.size.toLong)
+    assert((row.getLong(1), row.getLong(2)) == (vals.head, vals.last))
+    assert((row.getLong(3), row.getLong(4), row.getLong(5)) == (pct(0.5), pct(0.9), pct(0.99)),
+      s"got $row want (${pct(0.5)}, ${pct(0.9)}, ${pct(0.99)})")
+    // the field must actually be skewed, or the quantile test is vacuous
+    assert(pct(0.5) < pct(0.9) && pct(0.9) < pct(0.99))
+  }
 }
