@@ -50,6 +50,8 @@ object SparkEntry {
     // manual skew-join: content-hash salt on the probe side, ×16 build
     // replication — result identical to the plain join (the oracle is one)
     "q28_salted_join" -> (Relational.q28_salted_join _),
+    // current-state extraction: per-key top-1 via WindowGroupLimit
+    "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
     "t5_array_fns" -> ((s, d) => TextOps.arrayOps(Tables.t(s, d, "documents"))),
     "q17_approx_distinct" -> (Relational.q17_approx_distinct _),
@@ -174,6 +176,9 @@ object SparkEntry {
     // corpus Zipf diagnostic: distributed top-k head (no global window),
     // regression over exact decimal sums
     "t18_zipf" -> ((s, d) => TextOps.zipfFit(Tables.t(s, d, "documents"))),
+    // sub-token gibberish detector: two map-side-combined aggregations,
+    // per-char decimal ln terms so both engines sum identically
+    "t19_entropy" -> ((s, d) => TextOps.charEntropy(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -401,6 +406,11 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q29_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1""".stripMargin,
     "q28_salted_join" ->
       """SELECT o_orderpriority,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,
@@ -449,6 +459,7 @@ object SparkEntry {
     "t12_unigram_lp" -> TextOps.unigramLogProbOracleSql,
     "t17_bigram_lp" -> TextOps.bigramLogProbOracleSql,
     "t18_zipf" -> TextOps.zipfFitOracleSql,
+    "t19_entropy" -> TextOps.charEntropyOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

@@ -357,6 +357,23 @@ object Relational {
       outd(sum(col("value").cast(DecimalType(18, 6))).over(w)).as("sv_1h"))
   }
 
+  /** Latest-record-per-key extraction (q29) — the "current state" view
+    * every event-sourced table needs (CDC compaction, last-login, current
+    * session): rank 1 of a per-key descending window. The `rn = 1` filter
+    * pushes into the shuffle as WindowGroupLimit (pinned in
+    * PlanShapeSpec), so each partition retains one candidate row per key
+    * during the exchange instead of sorting whole per-key groups — the
+    * shape that survives a 100× key-cardinality scale-up. Deterministic
+    * tie-break on event_id. */
+  def q29_latest_per_key(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+  }
+
   /** Salted skew JOIN ([[Skew.saltedJoin]]) — the manual hot-key
     * decomposition demonstrated end-to-end: lineitem (probe, the side a
     * hot order key would concentrate) joins a salt-replicated orders

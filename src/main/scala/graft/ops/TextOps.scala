@@ -974,6 +974,48 @@ object TextOps {
        | round((s.sy - ((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx))*s.sx)/s.n, 4) AS intercept
        |FROM s, v""".stripMargin
 
+  /** Character-entropy quality signal (t19): per-document Shannon entropy
+    * of the character distribution, `H = ln(n) − (1/n)·Σ_c cnt_c·ln cnt_c`
+    * — the cheap gibberish/encoded-blob detector (natural prose sits near
+    * 3–4.5 nats; base64 walls, minified code, and single-char spam land
+    * far outside the band) that complements t2's token-level ratios with a
+    * sub-token signal.
+    *
+    * Scale shape: two map-side-combined aggregations — (doc, char) grain
+    * first (bounded by alphabet size × docs after the combine), then doc
+    * grain; no joins, no windows. Cross-engine: each distinct char's ln
+    * rounds to DECIMAL(18,8) and multiplies the exact integer count in
+    * decimal arithmetic, so the per-doc sum is order-insensitive and
+    * identical in both engines; only the final H expression runs in
+    * DOUBLE. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 8)
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        log(col("cnt").cast(DoubleType)).cast(dec).as("lc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("lc")).as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        round(log(col("n_chars").cast(DoubleType)) - col("s").cast(DoubleType) / col("n_chars"),
+          4).as("ent"))
+  }
+
+  /** DuckDB oracle twin of [[charEntropy]] — same per-char decimal
+    * rounding, same exact decimal sum, same final DOUBLE expression. */
+  def charEntropyOracleSql: String =
+    """WITH ch AS (SELECT doc_id,
+      |             unnest([substr(text, CAST(i AS INT), 1) FOR i IN range(1, len(text) + 1)]) AS c
+      |            FROM documents),
+      | cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      | tm AS (SELECT doc_id, cnt, CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,8)) AS lc FROM cc),
+      | ag AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |         sum(cnt * lc) AS s FROM tm GROUP BY doc_id)
+      |SELECT doc_id, n AS n_chars, k AS n_distinct,
+      | round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS ent
+      |FROM ag""".stripMargin
+
   /** Rabin–Karp rolling hash sequence of all k-grams (base 257, mod 2^61-1). */
   private[ops] def rollingHashes(text: String, k: Int): Array[Long] = {
     val Mod = (1L << 61) - 1

@@ -214,6 +214,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(l => !l.contains("value")), exchanges)
   }
 
+  test("q29: per-key top-1 pushes through the window as WindowGroupLimit") {
+    val p = plan("q29_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("t18: Zipf head is a distributed top-k, not a global-window funnel") {
     // the vocabulary must reach the rank window already cut to TopK rows:
     // orderBy.limit plans TakeOrderedAndProject (distributed partial top-k),
