@@ -93,6 +93,9 @@ object SparkEntry {
     "a20_contact_area" -> (ArrayOps.a20_contact_area _),
     // exact quantiles from a 256-bin histogram fold — no voxel sort ever
     "a21_percentiles" -> (ArrayOps.a21_percentiles _),
+    // segmentation-correct pyramid: majority-vote pooling through the
+    // real store write path (mean would invent nonexistent labels)
+    "a22_mode_downsample" -> (ArrayOps.a22_mode_downsample _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -444,6 +447,7 @@ object SparkEntry {
     "a19_mip_audit" -> ArrayOps.a19OracleSql,
     "a20_contact_area" -> ArrayOps.a20OracleSql,
     "a21_percentiles" -> ArrayOps.a21OracleSql,
+    "a22_mode_downsample" -> ArrayOps.a22OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -137,6 +137,74 @@ object ArrayOps {
 
   def a4OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a4")
 
+  /** Majority-vote (MODE) downsampling under the oracle gate (a22) — the
+    * segmentation-correct pyramid rule: labels must pool by the most
+    * frequent value (ties to the smallest label), never by mean — an
+    * averaged label id is a different, usually nonexistent segment, which
+    * is why every production segmentation pyramid (and the reference's
+    * own layer-type distinction, src/Infos.jl layer types) special-cases
+    * it. Exercises [[VolumeOps.downsampleMode]] through the FULL store
+    * path: a multi-label mip-0 is ingested, `buildNextMip` routes to mode
+    * pooling because the layer type is `segmentation`, writes real mip-1
+    * chunks, and the query aggregates what the STORE now holds at mip 1
+    * (per-z label histogram). The oracle re-derives the mode from the
+    * dumped mip-0 voxels, so a mean-pooled or misrouted pyramid
+    * hash-fails.
+    *
+    * Scale shape: mode pooling is two map-side-combined aggregations —
+    * (block, value) counts, then a per-block WindowGroupLimit top-1 —
+    * and the mip write is the standard one-shuffle fromVoxels; the final
+    * histogram is a third tiny aggregation. */
+  def a22_mode_downsample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a22").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+      .withNumMips(2)
+    val vol = Volume.create(spark, root, meta)
+    // label field with real per-block majorities AND tie blocks (the
+    // smallest-label rule must be exercised, not just the argmax)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          buf.setLong(x - 1, y - 1, z - 1, 0, ((x / 3 + y / 2 + z) % 6).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).select(col("x"), col("y"), col("z"),
+        col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a22_src")
+    VolumeOps.buildNextMip(vol, box)
+    new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 8))
+      .groupBy(col("z"), col("value").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("z"), col("label"))
+  }
+
+  /** Oracle twin of [[a22_mode_downsample]]: mode pooling replayed from the
+    * mip-0 dump — per 2×2×1 block, the most frequent value with ties to the
+    * smallest — then the same per-z histogram. */
+  def a22OracleSql: String =
+    s"""WITH src AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a22_src/*.parquet')),
+       | blk AS (SELECT (x-1)//2 + 1 AS bx, (y-1)//2 + 1 AS by, z, value, count(*) AS cnt
+       |         FROM src GROUP BY 1, 2, 3, 4),
+       | win AS (SELECT bx, by, z, value,
+       |          row_number() OVER (PARTITION BY bx, by, z ORDER BY cnt DESC, value) AS rk
+       |         FROM blk),
+       | m1 AS (SELECT bx, by, z, value FROM win WHERE rk = 1)
+       |SELECT z, CAST(value AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+       |FROM m1 GROUP BY z, value""".stripMargin
+
   /** Mip-pyramid INTEGRITY AUDIT under the oracle gate (a19) — the
     * data-quality check a pyramid-maintaining pipeline runs after every
     * bulk write: re-derive each mip-1 cell from the mip-0 voxels
