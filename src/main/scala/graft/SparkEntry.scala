@@ -207,6 +207,9 @@ object SparkEntry {
     // energy VAD over the real WAV roundtrip: 10 ms frames, integer
     // energies, maximal active runs — row-local, zero shuffle
     "m9_modal_vad" -> (Multimodal.modalVad _),
+    // shot-boundary detection over the real AVI roundtrip: planted scene
+    // structure, frame-diff energy threshold — integer-exact
+    "m10_scene_detect" -> (Multimodal.modalScenes _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -546,6 +549,7 @@ object SparkEntry {
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
     "m9_modal_vad" -> Multimodal.modalVadOracleSql,
+    "m10_scene_detect" -> Multimodal.modalScenesOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

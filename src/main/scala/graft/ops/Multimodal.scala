@@ -662,6 +662,84 @@ object Multimodal {
        | round(sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n), 4) AS rms
        |FROM s""".stripMargin
 
+  /** Scene-cut threshold for [[modalScenes]]: a cut is a frame whose diff
+    * energy against its predecessor exceeds one gray level per pixel on
+    * average. In-scene frames are bit-identical (energy 0); a scene
+    * boundary lands orders of magnitude above. */
+  val SceneCutThreshold: Long = (VideoW * VideoH).toLong
+
+  /** Scene-structured frame count: [[modalScenes]] videos hold 2–5 scenes
+    * of three identical frames each. */
+  def sceneFrameCount(id: Long): Int = (2 + (id % 4)).toInt * 3
+
+  /** Video scene-change detection (m10) through the REAL AVI roundtrip:
+    * each video document is synthesized as 2–5 SCENES of three identical
+    * frames (frame content keyed by `fno / 3`, so cuts are planted at
+    * known boundaries), encoded into an actual AVI container, decoded
+    * back, and scanned with the classic frame-difference detector —
+    * integer |Δpixel| energy per consecutive pair, a CUT when energy
+    * exceeds [[SceneCutThreshold]]. The shot-boundary pass a video corpus
+    * runs before per-scene sampling/captioning (m4's sampler assumes
+    * scene grain exists; this is the operator that finds it). Row-local
+    * after the decode-parallel repartition; integer-exact outputs so a
+    * broken container walk fails the hash gate. */
+  def modalScenes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.product[(Long, Array[Byte])]
+    implicit val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long)]
+    val assetDf = assets(t(spark, dir, "documents"))
+    val slots = assetDf.sparkSession.sparkContext.defaultParallelism
+    assetDf.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .repartition(slots)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val frames = (0 until sceneFrameCount(id)).map(f => synthFrame(payload, f / 3))
+        val (decoded, w, h, fps) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        var cuts = 0L
+        var cutE = 0L
+        var f = 1
+        while (f < decoded.length) {
+          val cur = decoded(f); val prev = decoded(f - 1)
+          var e = 0L
+          var i = 0
+          while (i < cur.length) { e += math.abs((cur(i) & 0xff) - (prev(i) & 0xff)); i += 1 }
+          if (e > SceneCutThreshold) { cuts += 1; cutE += e }
+          f += 1
+        }
+        (id, w, h, fps, decoded.length.toLong, cuts, cutE)
+      })
+      .toDF("doc_id", "w", "h", "fps", "n_frames", "n_cuts", "cut_energy")
+  }
+
+  /** DuckDB oracle twin of [[modalScenes]]: frames replayed closed-form
+    * with the scene index `fno // 3` driving content (the m6
+    * substr-over-repeat device), the same consecutive-pair |Δ| energies,
+    * threshold, and integer folds — matching only if the engine's AVI
+    * roundtrip returned every frame bit-exactly. */
+  def modalScenesOracleSql: String = {
+    val px = VideoW * VideoH
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |        (2 + doc_id % 4) * 3 AS nf, CAST(8 + (doc_id % 9) AS INT) AS fps
+       |       FROM documents WHERE doc_id % 3 = 2),
+       | f AS (SELECT doc_id, len, text, nf, unnest(range(0, nf)) AS fno FROM d),
+       | r AS (SELECT doc_id, fno,
+       |        substr(repeat(text, CAST(ceil((((fno // 3) * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |               CAST(((fno // 3) * $FrameStride) % len AS INT) + 1, $px) AS raster
+       |       FROM f),
+       | e AS (SELECT a.doc_id, a.fno,
+       |        CAST(list_sum(list_transform(range(1, $px + 1),
+       |          i -> abs(ord(substr(a.raster, CAST(i AS INT), 1)) -
+       |               ord(substr(b.raster, CAST(i AS INT), 1))))) AS BIGINT) AS ef
+       |       FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.fno = a.fno - 1),
+       | ag AS (SELECT doc_id,
+       |         CAST(count(*) FILTER (ef > $SceneCutThreshold) AS BIGINT) AS n_cuts,
+       |         CAST(coalesce(sum(ef) FILTER (ef > $SceneCutThreshold), 0) AS BIGINT) AS cut_energy
+       |        FROM e GROUP BY doc_id)
+       |SELECT d.doc_id, CAST($VideoW AS INT) AS w, CAST($VideoH AS INT) AS h, d.fps,
+       | CAST(d.nf AS BIGINT) AS n_frames, ag.n_cuts, ag.cut_energy
+       |FROM d JOIN ag USING (doc_id)""".stripMargin
+  }
+
   /** VAD frame size: 10 ms at [[AudioRate]]. */
   val VadFrame = 160
 

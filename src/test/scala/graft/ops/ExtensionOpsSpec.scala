@@ -155,6 +155,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.08, s"recall $recall")
   }
 
+  test("m10 scene detection respects the planted scene structure") {
+    val rows = Multimodal.modalScenes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nFrames, nCuts, cutE) =>
+      assert(nFrames % 3 == 0, s"doc $id: frames not scene-aligned")
+      // cuts can only sit at the nFrames/3 - 1 scene boundaries (in-scene
+      // frames are bit-identical after the AVI roundtrip → energy 0)
+      assert(nCuts <= nFrames / 3 - 1, s"doc $id: cut inside a scene")
+      assert((nCuts == 0) == (cutE == 0L), s"doc $id: energy/cut mismatch")
+    }
+    // the fixture is non-degenerate: most docs cut at EVERY boundary
+    assert(rows.count { case (_, nF, nC, _) => nC == nF / 3 - 1 } > rows.length / 2)
+  }
+
   test("d13 containment finds planted quotes that symmetric Jaccard misses") {
     val pairs = Dedup.containmentPairs(Tables.t(spark, dir, "documents"), 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
