@@ -198,6 +198,8 @@ object SparkEntry {
     // the dedup impact report: exact-dup / near-dup / line-cut mass per
     // source, composed from the d1/d3/d12 relations by doc-keyed joins
     "c9_dedup_report" -> ((s, d) => Corpus.dedupReport(Tables.t(s, d, "documents"))),
+    // snapshot CDC: digest-only full-outer join, content never compared
+    "c10_snapshot_diff" -> ((s, d) => Corpus.snapshotDiff(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -475,6 +477,7 @@ object SparkEntry {
     "c7_temperature_mix" -> Corpus.temperatureMixOracleSql,
     "c8_domains" -> Corpus.domainCurationOracleSql,
     "c9_dedup_report" -> dedupReportOracle,
+    "c10_snapshot_diff" -> Corpus.snapshotDiffOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -501,6 +501,53 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Crawl-snapshot diff (c10) — the CDC pass run between two corpus
+    * snapshots before re-training: classify every document as
+    * added / removed / changed / unchanged and fold per-(source, status)
+    * counts, so the pipeline knows how much re-tokenization, re-dedup and
+    * re-embedding the new snapshot actually requires. Snapshots are
+    * derived deterministically from the one fixture table (the injection
+    * device): snapshot A drops every 7th doc (they "arrive" in B → added),
+    * snapshot B drops every 13th (→ removed) and revises every 11th
+    * (md5 differs → changed).
+    *
+    * Scale shape: ONE doc-keyed full-outer join of the two md5 projections
+    * (co-partitioned equi-join — the diff never compares text, only
+    * 16-byte digests), then a map-side-combined (source, status) fold.
+    * This is how a 100 TB snapshot pair diffs without moving content. */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val a = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("ha"))
+    val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"), col("source").as("source_b"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("source"),
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** DuckDB oracle twin of [[snapshotDiff]]: the same derived snapshots,
+    * digest join, and classification. */
+  def snapshotDiffOracleSql: String =
+    """WITH a AS (SELECT doc_id, source, md5(text) AS ha FROM documents WHERE doc_id % 7 <> 0),
+      | b AS (SELECT doc_id, source AS source_b,
+      |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS hb
+      |       FROM documents WHERE doc_id % 13 <> 0),
+      | j AS (SELECT coalesce(a.source, b.source_b) AS source,
+      |        CASE WHEN a.ha IS NULL THEN 'added'
+      |             WHEN b.hb IS NULL THEN 'removed'
+      |             WHEN a.ha <> b.hb THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      |       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, status, count(*) AS n FROM j GROUP BY 1, 2""".stripMargin
+
   def packAssignmentsOracleSql(budgetTokens: Int = 512): String =
     s"""SELECT source, doc_id, n_tok, CAST(off AS BIGINT) AS off,
        |       CAST(off // $budgetTokens AS BIGINT) AS pack_id

@@ -208,4 +208,21 @@ class CorpusSpec extends AnyFunSuite {
     // and line-cut channels must fire for the report to be meaningful
     assert(rep.map(_._2._4).sum > 0 && cut > 0, "fixture degenerate")
   }
+
+  test("c10 snapshot diff ties out against the closed-form snapshot rules") {
+    val docs = Tables.t(spark, dir, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val got = Corpus.snapshotDiff(docs).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    def n(p: Long => Boolean) = ids.count(p).toLong
+    val want = Map(
+      "added" -> n(id => id % 7 == 0 && id % 13 != 0),
+      "removed" -> n(id => id % 7 != 0 && id % 13 == 0),
+      "changed" -> n(id => id % 7 != 0 && id % 13 != 0 && id % 11 == 0),
+      "unchanged" -> n(id => id % 7 != 0 && id % 13 != 0 && id % 11 != 0))
+      .filter(_._2 > 0)
+    assert(got == want)
+    // every class must be represented or the diff semantics are untested
+    assert(want.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
 }
