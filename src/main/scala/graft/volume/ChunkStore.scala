@@ -164,6 +164,8 @@ object ChunkStore {
     * without downloading the shard). Hadoop `seek` + bounded `readFully`
     * maps to a Range GET on s3a/gs connectors. */
   def readRange(fs: FileSystem, root: String, key: String, off: Long, len: Int): Array[Byte] = {
+    val tr = rangeTrace.get()
+    if (tr != null) tr.add((s"$root/$key", off, len))
     val p = new Path(root, key)
     try {
       val in = fs.open(p)
@@ -182,6 +184,14 @@ object ChunkStore {
     * never list the store (the chunk grid is computed arithmetically, like the
     * reference's ChunkIterators); specs assert this stays flat across scans. */
   val listCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test instrumentation: when non-null, every [[readRange]] appends
+    * `(root/key, off, len)` — the hook read-amplification contract specs
+    * use to assert a partial-coverage sharded read fetches one index plus
+    * one ranged GET per touched inner cell, never the whole shard.
+    * Concurrent suites may interleave records; filter by your own root. */
+  val rangeTrace = new java.util.concurrent.atomic.AtomicReference[
+    java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]](null)
 
   /** List object names under `root/prefix` (non-recursive), like the
     * backends' `keys` (reference: src/backends/S3Dicts.jl:104-112). */

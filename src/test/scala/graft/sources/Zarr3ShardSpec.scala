@@ -146,6 +146,38 @@ class Zarr3ShardSpec extends AnyFunSuite {
     assert(after.getLong(8, 8, 5, 0) == buf.getLong(8, 8, 5, 0))
   }
 
+  test("partial-coverage sharded read costs one index + one GET per touched cell, never the shard") {
+    import scala.jdk.CollectionConverters._
+    // the petavoxel-layout read-amplification contract at scale shape: a
+    // shard spans MANY inner cells (4×4×4 = 64) and the query box covers a
+    // partial edge region — the engine must fetch each touched inner cell
+    // once by ranged GET (plus the bounded index), never the shard object
+    val root = SparkSuite.tempDir("graft-z3shard-ramp")
+    val vol = Zarr3.createSharded(spark, root, shape = (32, 32, 8),
+      shardShape = (16, 16, 8), innerChunks = (4, 4, 2),
+      dataType = Meta.TUInt16, encoding = "gzip")
+    val buf = VoxelBuffer.sequenced(Meta.TUInt16, 32, 32, 8, 1, (1, 1, 1))
+    vol.ingest(buf)
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
+    graft.volume.ChunkStore.rangeTrace.set(q)
+    val cut = try Zarr3.open(spark, root).cutout(Box(3, 18, 3, 10, 1, 3))
+      finally graft.volume.ChunkStore.rangeTrace.set(null)
+    assert(cut.getLong(0, 0, 0, 0) == buf.getLong(2, 2, 0, 0), "cut content wrong")
+    val mine = q.asScala.toSeq.filter(_._1.startsWith(root))
+    val params = Shard.Params(4, 4, 4, crc32c = true, indexAtEnd = true)
+    val (idx, cells) = mine.partition(_._3 == params.indexBytes)
+    // inner cells overlapping Box(3..18, 3..10, 1..3): 5 × 3 × 2 = 30,
+    // each fetched EXACTLY once (partial edge coverage does not re-fetch)
+    assert(cells.size == 30, s"cell GETs: ${cells.size} — ${cells.take(5)}")
+    // index: at least once per touched shard (2), at most once per
+    // (task, shard) thanks to the task-scoped cache
+    assert(idx.size >= 2 && idx.size <= 30, s"index GETs: ${idx.size}")
+    // only the two x-adjacent shards are ever touched
+    assert(mine.map(_._1).distinct.size == 2, mine.map(_._1).distinct)
+    // and no GET approaches shard granularity: cells are tiny gzip blobs
+    assert(cells.forall(_._3 < 500), s"oversized cell GET: ${cells.maxBy(_._3)}")
+  }
+
   test("mip building on a non-precomputed layout fails loudly") {
     val root = SparkSuite.tempDir("graft-z3shard-mip")
     val vol = graft.sources.Zarr3.createSharded(spark, root, shape = (8, 8, 4),
