@@ -182,6 +182,8 @@ object SparkEntry {
     // sub-token gibberish detector: two map-side-combined aggregations,
     // per-char decimal ln terms so both engines sum identically
     "t19_entropy" -> ((s, d) => TextOps.charEntropy(Tables.t(s, d, "documents"))),
+    // Flesch reading ease from three codegen regex counts — row-local
+    "t20_readability" -> ((s, d) => TextOps.readability(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -469,6 +471,7 @@ object SparkEntry {
     "t17_bigram_lp" -> TextOps.bigramLogProbOracleSql,
     "t18_zipf" -> TextOps.zipfFitOracleSql,
     "t19_entropy" -> TextOps.charEntropyOracleSql,
+    "t20_readability" -> TextOps.readabilityOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

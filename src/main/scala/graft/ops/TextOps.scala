@@ -974,6 +974,40 @@ object TextOps {
        | round((s.sy - ((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx))*s.sx)/s.n, 4) AS intercept
        |FROM s, v""".stripMargin
 
+  /** Readability scoring (t20): Flesch reading ease from three regex
+    * counts — whitespace words, sentence-terminator runs (`[.!?]+`,
+    * clamped ≥ 1 for fragments), and vowel-group syllable approximation
+    * (`[aeiouyAEIOUY]+`, the standard heuristic). Grade-level filtering is
+    * a stock curation signal (too-low = fragment lists, too-high = OCR
+    * noise and run-ons). Row-local single pass, whole-stage codegen; the
+    * regex constructs are in the Java≡RE2 common subset (the t6
+    * discipline) so both engines count identically, and the score is one
+    * fixed-association DOUBLE expression over exact integer counts. */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_words"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(LongType)).as("n_sent"),
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)")).cast(LongType).as("n_syll"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast(DoubleType) / col("n_sent")
+          - lit(84.6) * col("n_syll").cast(DoubleType) / col("n_words"), 4))
+
+  /** DuckDB oracle twin of [[readability]] — same regexes, same clamp,
+    * same left-associated DOUBLE expression (literals cast to DOUBLE so
+    * DuckDB's default DECIMAL literals can't change the arithmetic). */
+  def readabilityOracleSql: String =
+    """SELECT doc_id, n_words, n_sent, n_syll,
+      | round(CAST(206.835 AS DOUBLE)
+      |   - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE) / n_sent
+      |   - CAST(84.6 AS DOUBLE) * CAST(n_syll AS DOUBLE) / n_words, 4) AS flesch
+      |FROM (SELECT doc_id,
+      |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+      |        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sent,
+      |        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+      |      FROM documents) x""".stripMargin
+
   /** Character-entropy quality signal (t19): per-document Shannon entropy
     * of the character distribution, `H = ln(n) − (1/n)·Σ_c cnt_c·ln cnt_c`
     * — the cheap gibberish/encoded-blob detector (natural prose sits near
