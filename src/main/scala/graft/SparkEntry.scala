@@ -123,6 +123,9 @@ object SparkEntry {
     // asymmetric containment: rarity-prefix probes the full inverted
     // shingle relation — catches quotes symmetric Jaccard is blind to
     "d13_containment" -> ((s, d) => Dedup.containmentPairs(Tables.t(s, d, "documents"), 0.9)),
+    // Bloom-prefiltered incremental dedup: broadcast sketch prunes the
+    // delta locally; exact confirm semi-join moves only candidates
+    "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -202,6 +205,9 @@ object SparkEntry {
     "c9_dedup_report" -> ((s, d) => Corpus.dedupReport(Tables.t(s, d, "documents"))),
     // snapshot CDC: digest-only full-outer join, content never compared
     "c10_snapshot_diff" -> ((s, d) => Corpus.snapshotDiff(Tables.t(s, d, "documents"))),
+    // DSIR importance weights: two map-side unigram fits + one vocab-sized
+    // log-ratio join; the only corpus-grain exchange is the per-doc reduce
+    "c11_importance" -> ((s, d) => Corpus.importanceWeights(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -481,6 +487,7 @@ object SparkEntry {
     "c8_domains" -> Corpus.domainCurationOracleSql,
     "c9_dedup_report" -> dedupReportOracle,
     "c10_snapshot_diff" -> Corpus.snapshotDiffOracleSql,
+    "c11_importance" -> Corpus.importanceWeightsOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -522,6 +529,7 @@ object SparkEntry {
     "d11_pagerank" -> pageRankOracle,
     "d12_line_dedup" -> Dedup.lineDedupOracleSql,
     "d13_containment" -> containmentOracle,
+    "d14_bloom_dedup" -> Dedup.bloomDedupOracleSql,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

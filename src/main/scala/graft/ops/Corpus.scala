@@ -557,4 +557,72 @@ object Corpus {
        |         OVER (PARTITION BY source ORDER BY doc_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
        |      FROM documents) s""".stripMargin
+
+  /** Default target slice for [[importanceWeights]] — the "high-quality
+    * exemplar" sources the raw corpus is reweighted toward. */
+  val ImportanceTargets: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** DSIR-style importance weights (c11) — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every raw document by how much
+    * more likely its tokens are under a trusted TARGET slice than under the
+    * raw corpus, `iw(doc) = mean_tok [ ln p_target(tok) − ln p_raw(tok) ]`
+    * with add-1 smoothing over the shared raw vocabulary. Sampling the
+    * corpus proportional to exp(iw·n_tok) yields a target-flavored mixture
+    * — the standard pretraining-data curation move when a small clean
+    * corpus (Wikipedia/books) should steer a 100 TB web crawl.
+    *
+    * Scale shape: the tokenized relation is materialized ONCE and feeds all
+    * three consumers (raw fit, target fit, scoring join) — the
+    * re-tokenize-per-consumer trap t12/t17 document. Both unigram fits are
+    * map-side-combined aggregations; the corpus constants are one-row
+    * broadcast joins; the per-token log-ratio table is vocabulary-sized
+    * (broadcast it when it fits, as natural-language vocabularies do) and
+    * the scoring join + per-document reduce is the only corpus-grain
+    * exchange. The target slice is identified by `source`, so no second
+    * scan of the raw text ever happens.
+    *
+    * Cross-engine: each token's log-ratio rounds to DECIMAL(18,8) before
+    * the per-document sum (order-insensitive exact reduction in both
+    * engines; 1-ulp `ln` risk absorbed by the rounding — the t12/t9
+    * discipline). */
+  def importanceWeights(docs: DataFrame,
+      targets: Seq[String] = ImportanceTargets): DataFrame = {
+    val toksOf = Tables.materialize(
+      docs.select(col("doc_id"), col("source"), explode(split(col("text"), "\\s+")).as("tok")))
+    val rawTf = toksOf.groupBy(col("tok")).agg(count(lit(1)).as("rc"))
+    val tgtTf = toksOf.filter(col("source").isin(targets: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+    val rawStats = rawTf.agg(sum(col("rc")).cast(DoubleType).as("rtot"),
+      count(lit(1)).cast(DoubleType).as("vocab"))
+    val tgtStats = tgtTf.agg(sum(col("tc")).cast(DoubleType).as("ttot"))
+    val logRatio = rawTf.join(tgtTf, Seq("tok"), "left")
+      .crossJoin(broadcast(rawStats)).crossJoin(broadcast(tgtStats))
+      .select(col("tok"),
+        (log((coalesce(col("tc"), lit(0L)).cast(DoubleType) + lit(1.0)) / (col("ttot") + col("vocab"))) -
+         log((col("rc").cast(DoubleType) + lit(1.0)) / (col("rtot") + col("vocab"))))
+          .cast(DecimalType(18, 8)).as("lr"))
+    toksOf.join(logRatio, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lr")).cast(DoubleType) / count(lit(1)), 4).as("iw"))
+  }
+
+  /** DuckDB oracle twin of [[importanceWeights]] — same fits, same
+    * smoothing, same per-token decimal rounding before the exact sum. */
+  def importanceWeightsOracleSql(targets: Seq[String] = ImportanceTargets): String = {
+    val inList = targets.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source, unnest(string_split_regex(text, '\\s+')) AS tok
+       |           FROM documents),
+       | rtf AS (SELECT tok, count(*) AS rc FROM t GROUP BY tok),
+       | ttf AS (SELECT tok, count(*) AS tc FROM t WHERE source IN ($inList) GROUP BY tok),
+       | rst AS (SELECT CAST(sum(rc) AS DOUBLE) AS rtot, CAST(count(*) AS DOUBLE) AS vocab FROM rtf),
+       | tst AS (SELECT CAST(COALESCE(sum(tc), 0) AS DOUBLE) AS ttot FROM ttf),
+       | lr AS (SELECT r.tok,
+       |         CAST(ln((CAST(COALESCE(f.tc, 0) AS DOUBLE) + 1.0) / (tst.ttot + rst.vocab))
+       |            - ln((CAST(r.rc AS DOUBLE) + 1.0) / (rst.rtot + rst.vocab)) AS DECIMAL(18,8)) AS lr
+       |        FROM rtf r LEFT JOIN ttf f USING (tok), rst, tst)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |       round(CAST(sum(l.lr) AS DOUBLE) / count(*), 4) AS iw
+       |FROM t JOIN lr l USING (tok) GROUP BY t.doc_id""".stripMargin
+  }
 }

@@ -743,4 +743,45 @@ object Dedup {
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
       .orderBy(col("doc_id"))
   }
+
+  /** Bloom-prefiltered incremental exact dedup (d14) — [[incrementalDedup]]
+    * re-planned for append-mostly pipelines where the overwhelming majority
+    * of a delta shard is NOT a duplicate: a Bloom filter over the at-rest
+    * corpus hash index ([[corpusHashIndex]]) is built distributed
+    * (per-partition filters OR-merged — Spark's `stat.bloomFilter` sketch
+    * aggregate) and broadcast once; each delta row tests locally.
+    * "Definitely absent" rows (a Bloom no is exact) are kept OUTRIGHT —
+    * they never enter any corpus-facing join — and only the tiny
+    * bloom-positive candidate set (true dups + the fpp false positives)
+    * goes through the confirming anti-join. The result is therefore EXACTLY
+    * [[incrementalDedup]]'s keep-list, and the oracle is the SAME plain
+    * anti-join SQL — like q28's salting, the sketch must be invisible in
+    * the answer; only the exchange volume changes (O(dups + fpp·delta)
+    * rows instead of O(delta)).
+    *
+    * Scale honesty: at 1e9 index entries and fpp 1% the filter is ~1.2 GB
+    * — broadcastable but chunky; past that, partition the index and run
+    * per-range filters, or fall back to [[incrementalDedup]]'s bucketed
+    * probe. The sketch build scans hash strings only, never text. */
+  def bloomDedup(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    val idx = corpusHashIndex(spark, dir)
+    val bf = idx.stat.bloomFilter("h", math.max(idx.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+    val keep = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(DeltaMod)) === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_delta_dups"))
+    val definiteNew = keep.filter(!mightContain(col("h")))
+    val confirmedNew = keep.filter(mightContain(col("h")))
+      .join(idx, Seq("h"), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+      .select(col("doc_id"), col("h"), col("n_delta_dups"))
+  }
+
+  /** DuckDB oracle twin of [[bloomDedup]] — identical to
+    * [[incrementalDedupOracleSql]] by design: the Bloom split is a pure
+    * execution optimization and must not change the answer. */
+  def bloomDedupOracleSql: String = incrementalDedupOracleSql
 }

@@ -225,4 +225,34 @@ class CorpusSpec extends AnyFunSuite {
     // every class must be represented or the diff semantics are untested
     assert(want.keySet == Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("importanceWeights ranks target-source documents above the raw mean") {
+    val iw = Corpus.importanceWeights(docs).join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("iw").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(iw.length == docs.count())
+    val (tgt, rest) = iw.partition(r => Corpus.ImportanceTargets.contains(r._2))
+    val mt = tgt.map(_._3).sum / tgt.length
+    val mr = rest.map(_._3).sum / rest.length
+    // the DSIR estimator must score the target slice itself higher on
+    // average than the remainder — otherwise the log-ratio is miswired
+    assert(mt > mr, s"target mean $mt !> rest mean $mr")
+    // weights are finite (smoothing covers unseen-in-target tokens)
+    iw.foreach { case (id, _, w) => assert(!w.isNaN && !w.isInfinite, s"doc $id") }
+  }
+
+  test("bloomDedup equals incrementalDedup (the sketch is invisible)") {
+    val viaBloom = Dedup.bloomDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val plain = Dedup.incrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty)
+    // the two corpus-facing paths split the delta: bloom-negative rows are
+    // kept with NO join — at a realistic fpp nearly all of a mostly-new
+    // delta short-circuits (here: every row, since the fixture has no
+    // cross-split dups and fpp collisions at this scale are unlikely)
+    val plan = Dedup.bloomDedup(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("UDF"), plan) // the local sketch test is in-plan
+  }
 }
