@@ -50,6 +50,9 @@ object SparkEntry {
     // manual skew-join: content-hash salt on the probe side, ×16 build
     // replication — result identical to the plain join (the oracle is one)
     "q28_salted_join" -> (Relational.q28_salted_join _),
+    // co-located bucketed SMJ: the on-disk layout is the join partitioning,
+    // so neither side exchanges (q02 broadcast / q28 salt / q30 bucket)
+    "q30_bucketed_join" -> ((s, d) => Relational.q30_bucketed_join(s, d)),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -427,6 +430,14 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) x
         |WHERE rn = 1""".stripMargin,
+    // q30 shares q28's oracle shape: bucketing, like salting, must be
+    // invisible in the result — only the plan changes
+    "q30_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q28_salted_join" ->
       """SELECT o_orderpriority,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,

@@ -389,4 +389,45 @@ object Relational {
       .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
   }
+
+  /** Once-per-JVM registry of the co-bucketed fact-table copies q30 joins
+    * (table names per input dir). At 100 TB these aren't per-query staging:
+    * they're the PERMANENT layout the ingest path writes — shuffle once at
+    * write time, join shuffle-free forever after. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Co-located bucketed join under the oracle gate (q30) — the third leg
+    * of the big-join toolkit next to broadcast (q02) and salting (q28):
+    * both fact tables are written `bucketBy(N, key).sortBy(key)` so their
+    * on-disk layout IS the join partitioning, and the sort-merge join
+    * needs NO Exchange on either side (pinned in PlanShapeSpec). The
+    * `merge` hint keeps the plan on SMJ at gate scale where the orders
+    * side would otherwise broadcast — the point is to exercise the
+    * co-located shape that survives when both sides are far too big to
+    * broadcast. The bucketed copies carry only the joined/aggregated
+    * columns (column pruning at write time); the oracle is the plain join
+    * — like q28's salt, the layout must be invisible in the answer. */
+  def q30_bucketed_join(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val (lt, ot) = bucketedTables.computeIfAbsent(dir, _ => {
+      val tok = Similarity.dirToken(dir)
+      val lt = s"graft_li_bkt_$tok"; val ot = s"graft_o_bkt_$tok"
+      // external tables under the per-JVM dump root: a stale
+      // spark-warehouse location from an earlier JVM can never collide
+      // (the in-memory catalog forgets tables, the warehouse dir doesn't)
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${Similarity.OracleDumpRoot}/$lt").saveAsTable(lt)
+      t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${Similarity.OracleDumpRoot}/$ot").saveAsTable(ot)
+      (lt, ot)
+    })
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -235,6 +235,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(l => !l.contains("value")), exchanges)
   }
 
+  test("q30: the bucketed join runs as SMJ with NO exchange on either side") {
+    val p = plan("q30_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the on-disk bucket layout is the join partitioning: the only
+    // exchange allowed in the whole plan is the final per-priority
+    // aggregation — neither join key may ever hash-partition
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
