@@ -139,6 +139,9 @@ object SparkEntry {
     // two-stage serve path: ADC shortlist → exact re-rank over fetched
     // true vectors (FAISS IndexRefineFlat composition)
     "s15_ivf_refine" -> ((s, d) => Similarity.ivfRefineTopK(s, d)),
+    // radius search: all corpus vectors within cos >= tau of each query —
+    // s2's candidate machinery with a threshold keep instead of a rank
+    "s16_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -510,6 +513,7 @@ object SparkEntry {
     "s7_pq_topk" -> Similarity.pqOracleSql(),
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
     "s15_ivf_refine" -> Similarity.ivfRefineOracleSql(),
+    "s16_range_search" -> Similarity.rangeSearchOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -238,6 +238,48 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** RANGE (radius) search under the oracle gate (s16) — the other ANN
+    * service primitive next to top-k: return EVERY corpus vector within
+    * cosine ≥ `minCos` of each query, not a fixed count. Same LSH
+    * candidate machinery as [[annLsh]] (multiprobed sign-buckets, slim
+    * (id, bucket) shuffle, width cap), but the exact-cosine stage keeps
+    * the threshold survivors instead of ranking — the natural shape for
+    * "collect all near-duplicates of this document" / "find everything in
+    * this semantic neighborhood" retrieval, where result cardinality is
+    * data-dependent. s3 is this op's self-join sibling (corpus × corpus);
+    * s16 is query-driven (bounded broadcast side × indexed corpus). */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+      minCos: Double = 0.3, maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val sig = capBuckets(
+      materialize(
+        withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id").as("nb_id"), col("bucket"))),
+      maxBucketWidth)
+    val probes = explode(array(probeMasks.map(
+      m => col("bucket").bitwiseXOR(lit(m))): _*))
+    val qsig = withBuckets(
+        emb.filter(col("vec_id") < nQueries).select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id").as("q_id"), probes.as("bucket"))
+    val candIds = sig.join(broadcast(qsig), Seq("bucket"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .select(col("q_id"), col("nb_id"))
+      .dropDuplicates("q_id", "nb_id")
+    candIds
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qa"))), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("nb_id"), col("embedding").as("ea")), Seq("nb_id"))
+      .withColumn("cos", cosine("qa", "ea"))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"))
+  }
+
+  /** DuckDB oracle twin of [[rangeSearch]] — the s2 candidate replay with
+    * the threshold filter instead of the rank window. */
+  def rangeSearchOracleSql(nQueries: Int = 10, minCos: Double = 0.3): String =
+    s"""WITH ${lshCandSqlCtes(nQueries)}
+       |SELECT q_id, nb_id, round(cos, 4) AS cs FROM p WHERE cos >= $minCos""".stripMargin
+
   // ---------------- IVF (k-means coarse quantizer) ----------------
 
   /** Approximate NN via an IVF index — the second scale path from the
@@ -913,7 +955,10 @@ object Similarity {
     * probe expansion, candidate dedup, exact cosine, and the deterministic
     * (cos DESC, nb_id) rank are all reproduced with the plane constants and
     * probe masks inlined as literals. */
-  def annLshOracleSql(nQueries: Int = 10, k: Int = 5): String = {
+  /** The LSH candidate-generation CTE chain (e/b0/cand0/cand/n/p with
+    * per-pair exact cosine in `p`) — the ONE SQL replay of
+    * [[withBuckets]]+[[probeMasks]] that the s2 and s16 oracles share. */
+  private def lshCandSqlCtes(nQueries: Int): String = {
     def planeLit(p: Array[Double]): String =
       "[" + p.map(_.toString).mkString(",") + "]::DOUBLE[]"
     val bucketList = (0 until Tables).map { t =>
@@ -923,7 +968,7 @@ object Similarity {
       s"CAST(${t.toLong << 32} AS BIGINT) + $bits"
     }.mkString(",\n    ")
     val maskList = probeMasks.map(m => s"CAST($m AS BIGINT)").mkString(", ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        | b0 AS (SELECT vec_id, [
        |    $bucketList] AS bks FROM e),
        | cand0 AS (SELECT c.vec_id AS nb_id, q.vec_id AS q_id
@@ -936,11 +981,14 @@ object Similarity {
        | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
        | p AS (SELECT cand.q_id, cand.nb_id,
        |        list_dot_product(nq.emb, nn.emb) / (nq.nrm * nn.nrm) AS cos
-       |       FROM cand JOIN n nq ON nq.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.nb_id),
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.nb_id)""".stripMargin
+  }
+
+  def annLshOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH ${lshCandSqlCtes(nQueries)},
        | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM p)
        |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
-  }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ `minCos`,
     * found via LSH buckets (same-bucket join). */

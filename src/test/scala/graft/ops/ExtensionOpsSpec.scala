@@ -84,6 +84,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall") // Hamming-2 multiprobe over random data
   }
 
+  test("range search: full precision, and recall >= 0.8 of the exact radius set") {
+    val minCos = 0.3
+    val got = Similarity.rangeSearch(spark, dir, nQueries = 10, minCos = minCos)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // exact radius ground truth from the brute-force top-k machinery's twin:
+    // recompute all query-corpus cosines directly
+    val emb = Tables.t(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      q <- emb.keys.filter(_ < 10); n <- emb.keys if n != q
+      c = cos(emb(q), emb(n)) if c >= minCos
+    } yield (q, n)).toSet
+    // PRECISION 1.0: every emitted pair really is inside the radius
+    got.foreach { case ((q, n), cs) =>
+      assert(cs >= minCos - 5e-5, s"($q,$n) cs=$cs")
+      assert(exact.contains((q, n)), s"($q,$n) not in exact radius set")
+    }
+    // recall bounded by LSH bucketing, like s2
+    val recall = got.map(_._1).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall of ${exact.size}")
+  }
+
   test("ann IVF achieves recall >= 0.8 vs brute force") {
     val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
