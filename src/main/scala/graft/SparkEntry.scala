@@ -99,6 +99,9 @@ object SparkEntry {
     // segmentation-correct pyramid: majority-vote pooling through the
     // real store write path (mean would invent nonexistent labels)
     "a22_mode_downsample" -> (ArrayOps.a22_mode_downsample _),
+    // batch multi-ROI gather: union-box chunks decode once; voxels assign
+    // to covering ROIs row-locally (filter+explode, no voxel-grain join)
+    "a23_roi_gather" -> (ArrayOps.a23_roi_gather _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -475,6 +478,7 @@ object SparkEntry {
     "a20_contact_area" -> ArrayOps.a20OracleSql,
     "a21_percentiles" -> ArrayOps.a21OracleSql,
     "a22_mode_downsample" -> ArrayOps.a22OracleSql,
+    "a23_roi_gather" -> ArrayOps.a23OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -1069,4 +1069,91 @@ object ArrayOps {
       |FROM (SELECT unnest(generate_series(1,2)) AS cx),
       |     (SELECT unnest(generate_series(1,2)) AS cy),
       |     (SELECT unnest(generate_series(1,2)) AS cz)""".stripMargin
+
+  /** The deterministic overlapping ROI set a23 gathers: 12 boxes of
+    * 16×16×4 voxels scattered by coprime strides so neighbors overlap in
+    * x/y and share z-slabs — overlap is the POINT (shared chunks must
+    * decode once, voxels in two ROIs must count twice). Shared between the
+    * Spark query and the oracle's VALUES table. */
+  private[ops] val a23Rois: Seq[(Long, Int, Int, Int, Int, Int, Int)] =
+    (0 until 12).map { i =>
+      val x0 = (i * 13) % 48 + 1; val y0 = (i * 19) % 48 + 1; val z0 = i % 4 + 1
+      (i.toLong, x0, x0 + 15, y0, y0 + 15, z0, z0 + 3)
+    }
+
+  /** Batch multi-ROI gather under the oracle gate (a23) — the
+    * training-patch extraction shape: a batch of (possibly overlapping)
+    * ROIs is served from a chunked volume in ONE pass. Every chunk in the
+    * ROI union decodes exactly once ([[graft.volume.Volume.toVoxels]]
+    * over the union bounding box); each decoded voxel then assigns itself
+    * to every covering ROI ROW-LOCALLY — `filter` + `explode` over the
+    * broadcast-constant ROI array, a codegen projection, never a
+    * voxel×ROI join — and reduces to per-ROI stats. Per-ROI batch reads
+    * are how a training loader samples patches from a petavoxel store;
+    * the naive per-ROI cutout loop re-fetches and re-decodes every shared
+    * chunk per ROI, which this plan structurally cannot do. At production
+    * scale the ROI list additionally prunes the chunk PLAN (skip chunks
+    * intersecting no ROI — the same box pushdown the DSv2 scan does for
+    * one box); at gate scale the union box covers the volume, so the
+    * pruning would be a no-op here. Output grain: one row per ROI. */
+  def a23_roi_gather(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a23").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          buf.setLong(x - 1, y - 1, z - 1, 0, (x * 3 + y * 5 + z * 7) % 251)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val vox = vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+    vox.write.mode("overwrite").parquet(s"$voxelDumpRoot/a23")
+    val roiArr = array(a23Rois.map { case (id, x0, x1, y0, y1, z0, z1) =>
+      struct(lit(id).as("id"), lit(x0).as("x0"), lit(x1).as("x1"),
+        lit(y0).as("y0"), lit(y1).as("y1"), lit(z0).as("z0"), lit(z1).as("z1"))
+    }: _*)
+    spark.read.parquet(s"$voxelDumpRoot/a23")
+      .withColumn("__rois", roiArr)
+      .select(col("value"), explode(expr(
+        "filter(__rois, r -> x >= r.x0 AND x <= r.x1 AND y >= r.y0 AND y <= r.y1" +
+          " AND z >= r.z0 AND z <= r.z1)")).as("r"))
+      .groupBy(col("r.id").as("roi_id"))
+      .agg(count(lit(1)).as("n_vox"),
+        sum(col("value").cast(LongType)).as("vsum"),
+        min(col("value")).cast(LongType).as("vmin"),
+        max(col("value")).cast(LongType).as("vmax"))
+      .orderBy(col("roi_id"))
+  }
+
+  /** Oracle twin of [[a23_roi_gather]]: the same ROI constants as a VALUES
+    * table, theta-joined to the dumped voxels (fine at oracle scale; the
+    * engine side never runs this join — assignment is row-local). */
+  def a23OracleSql: String = {
+    val values = a23Rois.map { case (id, x0, x1, y0, y1, z0, z1) =>
+      s"($id, $x0, $x1, $y0, $y1, $z0, $z1)"
+    }.mkString(",\n      ")
+    s"""WITH v AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a23/*.parquet')),
+       | r(id, x0, x1, y0, y1, z0, z1) AS (VALUES
+       |      $values)
+       |SELECT r.id AS roi_id, CAST(count(*) AS BIGINT) AS n_vox,
+       |       CAST(sum(v.value) AS BIGINT) AS vsum,
+       |       CAST(min(v.value) AS BIGINT) AS vmin,
+       |       CAST(max(v.value) AS BIGINT) AS vmax
+       |FROM r JOIN v ON v.x BETWEEN r.x0 AND r.x1
+       |              AND v.y BETWEEN r.y0 AND r.y1
+       |              AND v.z BETWEEN r.z0 AND r.z1
+       |GROUP BY r.id""".stripMargin
+  }
 }

@@ -217,4 +217,29 @@ class VolumeOpsSpec extends AnyFunSuite {
     // the field must actually be skewed, or the quantile test is vacuous
     assert(pct(0.5) < pct(0.9) && pct(0.9) < pct(0.99))
   }
+
+  test("a23 ROI gather: every ROI filled exactly, overlaps counted per-ROI") {
+    val rows = ArrayOps.a23_roi_gather(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 12)
+    // all 12 ROIs sit fully inside the volume: 16*16*4 voxels each
+    rows.foreach { r =>
+      assert(r.getLong(1) == 16L * 16 * 4, r.toString)
+      val (mn, mx) = (r.getLong(3), r.getLong(4))
+      assert(mn >= 0 && mx <= 250 && mn < mx, r.toString)
+      // vsum consistent with the closed-form pattern over the ROI box
+      val id = r.getLong(0)
+      val roi = ArrayOps.a23Rois.find(_._1 == id).get
+      val want = (for {
+        z <- roi._6 to roi._7; y <- roi._4 to roi._5; x <- roi._2 to roi._3
+      } yield ((x * 3 + y * 5 + z * 7) % 251).toLong).sum
+      assert(r.getLong(2) == want, s"roi $id vsum ${r.getLong(2)} want $want")
+    }
+    // ROIs overlap by construction: per-ROI voxel mass exceeds the
+    // distinct union footprint, proving shared voxels count per ROI
+    val distinctCovered = (for {
+      roi <- ArrayOps.a23Rois
+      z <- roi._6 to roi._7; y <- roi._4 to roi._5; x <- roi._2 to roi._3
+    } yield (x, y, z)).toSet.size
+    assert(rows.map(_.getLong(1)).sum > distinctCovered)
+  }
 }
