@@ -217,6 +217,9 @@ object SparkEntry {
     // DSIR importance weights: two map-side unigram fits + one vocab-sized
     // log-ratio join; the only corpus-grain exchange is the per-doc reduce
     "c11_importance" -> ((s, d) => Corpus.importanceWeights(Tables.t(s, d, "documents"))),
+    // sequence-length histogram: bucket-grain agg first, cumulative window
+    // only ever sees the tiny bucket relation
+    "c12_length_hist" -> ((s, d) => Corpus.lengthHistogram(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -229,6 +232,9 @@ object SparkEntry {
     // shot-boundary detection over the real AVI roundtrip: planted scene
     // structure, frame-diff energy threshold — integer-exact
     "m10_scene_detect" -> (Multimodal.modalScenes _),
+    // zero-crossing + abs-mass over the decoded WAV roundtrip: a second
+    // integer-exact proof of the codec path, row-local, zero shuffle
+    "m11_audio_zcr" -> (Multimodal.modalZcr _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -506,6 +512,7 @@ object SparkEntry {
     "c9_dedup_report" -> dedupReportOracle,
     "c10_snapshot_diff" -> Corpus.snapshotDiffOracleSql,
     "c11_importance" -> Corpus.importanceWeightsOracleSql(),
+    "c12_length_hist" -> Corpus.lengthHistogramOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -583,6 +590,7 @@ object SparkEntry {
     "m5_modal_audio" -> Multimodal.modalAudioOracleSql,
     "m9_modal_vad" -> Multimodal.modalVadOracleSql,
     "m10_scene_detect" -> Multimodal.modalScenesOracleSql,
+    "m11_audio_zcr" -> Multimodal.modalZcrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

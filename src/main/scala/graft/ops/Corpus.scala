@@ -558,6 +558,52 @@ object Corpus {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
        |      FROM documents) s""".stripMargin
 
+  /** Sequence-length histogram (c12) — the batching/packing planner's
+    * input: document token counts bucketed (fixed-width bins), with
+    * per-bucket document and token mass plus the cumulative document
+    * share. Fixing `max_seq_len` for a training run is exactly reading
+    * this table ("what fraction of the corpus truncates at 2k? at 8k?"),
+    * and the c5/c6/t8 packing operators consume its shape.
+    *
+    * Scale shape: one scan, one map-side-combined aggregation to BUCKET
+    * grain (a few hundred rows at any corpus size), then the cumulative
+    * window runs on that tiny relation — the window never sees
+    * corpus-grain data. Integer bin arithmetic only (no log2 — float
+    * binning at bin edges is engine-dependent). */
+  def lengthHistogram(docs: DataFrame, binWidth: Int = 16): DataFrame = {
+    val perDoc = docs.select(
+      (size(split(col("text"), "\\s+"))).cast(LongType).as("n_tok"))
+    val buckets = perDoc
+      .groupBy((col("n_tok") / binWidth).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = buckets.agg(sum(col("n_docs")).as("total_docs"))
+    buckets
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), (col("bucket") * binWidth).as("lo"),
+        col("n_docs"), col("n_toks"), col("cum_docs"),
+        round(col("cum_docs").cast(DoubleType) / col("total_docs"), 4).as("cum_share"))
+  }
+
+  /** DuckDB oracle twin of [[lengthHistogram]] — same integer bins, same
+    * cumulative frame. */
+  def lengthHistogramOracleSql(binWidth: Int = 16): String =
+    s"""WITH pd AS (SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |            FROM documents),
+       | b AS (SELECT n_tok // $binWidth AS bucket, count(*) AS n_docs, sum(n_tok) AS n_toks
+       |       FROM pd GROUP BY 1),
+       | c AS (SELECT bucket, n_docs, n_toks,
+       |        sum(n_docs) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+       |        sum(n_docs) OVER () AS total_docs
+       |       FROM b)
+       |SELECT bucket, CAST(bucket * $binWidth AS BIGINT) AS lo,
+       |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_toks AS BIGINT) AS n_toks,
+       |       CAST(cum_docs AS BIGINT) AS cum_docs,
+       |       round(CAST(cum_docs AS DOUBLE) / total_docs, 4) AS cum_share
+       |FROM c""".stripMargin
+
   /** Default target slice for [[importanceWeights]] — the "high-quality
     * exemplar" sources the raw corpus is reweighted toward. */
   val ImportanceTargets: Seq[String] = Seq("src0", "src1", "src2", "src3")

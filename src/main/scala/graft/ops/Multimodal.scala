@@ -838,6 +838,55 @@ object Multimodal {
        | CAST(max(fe) AS BIGINT) AS peak_fe
        |FROM mk GROUP BY doc_id""".stripMargin
 
+  /** Zero-crossing-rate audio features (m11) — the second classic
+    * time-domain audio descriptor next to m9's energy: per document,
+    * synthesize the same amplitude-modulated waveform, roundtrip it
+    * through the REAL WAV codec, and over the DECODED samples count sign
+    * changes (the noisiness/pitch proxy ASR pipelines pair with energy
+    * for voiced/unvoiced decisions) plus the integer absolute-amplitude
+    * mass. All-integer arithmetic end-to-end, so the hash gate proves the
+    * codec roundtrip bit-exact a second, independent way (a DC offset or
+    * byte-order bug shifts ZCR even when energies survive). Row-local
+    * mapPartitions, zero shuffle, embarrassingly parallel at any corpus
+    * size. */
+  def modalZcr(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Long, Long, Long)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, _, _, _) = wavDecode(wavEncode(synthVadSamples(id)))
+          var zc = 0L
+          var sumAbs = 0L
+          var i = 0
+          while (i < smp.length) {
+            val s = smp(i).toLong
+            sumAbs += math.abs(s)
+            if (i > 0 && ((smp(i - 1) < 0) != (s < 0))) zc += 1
+            i += 1
+          }
+          (id, smp.length.toLong, zc, sumAbs)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n_smp", "zc", "sum_abs")
+  }
+
+  /** DuckDB oracle twin of [[modalZcr]]: replays the closed-form synthesis
+    * and the same sign-change/abs-mass folds over the sample list. */
+  def modalZcrOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 1600 + (doc_id % 97) * 16 AS n FROM documents),
+       | s AS (SELECT doc_id, n,
+       |        [ CASE WHEN ((doc_id * 31 + (i // $VadFrame) * 17) % 7) < 3
+       |               THEN ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |               ELSE (((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024 END
+       |          FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_smp,
+       | CAST(coalesce(list_sum([ CASE WHEN (smp[i] < 0) != (smp[i+1] < 0) THEN 1 ELSE 0 END
+       |            FOR i IN range(1, CAST(n AS BIGINT)) ]), 0) AS BIGINT) AS zc,
+       | CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
+       |FROM s""".stripMargin
+
   // ------------- external-FILE media ingestion (binaryFile source) -------------
 
   /** How many leading documents are materialized as REAL media files for

@@ -226,6 +226,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(want.keySet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("lengthHistogram tiles the corpus and its cumulative share closes at 1") {
+    val rows = Corpus.lengthHistogram(docs).orderBy(col("bucket")).collect()
+    val nDocs = docs.count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    assert(rows.last.getLong(4) == nDocs)
+    assert(math.abs(rows.last.getDouble(5) - 1.0) < 1e-9)
+    // buckets are [lo, lo+16): every doc's token count lands in its bin
+    rows.foreach { r => assert(r.getLong(1) == r.getLong(0) * 16) }
+    // cumulative is strictly increasing across the occupied buckets
+    assert(rows.map(_.getLong(4)).toSeq == rows.map(_.getLong(4)).toSeq.sorted)
+  }
+
   test("importanceWeights ranks target-source documents above the raw mean") {
     val iw = Corpus.importanceWeights(docs).join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("iw").cast("double"))

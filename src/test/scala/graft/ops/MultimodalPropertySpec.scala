@@ -170,4 +170,19 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
       assert(nSeg <= acts.count(identity) && (acts.count(identity) == 0 || nSeg >= 1))
     }
   }
+
+  test("m11 ZCR matches a direct fold over the pre-roundtrip samples") {
+    val got = Multimodal.modalZcr(graft.testutil.SparkSuite.spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 500)
+    got.keys.toSeq.sorted.take(20).foreach { id =>
+      val smp = Multimodal.synthVadSamples(id)
+      val zc = (1 until smp.length).count(i => (smp(i - 1) < 0) != (smp(i) < 0)).toLong
+      val sa = smp.map(s => math.abs(s.toLong)).sum
+      // equality THROUGH the WAV roundtrip = the codec is bit-lossless
+      assert(got(id) == ((smp.length.toLong, zc, sa)), s"id=$id")
+      // the waveform must actually oscillate or ZCR is vacuous
+      assert(zc > smp.length / 16, s"id=$id zc=$zc")
+    }
+  }
 }
