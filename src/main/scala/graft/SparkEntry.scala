@@ -145,6 +145,9 @@ object SparkEntry {
     // radius search: all corpus vectors within cos >= tau of each query —
     // s2's candidate machinery with a threshold keep instead of a rank
     "s16_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    // truncated-prefix recall eval: can retrieval serve on the first d
+    // dims? per-dim scoring is the bounded-broadcast s1 eval shape
+    "s17_matryoshka" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -277,6 +280,9 @@ object SparkEntry {
     // overlapping 2h/1h sliding windows — every event in exactly two
     // windows; watermark-bounded state like e1
     "e12_stream_sliding" -> (EventStreams.slidingAggOnce _),
+    // streaming rate anomaly: at-rest per-type profile broadcast into the
+    // stream pre-agg; hourly counts emerge z-scored with e1's state bound
+    "e13_stream_anomaly" -> (EventStreams.rateAnomalyOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -525,6 +531,7 @@ object SparkEntry {
     "s8_ivfadc" -> Similarity.ivfAdcOracleSql(),
     "s15_ivf_refine" -> Similarity.ivfRefineOracleSql(),
     "s16_range_search" -> Similarity.rangeSearchOracleSql(),
+    "s17_matryoshka" -> Similarity.matryoshkaEvalOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
@@ -584,6 +591,7 @@ object SparkEntry {
     "e10_session_window" -> EventStreams.sessionWindowOracleSql(),
     "e11_quality_gate" -> EventStreams.qualityGateOracleSql,
     "e12_stream_sliding" -> EventStreams.slidingAggOracleSql,
+    "e13_stream_anomaly" -> EventStreams.rateAnomalyOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -141,6 +141,78 @@ object Similarity {
        |LEFT JOIN ap a ON a.method = m.method AND a.q_id = e.q_id AND a.nb_id = e.nb_id
        |GROUP BY m.method, e.q_id""".stripMargin
 
+  /** Matryoshka/truncated-dimension recall eval (s17) — the embedding-
+    * compression acceptance gate: score top-`k` retrieval using only the
+    * FIRST `d` dimensions of each vector against the full-dimension exact
+    * ground truth, for several prefix lengths. Matryoshka-trained
+    * embeddings concentrate signal in the prefix, so this table answers
+    * "can we serve at d=16 and cut the ANN index 4×?" the same way s11
+    * answers "can LSH/IVF replace the flat scan?". (On this fixture's
+    * isotropic random vectors the recall falloff is steep — exactly the
+    * negative control: the eval must DETECT that these embeddings don't
+    * truncate well.)
+    *
+    * Scale shape: per-dim scoring is the s1 eval shape (bounded broadcast
+    * query side × one streamed corpus scan, linear per dim); slicing is
+    * row-local; the recall join is broadcast-sized. The production serve
+    * path at an accepted prefix is s8 over sliced vectors. */
+  def matryoshkaEval(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val exact = materialize(cosineTopK(spark, dir, nQueries, k).select(col("q_id"), col("nb_id")))
+    val emb = t(spark, dir, "embeddings")
+    def truncTopK(d: Int): DataFrame = {
+      val e = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qa"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+      e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"))
+        .join(broadcast(q), col("nb_id") =!= col("q_id"))
+        .withColumn("cos", cosine("qa", "ea"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("nb_id"))
+    }
+    dims.map { d =>
+      exact.join(broadcast(truncTopK(d).withColumn("hit", lit(1L))),
+          Seq("q_id", "nb_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(d.toLong).as("dim"), col("q_id"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / lit(k), 4).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle twin of [[matryoshkaEval]]: per-prefix ranked replay
+    * over the sliced lists, the full-dim exact CTE, same recall join. */
+  def matryoshkaEvalOracleSql(nQueries: Int = 10, k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32)): String = {
+    def ranked(d: Int): String =
+      s"""SELECT q_id, nb_id FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS nb_id,
+         |    list_dot_product(q.emb, e.emb) /
+         |      (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.emb, e.emb) /
+         |        (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+         |      e.vec_id) AS rnk
+         |  FROM (SELECT vec_id, list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS emb
+         |        FROM embeddings WHERE vec_id < $nQueries) q,
+         |       (SELECT vec_id, list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS emb
+         |        FROM embeddings) e
+         |  WHERE e.vec_id != q.vec_id) r WHERE rnk <= $k""".stripMargin
+    val aps = dims.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS dim, q_id, nb_id FROM (${ranked(d)})")
+      .mkString("\n        UNION ALL\n        ")
+    s"""WITH ex AS (SELECT q_id, nb_id FROM (${cosineTopKOracleSql(nQueries, k)})),
+       | ap AS ($aps)
+       |SELECT d.dim, e.q_id, CAST(count(a.nb_id) AS BIGINT) AS n_hit,
+       | round(CAST(count(a.nb_id) AS DOUBLE) / $k, 4) AS recall
+       |FROM (VALUES (${dims.map(d => s"CAST($d AS BIGINT)").mkString("), (")})) d(dim)
+       |CROSS JOIN ex e
+       |LEFT JOIN ap a ON a.dim = d.dim AND a.q_id = e.q_id AND a.nb_id = e.nb_id
+       |GROUP BY d.dim, e.q_id""".stripMargin
+  }
+
   // ---------------- random-hyperplane LSH ----------------
 
   val Dim = 64

@@ -131,6 +131,65 @@ object EventStreams {
       | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
       |FROM x GROUP BY strftime(w0, '%Y-%m-%d %H:%M'), event_type""".stripMargin
 
+  /** Streaming rate-anomaly detection (e13) — the live traffic monitor: a
+    * per-type hourly-rate PROFILE (mean/std of hourly counts) is fitted
+    * from the at-rest history and broadcast; each streaming event enriches
+    * with its type's profile BEFORE the windowed aggregation (stream-static
+    * join pre-agg, the only join order a streaming agg admits), and the
+    * hourly count emerges z-scored against the profile. Zero extra
+    * streaming state vs e1 — the "memory" of normal traffic lives at rest,
+    * the e9 design principle applied to monitoring. Watermark bounds the
+    * windowed state as in e1; the profile refreshes by restarting the
+    * query on a new fit (the standard model-rollover pattern).
+    *
+    * Cross-engine: mean/std are computed from exact integer sums with one
+    * shared formula (sample variance via s2 − s1²/c over c−1), so both
+    * engines evaluate identical doubles; z rounds to 4. */
+  def rateAnomaly(spark: SparkSession, dir: String, events: DataFrame): DataFrame = {
+    val batchHourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = batchHourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast(DoubleType).as("s1"),
+        sum(col("n") * col("n")).cast(DoubleType).as("s2"),
+        count(lit(1)).cast(DoubleType).as("c"))
+      .select(col("event_type"), (col("s1") / col("c")).as("mu"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("c")) / (col("c") - 1)).as("sg"))
+    events
+      .join(broadcast(stats), Seq("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("mu")).as("mu"), max(col("sg")).as("sg"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"), col("event_type"),
+        col("n"), round((col("n") - col("mu")) / col("sg"), 4).as("z"))
+  }
+
+  /** Run [[rateAnomaly]] to completion against the batch parquet — the
+    * `e13_stream_anomaly` gate drive. */
+  def rateAnomalyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_anomaly_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = rateAnomaly(spark, dir, readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "z"))
+  }
+
+  /** DuckDB oracle twin of [[rateAnomalyOnce]] — same hourly counts, same
+    * profile formula, same z rounding. */
+  def rateAnomalyOracleSql: String =
+    """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+      |            event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      | st AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS s1,
+      |         CAST(sum(n * n) AS DOUBLE) AS s2, CAST(count(*) AS DOUBLE) AS c
+      |        FROM h GROUP BY 1)
+      |SELECT h.hr, h.event_type, h.n,
+      | round((h.n - st.s1 / st.c) /
+      |       sqrt((st.s2 - st.s1 * st.s1 / st.c) / (st.c - 1)), 4) AS z
+      |FROM h JOIN st USING (event_type)""".stripMargin
+
   /** Streaming dedup under the oracle gate: the event stream unioned with
     * itself (every id duplicated) must collapse back to the distinct ids
     * through `dropDuplicatesWithinWatermark` — the state-bounded dedup

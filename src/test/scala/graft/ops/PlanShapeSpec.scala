@@ -258,20 +258,22 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("a21_percentiles", "c11_importance", "s13_rp_topk",
-      "s1_cosine_topk", "s5_sq8_topk",
+    assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
+      "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
       "t18_zipf", "t9_bm25"),
-      s"unexpected non-equi joins in: $offenders") // a21 and c11 join
+      s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
     // ONE-ROW broadcast constants (a21: total voxel count against the
-    // histogram; c11: the two corpus-constant fits, t12's exact shape) —
+    // histogram; c11: the two corpus-constant fits, t12's exact shape;
+    // c12: the total-docs row against the bucket-grain histogram) —
     // a BNLJ of 1 × N rows is a map-side attach, not an all-pairs
     // c7 attaches n_min via a
     // window over the tiny count relation, and s11's exact ground truth is
     // materialized (its flat scan runs once, at build; the gated plan reads
     // the checkpoint) — neither may appear here
     // s9 inherits s1's flat scan (it votes over s1's exact top-k — an EVAL
-    // on a bounded query sample, nQueries·corpus not corpus²); s11 likewise
+    // on a bounded query sample, nQueries·corpus not corpus²); s17 runs one
+    // such bounded flat scan per dim prefix (same eval rationale); s11 likewise
     // — it IS the eval that justifies replacing that flat scan with an index
     // s1/s5/s7 are flat query×corpus scans (float, int8-quantized, and
     // PQ-compressed): definitionally all-pairs, implemented as a broadcast

@@ -43,6 +43,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq.map(_._3).sum == 2 * e.count())
   }
 
+  test("e13 streaming rate anomaly equals the batch z-score replay") {
+    val streamed = EventStreams.rateAnomalyOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val e = Tables.events(spark, dir)
+    val hourly = e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("double").as("s1"),
+        sum(col("n") * col("n")).cast("double").as("s2"),
+        count(lit(1)).cast("double").as("c"))
+    val batch = hourly.join(stats, Seq("event_type"))
+      .select(col("hr"), col("event_type"), col("n"),
+        round((col("n") - col("s1") / col("c")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("c")) / (col("c") - 1)), 4).as("z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // anomalies must be detectable AND rare-ish, or the z-scale is miswired
+    val zs = streamed.toSeq.map(_._4)
+    assert(zs.exists(z => math.abs(z) > 1.0), "no hour deviates — profile degenerate")
+    assert(zs.count(z => math.abs(z) > 3.0) < zs.size / 2, "half the corpus 'anomalous'")
+  }
+
   test("stream-static enrichment join equals the batch equivalent") {
     val streamed = EventStreams.enrichedAggOnce(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
