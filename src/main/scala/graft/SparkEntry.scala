@@ -148,6 +148,9 @@ object SparkEntry {
     // truncated-prefix recall eval: can retrieval serve on the first d
     // dims? per-dim scoring is the bounded-broadcast s1 eval shape
     "s17_matryoshka" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
+    // metadata-filtered ANN: label predicate applied inside the probed
+    // cells BEFORE scoring (pre-filter, not top-k post-filter)
+    "s18_filtered_ann" -> ((s, d) => Similarity.filteredAnn(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -532,6 +535,7 @@ object SparkEntry {
     "s15_ivf_refine" -> Similarity.ivfRefineOracleSql(),
     "s16_range_search" -> Similarity.rangeSearchOracleSql(),
     "s17_matryoshka" -> Similarity.matryoshkaEvalOracleSql(),
+    "s18_filtered_ann" -> Similarity.filteredAnnOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

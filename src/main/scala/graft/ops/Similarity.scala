@@ -523,6 +523,73 @@ object Similarity {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Metadata-FILTERED ANN (s18) — the vector-DB serving shape [[annIvf]]
+    * alone can't express: top-`k` restricted to corpus vectors satisfying
+    * a metadata predicate (here: the query's own `label` — "nearest
+    * same-class neighbors"). The filter applies INSIDE the probed cells
+    * BEFORE any cosine is computed (Catalyst pushes the label equi-
+    * condition into the cell join), so non-matching members are never
+    * scored — pre-filtering, the layout that keeps filtered recall exact,
+    * versus post-filtering a top-k which silently under-fills when the
+    * predicate is selective. Same IVF machinery otherwise: row-local
+    * codegen cell assignment, broadcast query×cell relation, exact
+    * rerank over surviving candidates only. */
+  def filteredAnn(spark: SparkSession, dir: String, nQueries: Int = 25, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 10): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    dumpCentroids(spark, centMatrix, FilteredCentroidDump)
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
+    val assigned = emb.select(col("vec_id"), col("embedding"), col("label"),
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
+    val queryCells = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), col("label").as("qlabel"),
+        explode(centroid_topn(col("embedding"), centMatrix, nprobe)).as("cell"))
+      .select(col("q_id"), col("qa"), col("qlabel"), col("cell.cluster").as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    assigned.select(col("vec_id").as("nb_id"), col("embedding").as("ea"),
+        col("label"), col("cluster"))
+      .join(broadcast(queryCells), Seq("cluster"))
+      .filter(col("nb_id") =!= col("q_id") && col("label") === col("qlabel"))
+      .withColumn("cos", cosine("qa", "ea"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("qlabel").as("label"), col("nb_id"),
+        round(col("cos"), 4).as("cs"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[filteredAnn]] — [[annIvfOracleSql]]'s replay
+    * with the label predicate applied to the candidate set before the
+    * rerank, exactly as the engine filters before scoring. */
+  def filteredAnnOracleSql(nQueries: Int = 25, k: Int = 5, nprobe: Int = 10): String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$FilteredCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e CROSS JOIN c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | qc AS (SELECT vec_id AS q_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS crnk
+       |          FROM s WHERE vec_id < $nQueries) x WHERE crnk <= $nprobe),
+       | cand AS (SELECT qc.q_id, lq.label, a.vec_id AS nb_id
+       |          FROM qc JOIN asg a USING (cluster)
+       |          JOIN e la ON la.vec_id = a.vec_id
+       |          JOIN e lq ON lq.vec_id = qc.q_id
+       |          WHERE a.vec_id != qc.q_id AND la.label = lq.label),
+       | cd AS (SELECT DISTINCT q_id, label, nb_id FROM cand),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT cd.q_id, cd.label, cd.nb_id,
+       |        CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(nq.emb, nn.emb) / (nq.nrm * nn.nrm) END AS cos
+       |       FROM cd JOIN n nq ON nq.vec_id = cd.q_id JOIN n nn ON nn.vec_id = cd.nb_id),
+       | r AS (SELECT q_id, label, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM p)
+       |SELECT q_id, label, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
   /** DuckDB oracle twin of [[annIvf]]: reads the dumped centroids and
     * replays the max-cosine assignment, the per-query nprobe cell choice,
     * and the exact rerank — every step closed-form given the centroids,
@@ -573,6 +640,10 @@ object Similarity {
   /** Where [[semDedupPrune]] dumps its fitted centroids for the replay
     * oracle. */
   lazy val SemDedupCentroidDump: String = s"$OracleDumpRoot/d9_centroids"
+
+  /** Where [[filteredAnn]] dumps its fitted centroids for the replay
+    * oracle. */
+  lazy val FilteredCentroidDump: String = s"$OracleDumpRoot/s18_centroids"
 
   /** Domain clustering for mixture design: embeddings are clustered with a
     * k-means coarse model (trained on a capped sample, like [[annIvf]]) and

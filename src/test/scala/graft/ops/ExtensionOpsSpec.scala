@@ -111,6 +111,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall of ${exact.size}")
   }
 
+  test("filtered ANN: every hit satisfies the predicate; recall holds vs filtered brute force") {
+    val emb = Tables.t(spark, dir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("label").longValue(),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    val got = Similarity.filteredAnn(spark, dir, nQueries = 25)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+    assert(got.nonEmpty)
+    // the predicate is exact: every neighbor carries the query's label
+    got.foreach { case (q, lbl, nb) =>
+      assert(lbl == labelOf(q), s"row label $lbl != query label ${labelOf(q)}")
+      assert(labelOf(nb) == lbl, s"neighbor $nb label ${labelOf(nb)} != $lbl")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecOf = emb.map(e => e._1 -> e._3).toMap
+    val exact = (for { q <- 0L until 25L } yield {
+      val tops = emb.filter(e => e._1 != q && e._2 == labelOf(q))
+        .map(e => (cos(vecOf(q), e._3), e._1)).sortBy(t => (-t._1, t._2)).take(5)
+      tops.map(t => (q, t._2))
+    }).flatten.toSet
+    val recall = got.map(r => (r._1, r._3)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"filtered recall $recall")
+  }
+
   test("ann IVF achieves recall >= 0.8 vs brute force") {
     val exact = Similarity.cosineTopK(spark, dir).select("q_id", "nb_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
