@@ -53,6 +53,9 @@ object SparkEntry {
     // co-located bucketed SMJ: the on-disk layout is the join partitioning,
     // so neither side exchanges (q02 broadcast / q28 salt / q30 bucket)
     "q30_bucketed_join" -> ((s, d) => Relational.q30_bucketed_join(s, d)),
+    // gap-filled dense time grid from aggregate-grain dimensions; the only
+    // corpus-grain op is the initial hourly count
+    "q31_gapfill" -> (Relational.q31_gapfill _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -226,6 +229,9 @@ object SparkEntry {
     // sequence-length histogram: bucket-grain agg first, cumulative window
     // only ever sees the tiny bucket relation
     "c12_length_hist" -> ((s, d) => Corpus.lengthHistogram(Tables.t(s, d, "documents"))),
+    // hive-partitioned export roundtrip: partition values live in dir
+    // names; per-source consumers prune to one directory (plan-pinned)
+    "c13_partitioned_export" -> (Corpus.partitionedExport _),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -451,6 +457,7 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) x
         |WHERE rn = 1""".stripMargin,
+    "q31_gapfill" -> Relational.q31OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -522,6 +529,7 @@ object SparkEntry {
     "c10_snapshot_diff" -> Corpus.snapshotDiffOracleSql,
     "c11_importance" -> Corpus.importanceWeightsOracleSql(),
     "c12_length_hist" -> Corpus.lengthHistogramOracleSql(),
+    "c13_partitioned_export" -> Corpus.partitionedExportOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -604,6 +604,41 @@ object Corpus {
        |       round(CAST(cum_docs AS DOUBLE) / total_docs, 4) AS cum_share
        |FROM c""".stripMargin
 
+  /** Once-per-JVM registry of the c13 partitioned-export dirs. */
+  private val exportDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hive-partitioned corpus export (c13) — the layout handoff every
+    * downstream trainer expects: the corpus re-written
+    * `partitionBy("source")` so each source lands in its own
+    * `source=<v>/` directory, then read BACK through the partitioned
+    * layout and reconciled per source. The gate proves the write→discover
+    * →read cycle end-to-end: partition values survive as directory names
+    * (the column is reconstructed from the path, not stored in the
+    * files), and the per-source masses tie out against the flat original.
+    * The point at 100 TB is partition PRUNING — a per-source consumer
+    * reads ONE directory, not a full scan with a filter; PlanShapeSpec
+    * pins that a `source =` predicate lands in the scan's
+    * PartitionFilters. */
+  def partitionedExport(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val out = exportDirs.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/c13_export_${Similarity.dirToken(dir)}"
+      Tables.t(spark, dir, "documents")
+        .write.mode("overwrite").partitionBy("source").parquet(p)
+      p
+    })
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** DuckDB oracle twin of [[partitionedExport]] — the flat original's
+    * per-source masses; the partitioned roundtrip must be lossless. */
+  def partitionedExportOracleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Default target slice for [[importanceWeights]] — the "high-quality
     * exemplar" sources the raw corpus is reweighted toward. */
   val ImportanceTargets: Seq[String] = Seq("src0", "src1", "src2", "src3")

@@ -430,4 +430,50 @@ object Relational {
       .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
   }
+
+  /** Gap-filled time series with a trailing moving average (q31) — the
+    * dashboard/monitoring shape raw aggregation can't produce: hours with
+    * ZERO events must appear as explicit zero rows (a 3-hour moving
+    * average computed only over observed hours silently glosses outages —
+    * the gap IS the signal). The dense (hour × event_type) grid is built
+    * from two aggregate-grain relations: the corpus reduces to ONE row of
+    * [min, max] epoch-hours (`sequence` + explode makes the timeline) and
+    * to the distinct type dimension; their cross product is
+    * dimension-sized — bounded by time span × type cardinality, never by
+    * event volume — and the observed counts LEFT-join onto it. The moving
+    * average then runs per type over the dense axis. At 100 TB the only
+    * corpus-grain operation is the initial hourly count; everything after
+    * happens on the tiny grid. Epoch-hour integers throughout — no
+    * timestamp formatting in the join key. */
+  def q31_gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) DIV 3600").as("hr_idx"), col("event_type"))
+    val hourly = ev.groupBy(col("hr_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val timeline = hourly.agg(min(col("hr_idx")).as("h0"), max(col("hr_idx")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr_idx"))
+    val types = hourly.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr_idx"))
+      .rowsBetween(-2, Window.currentRow)
+    timeline.crossJoin(types)
+      .join(hourly, Seq("hr_idx", "event_type"), "left")
+      .select(col("event_type"), col("hr_idx"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("ma3", round(avg(col("n")).over(w), 4))
+  }
+
+  /** DuckDB oracle twin of [[q31_gapfill]] — same epoch-hour axis, same
+    * dense grid, same trailing 3-row frame. */
+  def q31OracleSql: String =
+    """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr_idx,
+      |            event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      | tl AS (SELECT unnest(generate_series(min(hr_idx), max(hr_idx))) AS hr_idx FROM h),
+      | ty AS (SELECT DISTINCT event_type FROM h),
+      | g AS (SELECT ty.event_type, tl.hr_idx, COALESCE(h.n, 0) AS n
+      |       FROM tl CROSS JOIN ty
+      |       LEFT JOIN h ON h.hr_idx = tl.hr_idx AND h.event_type = ty.event_type)
+      |SELECT event_type, CAST(hr_idx AS BIGINT) AS hr_idx, CAST(n AS BIGINT) AS n,
+      | round(avg(n) OVER (PARTITION BY event_type ORDER BY hr_idx
+      |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+      |FROM g""".stripMargin
 }

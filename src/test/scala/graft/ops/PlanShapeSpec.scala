@@ -245,6 +245,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("c13: a source predicate prunes partitions at the scan, not post-filter") {
+    // force the export (and its per-JVM registry) via the gated query,
+    // then read one source back through the partitioned layout
+    Corpus.partitionedExport(spark, dir).collect()
+    val one = spark.read.parquet(
+        Similarity.OracleDumpRoot + "/c13_export_" + Similarity.dirToken(dir))
+      .filter(org.apache.spark.sql.functions.col("source") === "src3")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), scan)
+    assert(scan.contains("source"), scan)
+    // the predicate lands in PartitionFilters, and the pushed DATA filter
+    // list stays empty (the dir name, not file contents, answers it)
+    assert("PartitionFilters: \\[[^\\]]*source[^\\]]*= src3".r.findFirstIn(scan).isDefined, scan)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    assert(pushed == "PushedFilters: []", pushed)
+    assert(one.count() > 0)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
@@ -259,14 +277,16 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
-      "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
+      "q31_gapfill", "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
       "t18_zipf", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
     // ONE-ROW broadcast constants (a21: total voxel count against the
     // histogram; c11: the two corpus-constant fits, t12's exact shape;
     // c12: the total-docs row against the bucket-grain histogram) —
-    // a BNLJ of 1 × N rows is a map-side attach, not an all-pairs
+    // a BNLJ of 1 × N rows is a map-side attach, not an all-pairs;
+    // q31's cross product is the dense (hour × type) DIMENSION grid —
+    // two aggregate-grain relations, bounded by span × cardinality
     // c7 attaches n_min via a
     // window over the tiny count relation, and s11's exact ground truth is
     // materialized (its flat scan runs once, at build; the gated plan reads
