@@ -232,6 +232,9 @@ object SparkEntry {
     // hive-partitioned export roundtrip: partition values live in dir
     // names; per-source consumers prune to one directory (plan-pinned)
     "c13_partitioned_export" -> (Corpus.partitionedExport _),
+    // JSONL roundtrip with PERMISSIVE corrupt-record quarantine: planted
+    // garbage must be isolated, survivors reconcile against the original
+    "c14_jsonl_ingest" -> (Corpus.jsonlIngest _),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -530,6 +533,7 @@ object SparkEntry {
     "c11_importance" -> Corpus.importanceWeightsOracleSql(),
     "c12_length_hist" -> Corpus.lengthHistogramOracleSql(),
     "c13_partitioned_export" -> Corpus.partitionedExportOracleSql,
+    "c14_jsonl_ingest" -> Corpus.jsonlIngestOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

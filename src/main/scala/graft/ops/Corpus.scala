@@ -639,6 +639,61 @@ object Corpus {
       | CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Once-per-JVM registry of the c14 JSONL fixture dirs. */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JSONL corpus ingestion with corrupt-record quarantine (c14) — the
+    * standard LLM-corpus interchange format, exercised end-to-end: the
+    * corpus is exported as JSON Lines (one `to_json(struct(...))` text row
+    * per document — a row-local projection), two deliberately malformed
+    * lines are planted in the landing directory, and ingestion reads the
+    * directory back under PERMISSIVE mode with an explicit schema plus
+    * `_corrupt_record`: well-formed rows parse columnar, broken lines land
+    * whole in the quarantine column instead of failing the job — the
+    * fault-tolerance posture a 100 TB crawl ingest needs (one mangled
+    * shard must not kill the pipeline; it must be measurable and
+    * re-routable). The gate reconciles the per-lang masses of the
+    * SURVIVING rows against the flat original — only a parser that
+    * quarantines exactly the planted garbage matches. Schema-explicit
+    * reads also skip Spark's whole-corpus schema inference pass — at scale
+    * never let the reader infer. */
+  /** The PERMISSIVE schema-explicit read over the staged JSONL landing
+    * dir — exposed for the quarantine-count spec. */
+  private[ops] def jsonlIngestRaw(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val out = jsonlDirs.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/c14_jsonl_${Similarity.dirToken(dir)}"
+      Tables.t(spark, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(p)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "part-corrupt.txt"),
+        "{\"doc_id\": 1, \"text\": unterminated\nnot json at all\n".getBytes("UTF-8"))
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema).json(out)
+  }
+
+  def jsonlIngest(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    jsonlIngestRaw(spark, dir)
+      .filter(col("_corrupt_record").isNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** DuckDB oracle twin of [[jsonlIngest]] — the flat original's per-lang
+    * masses: the roundtrip must quarantine exactly the planted garbage. */
+  def jsonlIngestOracleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Default target slice for [[importanceWeights]] — the "high-quality
     * exemplar" sources the raw corpus is reweighted toward. */
   val ImportanceTargets: Seq[String] = Seq("src0", "src1", "src2", "src3")

@@ -238,6 +238,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).toSeq == rows.map(_.getLong(4)).toSeq.sorted)
   }
 
+  test("c14 JSONL ingest quarantines exactly the planted corrupt lines") {
+    // drive the gated query first so the fixture (500 good lines + 2
+    // planted garbage lines) exists
+    val good = Corpus.jsonlIngest(spark, dir)
+    assert(good.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    // count the quarantine column (cached: Spark disallows corrupt-only
+    // projections straight off the scan)
+    val raw = Corpus.jsonlIngestRaw(spark, dir).cache()
+    try {
+      assert(raw.filter(col("_corrupt_record").isNotNull).count() == 2)
+      assert(raw.filter(col("_corrupt_record").isNull).count() == docs.count())
+      // quarantined lines carry the ORIGINAL text for re-routing
+      val bad = raw.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record")).collect().map(_.getString(0)).toSet
+      assert(bad.exists(_.contains("unterminated")) && bad.exists(_.contains("not json")))
+    } finally raw.unpersist()
+  }
+
   test("importanceWeights ranks target-source documents above the raw mean") {
     val iw = Corpus.importanceWeights(docs).join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("iw").cast("double"))
