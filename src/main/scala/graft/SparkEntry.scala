@@ -205,6 +205,9 @@ object SparkEntry {
     "t19_entropy" -> ((s, d) => TextOps.charEntropy(Tables.t(s, d, "documents"))),
     // Flesch reading ease from three codegen regex counts — row-local
     "t20_readability" -> ((s, d) => TextOps.readability(Tables.t(s, d, "documents"))),
+    // per-doc 8-gram duplication rate: the memorization-risk score a
+    // curation policy thresholds on; one gram-keyed corpus exchange
+    "t21_novelty" -> ((s, d) => TextOps.ngramNovelty(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -235,6 +238,9 @@ object SparkEntry {
     // JSONL roundtrip with PERMISSIVE corrupt-record quarantine: planted
     // garbage must be isolated, survivors reconcile against the original
     "c14_jsonl_ingest" -> (Corpus.jsonlIngest _),
+    // mergeSchema roundtrip: v1 shards lack the later column; reads must
+    // null-fill, distinguishing "not yet scored" from "scored zero"
+    "c15_schema_evolution" -> (Corpus.schemaEvolution _),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -521,6 +527,7 @@ object SparkEntry {
     "t18_zipf" -> TextOps.zipfFitOracleSql,
     "t19_entropy" -> TextOps.charEntropyOracleSql,
     "t20_readability" -> TextOps.readabilityOracleSql,
+    "t21_novelty" -> TextOps.ngramNoveltyOracleSql(),
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
@@ -534,6 +541,7 @@ object SparkEntry {
     "c12_length_hist" -> Corpus.lengthHistogramOracleSql(),
     "c13_partitioned_export" -> Corpus.partitionedExportOracleSql,
     "c14_jsonl_ingest" -> Corpus.jsonlIngestOracleSql,
+    "c15_schema_evolution" -> Corpus.schemaEvolutionOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

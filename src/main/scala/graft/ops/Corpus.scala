@@ -694,6 +694,53 @@ object Corpus {
       | CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Once-per-JVM registry of the c15 evolving-schema landing dirs. */
+  private val evolveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Schema-evolution roundtrip (c15) — the corpus-versioning reality a
+    * long-lived 100 TB landing zone faces: early shards were written
+    * WITHOUT a column that later shards carry (here: a `quality` score
+    * added mid-pipeline — even docs land in the v1 shard without it, odd
+    * docs in the v2 shard with it). Reading the landing dir with
+    * `mergeSchema` unions the footers: v1 rows surface the new column as
+    * NULL instead of failing or silently dropping it, so downstream code
+    * distinguishes "not yet scored" from "scored zero". The gate
+    * reconciles, per lang, total mass plus the scored-row count and the
+    * exact decimal sum of the scores that DO exist — only a reader that
+    * merges footers and null-fills correctly matches. (Schema merging is
+    * a read-time footer union — no data rewrite; at scale you enable it
+    * per-read or register the superset schema in the catalog rather than
+    * paying footer-merge on every scan.) */
+  def schemaEvolution(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val out = evolveDirs.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/c15_evolve_${Similarity.dirToken(dir)}"
+      val docs = Tables.t(spark, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$p/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 97).cast(LongType).as("quality"))
+        .write.mode("overwrite").parquet(s"$p/v2")
+      p
+    })
+    spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_scored"),
+        coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+  }
+
+  /** DuckDB oracle twin of [[schemaEvolution]] — the closed-form split
+    * replayed on the flat original: every doc counts, odd docs are scored
+    * with the same derived quality. */
+  def schemaEvolutionOracleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      | CAST(COALESCE(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 97 END), 0) AS BIGINT) AS sum_quality
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Default target slice for [[importanceWeights]] — the "high-quality
     * exemplar" sources the raw corpus is reweighted toward. */
   val ImportanceTargets: Seq[String] = Seq("src0", "src1", "src2", "src3")

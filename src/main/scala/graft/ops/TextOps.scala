@@ -1080,4 +1080,43 @@ object TextOps {
     }
     out
   }
+
+  /** Per-document n-gram novelty / duplication-rate (t21) — the
+    * memorization-risk profile: for each document, the fraction of its
+    * word 8-grams that also occur in at least one OTHER document. High
+    * dup_share = boilerplate/templated/copied passages a model would see
+    * many times (the span-level view d-series dedup acts on, folded to a
+    * per-document training-risk score); near-zero = novel prose. Distinct
+    * from d13 (which finds the PAIRS): t21 is the per-document aggregate
+    * a curation policy thresholds on.
+    *
+    * Scale shape: the gram relation materializes once and feeds both the
+    * document-frequency fit and the scoring join; both reductions are
+    * map-side combined, and the one corpus-grain exchange is gram-keyed
+    * (the d2/c3 shuffle shape — gram cardinality scales with the corpus,
+    * so the join stays a shuffle join by design, never a broadcast). */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = materialize(Corpus.ngramsOf(docs, n))
+    val df = grams.groupBy(col("gram")).agg(count_distinct(col("doc_id")).as("ndocs"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .withColumn("dup_share",
+        round(col("n_shared").cast(DoubleType) / col("n_grams"), 4))
+  }
+
+  /** DuckDB oracle twin of [[ngramNovelty]] — same 1-based list-slice
+    * grams (the c3 convention), same distinct-doc frequency, same share. */
+  def ngramNoveltyOracleSql(n: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | grams AS (SELECT doc_id,
+       |            unnest([array_to_string(t[i:i+${n - 1}], ' ') FOR i IN range(1, len(t) - ${n - 2})]) AS gram
+       |           FROM toks WHERE len(t) >= $n),
+       | df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       | round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_share
+       |FROM grams g JOIN df USING (gram) GROUP BY g.doc_id""".stripMargin
 }
+

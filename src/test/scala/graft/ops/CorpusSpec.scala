@@ -256,6 +256,38 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t21 novelty: a planted exact copy scores dup_share 1.0") {
+    import spark.implicits._
+    val copied = docs.limit(3).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val aug = docs.select(col("doc_id"), col("text")).unionByName(copied)
+    val nov = TextOps.ngramNovelty(aug)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every planted copy (and its original) shares ALL its 8-grams
+    copied.collect().map(_.getLong(0)).foreach { id =>
+      assert(nov(id) == 1.0, s"copy $id dup_share ${nov(id)}")
+      assert(nov(id - 1000000L) == 1.0, s"original ${id - 1000000L}")
+    }
+    // and novelty is non-degenerate: most of the corpus is NOT fully duped
+    assert(nov.values.count(_ < 1.0) > nov.size / 2)
+  }
+
+  test("c15 mergeSchema surfaces the late column as NULL on early shards") {
+    val got = Corpus.schemaEvolution(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = docs.select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (lang, rows) =>
+        lang -> ((rows.size.toLong,
+          rows.count(_._2 % 2 == 1).toLong,
+          rows.filter(_._2 % 2 == 1).map(_._3 % 97).sum))
+      }
+    assert(got == want)
+    // every lang must have BOTH scored and unscored rows, or the
+    // null-fill path is untested
+    got.values.foreach { case (n, scored, _) => assert(scored > 0 && scored < n) }
+  }
+
   test("importanceWeights ranks target-source documents above the raw mean") {
     val iw = Corpus.importanceWeights(docs).join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("iw").cast("double"))

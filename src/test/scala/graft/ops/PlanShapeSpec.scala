@@ -263,6 +263,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(one.count() > 0)
   }
 
+  test("AQE coalesces shuffle partitions for small aggregates at runtime") {
+    // 32 configured shuffle partitions over a 500-row group-by: AQE must
+    // fold the near-empty post-shuffle partitions instead of running 32
+    // tiny tasks — the runtime re-plan that keeps small stages cheap at
+    // ANY configured parallelism
+    val agg = Tables.t(spark, dir, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    agg.collect() // AQE decisions exist only after execution
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"), p)
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
