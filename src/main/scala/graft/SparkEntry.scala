@@ -105,6 +105,9 @@ object SparkEntry {
     // batch multi-ROI gather: union-box chunks decode once; voxels assign
     // to covering ROIs row-locally (filter+explode, no voxel-grain join)
     "a23_roi_gather" -> (ArrayOps.a23_roi_gather _),
+    // two-pass global normalization: value-grain LUT fit + broadcast
+    // apply + real store write-back; gate reads the DESTINATION volume
+    "a24_hist_equalize" -> (ArrayOps.a24_hist_equalize _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -510,6 +513,7 @@ object SparkEntry {
     "a21_percentiles" -> ArrayOps.a21OracleSql,
     "a22_mode_downsample" -> ArrayOps.a22OracleSql,
     "a23_roi_gather" -> ArrayOps.a23OracleSql,
+    "a24_hist_equalize" -> ArrayOps.a24OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

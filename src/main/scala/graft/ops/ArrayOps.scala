@@ -1137,6 +1137,94 @@ object ArrayOps {
       .orderBy(col("roi_id"))
   }
 
+  /** Global histogram equalization with store write-back (a24) — the
+    * two-pass data-dependent normalization job a petavoxel imaging
+    * pipeline runs before training (contrast normalization, window/level
+    * burn-in): PASS 1 reduces the volume to its ≤256-row intensity
+    * histogram (map-side combined — the voxel relation collapses to value
+    * grain before any exchange); the classic equalization LUT
+    * `eq(v) = (cdf(v) − cdf_min) · 255 / (n − cdf_min)` (integer floor —
+    * engine-exact) is derived on that tiny relation with one window
+    * cumsum; PASS 2 re-reads the volume, maps every voxel through the
+    * BROADCAST value-grain LUT (a ≤256-row equi-join — never a shuffle of
+    * voxels), and writes the result back through the REAL store
+    * ([[graft.volume.Volume.fromVoxels]] — one shuffle by destination
+    * chunk id, the write's inherent partitioning). The gate re-opens the
+    * DESTINATION volume and aggregates per chunk, so it certifies fit →
+    * broadcast-apply → store write → re-read end-to-end. */
+  def a24_hist_equalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-a24-src").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-a24-dst").toString
+    val vmeta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val src = Volume.create(spark, srcRoot, vmeta)
+    // a21's skewed quadratic field: equalization must visibly stretch it
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val u = (x * 31 + y * 17 + z * 7) % 251
+          buf.setLong(x - 1, y - 1, z - 1, 0, (u * u / 251).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    src.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    val vox = src.toVoxels(box)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+    vox.write.mode("overwrite").parquet(s"$voxelDumpRoot/a24")
+    val dumped = spark.read.parquet(s"$voxelDumpRoot/a24")
+    val hist = dumped.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cc", sum(col("cnt")).over(
+      Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val consts = cum.agg(min(col("cc")).as("ccmin"), sum(col("cnt")).as("n"))
+    val lut = cum.crossJoin(broadcast(consts))
+      // integer DIV, not double division + floor: a quotient landing 1 ulp
+      // under an integer boundary would round differently across engines
+      .select(col("value"),
+        expr("(cc - ccmin) * 255 DIV (n - ccmin)").cast(LongType).as("eq"))
+    val dst = Volume.create(spark, dstRoot, vmeta)
+    dst.fromVoxels(dumped.join(broadcast(lut), Seq("value"))
+      .select(col("x"), col("y"), col("z"), col("eq").as("value")))
+    Volume.open(spark, dstRoot).toVoxels(box)
+      .select(expr("(x - 1) DIV 32 + 1").as("cx"), expr("(y - 1) DIV 32 + 1").as("cy"),
+        expr("(z - 1) DIV 4 + 1").as("cz"), col("value").cast(LongType).as("v"))
+      .groupBy(col("cx"), col("cy"), col("cz"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** Oracle twin of [[a24_hist_equalize]]: the same histogram → cumsum →
+    * integer-floor LUT → apply → per-chunk aggregation, replayed over the
+    * PRE-equalization dump — matching only if the engine's LUT math and
+    * the store write/read roundtrip are both exact. */
+  def a24OracleSql: String =
+    s"""WITH v AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a24/*.parquet')),
+       | h AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+       | cm AS (SELECT value, cnt,
+       |         sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+       |        FROM h),
+       | ct AS (SELECT min(cc) AS ccmin, sum(cnt) AS n FROM cm),
+       | lut AS (SELECT value, CAST((cc - ccmin) * 255 // (n - ccmin) AS BIGINT) AS eq
+       |         FROM cm, ct),
+       | ev AS (SELECT v.x, v.y, v.z, l.eq AS v FROM v JOIN lut l USING (value))
+       |SELECT CAST((x - 1) // 32 + 1 AS BIGINT) AS cx,
+       |       CAST((y - 1) // 32 + 1 AS BIGINT) AS cy,
+       |       CAST((z - 1) // 4 + 1 AS BIGINT) AS cz,
+       |       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS vsum,
+       |       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+       |FROM ev GROUP BY 1, 2, 3""".stripMargin
+
   /** Oracle twin of [[a23_roi_gather]]: the same ROI constants as a VALUES
     * table, theta-joined to the dumped voxels (fine at oracle scale; the
     * engine side never runs this join — assignment is row-local). */

@@ -218,6 +218,18 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(pct(0.5) < pct(0.9) && pct(0.9) < pct(0.99))
   }
 
+  test("a24 equalization stretches the skewed field to the full range through the store") {
+    val rows = ArrayOps.a24_hist_equalize(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(3)).sum == 64L * 64 * 8)            // every voxel
+    assert(rows.map(_.getLong(5)).min == 0L)                      // full low end
+    assert(rows.map(_.getLong(6)).max == 255L)                    // full high end
+    // equalization target: the mean moves from the skewed low-mass field
+    // (~quadratic, mean << 128) toward mid-range
+    val mean = rows.map(_.getLong(4)).sum.toDouble / (64L * 64 * 8)
+    assert(mean > 100 && mean < 160, s"equalized mean $mean")
+  }
+
   test("a23 ROI gather: every ROI filled exactly, overlaps counted per-ROI") {
     val rows = ArrayOps.a23_roi_gather(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 12)
