@@ -259,6 +259,9 @@ object SparkEntry {
     // zero-crossing + abs-mass over the decoded WAV roundtrip: a second
     // integer-exact proof of the codec path, row-local, zero shuffle
     "m11_audio_zcr" -> (Multimodal.modalZcr _),
+    // ViT patchify: one real decode per image feeds its 48 patches, patch
+    // geometry hash-proved against the closed-form raster; zero shuffle
+    "m12_patchify" -> (Multimodal.modalPatches _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -627,6 +630,7 @@ object SparkEntry {
     "m9_modal_vad" -> Multimodal.modalVadOracleSql,
     "m10_scene_detect" -> Multimodal.modalScenesOracleSql,
     "m11_audio_zcr" -> Multimodal.modalZcrOracleSql,
+    "m12_patchify" -> Multimodal.modalPatchesOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

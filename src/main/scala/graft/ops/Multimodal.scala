@@ -887,6 +887,62 @@ object Multimodal {
        | CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
        |FROM s""".stripMargin
 
+  /** ViT-style patch extraction (m12) — the image-side tokenizer: each
+    * image document decodes through the REAL codec roundtrip and splits
+    * into non-overlapping 8×8 patches (the 64×48 thumb → 8×6 = 48 patches
+    * per image), emitting the integer pixel mass per patch — the
+    * patch-embedding precursor every vision-language pipeline runs
+    * (patchify → linear-project → sequence). Row-local flatMap: one
+    * decode per image feeds all its patches, zero shuffle — the m-series
+    * rule that media bytes never cross an exchange. The hash gate proves
+    * patch GEOMETRY (row-major offsets, stride arithmetic) against the
+    * closed-form raster, a class of bug (transposed patches, off-by-one
+    * strides) that a whole-image checksum like m2's can never see. */
+  def modalPatches(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Int, Int, Long)]
+    assets(t(spark, dir, "documents")).filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val px = imgDecode(imgEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
+          for (pr <- 0 until ThumbH / 8; pc <- 0 until ThumbW / 8) yield {
+            var s = 0L
+            var dy = 0
+            while (dy < 8) {
+              var dx = 0
+              while (dx < 8) {
+                s += px((pr * 8 + dy) * ThumbW + pc * 8 + dx) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            (id, pr, pc, s)
+          }
+        }
+      }(outEnc)
+      .toDF("doc_id", "p_row", "p_col", "psum")
+  }
+
+  /** DuckDB oracle twin of [[modalPatches]]: the m2 closed-form tiled
+    * raster (printable-ASCII text makes char positions byte positions)
+    * with the same row-major 8×8 stride walk. */
+  def modalPatchesOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       | r AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil(${ThumbW * ThumbH}.0 / length(text)) AS INT)),
+       |               1, ${ThumbW * ThumbH}) AS raster
+       |       FROM d),
+       | p AS (SELECT doc_id, raster, pr.pr, pc.pc
+       |       FROM r,
+       |            (SELECT unnest(range(0, ${ThumbH / 8})) AS pr) pr,
+       |            (SELECT unnest(range(0, ${ThumbW / 8})) AS pc) pc)
+       |SELECT doc_id, CAST(pr AS INT) AS p_row, CAST(pc AS INT) AS p_col,
+       | CAST(list_sum(list_transform(range(0, 64),
+       |   k -> ord(substr(raster,
+       |          CAST((pr * 8 + k // 8) * $ThumbW + pc * 8 + (k % 8) + 1 AS INT), 1)))) AS BIGINT) AS psum
+       |FROM p""".stripMargin
+
   // ------------- external-FILE media ingestion (binaryFile source) -------------
 
   /** How many leading documents are materialized as REAL media files for

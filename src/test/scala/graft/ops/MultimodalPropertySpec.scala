@@ -171,6 +171,28 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m12 patches tile each image exactly: per-doc patch mass equals raster mass") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.modalPatches(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, ps) =>
+      assert(ps.length == 48, s"doc $id has ${ps.length} patches") // 8x6 grid
+      assert(ps.map(p => (p._2, p._3)).toSet ==
+        (for (r <- 0 until 6; c <- 0 until 8) yield (r, c)).toSet)
+    }
+    // tiling invariant against the independent closed-form raster
+    import org.apache.spark.sql.functions.col
+    Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+      .collect().take(20).foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val want = (0 until 64 * 48).map(i => bytes(i % bytes.length) & 0xff).map(_.toLong).sum
+      assert(byDoc(id).map(_._4).sum == want, s"doc $id")
+    }
+  }
+
   test("m11 ZCR matches a direct fold over the pre-roundtrip samples") {
     val got = Multimodal.modalZcr(graft.testutil.SparkSuite.spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
