@@ -108,6 +108,9 @@ object SparkEntry {
     // two-pass global normalization: value-grain LUT fit + broadcast
     // apply + real store write-back; gate reads the DESTINATION volume
     "a24_hist_equalize" -> (ArrayOps.a24_hist_equalize _),
+    // blosc container on real chunk traffic: uint16 + shuffle filter
+    // through the distributed write/read cycle
+    "a25_blosc_pipeline" -> (ArrayOps.a25_blosc_pipeline _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -517,6 +520,7 @@ object SparkEntry {
     "a22_mode_downsample" -> ArrayOps.a22OracleSql,
     "a23_roi_gather" -> ArrayOps.a23OracleSql,
     "a24_hist_equalize" -> ArrayOps.a24OracleSql,
+    "a25_blosc_pipeline" -> ArrayOps.a25OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -118,6 +118,28 @@ object ArrayOps {
 
   def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
 
+  /** Blosc-encoded store pipeline (a25) — the reference's default codec
+    * (Codings.jl `BloscCoding`) exercised through the FULL distributed
+    * write→store→read cycle under the hash gate: a uint16 volume with
+    * `blosclz` chunk encoding (typesize 2, so the byte-SHUFFLE filter is
+    * active — the transpose that makes typed arrays compressible and that
+    * a subtly wrong deshuffle would silently corrupt), ingested and read
+    * back as voxels. a3/a6 prove gzip/zlib; this gates the pure-JVM blosc
+    * container (header, shuffle, blosclz backend) on real chunk traffic,
+    * not just the codec property tests. */
+  def a25_blosc_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a25").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "blosclz", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, vol.toVoxels(Box(1, 64, 1, 64, 1, 8)), s"$voxelDumpRoot/a25")
+  }
+
+  def a25OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a25")
+
   /** Mip-pyramid build through the store: ingest mip 1, mean-pool into
     * mip 2, dump and aggregate mip 2 (pooling exactness in VolumeOpsSpec;
     * the oracle re-aggregates the dump). */
