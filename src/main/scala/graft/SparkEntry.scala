@@ -310,6 +310,9 @@ object SparkEntry {
     // streaming rate anomaly: at-rest per-type profile broadcast into the
     // stream pre-agg; hourly counts emerge z-scored with e1's state bound
     "e13_stream_anomaly" -> (EventStreams.rateAnomalyOnce _),
+    // streaming upkeep of the at-rest dedup index (the write side d7/e9
+    // presuppose): foreachBatch anti-join + append, zero streaming state
+    "e14_stream_index" -> (EventStreams.indexMaintainOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -627,6 +630,7 @@ object SparkEntry {
     "e11_quality_gate" -> EventStreams.qualityGateOracleSql,
     "e12_stream_sliding" -> EventStreams.slidingAggOracleSql,
     "e13_stream_anomaly" -> EventStreams.rateAnomalyOracleSql,
+    "e14_stream_index" -> EventStreams.indexMaintainOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

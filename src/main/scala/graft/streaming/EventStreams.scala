@@ -286,6 +286,54 @@ object EventStreams {
     lastUpdate(spark.table(name), Seq("band"), Seq("n", "tok_sum"))
   }
 
+  /** Streaming maintenance of the AT-REST dedup index (e14) — the ingest
+    * side that d7/d8/e9 presuppose: those operators PROBE a standing hash
+    * index "appended by the ingest path"; this is that path. The corpus
+    * (non-delta) hashes seed the index at rest; the delta then arrives as
+    * a STREAM and each micro-batch upserts via `foreachBatch`: batch
+    * hashes dedup within the batch, anti-join the index AS OF that batch
+    * (foreachBatch runs batches sequentially, so batch N sees N−1's
+    * appends), and append only the novel ones. State lives in the index
+    * files, not the state store — zero streaming state, the e9 principle
+    * on the WRITE side. The gate folds the FINAL index to per-prefix
+    * counts; it equals the corpus-wide distinct hash set only if seeding,
+    * batch dedup, the as-of anti-join, and the appends all composed
+    * correctly. (Production hardening: write per-batchId subdirs for
+    * idempotent retries; the bounded local drive has no retries.) */
+  def indexMaintainOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Tables}
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-e14-ix").toString
+    Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) =!= 0)
+      .select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(ixDir)
+    val delta = spark.readStream.schema(docSchema)
+      .parquet(s"$dir/documents*.parquet")
+      .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) === 0)
+      .select(md5(col("text")).as("h"))
+    val name = s"stream_ixmaint_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = delta.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          batch.distinct()
+            .join(sp.read.parquet(ixDir), Seq("h"), "left_anti")
+            .write.mode("append").parquet(ixDir)
+        }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(ixDir)
+      .groupBy(substring(col("h"), 1, 1).as("pfx"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[indexMaintainOnce]]: the final index must be
+    * exactly the corpus-wide distinct hash set. */
+  def indexMaintainOracleSql: String =
+    """WITH hs AS (SELECT DISTINCT md5(text) AS h FROM documents)
+      |SELECT substr(h, 1, 1) AS pfx, count(*) AS n FROM hs GROUP BY 1""".stripMargin
+
   /** DuckDB oracle twin of [[corpusIngestOnce]]: distinct texts (the dedup
     * contract), same quality cut, same text-derived banding. */
   def corpusIngestOracleSql: String =

@@ -43,6 +43,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.toSeq.map(_._3).sum == 2 * e.count())
   }
 
+  test("e14 index maintenance: final index is exactly the corpus-wide distinct hash set") {
+    val pfx = EventStreams.indexMaintainOnce(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.t(spark, dir, "documents")
+      .select(md5(col("text")).as("h")).distinct()
+      .groupBy(substring(col("h"), 1, 1).as("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pfx == want)
+    // growth accounting: the delta must have contributed its novel hashes
+    // (the fixture has no cross-split dups, so novel = all delta hashes)
+    val corpusN = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0).select(md5(col("text"))).distinct().count()
+    assert(pfx.values.sum > corpusN, "stream appended nothing")
+  }
+
   test("e13 streaming rate anomaly equals the batch z-score replay") {
     val streamed = EventStreams.rateAnomalyOnce(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
