@@ -111,6 +111,9 @@ object SparkEntry {
     // blosc container on real chunk traffic: uint16 + shuffle filter
     // through the distributed write/read cycle
     "a25_blosc_pipeline" -> (ArrayOps.a25_blosc_pipeline _),
+    // mip-aware ROI serving: the budget rule picks the pyramid level by
+    // arithmetic alone — no level is read that won't be served
+    "a26_mip_select" -> (ArrayOps.a26_mip_select _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -524,6 +527,7 @@ object SparkEntry {
     "a23_roi_gather" -> ArrayOps.a23OracleSql,
     "a24_hist_equalize" -> ArrayOps.a24OracleSql,
     "a25_blosc_pipeline" -> ArrayOps.a25OracleSql,
+    "a26_mip_select" -> ArrayOps.a26OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

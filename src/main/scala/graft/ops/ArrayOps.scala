@@ -1247,6 +1247,114 @@ object ArrayOps {
        |       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
        |FROM ev GROUP BY 1, 2, 3""".stripMargin
 
+  /** The deterministic ROI batch a26 serves, in mip-1 coordinates:
+    * (id, x0, x1, y0, y1, z0, z1). Small and large spans mixed so BOTH
+    * mip branches are exercised. Shared with the oracle's VALUES table. */
+  private[ops] val a26Rois: Seq[(Long, Int, Int, Int, Int, Int, Int)] =
+    (0 until 10).map { i =>
+      val big = i % 2 == 1 // alternate small (fits mip 1) and large spans
+      val sx = if (big) 40 else 12
+      val sy = if (big) 40 else 12
+      val x0 = (i * 11) % (64 - sx) + 1; val y0 = (i * 23) % (64 - sy) + 1
+      val z0 = i % 4 + 1
+      (i.toLong, x0, x0 + sx - 1, y0, y0 + sy - 1, z0, z0 + 3)
+    }
+
+  /** Per-ROI voxel budget for [[a26_mip_select]]: an ROI whose mip-1 span
+    * exceeds this is served from mip 2 (the neuroglancer rule: pick the
+    * level that fits the client's pixel/patch budget). 12·12·4 fits;
+    * 40·40·4 does not. */
+  val A26Budget = 1000L
+
+  /** Mip-aware ROI serving (a26) — the pyramid consumption rule every
+    * viewer and patch loader applies: given a batch of ROIs and a voxel
+    * budget, serve each ROI from the COARSEST-necessary mip — full-res
+    * when the span fits the budget, the next pyramid level otherwise
+    * (coords fold by the mip grid map `x' = (x−1)//2 + 1`; z unscaled,
+    * matching the reference's generate_next_mip which halves x/y only).
+    * The decision is pure arithmetic on the ROI (no data touched), so at
+    * petavoxel scale the plan never reads a level it won't serve; within
+    * a level the gather is a23's one-pass shape. The gate emits each
+    * ROI's chosen mip + served stats; the oracle replays the budget rule
+    * and the grid fold over per-mip dumps. */
+  def a26_mip_select(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a26").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+      .withNumMips(2)
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          buf.setLong(x - 1, y - 1, z - 1, 0, (x * 5 + y * 11 + z * 3) % 241)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a26m1")
+    new Volume(spark, root, meta, 2)
+      .toVoxels(Box(1, 32, 1, 32, 1, 8))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a26m2")
+    // serve: arithmetic mip choice, then a23's row-local gather per level
+    val served = a26Rois.map { case (id, x0, x1, y0, y1, z0, z1) =>
+      val nvox = (x1 - x0 + 1).toLong * (y1 - y0 + 1) * (z1 - z0 + 1)
+      if (nvox <= A26Budget)
+        spark.read.parquet(s"$voxelDumpRoot/a26m1")
+          .filter(col("x").between(x0, x1) && col("y").between(y0, y1) &&
+            col("z").between(z0, z1))
+          .agg(count(lit(1)).as("n_vox"),
+            sum(col("value").cast(LongType)).as("vsum"))
+          .select(lit(id).as("roi_id"), lit(1L).as("mip"), col("n_vox"), col("vsum"))
+      else {
+        val (fx0, fx1) = ((x0 - 1) / 2 + 1, (x1 - 1) / 2 + 1)
+        val (fy0, fy1) = ((y0 - 1) / 2 + 1, (y1 - 1) / 2 + 1)
+        spark.read.parquet(s"$voxelDumpRoot/a26m2")
+          .filter(col("x").between(fx0, fx1) && col("y").between(fy0, fy1) &&
+            col("z").between(z0, z1))
+          .agg(count(lit(1)).as("n_vox"),
+            sum(col("value").cast(LongType)).as("vsum"))
+          .select(lit(id).as("roi_id"), lit(2L).as("mip"), col("n_vox"), col("vsum"))
+      }
+    }
+    served.reduce(_ unionByName _).orderBy(col("roi_id"))
+  }
+
+  /** Oracle twin of [[a26_mip_select]]: the same ROI constants, budget
+    * rule, and grid fold, replayed over the per-mip dumps. */
+  def a26OracleSql: String = {
+    val values = a26Rois.map { case (id, x0, x1, y0, y1, z0, z1) =>
+      s"($id, $x0, $x1, $y0, $y1, $z0, $z1)"
+    }.mkString(",\n      ")
+    s"""WITH r(id, x0, x1, y0, y1, z0, z1) AS (VALUES
+       |      $values),
+       | rr AS (SELECT *, (x1 - x0 + 1) * (y1 - y0 + 1) * (z1 - z0 + 1) AS nv FROM r),
+       | m1 AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a26m1/*.parquet')),
+       | m2 AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a26m2/*.parquet')),
+       | s1 AS (SELECT rr.id AS roi_id, CAST(1 AS BIGINT) AS mip,
+       |         CAST(count(*) AS BIGINT) AS n_vox, CAST(sum(v.value) AS BIGINT) AS vsum
+       |        FROM rr JOIN m1 v ON v.x BETWEEN rr.x0 AND rr.x1
+       |          AND v.y BETWEEN rr.y0 AND rr.y1 AND v.z BETWEEN rr.z0 AND rr.z1
+       |        WHERE rr.nv <= $A26Budget GROUP BY rr.id),
+       | s2 AS (SELECT rr.id AS roi_id, CAST(2 AS BIGINT) AS mip,
+       |         CAST(count(*) AS BIGINT) AS n_vox, CAST(sum(v.value) AS BIGINT) AS vsum
+       |        FROM rr JOIN m2 v ON v.x BETWEEN (rr.x0 - 1) // 2 + 1 AND (rr.x1 - 1) // 2 + 1
+       |          AND v.y BETWEEN (rr.y0 - 1) // 2 + 1 AND (rr.y1 - 1) // 2 + 1
+       |          AND v.z BETWEEN rr.z0 AND rr.z1
+       |        WHERE rr.nv > $A26Budget GROUP BY rr.id)
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin
+  }
+
   /** Oracle twin of [[a23_roi_gather]]: the same ROI constants as a VALUES
     * table, theta-joined to the dumped voxels (fine at oracle scale; the
     * engine side never runs this join — assignment is row-local). */

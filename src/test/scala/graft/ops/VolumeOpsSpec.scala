@@ -230,6 +230,29 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(mean > 100 && mean < 160, s"equalized mean $mean")
   }
 
+  test("a26 mip selection: budget rule routes ROIs, folded spans served exactly") {
+    val rows = ArrayOps.a26_mip_select(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, mip, nVox, vsum) =>
+      val roi = ArrayOps.a26Rois.find(_._1 == id).get
+      val span = (roi._3 - roi._2 + 1).toLong * (roi._5 - roi._4 + 1) * (roi._7 - roi._6 + 1)
+      if (span <= ArrayOps.A26Budget) {
+        assert(mip == 1 && nVox == span, s"roi $id")
+      } else {
+        assert(mip == 2, s"roi $id")
+        def fold(lo: Int, hi: Int) = ((hi - 1) / 2 + 1) - ((lo - 1) / 2 + 1) + 1
+        val folded = fold(roi._2, roi._3).toLong * fold(roi._4, roi._5) * (roi._7 - roi._6 + 1)
+        assert(nVox == folded, s"roi $id: $nVox != $folded")
+        // folding must actually shrink the service volume below budget-ish
+        assert(nVox < span / 2, s"roi $id barely folded")
+      }
+      assert(vsum > 0)
+    }
+    // both branches exercised
+    assert(rows.count(_._2 == 1) == 5 && rows.count(_._2 == 2) == 5)
+  }
+
   test("a23 ROI gather: every ROI filled exactly, overlaps counted per-ROI") {
     val rows = ArrayOps.a23_roi_gather(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 12)
