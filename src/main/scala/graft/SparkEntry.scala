@@ -56,6 +56,9 @@ object SparkEntry {
     // gap-filled dense time grid from aggregate-grain dimensions; the only
     // corpus-grain op is the initial hourly count
     "q31_gapfill" -> (Relational.q31_gapfill _),
+    // join-key skew histogram: the measurement that decides plain vs
+    // broadcast vs salted (q28); two map-side-combined aggs, one scan
+    "q32_skew_report" -> (Relational.q32_skew_report _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -163,6 +166,9 @@ object SparkEntry {
     // metadata-filtered ANN: label predicate applied inside the probed
     // cells BEFORE scoring (pre-filter, not top-k post-filter)
     "s18_filtered_ann" -> ((s, d) => Similarity.filteredAnn(s, d)),
+    // embedding QC: zero-vector/truncation/norm screening before any
+    // index build; row-local, one scan, zero shuffle
+    "s19_embedding_qc" -> (Similarity.embeddingQc _),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -482,6 +488,7 @@ object SparkEntry {
         |      FROM events) x
         |WHERE rn = 1""".stripMargin,
     "q31_gapfill" -> Relational.q31OracleSql,
+    "q32_skew_report" -> Relational.q32OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -574,6 +581,7 @@ object SparkEntry {
     "s16_range_search" -> Similarity.rangeSearchOracleSql(),
     "s17_matryoshka" -> Similarity.matryoshkaEvalOracleSql(),
     "s18_filtered_ann" -> Similarity.filteredAnnOracleSql(),
+    "s19_embedding_qc" -> Similarity.embeddingQcOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -461,6 +461,34 @@ object Relational {
       .withColumn("ma3", round(avg(col("n")).over(w), 4))
   }
 
+  /** Join-key skew diagnostic (q32) — the measurement that DECIDES between
+    * a plain join (q02), a broadcast, and a salted join (q28): the
+    * count-of-counts histogram of a prospective join key, plus each
+    * bucket's share of total rows. A flat histogram → hash join is fine; a
+    * long tail with heavy buckets → salt (or AQE skew split). Two
+    * map-side-combined aggregations — key grain then bucket grain — and
+    * the one-row total broadcast; the row relation never shuffles twice.
+    * Output grain: one row per distinct per-key multiplicity. */
+  def q32_skew_report(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val buckets = perKey.groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    val total = buckets.agg(sum(col("n_rows")).as("total_rows"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("cnt"), col("n_keys"), col("n_rows"),
+        round(col("n_rows").cast(DoubleType) / col("total_rows"), 4).as("row_share"))
+  }
+
+  /** DuckDB oracle twin of [[q32_skew_report]]. */
+  def q32OracleSql: String =
+    """WITH k AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      | b AS (SELECT cnt, count(*) AS n_keys, sum(cnt) AS n_rows FROM k GROUP BY cnt),
+      | t AS (SELECT sum(n_rows) AS total_rows FROM b)
+      |SELECT b.cnt, CAST(b.n_keys AS BIGINT) AS n_keys, CAST(b.n_rows AS BIGINT) AS n_rows,
+      | round(CAST(b.n_rows AS DOUBLE) / t.total_rows, 4) AS row_share
+      |FROM b, t""".stripMargin
+
   /** DuckDB oracle twin of [[q31_gapfill]] — same epoch-hour axis, same
     * dense grid, same trailing 3-row frame. */
   def q31OracleSql: String =

@@ -213,6 +213,31 @@ object Similarity {
        |GROUP BY d.dim, e.q_id""".stripMargin
   }
 
+  /** Embedding QC (s19) — the sanity pass a pipeline runs after every
+    * re-embed and BEFORE building any index: per vector, its dimension
+    * count, zero-component count, and L2 norm. Catches the classic
+    * embedding-job failures (all-zero vectors from a crashed encoder
+    * shard, truncated dims from a schema drift, collapsed norms from a
+    * bad normalization) that would silently poison every downstream
+    * cosine. Row-local arithmetic over the vector column, zero shuffle,
+    * one scan — at 100 TB this rides along with the embed write itself. */
+  def embeddingQc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("nd"),
+        size(filter(col("embedding"), x => x === 0.0f)).cast(LongType).as("n_zero"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))), 4).as("nrm"))
+
+  /** DuckDB oracle twin of [[embeddingQc]] — same double accumulation and
+    * rounding. */
+  def embeddingQcOracleSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS nd,
+      | CAST(len(list_filter(embedding, x -> x = 0.0)) AS BIGINT) AS n_zero,
+      | round(sqrt(list_sum(list_transform(embedding,
+      |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm
+      |FROM embeddings""".stripMargin
+
   // ---------------- random-hyperplane LSH ----------------
 
   val Dim = 64

@@ -291,7 +291,8 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
-      "q31_gapfill", "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
+      "q31_gapfill", "q32_skew_report",
+      "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
       "t18_zipf", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
