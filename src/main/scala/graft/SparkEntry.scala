@@ -59,6 +59,7 @@ object SparkEntry {
     // join-key skew histogram: the measurement that decides plain vs
     // broadcast vs salted (q28); two map-side-combined aggs, one scan
     "q32_skew_report" -> (Relational.q32_skew_report _),
+    "q33_incremental_mv" -> (Relational.q33_incremental_mv _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -117,6 +118,7 @@ object SparkEntry {
     // mip-aware ROI serving: the budget rule picks the pyramid level by
     // arithmetic alone — no level is read that won't be served
     "a26_mip_select" -> (ArrayOps.a26_mip_select _),
+    "a27_mip_project" -> (ArrayOps.a27_mip_project _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -223,6 +225,7 @@ object SparkEntry {
     // per-doc 8-gram duplication rate: the memorization-risk score a
     // curation policy thresholds on; one gram-keyed corpus exchange
     "t21_novelty" -> ((s, d) => TextOps.ngramNovelty(Tables.t(s, d, "documents"))),
+    "t22_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -489,6 +492,7 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q31_gapfill" -> Relational.q31OracleSql,
     "q32_skew_report" -> Relational.q32OracleSql,
+    "q33_incremental_mv" -> Relational.q33OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -535,6 +539,7 @@ object SparkEntry {
     "a24_hist_equalize" -> ArrayOps.a24OracleSql,
     "a25_blosc_pipeline" -> ArrayOps.a25OracleSql,
     "a26_mip_select" -> ArrayOps.a26OracleSql,
+    "a27_mip_project" -> ArrayOps.a27OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
@@ -553,6 +558,7 @@ object SparkEntry {
     "t19_entropy" -> TextOps.charEntropyOracleSql,
     "t20_readability" -> TextOps.readabilityOracleSql,
     "t21_novelty" -> TextOps.ngramNoveltyOracleSql(),
+    "t22_heavy_hitters" -> TextOps.heavyHittersOracleSql(),
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

@@ -941,6 +941,56 @@ object ArrayOps {
         pct(0.5), pct(0.9), pct(0.99))
   }
 
+  /** Max-intensity projection (a27) — the standard 2D rendering of a 3D
+    * stack (what every neuroglancer-style viewer and QC thumbnail pipeline
+    * computes): per (x, y) column, the maximum voxel value over the full z
+    * extent, read through the real store. Uses a z-varying deterministic
+    * field so the projection actually selects different depths per column.
+    *
+    * Scale shape: the projection is ONE map-side-combined max aggregation
+    * — each chunk contributes (x, y)-grain partial maxima from its own
+    * decode pass, so the exchange carries image-sized partials (depth×
+    * smaller than the volume; at petavoxel scale, a 2D image vs a 3D
+    * stack) and voxels never shuffle. The voxel relation is dumped first
+    * so the DuckDB oracle re-derives the same projection from the same
+    * rows (store-roundtrip exactness is VolumeSpec's job). */
+  def a27_mip_project(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a27").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          // depth-dependent mix: the brightest z differs across columns
+          buf.setLong(x - 1, y - 1, z - 1, 0, ((x * 13 + y * 29 + z * z * 41) % 256).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val dump = s"$voxelDumpRoot/a27"
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .select(col("x"), col("y"), col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("x"), col("y")).agg(max(col("value")).as("mx"))
+  }
+
+  /** Oracle twin of [[a27_mip_project]]: the same per-(x,y) max over the
+    * dumped voxel relation. */
+  def a27OracleSql: String =
+    s"""SELECT x, y, max(value) AS mx
+       |FROM read_parquet('$voxelDumpRoot/a27/*.parquet') GROUP BY x, y""".stripMargin
+
   /** Oracle twin of [[a21_percentiles]]: the same histogram → cumulative
     * count → smallest-value-reaching-⌈q·n⌉ rule over the dumped voxels. */
   def a21OracleSql: String =

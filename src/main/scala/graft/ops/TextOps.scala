@@ -1106,6 +1106,80 @@ object TextOps {
         round(col("n_shared").cast(DoubleType) / col("n_grams"), 4))
   }
 
+  /** Misra–Gries summary of a token stream: at most `cap` counters; a new
+    * key past capacity decrements every counter (dropping zeros) instead
+    * of evicting one. Classic guarantee: any item whose frequency in the
+    * stream exceeds n/(cap+1) is still present when the stream ends —
+    * the sketch can under-count but never lose a heavy item. Exposed at
+    * ops scope for the unit property test. */
+  private[ops] def misraGries(it: Iterator[String], cap: Int): Iterator[String] = {
+    // java.lang.Long values: a scala.Long-valued java map would unbox an
+    // absent key's null to 0 and read as a hit, growing without bound
+    val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+    while (it.hasNext) {
+      val tok = it.next()
+      val cur = m.get(tok)
+      if (cur ne null) m.put(tok, java.lang.Long.valueOf(cur.longValue + 1L))
+      else if (m.size < cap) m.put(tok, java.lang.Long.valueOf(1L))
+      else {
+        val e = m.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue.longValue == 1L) e.remove()
+          else kv.setValue(java.lang.Long.valueOf(kv.getValue.longValue - 1L))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.keySet().iterator().asScala
+  }
+
+  val HeavyHitterK: Int = 20
+  val HeavyHitterCap: Int = 4096
+
+  /** Sketch-pruned frequent-item mining (t22) — exact top-k tokens found
+    * the way a 100 TB corpus has to find them: the n-gram/token vocabulary
+    * at crawl scale is billions of keys, so even the map-side-combined
+    * exact aggregation (t18's shape) shuffles a vocabulary-grain relation.
+    * Phase 1 runs a [[misraGries]] summary per partition (`mapPartitions` —
+    * a sketch is genuine imperative per-partition state, the documented
+    * last-resort case) and unions the surviving keys: the exchange carries
+    * at most partitions×cap candidate rows, independent of vocabulary
+    * size. Phase 2 semi-joins the token relation to the BROADCAST candidate
+    * set and exactly counts only those — the one full-vocabulary shuffle is
+    * replaced by a candidate-grain one.
+    *
+    * Exactness condition (documented, not hoped): the union of
+    * per-partition MG survivors contains every token with global freq ≥
+    * N/cap (pigeonhole: such a token is locally heavy in at least one
+    * partition, and MG never drops a locally-heavy item). Top-k is
+    * therefore exact whenever freq(k-th) ≥ N/cap — for k=20, cap=4096 on
+    * Zipf-shaped text the margin is ~10×; the ORACLE is the plain exact
+    * top-k, so any violation fails the gate rather than passing silently. */
+  def heavyHitters(docs: DataFrame, k: Int = HeavyHitterK,
+      cap: Int = HeavyHitterCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = materialize(docs.select(explode(toks).as("tok")))
+    val cands = toksDf.select(col("tok")).as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, cap))(Encoders.STRING)
+      .toDF("tok").distinct()
+    toksDf.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))).cast(LongType))
+  }
+
+  /** DuckDB oracle twin of [[heavyHitters]] — the PLAIN exact top-k (the
+    * sketch must be invisible in the answer, exactly like q28's salt and
+    * q30's buckets). */
+  def heavyHittersOracleSql(k: Int = HeavyHitterK): String =
+    s"""WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       | tf AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+       | top AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM tf)
+       |SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(rnk AS BIGINT) AS rnk
+       |FROM top WHERE rnk <= $k""".stripMargin
+
   /** DuckDB oracle twin of [[ngramNovelty]] — same 1-based list-slice
     * grams (the c3 convention), same distinct-doc frequency, same share. */
   def ngramNoveltyOracleSql(n: Int = 8): String =

@@ -256,6 +256,37 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t22 misraGries: never loses a locally-heavy item") {
+    val rnd = new scala.util.Random(7)
+    // adversarial-ish stream: zipfy head + long uniform tail
+    val stream = Seq.fill(5000)(s"w${rnd.nextInt(30)}") ++
+      Seq.tabulate(5000)(i => s"rare${i % 3000}")
+    val n = stream.length
+    val cap = 64
+    val kept = TextOps.misraGries(stream.iterator, cap).toSet
+    val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+    exact.foreach { case (tok, freq) =>
+      if (freq > n / (cap + 1)) assert(kept.contains(tok), s"$tok freq=$freq dropped")
+    }
+    assert(kept.size <= cap)
+  }
+
+  test("t22 heavyHitters equals the plain exact top-k (sketch invisible)") {
+    val got = TextOps.heavyHitters(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(TextOps.HeavyHitterK)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1L) }
+    assert(got.toSeq == exact.toSeq)
+    assert(got.length == TextOps.HeavyHitterK)
+    // the exactness condition itself holds with real margin on this corpus
+    val nTok = docs.select(explode(split(col("text"), "\\s+"))).count()
+    assert(got.last._2 >= nTok / TextOps.HeavyHitterCap * 4,
+      s"k-th freq ${got.last._2} too close to N/cap ${nTok / TextOps.HeavyHitterCap}")
+  }
+
   test("t21 novelty: a planted exact copy scores dup_share 1.0") {
     import spark.implicits._
     val copied = docs.limit(3).select(

@@ -20,6 +20,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 merged MV equals the full recompute, and repeats reuse the MV") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val full = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) DIV 3600").as("hr_idx"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy("hr_idx", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("v")).cast("double"), 3).as("sv"))
+      .collect().map(r => key(r) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val got1 = Relational.q33_incremental_mv(spark, dir).collect()
+    // second call must hit the standing MV (write-once registry), and the
+    // maintained view must still equal the from-scratch aggregation
+    val got2 = Relational.q33_incremental_mv(spark, dir).collect()
+    Seq(got1, got2).foreach { got =>
+      assert(got.length == full.size)
+      got.foreach(r => assert(full(key(r)) == ((r.getLong(2), r.getDouble(3))), key(r)))
+    }
+  }
+
   test("q27 range frame equals a brute-force trailing-hour self-count") {
     import org.apache.spark.sql.functions._
     val out = Relational.q27_range_frame(spark, dir).collect()

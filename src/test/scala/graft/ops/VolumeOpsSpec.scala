@@ -201,6 +201,21 @@ class VolumeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a27 max-intensity projection equals the brute-force per-column max") {
+    val out = ArrayOps.a27_mip_project(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size == 64 * 64)
+    // brute force straight from the generating formula
+    for (y <- 1 to 64; x <- 1 to 64) {
+      val mx = (1 to 8).map(z => (x * 13 + y * 29 + z * z * 41) % 256).max.toLong
+      assert(out((x, y)) == mx, s"($x,$y)")
+    }
+    // the projection must actually mix depths (not all maxima from one z)
+    val argZ = for (y <- 1 to 64; x <- 1 to 64)
+      yield (1 to 8).maxBy(z => (x * 13 + y * 29 + z * z * 41) % 256)
+    assert(argZ.distinct.length > 1)
+  }
+
   test("a21 histogram percentiles equal the sorted-array brute force") {
     val row = ArrayOps.a21_percentiles(spark, "/root/testdata/sf0.001").collect().head
     // replay the closed-form intensity field and take percentiles the naive
