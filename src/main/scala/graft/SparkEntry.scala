@@ -171,6 +171,7 @@ object SparkEntry {
     // embedding QC: zero-vector/truncation/norm screening before any
     // index build; row-local, one scan, zero shuffle
     "s19_embedding_qc" -> (Similarity.embeddingQc _),
+    "s20_dim_stats" -> (Similarity.dimStats _),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -259,6 +260,7 @@ object SparkEntry {
     // mergeSchema roundtrip: v1 shards lack the later column; reads must
     // null-fill, distinguishing "not yet scored" from "scored zero"
     "c15_schema_evolution" -> (Corpus.schemaEvolution _),
+    "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8)),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -277,6 +279,7 @@ object SparkEntry {
     // ViT patchify: one real decode per image feeds its 48 patches, patch
     // geometry hash-proved against the closed-form raster; zero shuffle
     "m12_patchify" -> (Multimodal.modalPatches _),
+    "m13_resample" -> (Multimodal.modalResample _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -573,6 +576,7 @@ object SparkEntry {
     "c13_partitioned_export" -> Corpus.partitionedExportOracleSql,
     "c14_jsonl_ingest" -> Corpus.jsonlIngestOracleSql,
     "c15_schema_evolution" -> Corpus.schemaEvolutionOracleSql,
+    "c16_split_leakage" -> splitLeakageOracle,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -588,6 +592,7 @@ object SparkEntry {
     "s17_matryoshka" -> Similarity.matryoshkaEvalOracleSql(),
     "s18_filtered_ann" -> Similarity.filteredAnnOracleSql(),
     "s19_embedding_qc" -> Similarity.embeddingQcOracleSql,
+    "s20_dim_stats" -> Similarity.dimStatsOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
@@ -657,6 +662,7 @@ object SparkEntry {
     "m10_scene_detect" -> Multimodal.modalScenesOracleSql,
     "m11_audio_zcr" -> Multimodal.modalZcrOracleSql,
     "m12_patchify" -> Multimodal.modalPatchesOracleSql,
+    "m13_resample" -> Multimodal.modalResampleOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,
@@ -732,6 +738,29 @@ object SparkEntry {
     * path verifies candidates exactly and has ≈1 recall at the threshold). */
   private val ngramJaccardOracle: String =
     s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** The t7 split label over an arbitrary id expression (DuckDB side of
+    * `Corpus.splitOf`). */
+  private def duckSplitOf(id: String): String =
+    s"""CASE WHEN CAST(CAST('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) < 80 THEN 'train'
+       |      WHEN CAST(CAST('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) < 90 THEN 'val'
+       |      ELSE 'test' END""".stripMargin
+
+  /** Cross-split leakage oracle (c16): the d2/d3 exact pair relation with
+    * both endpoints' split labels re-derived by the same md5 arithmetic,
+    * folded to the ordered (split, split) contamination matrix. */
+  private val splitLeakageOracle: String =
+    s"""WITH $ngramPairCtes,
+       | sp AS (SELECT a, b, ${duckSplitOf("a").replace("\n", "\n   ")} AS sa,
+       |         ${duckSplitOf("b").replace("\n", "\n   ")} AS sb
+       |        FROM jpairs),
+       | o AS (SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       |        CASE WHEN sa <= sb THEN a ELSE b END AS doc_lo,
+       |        CASE WHEN sa <= sb THEN b ELSE a END AS doc_hi FROM sp)
+       |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+       | CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
+       |FROM o GROUP BY 1, 2""".stripMargin
 
   /** Containment oracle (d13): the same quote-augmented corpus (leading
     * ⌈3n/10⌉ tokens of every QuoteMod-th document as a derived doc), the

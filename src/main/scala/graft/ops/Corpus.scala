@@ -23,8 +23,16 @@ object Corpus {
     * reshuffles every run and every repartition. Uses the first 4 hex chars
     * (16 bits) so the mod-100 bias is ≤ 1/655 — negligible for split
     * purposes and identical in both engines. */
-  private def hashBucket(id: Column, span: Int = 100): Column =
+  private[ops] def hashBucket(id: Column, span: Int = 100): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % span
+
+  /** The split label as a pure function of a doc-id column — shared by
+    * [[splitAssign]] and row-local consumers like [[splitLeakage]] that
+    * re-derive the label on pair relations instead of joining the corpus. */
+  private[ops] def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
 
   /** Assign every document to train/val/test by deterministic hash bucket:
     * bucket < trainPct → train, < trainPct+valPct → val, else test.
@@ -51,6 +59,32 @@ object Corpus {
        |FROM (SELECT doc_id, lang,
        |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
        |      FROM documents) b""".stripMargin
+
+  /** Cross-split contamination audit (c16) — the eval-integrity check every
+    * benchmark-quality pipeline must run AFTER splitting: a val/test
+    * document that near-duplicates a train document is memorization leakage
+    * (the split was clean at the doc-id level, but the CONTENT crossed it).
+    * Composes two gated relations: the t7 hash split and the d3 near-dup
+    * pair relation — the report is the per-(split, split) pair matrix with
+    * the distinct documents implicated on each side (the actionable count:
+    * which eval docs must be dropped).
+    *
+    * Scale shape: the pair relation is the LSH-bounded d3 output (never
+    * all-pairs), and the split label is a PURE FUNCTION of doc_id
+    * ([[splitOf]]) re-derived row-locally on the pairs — no join against
+    * the corpus at all; the final fold is a ≤6-row aggregation. */
+  def splitLeakage(docs: DataFrame, minJ: Double = 0.8): DataFrame =
+    Dedup.minhashPairs(docs, minJ)
+      .select(col("a"), col("b"), splitOf(col("a")).as("sa"), splitOf(col("b")).as("sb"))
+      .select(
+        least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"),
+        when(col("sa") <= col("sb"), col("a")).otherwise(col("b")).as("doc_lo"),
+        when(col("sa") <= col("sb"), col("b")).otherwise(col("a")).as("doc_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_lo")).as("n_docs_lo"),
+        count_distinct(col("doc_hi")).as("n_docs_hi"))
 
   /** Greedy sequence packing: documents are concatenated in deterministic
     * order within each `source` shard and cut into fixed token budgets —

@@ -887,6 +887,65 @@ object Multimodal {
        | CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
        |FROM s""".stripMargin
 
+  /** Audio resampling (m13) — the rate-normalization step every audio
+    * corpus runs before a fixed-rate encoder (Whisper-style models eat
+    * 16 kHz; telephony arrives at 8, podcasts at 44.1): decimate-by-2
+    * with a 2-tap box anti-alias (y_j = ⌊(s_2j + s_2j+1)/2⌋, floor
+    * division — integer-exact, so the gate stays bit-sharp), through TWO
+    * real WAV roundtrips: decode the 16 kHz original, resample, RE-ENCODE
+    * at 8 kHz and decode again — the emitted sample rate comes from the
+    * second decode's PARSED header, so the rate metadata path (not just
+    * the PCM path) is what the gate certifies. Row-local mapPartitions,
+    * zero shuffle — the m-series rule that media bytes never cross an
+    * exchange. */
+  def modalResample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Int, Long, Long, Long)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, _, _, _) = wavDecode(wavEncode(synthSamples(id)))
+          val half = new Array[Short](smp.length / 2)
+          var j = 0
+          while (j < half.length) {
+            half(j) = Math.floorDiv(smp(2 * j) + smp(2 * j + 1), 2).toShort
+            j += 1
+          }
+          val (out, srOut, _, _) = wavDecode(wavEncode(half, AudioRate / 2))
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < out.length) {
+            val s = out(i).toLong
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          (id, srOut, out.length.toLong, peak, sumSq)
+        }
+      }(outEnc)
+      .toDF("doc_id", "sr_out", "n_out", "peak_out", "sum_sq_out")
+  }
+
+  /** DuckDB oracle twin of [[modalResample]]: replays the closed-form
+    * synthesis, the same floor-division pair means (operands < 2^17, so
+    * the DOUBLE floor is exact), and the same integer folds — matches only
+    * if BOTH WAV roundtrips were bit-exact and the re-encoded header
+    * carried 8000 Hz. */
+  def modalResampleOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n FROM documents),
+       | s AS (SELECT doc_id, n,
+       |        [ ((doc_id * 7919 + i * 104729) % 65536) - 32768 FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d),
+       | r AS (SELECT doc_id, n,
+       |        [ CAST(floor((smp[2*j + 1] + smp[2*j + 2]) / 2.0) AS BIGINT)
+       |          FOR j IN range(0, CAST(n AS BIGINT) // 2) ] AS half
+       |       FROM s)
+       |SELECT doc_id, 8000 AS sr_out, CAST(n // 2 AS BIGINT) AS n_out,
+       | CAST(list_max(list_transform(half, x -> abs(x))) AS BIGINT) AS peak_out,
+       | CAST(list_sum(list_transform(half, x -> x * x)) AS BIGINT) AS sum_sq_out
+       |FROM r""".stripMargin
+
   /** ViT-style patch extraction (m12) — the image-side tokenizer: each
     * image document decodes through the REAL codec roundtrip and splits
     * into non-overlapping 8×8 patches (the 64×48 thumb → 8×6 = 48 patches

@@ -238,6 +238,58 @@ object Similarity {
       |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS nrm
       |FROM embeddings""".stripMargin
 
+  /** Per-DIMENSION embedding statistics (s20) — the companion screen to
+    * s19's per-vector QC: mean, std, and zero-fraction of every embedding
+    * coordinate across the corpus. Catches what the per-vector view can't:
+    * a DEAD dimension (all zeros — a truncated projection or a masked
+    * feature), a collapsed dimension (std ≈ 0 — carries no signal, prime
+    * candidate for the s17 truncation decision), and mean drift between
+    * embedding batches. This is also the fit the standard whitening /
+    * mean-centering preprocessing consumes.
+    *
+    * Scale shape: one posexplode to (dim, v) grain, ONE map-side-combined
+    * aggregation to dim grain — the exchange carries dims×partials, never
+    * vectors; output is dim-sized (64 rows). Cross-engine: the s10
+    * discipline — each element rounds to DECIMAL(18,8) before the sums, so
+    * partial-aggregation order can't move the result; mean/std finals are
+    * one deterministic double expression each (variance via m2/n − mean²,
+    * clamped at 0, with an explicit product instead of pow so both engines
+    * run the identical IEEE ops). */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val d = t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("pos").cast(LongType).as("pos"), col("v0").cast(DoubleType).as("v"))
+    val m = col("s").cast(DoubleType) / col("n")
+    d.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") === 0.0, lit(1L)).otherwise(lit(0L))).as("n_zero"),
+        sum(round(col("v"), 8).cast(dec)).as("s"),
+        sum(round(col("v") * col("v"), 8).cast(dec)).as("sq"))
+      .select(col("pos"), col("n"), col("n_zero"),
+        round(m, 4).as("mean"),
+        round(sqrt(greatest(lit(0.0), col("sq").cast(DoubleType) / col("n") - m * m)), 4).as("std"))
+  }
+
+  /** DuckDB oracle twin of [[dimStats]] — same per-element decimal
+    * rounding, same exact sums, same final double expressions. */
+  def dimStatsOracleSql: String =
+    """WITH d AS (SELECT u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+      |            SELECT unnest([{'pos': i - 1, 'v': embedding[i]}
+      |                           FOR i IN range(1, len(embedding) + 1)]) AS u
+      |            FROM embeddings)),
+      | s AS (SELECT pos, count(*) AS n,
+      |        sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+      |        sum(CAST(round(v, 8) AS DECIMAL(18,8))) AS s,
+      |        sum(CAST(round(v * v, 8) AS DECIMAL(18,8))) AS sq
+      |       FROM d GROUP BY pos)
+      |SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+      | CAST(n_zero AS BIGINT) AS n_zero,
+      | round(CAST(s AS DOUBLE) / n, 4) AS mean,
+      | round(sqrt(greatest(0.0, CAST(sq AS DOUBLE) / n
+      |   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))), 4) AS std
+      |FROM s""".stripMargin
+
   // ---------------- random-hyperplane LSH ----------------
 
   val Dim = 64

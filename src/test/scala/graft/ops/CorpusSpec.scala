@@ -256,6 +256,29 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("c16 split leakage matrix equals the brute-force pair/split recomputation") {
+    val split = Corpus.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.minhashPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      val (lo, hi, dlo, dhi) = if (sa <= sb) (sa, sb, a, b) else (sb, sa, b, a)
+      ((lo, hi), (dlo, dhi))
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.length.toLong, vs.map(_._2._1).distinct.length.toLong,
+        vs.map(_._2._2).distinct.length.toLong))
+    }
+    val got = Corpus.splitLeakage(docs, 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // every near-dup pair lands in exactly one cell
+    assert(got.values.map(_._1).sum == pairs.length)
+    // the audit is non-vacuous on this corpus: there ARE near-dup pairs
+    assert(pairs.nonEmpty)
+  }
+
   test("t22 misraGries: never loses a locally-heavy item") {
     val rnd = new scala.util.Random(7)
     // adversarial-ish stream: zipfy head + long uniform tail

@@ -686,6 +686,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s20 dim stats equal a driver-side recomputation; every dim covered") {
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val nDim = emb.head.length
+    val got = Similarity.dimStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.size == nDim)
+    for (p <- 0 until nDim) {
+      val vs = emb.map(_(p).toDouble)
+      val (n, nz, mean, std) = got(p.toLong)
+      assert(n == emb.length)
+      assert(nz == vs.count(_ == 0.0))
+      val m = vs.sum / vs.length
+      val sd = math.sqrt(math.max(0.0, vs.map(v => v * v).sum / vs.length - m * m))
+      assert(math.abs(mean - m) < 1e-3, s"dim $p mean")
+      assert(math.abs(std - sd) < 1e-3, s"dim $p std")
+    }
+    // stats discriminate across dims (not a degenerate all-equal fixture)
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("s12 sparse tf-idf equals a driver-side dense recomputation") {
     import org.apache.spark.sql.functions._
     val got = Similarity.sparseTfidfTopK(spark, dir)

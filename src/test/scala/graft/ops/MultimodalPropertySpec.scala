@@ -171,6 +171,22 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m13 resample: both WAV roundtrips bit-exact; pair means floor-exact over arbitrary ids") {
+    forAll(Gen.chooseNum(0L, 1L << 40)) { id =>
+      val smp = Multimodal.synthSamples(id)
+      val (dec, sr, _, _) = Multimodal.wavDecode(Multimodal.wavEncode(smp))
+      assert(sr == 16000 && dec.toSeq == smp.toSeq)
+      val half = Array.tabulate(smp.length / 2)(j =>
+        Math.floorDiv(smp(2 * j) + smp(2 * j + 1), 2).toShort)
+      val (dec2, sr2, ch2, bits2) = Multimodal.wavDecode(
+        Multimodal.wavEncode(half, Multimodal.AudioRate / 2))
+      assert(sr2 == 8000 && ch2 == 1 && bits2 == 16, "re-encoded header must carry 8 kHz mono 16-bit")
+      assert(dec2.toSeq == half.toSeq, s"id=$id second roundtrip must be lossless")
+      // floor semantics: pair mean of (-3, 2) is -1 (floor of -0.5), not 0
+      assert(Math.floorDiv(-3 + 2, 2) == -1)
+    }
+  }
+
   test("m12 patches tile each image exactly: per-doc patch mass equals raster mass") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.modalPatches(spark, "/root/testdata/sf0.001").collect()
