@@ -60,6 +60,7 @@ object SparkEntry {
     // broadcast vs salted (q28); two map-side-combined aggs, one scan
     "q32_skew_report" -> (Relational.q32_skew_report _),
     "q33_incremental_mv" -> (Relational.q33_incremental_mv _),
+    "q34_funnel" -> (Relational.q34_funnel _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -119,6 +120,7 @@ object SparkEntry {
     // arithmetic alone — no level is read that won't be served
     "a26_mip_select" -> (ArrayOps.a26_mip_select _),
     "a27_mip_project" -> (ArrayOps.a27_mip_project _),
+    "a28_seg_contingency" -> (ArrayOps.a28_seg_contingency _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -496,6 +498,7 @@ object SparkEntry {
     "q31_gapfill" -> Relational.q31OracleSql,
     "q32_skew_report" -> Relational.q32OracleSql,
     "q33_incremental_mv" -> Relational.q33OracleSql,
+    "q34_funnel" -> Relational.q34OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -543,6 +546,7 @@ object SparkEntry {
     "a25_blosc_pipeline" -> ArrayOps.a25OracleSql,
     "a26_mip_select" -> ArrayOps.a26OracleSql,
     "a27_mip_project" -> ArrayOps.a27OracleSql,
+    "a28_seg_contingency" -> ArrayOps.a28OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

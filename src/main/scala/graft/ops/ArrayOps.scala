@@ -532,6 +532,70 @@ object ArrayOps {
       .orderBy(col("label"))
   }
 
+  /** Segmentation-agreement contingency (a28) — the evaluation every
+    * proofreading / re-run pipeline computes between two segmentations of
+    * the same tissue (gold vs predicted): the (gold_label, pred_label)
+    * voxel-count contingency table, the raw material of Rand index and
+    * variation-of-information scores. The fixture plants the three
+    * canonical error modes — a MERGE (gold 6 absorbed into 5), a SPLIT
+    * (gold 11 divided at the x midline into a new label 17), and boundary
+    * NOISE (sparse voxels of gold 1 flipped to 2) — so the table provably
+    * separates them: a merge shows one pred row absorbing two gold rows, a
+    * split shows one gold row fanning into two pred rows.
+    *
+    * Scale shape: both volumes are zipped CHUNK-ALIGNED
+    * ([[graft.volume.Volume.zipVoxels]] — the same chunk task fetches both
+    * aligned objects; no voxel-grain join exists), and the table is one
+    * map-side-combined count aggregation at (gold, pred) grain — bounded
+    * by label-pair cardinality, not voxels. At petavoxel scale the only
+    * data that moves is the tiny partial-count relation. */
+  def a28_seg_contingency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val goldRoot = java.nio.file.Files.createTempDirectory("graft-a28-gold").toString
+    val predRoot = java.nio.file.Files.createTempDirectory("graft-a28-pred").toString
+    def segMeta = Meta.VolumeMeta("segmentation", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val gold = Volume.create(spark, goldRoot, segMeta)
+    val pred = Volume.create(spark, predRoot, segMeta)
+    val gBuf = VoxelBuffer.zeros(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1))
+    val pBuf = VoxelBuffer.zeros(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val g = 1 + (x - 1) / 16 + 4 * ((y - 1) / 16) // 16 block labels
+          val p =
+            if (g == 6) 5 // merge error
+            else if (g == 11 && x > 40) 17 // split error at the x midline
+            else if (g == 1 && (x + y + z) % 13 == 0) 2 // boundary noise
+            else g
+          gBuf.setLong(x - 1, y - 1, z - 1, 0, g.toLong)
+          pBuf.setLong(x - 1, y - 1, z - 1, 0, p.toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    gold.ingest(gBuf)
+    pred.ingest(pBuf)
+    val dump = s"$voxelDumpRoot/a28"
+    gold.zipVoxels(pred, Box(1, 64, 1, 64, 1, 8))
+      .select(col("va").cast(LongType).as("gold"), col("vb").cast(LongType).as("pred"))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle twin of [[a28_seg_contingency]]: the same contingency fold
+    * over the dumped zipped relation. */
+  def a28OracleSql: String =
+    s"""SELECT gold, pred, count(*) AS n
+       |FROM read_parquet('$voxelDumpRoot/a28/*.parquet') GROUP BY gold, pred""".stripMargin
+
   /** Storage audit under the oracle gate: a gzip'd volume with PARTIAL edge
     * chunks (60×60×7 over a 32×32×4 grid), audited by
     * [[graft.volume.Volume.storageReport]] — one LIST pass carries stored

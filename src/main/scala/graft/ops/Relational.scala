@@ -531,6 +531,60 @@ object Relational {
       .agg(sum(col("n")).as("n"), outd(sum(col("sv"))).as("sv"))
   }
 
+  /** Ordered-funnel analysis (q34) — the product-analytics shape every
+    * event warehouse serves: how many users progressed view → click →
+    * purchase IN ORDER, each step within 72 h of the previous one. Stage
+    * timestamps resolve as earliest-qualifying-event: t_view = the user's
+    * first view; t_click = first click strictly after t_view (within the
+    * window); t_purchase likewise after t_click. Strict `>` plus min()
+    * makes every stage deterministic under ts ties.
+    *
+    * Scale shape: stage 1 is one map-side-combined min-aggregation; stages
+    * 2 and 3 are user-keyed equi-joins of the (tiny) qualified-user
+    * relation against the per-type event slice followed by the same
+    * min-aggregation — each stage's join KEY relation shrinks
+    * monotonically (funnels only narrow), filters on event_type push to
+    * the scan, and nothing is ever windowed corpus-wide. The final fold
+    * is a single row. */
+  def q34_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 72L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val cl = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("us") > col("tv") && col("us") <= col("tv") + winUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(cl, Seq("user_id"))
+      .filter(col("us") > col("tc") && col("us") <= col("tc") + winUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+    val total = ev.select(col("user_id")).distinct().count()
+    v.agg(count(lit(1)).as("n_view")).crossJoin(cl.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(lit(total).as("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast(DoubleType) / col("n_view"), 4).as("view_to_click"),
+        round(col("n_purchase").cast(DoubleType) / col("n_click"), 4).as("click_to_purchase"))
+  }
+
+  /** DuckDB oracle twin of [[q34_funnel]] — same stage rules over epoch
+    * micros. */
+  def q34OracleSql: String = {
+    val winUs = 72L * 3600 * 1000000
+    s"""WITH e AS (SELECT user_id, event_type,
+       |            CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+       | v AS (SELECT user_id, min(us) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+       | c AS (SELECT e.user_id, min(us) AS tc FROM e JOIN v USING (user_id)
+       |       WHERE event_type = 'click' AND us > tv AND us <= tv + $winUs GROUP BY 1),
+       | p AS (SELECT e.user_id, min(us) AS tp FROM e JOIN c USING (user_id)
+       |       WHERE event_type = 'purchase' AND us > tc AND us <= tc + $winUs GROUP BY 1)
+       |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+       | (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+       | (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+       | round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v), 4) AS view_to_click,
+       | round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[q33_incremental_mv]] — the FULL recompute
     * over all events (incremental maintenance must be invisible). */
   def q33OracleSql: String =

@@ -20,6 +20,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 funnel equals a driver-side per-user stage walk") {
+    import org.apache.spark.sql.functions._
+    val winUs = 72L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.foreach { case (_, rows) =>
+      val tv = rows.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(t =>
+        rows.filter(r => r._2 == "click" && r._3 > t && r._3 <= t + winUs).map(_._3).minOption)
+      val tp = tc.flatMap(t =>
+        rows.filter(r => r._2 == "purchase" && r._3 > t && r._3 <= t + winUs).map(_._3).minOption)
+      if (tv.isDefined) nv += 1
+      if (tc.isDefined) nc += 1
+      if (tp.isDefined) np += 1
+    }
+    val r = Relational.q34_funnel(spark, dir).head()
+    assert(r.getLong(0) == byUser.size)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nv, nc, np)))
+    // the funnel must narrow and be non-degenerate on this fixture
+    assert(nv >= nc && nc >= np && np > 0)
+  }
+
   test("q33 merged MV equals the full recompute, and repeats reuse the MV") {
     import org.apache.spark.sql.functions._
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))

@@ -216,6 +216,30 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(argZ.distinct.length > 1)
   }
 
+  test("a28 contingency separates merge, split, and noise error modes exactly") {
+    val got = ArrayOps.a28_seg_contingency(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force from the generating formula
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (z <- 1 to 8; y <- 1 to 64; x <- 1 to 64) {
+      val g = 1 + (x - 1) / 16 + 4 * ((y - 1) / 16)
+      val p =
+        if (g == 6) 5
+        else if (g == 11 && x > 40) 17
+        else if (g == 1 && (x + y + z) % 13 == 0) 2
+        else g
+      val k = (g.toLong, p.toLong)
+      want(k) = want.getOrElse(k, 0L) + 1
+    }
+    assert(got == want.toMap)
+    // merge: ALL of gold 6 landed on pred 5 (16x16x8 block)
+    assert(got((6L, 5L)) == 16 * 16 * 8 && !got.contains((6L, 6L)))
+    // split: gold 11 fans into exactly two pred labels that tile the block
+    assert(got((11L, 11L)) + got((11L, 17L)) == 16 * 16 * 8)
+    // noise: sparse, nonzero, far below the block size
+    assert(got((1L, 2L)) > 0 && got((1L, 2L)) < 16 * 16 * 8 / 4)
+  }
+
   test("a21 histogram percentiles equal the sorted-array brute force") {
     val row = ArrayOps.a21_percentiles(spark, "/root/testdata/sf0.001").collect().head
     // replay the closed-form intensity field and take percentiles the naive
