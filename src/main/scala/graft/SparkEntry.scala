@@ -61,6 +61,7 @@ object SparkEntry {
     "q32_skew_report" -> (Relational.q32_skew_report _),
     "q33_incremental_mv" -> (Relational.q33_incremental_mv _),
     "q34_funnel" -> (Relational.q34_funnel _),
+    "q35_retention" -> (Relational.q35_retention _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -229,6 +230,7 @@ object SparkEntry {
     // curation policy thresholds on; one gram-keyed corpus exchange
     "t21_novelty" -> ((s, d) => TextOps.ngramNovelty(Tables.t(s, d, "documents"))),
     "t22_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.t(s, d, "documents"))),
+    "t23_code_detect" -> ((s, d) => TextOps.codeDetect(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -330,6 +332,7 @@ object SparkEntry {
     // streaming upkeep of the at-rest dedup index (the write side d7/e9
     // presuppose): foreachBatch anti-join + append, zero streaming state
     "e14_stream_index" -> (EventStreams.indexMaintainOnce _),
+    "e15_dual_sink" -> (EventStreams.dualSinkOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -499,6 +502,7 @@ object SparkEntry {
     "q32_skew_report" -> Relational.q32OracleSql,
     "q33_incremental_mv" -> Relational.q33OracleSql,
     "q34_funnel" -> Relational.q34OracleSql,
+    "q35_retention" -> Relational.q35OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -566,6 +570,7 @@ object SparkEntry {
     "t20_readability" -> TextOps.readabilityOracleSql,
     "t21_novelty" -> TextOps.ngramNoveltyOracleSql(),
     "t22_heavy_hitters" -> TextOps.heavyHittersOracleSql(),
+    "t23_code_detect" -> TextOps.codeDetectOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
@@ -658,6 +663,7 @@ object SparkEntry {
     "e12_stream_sliding" -> EventStreams.slidingAggOracleSql,
     "e13_stream_anomaly" -> EventStreams.rateAnomalyOracleSql,
     "e14_stream_index" -> EventStreams.indexMaintainOracleSql,
+    "e15_dual_sink" -> EventStreams.dualSinkOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -566,6 +566,48 @@ object Relational {
         round(col("n_purchase").cast(DoubleType) / col("n_click"), 4).as("click_to_purchase"))
   }
 
+  /** Cohort retention matrix (q35) — the other staple of the event
+    * warehouse next to q34's funnel: users grouped by first-seen epoch
+    * day (their cohort), and for each (cohort, day-offset) cell the
+    * distinct users active that day, plus the share of the cohort
+    * retained. Epoch-day integers keep the axis format-free (the q31
+    * discipline); the grain is a constant — a production run points it at
+    * weeks by swapping the divisor.
+    *
+    * Scale shape: the cohort assignment is one map-side-combined min-agg
+    * at user grain; activity joins it user-keyed (the corpus-grain
+    * exchange — unavoidable and equi); everything after (cohort sizes,
+    * the share join) runs on the tiny (cohort × offset) matrix. The
+    * distinct-user count collapses at (cohort, offset, user) grain first
+    * — partial-aggregated, never a corpus-wide distinct. */
+  def q35_retention(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_timestamp(ts) DIV $day").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("off"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val sizes = cells.filter(col("off") === 0)
+      .select(col("cwk"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cwk"))
+      .select(col("cwk"), col("off"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast(DoubleType) / col("cohort_size"), 4).as("retained"))
+  }
+
+  /** DuckDB oracle twin of [[q35_retention]] — same epoch-week axis and
+    * share rule. */
+  def q35OracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS wk FROM events),
+      | c AS (SELECT user_id, min(wk) AS cwk FROM e GROUP BY 1),
+      | m AS (SELECT cwk, wk - cwk AS off, count(DISTINCT user_id) AS n_users
+      |       FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+      | s AS (SELECT cwk, n_users AS cohort_size FROM m WHERE off = 0)
+      |SELECT m.cwk, m.off, CAST(m.n_users AS BIGINT) AS n_users,
+      | CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      | round(CAST(m.n_users AS DOUBLE) / s.cohort_size, 4) AS retained
+      |FROM m JOIN s USING (cwk)""".stripMargin
+
   /** DuckDB oracle twin of [[q34_funnel]] — same stage rules over epoch
     * micros. */
   def q34OracleSql: String = {

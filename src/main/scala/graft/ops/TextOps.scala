@@ -1180,6 +1180,54 @@ object TextOps {
        |SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(rnk AS BIGINT) AS rnk
        |FROM top WHERE rnk <= $k""".stripMargin
 
+  /** Code-vs-prose detection (t23) — the corpus-composition screen every
+    * mixed crawl runs (code wants different dedup, tokenization, and
+    * mixture weights than prose; The-Stack-style pipelines route on it):
+    * count code-symbol characters (`{}();=[]`) and flag documents whose
+    * symbol mass and density cross thresholds. The fixture proves
+    * detection rather than assuming it: every 10th document gets a
+    * deterministic code block APPENDED (the d13 injection device — a pure
+    * function of doc_id, replayed identically by the oracle), so the
+    * detector must flag exactly those and nothing else (natural docs here
+    * carry zero code symbols). Row-local regex counts in the Java≡RE2
+    * common subset (the t6 discipline), whole-stage codegen, zero
+    * shuffle. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), expr(
+          s"repeat('$CodeSnippetUnit', CAST(3 + doc_id % 3 AS INT))")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+      length(col("t")).cast(LongType).as("n_chars"),
+      size(expr(s"regexp_extract_all(t, '$CodeSymRe', 0)")).cast(LongType).as("n_sym"))
+      .withColumn("sym_ratio", round(col("n_sym").cast(DoubleType) / col("n_chars"), 4))
+      .withColumn("is_code", col("n_sym") >= 10 && col("sym_ratio") >= 0.01)
+  }
+
+  /** One code-block unit for the t23 injection (appended 3–5×): carries a
+    * fixed, counted set of code-symbol characters. Single-quote-free so it
+    * embeds verbatim in both engines' string literals. */
+  val CodeSnippetUnit: String = " int f(int x) { y[0] = x*2; return y[0]; }"
+
+  /** Code-symbol character class, Java≡RE2-identical. */
+  val CodeSymRe: String = "[{}();=\\\\[\\\\]]"
+
+  /** DuckDB oracle twin of [[codeDetect]] — same injection, same counts,
+    * same thresholds. */
+  def codeDetectOracleSql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 10 = 0
+       |                 THEN text || repeat('$CodeSnippetUnit', CAST(3 + doc_id % 3 AS INT))
+       |                 ELSE text END AS t
+       |           FROM documents)
+       |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+       | CAST(len(regexp_extract_all(t, '[{}();=\\[\\]]')) AS BIGINT) AS n_sym,
+       | round(CAST(len(regexp_extract_all(t, '[{}();=\\[\\]]')) AS DOUBLE) / length(t), 4) AS sym_ratio,
+       | (len(regexp_extract_all(t, '[{}();=\\[\\]]')) >= 10
+       |  AND round(CAST(len(regexp_extract_all(t, '[{}();=\\[\\]]')) AS DOUBLE) / length(t), 4) >= 0.01) AS is_code
+       |FROM a""".stripMargin
+
   /** DuckDB oracle twin of [[ngramNovelty]] — same 1-based list-slice
     * grams (the c3 convention), same distinct-doc frequency, same share. */
   def ngramNoveltyOracleSql(n: Int = 8): String =

@@ -328,6 +328,62 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming dual-sink routing (e15) — the dead-letter/bifurcation WRITE
+    * pattern that operationalizes e11's verdicts: each arriving document
+    * is quality-judged row-locally (the SAME t16 rule set) and every
+    * micro-batch lands in TWO durable destinations — accepted docs to the
+    * keep sink, rejected docs to the quarantine sink (kept for audit and
+    * rule tuning, never silently dropped). `foreachBatch` persists the
+    * judged batch once and writes both partitions from it, so the rules
+    * run once per row, not once per sink; zero streaming state (the e9
+    * property — the verdict needs no history). The gate re-reads BOTH
+    * sinks and folds a per-(sink, source) admission report whose oracle
+    * is the batch t16 replay: the split must be exhaustive and exclusive
+    * or the counts can't reconcile. (Production hardening, as e14: write
+    * per-batchId subdirs so a retried batch overwrites instead of
+    * double-appending.) */
+  def dualSinkOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val keepDir = java.nio.file.Files.createTempDirectory("graft-e15-keep").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft-e15-rej").toString
+    val stream = spark.readStream.schema(docSchema).parquet(s"$dir/documents*.parquet")
+    val flagged = TextOps.gopherRules(TextOps.withSyntheticLines(stream))
+      .select(col("doc_id"), col("keep"))
+    val name = s"stream_dualsink_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = flagged.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.persist()
+          try {
+            batch.filter(col("keep")).select(col("doc_id"))
+              .write.mode("append").parquet(keepDir)
+            batch.filter(!col("keep")).select(col("doc_id"))
+              .write.mode("append").parquet(rejDir)
+          } finally { batch.unpersist(); () }
+        }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    // explicit schema: an empty sink dir must read as zero rows, not fail
+    val keep = spark.read.schema("doc_id LONG").parquet(keepDir)
+      .withColumn("sink", lit("keep"))
+    val rej = spark.read.schema("doc_id LONG").parquet(rejDir)
+      .withColumn("sink", lit("reject"))
+    keep.unionByName(rej).join(broadcast(src), Seq("doc_id"))
+      .groupBy(col("sink"), col("source")).agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[dualSinkOnce]]: the batch t16 replay routed
+    * to sink labels — matches only if the split was exhaustive, exclusive,
+    * and nothing was lost or duplicated across the two destinations. */
+  def dualSinkOracleSql: String =
+    s"""WITH g AS (${graft.ops.TextOps.gopherRulesOracleSql()}),
+       | j AS (SELECT CASE WHEN g.keep THEN 'keep' ELSE 'reject' END AS sink, d.source
+       |       FROM g JOIN documents d USING (doc_id))
+       |SELECT sink, source, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2""".stripMargin
+
   /** DuckDB oracle twin of [[indexMaintainOnce]]: the final index must be
     * exactly the corpus-wide distinct hash set. */
   def indexMaintainOracleSql: String =

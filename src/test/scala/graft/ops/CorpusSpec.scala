@@ -256,6 +256,23 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t23 code detection flags exactly the injected documents") {
+    val rows = TextOps.codeDetect(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, nSym, isCode) =>
+      if (id % 10 == 0) {
+        // injected: 3–5 snippet units, each carrying 11 symbol chars
+        val units = 3 + id % 3
+        assert(nSym == units * 11, s"doc $id nSym=$nSym")
+        assert(isCode, s"doc $id must be flagged")
+      } else {
+        assert(nSym == 0 && !isCode, s"doc $id is prose")
+      }
+    }
+    assert(rows.count(_._3) > 0 && rows.count(!_._3) > 0)
+  }
+
   test("c16 split leakage matrix equals the brute-force pair/split recomputation") {
     val split = Corpus.splitAssign(docs).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap

@@ -20,6 +20,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 retention matrix equals a driver-side cohort walk; shares well-formed") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("wk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.map { case (u, w) => ((cohort(u), w - cohort(u)), u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Relational.q35_retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k @ (cwk, off), (n, size, share)) =>
+      assert(n == want(k), k)
+      assert(size == want((cwk, 0L)), k)
+      assert(share <= 1.0 + 1e-9 || off == 0, k) // off-0 share is exactly 1
+      if (off == 0) assert(share == 1.0)
+    }
+    // many offsets exist (non-degenerate fixture; cohort count is data-driven)
+    assert(got.keys.map(_._2).toSet.size > 5)
+  }
+
   test("q34 funnel equals a driver-side per-user stage walk") {
     import org.apache.spark.sql.functions._
     val winUs = 72L * 3600 * 1000000

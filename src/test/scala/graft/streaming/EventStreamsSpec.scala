@@ -207,6 +207,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.keys.exists(_._2) && streamed.keys.exists(!_._2))
   }
 
+  test("e15 dual-sink routing: sinks reconcile exactly with the batch verdicts") {
+    import graft.ops.TextOps
+    val streamed = EventStreams.dualSinkOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = TextOps.gopherRules(TextOps.withSyntheticLines(docs))
+      .select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("keep"), col("source")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (if (r.getBoolean(0)) "keep" else "reject", r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch)
+    // exhaustive + exclusive: the two sinks partition the corpus
+    assert(streamed.values.sum == docs.count())
+    assert(streamed.keys.exists(_._1 == "keep") && streamed.keys.exists(_._1 == "reject"))
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
