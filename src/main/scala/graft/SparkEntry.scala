@@ -62,6 +62,7 @@ object SparkEntry {
     "q33_incremental_mv" -> (Relational.q33_incremental_mv _),
     "q34_funnel" -> (Relational.q34_funnel _),
     "q35_retention" -> (Relational.q35_retention _),
+    "q36_dpp_join" -> (Relational.q36_dpp_join _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -503,6 +504,7 @@ object SparkEntry {
     "q33_incremental_mv" -> Relational.q33OracleSql,
     "q34_funnel" -> Relational.q34OracleSql,
     "q35_retention" -> Relational.q35OracleSql,
+    "q36_dpp_join" -> Relational.q36OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->

@@ -566,6 +566,81 @@ object Relational {
         round(col("n_purchase").cast(DoubleType) / col("n_click"), 4).as("click_to_purchase"))
   }
 
+  /** Once-per-JVM registry of q36's hive-partitioned fact layout per dir. */
+  private val dppFacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition pruning (q36) — the fourth leg of the big-join
+    * toolkit (broadcast q02, salted q28, co-bucketed q30): the fact table
+    * lives hive-PARTITIONED by ship year (the permanent ingest layout,
+    * like q30's buckets — written once per JVM), and the dim side's
+    * filter is DATA-dependent (years with above-average order volume), so
+    * no static rule can prune the fact scan. Spark's DPP inserts a
+    * runtime subquery into the fact scan's PartitionFilters
+    * (`dynamicpruningexpression`, pinned in PlanShapeSpec): the dim side
+    * evaluates first and only the surviving years' directories are READ
+    * at all. At 100 TB this is the difference between scanning seven
+    * years and scanning four — pruning decided at runtime, paid by
+    * neither a shuffle nor a full scan. The oracle is the plain
+    * two-relation replay — the layout and the pruning must be invisible
+    * in the answer. */
+  def q36_dpp_join(spark: SparkSession, dir: String): DataFrame = {
+    val factPath = dppFacts.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/q36_fact_${Similarity.dirToken(dir)}"
+      t(spark, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+        .write.mode("overwrite").partitionBy("l_year").parquet(p)
+      p
+    })
+    val fact = spark.read.parquet(factPath)
+    val dim = t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_orders"))
+    // threshold as a one-row driver scalar (the q33 cutoff pattern): DPP's
+    // PartitionPruning rule needs a plain SELECTIVE FILTER on the dim plan
+    // — threading the threshold through a cross join hides it from the rule
+    val avgN = dim.agg((sum(col("n_orders")) / count(lit(1))).as("avg_n"))
+      .head().getDouble(0)
+    val busy = dim.filter(col("n_orders").cast(DoubleType) > avgN)
+    // broadcast the dim explicitly: the fact must be the STREAMED side for
+    // DPP to prune its scan (at gate scale Spark would otherwise broadcast
+    // the tiny fact itself and the pruning shape under test would vanish)
+    fact.join(broadcast(busy), Seq("l_year"))
+      .groupBy(col("l_year"))
+      .agg(outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"), max(col("n_orders")).as("n_orders"))
+  }
+
+  /** The q36 pipeline WITHOUT the aggregate, for the plan pin: the
+    * executed plan's fact scan must carry a dynamicpruning expression in
+    * PartitionFilters. */
+  private[graft] def q36PlanProbe(spark: SparkSession, dir: String): DataFrame = {
+    q36_dpp_join(spark, dir) // ensures the layout exists
+    val fact = spark.read.parquet(dppFacts.get(dir))
+    val dim = t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_orders"))
+    val avgN = dim.agg((sum(col("n_orders")) / count(lit(1))).as("avg_n"))
+      .head().getDouble(0)
+    val busy = dim.filter(col("n_orders").cast(DoubleType) > avgN).select(col("l_year"))
+    fact.join(broadcast(busy), Seq("l_year"))
+  }
+
+  /** DuckDB oracle twin of [[q36_dpp_join]] — the plain two-relation
+    * replay; layout and pruning must be invisible. */
+  def q36OracleSql: String =
+    """WITH d AS (SELECT year(o_orderdate) AS l_year, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      | a AS (SELECT CAST(sum(n_orders) AS DOUBLE) / count(*) AS avg_n FROM d),
+      | b AS (SELECT l_year, n_orders FROM d, a WHERE CAST(n_orders AS DOUBLE) > avg_n)
+      |SELECT CAST(b.l_year AS INT) AS l_year,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+      |   * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 3) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items,
+      | CAST(max(b.n_orders) AS BIGINT) AS n_orders
+      |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
+      |GROUP BY 1""".stripMargin
+
   /** Cohort retention matrix (q35) — the other staple of the event
     * warehouse next to q34's funnel: users grouped by first-seen epoch
     * day (their cohort), and for each (cohort, day-offset) cell the

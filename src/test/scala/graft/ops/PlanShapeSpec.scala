@@ -245,6 +245,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("q36: dynamic partition pruning fires on the hive-partitioned fact scan") {
+    val probe = Relational.q36PlanProbe(spark, dir)
+    val p = probe.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must carry the runtime subquery —
+    // the dim side decides at execution which year directories are read
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(probe.count() > 0)
+  }
+
   test("c13: a source predicate prunes partitions at the scan, not post-filter") {
     // force the export (and its per-JVM registry) via the gated query,
     // then read one source back through the partitioned layout
