@@ -176,6 +176,7 @@ object SparkEntry {
     // index build; row-local, one scan, zero shuffle
     "s19_embedding_qc" -> (Similarity.embeddingQc _),
     "s20_dim_stats" -> (Similarity.dimStats _),
+    "s21_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -604,6 +605,7 @@ object SparkEntry {
     "s18_filtered_ann" -> Similarity.filteredAnnOracleSql(),
     "s19_embedding_qc" -> Similarity.embeddingQcOracleSql,
     "s20_dim_stats" -> Similarity.dimStatsOracleSql,
+    "s21_knn_graph" -> Similarity.knnGraphOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -1239,6 +1239,74 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }
 
+  /** k-NN graph construction (s21) — top-k cosine neighbors for EVERY
+    * corpus vector (directed edges), the build step graph-based methods
+    * consume: SemDeDup++-style agglomeration, label propagation over
+    * embeddings, graph-ANN entry points, kNN-classifier serving. Distinct
+    * from s3 (THRESHOLD pairs) and s2 (a bounded query set): here the
+    * query side IS the whole corpus, so candidate generation must stay
+    * index-bounded — the same multiprobe-free sign-bucket join as s3
+    * (union over [[Tables]] hash tables, hot buckets capped), then exact
+    * cosine over candidates only and a per-source rank window. The
+    * `rnk ≤ k` filter pushes into the exchange as WindowGroupLimit (the
+    * q29 shape): each partition keeps k candidates per source during the
+    * shuffle, so the window never sorts whole candidate groups.
+    *
+    * Scale shape: the bucket relation shuffles two longs per (vector ×
+    * table); candidate pairs are bucket-join-bounded; embeddings re-enter
+    * per candidate only (the s3 pattern). Recall is the LSH coverage the
+    * s11 eval measures — a vector with NO bucket-mate simply has no edges
+    * (isolated nodes are legitimate in a kNN-from-index graph). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(spark, dir, "embeddings")
+    val sig = capBuckets(
+      materialize(
+        withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id"), col("bucket"))),
+      maxBucketWidth)
+    val cand = sig.select(col("vec_id").as("src"), col("bucket"))
+      .join(sig.select(col("vec_id").as("nb"), col("bucket")), Seq("bucket"))
+      .filter(col("src") =!= col("nb"))
+      .select(col("src"), col("nb"))
+      .dropDuplicates("src", "nb") // union over tables
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nb"))
+    cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("es")), Seq("src"))
+      .join(emb.select(col("vec_id").as("nb"), col("embedding").as("en")), Seq("nb"))
+      .withColumn("cos", cosine("es", "en"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("nb"), round(col("cos"), 4).as("cs"), col("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[knnGraph]] — the same sign-bucket candidate
+    * join (plane constants inlined), directed, with the same exact-cosine
+    * rank and tie order. */
+  def knnGraphOracleSql(k: Int = 3): String = {
+    def planeLit(p: Array[Double]): String =
+      "[" + p.map(_.toString).mkString(",") + "]::DOUBLE[]"
+    val bucketExprs = (0 until Tables).map { t =>
+      val bits = (0 until Planes).map { p =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(planes(t)(p))}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n      + ")
+      s"CAST(${t.toLong << 32} AS BIGINT) + $bits"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | b AS (SELECT vec_id, unnest([
+       |    $bucketExprs]) AS bucket FROM e),
+       | cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nb
+       |          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT c.src, c.nb,
+       |        list_dot_product(ns.emb, nn.emb) / (ns.nrm * nn.nrm) AS cos
+       |       FROM cand c JOIN n ns ON ns.vec_id = c.src JOIN n nn ON nn.vec_id = c.nb),
+       | r AS (SELECT src, nb, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rnk FROM p)
+       |SELECT src, nb, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Per-label mean-embedding class centroids — the nearest-class-mean
     * prototype pass a pipeline runs to audit embedding quality and to seed
     * classifiers/routers. Declarative two-level aggregation: `posexplode`

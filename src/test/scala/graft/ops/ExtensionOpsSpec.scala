@@ -686,6 +686,44 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s21 kNN graph equals a driver-side bucket+rank recomputation") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // replay the sign-bucket assignment with the engine's planes
+    val buckets = emb.view.mapValues { v =>
+      (0 until Similarity.Tables).map { t =>
+        (0 until Similarity.Planes).map { p =>
+          if (dot(v, Similarity.planes(t)(p)) > 0) 1L << p else 0L
+        }.sum + (t.toLong << 32)
+      }.toSet
+    }.toMap
+    val cand = for {
+      (a, ba) <- buckets.toSeq; (b, bb) <- buckets.toSeq
+      if a != b && ba.exists(bb.contains)
+    } yield (a, b)
+    def cos(a: Long, b: Long) =
+      dot(emb(a), emb(b)) / (math.sqrt(dot(emb(a), emb(a))) * math.sqrt(dot(emb(b), emb(b))))
+    val want = cand.groupBy(_._1).flatMap { case (src, ps) =>
+      ps.map(_._2).distinct.map(nb => (src, nb, cos(src, nb)))
+        .sortBy { case (_, nb, c) => (-c, nb) }.take(3).zipWithIndex
+        .map { case ((s, nb, c), i) =>
+          (s, nb) -> ((math.rint(c * 10000) / 10000.0, i + 1L)) }
+    }
+    val got = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (cs, rnk)) =>
+      assert(rnk == want(k)._2, s"$k rank")
+      assert(math.abs(cs - want(k)._1) < 2e-4, s"$k cosine")
+    }
+    // the graph is dense enough to mean something on this corpus
+    assert(got.keys.map(_._1).toSet.size > emb.size / 2)
+  }
+
   test("s20 dim stats equal a driver-side recomputation; every dim covered") {
     val emb = Tables.t(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("embedding"))
