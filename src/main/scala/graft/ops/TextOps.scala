@@ -531,13 +531,16 @@ object TextOps {
        |    $langScoreStructsSql])[1] AS best FROM t)
        |SELECT doc_id, best.lang AS pred_lang, round(CAST(best.hits AS DOUBLE) / n_tok, 4) AS conf FROM s""".stripMargin
 
-  /** The per-language stopword-hit score structs over a `toks` column —
-    * the ONE scoring definition [[langId]] and [[langIdEval]] share. */
-  private def langScoreStructs: Seq[Column] =
+  /** The per-language stopword-hit score structs over a token-array column
+    * — the ONE scoring definition [[langId]], [[langIdEval]], and
+    * [[langConsistency]] share. */
+  private def langScoreStructsOn(c: String): Seq[Column] =
     LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(",")
-      struct(expr(s"size(filter(toks, t -> t IN ($list)))").as("hits"), lit(lang).as("lang"))
+      struct(expr(s"size(filter($c, t -> t IN ($list)))").as("hits"), lit(lang).as("lang"))
     }
+
+  private def langScoreStructs: Seq[Column] = langScoreStructsOn("toks")
 
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))
@@ -1179,6 +1182,69 @@ object TextOps {
        | top AS (SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM tf)
        |SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(rnk AS BIGINT) AS rnk
        |FROM top WHERE rnk <= $k""".stripMargin
+
+  /** The SQL twin of [[langScoreStructsOn]] over an arbitrary list
+    * expression. */
+  private def langScoreStructsSqlOn(c: String): String =
+    LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      s"{'hits': len(list_filter($c, x -> x IN ($list))), 'lang': '$lang'}"
+    }.mkString(",\n      ")
+
+  /** Mixed-language / code-switching detection (t24) — the document-level
+    * consistency check a multilingual pipeline runs before trusting one
+    * language label per document (a doc that switches language mid-way
+    * poisons both its langid routing and its per-language mixture
+    * accounting): the token stream splits at its midpoint and each half is
+    * language-identified independently (the SAME t3 scoring — one profile
+    * set serves t3, t15, and t24); a disagreement flags the document.
+    * Detection is PROVEN, not hoped: every 20th document gets a German
+    * stopword block appended, SCALED to the document (⌊n/14⌋+1 repeats of
+    * the 6-word unit, so the block always dominates the tail half without
+    * ever bleeding into the head half — a pure function of (doc_id, text)
+    * replayed by the oracle); this corpus's natural text never scores
+    * German, so those docs must flag. Row-local slice + filter counts,
+    * whole-stage codegen, zero shuffle. */
+  def langConsistency(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        concat(col("text"), expr(
+          s"repeat('$DeUnit', CAST(size(split(text, '\\\\s+')) DIV 14 + 1 AS INT))")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"), split(col("t"), "\\s+").as("all"))
+      .select(col("doc_id"), size(col("all")).cast(LongType).as("n_tok"),
+        expr("slice(all, 1, size(all) div 2)").as("h1"),
+        expr("slice(all, size(all) div 2 + 1, size(all) - size(all) div 2)").as("h2"))
+      .select(col("doc_id"), col("n_tok"),
+        greatest(langScoreStructsOn("h1"): _*).getField("lang").as("lang_head"),
+        greatest(langScoreStructsOn("h2"): _*).getField("lang").as("lang_tail"))
+      .withColumn("consistent", col("lang_head") === col("lang_tail"))
+  }
+
+  /** The six German profile stopwords — one unit of the t24 injection. */
+  val DeUnit: String = " der die das und nicht ist"
+
+  /** DuckDB oracle twin of [[langConsistency]] — same injection, same
+    * midpoint split, same shared scoring structs and tie order. */
+  def langConsistencyOracleSql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 20 = 0
+       |                 THEN text || repeat('$DeUnit',
+       |                        CAST(len(string_split_regex(text, '\\s+')) // 14 + 1 AS INT))
+       |                 ELSE text END AS t
+       |           FROM documents),
+       | s AS (SELECT doc_id, string_split_regex(t, '\\s+') AS al FROM a),
+       | h AS (SELECT doc_id, len(al) AS n_tok,
+       |        al[1:len(al)//2] AS h1, al[len(al)//2+1:len(al)] AS h2 FROM s),
+       | p AS (SELECT doc_id, n_tok,
+       |        list_reverse_sort([
+       |      ${langScoreStructsSqlOn("h1")}])[1].lang AS lang_head,
+       |        list_reverse_sort([
+       |      ${langScoreStructsSqlOn("h2")}])[1].lang AS lang_tail
+       |       FROM h)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, lang_head, lang_tail,
+       | (lang_head = lang_tail) AS consistent
+       |FROM p""".stripMargin
 
   /** Code-vs-prose detection (t23) — the corpus-composition screen every
     * mixed crawl runs (code wants different dedup, tokenization, and

@@ -256,6 +256,19 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t24 lang consistency flags every cross-language injection") {
+    val rows = TextOps.langConsistency(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.length == docs.count())
+    val (injected, natural) = rows.partition(_._1 % 20 == 0)
+    injected.foreach { case (id, head, tail, consistent) =>
+      assert(!consistent, s"doc $id: injected tail must flip the tail language ($head/$tail)")
+    }
+    // natural docs are mostly monolingual; both verdicts must occur
+    assert(natural.count(_._4) > natural.length / 2)
+    assert(injected.nonEmpty && natural.nonEmpty)
+  }
+
   test("t23 code detection flags exactly the injected documents") {
     val rows = TextOps.codeDetect(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
