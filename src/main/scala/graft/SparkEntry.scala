@@ -63,6 +63,7 @@ object SparkEntry {
     "q34_funnel" -> (Relational.q34_funnel _),
     "q35_retention" -> (Relational.q35_retention _),
     "q36_dpp_join" -> (Relational.q36_dpp_join _),
+    "q37_scd2" -> (Relational.q37_scd2 _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -177,6 +178,7 @@ object SparkEntry {
     "s19_embedding_qc" -> (Similarity.embeddingQc _),
     "s20_dim_stats" -> (Similarity.dimStats _),
     "s21_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "s22_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -507,6 +509,7 @@ object SparkEntry {
     "q34_funnel" -> Relational.q34OracleSql,
     "q35_retention" -> Relational.q35OracleSql,
     "q36_dpp_join" -> Relational.q36OracleSql,
+    "q37_scd2" -> Relational.q37OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -608,6 +611,7 @@ object SparkEntry {
     "s19_embedding_qc" -> Similarity.embeddingQcOracleSql,
     "s20_dim_stats" -> Similarity.dimStatsOracleSql,
     "s21_knn_graph" -> Similarity.knnGraphOracleSql(),
+    "s22_ivf_balance" -> Similarity.ivfBalanceOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

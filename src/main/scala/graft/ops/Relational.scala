@@ -641,6 +641,41 @@ object Relational {
       |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
       |GROUP BY 1""".stripMargin
 
+  /** SCD-2 interval build (q37) — the slowly-changing-dimension shape
+    * every warehouse derives from a change log: each event opens a
+    * validity interval `[valid_from, valid_to)` that the user's NEXT
+    * change closes (`lead` over the per-user event order, event_id
+    * tie-break); the open interval carries the standard SCD2 "infinity"
+    * sentinel (Long.MaxValue — a concrete upper bound keeps the column
+    * non-null, so as-of probes are a plain BETWEEN and no engine's
+    * null-vs-NaN convention leaks into comparisons) and is the current
+    * state. q29 extracts
+    * only the latest row; q37 keeps the full bitemporal history an as-of
+    * join (q14) can then probe. One user-keyed window sort — the
+    * unavoidable exchange — and nothing else; no self-join (the naive
+    * interval build is events × events per user). */
+  def q37_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us").as("valid_from"),
+        coalesce(lead(col("us"), 1).over(w), lit(Long.MaxValue)).as("valid_to"))
+      .withColumn("is_current", col("valid_to") === Long.MaxValue)
+  }
+
+  /** DuckDB oracle twin of [[q37_scd2]] — same order, same lead frame. */
+  def q37OracleSql: String =
+    """SELECT user_id, event_id, event_type,
+      | CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+      | coalesce(lead(CAST(epoch_us(ts) AS BIGINT)) OVER
+      |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |   9223372036854775807) AS valid_to,
+      | (lead(epoch_us(ts)) OVER
+      |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL) AS is_current
+      |FROM events""".stripMargin
+
   /** Cohort retention matrix (q35) — the other staple of the event
     * warehouse next to q34's funnel: users grouped by first-seen epoch
     * day (their cohort), and for each (cohort, day-offset) cell the

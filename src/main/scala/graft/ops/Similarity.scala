@@ -722,6 +722,10 @@ object Similarity {
     * oracle. */
   lazy val FilteredCentroidDump: String = s"$OracleDumpRoot/s18_centroids"
 
+  /** Where [[ivfBalance]] dumps its fitted centroids for the replay
+    * oracle. */
+  lazy val BalanceCentroidDump: String = s"$OracleDumpRoot/s22_centroids"
+
   /** Domain clustering for mixture design: embeddings are clustered with a
     * k-means coarse model (trained on a capped sample, like [[annIvf]]) and
     * every vector is assigned to its max-cosine centroid — the unsupervised
@@ -1238,6 +1242,59 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }
+
+  /** IVF cell-balance diagnostic (s22) — the index-health measurement
+    * that DECIDES nlist and flags a degenerate fit (q32's role, for ANN):
+    * per cell, the member count, corpus share, and load factor
+    * (count × nlist / N — 1.0 is perfectly balanced; a hot cell's factor
+    * is its probe-cost multiplier, an EMPTY cell is wasted nlist).
+    * Empty cells are reported as explicit zero rows (the q31 gap
+    * principle — the gap IS the finding), via a left join from the dumped
+    * centroid relation.
+    *
+    * Scale shape: one codegen argmax assignment pass (the s4 kernel —
+    * generated-code size independent of nlist), one map-side-combined
+    * count at cell grain, and the share/load arithmetic on the nlist-row
+    * relation; the one-row total is a broadcast. Vectors never shuffle. */
+  def ivfBalance(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    import graft.functions.CentroidExprs.centroid_argmax
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    dumpCentroids(spark, centMatrix, BalanceCentroidDump)
+    val counts = emb
+      .select(centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("tot"))
+    spark.read.parquet(BalanceCentroidDump).select(col("cluster"))
+      .join(counts, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster").cast(LongType).as("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast(DoubleType) / col("tot"), 4).as("share"),
+        round(col("n_vecs").cast(DoubleType) * nlist / col("tot"), 4).as("load_factor"))
+  }
+
+  /** DuckDB oracle twin of [[ivfBalance]] — assignment replayed from the
+    * dumped centroids (the s4 convention), zero-filled via the same left
+    * join, same share/load arithmetic. */
+  def ivfBalanceOracleSql(nlist: Int = 16): String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$BalanceCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | k AS (SELECT cluster, count(*) AS n_vecs FROM asg GROUP BY cluster),
+       | t AS (SELECT sum(n_vecs) AS tot FROM k)
+       |SELECT CAST(c.cluster AS BIGINT) AS cluster,
+       | CAST(coalesce(k.n_vecs, 0) AS BIGINT) AS n_vecs,
+       | round(CAST(coalesce(k.n_vecs, 0) AS DOUBLE) / t.tot, 4) AS share,
+       | round(CAST(coalesce(k.n_vecs, 0) AS DOUBLE) * $nlist / t.tot, 4) AS load_factor
+       |FROM c LEFT JOIN k ON c.cluster = k.cluster, t""".stripMargin
 
   /** k-NN graph construction (s21) — top-k cosine neighbors for EVERY
     * corpus vector (directed edges), the build step graph-based methods

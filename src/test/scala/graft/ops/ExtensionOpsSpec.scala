@@ -686,6 +686,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s22 IVF balance: totals conserve, load factors average 1, dump drives assignment") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.ivfBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 16, "one row per cell, empties included")
+    val total = Tables.t(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "every vector assigned exactly once")
+    val meanLoad = rows.map(_._4).sum / rows.length
+    assert(math.abs(meanLoad - 1.0) < 0.01, s"load factors must average 1, got $meanLoad")
+    // shares sum to 1 within rounding
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01)
+    // the fit must discriminate: not all cells equal
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("s21 kNN graph equals a driver-side bucket+rank recomputation") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.t(spark, dir, "embeddings")

@@ -20,6 +20,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q37 SCD2 intervals tile each user's history with one current row") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q37_scd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        Some(r.getLong(4)).filter(_ != Long.MaxValue), r.getBoolean(5)))
+    val n = Tables.events(spark, dir).count()
+    assert(rows.length == n, "SCD2 must be total over the change log")
+    rows.groupBy(_._1).foreach { case (user, hist0) =>
+      val hist = hist0.sortBy(h => (h._3, h._2))
+      // intervals tile: each row's valid_to is the next row's valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $user gap at ${a._2}")
+        case _ =>
+      }
+      // exactly one open (current) interval per user, and it is the last
+      assert(hist.count(_._5) == 1 && hist.last._5, s"user $user current-row invariant")
+      assert(hist.last._4.isEmpty)
+    }
+  }
+
   test("q35 retention matrix equals a driver-side cohort walk; shares well-formed") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
