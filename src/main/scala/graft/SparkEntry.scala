@@ -124,6 +124,7 @@ object SparkEntry {
     "a26_mip_select" -> (ArrayOps.a26_mip_select _),
     "a27_mip_project" -> (ArrayOps.a27_mip_project _),
     "a28_seg_contingency" -> (ArrayOps.a28_seg_contingency _),
+    "a29_blur" -> (ArrayOps.a29_blur _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -558,6 +559,7 @@ object SparkEntry {
     "a26_mip_select" -> ArrayOps.a26OracleSql,
     "a27_mip_project" -> ArrayOps.a27OracleSql,
     "a28_seg_contingency" -> ArrayOps.a28OracleSql,
+    "a29_blur" -> ArrayOps.a29OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -532,6 +532,81 @@ object ArrayOps {
       .orderBy(col("label"))
   }
 
+  /** Halo-exchange box blur under the oracle gate (a29) — the smoothing /
+    * noise-reduction stencil every imaging QC pipeline runs, and the
+    * VALUE-carrying member of the halo-exchange family (a17 dilation
+    * exchanges growth, a18 erosion presence proofs, a20 contacts label
+    * pairs — a stencil exchanges neighbor VALUES):
+    * `blur(p) = ⌊(v(p) + Σ v(q)) / (1 + #q)⌋` over in-box 6-neighbors
+    * (boundary-aware mean, never zero-padded; integer floor so the gate is
+    * exact). Interior voxels finish inside their chunk's decode pass
+    * ([[graft.volume.Volume.localBlur]]); a face voxel's 1–3 across-seam
+    * neighbor VALUES arrive by joining the O(surface) needs relation to
+    * the O(surface) face-value relation — per-voxel divisors are
+    * geometry-derived and known locally, so only the numerator crosses
+    * seams. The voxel relation never shuffles; the per-z fold is
+    * map-side combined. */
+  def a29_blur(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a29").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          buf.setLong(x - 1, y - 1, z - 1, 0, ((x * 13 + y * 29 + z * z * 41) % 256).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    val dump = s"$voxelDumpRoot/a29"
+    vol.toVoxels(box)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(dump)
+    // partials feed three consumers — materialized once
+    val parts = Tables.materialize(vol.localBlur(box))
+    val interior = parts.select(explode(col("zsums")).as("t"))
+      .select(col("t.z").as("z"), col("t.n").as("n"), col("t.s").as("s"))
+    val needs = parts.select(explode(col("needs")).as("nd")).select(col("nd.*"))
+    val vals = parts.select(explode(col("vals")).as("fv")).select(col("fv.*"))
+    val finished = needs
+      .join(vals, needs("tx") === vals("x") && needs("ty") === vals("y") &&
+        needs("tz") === vals("z"))
+      .groupBy(col("px"), col("py"), col("pz"))
+      .agg(first(col("s0")).as("s0"), first(col("c")).as("c"), sum(col("v")).as("sv"))
+      .select(col("pz").as("z"),
+        expr("CAST((s0 + sv) DIV c AS BIGINT)").as("bv"))
+      .groupBy(col("z")).agg(count(lit(1)).as("n"), sum(col("bv")).as("s"))
+    interior.unionByName(finished)
+      .groupBy(col("z")).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+  }
+
+  /** Oracle twin of [[a29_blur]]: the same boundary-aware 7-point floor
+    * mean re-derived from the dumped voxels by a shifted self-join (every
+    * neighbor that exists in the dump IS an in-box neighbor), folded per
+    * z. Matches only if the engine's interior/seam decomposition was
+    * exact. */
+  def a29OracleSql: String =
+    s"""WITH d AS (SELECT x, y, z, CAST(value AS BIGINT) AS v
+       |           FROM read_parquet('$voxelDumpRoot/a29/*.parquet')),
+       | o AS (SELECT * FROM (VALUES (0,0,0),(1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1)) t(dx,dy,dz)),
+       | c AS (SELECT t.x, t.y, t.z, sum(s.v) AS sv, count(*) AS cnt
+       |       FROM d t JOIN o ON true
+       |       JOIN d s ON s.x = t.x + o.dx AND s.y = t.y + o.dy AND s.z = t.z + o.dz
+       |       GROUP BY t.x, t.y, t.z),
+       | b AS (SELECT z, sv // cnt AS bv FROM c)
+       |SELECT z, count(*) AS n, CAST(sum(bv) AS BIGINT) AS s FROM b GROUP BY z""".stripMargin
+
   /** Segmentation-agreement contingency (a28) — the evaluation every
     * proofreading / re-run pipeline computes between two segmentations of
     * the same tissue (gold vs predicted): the (gold_label, pred_label)

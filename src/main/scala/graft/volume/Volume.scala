@@ -917,6 +917,144 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk box-BLUR partials (6-connectivity boundary-aware mean) —
+    * the VALUE-carrying member of the halo-exchange family (dilation's
+    * halo carries growth, erosion's carries presence proofs, contacts'
+    * carries label pairs; a stencil's carries neighbor VALUES). Semantics:
+    * `blur(p) = ⌊(v(p) + Σ v(q)) / (1 + #q)⌋` over the 6-neighbors `q` of
+    * `p` that lie INSIDE `query` (out-of-box neighbors are excluded from
+    * numerator and denominator — boundary-aware, never zero-padded).
+    * Each chunk task decodes once and emits ONE row:
+    *  - `zsums` — per-z (n, Σ blur) partials over voxels whose in-query
+    *    neighbors are ALL in this chunk's cut: decided locally;
+    *  - `needs` — one row per (face voxel × across-seam neighbor): the
+    *    voxel's coordinate, its local partial sum `s0` (self + in-cut
+    *    neighbors), its FULL divisor `c` (geometry-derived, known
+    *    locally), and the in-query neighbor coordinate whose value must
+    *    arrive from the adjacent chunk;
+    *  - `vals` — this chunk's cut-face voxel values: the only values a
+    *    neighbor can need.
+    * The caller ([[graft.ops.ArrayOps.a29_blur]]) joins needs→vals on the
+    * neighbor coordinate, re-groups per voxel to finish `⌊s/c⌋`, and folds
+    * everything per z — O(surface) rows move, the voxel relation never
+    * shuffles. A missing chunk reads as zeros (fill-missing semantics),
+    * still contributing its geometry. Integer volumes only. */
+  def localBlur(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localBlur: single-channel volumes only")
+    require(c.dataType != graft.core.Meta.TFloat32 && c.dataType != graft.core.Meta.TFloat64,
+      "localBlur: integer volumes only (exact ⌊s/c⌋ gate semantics)")
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("zsums", ArrayType(StructType(Seq(
+        StructField("z", IntegerType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("s", LongType, nullable = false))), containsNull = false),
+        nullable = false),
+      StructField("needs", ArrayType(StructType(Seq(
+        StructField("px", IntegerType, nullable = false),
+        StructField("py", IntegerType, nullable = false),
+        StructField("pz", IntegerType, nullable = false),
+        StructField("s0", LongType, nullable = false),
+        StructField("c", IntegerType, nullable = false),
+        StructField("tx", IntegerType, nullable = false),
+        StructField("ty", IntegerType, nullable = false),
+        StructField("tz", IntegerType, nullable = false))), containsNull = false),
+        nullable = false),
+      StructField("vals", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false),
+        StructField("v", LongType, nullable = false))), containsNull = false),
+        nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.map { s =>
+          val blobOpt = c.fetchChunk(fs, s) match {
+            case some @ Some(_) => some
+            case None if c.fillMissing => None // zero-filled cut
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+          }
+          val bOpt = blobOpt.map(c.decodeChunk(s, _))
+          val cut = s.cutoutBox
+          val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+          @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+          val vv = new Array[Long](nx * ny * nz)
+          bOpt.foreach { b =>
+            var lz = 0
+            while (lz < nz) {
+              var ly = 0
+              while (ly < ny) {
+                var lx = 0
+                while (lx < nx) {
+                  vv(li(lx, ly, lz)) = b.getLong(
+                    cut.x.lo - b.origin._1 + lx, cut.y.lo - b.origin._2 + ly,
+                    cut.z.lo - b.origin._3 + lz, 0)
+                  lx += 1
+                }
+                ly += 1
+              }
+              lz += 1
+            }
+          }
+          val zn = new Array[Long](nz); val zs = new Array[Long](nz)
+          val needs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var lz = 0
+          while (lz < nz) {
+            var ly = 0
+            while (ly < ny) {
+              var lx = 0
+              while (lx < nx) {
+                val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                var s0 = vv(li(lx, ly, lz))
+                var cTot = 1
+                val miss = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+                @inline def probe(dlx: Int, dly: Int, dlz: Int): Unit = {
+                  val tx = gx + dlx; val ty = gy + dly; val tz = gz + dlz
+                  if (qbox.x.contains(tx) && qbox.y.contains(ty) && qbox.z.contains(tz)) {
+                    cTot += 1
+                    val tlx = lx + dlx; val tly = ly + dly; val tlz = lz + dlz
+                    if (tlx >= 0 && tlx < nx && tly >= 0 && tly < ny && tlz >= 0 && tlz < nz)
+                      s0 += vv(li(tlx, tly, tlz))
+                    else miss += ((tx, ty, tz))
+                  }
+                  ()
+                }
+                probe(-1, 0, 0); probe(1, 0, 0)
+                probe(0, -1, 0); probe(0, 1, 0)
+                probe(0, 0, -1); probe(0, 0, 1)
+                if (miss.isEmpty) {
+                  zn(lz) += 1
+                  zs(lz) += Math.floorDiv(s0, cTot.toLong)
+                } else {
+                  miss.foreach { case (tx, ty, tz) =>
+                    needs += Row(gx, gy, gz, s0, cTot, tx, ty, tz)
+                  }
+                }
+                if (lx == 0 || lx == nx - 1 || ly == 0 || ly == ny - 1 ||
+                  lz == 0 || lz == nz - 1)
+                  vals += Row(gx, gy, gz, vv(li(lx, ly, lz)))
+                lx += 1
+              }
+              ly += 1
+            }
+            lz += 1
+          }
+          val zsums = (0 until nz).filter(zn(_) > 0)
+            .map(i => Row(cut.z.lo + i, zn(i), zs(i)))
+          Row(cx, cy, cz, zsums, needs.toSeq, vals.toSeq)
+        }
+      }
+    })(rowEnc)
+  }
+
   /** Per-chunk CONTACT-SURFACE partials over a labeled segmentation volume
     * — the connectomics "contact sites" primitive (a synapse-candidate
     * pipeline counts, per pair of distinct nonzero labels, the 6-adjacent

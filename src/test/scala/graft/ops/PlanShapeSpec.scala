@@ -300,11 +300,15 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
-      "q31_gapfill", "q32_skew_report",
-      "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s5_sq8_topk",
+      "q31_gapfill", "q32_skew_report", "q34_funnel",
+      "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
+      "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
       "t18_zipf", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
+    // q34 attaches three ONE-ROW stage counts to each other; s22 attaches
+    // the one-row total to the nlist-row cell relation — 1 × N map-side
+    // attaches, same class as a21/c12
     // ONE-ROW broadcast constants (a21: total voxel count against the
     // histogram; c11: the two corpus-constant fits, t12's exact shape;
     // c12: the total-docs row against the bucket-grain histogram) —

@@ -216,6 +216,25 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(argZ.distinct.length > 1)
   }
 
+  test("a29 halo blur equals the brute-force boundary-aware floor mean") {
+    val got = ArrayOps.a29_blur(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def v(x: Int, y: Int, z: Int) = ((x * 13 + y * 29 + z * z * 41) % 256).toLong
+    val want = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    for (z <- 1 to 8; y <- 1 to 64; x <- 1 to 64) {
+      val nb = Seq((x - 1, y, z), (x + 1, y, z), (x, y - 1, z), (x, y + 1, z),
+        (x, y, z - 1), (x, y, z + 1))
+        .filter { case (a, b, c) => a >= 1 && a <= 64 && b >= 1 && b <= 64 && c >= 1 && c <= 8 }
+      val s = v(x, y, z) + nb.map((v _).tupled).sum
+      val bv = Math.floorDiv(s, nb.length + 1L)
+      val (n0, s0) = want.getOrElse(z, (0L, 0L))
+      want(z) = (n0 + 1, s0 + bv)
+    }
+    assert(got == want.toMap)
+    // every z layer total (64*64 voxels each), all seams crossed
+    assert(got.keySet == (1 to 8).toSet && got.values.forall(_._1 == 64L * 64))
+  }
+
   test("a28 contingency separates merge, split, and noise error modes exactly") {
     val got = ArrayOps.a28_seg_contingency(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
