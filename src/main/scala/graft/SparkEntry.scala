@@ -290,6 +290,7 @@ object SparkEntry {
     // geometry hash-proved against the closed-form raster; zero shuffle
     "m12_patchify" -> (Multimodal.modalPatches _),
     "m13_resample" -> (Multimodal.modalResample _),
+    "m14_augment" -> (Multimodal.modalAugment _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -685,6 +686,7 @@ object SparkEntry {
     "m11_audio_zcr" -> Multimodal.modalZcrOracleSql,
     "m12_patchify" -> Multimodal.modalPatchesOracleSql,
     "m13_resample" -> Multimodal.modalResampleOracleSql,
+    "m14_augment" -> Multimodal.modalAugmentOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -887,6 +887,67 @@ object Multimodal {
        | CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs
        |FROM s""".stripMargin
 
+  /** Geometric augmentation (m14) — the flip/rotate pair every vision
+    * training pipeline applies, run through TWO real codec roundtrips:
+    * decode the PNG thumb, horizontally FLIP and 90°-clockwise ROTATE the
+    * pixel array, RE-ENCODE each result (the rotation at its swapped
+    * W×H), decode again, and emit md5s of the final decoded pixels plus
+    * the rotation's HEADER-declared dimensions. Like m12, the gate proves
+    * GEOMETRY — index arithmetic per transformed pixel — against the
+    * closed-form raster replayed by the oracle; a transposed axis or
+    * off-by-one stride shifts every hash. Row-local mapPartitions, zero
+    * shuffle, one decode feeding both transforms. */
+  def modalAugment(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, String, String, Int, Int)]
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    assets(t(spark, dir, "documents")).filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h) = (ThumbW, ThumbH)
+          val px = imgDecode(imgEncode(tileRaster(payload, w, h), w, h))._1
+          val flip = new Array[Byte](w * h)
+          var i = 0
+          while (i < w * h) {
+            flip(i) = px((i / w) * w + (w - 1 - i % w)); i += 1
+          }
+          // clockwise: dst(r, c) = src(h-1-c, r); dst is h wide, w tall
+          val rot = new Array[Byte](w * h)
+          var j = 0
+          while (j < w * h) {
+            rot(j) = px((h - 1 - j % h) * w + j / h); j += 1
+          }
+          val (flipPx, _, _) = imgDecode(imgEncode(flip, w, h))
+          val (rotPx, rw, rh) = imgDecode(imgEncode(rot, h, w))
+          (id, md5hex(flipPx), md5hex(rotPx), rw, rh)
+        }
+      }(outEnc)
+      .toDF("doc_id", "flip_md5", "rot_md5", "rot_w", "rot_h")
+  }
+
+  /** DuckDB oracle twin of [[modalAugment]]: the closed-form raster with
+    * the same flip/rotation index arithmetic (printable-ASCII text makes
+    * char positions byte positions, the m2/m12 argument) — matches only if
+    * both roundtrips were lossless and the geometry is exact. */
+  def modalAugmentOracleSql: String = {
+    val (w, h) = (ThumbW, ThumbH)
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       | r AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil(${w * h}.0 / length(text)) AS INT)),
+       |               1, ${w * h}) AS raster
+       |       FROM d)
+       |SELECT doc_id,
+       | md5(array_to_string(list_transform(range(0, ${w * h}),
+       |   i -> substr(raster, CAST((i // $w) * $w + ($w - (i % $w)) AS INT), 1)), '')) AS flip_md5,
+       | md5(array_to_string(list_transform(range(0, ${w * h}),
+       |   j -> substr(raster, CAST(($h - 1 - (j % $h)) * $w + (j // $h) + 1 AS INT), 1)), '')) AS rot_md5,
+       | $h AS rot_w, $w AS rot_h
+       |FROM r""".stripMargin
+  }
+
   /** Audio resampling (m13) — the rate-normalization step every audio
     * corpus runs before a fixed-rate encoder (Whisper-style models eat
     * 16 kHz; telephony arrives at 8, podcasts at 44.1): decimate-by-2

