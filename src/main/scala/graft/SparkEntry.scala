@@ -125,6 +125,7 @@ object SparkEntry {
     "a27_mip_project" -> (ArrayOps.a27_mip_project _),
     "a28_seg_contingency" -> (ArrayOps.a28_seg_contingency _),
     "a29_blur" -> (ArrayOps.a29_blur _),
+    "a30_zonemap" -> (ArrayOps.a30_zonemap _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -561,6 +562,7 @@ object SparkEntry {
     "a27_mip_project" -> ArrayOps.a27OracleSql,
     "a28_seg_contingency" -> ArrayOps.a28OracleSql,
     "a29_blur" -> ArrayOps.a29OracleSql,
+    "a30_zonemap" -> ArrayOps.a30OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -532,6 +532,64 @@ object ArrayOps {
       .orderBy(col("label"))
   }
 
+  /** Zone-map chunk skipping under the oracle gate (a30) — parquet's
+    * row-group statistics idea applied to the chunk store: a per-chunk
+    * (vmin, vmax) relation is built once ([[graft.volume.Volume
+    * .chunkStats]] — chunk-grain, megabytes at petavoxel scale) and
+    * PERSISTED as the at-rest index; a threshold scan
+    * ([[graft.volume.Volume.toVoxelsAtLeast]] — bright-spot detection,
+    * label presence) then fetches ONLY chunks whose vmax admits a match.
+    * The fixture makes pruning real: half the chunks are uniform
+    * background (vmax = 5, skipped at t = 50), half carry bright varied
+    * data — so the scan touches 4 of 8 blobs, and VolumeSpec proves the
+    * "never fetched" claim by DELETING the pruned blobs and scanning
+    * anyway. The oracle replays the predicate over the full voxel dump —
+    * pruning must be invisible in the answer (the q28/q30/q36
+    * discipline: the optimization may never change the result). */
+  def a30_zonemap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a30").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val dark = ((x - 1) / 32 + (y - 1) / 32 + (z - 1) / 4) % 2 == 0
+          val v = if (dark) 5L else 100L + (x * 13 + y * 29 + z * 41) % 100
+          buf.setLong(x - 1, y - 1, z - 1, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    val dump = s"$voxelDumpRoot/a30"
+    vol.toVoxels(box)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(dump)
+    // the at-rest zone-map artifact: built once, read back per query
+    val statsPath = s"${Similarity.OracleDumpRoot}/a30_stats"
+    vol.chunkStats(box).write.mode("overwrite").parquet(statsPath)
+    vol.toVoxelsAtLeast(box, 50L, Some(spark.read.parquet(statsPath)))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(LongType)).as("sv"))
+  }
+
+  /** Oracle twin of [[a30_zonemap]]: the same threshold predicate over the
+    * FULL voxel dump — chunk skipping must be invisible. */
+  def a30OracleSql: String =
+    s"""SELECT z, count(*) AS n, CAST(sum(value) AS BIGINT) AS sv
+       |FROM read_parquet('$voxelDumpRoot/a30/*.parquet')
+       |WHERE value >= 50 GROUP BY z""".stripMargin
+
   /** Halo-exchange box blur under the oracle gate (a29) — the smoothing /
     * noise-reduction stencil every imaging QC pipeline runs, and the
     * VALUE-carrying member of the halo-exchange family (a17 dilation

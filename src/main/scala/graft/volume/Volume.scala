@@ -917,6 +917,110 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk ZONE-MAP statistics — the parquet-footer idea applied to
+    * the chunk store: one (cx, cy, cz, vmin, vmax, n) row per chunk of
+    * `query`, from one decode pass. Built ONCE (an ingest-time or
+    * maintenance artifact — chunk-grain, so petavoxel volumes yield a
+    * megabyte-scale relation), it lets predicate scans skip whole chunks
+    * without fetching them ([[toVoxelsAtLeast]]). Missing chunks report
+    * (0, 0) under fillMissing. Integer single-channel volumes only. */
+  def chunkStats(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "chunkStats: single-channel volumes only")
+    require(c.dataType != graft.core.Meta.TFloat32 && c.dataType != graft.core.Meta.TFloat64,
+      "chunkStats: integer volumes only")
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("vmin", LongType, nullable = false),
+      StructField("vmax", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.map { s =>
+          val cut = s.cutoutBox
+          val nTot = cut.x.len.toLong * cut.y.len * cut.z.len
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Row(cx, cy, cz, 0L, 0L, nTot)
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var z = cut.z.lo
+              while (z <= cut.z.hi) {
+                var y = cut.y.lo
+                while (y <= cut.y.hi) {
+                  var x = cut.x.lo
+                  while (x <= cut.x.hi) {
+                    val v = b.getLong(x - b.origin._1, y - b.origin._2, z - b.origin._3, 0)
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    x += 1
+                  }
+                  y += 1
+                }
+                z += 1
+              }
+              Row(cx, cy, cz, mn, mx, nTot)
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
+  /** Zone-map-PRUNED predicate scan: voxels of `query` with `value ≥ t`,
+    * reading ONLY chunks whose [[chunkStats]] `vmax` admits a match — the
+    * chunk-store analogue of parquet row-group skipping, the difference
+    * between touching every blob and touching the qualifying few when a
+    * threshold query (bright-spot detection, label presence) is selective.
+    * Pass a pre-built `stats` relation to reuse the at-rest artifact (the
+    * production shape — stats built once at ingest, served to every
+    * query); by default the stats pass runs inline. The surviving task
+    * list joins chunk tasks BROADCAST (stats are chunk-grain metadata,
+    * megabytes at petavoxel scale), and pruned chunks are never fetched
+    * (spec-proven: deleting them from the store does not disturb the
+    * pruned scan). Integer single-channel volumes only. */
+  def toVoxelsAtLeast(query: Box, t: Long, stats: Option[DataFrame] = None): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "toVoxelsAtLeast: single-channel volumes only")
+    val kept = stats.getOrElse(chunkStats(query))
+      .filter(col("vmax") >= t).select(col("cx"), col("cy"), col("cz"))
+    val tasks = chunkTasks(query)
+      .join(org.apache.spark.sql.functions.broadcast(kept), Seq("cx", "cy", "cz"))
+    val schema = voxelSchema
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val qbox = query
+    tasks.as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).toSeq.flatMap { s =>
+          val bufOpt = c.fetchChunk(fs, s) match {
+            case Some(blob) => Some(c.decodeChunk(s, blob))
+            case None if c.fillMissing => None
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+          }
+          val cut = s.cutoutBox
+          for {
+            z <- (cut.z.lo to cut.z.hi).iterator
+            y <- (cut.y.lo to cut.y.hi).iterator
+            x <- (cut.x.lo to cut.x.hi).iterator
+            lv = bufOpt match {
+              case Some(b) => b.getLong(x - b.origin._1, y - b.origin._2, z - b.origin._3, 0)
+              case None => 0L
+            }
+            if lv >= t
+          } yield Row(x, y, z, 0, Volume.widenedOf(c.dataType, lv))
+        }
+      }
+    })(rowEnc)
+  }
+
   /** Per-chunk box-BLUR partials (6-connectivity boundary-aware mean) —
     * the VALUE-carrying member of the halo-exchange family (dilation's
     * halo carries growth, erosion's carries presence proofs, contacts'
@@ -1560,6 +1664,17 @@ object Volume {
       case TFloat32 => b.getDouble(x, y, z, c).toFloat
       case TFloat64 => b.getDouble(x, y, z, c)
     }
+
+  /** The widened representation of an integer voxel value (the
+    * [[widenedValue]] mapping for a value already read as Long; integer
+    * types only — float/u64 callers read through the buffer). */
+  def widenedOf(t: VoxelType, v: Long): Any = t match {
+    case TBool => v != 0L
+    case TUInt8 => v.toShort
+    case TUInt16 => v.toInt
+    case TUInt32 => v
+    case other => throw new IllegalArgumentException(s"widenedOf: integer types only, got $other")
+  }
 
   def zeroValue(t: VoxelType): Any = t match {
     case TBool => false

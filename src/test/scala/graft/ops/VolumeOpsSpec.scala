@@ -216,6 +216,58 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(argZ.distinct.length > 1)
   }
 
+  test("a30 zone map: pruned scan equals filtered full scan and never fetches pruned blobs") {
+    import org.apache.spark.sql.functions._
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val root = SparkSuite.tempDir("graft-a30spec")
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    for (z <- 1 to 8; y <- 1 to 64; x <- 1 to 64) {
+      val dark = ((x - 1) / 32 + (y - 1) / 32 + (z - 1) / 4) % 2 == 0
+      buf.setLong(x - 1, y - 1, z - 1, 0,
+        if (dark) 5L else 100L + (x * 13 + y * 29 + z * 41) % 100)
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    val stats = vol.chunkStats(box).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(stats.size == 8)
+    assert(stats.values.count(_._2 == 5L) == 4, "4 uniform-dark chunks")
+    assert(stats.values.count(_._2 >= 100L) == 4, "4 bright chunks")
+    // persist the zone map BEFORE any store mutation — the at-rest artifact
+    val statsPath = SparkSuite.tempDir("graft-a30spec-stats")
+    vol.chunkStats(box).write.mode("overwrite").parquet(statsPath)
+    val statsDf = spark.read.parquet(statsPath)
+    val want = vol.toVoxels(box).filter(col("value") >= 50)
+      .select(col("x"), col("y"), col("z"), col("value").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val got = vol.toVoxelsAtLeast(box, 50L)
+      .select(col("x"), col("y"), col("z"), col("value").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the "never fetched" proof: delete the dark blobs, reopen strict
+    // (fillMissing = false) — the pruned scan must not notice, a full
+    // scan must fail loudly
+    val pruned = stats.filter(_._2._2 < 50L).keys.toSet
+    val dir = java.nio.file.Paths.get(root, "1_1_1")
+    java.nio.file.Files.list(dir).forEach { p =>
+      val name = p.getFileName.toString.stripSuffix(".gz")
+      val Array(xs, ys, zs) = name.split("_")
+      val cx = xs.split("-")(0).toInt / 32 + 1
+      val cy = ys.split("-")(0).toInt / 32 + 1
+      val cz = zs.split("-")(0).toInt / 4 + 1
+      if (pruned.contains((cx, cy, cz))) java.nio.file.Files.delete(p)
+    }
+    val strict = Volume.open(spark, root, fillMissing = false)
+    val gotAfter = strict.toVoxelsAtLeast(box, 50L, Some(statsDf))
+      .select(col("x"), col("y"), col("z"), col("value").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotAfter == want, "pruned blobs were never needed")
+    assertThrows[org.apache.spark.SparkException](strict.toVoxels(box).count())
+  }
+
   test("a29 halo blur equals the brute-force boundary-aware floor mean") {
     val got = ArrayOps.a29_blur(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
