@@ -272,6 +272,7 @@ object SparkEntry {
     // null-fill, distinguishing "not yet scored" from "scored zero"
     "c15_schema_evolution" -> (Corpus.schemaEvolution _),
     "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8)),
+    "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -341,6 +342,7 @@ object SparkEntry {
     // presuppose): foreachBatch anti-join + append, zero streaming state
     "e14_stream_index" -> (EventStreams.indexMaintainOnce _),
     "e15_dual_sink" -> (EventStreams.dualSinkOnce _),
+    "e16_idempotent_sink" -> (EventStreams.idempotentSinkOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -599,6 +601,7 @@ object SparkEntry {
     "c14_jsonl_ingest" -> Corpus.jsonlIngestOracleSql,
     "c15_schema_evolution" -> Corpus.schemaEvolutionOracleSql,
     "c16_split_leakage" -> splitLeakageOracle,
+    "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -679,6 +682,7 @@ object SparkEntry {
     "e13_stream_anomaly" -> EventStreams.rateAnomalyOracleSql,
     "e14_stream_index" -> EventStreams.indexMaintainOracleSql,
     "e15_dual_sink" -> EventStreams.dualSinkOracleSql,
+    "e16_idempotent_sink" -> EventStreams.idempotentSinkOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -86,6 +86,48 @@ object Corpus {
         count_distinct(col("doc_lo")).as("n_docs_lo"),
         count_distinct(col("doc_hi")).as("n_docs_hi"))
 
+  /** Seeded epoch shuffle (c17) — reproducible training data ORDER: for
+    * each epoch, every document gets a deterministic position hash
+    * `md5(epoch || ':' || doc_id)`, is routed to a shard by the hash's
+    * leading hex digit, and is ordered within its shard by the full hash —
+    * the layout a multi-epoch training run reads sequentially. Unlike
+    * `orderBy(rand())`, the permutation is a PURE FUNCTION of
+    * (epoch, doc_id): re-running a crashed epoch reproduces byte-identical
+    * shards, and different epochs decorrelate. The gate hashes each
+    * shard's ORDERED doc_id sequence, so any nondeterminism or order drift
+    * fails cross-engine.
+    *
+    * Scale shape: hashing and routing are row-local; at 100 TB the
+    * within-shard order is realized as `repartition(shard)` +
+    * `sortWithinPartitions(h)` at write time (one shuffle — the shuffle IS
+    * the epoch permutation); the gate folds each shard's order into one
+    * md5 via a bounded per-shard sort (shards are corpus/16 here). */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2): DataFrame = {
+    val e = docs.select(col("doc_id"))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(0, epochs).select(col("id").cast("int").as("epoch"))))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", (conv(substring(col("h"), 1, 1), 16, 10) % 16).cast(LongType))
+    e.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("order_md5"))
+  }
+
+  /** DuckDB oracle twin of [[epochShuffle]] — same hash, routing, and
+    * ordered fold. */
+  def epochShuffleOracleSql(epochs: Int = 2): String =
+    s"""WITH e AS (SELECT d.doc_id, ep.epoch,
+       |            md5(CAST(ep.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+       |           FROM documents d,
+       |                (SELECT unnest(range(0, $epochs)) AS epoch) ep),
+       | s AS (SELECT epoch, CAST(CAST('0x' || substr(h, 1, 1) AS INTEGER) % 16 AS BIGINT) AS shard,
+       |        h, doc_id FROM e)
+       |SELECT CAST(epoch AS INT) AS epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       | md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY h, doc_id), ',')) AS order_md5
+       |FROM s GROUP BY epoch, shard""".stripMargin
+
   /** Greedy sequence packing: documents are concatenated in deterministic
     * order within each `source` shard and cut into fixed token budgets —
     * the standard pre-training layout (a document starting in pack `p` may

@@ -375,6 +375,50 @@ object EventStreams {
       .groupBy(col("sink"), col("source")).agg(count(lit(1)).as("n"))
   }
 
+  /** Idempotent per-batch sink (e16) — the exactly-once WRITE discipline
+    * e14/e15 document as "production hardening", now implemented and
+    * gated: each micro-batch lands in its OWN `batch=<id>` subdirectory
+    * with `overwrite` semantics, so a RETRIED batch (fetch failure,
+    * executor loss, driver restart replaying from the checkpoint)
+    * replaces its previous attempt instead of double-appending — the
+    * parquet-sink idempotence rule every foreachBatch pipeline needs.
+    * The drive PROVES it: the same bounded stream runs TWICE into the
+    * same target (fresh checkpoints → identical deterministic batch ids —
+    * a worst-case full replay), and the gate folds the final sink
+    * against the ONE-pass batch oracle: any append-instead-of-overwrite
+    * doubles every count and fails the hash. Zero streaming state; the
+    * sink layout IS the memory. */
+  def idempotentSinkOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val sink = java.nio.file.Files.createTempDirectory("graft-e16-sink").toString
+    def driveOnce(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(s"$dir/documents*.parquet")
+      val toks = stream.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val name = s"stream_idemsink_${System.nanoTime()}"
+      withFewStatePartitions(spark, 8) {
+        val q = toks.writeStream.outputMode(OutputMode.Append)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+          }
+          .queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    driveOnce()
+    driveOnce() // the simulated full retry — must be absorbed, not appended
+    spark.read.parquet(sink)
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_sum"))
+  }
+
+  /** DuckDB oracle twin of [[idempotentSinkOnce]]: the ONE-pass fold — a
+    * doubled sink cannot match. */
+  def idempotentSinkOracleSql: String =
+    """SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tok_sum
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** DuckDB oracle twin of [[dualSinkOnce]]: the batch t16 replay routed
     * to sink labels — matches only if the split was exhaustive, exclusive,
     * and nothing was lost or duplicated across the two destinations. */

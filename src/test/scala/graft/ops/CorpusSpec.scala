@@ -256,6 +256,23 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("c17 epoch shuffle: total, reproducible, epochs decorrelated") {
+    def run() = Corpus.epochShuffle(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    val a = run(); val b = run()
+    assert(a == b, "the permutation must be a pure function of (epoch, doc_id)")
+    val n = docs.count()
+    (0 to 1).foreach { ep =>
+      assert(a.collect { case ((e, _), (cnt, _)) if e == ep => cnt }.sum == n,
+        s"epoch $ep must route every document exactly once")
+    }
+    // different epochs produce different shard contents/orders
+    val e0 = a.collect { case ((0, sh), (_, h)) => sh -> h }.toMap
+    val e1 = a.collect { case ((1, sh), (_, h)) => sh -> h }.toMap
+    assert(e0.keySet.intersect(e1.keySet).exists(sh => e0(sh) != e1(sh)),
+      "epoch permutations must decorrelate")
+  }
+
   test("t24 lang consistency flags every cross-language injection") {
     val rows = TextOps.langConsistency(docs).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4)))

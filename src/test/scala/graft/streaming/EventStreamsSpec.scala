@@ -225,6 +225,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.keys.exists(_._1 == "keep") && streamed.keys.exists(_._1 == "reject"))
   }
 
+  test("e16 idempotent sink: the doubled drive is absorbed, not appended") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = EventStreams.idempotentSinkOnce(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the gate ran the stream TWICE into one sink; totals must be ONE pass
+    assert(out.values.map(_._1).sum == docs.count(),
+      "a retried batch must overwrite its subdir, never double-append")
+    val want = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "\\s+")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0) % 10, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(out == want)
+  }
+
   test("stateful streaming sessionization matches the batch window version") {
     import EventStreams.{Ev, UserSessions}
     // drive the stateful operator through a real streaming query (memory
