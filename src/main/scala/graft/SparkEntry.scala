@@ -273,6 +273,7 @@ object SparkEntry {
     "c15_schema_evolution" -> (Corpus.schemaEvolution _),
     "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8)),
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
+    "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -602,6 +603,7 @@ object SparkEntry {
     "c15_schema_evolution" -> Corpus.schemaEvolutionOracleSql,
     "c16_split_leakage" -> splitLeakageOracle,
     "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
+    "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -382,6 +382,67 @@ object Corpus {
        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
        |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $evalMod <> 0""".stripMargin
+
+  /** FUZZY benchmark decontamination (c18) — the near-duplicate
+    * complement to [[decontaminate]]: c3 flags exact shared n-grams, but a
+    * lightly edited eval passage (re-punctuated, words swapped) slips
+    * through exact matching while still leaking the answer — the screen
+    * GPT-3/PaLM-style audits run with fuzzy matching. Each training
+    * document is tested for whole-document near-identity (MinHash-LSH at
+    * `minJ`, the d3 signature scheme with its ≈1-recall argument at
+    * j ≥ 0.8) against the eval set.
+    *
+    * Scale shape: the eval side is benchmark-sized, so its band index and
+    * shingle sets BROADCAST (the c3 principle lifted to LSH); the corpus
+    * is signed row-locally and probes the eval bands map-side — the only
+    * corpus-grain exchange is the final per-document fold. Exact Jaccard
+    * verification touches band collisions only (the d-series rule). */
+  def fuzzyDecontam(spark: SparkSession, dir: String,
+      evalMod: Int = 97, minJ: Double = 0.8): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalSig = Tables.materialize(
+      Dedup.signaturesWithSets(Dedup.shingles(docs.filter(isEval))))
+    val trainSig = Tables.materialize(
+      Dedup.signaturesWithSets(Dedup.shingles(docs.filter(!isEval))))
+    val cand = Dedup.bands(trainSig).as("x")
+      .join(broadcast(Dedup.bands(evalSig)).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("train_id"), col("y.doc_id").as("eval_id"))
+      .distinct()
+    val pairs = Dedup.verifyJaccard2(cand, trainSig, evalSig, minJ, "train_id", "eval_id")
+    val agg = pairs.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jac")).as("max_jac"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(agg.withColumnRenamed("train_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("max_jac"), lit(0.0)).as("max_jac"))
+      .withColumn("fuzzy_contaminated", col("n_eval_matches") > 0)
+  }
+
+  /** DuckDB oracle twin of [[fuzzyDecontam]] — the EXACT train × eval
+    * Jaccard pair set at the threshold (the d3/d8 oracle argument: LSH
+    * recall ≈ 1 at j ≥ 0.8, and verification is exact), folded per
+    * training document. */
+  def fuzzyDecontamOracleSql(evalMod: Int = 97, minJ: Double = 0.8): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | t3 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       | sh0 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) AS s FROM t3),
+       | sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       | ip AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.s = b.s
+       |        WHERE a.doc_id % $evalMod <> 0 AND b.doc_id % $evalMod = 0 GROUP BY 1, 2),
+       | jp AS (SELECT train_id, eval_id,
+       |         round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 4) AS jac
+       |        FROM ip JOIN sizes za ON train_id = za.doc_id JOIN sizes zb ON eval_id = zb.doc_id),
+       | f AS (SELECT train_id, count(*) AS n, max(jac) AS mj
+       |       FROM jp WHERE jac >= $minJ GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(f.n, 0) AS BIGINT) AS n_eval_matches,
+       | COALESCE(f.mj, 0.0) AS max_jac, COALESCE(f.n, 0) > 0 AS fuzzy_contaminated
+       |FROM documents d LEFT JOIN f ON d.doc_id = f.train_id
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
 
   /** Corpus-health report: per-source document counts, token totals,

@@ -110,7 +110,7 @@ object Dedup {
     * `ngramPairCtes` oracle), generalized over two set relations so the
     * self-join paths (d2/d3: both sides the same relation) and the
     * delta-vs-corpus path (d8) share it. */
-  private def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+  private[ops] def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
       minJ: Double, aCol: String, bCol: String): DataFrame =
     verifyJaccardInline(
       cand.join(setsA.select(col("doc_id").as(aCol), col("shs").as("sha"), col("sz").as("sza")),
@@ -270,7 +270,7 @@ object Dedup {
     * out of ONE pass over the shingle relation (the heaviest input at
     * corpus scale). Kept separate from [[signatures]] so the bands-only
     * path never shuffles the shingle arrays. */
-  private def signaturesWithSets(shingleDf: DataFrame): DataFrame = {
+  private[ops] def signaturesWithSets(shingleDf: DataFrame): DataFrame = {
     val sh = shingleDf.withColumn("h31", pmod(xxhash64(col("shingle")), lit(MersennePrime)))
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
       min(pmod(lit(hashA(i)) * col("h31") + lit(hashB(i)), lit(MersennePrime))).as(s"m$i")

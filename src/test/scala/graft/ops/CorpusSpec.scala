@@ -256,6 +256,25 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("c18 fuzzy decontam flags the planted near-verbatim eval leaks, and only those") {
+    val rows = Corpus.fuzzyDecontam(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // exact brute force: train docs with 3-gram Jaccard >= 0.8 to any eval doc
+    val sh = docs.collect().map { r =>
+      val toks = r.getString(1).split("\\s+")
+      r.getLong(0) -> toks.sliding(3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val evalIds = sh.keys.filter(_ % 97 == 0).toSet
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+    val wantFlagged = sh.keys.filterNot(evalIds).filter { id =>
+      evalIds.exists(e => math.rint(jac(sh(id), sh(e)) * 10000) / 10000 >= 0.8)
+    }.toSet
+    assert(rows.filter(_._4).map(_._1).toSet == wantFlagged)
+    assert(wantFlagged.nonEmpty, "the screen must be non-vacuous on this corpus")
+    rows.filter(_._4).foreach { case (_, n, mj, _) => assert(n >= 1 && mj >= 0.8) }
+  }
+
   test("c17 epoch shuffle: total, reproducible, epochs decorrelated") {
     def run() = Corpus.epochShuffle(docs).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
