@@ -64,6 +64,7 @@ object SparkEntry {
     "q35_retention" -> (Relational.q35_retention _),
     "q36_dpp_join" -> (Relational.q36_dpp_join _),
     "q37_scd2" -> (Relational.q37_scd2 _),
+    "q38_observe" -> (Relational.q38_observe _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "s20_dim_stats" -> (Similarity.dimStats _),
     "s21_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "s22_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "s23_whiten_qc" -> (Similarity.whitenQc _),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -516,6 +518,7 @@ object SparkEntry {
     "q35_retention" -> Relational.q35OracleSql,
     "q36_dpp_join" -> Relational.q36OracleSql,
     "q37_scd2" -> Relational.q37OracleSql,
+    "q38_observe" -> Relational.q38OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -622,6 +625,7 @@ object SparkEntry {
     "s20_dim_stats" -> Similarity.dimStatsOracleSql,
     "s21_knn_graph" -> Similarity.knnGraphOracleSql(),
     "s22_ivf_balance" -> Similarity.ivfBalanceOracleSql(),
+    "s23_whiten_qc" -> Similarity.whitenQcOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

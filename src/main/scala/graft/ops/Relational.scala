@@ -641,6 +641,44 @@ object Relational {
       |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
       |GROUP BY 1""".stripMargin
 
+  /** In-flight observed metrics (q38) — `Dataset.observe`: the QA
+    * counters a production job computes FOR FREE while doing its real
+    * work (row counts, mass totals, anomaly tallies ride the same pass —
+    * no second scan, no separate monitoring job; at 100 TB a dedicated
+    * metrics scan costs as much as the job itself). The observation
+    * attaches to the lineitem scan feeding an ordinary aggregate; the
+    * metrics arrive on the driver via the observation callback when that
+    * job runs, and the gate checks them against a plain-SQL oracle — so
+    * the "free" counters are verified to equal what a dedicated pass
+    * would have computed. */
+  def q38_observe(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation(s"q38_${System.nanoTime()}")
+    val li = t(spark, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_sum"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"))
+    // the real work the metrics ride on (its result is independent)
+    li.groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("qty_sum").asInstanceOf[java.math.BigDecimal].doubleValue,
+      m("n_disc").asInstanceOf[Long]))
+      .toDF("n_rows", "qty_sum", "n_disc")
+      // the repo-wide presentation rounding (outd), applied through the
+      // engine so rounding semantics match every other gated double
+      .withColumn("qty_sum", outd(col("qty_sum")))
+  }
+
+  /** DuckDB oracle twin of [[q38_observe]] — the dedicated-pass
+    * aggregates the observation must equal. */
+  def q38OracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 3) AS qty_sum,
+      | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+      |FROM lineitem""".stripMargin
+
   /** SCD-2 interval build (q37) — the slowly-changing-dimension shape
     * every warehouse derives from a change log: each event opens a
     * validity interval `[valid_from, valid_to)` that the user's NEXT

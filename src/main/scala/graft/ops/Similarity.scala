@@ -1296,6 +1296,58 @@ object Similarity {
        | round(CAST(coalesce(k.n_vecs, 0) AS DOUBLE) * $nlist / t.tot, 4) AS load_factor
        |FROM c LEFT JOIN k ON c.cluster = k.cluster, t""".stripMargin
 
+  /** Embedding whitening (s23) — APPLYING the s20 fit: every vector is
+    * mean-centered and variance-normalized per coordinate,
+    * `w_i = (x_i − μ_i) / max(σ_i, ε)` — the standard preprocessing
+    * before PCA/linear probes, and the fix for the mean-offset /
+    * scale-imbalance pathologies s20 detects. The gate emits per-vector
+    * QC of the WHITENED vectors (dim count, L2 norm, max |w|): a vector
+    * of per-dim z-scores whose norm² ≈ nDims is the expected signature,
+    * so a wrong μ/σ application shifts every row.
+    *
+    * Scale shape: the fit is the s20 relation (dim-grain, rounded to the
+    * gate's own 4-decimal constants — fit and application share ONE
+    * artifact cross-engine); it broadcasts onto the posexploded corpus
+    * and the per-vector fold is map-side combined with the s10 decimal
+    * discipline (each w² rounds to DECIMAL(18,8) before summing, so
+    * partial order can't move the hash). */
+  def whitenQc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val fit = dimStats(spark, dir).select(col("pos"), col("mean"), col("std"))
+    val d = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        col("v0").cast(DoubleType).as("v"))
+    d.join(broadcast(fit), Seq("pos"))
+      .withColumn("w", (col("v") - col("mean")) / greatest(col("std"), lit(1e-6)))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nd"),
+        sum(round(col("w") * col("w"), 8).cast(dec)).as("sq"),
+        max(abs(col("w"))).as("mx"))
+      .select(col("vec_id"), col("nd"),
+        round(sqrt(col("sq").cast(DoubleType)), 4).as("wnorm"),
+        round(col("mx"), 4).as("wmax"))
+  }
+
+  /** DuckDB oracle twin of [[whitenQc]] — the s20 fit CTE feeding the
+    * same application expression, decimal fold, and finals. */
+  def whitenQcOracleSql: String =
+    s"""WITH fit AS (${dimStatsOracleSql.replace("\n", "\n      ")}),
+       | d AS (SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+       |        SELECT vec_id, unnest([{'pos': i - 1, 'v': embedding[i]}
+       |                               FOR i IN range(1, len(embedding) + 1)]) AS u
+       |        FROM embeddings)),
+       | w AS (SELECT d.vec_id, (d.v - fit.mean) / greatest(fit.std, 1e-6) AS w
+       |       FROM d JOIN fit ON d.pos = fit.pos),
+       | f AS (SELECT vec_id, count(*) AS nd,
+       |        sum(CAST(round(w * w, 8) AS DECIMAL(18,8))) AS sq,
+       |        max(abs(w)) AS mx
+       |       FROM w GROUP BY vec_id)
+       |SELECT vec_id, CAST(nd AS BIGINT) AS nd,
+       | round(sqrt(CAST(sq AS DOUBLE)), 4) AS wnorm,
+       | round(mx, 4) AS wmax
+       |FROM f""".stripMargin
+
   /** k-NN graph construction (s21) — top-k cosine neighbors for EVERY
     * corpus vector (directed edges), the build step graph-based methods
     * consume: SemDeDup++-style agglomeration, label propagation over

@@ -686,6 +686,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s23 whitening: z-score norms cluster at sqrt(d); driver recomputation agrees") {
+    import org.apache.spark.sql.functions.col
+    val fit = Similarity.dimStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = Similarity.whitenQc(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == emb.size)
+    val d = emb.head._2.length
+    got.foreach { case (id, (nd, wnorm, wmax)) =>
+      assert(nd == d)
+      val w = emb(id).zipWithIndex.map { case (v, p) =>
+        val (m, s) = fit(p.toLong); (v - m) / math.max(s, 1e-6)
+      }
+      assert(math.abs(wnorm - math.sqrt(w.map(x => x * x).sum)) < 1e-3, s"vec $id norm")
+      assert(math.abs(wmax - w.map(math.abs).max) < 1e-3, s"vec $id max")
+    }
+    // the population-level signature of correct whitening: mean norm^2 = d
+    val meanSq = got.values.map(v => v._2 * v._2).sum / got.size
+    assert(math.abs(meanSq - d) < d * 0.05, s"mean whitened norm^2 $meanSq vs d=$d")
+  }
+
   test("s22 IVF balance: totals conserve, load factors average 1, dump drives assignment") {
     import org.apache.spark.sql.functions.col
     val rows = Similarity.ivfBalance(spark, dir).collect()

@@ -20,6 +20,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 observed metrics equal a dedicated aggregation pass") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q38_observe(spark, dir).head()
+    val want = Tables.t(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 3).as("q"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("d"))
+      .head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getDouble(1) == want.getDouble(1))
+    assert(got.getLong(2) == want.getLong(2))
+    assert(got.getLong(2) > 0 && got.getLong(2) < got.getLong(0), "discriminating counter")
+  }
+
   test("q37 SCD2 intervals tile each user's history with one current row") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q37_scd2(spark, dir).collect()
