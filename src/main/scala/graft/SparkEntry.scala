@@ -346,6 +346,7 @@ object SparkEntry {
     "e14_stream_index" -> (EventStreams.indexMaintainOnce _),
     "e15_dual_sink" -> (EventStreams.dualSinkOnce _),
     "e16_idempotent_sink" -> (EventStreams.idempotentSinkOnce _),
+    "e17_stream_media" -> (Multimodal.mediaStreamOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -689,6 +690,7 @@ object SparkEntry {
     "e14_stream_index" -> EventStreams.indexMaintainOracleSql,
     "e15_dual_sink" -> EventStreams.dualSinkOracleSql,
     "e16_idempotent_sink" -> EventStreams.idempotentSinkOracleSql,
+    "e17_stream_media" -> Multimodal.mediaStreamOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

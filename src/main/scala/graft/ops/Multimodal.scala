@@ -1212,6 +1212,62 @@ object Multimodal {
        |FROM vs JOIN v0 USING (doc_id)""".stripMargin
   }
 
+  /** STREAMING media ingest (e17, registered with the e-series — the
+    * m7 × e-series composition): real engine-encoded `.wav` files are
+    * discovered by a `binaryFile` FILE STREAM (the landing-directory
+    * pattern — media arrives as files, the pipeline tails the directory),
+    * each micro-batch decodes row-locally through the REAL WAV codec
+    * (`pathGlobFilter` confines the stream to audio), and integer energy
+    * masses fold into a per-bucket report. Zero streaming state on the
+    * decode path (the e9 principle — a decode needs no history); the only
+    * state is the report aggregate on a DOMAIN-bounded key (5 buckets).
+    * The oracle replays the closed-form PCM synthesis: it can only match
+    * if files → stream → container parse → samples survived bit-exact. */
+  def mediaStreamOnce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val fixture = mediaFixtureDir(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    implicit val outEnc = Encoders.product[(Long, Long, Long)]
+    val decoded = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").schema(schema).load(fixture)
+      .select(col("path"), col("content"))
+      .as(Encoders.product[(String, Array[Byte])])
+      .mapPartitions(_.map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val id = name.substring(0, name.lastIndexOf('.')).toLong
+        val (smp, _, _, _) = wavDecode(bytes)
+        var e = 0L
+        var i = 0
+        while (i < smp.length) { e += smp(i).toLong * smp(i); i += 1 }
+        (id, smp.length.toLong, e)
+      })
+      .toDF("doc_id", "n_samples", "energy")
+    val agg = decoded.groupBy((col("doc_id") % 5).as("bucket"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_samples")).as("n_samples"),
+        sum(col("energy")).as("energy"))
+    val qname = s"stream_media_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
+  /** DuckDB oracle twin of [[mediaStreamOnce]]: the m7 audio construction
+    * folded per bucket. */
+  def mediaStreamOracleSql: String =
+    s"""WITH aud AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n,
+       |        [ ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |          FOR i IN range(0, CAST(400 + (doc_id % 97) * 8 AS BIGINT)) ] AS smp
+       |       FROM documents WHERE doc_id < $IngestDocCount AND doc_id % 3 = 1)
+       |SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_files,
+       | CAST(sum(n) AS BIGINT) AS n_samples,
+       | CAST(sum(list_sum(list_transform(smp, x -> x * x))) AS BIGINT) AS energy
+       |FROM aud GROUP BY 1""".stripMargin
+
   // ---------------- perceptual image dedup (m8) ----------------
 
   /** 64-bit block-mean average hash (aHash) of a decoded grayscale raster:

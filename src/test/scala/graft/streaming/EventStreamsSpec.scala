@@ -225,6 +225,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.keys.exists(_._1 == "keep") && streamed.keys.exists(_._1 == "reject"))
   }
 
+  test("e17 streaming media ingest matches the batch m7 audio slice") {
+    import graft.ops.Multimodal
+    val streamed = Multimodal.mediaStreamOnce(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch truth: the m7 ingest's audio rows, folded the same way
+    val batch = Multimodal.modalIngest(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("modality") === "audio")
+      .collect().map(r => (r.getLong(0) % 5, r.getLong(5), r.getLong(6)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum, v.map(_._3).sum)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.map(_._1).sum == 10, "all ten wav files streamed")
+  }
+
   test("e16 idempotent sink: the doubled drive is absorbed, not appended") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = EventStreams.idempotentSinkOnce(spark, dir).collect()
