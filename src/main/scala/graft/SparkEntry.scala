@@ -183,6 +183,7 @@ object SparkEntry {
     "s21_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "s22_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
     "s23_whiten_qc" -> (Similarity.whitenQc _),
+    "s24_covariance" -> (Similarity.covarianceMatrix _),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -627,6 +628,7 @@ object SparkEntry {
     "s21_knn_graph" -> Similarity.knnGraphOracleSql(),
     "s22_ivf_balance" -> Similarity.ivfBalanceOracleSql(),
     "s23_whiten_qc" -> Similarity.whitenQcOracleSql,
+    "s24_covariance" -> Similarity.covarianceOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

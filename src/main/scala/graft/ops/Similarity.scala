@@ -1348,6 +1348,57 @@ object Similarity {
        | round(mx, 4) AS wmax
        |FROM f""".stripMargin
 
+  /** Distributed covariance matrix (s24) — the PCA / whitening-fit
+    * primitive: the upper triangle of the mean-centered coordinate
+    * covariance, `cov(i,j) = Σ_v (x_i−μ_i)(x_j−μ_j) / n`, with μ from
+    * the s20 fit (one shared artifact across s20/s23/s24). The diagonal
+    * reproduces s20's variances (spec-pinned); off-diagonal structure is
+    * what a PCA rotation or ZCA whitening consumes.
+    *
+    * Scale shape: the (vec, dim, value) relation self-joins on vec_id
+    * (equi — each vector pairs only with itself) to form per-vector cell
+    * terms, which reduce map-side-combined at (i, j) grain: the exchange
+    * carries dim²/2 partial sums, never vectors. Each term rounds to
+    * DECIMAL(18,8) before summing (the s10 discipline), so
+    * partial-aggregation order cannot move the hash. d = 64 here; for
+    * large d the same plan emits the (i, j) grid from a per-partition
+    * outer-product accumulator — the cell grain and exchange are
+    * identical. */
+  def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val fit = dimStats(spark, dir).select(col("pos"), col("mean"))
+    val d = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        col("v0").cast(DoubleType).as("v"))
+      .join(broadcast(fit), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("v") - col("mean")).as("c"))
+    val a = d.select(col("vec_id"), col("pos").as("i"), col("c").as("ci"))
+    val b = d.select(col("vec_id"), col("pos").as("j"), col("c").as("cj"))
+    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("ci") * col("cj"), 8).cast(dec)).as("s"))
+      .select(col("i"), col("j"),
+        round(col("s").cast(DoubleType) / col("n"), 6).as("cov"))
+  }
+
+  /** DuckDB oracle twin of [[covarianceMatrix]] — the s20 fit CTE, the
+    * same centered self-pairing, decimal terms, and finals. */
+  def covarianceOracleSql: String =
+    s"""WITH fit AS (${dimStatsOracleSql.replace("\n", "\n      ")}),
+       | d AS (SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+       |        SELECT vec_id, unnest([{'pos': i - 1, 'v': embedding[i]}
+       |                               FOR i IN range(1, len(embedding) + 1)]) AS u
+       |        FROM embeddings)),
+       | c AS (SELECT d.vec_id, d.pos, d.v - fit.mean AS c
+       |       FROM d JOIN fit ON d.pos = fit.pos),
+       | p AS (SELECT a.pos AS i, b.pos AS j,
+       |        CAST(round(a.c * b.c, 8) AS DECIMAL(18,8)) AS term
+       |       FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos),
+       | g AS (SELECT i, j, count(*) AS n, sum(term) AS s FROM p GROUP BY i, j)
+       |SELECT i, j, round(CAST(s AS DOUBLE) / n, 6) AS cov FROM g""".stripMargin
+
   /** k-NN graph construction (s21) — top-k cosine neighbors for EVERY
     * corpus vector (directed edges), the build step graph-based methods
     * consume: SemDeDup++-style agglomeration, label propagation over

@@ -686,6 +686,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s24 covariance: diagonal reproduces s20 variances; symmetry by construction") {
+    import org.apache.spark.sql.functions.col
+    val cov = Similarity.covarianceMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val nDim = 64
+    assert(cov.size == nDim * (nDim + 1) / 2, "full upper triangle")
+    val stats = Similarity.dimStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    (0 until nDim).foreach { i =>
+      val varFromStd = stats(i.toLong) * stats(i.toLong)
+      assert(math.abs(cov((i.toLong, i.toLong)) - varFromStd) < 2e-3,
+        s"diag $i: ${cov((i.toLong, i.toLong))} vs std² $varFromStd")
+    }
+    // driver brute force on a few off-diagonal cells
+    val emb = Tables.t(spark, dir, "embeddings").select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val mean = (0 until nDim).map(p => emb.map(_(p)).sum / emb.length)
+    for ((i, j) <- Seq((0, 1), (3, 17), (10, 63))) {
+      val want = emb.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / emb.length
+      assert(math.abs(cov((i.toLong, j.toLong)) - want) < 2e-3, s"cell ($i,$j)")
+    }
+  }
+
   test("s23 whitening: z-score norms cluster at sqrt(d); driver recomputation agrees") {
     import org.apache.spark.sql.functions.col
     val fit = Similarity.dimStats(spark, dir).collect()
