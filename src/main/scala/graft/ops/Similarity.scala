@@ -1399,6 +1399,83 @@ object Similarity {
        | g AS (SELECT i, j, count(*) AS n, sum(term) AS s FROM p GROUP BY i, j)
        |SELECT i, j, round(CAST(s AS DOUBLE) / n, 6) AS cov FROM g""".stripMargin
 
+  /** Where [[pcaProject]] dumps its fitted principal component for the
+    * replay oracle. */
+  lazy val PcaDump: String = s"$OracleDumpRoot/s25_pc1"
+
+  /** PCA first-component projection (s25) — completing the spectral
+    * pipeline (s20 per-dim fit → s24 covariance → s25 rotation): the top
+    * eigenvector of the s24 covariance is found by POWER ITERATION on the
+    * driver — the matrix is dim², metadata-scale, exactly like a k-means
+    * centroid fit (the s4/s6 convention: tiny iterative fits run where
+    * they're cheap; the CORPUS-scale work stays distributed) — and every
+    * vector projects onto it row-locally. Sign is fixed (first
+    * largest-|w| component positive) so the fit is deterministic; the
+    * dumped component is the oracle's replay artifact.
+    *
+    * Output: per-vector PC1 score plus the component's explained-variance
+    * share — the "how much does one direction dominate" health number an
+    * embedding audit reads (a collapsed encoder shows share → 1).
+    * Scale shape: the projection is one broadcast-fit map pass over the
+    * corpus; per-vector dot terms round to DECIMAL(18,8) (the s10
+    * discipline). */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = covarianceMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val nDim = Dim
+    val cov = Array.tabulate(nDim, nDim)((i, j) =>
+      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    var w = Array.fill(nDim)(1.0 / math.sqrt(nDim))
+    var lambda = 0.0
+    var it = 0
+    while (it < 100) {
+      val nw = Array.tabulate(nDim)(i => (0 until nDim).map(j => cov(i)(j) * w(j)).sum)
+      lambda = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / lambda)
+      it += 1
+    }
+    // deterministic sign: the largest-|w| coordinate is positive
+    val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    if (w(pivot) < 0) w = w.map(-_)
+    lastEvShare = lambda / (0 until nDim).map(i => cov(i)(i)).sum
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, p) => (p.toLong, math.rint(v * 1e8) / 1e8) }.toSeq
+      .toDF("pos", "w").write.mode("overwrite").parquet(PcaDump)
+    val fit = spark.read.parquet(PcaDump)
+    val means = dimStats(spark, dir).select(col("pos"), col("mean"))
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        col("v0").cast(DoubleType).as("v"))
+      .join(broadcast(means), Seq("pos"))
+      .join(broadcast(fit), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(round((col("v") - col("mean")) * col("w"), 8).cast(dec)).as("s"))
+      .select(col("vec_id"), round(col("s").cast(DoubleType), 4).as("pc1"))
+  }
+
+  /** The last [[pcaProject]] fit's explained-variance share (λ₁ / trace) —
+    * the "one direction dominates" audit number, exposed for the spec
+    * (kept out of the gated row so no cross-engine float-order hazard
+    * rides on an eigenvalue). */
+  @volatile private[ops] var lastEvShare: Double = 0.0
+
+  /** DuckDB oracle twin of [[pcaProject]] — the projection replayed from
+    * the DUMPED component (the centroid-dump convention) with the s20
+    * means and the same decimal terms. */
+  def pcaProjectOracleSql: String =
+    s"""WITH fit AS (${dimStatsOracleSql.replace("\n", "\n      ")}),
+       | pc AS (SELECT pos, w FROM read_parquet('$PcaDump/*.parquet')),
+       | d AS (SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+       |        SELECT vec_id, unnest([{'pos': i - 1, 'v': embedding[i]}
+       |                               FOR i IN range(1, len(embedding) + 1)]) AS u
+       |        FROM embeddings))
+       |SELECT d.vec_id,
+       | round(CAST(sum(CAST(round((d.v - fit.mean) * pc.w, 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS pc1
+       |FROM d JOIN fit ON d.pos = fit.pos JOIN pc ON d.pos = pc.pos
+       |GROUP BY d.vec_id""".stripMargin
+
   /** k-NN graph construction (s21) — top-k cosine neighbors for EVERY
     * corpus vector (directed edges), the build step graph-based methods
     * consume: SemDeDup++-style agglomeration, label propagation over

@@ -686,6 +686,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s25 PCA: eigenpair satisfies cov·w = λw; projections match brute force") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.pcaProject(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = spark.read.parquet(Similarity.PcaDump).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val nDim = w.size
+    // unit norm and deterministic sign
+    assert(math.abs(w.values.map(x => x * x).sum - 1.0) < 1e-6)
+    assert(w(w.keys.maxBy(i => (math.abs(w(i)), -i))) > 0)
+    // eigen residual small: cov·w ≈ λ·w with λ = wᵀ·cov·w
+    val cells = Similarity.covarianceMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    def cv(i: Int, j: Int) = cells((math.min(i, j), math.max(i, j)))
+    val mw = (0 until nDim).map(i => (0 until nDim).map(j => cv(i, j) * w(j)).sum)
+    val lam = (0 until nDim).map(i => w(i) * mw(i)).sum
+    val resid = math.sqrt((0 until nDim).map(i => math.pow(mw(i) - lam * w(i), 2)).sum)
+    assert(resid < 1e-4, s"eigen residual $resid")
+    assert(Similarity.lastEvShare > 0 && Similarity.lastEvShare <= 1.0)
+    // projections: brute force a few vectors
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val mean = (0 until nDim).map(p => emb.values.map(_(p)).sum / emb.size)
+    emb.keys.take(5).foreach { id =>
+      val want = (0 until nDim).map(p => (emb(id)(p) - mean(p)) * w(p)).sum
+      assert(math.abs(got(id) - want) < 2e-3, s"vec $id projection")
+    }
+  }
+
   test("s24 covariance: diagonal reproduces s20 variances; symmetry by construction") {
     import org.apache.spark.sql.functions.col
     val cov = Similarity.covarianceMatrix(spark, dir).collect()
