@@ -349,6 +349,7 @@ object SparkEntry {
     "e15_dual_sink" -> (EventStreams.dualSinkOnce _),
     "e16_idempotent_sink" -> (EventStreams.idempotentSinkOnce _),
     "e17_stream_media" -> (Multimodal.mediaStreamOnce _),
+    "e18_stream_asof" -> (EventStreams.asofEnrichOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -695,6 +696,7 @@ object SparkEntry {
     "e15_dual_sink" -> EventStreams.dualSinkOracleSql,
     "e16_idempotent_sink" -> EventStreams.idempotentSinkOracleSql,
     "e17_stream_media" -> Multimodal.mediaStreamOracleSql,
+    "e18_stream_asof" -> EventStreams.asofEnrichOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -375,6 +375,60 @@ object EventStreams {
       .groupBy(col("sink"), col("source")).agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming AS-OF dimension enrichment (e18) — the composition the
+    * q37 SCD-2 history exists FOR: each arriving event joins the
+    * dimension row that was valid WHEN IT HAPPENED (stream-static theta
+    * join on `valid_from < ts ≤ valid_to` — stateless, the static side
+    * broadcastable, exactly how a live pipeline reads a slowly-changing
+    * dimension without rewriting history). Here the dimension is the
+    * user-state SCD2 built at rest from the event log itself, so the
+    * enrichment yields each event's PRIOR state and the report is the
+    * state-TRANSITION matrix (prev_type → event_type counts) — first
+    * events enrich to 'none' via the left join. Interval tiling (q37's
+    * spec-pinned invariant) guarantees exactly one match per event; zero
+    * streaming state on the join path, and the only aggregate state is
+    * the domain-bounded transition matrix. */
+  def asofEnrichOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational
+    val dim = Relational.q37_scd2(spark, dir)
+      .select(col("user_id"), col("event_type").as("prev_type"),
+        col("valid_from"), col("valid_to"))
+    val ev = readEventStream(spark, dir)
+      .select(col("user_id").as("e_user"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val enriched = ev.join(broadcast(dim),
+      col("e_user") === col("user_id") &&
+        col("valid_from") < col("us") && col("us") <= col("valid_to"),
+      "left_outer")
+      .select(coalesce(col("prev_type"), lit("none")).as("prev_type"), col("event_type"))
+    val agg = enriched.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"stream_asof_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("prev_type", "event_type"), Seq("n"))
+  }
+
+  /** DuckDB oracle twin of [[asofEnrichOnce]] — the q37 SCD2 replay
+    * joined under the same interval condition, folded to the transition
+    * matrix. */
+  def asofEnrichOracleSql: String =
+    """WITH dim AS (SELECT user_id, event_type AS prev_type,
+      |              CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+      |              coalesce(lead(CAST(epoch_us(ts) AS BIGINT)) OVER
+      |                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |                9223372036854775807) AS valid_to
+      |             FROM events),
+      | e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      | j AS (SELECT coalesce(dim.prev_type, 'none') AS prev_type, e.event_type
+      |       FROM e LEFT JOIN dim ON dim.user_id = e.user_id
+      |         AND dim.valid_from < e.us AND e.us <= dim.valid_to)
+      |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY 1, 2""".stripMargin
+
   /** Idempotent per-batch sink (e16) — the exactly-once WRITE discipline
     * e14/e15 document as "production hardening", now implemented and
     * gated: each micro-batch lands in its OWN `batch=<id>` subdirectory

@@ -225,6 +225,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.keys.exists(_._1 == "keep") && streamed.keys.exists(_._1 == "reject"))
   }
 
+  test("e18 as-of enrichment equals a batch lag-walk transition matrix") {
+    val got = EventStreams.asofEnrichOnce(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch truth: the per-user lag of event_type in (ts, event_id) order
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      sorted.zipWithIndex.foreach { case ((_, _, t, us), i) =>
+        // prev = the state valid strictly before THIS timestamp (ties
+        // collapse to the pre-tie state, the interval-tiling semantics)
+        val prior = sorted.take(i).filter(_._4 < us)
+        val p = if (prior.isEmpty) "none" else prior.last._3
+        val k = (p, t)
+        want(k) = want.getOrElse(k, 0L) + 1
+      }
+    }
+    assert(got == want.toMap)
+    assert(got.values.sum == ev.length, "every event enriched exactly once")
+    assert(got.keys.exists(_._1 == "none") && got.keys.exists(_._1 != "none"))
+  }
+
   test("e17 streaming media ingest matches the batch m7 audio slice") {
     import graft.ops.Multimodal
     val streamed = Multimodal.mediaStreamOnce(spark, dir).collect()
