@@ -242,6 +242,7 @@ object SparkEntry {
     "t22_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(Tables.t(s, d, "documents"))),
     "t23_code_detect" -> ((s, d) => TextOps.codeDetect(Tables.t(s, d, "documents"))),
     "t24_lang_consistency" -> ((s, d) => TextOps.langConsistency(Tables.t(s, d, "documents"))),
+    "t25_blocklist" -> ((s, d) => TextOps.blocklistScreen(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -594,6 +595,7 @@ object SparkEntry {
     "t22_heavy_hitters" -> TextOps.heavyHittersOracleSql(),
     "t23_code_detect" -> TextOps.codeDetectOracleSql,
     "t24_lang_consistency" -> TextOps.langConsistencyOracleSql,
+    "t25_blocklist" -> TextOps.blocklistOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

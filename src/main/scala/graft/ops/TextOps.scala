@@ -1246,6 +1246,56 @@ object TextOps {
        | (lang_head = lang_tail) AS consistent
        |FROM p""".stripMargin
 
+  /** The t25 blocklist — stands in for the wordlist a production filter
+    * loads (LDNOOBW-style); lowercase exact-token matching. */
+  val Blocklist: Seq[String] = Seq("badword1", "badword2", "slur1", "slur2", "nsfw1")
+
+  /** Blocklist screening (t25) — the wordlist filter every public-corpus
+    * pipeline runs (the C4 cleanup used exactly this shape): count
+    * exact-token blocklist hits per document and flag when the count or
+    * density crosses threshold. The corpus contains no blocklist tokens
+    * naturally, so detection is PROVEN by injection: every 25th document
+    * gets blocklist tokens appended, scaled as ⌊n/20⌋+2 so both the count
+    * and density signals fire at any document length (a pure function of
+    * (doc_id, text), replayed by the oracle). Row-local filter counts over
+    * the token array, whole-stage codegen, zero shuffle. */
+  def blocklistScreen(docs: DataFrame): DataFrame = {
+    val unit = " " + Blocklist.mkString(" ")
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(25)) === 0,
+        concat(col("text"), expr(
+          s"repeat('$unit', CAST(size(split(text, '\\\\s+')) DIV 20 + 2 AS INT))")))
+        .otherwise(col("text")).as("t"))
+    val list = Blocklist.map(w => s"'$w'").mkString(",")
+    aug.select(col("doc_id"), split(col("t"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        expr(s"size(filter(toks, x -> lower(x) IN ($list)))").cast(LongType).as("n_flagged"))
+      .withColumn("flag_ratio", round(col("n_flagged").cast(DoubleType) / col("n_tok"), 4))
+      .withColumn("blocked", col("n_flagged") >= 3 || col("flag_ratio") >= 0.02)
+  }
+
+  /** DuckDB oracle twin of [[blocklistScreen]] — same injection, list,
+    * counts, and thresholds. */
+  def blocklistOracleSql: String = {
+    val unit = " " + Blocklist.mkString(" ")
+    val list = Blocklist.map(w => s"'$w'").mkString(",")
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 25 = 0
+       |                 THEN text || repeat('$unit',
+       |                        CAST(len(string_split_regex(text, '\\s+')) // 20 + 2 AS INT))
+       |                 ELSE text END AS t
+       |           FROM documents),
+       | s AS (SELECT doc_id, string_split_regex(t, '\\s+') AS toks FROM a),
+       | c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |        CAST(len(list_filter(toks, x -> lower(x) IN ($list))) AS BIGINT) AS n_flagged
+       |       FROM s)
+       |SELECT doc_id, n_tok, n_flagged,
+       | round(CAST(n_flagged AS DOUBLE) / n_tok, 4) AS flag_ratio,
+       | (n_flagged >= 3 OR round(CAST(n_flagged AS DOUBLE) / n_tok, 4) >= 0.02) AS blocked
+       |FROM c""".stripMargin
+  }
+
   /** Code-vs-prose detection (t23) — the corpus-composition screen every
     * mixed crawl runs (code wants different dedup, tokenization, and
     * mixture weights than prose; The-Stack-style pipelines route on it):

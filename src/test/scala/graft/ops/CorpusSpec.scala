@@ -256,6 +256,18 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t25 blocklist blocks exactly the injected documents at any length") {
+    val rows = TextOps.blocklistScreen(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, nf, blocked) =>
+      if (id % 25 == 0) {
+        assert(blocked && nf >= 3, s"doc $id: injected must block (hits=$nf)")
+      } else assert(nf == 0 && !blocked, s"doc $id is clean")
+    }
+    assert(rows.count(_._3) > 0 && rows.count(!_._3) > 0)
+  }
+
   test("c18 fuzzy decontam flags the planted near-verbatim eval leaks, and only those") {
     val rows = Corpus.fuzzyDecontam(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
