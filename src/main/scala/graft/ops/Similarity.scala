@@ -1355,30 +1355,36 @@ object Similarity {
     * reproduces s20's variances (spec-pinned); off-diagonal structure is
     * what a PCA rotation or ZCA whitening consumes.
     *
-    * Scale shape: the (vec, dim, value) relation self-joins on vec_id
-    * (equi — each vector pairs only with itself) to form per-vector cell
-    * terms, which reduce map-side-combined at (i, j) grain: the exchange
-    * carries dim²/2 partial sums, never vectors. Each term rounds to
-    * DECIMAL(18,8) before summing (the s10 discipline), so
-    * partial-aggregation order cannot move the hash. d = 64 here; for
-    * large d the same plan emits the (i, j) grid from a per-partition
-    * outer-product accumulator — the cell grain and exchange are
-    * identical. */
+    * Scale shape: the μ fit is dim-grain metadata inlined as a literal,
+    * so every vector emits its dim²/2 upper-triangle terms ROW-LOCALLY
+    * (no self-join, no second scan) and they reduce map-side-combined at
+    * (i, j) grain — the exchange carries dim²/2 partials per partition,
+    * never vectors. Each term rounds to DECIMAL(18,8) before summing
+    * (the s10 discipline), so partial-aggregation order cannot move the
+    * hash. Cost is pure projection CPU (terms × decimal-round), linear in
+    * the corpus and embarrassingly parallel — and it is a FIT job: run
+    * once per corpus snapshot (s25 caches and consumes it), not per
+    * query. */
   def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val fit = dimStats(spark, dir).select(col("pos"), col("mean"))
-    val d = t(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
-        col("v0").cast(DoubleType).as("v"))
-      .join(broadcast(fit), Seq("pos"))
-      .select(col("vec_id"), col("pos"), (col("v") - col("mean")).as("c"))
-    val a = d.select(col("vec_id"), col("pos").as("i"), col("c").as("ci"))
-    val b = d.select(col("vec_id"), col("pos").as("j"), col("c").as("cj"))
-    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+    // the μ fit is dim-grain metadata: collected once (like a centroid
+    // fit) and inlined as an array literal, so the per-vector pair terms
+    // are a ROW-LOCAL explode — no vec-keyed self-join, no second scan;
+    // the only exchange is the map-side-combined (i, j) cell reduction
+    val means = dimStats(spark, dir).select(col("pos"), col("mean")).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
+    val nD = means.length
+    t(spark, dir, "embeddings")
+      .select(expr(s"zip_with(embedding, $mArr, (x, m) -> CAST(x AS DOUBLE) - m)").as("c"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${nD - 1}), i ->
+           |  transform(sequence(i, ${nD - 1}), j ->
+           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |      CAST(round(element_at(c, CAST(i + 1 AS INT)) * element_at(c, CAST(j + 1 AS INT)), 8)
+           |        AS DECIMAL(18,8)) AS term))))""".stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.term").as("term"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("ci") * col("cj"), 8).cast(dec)).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("s"))
       .select(col("i"), col("j"),
         round(col("s").cast(DoubleType) / col("n"), 6).as("cov"))
   }
@@ -1419,40 +1425,52 @@ object Similarity {
     * Scale shape: the projection is one broadcast-fit map pass over the
     * corpus; per-vector dot terms round to DECIMAL(18,8) (the s10
     * discipline). */
+  /** Once-per-JVM PCA fit registry: (component, means) per dir — the fit
+    * (one covariance job + a driver-side 64×64 power iteration) runs
+    * once, later calls only pay the projection scan. */
+  private val pcaFits =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cells = covarianceMatrix(spark, dir).collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
-    val nDim = Dim
-    val cov = Array.tabulate(nDim, nDim)((i, j) =>
-      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
-    var w = Array.fill(nDim)(1.0 / math.sqrt(nDim))
-    var lambda = 0.0
-    var it = 0
-    while (it < 100) {
-      val nw = Array.tabulate(nDim)(i => (0 until nDim).map(j => cov(i)(j) * w(j)).sum)
-      lambda = math.sqrt(nw.map(x => x * x).sum)
-      w = nw.map(_ / lambda)
-      it += 1
-    }
-    // deterministic sign: the largest-|w| coordinate is positive
-    val pivot = w.indices.maxBy(i => (math.abs(w(i)), -i))
-    if (w(pivot) < 0) w = w.map(-_)
-    lastEvShare = lambda / (0 until nDim).map(i => cov(i)(i)).sum
-    import spark.implicits._
-    w.zipWithIndex.map { case (v, p) => (p.toLong, math.rint(v * 1e8) / 1e8) }.toSeq
-      .toDF("pos", "w").write.mode("overwrite").parquet(PcaDump)
-    val fit = spark.read.parquet(PcaDump)
-    val means = dimStats(spark, dir).select(col("pos"), col("mean"))
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
-        col("v0").cast(DoubleType).as("v"))
-      .join(broadcast(means), Seq("pos"))
-      .join(broadcast(fit), Seq("pos"))
-      .groupBy(col("vec_id"))
-      .agg(sum(round((col("v") - col("mean")) * col("w"), 8).cast(dec)).as("s"))
-      .select(col("vec_id"), round(col("s").cast(DoubleType), 4).as("pc1"))
+    val (w, means) = pcaFits.computeIfAbsent(dir, _ => {
+      val cells = covarianceMatrix(spark, dir).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+      val nDim = Dim
+      val cov = Array.tabulate(nDim, nDim)((i, j) =>
+        cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+      var w0 = Array.fill(nDim)(1.0 / math.sqrt(nDim))
+      var lambda = 0.0
+      var it = 0
+      while (it < 100) {
+        val nw = Array.tabulate(nDim)(i => (0 until nDim).map(j => cov(i)(j) * w0(j)).sum)
+        lambda = math.sqrt(nw.map(x => x * x).sum)
+        w0 = nw.map(_ / lambda)
+        it += 1
+      }
+      // deterministic sign: the largest-|w| coordinate is positive
+      val pivot = w0.indices.maxBy(i => (math.abs(w0(i)), -i))
+      if (w0(pivot) < 0) w0 = w0.map(-_)
+      lastEvShare = lambda / (0 until nDim).map(i => cov(i)(i)).sum
+      val wr = w0.map(v => math.rint(v * 1e8) / 1e8)
+      import spark.implicits._
+      wr.zipWithIndex.map { case (v, p) => (p.toLong, v) }.toSeq
+        .toDF("pos", "w").coalesce(1).write.mode("overwrite").parquet(PcaDump)
+      val ms = dimStats(spark, dir).select(col("pos"), col("mean")).collect()
+        .sortBy(_.getLong(0)).map(_.getDouble(1))
+      (wr, ms)
+    })
+    // projection: both fits inlined as array literals → one ROW-LOCAL map
+    // pass, zero shuffle, zero joins (the s4 centroid-literal pattern)
+    val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
+    val wArr = "array(" + w.map(v => s"CAST($v AS DOUBLE)").mkString(",") + ")"
+    t(spark, dir, "embeddings").select(col("vec_id"),
+      expr(
+        s"""round(CAST(aggregate(
+           |  zip_with(zip_with(embedding, $mArr, (x, m) -> CAST(x AS DOUBLE) - m),
+           |           $wArr, (c, w) -> CAST(round(c * w, 8) AS DECIMAL(18,8))),
+           |  CAST(0 AS DECIMAL(28,8)),
+           |  (acc, t) -> CAST(acc + t AS DECIMAL(28,8))) AS DOUBLE), 4)""".stripMargin)
+        .as("pc1"))
   }
 
   /** The last [[pcaProject]] fit's explained-variance share (λ₁ / trace) —
