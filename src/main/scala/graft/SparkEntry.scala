@@ -65,6 +65,7 @@ object SparkEntry {
     "q36_dpp_join" -> (Relational.q36_dpp_join _),
     "q37_scd2" -> (Relational.q37_scd2 _),
     "q38_observe" -> (Relational.q38_observe _),
+    "q39_unpivot" -> (Relational.q39_unpivot _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "a28_seg_contingency" -> (ArrayOps.a28_seg_contingency _),
     "a29_blur" -> (ArrayOps.a29_blur _),
     "a30_zonemap" -> (ArrayOps.a30_zonemap _),
+    "a31_upsample" -> (ArrayOps.a31_upsample _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -524,6 +526,7 @@ object SparkEntry {
     "q36_dpp_join" -> Relational.q36OracleSql,
     "q37_scd2" -> Relational.q37OracleSql,
     "q38_observe" -> Relational.q38OracleSql,
+    "q39_unpivot" -> Relational.q39OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -574,6 +577,7 @@ object SparkEntry {
     "a28_seg_contingency" -> ArrayOps.a28OracleSql,
     "a29_blur" -> ArrayOps.a29OracleSql,
     "a30_zonemap" -> ArrayOps.a30OracleSql,
+    "a31_upsample" -> ArrayOps.a31OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

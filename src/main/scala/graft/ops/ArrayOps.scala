@@ -159,6 +159,53 @@ object ArrayOps {
 
   def a4OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a4")
 
+  /** Nearest-neighbor UPSAMPLE (a31) — the inverse of a4's pyramid step
+    * and the viewer/patch-loader fallback when full-res tissue is not yet
+    * ingested: each mip-1 voxel serves all four of its mip-0 children
+    * (x/y doubled, z unscaled — the a26 grid map read in reverse; NEAREST
+    * because label volumes must never interpolate, the a22 argument).
+    * Row-local explode — a pure projection, 4 output rows per input, no
+    * shuffle until the per-z fold. The gate is GEOMETRY-sensitive: beside
+    * count/sum it folds coordinate-weighted sums Σv·x and Σv·y over the
+    * upsampled relation, so an off-by-one in the replication (children at
+    * 2x vs 2x−1) shifts the hash — a plain count/sum gate would pass a
+    * transposed or shifted kernel. */
+  def a31_upsample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a31").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0)))).withNumMips(2)
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+    VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 8))
+    val dump = s"$voxelDumpRoot/a31"
+    val mip1 = new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 8))
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("v"))
+    mip1.write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .select(explode(expr(
+        """array(struct(2*x - 1 AS ux, 2*y - 1 AS uy, z, v),
+          |      struct(2*x     AS ux, 2*y - 1 AS uy, z, v),
+          |      struct(2*x - 1 AS ux, 2*y     AS uy, z, v),
+          |      struct(2*x     AS ux, 2*y     AS uy, z, v))""".stripMargin)).as("u"))
+      .select(col("u.ux").as("x"), col("u.uy").as("y"), col("u.z").as("z"), col("u.v").as("v"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("x")).as("svx"), sum(col("v") * col("y")).as("svy"))
+  }
+
+  /** Oracle twin of [[a31_upsample]]: the closed-form per-voxel
+    * contribution of the 2×2 replication — each mip-1 voxel at (x, y)
+    * contributes x-weights (2x−1)+(2x) per y-copy and vice versa — folded
+    * from the mip-1 dump. */
+  def a31OracleSql: String =
+    s"""SELECT z, CAST(4 * count(*) AS BIGINT) AS n,
+       | CAST(4 * sum(v) AS BIGINT) AS sv,
+       | CAST(sum(v * 2 * (4 * x - 1)) AS BIGINT) AS svx,
+       | CAST(sum(v * 2 * (4 * y - 1)) AS BIGINT) AS svy
+       |FROM read_parquet('$voxelDumpRoot/a31/*.parquet') GROUP BY z""".stripMargin
+
   /** Majority-vote (MODE) downsampling under the oracle gate (a22) — the
     * segmentation-correct pyramid rule: labels must pool by the most
     * frequent value (ties to the smallest label), never by mean — an

@@ -641,6 +641,39 @@ object Relational {
       |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
       |GROUP BY 1""".stripMargin
 
+  /** Unpivot / melt (q39) — the inverse of q21's pivot and the missing
+    * half of the wide↔long toolkit: a wide per-status aggregate (one
+    * column per order priority) melts back into (status, priority, n)
+    * long form — the shape every BI export and ML feature pipeline
+    * flip-flops between. Uses the native `unpivot` API (Spark 3.4+), so
+    * the melt is a zero-shuffle projection over the tiny wide relation;
+    * the only corpus-grain work is the pivot aggregation itself (one
+    * map-side-combined exchange). Null cells (status × priority
+    * combinations that never occur) are dropped by unpivot's null rule —
+    * pivot↔unpivot round-trips the SPARSE long form, which the oracle
+    * states directly as the plain group-by. */
+  def q39_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        prios.map(p => col(s"`$p`")).toArray,
+        "variable", "value")
+      // absent (status × priority) cells melt to null — drop them so the
+      // round trip reproduces the SPARSE long form
+      .filter(col("value").isNotNull)
+  }
+
+  /** DuckDB oracle twin of [[q39_unpivot]] — the sparse long form the
+    * pivot→melt round trip must reproduce. */
+  def q39OracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority AS variable,
+      | count(*) AS value
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   /** In-flight observed metrics (q38) — `Dataset.observe`: the QA
     * counters a production job computes FOR FREE while doing its real
     * work (row counts, mass totals, anomaly tallies ride the same pass —

@@ -20,6 +20,17 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q39 pivot→unpivot round-trips the sparse long form exactly") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q39_unpivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Tables.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.values.sum == Tables.t(spark, dir, "orders").count())
+  }
+
   test("q38 observed metrics equal a dedicated aggregation pass") {
     import org.apache.spark.sql.functions._
     val got = Relational.q38_observe(spark, dir).head()

@@ -216,6 +216,23 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(argZ.distinct.length > 1)
   }
 
+  test("a31 upsample: geometry-weighted folds match the mip-1 brute force") {
+    import org.apache.spark.sql.functions._
+    val got = ArrayOps.a31_upsample(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val mip1 = spark.read.parquet(graft.ops.ArrayOps.voxelDumpRoot + "/a31")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val want = mip1.groupBy(_._3).view.mapValues { rows =>
+      (rows.length * 4L, rows.map(_._4).sum * 4,
+        rows.map(r => r._4 * 2 * (4L * r._1 - 1)).sum,
+        rows.map(r => r._4 * 2 * (4L * r._2 - 1)).sum)
+    }.toMap
+    assert(got == want)
+    // every z layer fully covered: 64×64 upsampled voxels each
+    assert(got.values.forall(_._1 == 64L * 64) && got.size == 8)
+  }
+
   test("a30 zone map: pruned scan equals filtered full scan and never fetches pruned blobs") {
     import org.apache.spark.sql.functions._
     val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
