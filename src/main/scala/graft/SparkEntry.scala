@@ -301,6 +301,7 @@ object SparkEntry {
     "m12_patchify" -> (Multimodal.modalPatches _),
     "m13_resample" -> (Multimodal.modalResample _),
     "m14_augment" -> (Multimodal.modalAugment _),
+    "m15_silence_trim" -> (Multimodal.modalTrim _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -713,6 +714,7 @@ object SparkEntry {
     "m12_patchify" -> Multimodal.modalPatchesOracleSql,
     "m13_resample" -> Multimodal.modalResampleOracleSql,
     "m14_augment" -> Multimodal.modalAugmentOracleSql,
+    "m15_silence_trim" -> Multimodal.modalTrimOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1212,6 +1212,75 @@ object Multimodal {
        |FROM vs JOIN v0 USING (doc_id)""".stripMargin
   }
 
+  /** VAD-based silence trimming (m15) — the EDIT that m9's detection
+    * exists for: leading and trailing silent frames are cut (interior
+    * silence stays — ASR needs the pauses between utterances) and the
+    * trimmed clip goes through a SECOND real WAV roundtrip, so the gate
+    * certifies the cut offsets, the re-encode, and the surviving samples
+    * together. Frame activity is m9's energy rule (spec-proven equal to
+    * the closed-form envelope, which is what the oracle replays); the
+    * modulated synthesis guarantees ≥3 active frames per doc (the
+    * envelope's stride covers every residue class within 7 frames), so
+    * the trim is always well-defined. Row-local mapPartitions, zero
+    * shuffle. */
+  def modalTrim(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, _, _, _) = wavDecode(wavEncode(synthVadSamples(id)))
+          val nFrames = smp.length / VadFrame
+          def active(f: Int): Boolean = {
+            var e = 0L
+            var i = f * VadFrame
+            val end = i + VadFrame
+            while (i < end) { e += smp(i).toLong * smp(i); i += 1 }
+            e > VadThreshold
+          }
+          val first = (0 until nFrames).find(active).get
+          val last = (0 until nFrames).findLast(active).get
+          val cut = smp.slice(first * VadFrame, (last + 1) * VadFrame)
+          val (out, _, _, _) = wavDecode(wavEncode(cut))
+          var e = 0L
+          var i = 0
+          while (i < out.length) { e += out(i).toLong * out(i); i += 1 }
+          (id, smp.length.toLong, out.length.toLong,
+            first.toLong * VadFrame, (smp.length - (last + 1) * VadFrame).toLong, e)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n_before", "n_after", "cut_lead", "cut_tail", "energy_after")
+  }
+
+  /** DuckDB oracle twin of [[modalTrim]]: the closed-form envelope decides
+    * first/last active frames, the synthesis replays the surviving
+    * samples' energy — matches only if both WAV roundtrips and the cut
+    * offsets were exact. (Tail frames shorter than [[VadFrame]] are
+    * trailing silence by construction of the synthesis length — n is a
+    * multiple of 16 but not of 160 — and the engine's frame loop ignores
+    * them, so `n_before − (last+1)·160` includes the ragged tail.) */
+  def modalTrimOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 1600 + (doc_id % 97) * 16 AS n FROM documents),
+       | f AS (SELECT doc_id, n, unnest(range(0, n // $VadFrame)) AS fr FROM d),
+       | af AS (SELECT doc_id, max(n) AS n,
+       |         min(CASE WHEN (doc_id * 31 + fr * 17) % 7 < 3 THEN fr END) AS fa,
+       |         max(CASE WHEN (doc_id * 31 + fr * 17) % 7 < 3 THEN fr END) AS fl
+       |        FROM f GROUP BY doc_id),
+       | c AS (SELECT doc_id, n, fa, fl,
+       |        fa * $VadFrame AS lo, (fl + 1) * $VadFrame AS hi FROM af),
+       | e AS (SELECT doc_id, n, lo, hi,
+       |        list_sum([ CASE WHEN ((doc_id * 31 + (i // $VadFrame) * 17) % 7) < 3
+       |               THEN (((doc_id * 7919 + i * 104729) % 65536) - 32768)
+       |                    * (((doc_id * 7919 + i * 104729) % 65536) - 32768)
+       |               ELSE ((((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024)
+       |                    * ((((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024) END
+       |          FOR i IN range(lo, hi) ]) AS energy
+       |       FROM c)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_before, CAST(hi - lo AS BIGINT) AS n_after,
+       | CAST(lo AS BIGINT) AS cut_lead, CAST(n - hi AS BIGINT) AS cut_tail,
+       | CAST(energy AS BIGINT) AS energy_after
+       |FROM e""".stripMargin
+
   /** STREAMING media ingest (e17, registered with the e-series — the
     * m7 × e-series composition): real engine-encoded `.wav` files are
     * discovered by a `binaryFile` FILE STREAM (the landing-directory

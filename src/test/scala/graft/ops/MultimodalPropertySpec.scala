@@ -187,6 +187,28 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m15 trim: boundaries land on active frames; interior silence survives") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.modalTrim(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, na, lead, tail, energy) =>
+      assert(lead + na + tail == nb, s"doc $id: cuts + kept must tile the clip")
+      assert(lead % Multimodal.VadFrame == 0, s"doc $id: lead cut frame-aligned")
+      // first and last KEPT frames are active per the closed-form envelope
+      val f0 = (lead / Multimodal.VadFrame).toInt
+      val fl = ((lead + na) / Multimodal.VadFrame).toInt - 1
+      def act(f: Int) = (id * 31 + f.toLong * 17) % 7 < 3
+      assert(act(f0) && act(fl), s"doc $id: trim boundaries must be active frames")
+      if (f0 > 0) assert(!act(f0 - 1), s"doc $id: frame before lead must be silent")
+      assert(energy > 0)
+      // interior silence survives: kept span ≥ active frame count alone
+      assert(na >= Multimodal.VadFrame, s"doc $id keeps at least one frame")
+    }
+    // the trim must actually cut somewhere in this corpus
+    assert(rows.exists(r => r._4 > 0) && rows.exists(r => r._5 > 0))
+  }
+
   test("m14 augment: flip is an involution, rot90 four times is identity, dims swap") {
     forAll(Gen.chooseNum(0L, 1L << 40)) { seed =>
       val w = 16; val h = 12
