@@ -129,6 +129,7 @@ object SparkEntry {
     "a29_blur" -> (ArrayOps.a29_blur _),
     "a30_zonemap" -> (ArrayOps.a30_zonemap _),
     "a31_upsample" -> (ArrayOps.a31_upsample _),
+    "a32_multichannel" -> (ArrayOps.a32_multichannel _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -579,6 +580,7 @@ object SparkEntry {
     "a29_blur" -> ArrayOps.a29OracleSql,
     "a30_zonemap" -> ArrayOps.a30OracleSql,
     "a31_upsample" -> ArrayOps.a31OracleSql,
+    "a32_multichannel" -> ArrayOps.a32OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

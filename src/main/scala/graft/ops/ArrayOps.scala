@@ -118,6 +118,28 @@ object ArrayOps {
 
   def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
 
+  /** Multi-channel pipeline under the oracle gate (a32) — the reference's
+    * 4-d surface (num_channels > 1, reference src/Infos.jl num_channels;
+    * its own test suite exercises 4-d cutouts) has full spec coverage in
+    * VolumeSpec but until now no DuckDB-gated query: a TWO-channel uint8
+    * volume goes through the distributed ingest/store/read cycle and
+    * aggregates at (channel, z) grain, so channel-major buffer layout,
+    * per-channel chunk framing, and the voxel view's `c` column are all
+    * value-certified cross-engine, not just spec-asserted. */
+  def a32_multichannel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a32").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 2, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 2, (1, 1, 1)))
+    aggFromDump(spark, vol.toVoxels(Box(1, 64, 1, 64, 1, 8)),
+      s"$voxelDumpRoot/a32", keys = Seq("c", "z"))
+  }
+
+  def a32OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a32", Seq("c", "z"))
+
   /** Blosc-encoded store pipeline (a25) — the reference's default codec
     * (Codings.jl `BloscCoding`) exercised through the FULL distributed
     * write→store→read cycle under the hash gate: a uint16 volume with
