@@ -822,6 +822,60 @@ object Similarity {
     spark.read.parquet(path)
   }
 
+  /** SQ8 quantization-error report (s26) — the codec ACCEPTANCE eval
+    * beside s5's retrieval gate (s11 plays this role for ANN indexes):
+    * per dimension, the reconstruction MSE and max absolute error of the
+    * symmetric int8 rule (`x̂ = ⌊127·x/max|x|⌋·max|x|/127`) — the number
+    * that decides whether int8-at-rest is safe for a given embedding
+    * family, and which DIMENSIONS suffer most (heavy-tailed coordinates
+    * quantize worst). Row-local quantize→dequantize→error (the codec is
+    * deterministic, so no join against the at-rest codes is needed), one
+    * map-side-combined fold at dim grain; per-term values round to 8
+    * decimals before aggregation (sum via exact DECIMAL, max of rounded
+    * terms — both order-insensitive). */
+  def sq8ErrorReport(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    t(spark, dir, "embeddings")
+      .withColumn("__mx", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .select(col("__mx"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("pos").cast(LongType).as("pos"),
+        col("v0").cast(DoubleType).as("v"), col("__mx"))
+      .withColumn("deq",
+        when(col("__mx") === 0.0, lit(0.0))
+          .otherwise(floor(lit(127.0) * col("v") / col("__mx")) * col("__mx") / 127.0))
+      .withColumn("err", col("v") - col("deq"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("err") * col("err"), 8).cast(dec)).as("sq"),
+        max(round(abs(col("err")), 8)).as("mx_err"))
+      .select(col("pos"), col("n"),
+        round(col("sq").cast(DoubleType) / col("n"), 8).as("mse"),
+        round(col("mx_err"), 6).as("max_abs_err"))
+  }
+
+  /** DuckDB oracle twin of [[sq8ErrorReport]] — same quantization rule,
+    * per-term rounding, and folds. */
+  def sq8ErrorOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      | m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+      | d AS (SELECT u.pos AS pos, u.v AS v, mx FROM (
+      |        SELECT mx, unnest([{'pos': i - 1, 'v': emb[i]}
+      |                           FOR i IN range(1, len(emb) + 1)]) AS u
+      |        FROM m)),
+      | r AS (SELECT pos, v,
+      |        CASE WHEN mx = 0.0 THEN 0.0
+      |             ELSE floor(127.0 * v / mx) * mx / 127.0 END AS deq
+      |       FROM d),
+      | f AS (SELECT pos, count(*) AS n,
+      |        sum(CAST(round((v - deq) * (v - deq), 8) AS DECIMAL(18,8))) AS sq,
+      |        max(round(abs(v - deq), 8)) AS mx_err
+      |       FROM r GROUP BY pos)
+      |SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+      | round(CAST(sq AS DOUBLE) / n, 8) AS mse,
+      | round(mx_err, 6) AS max_abs_err
+      |FROM f""".stripMargin
+
   /** Top-k by int8-quantized cosine: the brute-force scan of [[cosineTopK]]
     * run entirely over SQ8 code vectors — same broadcast-queries ×
     * streamed-scan shape, a quarter of the bytes. The code relation is

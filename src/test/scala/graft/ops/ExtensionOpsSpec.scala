@@ -716,6 +716,30 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s26 SQ8 error report: bounded by the lattice step; driver brute force agrees") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.sq8ErrorReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val emb = Tables.t(spark, dir, "embeddings").select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(got.size == 64 && got.values.forall(_._1 == emb.length))
+    // floor quantization error is within one lattice step mx/127
+    val maxStep = emb.map(v => v.map(math.abs).max / 127.0).max
+    got.values.foreach { case (_, mse, mxe) =>
+      assert(mxe <= maxStep + 1e-9, s"max err $mxe vs step bound $maxStep")
+      assert(mse > 0 && mse <= mxe * mxe + 1e-12)
+    }
+    // brute force one dimension end-to-end
+    val p = 7
+    val errs = emb.map { v =>
+      val mx = v.map(math.abs).max
+      val deq = if (mx == 0) 0.0 else math.floor(127.0 * v(p) / mx) * mx / 127.0
+      v(p) - deq
+    }
+    val wantMse = errs.map(e => e * e).sum / errs.length
+    assert(math.abs(got(p.toLong)._2 - wantMse) < 1e-6, s"dim $p mse")
+  }
+
   test("s24 covariance: diagonal reproduces s20 variances; symmetry by construction") {
     import org.apache.spark.sql.functions.col
     val cov = Similarity.covarianceMatrix(spark, dir).collect()
