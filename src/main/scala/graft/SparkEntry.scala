@@ -356,6 +356,7 @@ object SparkEntry {
     "e16_idempotent_sink" -> (EventStreams.idempotentSinkOnce _),
     "e17_stream_media" -> (Multimodal.mediaStreamOnce _),
     "e18_stream_asof" -> (EventStreams.asofEnrichOnce _),
+    "e19_stream_approx_users" -> (EventStreams.approxUsersOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -708,6 +709,7 @@ object SparkEntry {
     "e16_idempotent_sink" -> EventStreams.idempotentSinkOracleSql,
     "e17_stream_media" -> Multimodal.mediaStreamOracleSql,
     "e18_stream_asof" -> EventStreams.asofEnrichOracleSql,
+    "e19_stream_approx_users" -> EventStreams.approxUsersOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -375,6 +375,52 @@ object EventStreams {
       .groupBy(col("sink"), col("source")).agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming approximate distinct users (e19) — the sketch path q17
+    * proves for batch, run where it matters most: a STREAMING
+    * `approx_count_distinct` (HyperLogLog++) per hourly window, the
+    * constant-state alternative to exact streaming distinct (whose state
+    * grows with cardinality — at 100 TB feed volume the sketch's fixed
+    * few-KB-per-window state is the only viable shape). Like q17, no
+    * cross-engine value oracle can exist for a sketch, so the gate
+    * checks the claim the operator actually makes: the streamed estimate
+    * lands within the HLL++ error envelope of the exact per-window count
+    * (computed batch-side in the same drive), hash-checked as
+    * `within_bound` against a trivially-true oracle column. */
+  def approxUsersOnce(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventStream(spark, dir)
+      .select(col("ts"), col("user_id"))
+    val agg = ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("apx"))
+      .select(unix_timestamp(col("window.start")).as("hr"), col("apx"))
+    val name = s"stream_apxusers_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val streamed = lastUpdate(spark.table(name), Seq("hr"), Seq("apx"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(ts) DIV 3600 * 3600").as("hr"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    streamed.join(exact, Seq("hr"))
+      .select(col("hr"), col("n_exact"),
+        // envelope sized for SMALL windows too: default rsd 0.05 → ~15%
+        // at 3σ, plus an absolute ±3 floor where 10% of a 16-user hour
+        // would demand sub-integer accuracy of a sketch
+        (abs(col("apx") - col("n_exact")) <=
+          greatest(lit(3.0), col("n_exact") * 0.15)).as("within_bound"))
+  }
+
+  /** DuckDB oracle twin of [[approxUsersOnce]] — the exact per-window
+    * distinct count plus the trivially-true bound column (the q17
+    * device: the sketch's CLAIM is gated, not its engine-specific
+    * estimate). */
+  def approxUsersOracleSql: String =
+    """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hr,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | TRUE AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Streaming AS-OF dimension enrichment (e18) — the composition the
     * q37 SCD-2 history exists FOR: each arriving event joins the
     * dimension row that was valid WHEN IT HAPPENED (stream-static theta

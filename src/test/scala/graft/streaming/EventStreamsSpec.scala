@@ -225,6 +225,18 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.keys.exists(_._1 == "keep") && streamed.keys.exists(_._1 == "reject"))
   }
 
+  test("e19 streaming HLL distinct stays inside its envelope for every window") {
+    val rows = EventStreams.approxUsersOnce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hours = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.expr("unix_timestamp(ts) DIV 3600")).distinct().count()
+    assert(rows.length == hours, "one row per observed hour")
+    rows.foreach { case (hr, nExact, ok) =>
+      assert(nExact > 0)
+      assert(ok, s"window $hr: estimate strayed past the HLL++ envelope of $nExact")
+    }
+  }
+
   test("e18 as-of enrichment equals a batch lag-walk transition matrix") {
     val got = EventStreams.asofEnrichOnce(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
