@@ -1246,6 +1246,43 @@ object TextOps {
        | (lang_head = lang_tail) AS consistent
        |FROM p""".stripMargin
 
+  /** The t26 mojibake block: the classic CP1252-decoded-as-UTF-8 artifacts
+    * (Ã©=é, Ã¨=è, â€™=', â€œ=") plus a replacement character — what a
+    * double-encoding bug actually produces. */
+  val MojibakeUnit: String = " Ã©tÃ© donâ€™t â€œquoteâ€�"
+
+  /** Encoding-corruption detection (t26) — the mojibake screen every
+    * web-crawl pipeline needs (CP1252 bytes decoded as UTF-8, double
+    * encodings, replacement characters): count U+FFFD occurrences and the
+    * signature `Ã`/`â` lead bytes of misdecoded Latin-1 pairs, flag when
+    * present. The corpus is clean ASCII, so detection is PROVEN by the
+    * injection device — every 30th document gets a mojibake block
+    * appended (pure function of doc_id, replayed by the oracle). Row-local
+    * codepoint counts in the Java≡RE2 common subset, zero shuffle. */
+  def mojibakeScreen(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(30)) === 0, concat(col("text"), lit(MojibakeUnit)))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+      length(col("t")).cast(LongType).as("n_chars"),
+      size(expr("regexp_extract_all(t, '�', 0)")).cast(LongType).as("n_repl"),
+      size(expr("regexp_extract_all(t, '[Ã¢Ââ€]', 0)")).cast(LongType).as("n_moji"))
+      .withColumn("corrupted", col("n_repl") > 0 || col("n_moji") >= 3)
+  }
+
+  /** DuckDB oracle twin of [[mojibakeScreen]] — same injection, character
+    * classes, and thresholds. */
+  def mojibakeOracleSql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 30 = 0 THEN text || '$MojibakeUnit' ELSE text END AS t
+       |           FROM documents)
+       |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+       | CAST(len(regexp_extract_all(t, '�')) AS BIGINT) AS n_repl,
+       | CAST(len(regexp_extract_all(t, '[Ã¢Ââ€]')) AS BIGINT) AS n_moji,
+       | (len(regexp_extract_all(t, '�')) > 0
+       |  OR len(regexp_extract_all(t, '[Ã¢Ââ€]')) >= 3) AS corrupted
+       |FROM a""".stripMargin
+
   /** The t25 blocklist — stands in for the wordlist a production filter
     * loads (LDNOOBW-style); lowercase exact-token matching. */
   val Blocklist: Seq[String] = Seq("badword1", "badword2", "slur1", "slur2", "nsfw1")

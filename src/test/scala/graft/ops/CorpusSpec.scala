@@ -256,6 +256,18 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("t26 mojibake screen flags exactly the injected documents") {
+    val rows = TextOps.mojibakeScreen(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, nRepl, nMoji, corrupted) =>
+      if (id % 30 == 0) {
+        assert(corrupted && nRepl == 1 && nMoji == 8, s"doc $id: $nRepl/$nMoji")
+      } else assert(nRepl == 0 && nMoji == 0 && !corrupted, s"doc $id is clean ASCII")
+    }
+    assert(rows.count(_._4) > 0 && rows.count(!_._4) > 0)
+  }
+
   test("t25 blocklist blocks exactly the injected documents at any length") {
     val rows = TextOps.blocklistScreen(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
