@@ -118,6 +118,62 @@ object ArrayOps {
 
   def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
 
+  /** Content-addressable chunk-dedup audit (a33) — the storage-dedup
+    * measurement a petavoxel archive runs before adopting hash-addressed
+    * blobs: microscopy volumes are full of byte-identical chunks (empty
+    * margins, uniform background, saturated regions), and this reports
+    * the copies-of-copies histogram of stored chunk BYTES (md5 over the
+    * DSv2 `blob` column — the deterministic codec makes identical content
+    * identical bytes). The fixture plants the structure: half the chunks
+    * are uniform background, so exactly four stored objects share one
+    * digest. One DSv2 scan (blob column, partition-parallel), one
+    * map-side-combined digest count, then the tiny histogram fold — the
+    * a14/q32 measurement shape over chunk bytes. */
+  def a33_chunk_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a33").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val dark = ((x - 1) / 32 + (y - 1) / 32 + (z - 1) / 4) % 2 == 0
+          buf.setLong(x - 1, y - 1, z - 1, 0,
+            if (dark) 7L else 100L + (x * 13 + y * 29 + z * 41) % 100)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val dump = s"$voxelDumpRoot/a33"
+    spark.read.format("precomputed").load(root)
+      .filter(col("blob").isNotNull)
+      .select(col("cx"), col("cy"), col("cz"), md5(col("blob")).as("h"))
+      .write.mode("overwrite").parquet(dump)
+    val groups = spark.read.parquet(dump)
+      .groupBy(col("h")).agg(count(lit(1)).as("copies"))
+    groups.groupBy(col("copies"))
+      .agg(count(lit(1)).as("n_digests"), sum(col("copies")).as("n_chunks"))
+  }
+
+  /** Oracle twin of [[a33_chunk_dedup]]: the same digest-count histogram
+    * over the dumped manifest (the digests themselves come from real
+    * store bytes; VolumeOpsSpec pins the planted structure). */
+  def a33OracleSql: String =
+    s"""WITH g AS (SELECT h, count(*) AS copies
+       |           FROM read_parquet('$voxelDumpRoot/a33/*.parquet') GROUP BY h)
+       |SELECT copies, CAST(count(*) AS BIGINT) AS n_digests,
+       | CAST(sum(copies) AS BIGINT) AS n_chunks
+       |FROM g GROUP BY copies""".stripMargin
+
   /** Multi-channel pipeline under the oracle gate (a32) — the reference's
     * 4-d surface (num_channels > 1, reference src/Infos.jl num_channels;
     * its own test suite exercises 4-d cutouts) has full spec coverage in

@@ -641,6 +641,47 @@ object Relational {
       |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
       |GROUP BY 1""".stripMargin
 
+  /** Robust outlier report (q40) — median/MAD screening, the outlier rule
+    * that doesn't break on the outliers themselves (mean/std both move
+    * with the contamination they're meant to find): per group, the
+    * median, the median absolute deviation, and the count of modified
+    * z-score outliers (|x−med|·0.6745/MAD > 3.5, the Iglewicz–Hoaglin
+    * rule). Three passes — median fit, MAD fit, outlier count — each a
+    * grouped aggregation with the tiny fit relations broadcast back; the
+    * exact order statistics sort per group (fine for a screening job;
+    * q26's mergeable sketch is the single-pass path at 100 TB, and this
+    * query is the EXACT reference it is validated against). */
+  def q40_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val withAd = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = withAd.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    withAd.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("ad") * 0.6745 > col("mad") * 3.5, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** DuckDB oracle twin of [[q40_mad_outliers]] — same staged medians
+    * (quantile_cont ≡ Spark percentile, the q25 mapping), same rule. */
+  def q40OracleSql: String =
+    """WITH li AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+      | m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
+      | a AS (SELECT li.l_returnflag, li.x, abs(li.x - m.med) AS ad, m.med
+      |       FROM li JOIN m USING (l_returnflag)),
+      | d AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+      |SELECT a.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | round(min(a.med), 4) AS med, round(min(d.mad), 4) AS mad,
+      | CAST(sum(CASE WHEN a.ad * 0.6745 > d.mad * 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM a JOIN d USING (l_returnflag)
+      |GROUP BY 1""".stripMargin
+
   /** Unpivot / melt (q39) — the inverse of q21's pivot and the missing
     * half of the wide↔long toolkit: a wide per-status aggregate (one
     * column per order priority) melts back into (status, priority, n)

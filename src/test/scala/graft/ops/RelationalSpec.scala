@@ -20,6 +20,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q40 MAD outliers: robust to contamination a mean/std rule is not") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q40_mad_outliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, n, med, mad, nOut) =>
+      assert(mad > 0 && med > 0, s"$flag degenerate fit")
+      assert(nOut < n / 10, s"$flag: an outlier rule flagging >10% is a broken rule")
+      // driver recheck on one group
+      val xs = Tables.t(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_extendedprice").cast("double")).collect().map(_.getDouble(0)).sorted
+      def q50(a: Array[Double]) = {
+        val h = (a.length - 1) * 0.5
+        val lo = a(h.toInt); val hi = a(math.ceil(h).toInt)
+        lo + (hi - lo) * (h - h.toInt)
+      }
+      val m = q50(xs)
+      val madW = q50(xs.map(x => math.abs(x - m)).sorted)
+      assert(math.abs(med - math.rint(m * 10000) / 10000) < 1e-6, s"$flag median")
+      assert(math.abs(mad - math.rint(madW * 10000) / 10000) < 1e-6, s"$flag mad")
+      assert(nOut == xs.count(x => math.abs(x - m) * 0.6745 > madW * 3.5), s"$flag outliers")
+    }
+  }
+
   test("q39 pivot→unpivot round-trips the sparse long form exactly") {
     import org.apache.spark.sql.functions._
     val got = Relational.q39_unpivot(spark, dir).collect()
