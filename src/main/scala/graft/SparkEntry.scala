@@ -307,6 +307,7 @@ object SparkEntry {
     "m13_resample" -> (Multimodal.modalResample _),
     "m14_augment" -> (Multimodal.modalAugment _),
     "m15_silence_trim" -> (Multimodal.modalTrim _),
+    "m16_watermark" -> (Multimodal.modalWatermark _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -727,6 +728,7 @@ object SparkEntry {
     "m13_resample" -> Multimodal.modalResampleOracleSql,
     "m14_augment" -> Multimodal.modalAugmentOracleSql,
     "m15_silence_trim" -> Multimodal.modalTrimOracleSql,
+    "m16_watermark" -> Multimodal.modalWatermarkOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1212,6 +1212,71 @@ object Multimodal {
        |FROM vs JOIN v0 USING (doc_id)""".stripMargin
   }
 
+  /** LSB provenance watermark (m16) — the traceability primitive a
+    * dataset steward embeds before redistribution (who leaked this
+    * image?): the 64-bit doc_id is written into the least-significant
+    * bits of the first 64 pixels (MSB first), the marked raster goes
+    * through the REAL codec roundtrip, and the id is RECOVERED from the
+    * decoded pixels — embed, lossless survival, and extraction certified
+    * together (a lossy codec or any pixel shift destroys recovery). The
+    * gate also hashes the marked raster so the embedding rule itself is
+    * pinned, and carries the pixel perturbation mass (≤ 64, LSB-bounded
+    * — the watermark is invisible). Row-local, zero shuffle. */
+  def modalWatermark(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Long, Boolean, Long, String)]
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    assets(t(spark, dir, "documents")).filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val px = imgDecode(imgEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH))._1
+        val marked = px.clone()
+        var delta = 0L
+        var b = 0
+        while (b < 64) {
+          val bit = ((id >>> (63 - b)) & 1L).toInt
+          val old = marked(b) & 0xff
+          val nw = old - (old & 1) + bit
+          delta += math.abs(nw - old)
+          marked(b) = nw.toByte
+          b += 1
+        }
+        val (out, _, _) = imgDecode(imgEncode(marked, ThumbW, ThumbH))
+        var rec = 0L
+        var i = 0
+        while (i < 64) { rec = (rec << 1) | (out(i) & 1L); i += 1 }
+        (id, rec, rec == id, delta, md5hex(out))
+      })(outEnc)
+      .toDF("doc_id", "recovered", "match", "delta", "wm_md5")
+  }
+
+  /** DuckDB oracle twin of [[modalWatermark]]: replays the LSB embedding
+    * on the closed-form raster with ord/chr arithmetic — recovery, the
+    * perturbation mass, and the marked-raster digest all match only if
+    * the embed rule and the codec roundtrip were bit-exact. */
+  def modalWatermarkOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH d AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil($ipx.0 / length(text)) AS INT)), 1, $ipx) AS raster
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | m AS (SELECT doc_id, raster,
+       |        array_to_string(list_transform(range(1, $ipx + 1), i ->
+       |          CASE WHEN i <= 64
+       |               THEN chr(CAST(ord(substr(raster, CAST(i AS INT), 1))
+       |                      - (ord(substr(raster, CAST(i AS INT), 1)) % 2)
+       |                      + ((doc_id >> (64 - i)) & 1) AS INT))
+       |               ELSE substr(raster, CAST(i AS INT), 1) END), '') AS marked
+       |       FROM d)
+       |SELECT doc_id, doc_id AS recovered, TRUE AS match,
+       | CAST(list_sum(list_transform(range(1, 65), i ->
+       |   abs((ord(substr(raster, CAST(i AS INT), 1)) - (ord(substr(raster, CAST(i AS INT), 1)) % 2)
+       |        + ((doc_id >> (64 - i)) & 1)) - ord(substr(raster, CAST(i AS INT), 1))))) AS BIGINT) AS delta,
+       | md5(marked) AS wm_md5
+       |FROM m""".stripMargin
+  }
+
   /** VAD-based silence trimming (m15) — the EDIT that m9's detection
     * exists for: leading and trailing silent frames are cut (interior
     * silence stays — ASR needs the pauses between utterances) and the

@@ -187,6 +187,19 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m16 watermark: every id recovers bit-exactly; perturbation LSB-bounded") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.modalWatermark(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, rec, ok, delta) =>
+      assert(ok && rec == id, s"doc $id recovered $rec")
+      assert(delta <= 64, s"doc $id perturbation $delta must be LSB-bounded")
+    }
+    // some ids actually flip bits (delta > 0 somewhere)
+    assert(rows.exists(_._4 > 0))
+  }
+
   test("m15 trim: boundaries land on active frames; interior silence survives") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.modalTrim(spark, "/root/testdata/sf0.001").collect()
