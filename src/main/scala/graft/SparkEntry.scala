@@ -67,6 +67,7 @@ object SparkEntry {
     "q38_observe" -> (Relational.q38_observe _),
     "q39_unpivot" -> (Relational.q39_unpivot _),
     "q40_mad_outliers" -> (Relational.q40_mad_outliers _),
+    "q41_time_weighted" -> (Relational.q41_time_weighted _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "a31_upsample" -> (ArrayOps.a31_upsample _),
     "a32_multichannel" -> (ArrayOps.a32_multichannel _),
     "a33_chunk_dedup" -> (ArrayOps.a33_chunk_dedup _),
+    "a34_object_catalog" -> (ArrayOps.a34_object_catalog _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -536,6 +538,7 @@ object SparkEntry {
     "q38_observe" -> Relational.q38OracleSql,
     "q39_unpivot" -> Relational.q39OracleSql,
     "q40_mad_outliers" -> Relational.q40OracleSql,
+    "q41_time_weighted" -> Relational.q41OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -589,6 +592,7 @@ object SparkEntry {
     "a31_upsample" -> ArrayOps.a31OracleSql,
     "a32_multichannel" -> ArrayOps.a32OracleSql,
     "a33_chunk_dedup" -> ArrayOps.a33OracleSql,
+    "a34_object_catalog" -> ArrayOps.a34OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -118,6 +118,68 @@ object ArrayOps {
 
   def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
 
+  /** Per-label object catalog (a34) — the "segment properties" manifest a
+    * segmentation pipeline exports beside the pyramid (neuroglancer's
+    * per-segment metadata: every viewer jump-to-object and every
+    * proofreading queue reads one): for each nonzero label, its tight
+    * bounding box (min/max per axis), voxel count, and bbox fill fraction
+    * (count / bbox volume — elongated or fragmented objects score low,
+    * the triage signal for split candidates). Complements a13 (centroids)
+    * with EXTENTS. One decode-pass aggregation: voxels reduce map-side to
+    * (label → 7 partials); only label-grain partials cross the wire. The
+    * a28 block fixture plants known boxes, so the catalog is
+    * geometry-verified, not just fold-verified. */
+  def a34_object_catalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a34").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt16, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt16, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          // 16 block objects, plus label 0 background holes punched in
+          val g = 1 + (x - 1) / 16 + 4 * ((y - 1) / 16)
+          val v = if ((x + y + z) % 11 == 0) 0 else g
+          buf.setLong(x - 1, y - 1, z - 1, 0, v.toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val dump = s"$voxelDumpRoot/a34"
+    vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("label"))
+      .write.mode("overwrite").parquet(dump)
+    spark.read.parquet(dump)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vox"),
+        min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"),
+        min(col("z")).as("z0"), max(col("z")).as("z1"))
+      .withColumn("fill", round(col("n_vox").cast(DoubleType) /
+        ((col("x1") - col("x0") + 1) * (col("y1") - col("y0") + 1)
+          * (col("z1") - col("z0") + 1)), 4))
+  }
+
+  /** Oracle twin of [[a34_object_catalog]]: the same extents/count/fill
+    * fold over the dumped labeled voxels. */
+  def a34OracleSql: String =
+    s"""SELECT label, count(*) AS n_vox,
+       | min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+       | min(z) AS z0, max(z) AS z1,
+       | round(CAST(count(*) AS DOUBLE) /
+       |   ((max(x) - min(x) + 1) * (max(y) - min(y) + 1) * (max(z) - min(z) + 1)), 4) AS fill
+       |FROM read_parquet('$voxelDumpRoot/a34/*.parquet') GROUP BY label""".stripMargin
+
   /** Content-addressable chunk-dedup audit (a33) — the storage-dedup
     * measurement a petavoxel archive runs before adopting hash-addressed
     * blobs: microscopy volumes are full of byte-identical chunks (empty

@@ -641,6 +641,50 @@ object Relational {
       |FROM lineitem l JOIN b ON year(l.l_shipdate) = b.l_year
       |GROUP BY 1""".stripMargin
 
+  /** Time-weighted average (q41) — the bitemporal aggregate the q37
+    * intervals exist to support: a plain AVG over state-change events
+    * weights a state by how often it CHANGED, not how long it HELD (one
+    * flappy hour outvotes a stable month); the time-weighted mean
+    * `Σ value·duration / Σ duration` over validity intervals is the
+    * correct "average price while held" / "average session value"
+    * number. Open (current) intervals are excluded — their duration is
+    * unknown by definition. One window pass builds the intervals (the
+    * q37 shape), one map-side-combined fold per event_type; weighted
+    * terms are exact DECIMAL products (value rounded to 4, duration in
+    * integer seconds), so partial order cannot move the hash. */
+  def q41_time_weighted(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 4)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast(DoubleType).as("v"), unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - us) DIV 1000000"))
+    iv.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_s"),
+        sum(round(col("v"), 4).cast(dec) * col("dur_s").cast(dec)).as("wsum"))
+      .select(col("event_type"), col("n_intervals"), col("total_s"),
+        round(col("wsum").cast(DoubleType) / col("total_s"), 4).as("tw_avg"))
+  }
+
+  /** DuckDB oracle twin of [[q41_time_weighted]] — same intervals, same
+    * decimal products and final division. */
+  def q41OracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS v,
+      |            CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      | iv AS (SELECT event_type, v, us,
+      |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+      |        FROM e),
+      | d AS (SELECT event_type, v, (next_us - us) // 1000000 AS dur_s
+      |       FROM iv WHERE next_us IS NOT NULL)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+      | CAST(sum(dur_s) AS BIGINT) AS total_s,
+      | round(CAST(sum(CAST(round(v, 4) AS DECIMAL(28,4)) * CAST(dur_s AS DECIMAL(28,4))) AS DOUBLE)
+      |   / sum(dur_s), 4) AS tw_avg
+      |FROM d GROUP BY 1""".stripMargin
+
   /** Robust outlier report (q40) — median/MAD screening, the outlier rule
     * that doesn't break on the outliers themselves (mean/std both move
     * with the contamination they're meant to find): per group, the

@@ -20,6 +20,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 time-weighted average equals a driver interval walk; differs from plain avg") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q41_time_weighted(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast("double"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val want = scala.collection.mutable.Map.empty[String, (Long, Long, BigDecimal)]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.sortBy(r => (r._5, r._2))
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          val durS = (b._5 - a._5) / 1000000L
+          val term = BigDecimal(a._4).setScale(4, BigDecimal.RoundingMode.HALF_UP) * durS
+          val (n, t, ws) = want.getOrElse(a._3, (0L, 0L, BigDecimal(0)))
+          want(a._3) = (n + 1, t + durS, ws + term)
+        case _ =>
+      }
+    }
+    want.foreach { case (et, (n, total, ws)) =>
+      val (gn, gt, gavg) = got(et)
+      assert(gn == n && gt == total, s"$et intervals/duration")
+      assert(math.abs(gavg - (ws / total).toDouble) < 1e-3, s"$et tw_avg")
+    }
+    assert(got.keySet == want.keySet)
+  }
+
   test("q40 MAD outliers: robust to contamination a mean/std rule is not") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q40_mad_outliers(spark, dir).collect()

@@ -216,6 +216,26 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(argZ.distinct.length > 1)
   }
 
+  test("a34 object catalog: planted block extents exact; holes shrink counts, not boxes") {
+    val got = ArrayOps.a34_object_catalog(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getInt(7), r.getDouble(8)))).toMap
+    assert(got.size == 16)
+    for (g <- 1 to 16) {
+      val bx = (g - 1) % 4; val by = (g - 1) / 4
+      val (n, x0, x1, y0, y1, z0, z1, fill) = got(g.toLong)
+      // block extents survive the punched holes (holes are interior-sparse)
+      assert((x0, x1, y0, y1, z0, z1) ==
+        ((bx * 16 + 1, bx * 16 + 16, by * 16 + 1, by * 16 + 16, 1, 8)), s"label $g box")
+      val expectedN = (for (z <- 1 to 8; y <- by * 16 + 1 to by * 16 + 16;
+        x <- bx * 16 + 1 to bx * 16 + 16) yield ()).size -
+        (for (z <- 1 to 8; y <- by * 16 + 1 to by * 16 + 16; x <- bx * 16 + 1 to bx * 16 + 16
+          if (x + y + z) % 11 == 0) yield ()).size
+      assert(n == expectedN, s"label $g count")
+      assert(fill < 1.0 && fill > 0.85, s"label $g fill $fill reflects the holes")
+    }
+  }
+
   test("a33 chunk dedup: the four uniform chunks share one digest, bright chunks are unique") {
     val got = ArrayOps.a33_chunk_dedup(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
