@@ -288,6 +288,7 @@ object SparkEntry {
     "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8)),
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
+    "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -633,6 +634,7 @@ object SparkEntry {
     "c16_split_leakage" -> splitLeakageOracle,
     "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
+    "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

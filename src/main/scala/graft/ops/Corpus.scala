@@ -445,6 +445,48 @@ object Corpus {
        |FROM documents d LEFT JOIN f ON d.doc_id = f.train_id
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
 
+  /** Dataset nutrition label (c19) — the one-row "datasheet" summary a
+    * corpus release ships with (Gebru et al.'s datasheets, Hugging Face
+    * dataset cards): document and token mass, language and source
+    * cardinalities, exact-duplicate count and rate, and mean document
+    * length — the numbers a consumer reads before anything else. One scan
+    * feeds the doc-grain measures; the duplicate count reuses the d1 md5
+    * canonical rule (non-first members of each content-hash group); all
+    * reductions are map-side combined and the output is a single row,
+    * so at 100 TB this is exactly one pass plus a hash-grain exchange. */
+  def nutritionLabel(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+      md5(col("text")).as("h"))
+    val dupes = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dupes"))
+    base.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      round(sum(col("n_tok")).cast(DoubleType) / count(lit(1)), 4).as("mean_len"))
+      .crossJoin(broadcast(dupes))
+      .withColumn("dup_rate", round(col("n_dupes").cast(DoubleType) / col("n_docs"), 4))
+  }
+
+  /** DuckDB oracle twin of [[nutritionLabel]] — the same measures stated
+    * directly. */
+  def nutritionLabelOracleSql: String =
+    """WITH b AS (SELECT doc_id, lang, source,
+      |            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+      |            md5(text) AS h
+      |           FROM documents),
+      | d AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dupes FROM (
+      |        SELECT h, count(*) AS c FROM b GROUP BY h))
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      | round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_len,
+      | d.n_dupes,
+      | round(CAST(d.n_dupes AS DOUBLE) / count(*), 4) AS dup_rate
+      |FROM b, d GROUP BY d.n_dupes""".stripMargin
+
   /** Corpus-health report: per-source document counts, token totals,
     * quality mass, and duplicate counts, with a ROLLUP grand-total row —
     * the dashboard a curation run ends with. Composes the stage operators

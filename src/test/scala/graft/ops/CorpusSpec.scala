@@ -256,6 +256,20 @@ class CorpusSpec extends AnyFunSuite {
     } finally raw.unpersist()
   }
 
+  test("c19 nutrition label agrees with its component operators") {
+    import org.apache.spark.sql.functions._
+    val r = Corpus.nutritionLabel(docs).head()
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(2) == docs.select("lang").distinct().count())
+    assert(r.getLong(3) == docs.select("source").distinct().count())
+    // the duplicate count must equal d1's non-keeper count
+    val nonKeepers = docs.count() -
+      docs.select(md5(col("text"))).distinct().count()
+    assert(r.getLong(5) == nonKeepers, "dup count ties out to the d1 rule")
+    assert(r.getDouble(6) > 0 && r.getDouble(6) < 1, "dup rate non-degenerate")
+    assert(r.getDouble(4) > 0)
+  }
+
   test("t26 mojibake screen flags exactly the injected documents") {
     val rows = TextOps.mojibakeScreen(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
