@@ -300,7 +300,7 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
-      "c17_epoch_shuffle",
+      "c17_epoch_shuffle", "c19_nutrition_label",
       "q31_gapfill", "q32_skew_report", "q34_funnel",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s5_sq8_topk",
@@ -311,7 +311,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the one-row total to the nlist-row cell relation — 1 × N map-side
     // attaches, same class as a21/c12; c17 crosses the corpus with the
     // broadcast EPOCH dimension (bounded by the epoch count, the q31
-    // dimension-grid argument)
+    // dimension-grid argument); c19 attaches its ONE-ROW duplicate total
     // ONE-ROW broadcast constants (a21: total voxel count against the
     // histogram; c11: the two corpus-constant fits, t12's exact shape;
     // c12: the total-docs row against the bucket-grain histogram) —
