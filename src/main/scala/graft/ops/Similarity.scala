@@ -722,9 +722,12 @@ object Similarity {
     * oracle. */
   lazy val FilteredCentroidDump: String = s"$OracleDumpRoot/s18_centroids"
 
-  /** Where [[ivfBalance]] dumps its fitted centroids for the replay
-    * oracle. */
-  lazy val BalanceCentroidDump: String = s"$OracleDumpRoot/s22_centroids"
+  /** Where the most recent [[ivfBalance]] call dumped its fitted centroids
+    * — PER-DIR (ADVICE r8: a shared path is a collision when two dirs are
+    * gated in one JVM). The oracle def reads this at dump time, in the same
+    * JVM, right after the gate ran the query for its one dir, so SQL and
+    * artifact always agree — the q33/q36 `dirToken` convention. */
+  @volatile private[ops] var BalanceCentroidDump: String = s"$OracleDumpRoot/s22_centroids"
 
   /** Domain clustering for mixture design: embeddings are clustered with a
     * k-means coarse model (trained on a capped sample, like [[annIvf]]) and
@@ -832,7 +835,21 @@ object Similarity {
     * deterministic, so no join against the at-rest codes is needed), one
     * map-side-combined fold at dim grain; per-term values round to 8
     * decimals before aggregation (sum via exact DECIMAL, max of rounded
-    * terms — both order-insensitive). */
+    * DECIMAL terms — both order-insensitive).
+    *
+    * FINAL rounding is EXACT integer/decimal arithmetic, not
+    * `round(double)` (r9): `sq/n` is an exact short rational (a multiple
+    * of 1e-8 over a round count), so its 8th-decimal round lands on an
+    * exact `…5` TIE with non-negligible probability — and the two engines
+    * then disagree: Spark's round goes through the double's SHORTEST
+    * DECIMAL REPR (BigDecimal.valueOf → ties round UP), DuckDB rounds the
+    * EXACT BINARY value (which sits a hair below or above the tie). At
+    * sf0.01, dim 59 hit exactly this: sq/n = 2.365e-6 → Spark 2.37e-6,
+    * DuckDB 2.36e-6 — value-equal at 1e-6, formatted-hash different. The
+    * fix computes HALF_UP(sq/n, 8) as `(2·sq·1e8 + n) div (2n)` in exact
+    * BIGINT on both engines (identical by construction, no double in
+    * sight), and max_abs_err as an exact DECIMAL round of the DECIMAL
+    * max. */
   def sq8ErrorReport(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     t(spark, dir, "embeddings")
@@ -848,10 +865,11 @@ object Similarity {
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("err") * col("err"), 8).cast(dec)).as("sq"),
-        max(round(abs(col("err")), 8)).as("mx_err"))
+        max(round(abs(col("err")), 8).cast(dec)).as("mx_err"))
       .select(col("pos"), col("n"),
-        round(col("sq").cast(DoubleType) / col("n"), 8).as("mse"),
-        round(col("mx_err"), 6).as("max_abs_err"))
+        expr("CAST((2 * CAST(sq * 100000000 AS BIGINT) + n) DIV (2 * n) AS DOUBLE) / 100000000.0")
+          .as("mse"),
+        expr("CAST(CAST(round(mx_err, 6) AS DECIMAL(18,6)) AS DOUBLE) + 0.0").as("max_abs_err"))
   }
 
   /** DuckDB oracle twin of [[sq8ErrorReport]] — same quantization rule,
@@ -869,11 +887,11 @@ object Similarity {
       |       FROM d),
       | f AS (SELECT pos, count(*) AS n,
       |        sum(CAST(round((v - deq) * (v - deq), 8) AS DECIMAL(18,8))) AS sq,
-      |        max(round(abs(v - deq), 8)) AS mx_err
+      |        max(CAST(round(abs(v - deq), 8) AS DECIMAL(18,8))) AS mx_err
       |       FROM r GROUP BY pos)
       |SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
-      | round(CAST(sq AS DOUBLE) / n, 8) AS mse,
-      | round(mx_err, 6) AS max_abs_err
+      | CAST((2 * CAST(sq * 100000000 AS BIGINT) + n) // (2 * n) AS DOUBLE) / 100000000.0 AS mse,
+      | CAST(CAST(round(mx_err, 6) AS DECIMAL(18,6)) AS DOUBLE) + 0.0 AS max_abs_err
       |FROM f""".stripMargin
 
   /** Top-k by int8-quantized cosine: the brute-force scan of [[cosineTopK]]
@@ -1314,6 +1332,7 @@ object Similarity {
     import graft.functions.CentroidExprs.centroid_argmax
     val emb = t(spark, dir, "embeddings")
     val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    BalanceCentroidDump = s"$OracleDumpRoot/s22_centroids_${dirToken(dir)}"
     dumpCentroids(spark, centMatrix, BalanceCentroidDump)
     val counts = emb
       .select(centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
@@ -1404,21 +1423,33 @@ object Similarity {
 
   /** Distributed covariance matrix (s24) — the PCA / whitening-fit
     * primitive: the upper triangle of the mean-centered coordinate
-    * covariance, `cov(i,j) = Σ_v (x_i−μ_i)(x_j−μ_j) / n`, with μ from
-    * the s20 fit (one shared artifact across s20/s23/s24). The diagonal
-    * reproduces s20's variances (spec-pinned); off-diagonal structure is
-    * what a PCA rotation or ZCA whitening consumes.
+    * covariance, with μ from the s20 fit (one shared artifact across
+    * s20/s23/s24). The diagonal reproduces s20's variances (spec-pinned);
+    * off-diagonal structure is what a PCA rotation or ZCA whitening
+    * consumes.
     *
-    * Scale shape: the μ fit is dim-grain metadata inlined as a literal,
-    * so every vector emits its dim²/2 upper-triangle terms ROW-LOCALLY
-    * (no self-join, no second scan) and they reduce map-side-combined at
-    * (i, j) grain — the exchange carries dim²/2 partials per partition,
-    * never vectors. Each term rounds to DECIMAL(18,8) before summing
-    * (the s10 discipline), so partial-aggregation order cannot move the
-    * hash. Cost is pure projection CPU (terms × decimal-round), linear in
-    * the corpus and embarrassingly parallel — and it is a FIT job: run
-    * once per corpus snapshot (s25 caches and consumes it), not per
-    * query. */
+    * RAW-MOMENT form (r9): `cov(i,j) = Σ x_i·x_j / n − μ_i·μ_j`. Each
+    * coordinate rounds to DECIMAL(18,8) ONCE per row (dim rounds, not
+    * dim²/2 — `round(double)` is the expensive BigDecimal path), then the
+    * dim²/2 upper-triangle terms are EXACT decimal products ((18,8)² →
+    * scale 16, no per-term rounding at all), summed exactly at (i, j)
+    * grain. The exact sum rounds back to scale 8 once per output cell, and
+    * the final double expression `S/n − μ_i·μ_j` is identical IEEE ops in
+    * both engines. `+ 0.0` normalizes the signed zero a rounded centered
+    * quantity can produce (r8: DuckDB round kept −0.0 at cell (5,9) where
+    * Spark's BigDecimal HALF_UP has no signed zero — value-equal,
+    * hash-different).
+    *
+    * Scale shape: the μ fit is dim-grain metadata inlined as a literal, so
+    * every vector emits its terms ROW-LOCALLY (no self-join, no second
+    * scan) and they reduce map-side-combined at (i, j) grain — the
+    * exchange carries dim²/2 decimal partials per partition, never
+    * vectors. Exactness bound: |coordinate| < 10 keeps each product inside
+    * DECIMAL(18,16) and the exact sum holds ~1e9 rows per cell before
+    * nearing DECIMAL(38,16); the scale-8 re-round keeps the
+    * decimal→double cast exact-integer (< 2^53) in both engines. It is a
+    * FIT job: run once per corpus snapshot (s25 caches and consumes it),
+    * not per query. */
   def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
     // the μ fit is dim-grain metadata: collected once (like a centroid
     // fit) and inlined as an array literal, so the per-vector pair terms
@@ -1429,39 +1460,48 @@ object Similarity {
     val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
     val nD = means.length
     t(spark, dir, "embeddings")
-      .select(expr(s"zip_with(embedding, $mArr, (x, m) -> CAST(x AS DOUBLE) - m)").as("c"))
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)))").as("rd"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${nD - 1}), i ->
            |  transform(sequence(i, ${nD - 1}), j ->
            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           |      CAST(round(element_at(c, CAST(i + 1 AS INT)) * element_at(c, CAST(j + 1 AS INT)), 8)
-           |        AS DECIMAL(18,8)) AS term))))""".stripMargin)).as("t"))
+           |      element_at(rd, CAST(i + 1 AS INT)) * element_at(rd, CAST(j + 1 AS INT)) AS term))))""".stripMargin)).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.term").as("term"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("term")).as("s"))
       .select(col("i"), col("j"),
-        round(col("s").cast(DoubleType) / col("n"), 6).as("cov"))
+        (round(expr("CAST(CAST(round(s, 8) AS DECIMAL(18,8)) AS DOUBLE)") / col("n")
+          - expr(s"element_at($mArr, CAST(i + 1 AS INT)) * element_at($mArr, CAST(j + 1 AS INT))"),
+          6) + lit(0.0)).as("cov"))
   }
 
   /** DuckDB oracle twin of [[covarianceMatrix]] — the s20 fit CTE, the
-    * same centered self-pairing, decimal terms, and finals. */
+    * same once-per-coordinate rounding, exact decimal raw-moment products,
+    * and the same final double expression (μ from the fit CTE equals the
+    * inlined literal: both are the engines' gate-equal round(mean, 4)). */
   def covarianceOracleSql: String =
     s"""WITH fit AS (${dimStatsOracleSql.replace("\n", "\n      ")}),
-       | d AS (SELECT vec_id, u.pos AS pos, CAST(u.v AS DOUBLE) AS v FROM (
+       | rd AS (SELECT vec_id, u.pos AS pos,
+       |         CAST(round(CAST(u.v AS DOUBLE), 8) AS DECIMAL(18,8)) AS rv FROM (
        |        SELECT vec_id, unnest([{'pos': i - 1, 'v': embedding[i]}
        |                               FOR i IN range(1, len(embedding) + 1)]) AS u
        |        FROM embeddings)),
-       | c AS (SELECT d.vec_id, d.pos, d.v - fit.mean AS c
-       |       FROM d JOIN fit ON d.pos = fit.pos),
-       | p AS (SELECT a.pos AS i, b.pos AS j,
-       |        CAST(round(a.c * b.c, 8) AS DECIMAL(18,8)) AS term
-       |       FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos),
+       | p AS (SELECT a.pos AS i, b.pos AS j, a.rv * b.rv AS term
+       |       FROM rd a JOIN rd b ON a.vec_id = b.vec_id AND a.pos <= b.pos),
        | g AS (SELECT i, j, count(*) AS n, sum(term) AS s FROM p GROUP BY i, j)
-       |SELECT i, j, round(CAST(s AS DOUBLE) / n, 6) AS cov FROM g""".stripMargin
+       |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+       | round(CAST(CAST(round(g.s, 8) AS DECIMAL(18,8)) AS DOUBLE) / g.n
+       |   - fi.mean * fj.mean, 6) + 0.0 AS cov
+       |FROM g JOIN fit fi ON g.i = fi.pos JOIN fit fj ON g.j = fj.pos""".stripMargin
 
-  /** Where [[pcaProject]] dumps its fitted principal component for the
-    * replay oracle. */
-  lazy val PcaDump: String = s"$OracleDumpRoot/s25_pc1"
+  /** Where the most recent [[pcaProject]] call dumped its fitted principal
+    * component — PER-DIR (ADVICE r8: the old single global path let a
+    * second dataset's fit overwrite the first's replay artifact while the
+    * first's CACHED fit kept serving projections, so the oracle would read
+    * the wrong component). The oracle def reads this at dump time, in the
+    * same JVM, right after the gate ran the query for its one dir — the
+    * q33/q36 `dirToken` convention. */
+  @volatile private[graft] var PcaDump: String = s"$OracleDumpRoot/s25_pc1"
 
   /** PCA first-component projection (s25) — completing the spectral
     * pipeline (s20 per-dim fit → s24 covariance → s25 rotation): the top
@@ -1486,6 +1526,10 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    // per-dir artifact + per-dir cache: a cache HIT must also repoint the
+    // oracle's replay path at THIS dir's dump (ADVICE r8)
+    val dump = s"$OracleDumpRoot/s25_pc1_${dirToken(dir)}"
+    PcaDump = dump
     val (w, means) = pcaFits.computeIfAbsent(dir, _ => {
       val cells = covarianceMatrix(spark, dir).collect()
         .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
@@ -1508,7 +1552,7 @@ object Similarity {
       val wr = w0.map(v => math.rint(v * 1e8) / 1e8)
       import spark.implicits._
       wr.zipWithIndex.map { case (v, p) => (p.toLong, v) }.toSeq
-        .toDF("pos", "w").coalesce(1).write.mode("overwrite").parquet(PcaDump)
+        .toDF("pos", "w").coalesce(1).write.mode("overwrite").parquet(dump)
       val ms = dimStats(spark, dir).select(col("pos"), col("mean")).collect()
         .sortBy(_.getLong(0)).map(_.getDouble(1))
       (wr, ms)

@@ -47,8 +47,16 @@ object Tables {
   def dsum2(a: Column, b: Column): Column =
     sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4)))
 
-  /** Final presentation: double rounded to `s` places. */
-  def outd(c: Column, s: Int = 3): Column = round(c.cast(DoubleType), s)
+  /** Final presentation: double rounded to `s` places, signed-zero
+    * normalized. Spark's round (BigDecimal HALF_UP) can never emit `-0.0`
+    * so the `+ 0.0` is a numeric no-op here — it exists as the visible
+    * half of the repo-wide convention (r8 s24: DuckDB's round PRESERVES
+    * `-0.0`, value-equal but hash-different under the driver's formatted
+    * hash). The enforcement point is mechanical — `Verify.normSignedZero`
+    * / `Verify.wrapOracle` normalize every float/double output column on
+    * both engines at the gate boundary — so no hand-written oracle can
+    * reintroduce the class; SignedZeroSpec pins each path. */
+  def outd(c: Column, s: Int = 3): Column = round(c.cast(DoubleType), s) + lit(0.0)
 
   /** Eagerly materialize a multiply-consumed intermediate.
     *

@@ -1198,16 +1198,23 @@ object TextOps {
     * accounting): the token stream splits at its midpoint and each half is
     * language-identified independently (the SAME t3 scoring — one profile
     * set serves t3, t15, and t24); a disagreement flags the document.
-    * Detection is PROVEN, not hoped: every 20th document gets a German
-    * stopword block appended, SCALED to the document (⌊n/14⌋+1 repeats of
-    * the 6-word unit, so the block always dominates the tail half without
-    * ever bleeding into the head half — a pure function of (doc_id, text)
-    * replayed by the oracle); this corpus's natural text never scores
-    * German, so those docs must flag. Row-local slice + filter counts,
-    * whole-stage codegen, zero shuffle. */
+    * Detection is PROVEN, not hoped: every 20th document WITH ≥ 5 tokens
+    * gets a German stopword block appended, SCALED to the document
+    * (r = ⌊n/14⌋+1 repeats of the 6-word unit — a pure function of
+    * (doc_id, text) replayed by the oracle); this corpus's natural text
+    * never scores German, so those docs must flag. The ≥ 5 guard (ADVICE
+    * r8) makes the tail-confinement PROVABLE instead of fixture-dependent:
+    * the head half is tokens 1..⌊(n+6r)/2⌋ and the block starts at n+1, so
+    * the head stays natural iff 6r ≤ n+1 — which holds for every n ≥ 5
+    * (r=1 needs n ≥ 5; each +1 to r adds 14 to n but only 6 to the bound).
+    * Unguarded, a 4-token document would leak German into its head half
+    * and report consistent=true despite the injection. Fixture docs have
+    * ≥ 10 tokens, so outputs are unchanged. Row-local slice + filter
+    * counts, whole-stage codegen, zero shuffle. */
   def langConsistency(docs: DataFrame): DataFrame = {
     val aug = docs.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(20)) === 0,
+      when(pmod(col("doc_id"), lit(20)) === 0 &&
+          expr("size(split(text, '\\\\s+'))") >= 5,
         concat(col("text"), expr(
           s"repeat('$DeUnit', CAST(size(split(text, '\\\\s+')) DIV 14 + 1 AS INT))")))
         .otherwise(col("text")).as("t"))
@@ -1229,6 +1236,7 @@ object TextOps {
   def langConsistencyOracleSql: String =
     s"""WITH a AS (SELECT doc_id,
        |            CASE WHEN doc_id % 20 = 0
+       |                  AND len(string_split_regex(text, '\\s+')) >= 5
        |                 THEN text || repeat('$DeUnit',
        |                        CAST(len(string_split_regex(text, '\\s+')) // 14 + 1 AS INT))
        |                 ELSE text END AS t
@@ -1346,10 +1354,17 @@ object TextOps {
     * common subset (the t6 discipline), whole-stage codegen, zero
     * shuffle. */
   def codeDetect(docs: DataFrame): DataFrame = {
+    // injection scaled with document LENGTH (ADVICE r8): each 43-char unit
+    // carries 11 class symbols, so r = 3 + id%3 + n_chars/1000 repeats give
+    // sym_ratio = 11r/(n+43r) ≥ 11(n/1000)/(n+43r) > 0.01 at ANY document
+    // length (a fixed 3–5 repeats stopped clearing the 1% density past
+    // ~3.2 kchars) while n_sym ≥ 33 clears the absolute floor — the
+    // flags-exactly-the-injected invariant is now length-independent, like
+    // t24/t25. Fixture docs are < 1 kchars, so outputs are unchanged.
     val aug = docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(10)) === 0,
         concat(col("text"), expr(
-          s"repeat('$CodeSnippetUnit', CAST(3 + doc_id % 3 AS INT))")))
+          s"repeat('$CodeSnippetUnit', CAST(3 + doc_id % 3 + length(text) DIV 1000 AS INT))")))
         .otherwise(col("text")).as("t"))
     aug.select(col("doc_id"),
       length(col("t")).cast(LongType).as("n_chars"),
@@ -1371,7 +1386,8 @@ object TextOps {
   def codeDetectOracleSql: String =
     s"""WITH a AS (SELECT doc_id,
        |            CASE WHEN doc_id % 10 = 0
-       |                 THEN text || repeat('$CodeSnippetUnit', CAST(3 + doc_id % 3 AS INT))
+       |                 THEN text || repeat('$CodeSnippetUnit',
+       |                        CAST(3 + doc_id % 3 + length(text) // 1000 AS INT))
        |                 ELSE text END AS t
        |           FROM documents)
        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
