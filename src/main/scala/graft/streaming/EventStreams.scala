@@ -436,9 +436,15 @@ object EventStreams {
     * the domain-bounded transition matrix. */
   def asofEnrichOnce(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Relational
-    val dim = Relational.q37_scd2(spark, dir)
+    // MATERIALIZE the dimension before the stream starts: a stream-static
+    // join re-evaluates its static side EVERY micro-batch, and q37's SCD2
+    // build is a shuffle + window over the full event log — recomputing it
+    // per batch is wrong at any scale (r9 re-pin measured it as ~40% of the
+    // query). A slowly-changing dimension in production is a SNAPSHOT read
+    // once per trigger cadence, not a per-batch rebuild.
+    val dim = Tables.materialize(Relational.q37_scd2(spark, dir)
       .select(col("user_id"), col("event_type").as("prev_type"),
-        col("valid_from"), col("valid_to"))
+        col("valid_from"), col("valid_to")))
     val ev = readEventStream(spark, dir)
       .select(col("user_id").as("e_user"), col("event_type"),
         unix_micros(col("ts")).as("us"))
