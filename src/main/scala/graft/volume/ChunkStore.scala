@@ -71,9 +71,46 @@ object ChunkStore {
     f
   }
 
+  /** Conf keys for the transient-failure retry policy (read off the
+    * FileSystem's own Configuration, so the policy ships to executors with
+    * the store conf like every other per-store setting). */
+  val RetryAttemptsKey = "graft.store.retry.attempts"
+  val RetryBaseMsKey = "graft.store.retry.base.ms"
+
+  /** Test instrumentation: count of retried (transient-failed) store ops. */
+  val retriesObserved = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Exponential-backoff retry around one store primitive — the engine's
+    * own E3 (reference: src/backends/S3Dicts.jl retry loops / GSDicts.jl
+    * transient-error handling; the cloud connectors' request-level retries
+    * still apply underneath, this layer covers whole-op failures like a
+    * stream dying mid-read, where the op must REOPEN, not re-request).
+    * Retries `IOException`s up to `graft.store.retry.attempts` (default 4)
+    * starting at `graft.store.retry.base.ms` (default 100 ms, doubling).
+    * Not-found is a RESULT, not a fault: `FileNotFoundException` propagates
+    * immediately (callers map it to [[MissingChunkException]] / None). The
+    * whole op body is inside the retry, so a reopen gets fresh streams. */
+  private def withRetry[T](fs: FileSystem)(op: => T): T = {
+    val conf = fs.getConf
+    val attempts = math.max(1, conf.getInt(RetryAttemptsKey, 4))
+    var delay = math.max(0L, conf.getLong(RetryBaseMsKey, 100L))
+    var i = 1
+    while (i < attempts) {
+      try return op
+      catch {
+        case e: java.io.IOException if !e.isInstanceOf[FileNotFoundException] =>
+          retriesObserved.incrementAndGet()
+          if (delay > 0) Thread.sleep(delay)
+          delay *= 2
+          i += 1
+      }
+    }
+    op // final attempt: let the failure propagate
+  }
+
   def read(fs: FileSystem, root: String, key: String): Array[Byte] = {
     val p = new Path(root, key)
-    try {
+    try withRetry(fs) {
       val in = fs.open(p)
       try {
         val out = new ByteArrayOutputStream(64 * 1024)
@@ -92,13 +129,16 @@ object ChunkStore {
 
   def write(fs: FileSystem, root: String, key: String, bytes: Array[Byte]): Unit = {
     val p = new Path(root, key)
-    val out = fs.create(p, true)
-    try out.write(bytes) finally out.close()
+    // overwrite-create is idempotent, so whole-op retry is safe
+    withRetry(fs) {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   def exists(fs: FileSystem, root: String, key: String): Boolean = {
     probeCalls.incrementAndGet()
-    fs.exists(new Path(root, key))
+    withRetry(fs)(fs.exists(new Path(root, key)))
   }
 
   /** Test instrumentation: total existence probes (`exists` calls). The
@@ -156,7 +196,7 @@ object ChunkStore {
 
   /** Object length, or None if absent — one metadata probe (HEAD). */
   def lengthOf(fs: FileSystem, root: String, key: String): Option[Long] =
-    try Some(fs.getFileStatus(new Path(root, key)).getLen)
+    try Some(withRetry(fs)(fs.getFileStatus(new Path(root, key)).getLen))
     catch { case _: FileNotFoundException => None }
 
   /** Ranged read `[off, off+len)` — the object-store GET-Range primitive
@@ -167,7 +207,7 @@ object ChunkStore {
     val tr = rangeTrace.get()
     if (tr != null) tr.add((s"$root/$key", off, len))
     val p = new Path(root, key)
-    try {
+    try withRetry(fs) {
       val in = fs.open(p)
       try {
         val out = new Array[Byte](len)
