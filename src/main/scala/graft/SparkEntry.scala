@@ -193,6 +193,7 @@ object SparkEntry {
     "s24_covariance" -> (Similarity.covarianceMatrix _),
     "s25_pca_project" -> (Similarity.pcaProject _),
     "s26_sq8_error" -> (Similarity.sq8ErrorReport _),
+    "s27_hamming_topk" -> ((s, d) => Similarity.hammingTopK(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -657,6 +658,7 @@ object SparkEntry {
     "s24_covariance" -> Similarity.covarianceOracleSql,
     "s25_pca_project" -> Similarity.pcaProjectOracleSql,
     "s26_sq8_error" -> Similarity.sq8ErrorOracleSql,
+    "s27_hamming_topk" -> Similarity.hammingTopKOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

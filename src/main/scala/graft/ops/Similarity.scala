@@ -2035,4 +2035,72 @@ object Similarity {
        | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM c)
        |SELECT q_id, nb_id, cs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  // ---------------- Binary sign-hash / Hamming top-k (s27) ----------------
+
+  /** Sign-bit signature of a 64-dim embedding, bit-packed into TWO 32-bit
+    * words carried as BIGINTs (`w0` = dims 0–31, `w1` = dims 32–63; bit i
+    * set iff coordinate > 0). Two words, not one, so no value ever touches
+    * the sign bit of a 64-bit integer — every signature is a plain
+    * non-negative BIGINT in BOTH engines (bit 63 of a single-word packing
+    * would flip the sign and engines diverge on signed-vs-unsigned
+    * formatting). A row-local fold, whole-stage codegen. */
+  private def signWord(emb: String, lo: Int): Column = expr(
+    s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+       | (acc, i) -> acc + IF(element_at($emb, i + $lo + 1) > 0.0D,
+       |                      shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Hamming top-k over binary sign hashes (s27) — the coarsest, cheapest
+    * tier of the ANN ladder (below s5's int8 and s7's PQ): each vector
+    * collapses to an 8-BYTE signature (vs 256 B of float32 — a 32×
+    * smaller at-rest index that 100 TB of embeddings turns into ~3 TB),
+    * and distance is two XOR+POPCOUNT ops per candidate (`bit_count` —
+    * codegen'd, branch-free, the SIMD-class kernel every binary-embedding
+    * paper leans on). Sign-of-coordinate is the classic binarization for
+    * zero-centered embeddings: Hamming distance then approximates angular
+    * distance (each differing sign bit is a hyperplane the two vectors
+    * straddle — the s2 random-hyperplane story with the axis-aligned
+    * basis).
+    *
+    * Scale shape: signatures are computed in ONE row-local scan (at rest
+    * they'd persist as a 2-BIGINT column and the float column never loads
+    * — `ReadSchema` carries 16 bytes/row); the probe set is a broadcast;
+    * ranking is (ham ASC, nb_id) with WindowGroupLimit pushing k into the
+    * exchange. The all-probes×corpus product is an EVAL shape bounded by
+    * nQueries·corpus (the adjudicated s1 allowlist); the production path
+    * at 100 TB buckets candidates by signature prefix (s2's LSH bucket
+    * equi-join) and uses THIS kernel as the in-bucket re-rank. Output is
+    * all-integer — no float formatting to drift. */
+  def hammingTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val sigs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), signWord("embedding", 0).as("w0"), signWord("embedding", 32).as("w1"))
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("nb_id").asc)
+    sigs.select(col("vec_id").as("nb_id"), col("w0"), col("w1"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("ham",
+        (bit_count(expr("w0 ^ q0")) + bit_count(expr("w1 ^ q1"))).cast(LongType))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("nb_id"), col("ham"), col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[hammingTopK]] — same two-word sign packing
+    * (list-comprehension fold), same XOR+popcount distance, same
+    * (ham ASC, nb_id) rank order. */
+  def hammingTopKOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH sig AS (SELECT vec_id,
+       |  CAST(list_sum([CASE WHEN embedding[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+       |                 FOR i IN range(0, 32)]) AS BIGINT) AS w0,
+       |  CAST(list_sum([CASE WHEN embedding[i + 33] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+       |                 FOR i IN range(0, 32)]) AS BIGINT) AS w1
+       | FROM embeddings),
+       | pairs AS (SELECT q.vec_id AS q_id, e.vec_id AS nb_id,
+       |            bit_count(xor(e.w0, q.w0)) + bit_count(xor(e.w1, q.w1)) AS ham
+       |           FROM sig q, sig e
+       |           WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id),
+       | r AS (SELECT q_id, nb_id, CAST(ham AS BIGINT) AS ham,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, nb_id) AS rnk FROM pairs)
+       |SELECT q_id, nb_id, ham, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
 }

@@ -1006,4 +1006,49 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(want.exists { case (_, (n, k, _)) => k < n }, "no duplicate lines cut — fixture degenerate")
     assert(got.values.map(_._2).sum == want.values.map(_._2).sum)
   }
+
+  test("s27 hamming top-k equals a driver-side sign-hash recomputation") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // reference packing: two 32-bit words, bit i = sign of dim (lo+i)
+    def word(v: Array[Float], lo: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) => if (v(lo + i) > 0f) acc | (1L << i) else acc)
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      java.lang.Long.bitCount(word(a, 0) ^ word(b, 0)) +
+        java.lang.Long.bitCount(word(a, 32) ^ word(b, 32))
+    val got = Similarity.hammingTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10 * 5)
+    got.foreach { case (q, nb, h, rnk) =>
+      assert(h == ham(emb(q), emb(nb)), s"hamming mismatch at ($q,$nb)")
+      assert(h >= 0 && h <= 64 && rnk >= 1 && rnk <= 5 && q != nb)
+    }
+    // rank order is truly global per query: nothing outside the top-k beats
+    // the kth by (ham, nb_id)
+    for (q <- 0L until 10L) {
+      val rows = got.filter(_._1 == q).sortBy(_._4)
+      val kth = rows.last
+      val better = emb.keys.filter(_ != q)
+        .map(nb => (ham(emb(q), emb(nb)), nb))
+        .count(c => c._1 < kth._3 || (c._1 == kth._3 && c._2 < kth._2))
+      assert(better == rows.length - 1 + rows.count(_ == kth) - 1 ||
+        better == rows.length - 1, s"q=$q: $better candidates beat the kth")
+    }
+    // the signature is 8 bytes of genuinely angular signal: each query's
+    // top-1 Hamming neighbor must be nearer in TRUE cosine than the
+    // average candidate (the binarization preserves neighborhood order)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val wins = (0L until 10L).count { q =>
+      val top1 = got.filter(r => r._1 == q && r._4 == 1L).head._2
+      val mean = emb.keys.filter(_ != q).map(nb => cos(emb(q), emb(nb))).sum / (emb.size - 1)
+      cos(emb(q), emb(top1)) > mean
+    }
+    assert(wins >= 9, s"sign-hash top-1 beat the mean cosine for only $wins/10 queries")
+  }
 }
