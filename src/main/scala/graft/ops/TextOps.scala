@@ -1409,5 +1409,92 @@ object TextOps {
        | CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        | round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_share
        |FROM grams g JOIN df USING (gram) GROUP BY g.doc_id""".stripMargin
+
+  // ---------------- Source-scoped boilerplate detection (t27) ----------
+
+  /** The injected per-source footer — 7 tokens, a pure function of
+    * `source` (identical across a source's injected docs, distinct across
+    * sources), so its 4 interior 4-grams become source-boilerplate while
+    * the grams straddling the splice stay document-unique. */
+  private[ops] def footerSql: String =
+    "concat(' visit ', source, ' homepage click subscribe now today')"
+
+  /** Source-scoped boilerplate screen (t27) — the crawl-cleanup t21
+    * cannot do: navigation chrome, footers, and cookie banners repeat
+    * across the pages of ONE site, so the detection grain is (source,
+    * gram) with a threshold RELATIVE to that source's page count — a
+    * gram is boilerplate in a source when it appears in
+    * `max(minDocs, ceil(pct · source_docs))` distinct documents of that
+    * source (the absolute floor stops tiny sources from flagging chance
+    * repeats; the relative bar keeps the rule meaningful at ANY source
+    * size — t21's global df≥2 would drown in cross-site near-dups).
+    * Detection is PROVEN by the corpus injection device: every 7th
+    * document gets [[footerSql]] appended (pure function of (doc_id,
+    * source), oracle-replayed), planting identical interior 4-grams in
+    * ~14% of each source's docs — above any sane pct — while natural
+    * grams sit far below the relative bar.
+    *
+    * Scale shape: gram df is computed at (source, md5(gram)) grain —
+    * 16-byte keys in the exchange regardless of gram length — via the
+    * two-stage exact-distinct (dedup (src,h,doc) then count), both
+    * map-side combined; per-source doc counts are a broadcast dimension;
+    * the surviving boilerplate-gram relation is TINY (chrome, not
+    * content) and broadcasts back onto the gram stream, so the corpus is
+    * scanned once, shuffled once at 16-byte grain, and never joined
+    * wide-to-wide. */
+  def boilerplate(docs: DataFrame, k: Int = 4, minDocs: Int = 3,
+      pct: Double = 0.05): DataFrame = {
+    val aug = docs.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), expr(footerSql))).otherwise(col("text")).as("t"))
+    val grams = aug
+      .select(col("doc_id"), col("source"), split(col("t"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""IF(size(toks) >= $k,
+           |   transform(sequence(1, size(toks) - ${k - 1}),
+           |             p -> array_join(slice(toks, p, $k), ' ')),
+           |   array())""".stripMargin)).as("gram"))
+      .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+    val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+    val dfg = grams.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    val boiler = dfg.join(broadcast(srcDocs), Seq("source"))
+      .filter(col("df") >= greatest(lit(minDocs.toLong),
+        ceil(col("src_docs") * pct).cast(LongType)))
+      .select(col("source"), col("h"), lit(true).as("b"))
+    grams.join(broadcast(boiler), Seq("source", "h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        outd(col("n_boiler") / col("n_grams"), 4).as("boiler_ratio"),
+        (col("n_boiler") >= 3).as("is_boiler"))
+  }
+
+  /** DuckDB oracle twin of [[boilerplate]] — same injection, 1-based
+    * sliding grams, md5-keyed per-source distinct-doc frequency, same
+    * max(floor, ceil(pct·docs)) bar and finals. */
+  def boilerplateOracleSql(k: Int = 4, minDocs: Int = 3, pct: Double = 0.05): String =
+    s"""WITH a AS (SELECT doc_id, source,
+       |            CASE WHEN doc_id % 7 = 0
+       |                 THEN text || ' visit ' || source || ' homepage click subscribe now today'
+       |                 ELSE text END AS t
+       |           FROM documents),
+       | toks AS (SELECT doc_id, source, string_split_regex(t, '\\s+') AS tk FROM a),
+       | g AS (SELECT doc_id, source,
+       |        md5(unnest([array_to_string(tk[p:p+${k - 1}], ' ')
+       |                    FOR p IN range(1, len(tk) - ${k - 2})])) AS h
+       |       FROM toks WHERE len(tk) >= $k),
+       | sd AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs FROM documents GROUP BY source),
+       | dfg AS (SELECT source, h, count(*) AS df FROM (
+       |          SELECT DISTINCT source, h, doc_id FROM g) dd GROUP BY source, h),
+       | b AS (SELECT dfg.source, dfg.h FROM dfg JOIN sd USING (source)
+       |       WHERE dfg.df >= greatest($minDocs, CAST(ceil(sd.src_docs * $pct) AS BIGINT)))
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       | CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       | round(CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS boiler_ratio,
+       | (sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) >= 3) AS is_boiler
+       |FROM g LEFT JOIN b ON g.source = b.source AND g.h = b.h
+       |GROUP BY g.doc_id""".stripMargin
 }
 

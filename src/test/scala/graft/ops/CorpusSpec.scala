@@ -478,4 +478,22 @@ class CorpusSpec extends AnyFunSuite {
     val plan = Dedup.bloomDedup(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("UDF"), plan) // the local sketch test is in-plan
   }
+
+  test("t27 boilerplate flags exactly the injected docs, at exactly the footer's interior grams") {
+    val rows = TextOps.boilerplate(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.size == docs.count())
+    rows.foreach { case (id, (nGrams, nBoiler, flagged)) =>
+      assert(nGrams > 0)
+      if (id % 7 == 0) {
+        // the 7-token footer contributes exactly its 7-4+1 = 4 interior
+        // 4-grams as source-boilerplate; the splice-straddling grams mix
+        // document-unique natural tokens and stay under the relative bar
+        assert(flagged && nBoiler == 4, s"doc $id: nBoiler=$nBoiler flagged=$flagged")
+      } else {
+        // natural grams never reach max(3, ceil(5% of source docs))
+        assert(!flagged && nBoiler == 0, s"doc $id: nBoiler=$nBoiler flagged=$flagged")
+      }
+    }
+  }
 }
