@@ -901,6 +901,120 @@ object Relational {
       | round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 3) AS sv
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Once-per-JVM registry of q42's month-partitioned target table per
+    * dir (the q36 layout convention). */
+  private val mergeTargets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q42 CDC batch — deterministic, derived from the pristine
+    * `orders` table each run (so re-applying the merge is IDEMPOTENT:
+    * delete-then-insert of the same rows reproduces the same state), and
+    * TEMPORALLY LOCAL like a real change feed — only orders in the
+    * table's LAST calendar year churn (a batch that touched every month
+    * would make partition-scoped rewrite meaningless): UPDATEs reprice
+    * every 13th such order (exact decimal ×1.1); INSERTs add a
+    * shifted-key copy of every 17th. All prices ride as DECIMAL(18,5) so
+    * sums are order-insensitive and engine-exact. */
+  private def q42Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 5)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 4)).as("p"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_pm"))
+    // the feed's horizon: a driver scalar off a tiny max-aggregate
+    val lastYear = o.agg(max(substring(col("o_pm"), 1, 4))).head().getString(0)
+    val recent = o.filter(substring(col("o_pm"), 1, 4) === lastYear)
+    val upd = recent.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), (col("p") * lit(BigDecimal("1.1"))).cast(dec).as("price"), col("o_pm"))
+    val ins = recent.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("p").cast(dec).as("price"), col("o_pm"))
+    upd.unionByName(ins)
+  }
+
+  /** Copy-on-write CDC merge (q42) — MERGE INTO semantics (WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT) expressed as the lakehouse
+    * delete-and-insert over a HIVE-PARTITIONED at-rest target, touching
+    * ONLY the partitions the batch lands in:
+    *
+    *   1. the CDC batch's distinct months collect as a driver scalar list
+    *      (bounded by the CALENDAR — dimension grain, never data grain);
+    *   2. the target is read under `o_pm IN (months)` — static partition
+    *      pruning, the scan never opens an untouched partition;
+    *   3. survivors = affected-slice ANTI JOIN cdc keys; merged =
+    *      survivors ∪ cdc, STAGED to a scratch path (production discipline:
+    *      never overwrite what you are reading — the stage is the new
+    *      snapshot's files, the swap is the commit);
+    *   4. the stage lands back via DYNAMIC partition overwrite, replacing
+    *      exactly the affected month directories; unaffected partitions'
+    *      files are NOT rewritten (spec-pinned by mtime).
+    *
+    * At 100 TB this is the only viable merge shape: cost scales with the
+    * touched partitions (batch locality), not the table, and the
+    * anti-join's CDC side is the small, broadcastable relation. The
+    * output is the month-grain state of the merged table plus the
+    * `rewritten` audit column. */
+  def q42_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 5)
+    val target = mergeTargets.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/q42_target_${Similarity.dirToken(dir)}"
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 4)).cast(dec).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_pm"))
+        .write.mode("overwrite").partitionBy("o_pm").parquet(p)
+      p
+    })
+    val cdc = Tables.materialize(q42Cdc(spark, dir))
+    val months = cdc.select(col("o_pm")).distinct().collect().map(_.getString(0)).sorted
+    val affected = spark.read.parquet(target)
+      .filter(col("o_pm").isin(months.toSeq: _*))
+    val merged = affected
+      .join(broadcast(cdc.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+      .unionByName(cdc)
+    val stage = s"$target.stage"
+    merged.write.mode("overwrite").partitionBy("o_pm").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_pm").parquet(target)
+    spark.read.parquet(target)
+      .groupBy(col("o_pm").cast(StringType).as("o_pm"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("s"))
+      .select(col("o_pm"), col("n_orders"), outd(col("s")).as("total"),
+        col("o_pm").isin(months.toSeq: _*).as("rewritten"))
+  }
+
+  /** The affected-slice scan alone, for the plan pin: its FileSourceScan
+    * must carry the month IN-list in PartitionFilters with a partition
+    * count strictly below the table's. */
+  private[graft] def q42PlanProbe(spark: SparkSession, dir: String): DataFrame = {
+    q42_merge_upsert(spark, dir) // ensures the layout exists
+    val cdc = q42Cdc(spark, dir)
+    val months = cdc.select(col("o_pm")).distinct().collect().map(_.getString(0)).sorted
+    spark.read.parquet(mergeTargets.get(dir)).filter(col("o_pm").isin(months.toSeq: _*))
+  }
+
+  /** DuckDB oracle twin of [[q42_merge_upsert]] — the merge recomputed
+    * relationally from the pristine table (layout, staging, and partition
+    * pruning must be invisible): delete CDC keys, insert CDC rows, same
+    * decimal discipline, same month-grain finals. */
+  def q42OracleSql: String =
+    """WITH src AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(18,5)) AS price,
+      |              strftime(o_orderdate, '%Y-%m') AS o_pm,
+      |              CAST(o_totalprice AS DECIMAL(18,4)) AS p4 FROM orders),
+      | recent AS (SELECT * FROM src
+      |            WHERE substr(o_pm, 1, 4) = (SELECT max(substr(o_pm, 1, 4)) FROM src)),
+      | upd AS (SELECT o_orderkey, CAST(p4 * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,5)) AS price, o_pm
+      |         FROM recent WHERE o_orderkey % 13 = 0),
+      | ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, price, o_pm
+      |         FROM recent WHERE o_orderkey % 17 = 0),
+      | cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      | fin AS (SELECT o_orderkey, price, o_pm FROM src
+      |         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+      |         UNION ALL SELECT * FROM cdc)
+      |SELECT o_pm, CAST(count(*) AS BIGINT) AS n_orders,
+      | round(CAST(sum(price) AS DOUBLE), 3) AS total,
+      | (o_pm IN (SELECT DISTINCT o_pm FROM cdc)) AS rewritten
+      |FROM fin GROUP BY o_pm""".stripMargin
+
   /** DuckDB oracle twin of [[q31_gapfill]] — same epoch-hour axis, same
     * dense grid, same trailing 3-row frame. */
   def q31OracleSql: String =

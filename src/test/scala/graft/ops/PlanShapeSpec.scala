@@ -254,6 +254,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("q42: the merge reads only affected partitions and rewrites only their files") {
+    import org.apache.spark.sql.functions.col
+    // the affected-slice scan is statically partition-pruned by the CDC
+    // month list: the IN-list sits in PartitionFilters and the partition
+    // count is strictly below the table's month count
+    val probe = Relational.q42PlanProbe(spark, dir)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*o_pm[^\\]]*IN".r.findFirstIn(scan).isDefined, scan)
+    val target = Similarity.OracleDumpRoot + "/q42_target_" + Similarity.dirToken(dir)
+    // file-grain proof: after execution the scan's numFiles metric must be
+    // strictly below the table's file population — untouched month
+    // directories are never opened
+    probe.collect()
+    val scanExec = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesRead = scanExec.metrics("numFiles").value
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val totalFiles = walk(new java.io.File(target)).count(_.getName.endsWith(".parquet"))
+    assert(filesRead > 0 && filesRead < totalFiles, s"read $filesRead of $totalFiles files")
+
+    // copy-on-write at file grain: re-running the merge (idempotent by
+    // construction) must leave every UNAFFECTED month directory's files
+    // untouched — only affected months are rewritten
+    def fileStamps(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(target)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val first = Relational.q42_merge_upsert(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val stamps0 = fileStamps()
+    val second = Relational.q42_merge_upsert(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(first.sortBy(_._1).toSeq == second.sortBy(_._1).toSeq, "merge is not idempotent")
+    val rewritten = first.filter(_._4).map(_._1).toSet
+    assert(rewritten.nonEmpty && rewritten.size < first.length, "fixture degenerate")
+    val stamps1 = fileStamps()
+    val untouchedDirs = first.filterNot(_._4).map(m => s"o_pm=${m._1}")
+    for ((p, t0) <- stamps0 if untouchedDirs.exists(p.contains)) {
+      assert(stamps1.get(p).contains(t0), s"unaffected partition file rewritten: $p")
+    }
+  }
+
   test("c13: a source predicate prunes partitions at the scan, not post-filter") {
     // force the export (and its per-JVM registry) via the gated query,
     // then read one source back through the partitioned layout
