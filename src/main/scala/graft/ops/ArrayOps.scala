@@ -118,6 +118,28 @@ object ArrayOps {
 
   def a3OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a3")
 
+  /** MRC2014 single-file volume end-to-end (a35) — the dense EM container
+    * on the shared engine: export a buffer as a real MRC file (1024-byte
+    * header + x-fastest LE data — one sequential write, zero reordering),
+    * REOPEN WITH GEOMETRY AND DTYPE DERIVED FROM THE HEADER (one ranged
+    * GET), and aggregate the distributed voxel view, where each z-plane
+    * chunk fetch is one COMPUTED ranged GET against the single object
+    * (MrcSpec pins that a k-plane cutout costs exactly k Range requests).
+    * A header-parse bug (wrong mode, dims, or extended-header offset)
+    * shifts every voxel and fails the hash gate. Same oracle shape as
+    * a6/a7/a9/a11. */
+  def a35_mrc_volume(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.sources.Mrc
+    import graft.volume.VoxelBuffer
+    val path = java.nio.file.Files.createTempDirectory("graft-a35").toString + "/vol.mrc"
+    Mrc.write(spark, path, VoxelBuffer.sequenced(Meta.TUInt16, 20, 12, 8, 1, (1, 1, 1)))
+    aggFromDump(spark, Mrc.open(spark, path).toVoxels(Box(1, 20, 1, 12, 1, 8)),
+      s"$voxelDumpRoot/a35")
+  }
+
+  def a35OracleSql: String = voxelAggOracle(s"$voxelDumpRoot/a35")
+
   /** Per-label object catalog (a34) — the "segment properties" manifest a
     * segmentation pipeline exports beside the pyramid (neuroglancer's
     * per-segment metadata: every viewer jump-to-object and every

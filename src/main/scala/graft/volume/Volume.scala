@@ -43,7 +43,15 @@ final case class VolumeCtx(
       * the storage object is the SHARD holding a `gx×gy×gz` grid of inner
       * chunks behind an offset index. Reads are index + ranged GET
       * ([[graft.core.Shard]]); writes group inner chunks per shard. */
-    shard: Option[graft.core.Shard.Params] = None) {
+    shard: Option[graft.core.Shard.Params] = None,
+    /** MRC2014 single-file volume (keyStyle "mrc-z"): the whole dataset is
+      * ONE object whose z-planes are contiguous byte ranges — chunkSize is
+      * the full XY plane × 1 and every fetch is a COMPUTED ranged GET
+      * (offset = dataOffset + plane·planeBytes); no per-chunk objects, no
+      * index, nothing ever missing inside the volume box. Read-only
+      * through the chunk engine (a dense container has no chunk-grain
+      * write); [[graft.sources.Mrc.write]] is the export path. */
+    mrc: Option[graft.core.MrcFormat.Params] = None) {
 
   def codec: Codec.ChunkCodec = Codec.forEncoding(encoding, dataType.byteSize)
 
@@ -74,6 +82,9 @@ final case class VolumeCtx(
     // slice numbering (the microscopy image-sequence layout; chunkSize is
     // (W, H, 1) by construction so idz-1 IS the slice index)
     case "tiff-z" => f"${slice.idz - 1}%04d.tif"
+    // mrc: every chunk lives in the ONE container object (addressing is
+    // the computed byte range in fetchChunk, not the key)
+    case "mrc-z" => mrc.get.fileName
     case other => throw new IllegalArgumentException(s"unknown key style: $other")
   }
 
@@ -110,24 +121,35 @@ final case class VolumeCtx(
   /** Stored blob of a chunk: direct object read for per-chunk layouts,
     * index lookup + ranged GET for sharded stores. */
   def fetchChunk(fs: org.apache.hadoop.fs.FileSystem, slice: ChunkSlice): Option[Array[Byte]] =
-    shard match {
-      case None => ChunkStore.readOpt(fs, root, keyOf(slice))
+    mrc match {
       case Some(p) =>
-        val (wx, wy, wz) = innerCoords(slice)
-        graft.core.Shard.readInner(fs, root, shardKeyOf(slice), p, wx, wy, wz)
+        // dense container: one COMPUTED ranged GET per full-XY-plane chunk
+        // (chunkSize is (nx, ny, 1) by construction, so idz-1 is the
+        // 0-based plane and the range is exactly planeBytes long)
+        val planeBytes = chunkSize._1.toLong * chunkSize._2 * dataType.byteSize * numChannels
+        val off = p.dataOffset + (slice.idz - 1) * planeBytes
+        Some(ChunkStore.readRange(fs, root, p.fileName, off, planeBytes.toInt))
+      case None => shard match {
+        case None => ChunkStore.readOpt(fs, root, keyOf(slice))
+        case Some(p) =>
+          val (wx, wy, wz) = innerCoords(slice)
+          graft.core.Shard.readInner(fs, root, shardKeyOf(slice), p, wx, wy, wz)
+      }
     }
 
   /** Existence of a chunk without fetching its bytes: one suffix-resolved
     * probe for per-chunk layouts; a (cached) index lookup for sharded. */
   def chunkExists(fs: org.apache.hadoop.fs.FileSystem,
-      prober: ChunkStore.SuffixProber, slice: ChunkSlice): Boolean = shard match {
-    case None => prober.resolve(keyOf(slice)).isDefined
-    case Some(p) =>
-      graft.core.Shard.cachedIndex(fs, root, shardKeyOf(slice), p).exists { idx =>
-        val (wx, wy, wz) = innerCoords(slice)
-        idx(p.linear(wx, wy, wz) * 2) != graft.core.Shard.Missing
-      }
-  }
+      prober: ChunkStore.SuffixProber, slice: ChunkSlice): Boolean =
+    if (mrc.isDefined) true // dense container: every in-volume plane exists
+    else shard match {
+      case None => prober.resolve(keyOf(slice)).isDefined
+      case Some(p) =>
+        graft.core.Shard.cachedIndex(fs, root, shardKeyOf(slice), p).exists { idx =>
+          val (wx, wy, wz) = innerCoords(slice)
+          idx(p.linear(wx, wy, wz) * 2) != graft.core.Shard.Missing
+        }
+    }
 
   /** Per-leading-coordinate bounded LIST globs for this key layout — the
     * sparse-store enumeration (see PrecomputedScan.listingGlobs for the
@@ -273,6 +295,9 @@ final case class VolumeCtx(
   }
 
   def encodeChunk(buf: VoxelBuffer): Array[Byte] = keyStyle match {
+    case "mrc-z" => throw new UnsupportedOperationException(
+      "mrc: read-only through the chunk engine (a dense single-file container " +
+        "has no chunk-grain write) — export with graft.sources.Mrc.write")
     case "n5" =>
       graft.core.N5Block.header(buf.sx, buf.sy, buf.sz) ++
         codec.encode(graft.core.N5Block.swapEndian(buf.bytes, dataType.byteSize))
@@ -333,13 +358,14 @@ final class Volume(
     val fillMissing: Boolean = true,
     val keyStyle: String = "precomputed",
     val padEdgeChunks: Boolean = false,
-    val shard: Option[graft.core.Shard.Params] = None) extends Serializable {
+    val shard: Option[graft.core.Shard.Params] = None,
+    val mrc: Option[graft.core.MrcFormat.Params] = None) extends Serializable {
 
   val scaleMeta: ScaleMeta = meta.scale(mip)
 
   val ctx: VolumeCtx = VolumeCtx(root, scaleMeta.key, scaleMeta.chunkSize,
     scaleMeta.voxelOffset, scaleMeta.volumeBox, meta.dataType, meta.numChannels,
-    scaleMeta.encoding, fillMissing, keyStyle, padEdgeChunks, shard)
+    scaleMeta.encoding, fillMissing, keyStyle, padEdgeChunks, shard, mrc)
 
   private def hconf = new ChunkStore.SerializableConf(
     ChunkStore.storeConf(spark.sessionState.newHadoopConf(), root, ctx.codec.name))
@@ -1304,6 +1330,8 @@ final class Volume(
     * still drop each other's cells. Run concurrent writers only on
     * shard-disjoint (per-chunk: chunk-disjoint) regions. */
   def ingest(buf: VoxelBuffer): Unit = {
+    require(mrc.isEmpty, "mrc: read-only through the chunk engine — " +
+      "export with graft.sources.Mrc.write")
     val q = buf.box
     val (csx, csy, csz) = ctx.chunkSize
     val (offx, offy, offz) = ctx.voxelOffset
