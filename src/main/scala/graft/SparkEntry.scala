@@ -293,6 +293,7 @@ object SparkEntry {
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
+    "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -642,6 +643,7 @@ object SparkEntry {
     "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
+    "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -987,4 +987,108 @@ object Corpus {
        |       round(CAST(sum(l.lr) AS DOUBLE) / count(*), 4) AS iw
        |FROM t JOIN lr l USING (tok) GROUP BY t.doc_id""".stripMargin
   }
+
+  // ---------------- File-stats manifest + data skipping (c20) ----------
+
+  /** Once-per-JVM registry of c20's clustered layout + manifest per dir. */
+  private val manifestDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Rows per clustered file — small at gate scale so skipping has
+    * something to skip; the production analog is the parquet row-group /
+    * file size target. */
+  private val ManifestFileRows = 64L
+
+  /** File-stats manifest + data skipping (c20) — the table-format idea
+    * (Iceberg/Delta manifests) expressed engine-first, and the piece c13's
+    * hive layout cannot give: there, pruning needs the predicate column to
+    * BE the path; here files are clustered on a SORT key (n_chars, the
+    * rank-bucket clustering, deterministic), a tiny MANIFEST records each
+    * file's (min, max, rows) COLUMN STATS, and a range predicate is
+    * planned against the manifest FIRST — only files whose stat interval
+    * overlaps the predicate are opened; the file id in the path is opaque.
+    *
+    * Scale shape: the manifest is smaller than the data by the file size
+    * (one row per file — at 100 TB with 512 MB files that is ~200k rows),
+    * so manifest planning is a driver-side metadata read exactly like an
+    * Iceberg scan plan; clustering makes the stat intervals TIGHT, so a
+    * selective range opens O(matching) files. The gate output carries the
+    * audit (`files_read`/`files_total`) alongside the aggregate, and the
+    * skip must be INVISIBLE to results (the oracle recomputes from the
+    * flat table). */
+  def manifestSkip(spark: SparkSession, dir: String): DataFrame = {
+    val (dataPath, manifestPath) = manifestDirs.computeIfAbsent(dir, _ => {
+      val dp = s"${Similarity.OracleDumpRoot}/c20_data_${Similarity.dirToken(dir)}"
+      val mp = s"${Similarity.OracleDumpRoot}/c20_manifest_${Similarity.dirToken(dir)}"
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      val clustered = Tables.t(spark, dir, "documents")
+        .withColumn("fid", ((row_number().over(w) - 1) / lit(ManifestFileRows))
+          .cast(LongType))
+      clustered.write.mode("overwrite").partitionBy("fid").parquet(dp)
+      spark.read.parquet(dp)
+        .groupBy(col("fid"))
+        .agg(min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(mp)
+      (dp, mp)
+    })
+    // data-derived range predicate (driver scalars off a tiny aggregate)
+    val mm = Tables.t(spark, dir, "documents")
+      .agg(min(col("n_chars")), max(col("n_chars"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 3, mn + (mx - mn) / 2)
+    // plan against the manifest: the interval-overlap test picks the files
+    val manifest = spark.read.parquet(manifestPath)
+    val filesTotal = manifest.count()
+    val qualifying = manifest
+      .filter(col("max_chars") >= lo && col("min_chars") <= hi)
+      .select(col("fid").cast(LongType)).collect().map(_.getLong(0)).sorted
+    spark.read.parquet(dataPath)
+      .filter(col("fid").isin(qualifying.toSeq: _*)) // only planned files open
+      .filter(col("n_chars").between(lo, hi))        // residual row predicate
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_chars"),
+        lit(qualifying.length.toLong).as("files_read"),
+        lit(filesTotal).as("files_total"))
+  }
+
+  /** The planned data scan alone (manifest-selected files + residual
+    * predicate), for the file-skipping plan pin. */
+  private[graft] def manifestSkipPlanProbe(spark: SparkSession, dir: String): DataFrame = {
+    manifestSkip(spark, dir) // ensures layout + manifest exist
+    val (dataPath, manifestPath) = manifestDirs.get(dir)
+    val mm = Tables.t(spark, dir, "documents")
+      .agg(min(col("n_chars")), max(col("n_chars"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 3, mn + (mx - mn) / 2)
+    val qualifying = spark.read.parquet(manifestPath)
+      .filter(col("max_chars") >= lo && col("min_chars") <= hi)
+      .select(col("fid").cast(LongType)).collect().map(_.getLong(0)).sorted
+    spark.read.parquet(dataPath)
+      .filter(col("fid").isin(qualifying.toSeq: _*))
+      .filter(col("n_chars").between(lo, hi))
+  }
+
+  /** DuckDB oracle twin of [[manifestSkip]] — the clustering, manifest,
+    * and skip replayed relationally from the flat table (the skip must be
+    * invisible to the aggregate; the audit columns replay from the same
+    * rank-bucket file assignment). */
+  def manifestSkipOracleSql: String =
+    s"""WITH f AS (SELECT lang, n_chars,
+       |            (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // $ManifestFileRows AS fid
+       |           FROM documents),
+       | mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+       | pred AS (SELECT mn + (mx - mn) // 3 AS lo, mn + (mx - mn) // 2 AS hi FROM mm),
+       | man AS (SELECT fid, min(n_chars) AS mn_c, max(n_chars) AS mx_c FROM f GROUP BY fid),
+       | audit AS (SELECT
+       |   (SELECT count(*) FROM man, pred WHERE mx_c >= lo AND mn_c <= hi) AS files_read,
+       |   (SELECT count(*) FROM man) AS files_total)
+       |SELECT f.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+       | CAST(audit.files_read AS BIGINT) AS files_read,
+       | CAST(audit.files_total AS BIGINT) AS files_total
+       |FROM f, pred, audit
+       |WHERE f.n_chars BETWEEN pred.lo AND pred.hi
+       |GROUP BY f.lang, audit.files_read, audit.files_total""".stripMargin
 }

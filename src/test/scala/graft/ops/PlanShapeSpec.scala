@@ -300,6 +300,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c20: the manifest plans the scan — only stat-overlapping files open") {
+    import org.apache.spark.sql.functions.col
+    val probe = Corpus.manifestSkipPlanProbe(spark, dir)
+    probe.collect()
+    val scanExec = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesRead = scanExec.metrics("numFiles").value
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val dataDir = Similarity.OracleDumpRoot + "/c20_data_" + Similarity.dirToken(dir)
+    val totalFiles = walk(new java.io.File(dataDir)).count(_.getName.endsWith(".parquet"))
+    assert(filesRead > 0 && filesRead < totalFiles, s"read $filesRead of $totalFiles files")
+    // and skipping is invisible: the probe's rows equal the plain filter
+    // over the flat table under the same data-derived predicate
+    val docs = Tables.t(spark, dir, "documents")
+    val mm = docs.agg(org.apache.spark.sql.functions.min(col("n_chars")),
+      org.apache.spark.sql.functions.max(col("n_chars"))).head()
+    val (lo, hi) = (mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 3,
+      mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2)
+    val want = docs.filter(col("n_chars").between(lo, hi))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = probe.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("c13: a source predicate prunes partitions at the scan, not post-filter") {
     // force the export (and its per-JVM registry) via the gated query,
     // then read one source back through the partitioned layout
