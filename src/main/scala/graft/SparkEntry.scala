@@ -316,6 +316,7 @@ object SparkEntry {
     "m14_augment" -> (Multimodal.modalAugment _),
     "m15_silence_trim" -> (Multimodal.modalTrim _),
     "m16_watermark" -> (Multimodal.modalWatermark _),
+    "m17_metadata_strip" -> ((s, d) => Multimodal.metadataStrip(Tables.t(s, d, "documents"))),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -745,6 +746,7 @@ object SparkEntry {
     "m14_augment" -> Multimodal.modalAugmentOracleSql,
     "m15_silence_trim" -> Multimodal.modalTrimOracleSql,
     "m16_watermark" -> Multimodal.modalWatermarkOracleSql,
+    "m17_metadata_strip" -> Multimodal.metadataStripOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1494,4 +1494,126 @@ object Multimodal {
        | min(doc_id) OVER (PARTITION BY phash) AS keeper
        |FROM ph""".stripMargin
   }
+
+  // ---------------- PNG metadata strip (m17) ----------------
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)
+
+  private def pngCrc(typeAndData: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32(); c.update(typeAndData); c.getValue.toInt
+  }
+
+  /** Walk a PNG's chunk stream: (type, start offset of the 8-byte
+    * length+type frame, data length). Validates the signature and each
+    * chunk's CRC — container surgery must never pass silently over a
+    * corrupt stream. */
+  private[ops] def pngChunks(png: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(png.length >= 8 && png.take(8).sameElements(PngSig), "png: bad signature")
+    val bb = java.nio.ByteBuffer.wrap(png) // PNG ints are big-endian
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = 8
+    while (off < png.length) {
+      val len = bb.getInt(off)
+      require(len >= 0 && off + 12 + len <= png.length, s"png: truncated chunk at $off")
+      val tpe = new String(png, off + 4, 4, "US-ASCII")
+      require(bb.getInt(off + 8 + len) == pngCrc(png.slice(off + 4, off + 8 + len)),
+        s"png: CRC mismatch in $tpe at $off")
+      out += ((tpe, off, len))
+      off += 12 + len
+    }
+    out.result()
+  }
+
+  /** Insert `tEXt` metadata chunks (keyword NUL value, correct CRC) right
+    * after IHDR — how cameras/editors leave provenance in real files. */
+  private[ops] def pngInsertText(png: Array[Byte], entries: Seq[(String, String)]): Array[Byte] = {
+    val ihdr = pngChunks(png).find(_._1 == "IHDR").get
+    val insertAt = ihdr._2 + 12 + ihdr._3
+    val bos = new java.io.ByteArrayOutputStream(png.length + 64 * entries.size)
+    bos.write(png, 0, insertAt)
+    entries.foreach { case (k, v) =>
+      val data = k.getBytes("US-ASCII") ++ Array(0.toByte) ++ v.getBytes("US-ASCII")
+      val frame = java.nio.ByteBuffer.allocate(12 + data.length)
+      frame.putInt(data.length)
+      val td = "tEXt".getBytes("US-ASCII") ++ data
+      frame.put(td).putInt(pngCrc(td))
+      bos.write(frame.array())
+    }
+    bos.write(png, insertAt, png.length - insertAt)
+    bos.toByteArray
+  }
+
+  /** Strip every ANCILLARY chunk — the PNG spec's own rule: a lowercase
+    * first type letter marks a chunk as non-critical (tEXt, zTXt, iTXt,
+    * eXIf, tIME, pHYs, …). Returns (clean bytes, chunks removed, bytes
+    * removed). Critical chunks (IHDR/PLTE/IDAT/IEND) pass through
+    * untouched, so pixels are bit-identical by construction. */
+  private[ops] def pngStripAncillary(png: Array[Byte]): (Array[Byte], Int, Long) = {
+    val chunks = pngChunks(png)
+    val bos = new java.io.ByteArrayOutputStream(png.length)
+    bos.write(png, 0, 8)
+    var removed = 0; var bytesRemoved = 0L
+    chunks.foreach { case (tpe, off, len) =>
+      if (Character.isLowerCase(tpe.charAt(0))) { removed += 1; bytesRemoved += 12L + len }
+      else bos.write(png, off, 12 + len)
+    }
+    (bos.toByteArray, removed, bytesRemoved)
+  }
+
+  /** The m17 injected provenance entries — a pure function of doc_id the
+    * oracle replays: `1 + id % 3` tEXt records drawn in order from
+    * (Author, Software, Comment), each value `lower(kw)-<id>`. */
+  private[ops] def m17Entries(id: Long): Seq[(String, String)] = {
+    val kws = Seq("Author", "Software", "Comment")
+    (0 until (1 + (id % 3)).toInt).map(j => (kws(j), s"${kws(j).toLowerCase}-$id"))
+  }
+
+  /** PNG metadata strip (m17) — the privacy/provenance-hygiene pass a
+    * multimodal training pipeline owes its corpus: camera serials, author
+    * tags, GPS and edit history ride PNG's ancillary chunks, and a
+    * compliant strip must remove EVERY non-critical chunk while leaving
+    * pixels bit-identical. This is REAL container surgery (byte-level
+    * chunk walk with CRC validation, not a re-encode — re-encoding
+    * changes bytes and loses the lossless guarantee): each image is
+    * synthesized through the real PNG encoder, provenance is planted as
+    * `tEXt` records (closed-form per doc_id, oracle-replayed), and the
+    * strip walks the chunk stream dropping lowercase-typed chunks.
+    *
+    * Gate columns are the closed-form audit (chunks/bytes removed) plus
+    * the strip CLAIMS (the q17/e19 device for engine-side media): pixels
+    * decode bit-identical and zero ancillary chunks survive — claims an
+    * incorrect walker cannot fake because the engine really decodes both
+    * streams. Row-local, zero shuffle, one image in flight per row. */
+  def metadataStrip(docs: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, Long, Long, Boolean, Boolean)]
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0) // the image rows (m1 convention)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val clean0 = imgEncode(tileRaster(payload, ThumbW, ThumbH), ThumbW, ThumbH)
+          val dirty = pngInsertText(clean0, m17Entries(id))
+          val (stripped, nRemoved, bytesRemoved) = pngStripAncillary(dirty)
+          val pixelsOk = java.util.Arrays.equals(imgDecode(dirty)._1, imgDecode(stripped)._1)
+          val noneLeft = pngChunks(stripped).forall(c => !Character.isLowerCase(c._1.charAt(0)))
+          (id, nRemoved.toLong, bytesRemoved, pixelsOk, noneLeft)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n_removed", "bytes_removed", "pixels_ok", "clean")
+  }
+
+  /** DuckDB oracle twin of [[metadataStrip]] — the closed-form audit
+    * (each tEXt frame is 12 + len(kw) + 1 + len(value) bytes) plus the
+    * trivially-true claim columns (the q17 device). */
+  def metadataStripOracleSql: String =
+    """WITH e AS (SELECT d.doc_id, j,
+      |            ['Author', 'Software', 'Comment'][j + 1] AS kw
+      |           FROM documents d, range(0, 3) AS u(j)
+      |           WHERE d.doc_id % 3 = 0 AND j < 1 + d.doc_id % 3)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+      | CAST(sum(12 + length(kw) + 1 + length(lower(kw) || '-' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+      |   AS bytes_removed,
+      | TRUE AS pixels_ok, TRUE AS clean
+      |FROM e GROUP BY doc_id""".stripMargin
 }

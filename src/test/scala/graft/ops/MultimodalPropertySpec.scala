@@ -286,4 +286,30 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
       assert(zc > smp.length / 16, s"id=$id zc=$zc")
     }
   }
+
+  test("m17 png surgery: insert -> strip returns the ORIGINAL bytes, CRCs enforced") {
+    val clean = Multimodal.imgEncode(
+      Multimodal.tileRaster("quick brown fox".getBytes("UTF-8"), 32, 24), 32, 24)
+    // the fresh encoder output must itself be ancillary-free, or the m17
+    // closed-form audit would undercount
+    assert(Multimodal.pngChunks(clean).forall(c => !Character.isLowerCase(c._1.charAt(0))),
+      Multimodal.pngChunks(clean).map(_._1))
+    val entries = Seq("Author" -> "cam-007", "Comment" -> "gps 1.2,3.4")
+    val dirty = Multimodal.pngInsertText(clean, entries)
+    // injected chunks sit in the stream, each framed 12 + kw + 1 + value
+    val texts = Multimodal.pngChunks(dirty).filter(_._1 == "tEXt")
+    assert(texts.size == 2)
+    assert(texts.map(_._3) == entries.map { case (k, v) => k.length + 1 + v.length })
+    // strip is EXACT byte-level inversion of insert — stronger than
+    // pixel equality: the critical chunk stream is untouched
+    val (stripped, n, bytes) = Multimodal.pngStripAncillary(dirty)
+    assert(stripped.sameElements(clean))
+    assert(n == 2 && bytes == entries.map { case (k, v) => 12L + k.length + 1 + v.length }.sum)
+    // a flipped payload byte must fail the CRC walk, not strip silently
+    val corrupt = dirty.clone()
+    val (_, off, len) = Multimodal.pngChunks(dirty).find(_._1 == "tEXt").get
+    corrupt(off + 8 + len / 2) = (corrupt(off + 8 + len / 2) ^ 0x5A).toByte
+    val ex = intercept[IllegalArgumentException](Multimodal.pngStripAncillary(corrupt))
+    assert(ex.getMessage.contains("CRC"))
+  }
 }
