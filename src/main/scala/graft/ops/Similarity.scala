@@ -2103,4 +2103,157 @@ object Similarity {
        | r AS (SELECT q_id, nb_id, CAST(ham AS BIGINT) AS ham,
        |        row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, nb_id) AS rnk FROM pairs)
        |SELECT q_id, nb_id, ham, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  // ---------------- k-means|| scalable init (s28) ----------------
+
+  /** Where the most recent [[kmeansParallelInit]] call dumped its fitted
+    * init centroids — per-dir, the s22/s25 `dirToken` convention. */
+  @volatile private[ops] var KmppDump: String = s"$OracleDumpRoot/s28_init"
+
+  /** Deterministic per-(vec_id, round) uniform in [0, 1): the first 15 hex
+    * chars of md5 as a 60-bit integer over 2^60 — reproducible across
+    * runs, engines, and partitionings (no RNG state to ship). */
+  private def hashUniform(round: Int): Column =
+    (conv(substring(md5(concat_ws("#", col("vec_id"), lit(round))), 1, 15), 16, 10)
+      .cast(DoubleType) / lit(1.152921504606846976e18))
+
+  /** Weighted Lloyd on the candidate set (driver-grain: the candidate set
+    * is O(ℓ·rounds) BY CONSTRUCTION — see below — never corpus-sized).
+    * Deterministic: seeds are the first k candidates in arrival order;
+    * empty clusters keep their centroid. */
+  private def weightedLloyd(pts: Array[Array[Double]], w: Array[Long], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    val cents = Array.tabulate(math.min(k, pts.length))(c => pts(c).clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val cnt = new Array[Double](cents.length)
+      for (p <- pts.indices) {
+        var best = 0; var bd = Double.MaxValue
+        for (c <- cents.indices) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val df = pts(p)(j) - cents(c)(j); d += df * df; j += 1 }
+          if (d < bd) { bd = d; best = c }
+        }
+        cnt(best) += w(p); val s = sums(best); var j = 0
+        while (j < dim) { s(j) += pts(p)(j) * w(p); j += 1 }
+      }
+      for (c <- cents.indices if cnt(c) > 0; j <- 0 until dim)
+        cents(c)(j) = sums(c)(j) / cnt(c)
+    }
+    cents
+  }
+
+  /** Exact-integer nearest-centroid assignment: embeddings quantize ONCE
+    * to scaled BIGINTs (round(x, 8)·1e8 — tie-free on float32 inputs, the
+    * s24 discipline) and distances are exact `Σ (a−b)²` in DECIMAL(38,0),
+    * so the argmin (and hence the gate hash) cannot move with float
+    * summation order in EITHER engine. `cm` is the scaled centroid matrix
+    * inlined as literals. */
+  private def exactAssign(cm: String, k: Int): Column = expr(
+    s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
+       |  struct(aggregate(zip_with(ri, element_at($cm, c + 1),
+       |           (a, b) -> CAST((a - b) * (a - b) AS DECIMAL(38,0))),
+       |         CAST(0 AS DECIMAL(38,0)), (s, v) -> s + v) AS d,
+       |    CAST(c AS BIGINT) AS cl))), 1).cl""".stripMargin)
+
+  /** k-means|| scalable initialization (s28) — Bahmani et al.'s
+    * oversampled distributed seeding, the init that makes million-cluster
+    * IVF fits possible where k-means++ needs k SEQUENTIAL corpus passes:
+    * each of `rounds` passes samples every point INDEPENDENTLY with
+    * probability `ℓ·d²(x, C)/φ(C)` (cost-proportional, one scan per
+    * round), so the expected draw is ℓ per round REGARDLESS of corpus
+    * size — the candidate set is O(ℓ·rounds) at 500 vectors or 500
+    * billion, and only IT ever reaches the driver. Candidates are then
+    * weighted by the points they attract (one more scan, map-side
+    * combined) and reclustered locally to k — exactly the paper's
+    * recluster-the-sketch step. Sampling "randomness" is the
+    * deterministic per-(vec_id, round) md5 uniform, so the fit is
+    * reproducible across runs, engines, and partitionings.
+    *
+    * The gate replays the s22 device: the fitted init centroids dump
+    * (rounded to 8 decimals) and the output is the per-cluster assignment
+    * census of the corpus under EXACT scaled-integer distances — a
+    * degenerate init (collapsed or empty clusters) cannot match the
+    * oracle's census of a healthy one. SpecS28 proves the init beats
+    * naive first-k seeding on φ and that round draws track ℓ. */
+  def kmeansParallelInit(spark: SparkSession, dir: String, k: Int = 16,
+      ell: Int = 32, rounds: Int = 3): DataFrame = {
+    val emb = graft.ops.Tables.materialize(t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
+    def d2Col(cands: Seq[Array[Double]]): Column = {
+      val cm = "array(" + cands.map(c =>
+        "array(" + c.map(v => s"CAST($v AS DOUBLE)").mkString(",") + ")").mkString(",") + ")"
+      expr(s"""array_min(transform($cm, c ->
+              |  aggregate(zip_with(e, c, (x, m) -> (x - m) * (x - m)),
+              |            CAST(0 AS DOUBLE), (s, v) -> s + v)))""".stripMargin)
+    }
+    // seed: the (deterministic) first point of the corpus
+    var cands: Vector[Array[Double]] =
+      Vector(emb.orderBy(col("vec_id")).select(col("e")).head()
+        .getSeq[Double](0).toArray)
+    for (r <- 1 to rounds) {
+      val withD2 = emb.withColumn("d2", d2Col(cands))
+      val phi = withD2.agg(sum(col("d2"))).head().getDouble(0)
+      val drawn = withD2
+        .filter(hashUniform(r) < col("d2") * ell / phi)
+        .orderBy(col("vec_id")).select(col("e")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      cands = cands ++ drawn
+    }
+    // weight candidates by attraction (cheap argmin by index on doubles —
+    // weights only steer the local recluster, they are not gated)
+    val cm0 = "array(" + cands.map(c =>
+      "array(" + c.map(v => s"CAST($v AS DOUBLE)").mkString(",") + ")").mkString(",") + ")"
+    val nearest = expr(
+      s"""element_at(array_sort(transform(sequence(0, ${cands.length - 1}), c ->
+         |  struct(aggregate(zip_with(e, element_at($cm0, c + 1),
+         |           (x, m) -> (x - m) * (x - m)), CAST(0 AS DOUBLE), (s, v) -> s + v) AS d,
+         |    c AS cl))), 1).cl""".stripMargin)
+    val wMap = emb.select(nearest.as("cand"))
+      .groupBy(col("cand")).agg(count(lit(1)).as("w")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weights: Array[Long] = cands.indices.map(i => wMap.getOrElse(i, 0L)).toArray
+    val cents = weightedLloyd(cands.toArray, weights, k, iters = 10)
+      .map(_.map(v => math.rint(v * 1e8) / 1e8))
+    KmppDump = s"$OracleDumpRoot/s28_init_${dirToken(dir)}"
+    dumpCentroids(spark, cents, KmppDump)
+    // gated census: exact scaled-integer assignment against the dump twin
+    val cmI = "array(" + cents.map(c =>
+      "array(" + c.map(v => s"CAST(${math.rint(v * 1e8).toLong} AS BIGINT)").mkString(",") + ")")
+      .mkString(",") + ")"
+    val total = emb.count()
+    t(spark, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
+        .as("ri"))
+      .select(exactAssign(cmI, cents.length).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("n_vecs"),
+        outd(col("n_vecs") / lit(total.toDouble), 4).as("share"))
+  }
+
+  /** DuckDB oracle twin of [[kmeansParallelInit]] — the census replayed
+    * from the dumped init centroids under the SAME exact scaled-integer
+    * distance (HUGEINT sums of (a−b)², argmin ties to the lower cluster). */
+  def kmeansParallelInitOracleSql: String =
+    s"""WITH c AS (SELECT cluster,
+       |            list_transform(centroid, x -> CAST(round(x * 100000000) AS BIGINT)) AS ci
+       |           FROM read_parquet('$KmppDump/*.parquet')),
+       | e AS (SELECT vec_id,
+       |        list_transform(embedding, x ->
+       |          CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT)) AS ri
+       |       FROM embeddings),
+       | s AS (SELECT e.vec_id, c.cluster,
+       |        list_sum([CAST((e.ri[i] - c.ci[i]) * (e.ri[i] - c.ci[i]) AS HUGEINT)
+       |                  FOR i IN range(1, len(e.ri) + 1)]) AS d
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rnk FROM s) x
+       |         WHERE rnk = 1),
+       | tot AS (SELECT count(*) AS n FROM e)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       | round(CAST(count(*) AS DOUBLE) / tot.n, 4) + 0.0 AS share
+       |FROM asg, tot GROUP BY cluster, tot.n""".stripMargin
 }

@@ -1051,4 +1051,29 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
     assert(wins >= 9, s"sign-hash top-1 beat the mean cosine for only $wins/10 queries")
   }
+
+  test("s28 k-means|| init: deterministic, census conserved, beats naive seeding on cost") {
+    import org.apache.spark.sql.functions.col
+    val census1 = Similarity.kmeansParallelInit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val census2 = Similarity.kmeansParallelInit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census1 == census2, "hash-uniform sampling must make the fit deterministic")
+    val pts = Tables.t(spark, dir, "embeddings")
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(census1.values.sum == pts.length, "every vector assigned exactly once")
+    assert(census1.size == 16 && census1.values.forall(_ > 0),
+      s"degenerate init: $census1") // oversampled seeding never leaves a cell empty here
+    // cost comparison vs the naive first-k init on the SAME data
+    def phi(cents: Array[Array[Double]]): Double = pts.map { p =>
+      cents.map(c => c.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    val fitted = spark.read.parquet(Similarity.KmppDump)
+      .orderBy(col("cluster")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(fitted.length == 16)
+    assert(phi(fitted) < phi(pts.take(16)),
+      f"kmeans|| init cost ${phi(fitted)}%.3f not below naive ${phi(pts.take(16))}%.3f")
+  }
 }
