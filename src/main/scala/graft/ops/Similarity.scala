@@ -2256,4 +2256,68 @@ object Similarity {
        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
        | round(CAST(count(*) AS DOUBLE) / tot.n, 4) + 0.0 AS share
        |FROM asg, tot GROUP BY cluster, tot.n""".stripMargin
+
+  // ---------------- Reciprocal-rank fusion (s29) ----------------
+
+  /** Hybrid retrieval via reciprocal-rank fusion (s29) — the standard way
+    * a retrieval stack combines a DENSE ranker (s1's embedding cosine)
+    * with a SPARSE one (s12's tf-idf) without score calibration:
+    * `RRF(d) = Σ_r 1/(K + rank_r(d))` over the rankers that surfaced `d`
+    * in their top-`poolK` pool (K = 60, the constant from the original
+    * Cormack/Clarke/Buettcher paper — rank positions, never raw scores,
+    * so the two rankers' incomparable score scales cannot fight). The
+    * corpus convention `vec_id i = the embedding of doc_id i` makes the
+    * two id spaces one.
+    *
+    * Scale shape: fusion consumes the RANKINGS, not the corpora — a
+    * full-outer equi-join of two (nQueries·poolK)-row relations and one
+    * WindowGroupLimit top-k, costs independent of corpus size; the heavy
+    * lifting stays in the rankers, which at production scale are the
+    * bucketed paths (s2/s8) these eval rankers certify. Output is
+    * all-integer (ranks and the −1 absent sentinel; fused ORDER is by the
+    * identically-computed IEEE double, but only the order ships). */
+  def rrfFusion(spark: SparkSession, dir: String, nQueries: Int = 10,
+      poolK: Int = 20, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val dense = cosineTopK(spark, dir, nQueries, poolK)
+      .select(col("q_id"), col("nb_id"), col("rnk").as("r_dense"))
+    val sparse = sparseTfidfTopK(spark, dir, nQueries, poolK)
+      .select(col("q_id"), col("nb_id"), col("rnk").as("r_sparse"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("nb_id").asc)
+    dense.join(sparse, Seq("q_id", "nb_id"), "full_outer")
+      .withColumn("score",
+        when(col("r_dense").isNotNull, lit(1.0) / (lit(kRrf) + col("r_dense"))).otherwise(lit(0.0)) +
+          when(col("r_sparse").isNotNull, lit(1.0) / (lit(kRrf) + col("r_sparse"))).otherwise(lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col("q_id"), col("nb_id"),
+        coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
+        coalesce(col("r_sparse"), lit(-1L)).as("r_sparse"),
+        col("fused_rank").cast(LongType).as("fused_rank"))
+  }
+
+  /** DuckDB oracle twin of [[rrfFusion]] — the two ranker twins verbatim
+    * as subqueries (they can never drift from s1/s12), the same
+    * full-outer fuse, identical IEEE score expression, same (score DESC,
+    * nb_id) order, −1 sentinels. */
+  def rrfFusionOracleSql(nQueries: Int = 10, poolK: Int = 20, k: Int = 10,
+      kRrf: Int = 60): String =
+    s"""WITH dense AS (SELECT q_id, nb_id, rnk AS r_dense FROM (
+       |        ${cosineTopKOracleSql(nQueries, poolK).replace("\n", "\n        ")}) dd),
+       | sparse AS (SELECT q_id, nb_id, rnk AS r_sparse FROM (
+       |        ${sparseTfidfOracleSql(nQueries, poolK).replace("\n", "\n        ")}) ss),
+       | fused AS (SELECT coalesce(dense.q_id, sparse.q_id) AS q_id,
+       |            coalesce(dense.nb_id, sparse.nb_id) AS nb_id,
+       |            r_dense, r_sparse,
+       |            (CASE WHEN r_dense IS NOT NULL
+       |                  THEN CAST(1.0 AS DOUBLE) / ($kRrf + r_dense) ELSE CAST(0.0 AS DOUBLE) END)
+       |          + (CASE WHEN r_sparse IS NOT NULL
+       |                  THEN CAST(1.0 AS DOUBLE) / ($kRrf + r_sparse) ELSE CAST(0.0 AS DOUBLE) END) AS score
+       |           FROM dense FULL OUTER JOIN sparse
+       |             ON dense.q_id = sparse.q_id AND dense.nb_id = sparse.nb_id),
+       | r AS (SELECT q_id, nb_id, r_dense, r_sparse,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nb_id) AS fused_rank
+       |       FROM fused)
+       |SELECT q_id, nb_id, coalesce(r_dense, -1) AS r_dense,
+       | coalesce(r_sparse, -1) AS r_sparse, CAST(fused_rank AS BIGINT) AS fused_rank
+       |FROM r WHERE fused_rank <= $k""".stripMargin
 }

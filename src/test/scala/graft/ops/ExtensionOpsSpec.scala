@@ -1076,4 +1076,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(phi(fitted) < phi(pts.take(16)),
       f"kmeans|| init cost ${phi(fitted)}%.3f not below naive ${phi(pts.take(16))}%.3f")
   }
+
+  test("s29 RRF fusion equals a driver-side recomputation from the two rankings") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val dense = ranks(Similarity.cosineTopK(spark, dir, 10, 20))
+    val sparse = ranks(Similarity.sparseTfidfTopK(spark, dir, 10, 20))
+    val got = Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 10 * 10)
+    for (q <- 0L until 10L) {
+      val cands = (dense.keySet ++ sparse.keySet).filter(_._1 == q)
+      val want = cands.toSeq.map { key =>
+        val s = dense.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          sparse.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (key._2, s)
+      }.sortBy { case (nb, s) => (-s, nb) }.take(10).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._5)
+      assert(mine.map(_._2).toSeq == want, s"q=$q fused order differs")
+      mine.foreach { case (_, nb, rd, rs, _) =>
+        assert(rd == dense.getOrElse((q, nb), -1L), s"dense rank at ($q,$nb)")
+        assert(rs == sparse.getOrElse((q, nb), -1L), s"sparse rank at ($q,$nb)")
+        assert(rd >= 1 || rs >= 1, "fused candidate came from neither pool")
+      }
+    }
+    // the fusion is genuinely hybrid on this corpus: some winners are
+    // single-pool from EACH side (score calibration could never mix these)
+    assert(got.exists(r => r._3 >= 1 && r._4 == -1L), "no dense-only winners")
+    assert(got.exists(r => r._3 == -1L && r._4 >= 1), "no sparse-only winners")
+  }
 }
