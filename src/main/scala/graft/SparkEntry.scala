@@ -372,6 +372,7 @@ object SparkEntry {
     "e17_stream_media" -> (Multimodal.mediaStreamOnce _),
     "e18_stream_asof" -> (EventStreams.asofEnrichOnce _),
     "e19_stream_approx_users" -> (EventStreams.approxUsersOnce _),
+    "e20_stream_merge" -> (EventStreams.streamMergeOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -738,6 +739,7 @@ object SparkEntry {
     "e17_stream_media" -> Multimodal.mediaStreamOracleSql,
     "e18_stream_asof" -> EventStreams.asofEnrichOracleSql,
     "e19_stream_approx_users" -> EventStreams.approxUsersOracleSql,
+    "e20_stream_merge" -> EventStreams.streamMergeOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -1069,4 +1069,91 @@ object EventStreams {
           Iterator.single(UserSessions(user, st.sessionCount, st.eventCount))
       }
   }
+
+  // ---------------- Streaming CDC merge (e20) ----------------
+
+  /** One micro-batch's MERGE into the bucketed at-rest user-state table —
+    * the q42 copy-on-write discipline at stream cadence, factored out so
+    * the spec can prove BATCH-INVARIANCE directly (any split of the feed
+    * into batches folds to the same table, because the merge is the
+    * associative fold: counts add, latest-by-(us, event_id) is a max).
+    * Per batch: aggregate the delta at user grain, read ONLY the buckets
+    * the delta touches (static partition pruning on the bucket IN-list),
+    * combine, stage, land via dynamic partition overwrite — untouched
+    * buckets are never opened or rewritten. */
+  private[streaming] def mergeUserState(spark: SparkSession, target: String,
+      batch: DataFrame, nBuckets: Int = 16): Unit = {
+    val delta = batch
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("n_events"),
+        col("last.us").as("us"), col("last.event_id").as("event_id"),
+        col("last.event_type").as("last_type"),
+        pmod(col("user_id"), lit(nBuckets)).cast("int").as("bucket"))
+    val buckets = delta.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cur =
+      if (new java.io.File(target).exists())
+        spark.read.parquet(target)
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .withColumn("bucket", col("bucket").cast("int"))
+      else delta.limit(0)
+    val merged = cur.unionByName(delta)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("n_events")).as("n_events"),
+        max(struct(col("us"), col("event_id"), col("last_type"))).as("last"))
+      .select(col("user_id"), col("n_events"),
+        col("last.us").as("us"), col("last.event_id").as("event_id"),
+        col("last.last_type").as("last_type"), col("bucket"))
+    val stage = s"$target.stage"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(target)
+  }
+
+  /** Streaming CDC merge (e20) — the streaming-upsert shape every
+    * lakehouse feed needs (Delta/Iceberg `foreachBatch` MERGE): the event
+    * stream maintains an at-rest per-user state table (event count +
+    * latest event type) by merging EACH micro-batch into a bucketed
+    * parquet target under the q42 copy-on-write discipline. Zero
+    * streaming state (the TABLE is the state, as e14 keeps its index at
+    * rest); per-batch cost scales with the buckets the batch touches.
+    * The gate folds the final table to a bucket census — correct only if
+    * no batch was lost, doubled, or merged out of order. */
+  def streamMergeOnce(spark: SparkSession, dir: String): DataFrame = {
+    val target = java.nio.file.Files.createTempDirectory("graft-e20").toString + "/state"
+    val stream = readEventStream(spark, dir)
+    val name = s"stream_merge_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = stream.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          mergeUserState(spark, target, batch)
+        }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(target)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("sum_events"),
+        count_distinct(col("last_type")).as("n_types"))
+  }
+
+  /** DuckDB oracle twin of [[streamMergeOnce]] — the batch fold of the
+    * whole feed (merge cadence must be invisible): per-user totals +
+    * latest-by-(us, event_id), bucketed census. */
+  def streamMergeOracleSql: String =
+    """WITH r AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+      |            row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+      |           FROM events),
+      | u AS (SELECT user_id, count(*) AS n_events FROM r GROUP BY user_id),
+      | lt AS (SELECT user_id, event_type AS last_type FROM r WHERE rnk = 1)
+      |SELECT u.user_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+      | CAST(sum(u.n_events) AS BIGINT) AS sum_events,
+      | CAST(count(DISTINCT lt.last_type) AS BIGINT) AS n_types
+      |FROM u JOIN lt USING (user_id) GROUP BY 1""".stripMargin
 }

@@ -465,4 +465,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.getLong(2, 3, 1) == (3 + 4) % 250)   // batch 1 region
     assert(out.getLong(20, 3, 1) == (21 * 4) % 250) // batch 2 region
   }
+
+  test("e20 merge is batch-invariant and rewrites only touched buckets") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.ops.Tables.events(spark, dir)
+    def state(target: String): Map[Long, (Long, String)] =
+      spark.read.parquet(target).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+
+    // one batch vs an arbitrary two-way split vs a three-way split —
+    // identical final tables (the merge is the associative fold)
+    val whole = SparkSuite.tempDir("graft-e20-whole") + "/t"
+    EventStreams.mergeUserState(spark, whole, ev)
+    val split2 = SparkSuite.tempDir("graft-e20-s2") + "/t"
+    EventStreams.mergeUserState(spark, split2, ev.filter(col("event_id") % 2 === 0))
+    EventStreams.mergeUserState(spark, split2, ev.filter(col("event_id") % 2 =!= 0))
+    val split3 = SparkSuite.tempDir("graft-e20-s3") + "/t"
+    for (m <- 0 to 2)
+      EventStreams.mergeUserState(spark, split3, ev.filter(col("event_id") % 3 === m))
+    assert(state(whole) == state(split2), "2-way split diverged")
+    assert(state(whole) == state(split3), "3-way split diverged")
+
+    // copy-on-write at bucket grain: a delta touching ONE user leaves
+    // every other bucket's files untouched
+    def stamps(t: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(t)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = stamps(whole)
+    val oneUser = ev.orderBy(col("event_id")).limit(1)
+    val uid = oneUser.select(col("user_id")).head().getLong(0)
+    EventStreams.mergeUserState(spark, whole, oneUser)
+    val after = stamps(whole)
+    val touched = s"bucket=${uid % 16}"
+    for ((p, t0) <- before if !p.contains(touched))
+      assert(after.get(p).contains(t0), s"untouched bucket rewritten: $p")
+    assert(state(whole)(uid)._1 == state(split2)(uid)._1 + 1, "re-merged delta must add")
+  }
 }
