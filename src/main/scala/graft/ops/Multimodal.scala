@@ -1495,6 +1495,79 @@ object Multimodal {
        |FROM ph""".stripMargin
   }
 
+  // ---------------- Loudness normalization (m18) ----------------
+
+  /** Loudness normalization (m18) — the gain-staging pass an audio corpus
+    * runs before feature extraction or training (mismatched recording
+    * levels otherwise dominate any energy-sensitive model): each clip is
+    * scaled to a TARGET RMS (26000 here — deliberately above this
+    * synthesis's natural ~18.9k RMS so the hard-clip path is exercised)
+    * with int16 saturation, THROUGH the real WAV codec on both sides
+    * (decode → gain → re-encode → decode → fold, the m13 discipline).
+    *
+    * Cross-engine determinism without decimal machinery: the gain
+    * `target / sqrt(sumSq/n)` and each product `s·g` are the SAME IEEE
+    * double expression in both engines (identical operand order), and
+    * rounding is the explicit `floor(x + 0.5)` — a pure IEEE op chain
+    * with no tie-mode to disagree on (unlike round(), whose half-up
+    * DuckDB applies to the exact binary and Spark to the shortest repr).
+    * Integer outputs only. Row-local, zero shuffle. */
+  def loudnessNormalize(spark: SparkSession, dir: String, targetRms: Double = 26000.0): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Long, Long, Long, Long, Long)]
+    t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 1) // audio rows
+      .select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val (smp, _, _, _) = wavDecode(wavEncode(synthSamples(id)))
+          var sumSq = 0L
+          smp.foreach { s => sumSq += s.toLong * s.toLong }
+          val g = targetRms / math.sqrt(sumSq.toDouble / smp.length)
+          val out = smp.map { s =>
+            val v = math.floor(s.toDouble * g + 0.5).toLong
+            math.max(-32768L, math.min(32767L, v))
+          }
+          val (rt, _, _, _) = wavDecode(wavEncode(out.map(_.toShort)))
+          var sumSqA = 0L; var peak = 0L; var clipped = 0L
+          rt.foreach { s0 =>
+            val s = s0.toLong
+            sumSqA += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (s == 32767L || s == -32768L) clipped += 1
+          }
+          (id, smp.length.toLong, sumSq, sumSqA, peak, clipped)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n", "sum_sq_in", "sum_sq_out", "peak_out", "n_clipped")
+  }
+
+  /** DuckDB oracle twin of [[loudnessNormalize]] — the closed-form
+    * synthesis, the IDENTICAL IEEE gain/product/floor chain, the same
+    * saturation and integer folds; matches only if both WAV roundtrips
+    * were bit-exact. */
+  def loudnessNormalizeOracleSql(targetRms: Double = 26000.0): String =
+    s"""WITH d AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n FROM documents
+       |           WHERE doc_id % 3 = 1),
+       | s AS (SELECT doc_id, n,
+       |        [ ((doc_id * 7919 + i * 104729) % 65536) - 32768 FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d),
+       | e AS (SELECT doc_id, n, smp,
+       |        CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq_in
+       |       FROM s),
+       | g AS (SELECT doc_id, n, smp, sum_sq_in,
+       |        $targetRms / sqrt(CAST(sum_sq_in AS DOUBLE) / n) AS gain
+       |       FROM e),
+       | o AS (SELECT doc_id, n, sum_sq_in,
+       |        list_transform(smp, x ->
+       |          greatest(-32768, least(32767,
+       |            CAST(floor(CAST(x AS DOUBLE) * gain + 0.5) AS BIGINT)))) AS outv
+       |       FROM g)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n, sum_sq_in,
+       | CAST(list_sum(list_transform(outv, x -> x * x)) AS BIGINT) AS sum_sq_out,
+       | CAST(list_max(list_transform(outv, x -> abs(x))) AS BIGINT) AS peak_out,
+       | CAST(len(list_filter(outv, x -> x = 32767 OR x = -32768)) AS BIGINT) AS n_clipped
+       |FROM o""".stripMargin
+
   // ---------------- PNG metadata strip (m17) ----------------
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)

@@ -287,6 +287,31 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     }
   }
 
+  test("m18 loudness: gains land the RMS on target (modulo clipping), exact recompute") {
+    val spark = graft.testutil.SparkSuite.spark
+    val got = Multimodal.loudnessNormalize(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (n, sumSqIn, sumSqOut, peak, clipped)) =>
+      // independent recompute straight from the synthesis (no WAV layer)
+      val smp = Multimodal.synthSamples(id)
+      assert(n == smp.length && sumSqIn == smp.map(s => s.toLong * s.toLong).sum)
+      val g = 26000.0 / math.sqrt(sumSqIn.toDouble / n)
+      val out = smp.map(s => math.max(-32768L,
+        math.min(32767L, math.floor(s.toDouble * g + 0.5).toLong)))
+      assert(sumSqOut == out.map(s => s * s).sum, s"id=$id energy")
+      assert(peak == out.map(math.abs).max && peak <= 32768L, s"id=$id peak")
+      assert(clipped == out.count(s => s == 32767L || s == -32768L), s"id=$id clip")
+      // the point of the pass: post-gain RMS sits on target up to the
+      // energy clipping removes (bounded well under the 30% this corpus
+      // clips at most)
+      val rmsOut = math.sqrt(sumSqOut.toDouble / n)
+      assert(rmsOut <= 26000.0 + 1 && rmsOut > 26000.0 * 0.80, s"id=$id rms=$rmsOut")
+      assert(clipped > 0, s"id=$id: target chosen to exercise saturation")
+    }
+  }
+
   test("m17 png surgery: insert -> strip returns the ORIGINAL bytes, CRCs enforced") {
     val clean = Multimodal.imgEncode(
       Multimodal.tileRaster("quick brown fox".getBytes("UTF-8"), 32, 24), 32, 24)
