@@ -258,6 +258,7 @@ object SparkEntry {
     "t25_blocklist" -> ((s, d) => TextOps.blocklistScreen(Tables.t(s, d, "documents"))),
     "t26_mojibake" -> ((s, d) => TextOps.mojibakeScreen(Tables.t(s, d, "documents"))),
     "t27_boilerplate" -> ((s, d) => TextOps.boilerplate(Tables.t(s, d, "documents"))),
+    "t28_homoglyph" -> ((s, d) => TextOps.homoglyphScreen(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -630,6 +631,7 @@ object SparkEntry {
     "t25_blocklist" -> TextOps.blocklistOracleSql,
     "t26_mojibake" -> TextOps.mojibakeOracleSql,
     "t27_boilerplate" -> TextOps.boilerplateOracleSql(),
+    "t28_homoglyph" -> TextOps.homoglyphOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

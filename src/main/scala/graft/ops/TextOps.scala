@@ -1496,5 +1496,58 @@ object TextOps {
        | (sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) >= 3) AS is_boiler
        |FROM g LEFT JOIN b ON g.source = b.source AND g.h = b.h
        |GROUP BY g.doc_id""".stripMargin
+
+  // ---------------- Homoglyph / mixed-script spoofing (t28) ----------
+
+  /** Homoglyph spoof screen (t28) — the adversarial-text sibling of t26's
+    * accidental mojibake: spam and jailbreak corpora evade ASCII
+    * blocklists by swapping Latin letters for Cyrillic LOOKALIKES (а е о,
+    * U+0430/0435/043E — pixel-identical in most fonts), and the tell is
+    * MIXED-SCRIPT TOKENS: a word carrying both Latin and Cyrillic letters
+    * is virtually never legitimate text in either language. Per document:
+    * Latin and Cyrillic letter counts and the count of mixed-script
+    * tokens; spoofed = any mixed token. Detection is PROVEN by the
+    * injection device: every 9th document has its `a/e/o` swapped for the
+    * Cyrillic lookalikes (a pure function of (doc_id, text) the oracle
+    * replays); this clean-ASCII corpus never flags otherwise, and the
+    * swap leaves consonants Latin, so injected tokens are mixed-script by
+    * construction. Row-local regex counts in the Java≡RE2 common-subset
+    * discipline (character classes only), whole-stage codegen, zero
+    * shuffle. */
+  def homoglyphScreen(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        translate(col("text"), "aeo", "аео"))
+        .otherwise(col("text")).as("t"))
+    val latin = "[A-Za-z]"
+    val cyr = "[Ѐ-ӿ]"
+    aug.select(col("doc_id"),
+      expr(s"CAST(length(regexp_replace(t, '[^A-Za-z]', '')) AS BIGINT)").as("n_latin"),
+      expr(s"CAST(length(regexp_replace(t, '[^Ѐ-ӿ]', '')) AS BIGINT)").as("n_cyr"),
+      expr(s"""CAST(size(filter(split(t, '\\\\s+'),
+              |  w -> w RLIKE '$latin' AND w RLIKE '$cyr')) AS BIGINT)""".stripMargin)
+        .as("n_mixed_tokens"))
+      .withColumn("spoofed", col("n_mixed_tokens") >= 1)
+  }
+
+  /** DuckDB oracle twin of [[homoglyphScreen]] — same injection, same
+    * character classes (RE2 `\x{...}` spelling of the identical ranges),
+    * same mixed-token rule. */
+  def homoglyphOracleSql: String =
+    """WITH a AS (SELECT doc_id,
+      |            CASE WHEN doc_id % 9 = 0
+      |                 THEN translate(text, 'aeo', 'аео')
+      |                 ELSE text END AS t
+      |           FROM documents)
+      |SELECT doc_id,
+      | CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+      | CAST(length(regexp_replace(t, '[^\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyr,
+      | CAST(len(list_filter(string_split_regex(t, '\s+'),
+      |       w -> regexp_matches(w, '[A-Za-z]') AND regexp_matches(w, '[\x{0400}-\x{04ff}]')))
+      |   AS BIGINT) AS n_mixed_tokens,
+      | (len(list_filter(string_split_regex(t, '\s+'),
+      |       w -> regexp_matches(w, '[A-Za-z]') AND regexp_matches(w, '[\x{0400}-\x{04ff}]'))) >= 1)
+      |   AS spoofed
+      |FROM a""".stripMargin
 }
 

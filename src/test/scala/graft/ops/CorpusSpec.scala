@@ -479,6 +479,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("UDF"), plan) // the local sketch test is in-plan
   }
 
+  test("t28 homoglyph screen flags exactly the spoofed docs, with script counts conserved") {
+    val rows = TextOps.homoglyphScreen(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, (nLat, nCyr, nMixed, spoofed)) =>
+      val t = texts(id)
+      val aeo = t.count("aeo".contains(_))
+      val letters = t.count(_.isLetter) // fixture is pure ASCII letters+spaces
+      if (id % 9 == 0) {
+        // the swap moves exactly the a/e/o mass from Latin to Cyrillic
+        assert(spoofed && nCyr == aeo && nLat == letters - aeo, s"doc $id")
+        assert(nMixed >= 1, s"doc $id: swap must leave mixed-script tokens")
+      } else {
+        assert(!spoofed && nCyr == 0 && nMixed == 0 && nLat == letters, s"doc $id")
+      }
+    }
+  }
+
   test("t27 boilerplate flags exactly the injected docs, at exactly the footer's interior grams") {
     val rows = TextOps.boilerplate(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
