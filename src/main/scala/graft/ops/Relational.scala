@@ -992,6 +992,91 @@ object Relational {
     spark.read.parquet(mergeTargets.get(dir)).filter(col("o_pm").isin(months.toSeq: _*))
   }
 
+  /** Once-per-JVM registry of q43's snapshot store per dir. */
+  private val ttRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Snapshot time travel (q43) — the capability q42's in-place overwrite
+    * deliberately lacks, built the lakehouse way: data files are
+    * IMMUTABLE and a snapshot MANIFEST maps (version, month) → the
+    * partition directory composing it. Version 0 manifests every month at
+    * its base directory; applying the CDC batch writes NEW directories
+    * for the affected months only and version 1's manifest points there —
+    * unaffected months STRUCTURALLY SHARE version 0's files (the commit
+    * cost is O(touched partitions) + one manifest row per month, and
+    * historical reads stay exact forever because nothing is rewritten).
+    * Reading "as of v" is a manifest lookup (calendar-bounded driver
+    * list) followed by a scan of exactly the listed directories — the
+    * Iceberg snapshot-read shape. The gate emits BOTH versions'
+    * month-grain censuses from the SAME store: correct only if the base
+    * files survived the commit untouched (time travel, not replay). */
+  def q43_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 5)
+    val root = ttRoots.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/q43_tt_${Similarity.dirToken(dir)}"
+      val base = t(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 4)).cast(dec).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_pm"))
+      // immutable base files: month dirs under base/pm=<m>, with o_pm kept
+      // as a DATA column so manifest-listed dirs read back self-contained
+      base.withColumn("pm", col("o_pm"))
+        .write.mode("overwrite").partitionBy("pm").parquet(s"$p/base")
+      val cdc = Tables.materialize(q42Cdc(spark, dir))
+      val months = cdc.select(col("o_pm")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val affected = spark.read.parquet(s"$p/base")
+        .filter(col("pm").isin(months: _*)).drop("pm")
+      affected
+        .join(broadcast(cdc.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+        .unionByName(cdc)
+        .withColumn("pm", col("o_pm"))
+        .write.mode("overwrite").partitionBy("pm").parquet(s"$p/v1")
+      val allMonths = base.select(col("o_pm")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      import spark.implicits._
+      val manifest =
+        allMonths.map(m => (0, m, s"base/pm=$m")) ++
+          allMonths.map(m => (1, m, if (months.contains(m)) s"v1/pm=$m" else s"base/pm=$m"))
+      manifest.toDF("version", "o_pm", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/manifest")
+      p
+    })
+    def asOf(v: Int): DataFrame = {
+      val paths = spark.read.parquet(s"$root/manifest")
+        .filter(col("version") === v).select(col("path"))
+        .collect().map(r => s"$root/${r.getString(0)}").sorted
+      spark.read.parquet(paths.toSeq: _*).withColumn("version", lit(v.toLong))
+    }
+    asOf(0).unionByName(asOf(1))
+      .groupBy(col("version"), col("o_pm"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("s"))
+      .select(col("version"), col("o_pm"), col("n_orders"), outd(col("s")).as("total"))
+  }
+
+  /** DuckDB oracle twin of [[q43_time_travel]] — both snapshots
+    * recomputed relationally (version 0 = the pristine state, version 1 =
+    * the q42 merge semantics); manifests and sharing must be invisible. */
+  def q43OracleSql: String =
+    """WITH src AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(18,5)) AS price,
+      |              strftime(o_orderdate, '%Y-%m') AS o_pm,
+      |              CAST(o_totalprice AS DECIMAL(18,4)) AS p4 FROM orders),
+      | recent AS (SELECT * FROM src
+      |            WHERE substr(o_pm, 1, 4) = (SELECT max(substr(o_pm, 1, 4)) FROM src)),
+      | upd AS (SELECT o_orderkey, CAST(p4 * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,5)) AS price, o_pm
+      |         FROM recent WHERE o_orderkey % 13 = 0),
+      | ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, price, o_pm
+      |         FROM recent WHERE o_orderkey % 17 = 0),
+      | cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      | v1 AS (SELECT o_orderkey, price, o_pm FROM src
+      |        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+      |        UNION ALL SELECT * FROM cdc),
+      | snaps AS (SELECT 0 AS version, o_pm, price FROM src
+      |          UNION ALL SELECT 1 AS version, o_pm, price FROM v1)
+      |SELECT CAST(version AS BIGINT) AS version, o_pm,
+      | CAST(count(*) AS BIGINT) AS n_orders,
+      | round(CAST(sum(price) AS DOUBLE), 3) AS total
+      |FROM snaps GROUP BY version, o_pm""".stripMargin
+
   /** DuckDB oracle twin of [[q42_merge_upsert]] — the merge recomputed
     * relationally from the pristine table (layout, staging, and partition
     * pruning must be invisible): delete CDC keys, insert CDC rows, same

@@ -326,6 +326,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("q43: snapshots structurally share unaffected months; commit never rewrites base") {
+    import org.apache.spark.sql.functions.col
+    Relational.q43_time_travel(spark, dir).collect() // build the store
+    val root = Similarity.OracleDumpRoot + "/q43_tt_" + Similarity.dirToken(dir)
+    val man = spark.read.parquet(s"$root/manifest")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val v0 = man.filter(_._1 == 0).map(m => m._2 -> m._3).toMap
+    val v1 = man.filter(_._1 == 1).map(m => m._2 -> m._3).toMap
+    assert(v0.keySet == v1.keySet && v0.values.forall(_.startsWith("base/")))
+    val rewritten = v1.filter(_._2.startsWith("v1/")).keySet
+    val shared = v1.filter(_._2.startsWith("base/")).keySet
+    // the CDC is last-year-local: most months share, some rewrite
+    assert(rewritten.nonEmpty && shared.size > rewritten.size, s"rewritten=$rewritten")
+    // shared months point at the IDENTICAL path objects as v0 — structural
+    // sharing, not copies
+    shared.foreach(m => assert(v1(m) == v0(m)))
+    // v1 holds new files ONLY for rewritten months
+    val v1Dirs = new java.io.File(s"$root/v1").listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v1Dirs == rewritten.map(m => s"pm=$m"), s"v1 dirs $v1Dirs")
+    // base files survive the commit byte-for-byte: a v0 read AFTER the
+    // merge returns the pristine census (time travel, not replay)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val stamps = walk(new java.io.File(s"$root/base"))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    val again = Relational.q43_time_travel(spark, dir).collect()
+    walk(new java.io.File(s"$root/base")).filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(stamps(f.getPath) == f.lastModified(), s"base rewritten: $f"))
+    val pristine = Tables.t(spark, dir, "orders").count()
+    assert(again.filter(_.getLong(0) == 0L).map(_.getLong(2)).sum == pristine,
+      "as-of-0 no longer returns the pristine row count")
+  }
+
   test("c13: a source predicate prunes partitions at the scan, not post-filter") {
     // force the export (and its per-JVM registry) via the gated query,
     // then read one source back through the partitioned layout
