@@ -195,11 +195,63 @@ case class CentroidTopN(child: Expression, centroids: Array[Array[Double]], n: I
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest centroid by SQUARED L2 — `struct(cluster int, d2 double)` —
+  * the euclidean sibling of [[CentroidArgmax]] for k-means-family passes
+  * (s28's per-round cost/sampling and attraction weighting). Same
+  * scaling contract: the candidate matrix rides as ONE reference object,
+  * so bytecode is constant in the candidate count — the first s28 cut
+  * inlined each round's ~65×64 candidate matrix as literals THREE times
+  * per round and spent its 9 s in janino, the exact 64KB-method failure
+  * the header documents. Fused per-centroid Σ(x−c)² left-to-right; ties
+  * break to the smaller cluster id. Engine-internal passes only (the
+  * gated outputs go through the exact-decimal assignment), so
+  * bit-replication in an oracle is not part of its contract. */
+case class CentroidNearestL2(child: Expression, centroids: Array[Array[Double]])
+    extends CentroidKernel {
+  override def dataType: DataType = CentroidExprs.DistStruct
+  override def prettyName: String = "centroid_nearest_l2"
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+
+  @transient private lazy val isFloat: Boolean = elemType == FloatType
+
+  override def compute(arr: ArrayData): AnyRef = {
+    val nElems = arr.numElements()
+    val nullable = mayHaveNullElems
+    val x = new Array[Double](nElems)
+    var i = 0
+    while (i < nElems) {
+      if (nullable && arr.isNullAt(i)) return null
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    require(centroids.length > 0 && nElems == centroids(0).length,
+      s"$prettyName: embedding dim $nElems != centroid dim")
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < nElems) { val df = x(j) - cent(j); d += df * df; j += 1 }
+      if (java.lang.Double.compare(d, bd) < 0) { bd = d; best = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bd))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object CentroidExprs {
 
   val ScoreStruct: StructType = StructType(Seq(
     StructField("cluster", IntegerType, nullable = false),
     StructField("cs", DoubleType, nullable = false)))
+
+  val DistStruct: StructType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("d2", DoubleType, nullable = false)))
 
   import org.apache.spark.sql.graftshim.shim.{toColumn, toExpression}
 
@@ -208,4 +260,7 @@ object CentroidExprs {
 
   def centroid_topn(emb: Column, centroids: Array[Array[Double]], n: Int): Column =
     toColumn(CentroidTopN(toExpression(emb), centroids, n))
+
+  def centroid_nearest_l2(emb: Column, centroids: Array[Array[Double]]): Column =
+    toColumn(CentroidNearestL2(toExpression(emb), centroids))
 }

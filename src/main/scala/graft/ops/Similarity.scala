@@ -2179,15 +2179,16 @@ object Similarity {
     * naive first-k seeding on φ and that round draws track ℓ. */
   def kmeansParallelInit(spark: SparkSession, dir: String, k: Int = 16,
       ell: Int = 32, rounds: Int = 3): DataFrame = {
+    import graft.functions.CentroidExprs.centroid_nearest_l2
     val emb = graft.ops.Tables.materialize(t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e")))
-    def d2Col(cands: Seq[Array[Double]]): Column = {
-      val cm = "array(" + cands.map(c =>
-        "array(" + c.map(v => s"CAST($v AS DOUBLE)").mkString(",") + ")").mkString(",") + ")"
-      expr(s"""array_min(transform($cm, c ->
-              |  aggregate(zip_with(e, c, (x, m) -> (x - m) * (x - m)),
-              |            CAST(0 AS DOUBLE), (s, v) -> s + v)))""".stripMargin)
-    }
+    // per-round distances via the native L2 kernel: the candidate matrix
+    // rides as ONE codegen reference object (the literal-inlined first cut
+    // spent ~9 s/query in janino at ~65 candidates — the 64KB-method
+    // failure CentroidExprs exists to prevent; production candidate sets
+    // are thousands)
+    def d2Col(cands: Seq[Array[Double]]): Column =
+      centroid_nearest_l2(col("e"), cands.toArray).getField("d2")
     // seed: the (deterministic) first point of the corpus
     var cands: Vector[Array[Double]] =
       Vector(emb.orderBy(col("vec_id")).select(col("e")).head()
@@ -2201,16 +2202,10 @@ object Similarity {
         .map(_.getSeq[Double](0).toArray)
       cands = cands ++ drawn
     }
-    // weight candidates by attraction (cheap argmin by index on doubles —
-    // weights only steer the local recluster, they are not gated)
-    val cm0 = "array(" + cands.map(c =>
-      "array(" + c.map(v => s"CAST($v AS DOUBLE)").mkString(",") + ")").mkString(",") + ")"
-    val nearest = expr(
-      s"""element_at(array_sort(transform(sequence(0, ${cands.length - 1}), c ->
-         |  struct(aggregate(zip_with(e, element_at($cm0, c + 1),
-         |           (x, m) -> (x - m) * (x - m)), CAST(0 AS DOUBLE), (s, v) -> s + v) AS d,
-         |    c AS cl))), 1).cl""".stripMargin)
-    val wMap = emb.select(nearest.as("cand"))
+    // weight candidates by attraction (same kernel; weights only steer the
+    // local recluster, they are not gated)
+    val wMap = emb
+      .select(centroid_nearest_l2(col("e"), cands.toArray).getField("cluster").as("cand"))
       .groupBy(col("cand")).agg(count(lit(1)).as("w")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val weights: Array[Long] = cands.indices.map(i => wMap.getOrElse(i, 0L)).toArray
@@ -2222,7 +2217,7 @@ object Similarity {
     val cmI = "array(" + cents.map(c =>
       "array(" + c.map(v => s"CAST(${math.rint(v * 1e8).toLong} AS BIGINT)").mkString(",") + ")")
       .mkString(",") + ")"
-    val total = emb.count()
+    val total = weights.sum // every vector attracted to exactly one candidate
     t(spark, dir, "embeddings")
       .select(expr(
         "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
