@@ -167,6 +167,7 @@ object SparkEntry {
     // Bloom-prefiltered incremental dedup: broadcast sketch prunes the
     // delta locally; exact confirm semi-join moves only candidates
     "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
+    "d15_url_canon" -> ((s, d) => Dedup.urlCanonDedup(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -709,6 +710,7 @@ object SparkEntry {
     "d12_line_dedup" -> Dedup.lineDedupOracleSql,
     "d13_containment" -> containmentOracle,
     "d14_bloom_dedup" -> Dedup.bloomDedupOracleSql,
+    "d15_url_canon" -> Dedup.urlCanonOracleSql,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

@@ -784,4 +784,70 @@ object Dedup {
     * [[incrementalDedupOracleSql]] by design: the Bloom split is a pure
     * execution optimization and must not change the answer. */
   def bloomDedupOracleSql: String = incrementalDedupOracleSql
+
+  // ---------------- URL canonicalization dedup (d15) ----------------
+
+  /** The synthesized per-document URL — a pure function of (doc_id,
+    * source) the oracle replays: documents share a page key (source,
+    * doc_id % 40) but carry one of four SYNTACTIC variants of its URL —
+    * canonical, upper-cased scheme+host, trailing slash, and
+    * reordered-params + tracking junk — the exact spellings crawl
+    * frontiers see for one resource. */
+  private[ops] def urlSql: String =
+    """CASE CAST(CAST(floor(doc_id / 40) AS BIGINT) % 4 AS INT)
+      | WHEN 0 THEN concat('https://', source, '.example.com/p/', doc_id % 40, '?a=1&b=2')
+      | WHEN 1 THEN concat('HTTPS://', upper(source), '.EXAMPLE.com/p/', doc_id % 40, '?a=1&b=2')
+      | WHEN 2 THEN concat('https://', source, '.example.com/p/', doc_id % 40, '/?a=1&b=2')
+      | ELSE concat('https://', source, '.example.com/p/', doc_id % 40,
+      |             '?b=2&utm_source=feed&a=1&ref=share')
+      |END""".stripMargin.replace("\n", "")
+
+  /** URL canonicalization + dedup (d15) — the step a crawl pipeline runs
+    * BEFORE any content dedup: the same resource arrives under many
+    * syntactic spellings (case-insensitive scheme/host, trailing slash,
+    * tracking parameters, parameter order), and content-hashing each
+    * spelling separately wastes a fetch + a near-dup comparison per
+    * alias. Canonical form: lowercase scheme+host, path with the trailing
+    * slash stripped, query with `utm_*`/`ref` params dropped and the
+    * rest SORTED — all row-local string algebra in the Java≡RE2 common
+    * subset (no parse_url dependence, so the oracle replays it verbatim).
+    * Output is the d1 shape at canonical grain: the four planted variant
+    * classes collapse to one key per (source, page), so `n` counts
+    * aliases and `n_raw` proves the collapse (raw spellings > 1 where any
+    * variant class differs). Whole-stage codegen, one narrow exchange at
+    * 16-byte canonical-hash grain. */
+  def urlCanonDedup(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"), expr(urlSql).as("url"))
+    val canon = withUrl.select(col("doc_id"), col("url"),
+      expr("""concat(
+             |  lower(regexp_extract(url, '^([^:]+://[^/]+)', 1)),
+             |  regexp_replace(regexp_extract(url, '^[^:]+://[^/]+([^?]*)', 1), '/$', ''),
+             |  CASE WHEN array_join(array_sort(filter(split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             |                p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&') = ''
+             |       THEN ''
+             |       ELSE concat('?', array_join(array_sort(filter(split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             |                p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&')) END)""".stripMargin)
+        .as("canon"))
+    canon.groupBy(md5(col("canon")).as("h"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("url")).as("n_raw"),
+        min(col("doc_id")).as("keeper"))
+  }
+
+  /** DuckDB oracle twin of [[urlCanonDedup]] — same synthesized variants,
+    * same canonical algebra, same canonical-hash grain. */
+  def urlCanonOracleSql: String =
+    s"""WITH u AS (SELECT doc_id, ${urlSql.replace("concat(", "concat(")} AS url FROM documents),
+       | c AS (SELECT doc_id, url, concat(
+       |         lower(regexp_extract(url, '^([^:]+://[^/]+)', 1)),
+       |         regexp_replace(regexp_extract(url, '^[^:]+://[^/]+([^?]*)', 1), '/$$', ''),
+       |         CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'),
+       |                       p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))), '&') = ''
+       |              THEN ''
+       |              ELSE concat('?', array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'),
+       |                       p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))), '&')) END) AS canon
+       |       FROM u)
+       |SELECT md5(canon) AS h, CAST(count(*) AS BIGINT) AS n,
+       | CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+       | min(doc_id) AS keeper
+       |FROM c GROUP BY 1""".stripMargin
 }

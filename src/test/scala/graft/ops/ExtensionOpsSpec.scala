@@ -1077,6 +1077,37 @@ class ExtensionOpsSpec extends AnyFunSuite {
       f"kmeans|| init cost ${phi(fitted)}%.3f not below naive ${phi(pts.take(16))}%.3f")
   }
 
+  test("d15 url canonicalization collapses exactly the four variant classes") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val urls = docs.select(col("doc_id"), expr(Dedup.urlSql).as("url")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference canonicalizer, independent formulation (java.net.URI-free
+    // string algebra would just mirror the engine; use real parsing)
+    def canon(u: String): String = {
+      val afterScheme = u.split("://", 2)
+      val hostAndRest = afterScheme(1).split("/", 2)
+      val schemeHost = afterScheme(0).toLowerCase + "://" + hostAndRest(0).toLowerCase
+      val rest = if (hostAndRest.length > 1) "/" + hostAndRest(1) else ""
+      val (path, query) = rest.split("\\?", 2) match {
+        case Array(p, q) => (p, q); case Array(p) => (p, "")
+      }
+      val params = query.split("&").filter(_.nonEmpty)
+        .filterNot(p => p.startsWith("utm_") || p.startsWith("ref=")).sorted
+      schemeHost + path.stripSuffix("/") +
+        (if (params.isEmpty) "" else "?" + params.mkString("&"))
+    }
+    val wantGroups = urls.groupBy { case (_, u) => canon(u) }
+    val got = Dedup.urlCanonDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == wantGroups.size, s"${got.length} vs ${wantGroups.size} groups")
+    val wantByKeeper = wantGroups.values
+      .map(g => g.keys.min -> (g.size.toLong, g.values.toSet.size.toLong)).toMap
+    got.foreach { case (_, n, nRaw, keeper) =>
+      assert(wantByKeeper(keeper) == ((n, nRaw)), s"group at keeper=$keeper")
+      assert(nRaw == 4, "each page should collapse exactly its 4 spellings")
+    }
+  }
+
   test("s29 RRF fusion equals a driver-side recomputation from the two rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
