@@ -1703,6 +1703,112 @@ object ArrayOps {
        |       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
        |FROM ev GROUP BY 1, 2, 3""".stripMargin
 
+  /** Otsu auto-threshold + binarization write-back (a36) — the classic
+    * first step of EM segmentation (separate tissue from background
+    * without a hand-picked cutoff): the global exact histogram (a21's
+    * machinery) yields, for every candidate threshold t, the
+    * between-class variance `σ²_B(t) = (s0·n − cc·s)² / (cc·(n−cc))`
+    * (cc/s0 = cumulative count/mass at t; n/s = totals) and the argmax is
+    * the threshold. Determinism discipline: the numerator difference is
+    * EXACT BIGINT (≤ 255·n·n, inside 2^53 so the double cast is exact),
+    * the square/divide is the identical IEEE chain in both engines, and
+    * the argmax ties to the smaller t — the ranking cannot drift. The
+    * chosen threshold then drives a BINARIZE write-back through the full
+    * distributed store path (fromVoxels → chunk objects → reopen), and
+    * the gate is the per-chunk foreground census with the threshold
+    * attached — wrong by one grey level anywhere and the census moves.
+    * The synthetic field is BIMODAL by construction (dark 30–69 vs
+    * bright 160–219 on a deterministic mode bit), so the argmax is a
+    * genuine valley, not a degenerate edge.
+    *
+    * Scale shape: one scan builds the 256-bucket histogram (map-side
+    * combined), the Otsu scan is window algebra over 256 rows, the
+    * threshold is a one-row driver scalar (dimension grain), and the
+    * write-back is the single-shuffle fromVoxels path. */
+  def a36_otsu_threshold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-a36-src").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-a36-dst").toString
+    val vmeta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val src = Volume.create(spark, srcRoot, vmeta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val u = (x * 31 + y * 17 + z * 7) % 251
+          val dark = (x * 13 + y * 29 + z * 3) % 7 < 3
+          buf.setLong(x - 1, y - 1, z - 1, 0,
+            if (dark) 30L + u % 40 else 160L + u % 60)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    src.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    val vox = src.toVoxels(box)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+    vox.write.mode("overwrite").parquet(s"$voxelDumpRoot/a36")
+    val dumped = spark.read.parquet(s"$voxelDumpRoot/a36")
+    val hist = dumped.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cc", sum(col("cnt")).over(w))
+      .withColumn("s0", sum(col("cnt") * col("value")).over(w))
+    val tot = cum.agg(max(col("cc")).as("n"), max(col("s0")).as("s")).head()
+    val (n, s) = (tot.getLong(0), tot.getLong(1))
+    val thr = cum.filter(col("cc") < n) // cc == n has an empty upper class
+      .select(col("value"),
+        (expr(s"CAST(s0 * $n - cc * $s AS DOUBLE)") * expr(s"CAST(s0 * $n - cc * $s AS DOUBLE)")
+          / expr(s"CAST(cc * ($n - cc) AS DOUBLE)")).as("sigma"))
+      .withColumn("r", row_number().over(Window.orderBy(col("sigma").desc, col("value").asc)))
+      .filter(col("r") === 1).select(col("value")).head().getLong(0)
+    val dst = Volume.create(spark, dstRoot, vmeta)
+    dst.fromVoxels(dumped.select(col("x"), col("y"), col("z"),
+      when(col("value") > thr, 255L).otherwise(0L).as("value")))
+    Volume.open(spark, dstRoot).toVoxels(box)
+      .select(expr("(x - 1) DIV 32 + 1").as("cx"), expr("(y - 1) DIV 32 + 1").as("cy"),
+        expr("(z - 1) DIV 4 + 1").as("cz"), col("value").cast(LongType).as("v"))
+      .groupBy(col("cx"), col("cy"), col("cz"))
+      .agg(count(lit(1)).as("n"), sum(when(col("v") === 255L, 1L).otherwise(0L)).as("n_fg"))
+      .select(col("cx"), col("cy"), col("cz"), col("n"), col("n_fg"), lit(thr).as("thr"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** Oracle twin of [[a36_otsu_threshold]]: histogram → cumulative
+    * count/mass → the identical exact-BIGINT/IEEE σ²_B chain → argmax
+    * (ties to smaller t) → binarize → per-chunk foreground census, all
+    * replayed over the pre-threshold dump. */
+  def a36OracleSql: String =
+    s"""WITH v AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a36/*.parquet')),
+       | h AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+       | cm AS (SELECT value, cnt,
+       |         sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+       |         sum(cnt * value) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+       |        FROM h),
+       | ct AS (SELECT max(cc) AS n, max(s0) AS s FROM cm),
+       | sg AS (SELECT value,
+       |         CAST(s0 * n - cc * s AS DOUBLE) * CAST(s0 * n - cc * s AS DOUBLE)
+       |           / CAST(cc * (n - cc) AS DOUBLE) AS sigma
+       |        FROM cm, ct WHERE cc < n),
+       | th AS (SELECT value AS thr FROM sg
+       |        ORDER BY sigma DESC, value ASC LIMIT 1),
+       | bv AS (SELECT x, y, z, CASE WHEN value > thr THEN 255 ELSE 0 END AS v FROM v, th)
+       |SELECT CAST((x - 1) // 32 + 1 AS BIGINT) AS cx,
+       |       CAST((y - 1) // 32 + 1 AS BIGINT) AS cy,
+       |       CAST((z - 1) // 4 + 1 AS BIGINT) AS cz,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN v = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+       |       CAST(max(th.thr) AS BIGINT) AS thr
+       |FROM bv, th GROUP BY 1, 2, 3""".stripMargin
+
   /** The deterministic ROI batch a26 serves, in mip-1 coordinates:
     * (id, x0, x1, y0, y1, z0, z1). Small and large spans mixed so BOTH
     * mip branches are exercised. Shared with the oracle's VALUES table. */

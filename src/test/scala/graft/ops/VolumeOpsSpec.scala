@@ -388,6 +388,28 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(mean > 100 && mean < 160, s"equalized mean $mean")
   }
 
+  test("a36 Otsu lands in the bimodal valley and binarizes exactly the bright mode") {
+    val rows = ArrayOps.a36_otsu_threshold(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 8)
+    val thr = rows.head._6
+    // the field is dark 30-69 / bright 160-219: any threshold in [69, 160)
+    // separates the modes perfectly; Otsu must find that valley
+    assert(thr >= 69 && thr < 160, s"threshold $thr missed the valley")
+    // the per-chunk foreground census equals the closed-form bright-mode
+    // count — the write-back changed no voxel's class
+    for ((cx, cy, cz, n, nFg, t) <- rows) {
+      assert(t == thr && n == 32L * 32 * 4)
+      var bright = 0L
+      for {
+        x <- (cx - 1) * 32 + 1 to (cx * 32).toInt
+        y <- (cy - 1) * 32 + 1 to (cy * 32).toInt
+        z <- (cz - 1) * 4 + 1 to (cz * 4).toInt
+      } if ((x * 13 + y * 29 + z * 3) % 7 >= 3) bright += 1
+      assert(nFg == bright, s"chunk ($cx,$cy,$cz): $nFg != $bright")
+    }
+  }
+
   test("a26 mip selection: budget rule routes ROIs, folded spans served exactly") {
     val rows = ArrayOps.a26_mip_select(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
