@@ -300,6 +300,7 @@ object SparkEntry {
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
+    "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -656,6 +657,7 @@ object SparkEntry {
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
+    "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

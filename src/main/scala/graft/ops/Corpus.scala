@@ -988,6 +988,55 @@ object Corpus {
        |FROM t JOIN lr l USING (tok) GROUP BY t.doc_id""".stripMargin
   }
 
+  // ---------------- Stratified split (c21) ----------------
+
+  /** Seeded stratified train/val/test split (c21) — the assignment step
+    * c16's leakage audit EXISTS to check: holdout quality dies when the
+    * val/test slices are distributionally skewed (all-short docs, one
+    * language), so the split must hold the corpus proportions WITHIN
+    * every stratum, not just globally. Strata = (lang, length bucket);
+    * within a stratum documents take a SEEDED deterministic shuffle
+    * order (md5(doc_id, salt) — reproducible across runs, engines, and
+    * partitionings, the c17 device) and the rank mod 10 allocates
+    * 8/1/1 train/val/test EXACTLY (each stratum's split sizes are within
+    * one document of the ideal fraction by construction — a Bernoulli
+    * split only achieves that in expectation).
+    *
+    * Scale shape: one row-local hash + one window per stratum (the
+    * exchange is at stratum grain and each stratum sorts independently);
+    * at 100 TB the window is the standard rank-within-partition shuffle
+    * — no global sort, no driver state. Gate output is the (stratum,
+    * split) census. */
+  def stratifiedSplit(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / lit(200)).cast(LongType).as("bucket"),
+      md5(concat_ws("#", col("doc_id"), lit("c21-seed"))).as("h"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("split",
+        when(pmod(col("rk"), lit(10)) === 0, "test")
+          .when(pmod(col("rk"), lit(10)) === 1, "val")
+          .otherwise("train"))
+      .groupBy(col("lang"), col("bucket"), col("split"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[stratifiedSplit]] — same strata, same seeded
+    * hash order, same rank-mod allocation. */
+  def stratifiedSplitOracleSql: String =
+    """WITH a AS (SELECT doc_id, lang, CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+      |            md5(concat(CAST(doc_id AS VARCHAR), '#', 'c21-seed')) AS h,
+      |            n_chars
+      |           FROM documents),
+      | r AS (SELECT doc_id, lang, bucket,
+      |        row_number() OVER (PARTITION BY lang, bucket ORDER BY h, doc_id) - 1 AS rk
+      |       FROM a)
+      |SELECT lang, bucket,
+      | CASE WHEN rk % 10 = 0 THEN 'test' WHEN rk % 10 = 1 THEN 'val' ELSE 'train' END AS split,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
+
   // ---------------- File-stats manifest + data skipping (c20) ----------
 
   /** Once-per-JVM registry of c20's clustered layout + manifest per dir. */

@@ -479,6 +479,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("UDF"), plan) // the local sketch test is in-plan
   }
 
+  test("c21 stratified split: exact per-stratum allocation, deterministic, exhaustive") {
+    val rows = Corpus.stratifiedSplit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == docs.count(), "every document assigned exactly once")
+    val strata = rows.groupBy(r => (r._1, r._2))
+    assert(strata.size > 5, "need several strata for the test to mean anything")
+    strata.foreach { case ((lang, b), ss) =>
+      val m = ss.map(r => r._3 -> r._4).toMap
+      val n = m.values.sum
+      val (test, vl) = (m.getOrElse("test", 0L), m.getOrElse("val", 0L))
+      // rank-mod allocation: each slice within ONE document of n/10 —
+      // a Bernoulli split only achieves this in expectation
+      assert(math.abs(test - n / 10.0) <= 1.0, s"stratum ($lang,$b): test=$test of $n")
+      assert(math.abs(vl - n / 10.0) <= 1.0, s"stratum ($lang,$b): val=$vl of $n")
+      assert(m.getOrElse("train", 0L) == n - test - vl)
+    }
+    // seeded: a second run is identical
+    val again = Corpus.stratifiedSplit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("t28 homoglyph screen flags exactly the spoofed docs, with script counts conserved") {
     val rows = TextOps.homoglyphScreen(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
