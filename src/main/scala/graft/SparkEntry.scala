@@ -301,6 +301,7 @@ object SparkEntry {
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
+    "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -658,6 +659,7 @@ object SparkEntry {
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
     "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
+    "c22_cluster_reps" -> clusterRepsOracle,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -926,4 +928,19 @@ object SparkEntry {
        |                 UNION
        |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin
+
+  /** Cluster-representative oracle (c22): the d5 closure, the t2 quality
+    * relation, and one window electing the highest-quality member per
+    * cluster (ties → lowest doc_id). */
+  private val clusterRepsOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       | edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+       | reach(u, v) AS (SELECT u, v FROM edges
+       |                 UNION
+       |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       | cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+       | q AS (SELECT doc_id, quality FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) qq)
+       |SELECT cl.doc_id, cl.cluster, q.quality,
+       | (row_number() OVER (PARTITION BY cl.cluster ORDER BY q.quality DESC, cl.doc_id) = 1) AS keep
+       |FROM cl JOIN q ON cl.doc_id = q.doc_id""".stripMargin
 }

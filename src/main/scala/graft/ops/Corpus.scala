@@ -1140,4 +1140,30 @@ object Corpus {
        |FROM f, pred, audit
        |WHERE f.n_chars BETWEEN pred.lo AND pred.hi
        |GROUP BY f.lang, audit.files_read, audit.files_total""".stripMargin
+
+  /** Near-dup cluster REPRESENTATIVE selection (c22) — the survivor pass
+    * that turns a dedup clustering into a kept corpus: within every
+    * near-dup cluster (the d5 relation) keep the single highest-quality
+    * member (the t2 score; ties → lowest doc_id, fully deterministic), and
+    * mark every other member for removal. This is the step production
+    * pipelines (RefinedWeb/FineWeb-style) run between "cluster the dups"
+    * and "write the cleaned corpus" — keeping the cluster MINIMUM id (what
+    * `cluster == doc_id` gives for free) discards the best copy whenever a
+    * higher-quality revision arrived later.
+    *
+    * Scale shape: composition, not recomputation — the cluster relation is
+    * d5's (O(pairs) LSH + bounded-round label propagation) and quality is
+    * row-local; gluing them costs ONE doc-keyed equi-join (cluster members
+    * only — a vanishing fraction of the corpus) plus one cluster-keyed
+    * window whose rank≤1 pushes into the exchange as a group-limit. No
+    * text moves: the join carries (doc_id, cluster, quality) only. */
+  def clusterReps(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(docs, 0.8)
+    val quality = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
+  }
 }

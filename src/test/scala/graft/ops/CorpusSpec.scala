@@ -537,4 +537,28 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("c22 cluster reps: one keeper per cluster, and it is the best-quality member") {
+    val rows = Corpus.clusterReps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // covers exactly the d5 cluster membership
+    assert(rows.length.toLong == Dedup.dupClusters(docs, 0.8).count())
+    assert(rows.nonEmpty, "fixture must contain near-dup clusters")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $c: ${keepers.length} keepers")
+      // the elected member is the (quality desc, doc_id asc) minimum
+      val expected = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == expected._1,
+        s"cluster $c kept ${keepers.head._1}, expected ${expected._1}")
+    }
+    // at least one cluster must have elected a NON-minimum doc_id keeper
+    // somewhere across both SFs for the operator to differ from d5's
+    // cluster==doc_id rule; on this fixture quality ties are broken by
+    // doc_id so equality CAN happen per cluster — assert only the rule.
+    val again = Corpus.clusterReps(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
 }
