@@ -262,6 +262,7 @@ object SparkEntry {
     "t26_mojibake" -> ((s, d) => TextOps.mojibakeScreen(Tables.t(s, d, "documents"))),
     "t27_boilerplate" -> ((s, d) => TextOps.boilerplate(Tables.t(s, d, "documents"))),
     "t28_homoglyph" -> ((s, d) => TextOps.homoglyphScreen(Tables.t(s, d, "documents"))),
+    "t29_collocations" -> ((s, d) => TextOps.collocations(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -639,6 +640,7 @@ object SparkEntry {
     "t26_mojibake" -> TextOps.mojibakeOracleSql,
     "t27_boilerplate" -> TextOps.boilerplateOracleSql(),
     "t28_homoglyph" -> TextOps.homoglyphOracleSql,
+    "t29_collocations" -> TextOps.collocationsOracleSql(),
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

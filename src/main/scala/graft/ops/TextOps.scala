@@ -1549,5 +1549,59 @@ object TextOps {
       |       w -> regexp_matches(w, '[A-Za-z]') AND regexp_matches(w, '[\x{0400}-\x{04ff}]'))) >= 1)
       |   AS spoofed
       |FROM a""".stripMargin
+
+  /** Corpus-level bigram collocation mining (t29) — the vocabulary-analysis
+    * pass run before tokenizer training and domain profiling: which word
+    * pairs co-occur far more than chance (multi-word entities, templated
+    * phrases, boilerplate seeds). Scored by the Dice coefficient
+    * `2·c(w1,w2) / (c(w1) + c(w2))` — bounded [0,1], the standard
+    * lexicographic collocation measure, and (unlike log-PMI) a single
+    * rational of exact integer counts, so the score is bit-identical
+    * cross-engine by construction. Pairs below `minCount` are pruned
+    * BEFORE any join (the Zipf tail is almost all hapax bigrams), and the
+    * report is the global top-`k` by (dice desc, w1, w2) — fully ordered,
+    * so the cut is deterministic.
+    *
+    * Scale shape: one tokenize pass materialized for its two grains
+    * (bigram fold + unigram fold — the t12/t14 re-tokenize trap), both
+    * folds map-side combined; the min-count filter shrinks the pair
+    * relation by orders of magnitude before the two token-keyed count
+    * joins; the top-k is TakeOrderedAndProject (per-partition heaps + one
+    * k-row driver merge — no global sort at any corpus size). */
+  def collocations(docs: DataFrame, minCount: Int = 3, k: Int = 50): DataFrame = {
+    val tk = materialize(docs.withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2).select(col("tk")))
+    val bg = tk.select(explode(expr(
+      "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c1").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("n_w2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(lit(2.0) * col("n_pair") / (col("n_w1") + col("n_w2")), 4).as("dice"))
+      .orderBy(col("dice").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle twin of [[collocations]] — same ≥2-token corpus, same
+    * two count grains, the same single-division Dice, and the same fully
+    * ordered top-k cut. */
+  def collocationsOracleSql(minCount: Int = 3, k: Int = 50): String =
+    s"""WITH t AS (SELECT string_split_regex(text, '\\s+') AS toks FROM documents),
+       | tk AS (SELECT toks FROM t WHERE len(toks) >= 2),
+       | bge AS (SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |          SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS b
+       |          FROM tk)),
+       | uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+       | p AS (SELECT w1, w2, count(*) AS n_pair FROM bge GROUP BY w1, w2
+       |       HAVING count(*) >= $minCount)
+       |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+       | CAST(a.c1 AS BIGINT) AS n_w1, CAST(b.c1 AS BIGINT) AS n_w2,
+       | round(2.0 * p.n_pair / (a.c1 + b.c1), 4) AS dice
+       |FROM p JOIN uni a ON p.w1 = a.w JOIN uni b ON p.w2 = b.w
+       |ORDER BY dice DESC, w1, w2 LIMIT $k""".stripMargin
 }
 

@@ -538,6 +538,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("t29 collocations: dice matches hand-count, min-count honored, ordered cut") {
+    val rows = TextOps.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    // recompute counts from the raw fixture
+    val texts = docs.collect().map(_.getString(1)).map(_.split("\\s+").toSeq).filter(_.length >= 2)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.flatMap(t => t.zip(t.tail)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (w1, w2, nPair, nW1, nW2, dice) =>
+      assert(nPair >= 3 && big((w1, w2)) == nPair)
+      assert(uni(w1) == nW1 && uni(w2) == nW2)
+      assert(math.abs(dice - 2.0 * nPair / (nW1 + nW2)) < 1e-4)
+    }
+    // the cut is the global (dice desc, w1, w2) prefix of the qualifying set
+    val all = big.filter(_._2 >= 3).toSeq.map { case ((w1, w2), c) =>
+      (BigDecimal(2.0 * c / (uni(w1) + uni(w2))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, w1, w2)
+    }.sortBy { case (d, w1, w2) => (-d, w1, w2) }.take(50)
+    assert(rows.map(r => (r._6, r._1, r._2)).toSeq == all)
+  }
+
   test("c22 cluster reps: one keeper per cluster, and it is the best-quality member") {
     val rows = Corpus.clusterReps(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
