@@ -1115,4 +1115,66 @@ object Relational {
       | round(avg(n) OVER (PARTITION BY event_type ORDER BY hr_idx
       |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
       |FROM g""".stripMargin
+
+  /** Hierarchical bill-of-materials rollup (q44) — the recursive-query
+    * shape warehouses answer with `WITH RECURSIVE` and Spark answers with
+    * BOUNDED-ROUND iterative joins (Spark SQL has no recursive CTE; the
+    * iteration IS the plan). A deterministic part forest — parent(c) =
+    * c div 8 (roots 0–7), per-edge assembly quantity c % 3 + 1 — is
+    * climbed to the root by label propagation with a MULTIPLICATIVE
+    * accumulator (path quantity product), then folded per root into
+    * subtree size, depth, total effective quantity, and exact-decimal
+    * extended cost (Σ path_qty · price).
+    *
+    * Scale shape: pointer-doubling is NOT used — each round joins the
+    * still-climbing frontier (`cur >= 8`, shrinking geometrically) against
+    * nothing but its own columns (the parent is pure key arithmetic, so no
+    * edge relation ever shuffles; a stored edge table would make each
+    * round one equi-join on the frontier, exactly d11's shape). Rounds =
+    * ⌈log₈ maxKey⌉, a DRIVER SCALAR from a one-row agg — depth 7 covers 2M
+    * parts, 11 covers 8·10⁹. Each round materializes (d11: bounded plan
+    * depth beats one 11-deep lineage). The final fold is one map-side
+    * combined aggregation at root grain. */
+  def q44_bom_rollup(part: DataFrame): DataFrame = {
+    val maxKey = part.agg(max(col("p_partkey"))).head().getLong(0)
+    val rounds = (math.log((maxKey max 8).toDouble) / math.log(8.0)).toInt + 1
+    var lbl = part.select(col("p_partkey").as("node"),
+      col("p_partkey").as("cur"), lit(1L).as("q"), lit(0L).as("depth"),
+      col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+    var r = 0
+    while (r < rounds) {
+      lbl = materialize(lbl.select(col("node"),
+        when(col("cur") >= 8, expr("cur div 8")).otherwise(col("cur")).cast(LongType).as("cur"),
+        when(col("cur") >= 8, col("q") * (pmod(col("cur"), lit(3)) + 1)).otherwise(col("q")).as("q"),
+        when(col("cur") >= 8, col("depth") + 1).otherwise(col("depth")).as("depth"),
+        col("price")))
+      r += 1
+    }
+    lbl.groupBy(col("cur").as("root"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(col("depth")).as("depth_max"),
+        sum(col("q")).as("total_qty"),
+        outd(sum(col("q") * col("price")), 2).as("total_cost"))
+      .select(col("root"), col("n_parts"), col("depth_max"), col("total_qty"), col("total_cost"))
+  }
+
+  /** DuckDB oracle twin of [[q44_bom_rollup]]: the same climb as a true
+    * recursive CTE — each node steps parent-ward while `cur >= 8`,
+    * multiplying in the child edge's quantity; rows stop recursing (and
+    * surface exactly once) when they reach their root. */
+  def q44OracleSql: String =
+    s"""WITH RECURSIVE cl AS (
+       |  SELECT p_partkey AS node, p_partkey AS cur, CAST(1 AS BIGINT) AS q,
+       |         CAST(0 AS BIGINT) AS depth,
+       |         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+       |  FROM part
+       |  UNION ALL
+       |  SELECT node, cur // 8, q * (cur % 3 + 1), depth + 1, price
+       |  FROM cl WHERE cur >= 8)
+       |SELECT cur AS root, CAST(count(*) AS BIGINT) AS n_parts,
+       | CAST(max(depth) AS BIGINT) AS depth_max,
+       | CAST(sum(q) AS BIGINT) AS total_qty,
+       | round(CAST(sum(q * price) AS DOUBLE), 2) + 0.0 AS total_cost
+       |FROM cl WHERE cur < 8
+       |GROUP BY cur""".stripMargin
 }

@@ -227,4 +227,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.length == want.length && got.sameElements(want))
     assert(got.count(_._1 == 1L) == 700, "hot key must survive salting intact")
   }
+
+  test("q44 BOM rollup matches a single-threaded recursive climb") {
+    import org.apache.spark.sql.functions.col
+    val part = Tables.t(spark, dir, "part")
+    val rows = Relational.q44_bom_rollup(part).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // reference climb over the collected fixture
+    val parts = part.select(col("p_partkey"), col("p_retailprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, BigDecimal)]
+    parts.foreach { case (key, price) =>
+      var cur = key; var q = 1L; var d = 0L
+      while (cur >= 8) { q *= cur % 3 + 1; cur = cur / 8; d += 1 }
+      val (n0, d0, q0, c0) = acc.getOrElse(cur, (0L, 0L, 0L, BigDecimal(0)))
+      acc(cur) = (n0 + 1, d0 max d, q0 + q,
+        c0 + BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) * q)
+    }
+    assert(rows.keySet == acc.keySet && rows.keySet.forall(_ < 8))
+    acc.foreach { case (root, (n, d, q, c)) =>
+      val (gn, gd, gq, gc) = rows(root)
+      assert((gn, gd, gq) == (n, d, q), s"root $root")
+      assert(math.abs(gc - c.toDouble) < 1e-6, s"root $root cost $gc vs $c")
+    }
+    // roots 1-7 own non-trivial subtrees on this fixture (root 0 is the
+    // singleton {0}: no key ≥ 8 divides down to 0 before hitting 1-7)
+    assert(rows.filterKeys(_ >= 1).values.forall(_._1 > 1))
+    assert(rows.values.exists(_._2 >= 2), "fixture must exercise depth ≥ 2")
+  }
 }
