@@ -328,6 +328,7 @@ object SparkEntry {
     "m16_watermark" -> (Multimodal.modalWatermark _),
     "m17_metadata_strip" -> ((s, d) => Multimodal.metadataStrip(Tables.t(s, d, "documents"))),
     "m18_loudness" -> ((s, d) => Multimodal.loudnessNormalize(s, d)),
+    "m19_exposure_qc" -> (Multimodal.imageExposureQc _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -771,6 +772,7 @@ object SparkEntry {
     "m16_watermark" -> Multimodal.modalWatermarkOracleSql,
     "m17_metadata_strip" -> Multimodal.metadataStripOracleSql,
     "m18_loudness" -> Multimodal.loudnessNormalizeOracleSql(),
+    "m19_exposure_qc" -> Multimodal.imageExposureQcOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1689,4 +1689,82 @@ object Multimodal {
       |   AS bytes_removed,
       | TRUE AS pixels_ok, TRUE AS clean
       |FROM e GROUP BY doc_id""".stripMargin
+
+  // ---------------- image exposure / contrast QC (m19) ----------------
+
+  /** Image exposure & contrast QC (m19) — the screen a vision-data
+    * pipeline runs before spending decode+embed compute on an image:
+    * per-image min/max luminance, saturated-pixel count, 256-bin histogram
+    * Gini impurity `1 − Σ c_v² / N²` (a log-free diversity measure — a
+    * near-constant image scores ≈ 0, rich content ≈ 1 − 1/256; exact
+    * integer Σ c² then ONE double division, so it is bit-identical
+    * cross-engine, unlike an entropy formulation), and a low-contrast
+    * verdict. Saturation detection is PROVEN, not hoped: the printable
+    * ASCII fixture rasters never reach 255, so white pixels are injected
+    * at positions `(7·p + doc_id) mod 101 = 0` — a pure function of
+    * (doc_id, position) replayed by the oracle — BEFORE the PNG encode, so
+    * the count also proves the codec carries full-scale values losslessly.
+    *
+    * Scale shape: one decode + one fused counting pass per image inside a
+    * single `mapPartitions` — per-row imperative work with zero shuffle,
+    * exactly how a 10⁹-image QC sweep rides along with ingest. */
+  def imageExposureQc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Long, Double, Boolean)]
+    assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val raster = tileRaster(payload, ThumbW, ThumbH)
+          var p = 0
+          while (p < raster.length) {
+            if ((7L * p + id) % 101 == 0) raster(p) = 0xff.toByte
+            p += 1
+          }
+          val px = imgDecode(imgEncode(raster, ThumbW, ThumbH))._1
+          val hist = new Array[Long](256)
+          var mn = 255L; var mx = 0L; var nSat = 0L
+          px.foreach { b =>
+            val v = b & 0xff
+            hist(v) += 1
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (v == 255) nSat += 1
+          }
+          var ssq = 0L
+          hist.foreach(c => ssq += c * c)
+          val n = px.length.toLong
+          val impurity = BigDecimal(1.0 - ssq.toDouble / (n * n))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, mn, mx, nSat, impurity, mx - mn < 64)
+        }
+      }
+      .toDF("doc_id", "min_v", "max_v", "n_sat", "impurity", "low_contrast")
+  }
+
+  /** DuckDB oracle twin of [[imageExposureQc]] — the tiled raster as char
+    * codes (printable-ASCII fixture: char position = byte position), the
+    * same injection rule, integer histogram fold, and the same single
+    * double division. */
+  def imageExposureQcOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil($ipx.0 / length(text)) AS INT)), 1, $ipx) AS raster
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | px AS (SELECT doc_id,
+       |         CASE WHEN (7 * (i - 1) + doc_id) % 101 = 0 THEN 255
+       |              ELSE ord(substr(raster, CAST(i AS INT), 1)) END AS v
+       |        FROM img, range(1, $ipx + 1) AS u(i)),
+       | h AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY doc_id, v),
+       | f AS (SELECT doc_id, min(v) AS min_v, max(v) AS max_v,
+       |        sum(CASE WHEN v = 255 THEN c ELSE 0 END) AS n_sat,
+       |        sum(c * c) AS ssq
+       |       FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+       | CAST(n_sat AS BIGINT) AS n_sat,
+       | round(1.0 - CAST(ssq AS DOUBLE) / (${ipx}.0 * $ipx), 6) AS impurity,
+       | (max_v - min_v < 64) AS low_contrast
+       |FROM f""".stripMargin
+  }
 }

@@ -337,4 +337,34 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     val ex = intercept[IllegalArgumentException](Multimodal.pngStripAncillary(corrupt))
     assert(ex.getMessage.contains("CRC"))
   }
+
+  test("m19 exposure QC: injected saturation counted exactly, impurity matches recount") {
+    val spark = graft.testutil.SparkSuite.spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.imageExposureQc(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    val texts = Tables.t(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, (mn, mx, nSat, imp, lowC)) =>
+      assert(id % 3 == 0)
+      val bytes = texts(id).getBytes("UTF-8")
+      val n = 64 * 48
+      val px = Array.tabulate(n) { p =>
+        if ((7L * p + id) % 101 == 0) 255 else bytes(p % bytes.length) & 0xff
+      }
+      // injection rule: positions p ≡ -id·7⁻¹ (mod 101) → ⌈(n - offset)/101⌉ hits
+      val expSat = px.count(_ == 255)
+      assert(nSat == expSat && nSat > 0, s"doc $id: n_sat $nSat vs $expSat")
+      assert(mn == px.min && mx == px.max)
+      assert(lowC == (mx - mn < 64))
+      val ssq = px.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      val expImp = BigDecimal(1.0 - ssq.toDouble / (n.toLong * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(imp == expImp, s"doc $id: impurity $imp vs $expImp")
+      // fixture text never reaches full scale without the injection
+      assert(px.count(_ == 255) == px.zipWithIndex.count { case (_, p) => (7L * p + id) % 101 == 0 })
+    }
+  }
 }
