@@ -202,6 +202,7 @@ object SparkEntry {
     "s27_hamming_topk" -> ((s, d) => Similarity.hammingTopK(s, d)),
     "s28_kmeans_parallel" -> ((s, d) => Similarity.kmeansParallelInit(s, d)),
     "s29_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    "s30_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -690,6 +691,7 @@ object SparkEntry {
     "s27_hamming_topk" -> Similarity.hammingTopKOracleSql(),
     "s28_kmeans_parallel" -> Similarity.kmeansParallelInitOracleSql,
     "s29_rrf_fusion" -> Similarity.rrfFusionOracleSql(),
+    "s30_triplet_mining" -> Similarity.tripletMiningOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -2315,4 +2315,71 @@ object Similarity {
        |SELECT q_id, nb_id, coalesce(r_dense, -1) AS r_dense,
        | coalesce(r_sparse, -1) AS r_sparse, CAST(fused_rank AS BIGINT) AS fused_rank
        |FROM r WHERE fused_rank <= $k""".stripMargin
+
+  /** Triplet mining for contrastive training (s30) — per anchor, the
+    * HARDEST NEGATIVE (most-cosine-similar vector with a DIFFERENT label:
+    * the one a contrastive loss learns most from) and the NEAREST
+    * POSITIVE (most-similar vector with the SAME label), plus the triplet
+    * margin `pos_cos − neg_cos` and a violation verdict (`neg ≥ pos`: even
+    * the anchor's BEST same-class neighbor is outscored by a cross-class
+    * one — the anchor is misembedded for retrieval, and the triplet is a
+    * training candidate). This is the batch-mining pass an
+    * embedding-finetune pipeline runs between epochs (FaceNet-style
+    * offline mining at corpus grain, with the easy-positive/hard-negative
+    * pairing that targets retrieval-relevant errors).
+    *
+    * Gate shape: the s1 bounded-eval flat scan (nQueries anchors broadcast
+    * against the corpus — nQueries·corpus, not corpus²; allowlisted with
+    * s1/s9). Production composition at 10⁹ vectors: negatives from the
+    * bucketed candidate generators (s2 LSH / s4 IVF probes — the hardest
+    * negative is by definition among the nearest neighbors, exactly what
+    * the index returns), positives per class via the s10 class-centroid
+    * relation + per-class top-k — both equi-join shapes; the mining logic
+    * here (two label-filtered rank-1 windows + one anchor-grain join) is
+    * UNCHANGED over those candidate relations. */
+  def tripletMining(spark: SparkSession, dir: String, nQueries: Int = 50): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"), col("label").as("ql"))
+    val scored = e.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("label").as("nl"))
+      .join(broadcast(q), col("nb_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qa", "ea"))
+    val wNeg = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
+    val wPos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
+    val hardNeg = scored.filter(col("nl") =!= col("ql"))
+      .withColumn("r", row_number().over(wNeg)).filter(col("r") === 1)
+      .select(col("q_id"), col("nb_id").as("neg_id"), round(col("cos"), 4).as("neg_cos"))
+    val hardPos = scored.filter(col("nl") === col("ql"))
+      .withColumn("r", row_number().over(wPos)).filter(col("r") === 1)
+      .select(col("q_id"), col("nb_id").as("pos_id"), round(col("cos"), 4).as("pos_cos"))
+    hardPos.join(hardNeg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"),
+        (col("neg_cos") >= col("pos_cos")).as("violation"))
+  }
+
+  /** DuckDB oracle twin of [[tripletMining]] — the s1 cosine expression
+    * with labels carried, the same two rank-1 windows and tie orders, and
+    * margin/violation over the ROUNDED scores on both engines. */
+  def tripletMiningOracleSql(nQueries: Int = 50): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qa, label AS ql
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       | pairs AS (
+       |  SELECT q.q_id, q.ql, e.vec_id AS nb_id, e.label AS nl,
+       |   (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x, unnest(e.embedding) AS y) z) /
+       |   (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qa) AS x) z2)) *
+       |    sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS y) z3))) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
+       | neg AS (SELECT q_id, nb_id AS neg_id, round(cos, 4) AS neg_cos FROM (
+       |          SELECT q_id, nb_id, cos,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+       |          FROM pairs WHERE nl != ql) x WHERE r = 1),
+       | pos AS (SELECT q_id, nb_id AS pos_id, round(cos, 4) AS pos_cos FROM (
+       |          SELECT q_id, nb_id, cos,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS r
+       |          FROM pairs WHERE nl = ql) x WHERE r = 1)
+       |SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       | round(p.pos_cos - n.neg_cos, 4) AS margin,
+       | (n.neg_cos >= p.pos_cos) AS violation
+       |FROM pos p JOIN neg n USING (q_id)""".stripMargin
 }

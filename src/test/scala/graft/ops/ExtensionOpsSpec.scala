@@ -1136,4 +1136,35 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._3 >= 1 && r._4 == -1L), "no dense-only winners")
     assert(got.exists(r => r._3 == -1L && r._4 >= 1), "no sparse-only winners")
   }
+
+  test("s30 triplet mining equals a brute-force driver recomputation") {
+    val emb = Tables.t(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.tripletMining(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got.size == 50)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((qid, qa, ql) <- emb if qid < 50) {
+      val others = emb.filter(_._1 != qid)
+      val (negId, negCos) = others.filter(_._3 != ql)
+        .map(o => (o._1, cos(qa, o._2))).minBy { case (id, c) => (-c, id) }
+      val (posId, posCos) = others.filter(_._3 == ql)
+        .map(o => (o._1, cos(qa, o._2))).minBy { case (id, c) => (-c, id) }
+      val (gp, gpc, gn, gnc, margin, viol) = got(qid)
+      assert(gp == posId && gn == negId, s"anchor $qid ids")
+      assert(gpc == r4(posCos) && gnc == r4(negCos), s"anchor $qid scores")
+      assert(margin == r4(gpc - gnc) && viol == (gnc >= gpc), s"anchor $qid verdicts")
+    }
+    // the fixture must exercise both outcomes or the verdict column is vacuous
+    assert(got.values.exists(_._6) && got.values.exists(!_._6),
+      "need both violated and satisfied triplets")
+  }
 }

@@ -409,7 +409,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "c17_epoch_shuffle", "c19_nutrition_label",
       "q31_gapfill", "q32_skew_report", "q34_funnel",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
-      "s27_hamming_topk", "s29_rrf_fusion", "s5_sq8_topk",
+      "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
       "t18_zipf", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
@@ -445,6 +445,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // s27 is the s1 eval shape over 8-byte sign signatures (the bounded
     // broadcast-probes flat scan); its production composition buckets by
     // signature prefix (s2) and uses the XOR+popcount kernel in-bucket
+    // s30 mines hardest negatives/positives over the s1 bounded-eval scan
+    // (nQueries anchors broadcast × corpus); at scale the candidates come
+    // from the bucketed generators (s2/s4) + per-class top-k — equi-joins —
+    // with the two rank-1 windows and the anchor join unchanged
     // s29's fusion itself is a full-outer EQUI-join of two rank relations;
     // the BNLJ it inherits is s1's pool build (s12's is prefix-joined) —
     // swap in the bucketed rankers (s2/s8) and the fusion is unchanged
