@@ -384,6 +384,7 @@ object SparkEntry {
     "e18_stream_asof" -> (EventStreams.asofEnrichOnce _),
     "e19_stream_approx_users" -> (EventStreams.approxUsersOnce _),
     "e20_stream_merge" -> (EventStreams.streamMergeOnce _),
+    "e21_stream_quantiles" -> (EventStreams.windowQuantilesOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -760,6 +761,7 @@ object SparkEntry {
     "e18_stream_asof" -> EventStreams.asofEnrichOracleSql,
     "e19_stream_approx_users" -> EventStreams.approxUsersOracleSql,
     "e20_stream_merge" -> EventStreams.streamMergeOracleSql,
+    "e21_stream_quantiles" -> EventStreams.windowQuantilesOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -131,6 +131,57 @@ object EventStreams {
       | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS sv
       |FROM x GROUP BY strftime(w0, '%Y-%m-%d %H:%M'), event_type""".stripMargin
 
+  /** Streaming windowed ORDER STATISTICS (e21) — per-hour, per-type exact
+    * median and p90 of the event value: the latency/size-percentile
+    * monitor every live pipeline runs next to its counts (e1). Quantiles
+    * are DISCRETE order statistics (element at ⌈n/2⌉ / ⌈9n/10⌉ of the
+    * sorted multiset) picked as RAW stored values with zero arithmetic —
+    * an interpolating quantile (`percentile_cont`) mixes two doubles with
+    * engine-specific expression order and cannot be gated bit-exactly;
+    * the discrete pick is deterministic by construction. State per
+    * (window, type) is the value multiset via `collect_list`, merged
+    * incrementally across micro-batches (ObjectHashAggregate buffers) and
+    * evicted by the 1-hour watermark exactly as e1's counters are.
+    *
+    * Scale note: exact per-window order statistics hold state linear in
+    * the window's event count — right for windows up to ~10⁶ events
+    * (bounded by rate × 1 h, NOT corpus size, and evicted hourly). Beyond
+    * that, swap the multiset for the mergeable KLL/GK sketch exactly as
+    * e19 swaps exact distinct for HLL++; the window/watermark/drain
+    * machinery here is unchanged. */
+  def windowQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("value"))).as("vs"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"), col("event_type"),
+        col("n"),
+        element_at(col("vs"), expr("CAST((n + 1) div 2 AS INT)")).as("med"),
+        element_at(col("vs"), expr("CAST((9 * n + 9) div 10 AS INT)")).as("p90"))
+
+  /** Run [[windowQuantiles]] to completion (memory sink, Update mode,
+    * final values via [[lastUpdate]]) — the `e21_stream_quantiles` drive. */
+  def windowQuantilesOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_quantiles_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = windowQuantiles(readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "med", "p90"))
+  }
+
+  /** DuckDB oracle twin of [[windowQuantilesOnce]]: the same epoch-hour
+    * windows, sorted value lists, and 1-based discrete index picks. */
+  def windowQuantilesOracleSql: String =
+    """WITH g AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+      |            event_type, count(*) AS n, list_sort(list(value)) AS vs
+      |           FROM events GROUP BY 1, 2)
+      |SELECT hr, event_type, CAST(n AS BIGINT) AS n,
+      | vs[CAST((n + 1) // 2 AS INT)] AS med,
+      | vs[CAST((9 * n + 9) // 10 AS INT)] AS p90
+      |FROM g""".stripMargin
+
   /** Streaming rate-anomaly detection (e13) — the live traffic monitor: a
     * per-type hourly-rate PROFILE (mean/std of hourly counts) is fitted
     * from the at-rest history and broadcast; each streaming event enriches

@@ -504,4 +504,28 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(after.get(p).contains(t0), s"untouched bucket rewritten: $p")
     assert(state(whole)(uid)._1 == state(split2)(uid)._1 + 1, "re-merged delta must add")
   }
+
+  test("e21 windowed quantiles equal a batch order-statistics recount") {
+    val got = EventStreams.windowQuantilesOnce(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val byWin = Tables.events(spark, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
+        col("event_type"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    assert(got.keySet == byWin.keySet)
+    byWin.foreach { case (k, vs) =>
+      val n = vs.length
+      val (gn, med, p90) = got(k)
+      assert(gn == n.toLong)
+      // discrete order statistics: RAW stored doubles, no interpolation
+      assert(med == vs((n + 1) / 2 - 1), s"$k median")
+      assert(p90 == vs((9 * n + 9) / 10 - 1), s"$k p90")
+      assert(n < 2 || p90 >= med)
+    }
+    // fixture has windows where median and p90 pick DIFFERENT elements,
+    // or the two columns are vacuously equal
+    assert(byWin.values.exists(vs => (vs.length + 1) / 2 != (9 * vs.length + 9) / 10))
+  }
 }
