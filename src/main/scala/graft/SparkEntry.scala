@@ -305,6 +305,7 @@ object SparkEntry {
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
     "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"))),
+    "c23_curriculum" -> ((s, d) => Corpus.curriculumSchedule(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -667,6 +668,7 @@ object SparkEntry {
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
     "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
     "c22_cluster_reps" -> clusterRepsOracle,
+    "c23_curriculum" -> Corpus.curriculumScheduleOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -1141,6 +1141,50 @@ object Corpus {
        |WHERE f.n_chars BETWEEN pred.lo AND pred.hi
        |GROUP BY f.lang, audit.files_read, audit.files_total""".stripMargin
 
+  /** Quality-curriculum schedule (c23) — the serving-order pass of
+    * curriculum training: every document gets a PHASE (1 = best quality
+    * decile, 10 = worst) and a seeded within-phase shuffle key, so the
+    * trainer streams phase 1 first and descends. Deciles are computed
+    * WITHOUT a global sort: quality is a 4-decimal score (t2), so its
+    * value GRID is bounded (≤ 20001 cells at any corpus size) — one
+    * map-side-combined histogram at quality grain, a cumulative count over
+    * that tiny relation (single-partition window over the grid, not the
+    * corpus), and phase = ⌈10·cum_desc/total⌉ in exact integer arithmetic
+    * joined back broadcast. The within-phase order is the c17 device
+    * (md5 of a salted doc_id — deterministic across runs, engines, and
+    * partitionings). The corpus itself is touched by exactly one row-local
+    * scoring pass + one broadcast join.
+    *
+    * The `ntile(10) OVER (ORDER BY quality)` formulation every warehouse
+    * reaches for first serializes the corpus through ONE sort partition —
+    * this histogram form is how the same statistic survives 100 TB. */
+  def curriculumSchedule(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val tot = docs.count()
+    val wd = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phases = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+      .withColumn("cd", sum(col("c")).over(wd))
+      .select(col("quality"),
+        expr(s"CAST((10 * cd + $tot - 1) div $tot AS BIGINT)").as("phase"))
+    q.join(broadcast(phases), Seq("quality"))
+      .select(col("doc_id"), col("quality"), col("phase"),
+        md5(concat(lit("c23:"), col("doc_id").cast("string"))).as("ord"))
+  }
+
+  /** DuckDB oracle twin of [[curriculumSchedule]] — same t2 scores,
+    * histogram decile arithmetic, and salted order key. */
+  def curriculumScheduleOracleSql: String =
+    s"""WITH q AS (SELECT doc_id, quality
+       |           FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) t),
+       | h AS (SELECT quality, count(*) AS c FROM q GROUP BY quality),
+       | cum AS (SELECT quality, sum(c) OVER (ORDER BY quality DESC) AS cd,
+       |          (SELECT sum(c) FROM h) AS tot FROM h),
+       | d AS (SELECT quality, CAST((10 * cd + tot - 1) // tot AS BIGINT) AS phase FROM cum)
+       |SELECT q.doc_id, q.quality, d.phase,
+       | md5('c23:' || CAST(q.doc_id AS VARCHAR)) AS ord
+       |FROM q JOIN d USING (quality)""".stripMargin
+
   /** Near-dup cluster REPRESENTATIVE selection (c22) — the survivor pass
     * that turns a dedup clustering into a kept corpus: within every
     * near-dup cluster (the d5 relation) keep the single highest-quality

@@ -538,6 +538,35 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c23 curriculum: phases are quality-monotone deciles within one doc of ideal") {
+    val rows = Corpus.curriculumSchedule(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    val n = docs.count()
+    assert(rows.length.toLong == n, "every document scheduled exactly once")
+    // phase is monotone non-increasing in quality (better quality → earlier)
+    val byPhase = rows.groupBy(_._3)
+    assert(byPhase.keySet.forall(p => p >= 1 && p <= 10))
+    for (p <- byPhase.keys; p2 <- byPhase.keys if p < p2) {
+      assert(byPhase(p).map(_._2).min >= byPhase(p2).map(_._2).max,
+        s"phase $p must dominate phase $p2 in quality")
+    }
+    // ceil-decile arithmetic: cumulative count through phase k is within a
+    // quality-TIE GROUP of k·n/10 (ties never split phases)
+    val phaseCounts = byPhase.view.mapValues(_.size.toLong).toMap
+    val maxTie = rows.groupBy(_._2).values.map(_.size).max.toLong
+    var cum = 0L
+    for (k <- 1L to 10L) {
+      cum += phaseCounts.getOrElse(k, 0L)
+      if (k < 10) assert(math.abs(cum - k * n / 10.0) <= maxTie,
+        s"phase boundary $k at $cum vs ideal ${k * n / 10.0} (tie $maxTie)")
+    }
+    // ord is the salted md5 — spot-check one
+    val (id0, _, _, ord0) = rows.head
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"c23:$id0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(ord0 == want)
+  }
+
   test("t29 collocations: dice matches hand-count, min-count honored, ordered cut") {
     val rows = TextOps.collocations(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
