@@ -1293,6 +1293,128 @@ object ArrayOps {
        |FROM fgc f LEFT JOIN erc e
        |  ON f.cx = e.cx AND f.cy = e.cy AND f.cz = e.cz""".stripMargin
 
+  /** Distributed morphological OPENING under the oracle gate (a37) —
+    * erode→dilate fused as ONE decode pass per chunk
+    * ([[graft.volume.Volume.localOpen]]) plus this O(surface) relational
+    * combiner, completing the halo-exchange morphology family (a17
+    * dilation, a18 erosion, a37 their composition — the speckle /
+    * thin-bridge denoise pass run over segmentation masks before any
+    * geometry is measured).
+    *
+    * Combiner stages (every relation O(surface)):
+    *  1. confirm erosion of the seam candidates exactly as a18 does
+    *     (needs left-join face presence proofs, all-confirmed survive);
+    *  2. explode each CONFIRMED candidate's owner-resolved 7-neighborhood
+    *     `targets` (computed in-kernel — the a17 spill device), dedup
+    *     coordinate-wise (a corner target arrives from several sources);
+    *  3. anti-join the `rim` (locally-opened voxels within distance 1 of
+    *     a face — the only region where additions can collide with
+    *     locally-decided openings) and fold survivors per OWNER chunk;
+    *  4. add to the kernel's exact `n_open_loc`.
+    * The voxel relation never shuffles; at petavoxel scale only face-deep
+    * halos move — the same argument as a17/a18, paid once for the fused
+    * pair instead of twice for a two-pass composition. */
+  private[graft] def openStats(localOpen: DataFrame): DataFrame = {
+    val lo = Tables.materialize(localOpen)
+    val face = lo.select(explode(col("face")).as("f"))
+      .select(col("f.x").as("nx"), col("f.y").as("ny"), col("f.z").as("nz"),
+        lit(1).as("present"))
+    val cand = lo.select(explode(col("cand")).as("c"))
+      .select(col("c.x").as("x"), col("c.y").as("y"), col("c.z").as("z"),
+        col("c.needs").as("needs"), col("c.targets").as("targets"))
+    val needs = cand.select(col("x"), col("y"), col("z"), explode(col("needs")).as("nd"))
+      .select(col("x"), col("y"), col("z"),
+        col("nd.x").as("nx"), col("nd.y").as("ny"), col("nd.z").as("nz"))
+    val confirmedKeys = needs.join(face, Seq("nx", "ny", "nz"), "left_outer")
+      .groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).as("n_needs"), count(col("present")).as("n_found"))
+      .filter(col("n_needs") === col("n_found"))
+      .select(col("x"), col("y"), col("z"))
+    val additions = cand.join(confirmedKeys, Seq("x", "y", "z"))
+      .select(explode(col("targets")).as("t"))
+      .select(col("t.tcx").as("tcx"), col("t.tcy").as("tcy"), col("t.tcz").as("tcz"),
+        col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
+      .distinct() // one coord can arrive from several confirmed sources
+    val rim = lo.select(explode(col("rim")).as("r"))
+      .select(col("r.x").as("x"), col("r.y").as("y"), col("r.z").as("z"))
+    val extra = additions.join(rim, Seq("x", "y", "z"), "left_anti")
+      .groupBy(col("tcx"), col("tcy"), col("tcz")).agg(count(lit(1)).as("n_extra"))
+      .withColumnRenamed("tcx", "cx").withColumnRenamed("tcy", "cy")
+      .withColumnRenamed("tcz", "cz")
+    lo.select(col("cx"), col("cy"), col("cz"), col("n_fg"), col("n_open_loc"))
+      .join(extra, Seq("cx", "cy", "cz"), "full_outer")
+      .select(col("cx").cast(LongType).as("cx"), col("cy").cast(LongType).as("cy"),
+        col("cz").cast(LongType).as("cz"),
+        coalesce(col("n_fg"), lit(0L)).as("n_fg"),
+        (coalesce(col("n_open_loc"), lit(0L)) + coalesce(col("n_extra"), lit(0L))).as("n_open"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** The a37 gate drive: the a18 dense lattice mask (~96% fg — holes at
+    * (7x+3y+5z) ≡ 0 mod 23), whose opening removes the shell erosion cuts
+    * around every hole and regrows the rest, exercising confirmations AND
+    * cross-seam dilation in all six directions. Dumps the foreground for
+    * the oracle's relational replay. */
+  def a37_opening(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a37").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          if ((x * 7 + y * 3 + z * 5) % 23 != 0) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a37")
+    openStats(vol.localOpen(box))
+  }
+
+  /** Oracle twin of [[a37_opening]]: erosion as the 6-neighbor
+    * count-equals-6 check (a18's formulation — out-of-box neighbors are
+    * absent from the dump, so box-face voxels drop out), dilation of the
+    * eroded set as the 7-shift DISTINCT union (a17's formulation; an
+    * eroded voxel is ≥ 1 inside the box, so no clip is needed), with the
+    * same 1-based chunk-id arithmetic. */
+  def a37OracleSql: String =
+    s"""WITH fg AS (SELECT x, y, z FROM read_parquet('$voxelDumpRoot/a37/*.parquet')),
+       | d6 AS (SELECT * FROM (VALUES (1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1))
+       |        t(dx, dy, dz)),
+       | d7 AS (SELECT * FROM (VALUES (0,0,0),(1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1))
+       |        t(dx, dy, dz)),
+       | nb AS (SELECT f.x, f.y, f.z, count(*) AS cnt
+       |        FROM fg f CROSS JOIN d6 s
+       |        JOIN fg n ON n.x = f.x + s.dx AND n.y = f.y + s.dy AND n.z = f.z + s.dz
+       |        GROUP BY 1, 2, 3),
+       | er AS (SELECT x, y, z FROM nb WHERE cnt = 6),
+       | op AS (SELECT DISTINCT e.x + s.dx AS x, e.y + s.dy AS y, e.z + s.dz AS z
+       |        FROM er e CROSS JOIN d7 s),
+       | fgc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_fg FROM fg GROUP BY 1, 2, 3),
+       | opc AS (SELECT (x-1)//32 + 1 AS cx, (y-1)//32 + 1 AS cy, (z-1)//4 + 1 AS cz,
+       |          count(*) AS n_open FROM op GROUP BY 1, 2, 3)
+       |SELECT CAST(coalesce(f.cx, o.cx) AS BIGINT) AS cx,
+       |       CAST(coalesce(f.cy, o.cy) AS BIGINT) AS cy,
+       |       CAST(coalesce(f.cz, o.cz) AS BIGINT) AS cz,
+       |       CAST(coalesce(f.n_fg, 0) AS BIGINT) AS n_fg,
+       |       CAST(coalesce(o.n_open, 0) AS BIGINT) AS n_open
+       |FROM fgc f FULL OUTER JOIN opc o
+       |  ON f.cx = o.cx AND f.cy = o.cy AND f.cz = o.cz""".stripMargin
+
   /** EXACT distributed intensity percentiles via histogram fold (a21) —
     * the contrast-normalization quantiles imaging QC derives per volume
     * (window/level presets, percentile normalization before training).

@@ -943,6 +943,206 @@ final class Volume(
     })(rowEnc)
   }
 
+  /** Per-chunk binary OPENING partials (erode → dilate, 6-connectivity) —
+    * the denoise pass production segmentation pipelines run over masks
+    * (speckle and thin-bridge removal), fused into ONE decode pass per
+    * chunk with O(surface) halo relations. The two-stage composition
+    * stays chunk-local wherever the math allows:
+    *  - erosion of NON-FACE voxels is decided locally (all 6 neighbors
+    *    in-cut); their 6-neighborhood dilation also stays in-cut (a
+    *    voxel ≥ 1 from every face dilates to voxels ≥ 0 from every face),
+    *    so the opened-from-interior set is exact without any exchange:
+    *    `n_open_loc` counts it;
+    *  - FACE foreground voxels whose in-cut neighbors all pass still need
+    *    across-seam confirmation to erode (`cand`, with `needs` — the
+    *    [[localErode]] machinery); since a face voxel's dilation is the
+    *    only part that can cross a seam, each cand also carries its 7
+    *    owner-resolved dilation `targets` (the [[localDilate]] spill
+    *    device), applied by the combiner ONLY if the cand confirms;
+    *  - `rim` lists the locally-opened voxels within distance 1 of a cut
+    *    face — exactly the region where confirmed-cand dilations can
+    *    collide with locally-decided openings, so the combiner's dedup
+    *    anti-join is O(surface), never O(volume);
+    *  - `face` re-emits foreground face voxels as presence proofs.
+    * The voxel relation never shuffles; see
+    * [[graft.ops.ArrayOps.openStats]] for the relational combiner. */
+  def localOpen(query: Box): DataFrame = {
+    val c = ctx; val conf = hconf
+    require(c.numChannels == 1, "localOpen: single-channel volumes only")
+    val coord = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false)))
+    val target = StructType(Seq(
+      StructField("tcx", IntegerType, nullable = false),
+      StructField("tcy", IntegerType, nullable = false),
+      StructField("tcz", IntegerType, nullable = false),
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false)))
+    val schema = StructType(Seq(
+      StructField("cx", IntegerType, nullable = false),
+      StructField("cy", IntegerType, nullable = false),
+      StructField("cz", IntegerType, nullable = false),
+      StructField("n_fg", LongType, nullable = false),
+      StructField("n_open_loc", LongType, nullable = false),
+      StructField("rim", ArrayType(coord, containsNull = false), nullable = false),
+      StructField("cand", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = false),
+        StructField("y", IntegerType, nullable = false),
+        StructField("z", IntegerType, nullable = false),
+        StructField("needs", ArrayType(coord, containsNull = false), nullable = false),
+        StructField("targets", ArrayType(target, containsNull = false), nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("face", ArrayType(coord, containsNull = false), nullable = false)))
+    val rowEnc = Encoders.row(schema)
+    val taskEnc = Encoders.product[(Int, Int, Int)]
+    val isFloat = c.dataType == graft.core.Meta.TFloat32 || c.dataType == graft.core.Meta.TFloat64
+    val qbox = query
+    chunkTasks(query).as(taskEnc).mapPartitions({ it =>
+      val fs = ChunkStore.fs(c.root, conf.conf)
+      it.flatMap { case (cx, cy, cz) =>
+        c.sliceAt(cx, cy, cz, qbox).iterator.flatMap { s =>
+          c.fetchChunk(fs, s) match {
+            case None if c.fillMissing => Iterator.empty // all-background
+            case None => throw new ChunkStore.MissingChunkException(c.keyOf(s))
+            case Some(blob) =>
+              val b = c.decodeChunk(s, blob)
+              val cut = s.cutoutBox
+              val nx = cut.x.len; val ny = cut.y.len; val nz = cut.z.len
+              @inline def li(lx: Int, ly: Int, lz: Int): Int = (lz * ny + ly) * nx + lx
+              val fg = new Array[Boolean](nx * ny * nz)
+              var nFg = 0L
+              var lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    val bx = cut.x.lo - b.origin._1 + lx
+                    val by = cut.y.lo - b.origin._2 + ly
+                    val bz = cut.z.lo - b.origin._3 + lz
+                    val v = if (isFloat) b.getDouble(bx, by, bz, 0) != 0.0
+                      else b.getLong(bx, by, bz, 0) != 0L
+                    if (v) { fg(li(lx, ly, lz)) = true; nFg += 1 }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              // pass 1: interior erosion (non-face voxels — all 6 probes
+              // in-cut) and face candidates with needs + owner-resolved
+              // dilation targets
+              val opened = new Array[Boolean](nx * ny * nz)
+              val cand = scala.collection.mutable.ArrayBuffer.empty[Row]
+              val face = scala.collection.mutable.ArrayBuffer.empty[Row]
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    if (fg(li(lx, ly, lz))) {
+                      val gx = cut.x.lo + lx; val gy = cut.y.lo + ly; val gz = cut.z.lo + lz
+                      val onFace = lx == 0 || lx == nx - 1 || ly == 0 || ly == ny - 1 ||
+                        lz == 0 || lz == nz - 1
+                      if (onFace) {
+                        face += Row(gx, gy, gz)
+                        // face candidate: in-cut neighbors must pass; out-of-
+                        // cut neighbors inside the box become needs; an
+                        // out-of-box neighbor is background → dead
+                        var localOk = true
+                        var outOfBox = false
+                        val needs = scala.collection.mutable.ArrayBuffer.empty[Row]
+                        @inline def probe(dlx: Int, dly: Int, dlz: Int): Unit = {
+                          val tlx = lx + dlx; val tly = ly + dly; val tlz = lz + dlz
+                          if (tlx >= 0 && tlx < nx && tly >= 0 && tly < ny &&
+                            tlz >= 0 && tlz < nz) {
+                            if (!fg(li(tlx, tly, tlz))) localOk = false
+                          } else {
+                            val tx = gx + dlx; val ty = gy + dly; val tz = gz + dlz
+                            if (qbox.x.contains(tx) && qbox.y.contains(ty) && qbox.z.contains(tz))
+                              needs += Row(tx, ty, tz)
+                            else outOfBox = true
+                          }
+                          ()
+                        }
+                        probe(-1, 0, 0); probe(1, 0, 0)
+                        probe(0, -1, 0); probe(0, 1, 0)
+                        probe(0, 0, -1); probe(0, 0, 1)
+                        if (localOk && !outOfBox) {
+                          // all 7 dilation targets are in-box (an in-box
+                          // eroded voxel's neighbors are in-box — its
+                          // out-of-box neighbors would have killed it);
+                          // owner chunk shifts only on the crossed axis
+                          val targets = scala.collection.mutable.ArrayBuffer.empty[Row]
+                          @inline def tgt(dlx: Int, dly: Int, dlz: Int): Unit = {
+                            val tlx = lx + dlx; val tly = ly + dly; val tlz = lz + dlz
+                            val dcx = if (tlx < 0) -1 else if (tlx >= nx) 1 else 0
+                            val dcy = if (tly < 0) -1 else if (tly >= ny) 1 else 0
+                            val dcz = if (tlz < 0) -1 else if (tlz >= nz) 1 else 0
+                            targets += Row(cx + dcx, cy + dcy, cz + dcz,
+                              gx + dlx, gy + dly, gz + dlz)
+                            ()
+                          }
+                          tgt(0, 0, 0)
+                          tgt(-1, 0, 0); tgt(1, 0, 0)
+                          tgt(0, -1, 0); tgt(0, 1, 0)
+                          tgt(0, 0, -1); tgt(0, 0, 1)
+                          cand += Row(gx, gy, gz, needs.toSeq, targets.toSeq)
+                        }
+                      } else {
+                        // interior voxel: erosion fully local
+                        var ok = true
+                        if (!fg(li(lx - 1, ly, lz)) || !fg(li(lx + 1, ly, lz)) ||
+                          !fg(li(lx, ly - 1, lz)) || !fg(li(lx, ly + 1, lz)) ||
+                          !fg(li(lx, ly, lz - 1)) || !fg(li(lx, ly, lz + 1))) ok = false
+                        if (ok) {
+                          // dilate the interior-eroded voxel: all 7 in-cut
+                          opened(li(lx, ly, lz)) = true
+                          opened(li(lx - 1, ly, lz)) = true
+                          opened(li(lx + 1, ly, lz)) = true
+                          opened(li(lx, ly - 1, lz)) = true
+                          opened(li(lx, ly + 1, lz)) = true
+                          opened(li(lx, ly, lz - 1)) = true
+                          opened(li(lx, ly, lz + 1)) = true
+                        }
+                      }
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              var nOpenLoc = 0L
+              val rim = scala.collection.mutable.ArrayBuffer.empty[Row]
+              lz = 0
+              while (lz < nz) {
+                var ly = 0
+                while (ly < ny) {
+                  var lx = 0
+                  while (lx < nx) {
+                    if (opened(li(lx, ly, lz))) {
+                      nOpenLoc += 1
+                      if (lx <= 1 || lx >= nx - 2 || ly <= 1 || ly >= ny - 2 ||
+                        lz <= 1 || lz >= nz - 2)
+                        rim += Row(cut.x.lo + lx, cut.y.lo + ly, cut.z.lo + lz)
+                    }
+                    lx += 1
+                  }
+                  ly += 1
+                }
+                lz += 1
+              }
+              Iterator.single(Row(cx, cy, cz, nFg, nOpenLoc, rim.toSeq, cand.toSeq, face.toSeq))
+          }
+        }
+      }
+    })(rowEnc)
+  }
+
   /** Per-chunk ZONE-MAP statistics — the parquet-footer idea applied to
     * the chunk store: one (cx, cy, cz, vmin, vmax, n) row per chunk of
     * `query`, from one decode pass. Built ONCE (an ingest-time or

@@ -390,6 +390,51 @@ class VolumeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("distributed opening (localOpen + halo) equals driver-side brute force") {
+    // dense pseudo-random mask (~86%) so eroded seeds survive everywhere,
+    // seam candidates confirm in all six directions, AND confirmed face
+    // voxels dilate across seams (the stage the fused kernel adds over
+    // erode/dilate run separately)
+    val (w, h, d) = (40, 40, 8)
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (16, 16, 4), "gzip", (1, 1, 1), (w, h, d), (0, 0, 0))))
+    val vol = Volume.create(spark, graft.testutil.SparkSuite.tempDir("graft-opn"), meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, w, h, d, 1, (1, 1, 1))
+    def fg(x: Int, y: Int, z: Int): Boolean =
+      (scala.util.hashing.MurmurHash3.productHash((x, y, z, 18)) & 0xffff) < 56000
+    for (z <- 1 to d; y <- 1 to h; x <- 1 to w)
+      if (fg(x, y, z)) buf.setLong(x - 1, y - 1, z - 1, 0, 1L)
+    vol.ingest(buf)
+    val got = graft.ops.ArrayOps.openStats(vol.localOpen(Box(1, w, 1, h, 1, d)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    def cid(v: Int, cs: Int): Long = (v - 1) / cs + 1L
+    def inBox(x: Int, y: Int, z: Int) = x >= 1 && x <= w && y >= 1 && y <= h && z >= 1 && z <= d
+    val fgSet = (for (z <- 1 to d; y <- 1 to h; x <- 1 to w if fg(x, y, z)) yield (x, y, z)).toSet
+    val eroSet = fgSet.filter { case (x, y, z) =>
+      Seq((x + 1, y, z), (x - 1, y, z), (x, y + 1, z), (x, y - 1, z), (x, y, z + 1), (x, y, z - 1))
+        .forall { case (nx, ny, nz) => inBox(nx, ny, nz) && fgSet((nx, ny, nz)) }
+    }
+    val openSet = eroSet.flatMap { case (x, y, z) =>
+      Seq((x, y, z), (x + 1, y, z), (x - 1, y, z), (x, y + 1, z), (x, y - 1, z),
+        (x, y, z + 1), (x, y, z - 1))
+    }
+    def perChunk(s: Set[(Int, Int, Int)]): Map[(Long, Long, Long), Long] =
+      s.groupBy { case (x, y, z) => (cid(x, 16), cid(y, 16), cid(z, 4)) }
+        .map { case (k, v) => k -> v.size.toLong }
+    val wantFg = perChunk(fgSet); val wantOp = perChunk(openSet)
+    val want = (wantFg.keySet ++ wantOp.keySet).map(k =>
+      k -> (wantFg.getOrElse(k, 0L), wantOp.getOrElse(k, 0L))).toMap
+    assert(eroSet.nonEmpty && openSet.size < fgSet.size && openSet.size > eroSet.size,
+      "mask degenerate for opening")
+    // a confirmed SEAM-face eroded voxel must exist (the across-seam
+    // dilation stage is exercised, not vacuously correct)
+    assert(eroSet.exists { case (x, y, z) =>
+      x % 16 == 0 || x % 16 == 1 || y % 16 == 0 || y % 16 == 1 || z % 4 == 0 || z % 4 == 1
+    }, "no seam-face eroded voxels — halo stage unexercised")
+    assert(got == want)
+  }
+
   test("distributed contact area (localContacts + seam join) equals driver-side brute force") {
     // dense pseudo-random multi-label mask over a multi-seam grid so
     // cross-label contacts cross every seam direction
