@@ -171,6 +171,7 @@ object SparkEntry {
     // delta locally; exact confirm semi-join moves only candidates
     "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "d15_url_canon" -> ((s, d) => Dedup.urlCanonDedup(Tables.t(s, d, "documents"))),
+    "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -729,6 +730,7 @@ object SparkEntry {
     "d13_containment" -> containmentOracle,
     "d14_bloom_dedup" -> Dedup.bloomDedupOracleSql,
     "d15_url_canon" -> Dedup.urlCanonOracleSql,
+    "d16_soft_dedup" -> softDedupOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -942,6 +944,28 @@ object SparkEntry {
        |                 UNION
        |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin
+
+  /** Soft-dedup oracle (d16): the d1 exact-group fold, the d5 recursive
+    * closure with cluster sizes, and the same max-multiplicity weight. */
+  private val softDedupOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       | edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+       | reach(u, v) AS (SELECT u, v FROM edges
+       |                 UNION
+       |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       | cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+       | cs AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY cluster),
+       | b AS (SELECT doc_id, md5(text) AS h FROM documents),
+       | ex AS (SELECT h, count(*) AS n_exact FROM b GROUP BY h),
+       | j AS (SELECT b.doc_id, ex.n_exact, coalesce(c2.n_cluster, 1) AS n_cluster
+       |       FROM b JOIN ex USING (h)
+       |       LEFT JOIN (SELECT cl.doc_id, cs.n_cluster FROM cl JOIN cs USING (cluster)) c2
+       |         USING (doc_id))
+       |SELECT doc_id, CAST(n_exact AS BIGINT) AS n_exact,
+       | CAST(n_cluster AS BIGINT) AS n_cluster,
+       | CAST(greatest(n_exact, n_cluster) AS BIGINT) AS eff,
+       | round(CAST(1.0 AS DOUBLE) / greatest(n_exact, n_cluster), 4) AS weight
+       |FROM j""".stripMargin
 
   /** Cluster-representative oracle (c22): the d5 closure, the t2 quality
     * relation, and one window electing the highest-quality member per

@@ -850,4 +850,35 @@ object Dedup {
        | CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
        | min(doc_id) AS keeper
        |FROM c GROUP BY 1""".stripMargin
+
+  /** SOFT deduplication weights (d16) — the down-weight-don't-drop
+    * alternative to d1/d5 hard removal (the SoftDedup idea: duplicated
+    * content carries real signal about importance, so keep every copy but
+    * scale its sampling weight by its multiplicity, leaving the EXPECTED
+    * token mass of each distinct content at one copy's worth). Per
+    * document: its exact-hash group size (d1 grain), its near-dup cluster
+    * size (d5 grain, 1 for non-members), the effective multiplicity
+    * `max(n_exact, n_cluster)` (a near-dup cluster subsumes its exact
+    * copies), and `weight = 1 / eff` — one rational division, rounded
+    * once, bit-identical cross-engine.
+    *
+    * Scale shape: pure composition — the d1 fold (md5-keyed, map-side
+    * combined) and the d5 relation (O(pairs) LSH + bounded-round CC) each
+    * scale as their own operator; gluing costs one hash-keyed and one
+    * doc-keyed equi-join plus a cluster-grain count. No text moves past
+    * the first scan (16-byte digests and ids only). */
+  def softDedupWeights(docs: DataFrame, minJ: Double = 0.8): DataFrame = {
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = base.groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
+    val cl = dupClusters(docs, minJ)
+    val clSize = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    base.join(exact, Seq("h"))
+      .join(cl.join(clSize, Seq("cluster")).select(col("doc_id"), col("n_cluster")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_exact"),
+        coalesce(col("n_cluster"), lit(1L)).as("n_cluster"),
+        greatest(col("n_exact"), coalesce(col("n_cluster"), lit(1L))).as("eff"),
+        round(lit(1.0) / greatest(col("n_exact"), coalesce(col("n_cluster"), lit(1L))), 4)
+          .as("weight"))
+  }
 }

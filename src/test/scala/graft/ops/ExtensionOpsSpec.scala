@@ -1137,6 +1137,25 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._3 == -1L && r._4 >= 1), "no sparse-only winners")
   }
 
+  test("d16 soft-dedup: totality, expected-mass conservation, cluster subsumption") {
+    val rows = Dedup.softDedupWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length.toLong == docs.count(), "every doc weighted exactly once")
+    val exact = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap(g => g.map(d => d._1 -> g.size.toLong)).toMap
+    val clusters = Dedup.dupClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clSize = clusters.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (id, nE, nC, eff, w) =>
+      assert(nE == exact(id), s"doc $id n_exact")
+      assert(nC == clusters.get(id).map(clSize).getOrElse(1L), s"doc $id n_cluster")
+      assert(eff == (nE max nC) && w == BigDecimal(1.0 / eff)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.exists(_._4 > 1L), "fixture has no duplicates — weights vacuous")
+    assert(rows.exists(_._4 == 1L), "fixture is all-duplicate — weights vacuous")
+  }
+
   test("s30 triplet mining equals a brute-force driver recomputation") {
     val emb = Tables.t(spark, dir, "embeddings").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
