@@ -1550,6 +1550,98 @@ object TextOps {
       |   AS spoofed
       |FROM a""".stripMargin
 
+  /** Heaps'-law vocabulary growth (t30) — the companion diagnostic to
+    * t18's Zipf fit: vocabulary size as a function of corpus size,
+    * V(n) ≈ K·n^β, measured at ten deterministic ingestion checkpoints
+    * and fitted in log-log space with t18's exact-decimal regression
+    * discipline. The curve answers the tokenizer-planning questions (how
+    * fast is the open vocabulary still growing? has the crawl saturated
+    * its domain?) and a β drifting toward 1 flags boilerplate/ID-like
+    * token floods.
+    *
+    * Scale shape: checkpoints are doc_id VALUE cuts (min + k·span/10 from
+    * a one-row agg — driver scalars, the c20 device), NOT rank cuts, so no
+    * global sort exists anywhere; the corpus tokenizes ONCE (materialized
+    * at array grain) feeding two map-side-combined folds — per-doc token
+    * counts and per-token FIRST-occurrence (min doc_id) — and each fold
+    * joins the broadcast 10-row checkpoint dimension with a ≤ predicate
+    * (a 10-row BNLJ attach, the q31 dimension-grid class). Vocabulary at
+    * a cut = tokens whose first occurrence precedes it — an O(vocab)
+    * relation, never a re-scan per checkpoint.
+    *
+    * Growth is PROVEN, not hoped: the synthetic corpus draws from a
+    * 31-token pool, saturating vocabulary at the first checkpoint (a
+    * degenerate β = 0 fit), so every document appends one token
+    * `w⌊√doc_id⌋` — a pure function of doc_id replayed by the oracle.
+    * Fresh tokens then arrive exactly at perfect-square ids, the textbook
+    * V(n) ~ √n sub-linear growth the fit is built to measure. */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val spark = docs.sparkSession
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val cuts = broadcast(spark.range(1, 11).select(col("id").as("k"),
+      expr(s"CAST($mn + ($mx - $mn) * id div 10 AS BIGINT)").as("cut")))
+    val aug = docs.withColumn("text", concat(col("text"), lit(" w"),
+      expr("CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT)").cast("string")))
+    val t = materialize(aug.select(col("doc_id"), toks.as("tk")))
+    val ds = t.select(col("doc_id"), size(col("tk")).cast(LongType).as("nt"))
+    val first = t.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fid"))
+    val per = ds.join(cuts, col("doc_id") <= col("cut"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val voc = first.join(cuts, col("fid") <= col("cut"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+    val curve = per.join(voc, Seq("k"))
+    val pts = curve.select(
+      log(col("n_tokens").cast(DoubleType)).cast(dec).as("lx"),
+      log(col("vocab").cast(DoubleType)).cast(dec).as("ly"))
+    val s = pts.agg(count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("lx")).cast(DoubleType).as("sx"),
+      sum(col("ly")).cast(DoubleType).as("sy"),
+      sum(col("lx") * col("ly")).cast(DoubleType).as("sxy"),
+      sum(col("lx") * col("lx")).cast(DoubleType).as("sxx"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    curve.crossJoin(broadcast(s))
+      .select(col("k"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(beta, 4).as("beta"),
+        round((col("sy") - beta * col("sx")) / col("n"), 4).as("c0"))
+  }
+
+  /** DuckDB oracle twin of [[heapsGrowth]] — same value cuts, folds, and
+    * t18 regression arithmetic. */
+  def heapsGrowthOracleSql: String =
+    s"""WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+       | cuts AS (SELECT k, mn + (mx - mn) * k // 10 AS cut
+       |          FROM (SELECT unnest(range(1, 11)) AS k), mm),
+       | a AS (SELECT doc_id, text || ' w' ||
+       |         CAST(CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS VARCHAR) AS text
+       |       FROM documents),
+       | t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM a),
+       | ds AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nt FROM t),
+       | fo AS (SELECT tok, min(doc_id) AS fid FROM (
+       |         SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY tok),
+       | per AS (SELECT c.k, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(ds.nt) AS BIGINT) AS n_tokens
+       |         FROM ds JOIN cuts c ON ds.doc_id <= c.cut GROUP BY c.k),
+       | voc AS (SELECT c.k, CAST(count(*) AS BIGINT) AS vocab
+       |         FROM fo JOIN cuts c ON fo.fid <= c.cut GROUP BY c.k),
+       | curve AS (SELECT per.k, n_docs, n_tokens, vocab FROM per JOIN voc USING (k)),
+       | pts AS (SELECT CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS lx,
+       |          CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(18,8)) AS ly FROM curve),
+       | s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+       |    -- ln(n_tokens) exceeds 10, so the scale-16 product needs more
+       |    -- than DECIMAL(18)'s int64 window (t18's ln(rank) never does);
+       |    -- widening one factor keeps the product exact in both engines
+       |    CAST(sum(CAST(lx AS DECIMAL(28,8)) * ly) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(lx AS DECIMAL(28,8)) * lx) AS DOUBLE) AS sxx FROM pts)
+       |SELECT curve.k, n_docs, n_tokens, vocab,
+       | round((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx), 4) AS beta,
+       | round((s.sy - ((s.n*s.sxy - s.sx*s.sy)/(s.n*s.sxx - s.sx*s.sx))*s.sx)/s.n, 4) AS c0
+       |FROM curve, s""".stripMargin
+
   /** Corpus-level bigram collocation mining (t29) — the vocabulary-analysis
     * pass run before tokenizer training and domain profiling: which word
     * pairs co-occur far more than chance (multi-word entities, templated

@@ -567,6 +567,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(ord0 == want)
   }
 
+  test("t30 heaps growth: checkpoint censuses match a recount, curve monotone, fit sane") {
+    val rows = TextOps.heapsGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val texts = docs.collect().map(r => r.getLong(0) ->
+      (r.getString(1) + " w" + math.floor(math.sqrt(r.getLong(0).toDouble)).toLong)
+        .split("\\s+").toSeq)
+    val (mn, mx) = (texts.map(_._1).min, texts.map(_._1).max)
+    rows.foreach { case (k, nDocs, nTok, vocab, _, _) =>
+      val cut = mn + (mx - mn) * k / 10
+      val prefix = texts.filter(_._1 <= cut)
+      assert(nDocs == prefix.length.toLong, s"k=$k docs")
+      assert(nTok == prefix.map(_._2.size.toLong).sum, s"k=$k tokens")
+      assert(vocab == prefix.flatMap(_._2).distinct.size.toLong, s"k=$k vocab")
+    }
+    // growth curve is monotone and sub-linear (vocab grows slower than tokens)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 > a._3 && b._4 >= a._4)
+    }
+    val beta = rows.head._5
+    assert(rows.forall(r => r._5 == beta && r._6 == rows.head._6), "fit must be global")
+    assert(beta > 0 && beta < 1, s"Heaps exponent out of range: $beta")
+  }
+
   test("t29 collocations: dice matches hand-count, min-count honored, ordered cut") {
     val rows = TextOps.collocations(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))

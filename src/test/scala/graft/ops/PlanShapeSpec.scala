@@ -411,7 +411,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
-      "t18_zipf", "t9_bm25"),
+      "t18_zipf", "t30_heaps", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
     // q34 attaches three ONE-ROW stage counts to each other; s22 attaches
     // the one-row total to the nlist-row cell relation — 1 × N map-side
@@ -445,6 +445,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // s27 is the s1 eval shape over 8-byte sign signatures (the bounded
     // broadcast-probes flat scan); its production composition buckets by
     // signature prefix (s2) and uses the XOR+popcount kernel in-bucket
+    // t30 joins its two corpus-grain folds against the broadcast TEN-ROW
+    // checkpoint dimension with a ≤ predicate (the q31 dimension-grid
+    // class) and attaches the one-row regression fit (the t12/t18 class)
     // s30 mines hardest negatives/positives over the s1 bounded-eval scan
     // (nQueries anchors broadcast × corpus); at scale the candidates come
     // from the bucketed generators (s2/s4) + per-class top-k — equi-joins —
