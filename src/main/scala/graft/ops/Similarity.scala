@@ -2316,6 +2316,51 @@ object Similarity {
        | coalesce(r_sparse, -1) AS r_sparse, CAST(fused_rank AS BIGINT) AS fused_rank
        |FROM r WHERE fused_rank <= $k""".stripMargin
 
+  /** Centroid-stratified coreset sampling (s31) — the coverage-preserving
+    * downsample a curation pipeline runs when it can afford S exemplars
+    * out of N vectors (distillation sets, eval panels, labeling budgets):
+    * a uniform random sample over-represents dense regions and can miss
+    * small modes entirely, so the sample is stratified over the s6 k-means
+    * cells with per-cell quota ⌈S·n_c/N⌉ — every mode keeps proportional
+    * representation and NO cell is left empty. Within a cell the picks are
+    * a seeded deterministic shuffle (md5-salted vec_id, the c17 device) —
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Scale shape: pure composition — the cell relation is s6's zero-shuffle
+    * assignment (fit bounded by IvfTrainCap, centroids inlined); quotas
+    * come from a k-row map-side-combined count broadcast back; the pick is
+    * one PER-CELL window (rank ≤ quota pushes into the exchange as a
+    * group-limit), never a global sort. */
+  def coverageSample(spark: SparkSession, dir: String, sampleSize: Int = 100): DataFrame = {
+    val cells = kmeansDomains(spark, dir).select(col("vec_id"), col("cluster"))
+    val sizes = cells.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    val total = t(spark, dir, "embeddings").count()
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(concat(lit("s31:"), col("vec_id").cast("string"))), col("vec_id"))
+    cells.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("quota", expr(s"CAST(($sampleSize * n_c + $total - 1) div $total AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("vec_id"), col("cluster"), col("n_c"), col("quota"), col("rnk"),
+        (col("rnk") <= col("quota")).as("sampled"))
+  }
+
+  /** DuckDB oracle twin of [[coverageSample]] — the s6 assignment replay
+    * from the dumped centroids, the same quota arithmetic and seeded
+    * within-cell order. */
+  def coverageSampleOracleSql(sampleSize: Int = 100): String =
+    s"""WITH asg AS (SELECT vec_id, cluster
+       |             FROM (${kmeansDomainsOracleSql.replace("\n", "\n      ")}) a),
+       | sz AS (SELECT cluster, count(*) AS n_c FROM asg GROUP BY cluster),
+       | tot AS (SELECT count(*) AS n FROM embeddings),
+       | r AS (SELECT asg.vec_id, asg.cluster, sz.n_c,
+       |        CAST(($sampleSize * sz.n_c + tot.n - 1) // tot.n AS BIGINT) AS quota,
+       |        CAST(row_number() OVER (PARTITION BY asg.cluster
+       |          ORDER BY md5('s31:' || CAST(asg.vec_id AS VARCHAR)), asg.vec_id) AS BIGINT) AS rnk
+       |       FROM asg JOIN sz USING (cluster), tot)
+       |SELECT vec_id, cluster, CAST(n_c AS BIGINT) AS n_c, quota, rnk,
+       | (rnk <= quota) AS sampled
+       |FROM r""".stripMargin
+
   /** Triplet mining for contrastive training (s30) — per anchor, the
     * HARDEST NEGATIVE (most-cosine-similar vector with a DIFFERENT label:
     * the one a contrastive loss learns most from) and the NEAREST

@@ -1137,6 +1137,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._3 == -1L && r._4 >= 1), "no sparse-only winners")
   }
 
+  test("s31 coverage sample: proportional quotas, no empty cell, deterministic picks") {
+    val rows = Similarity.coverageSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val total = rows.length.toLong
+    assert(total == Tables.t(spark, dir, "embeddings").count())
+    val byCell = rows.groupBy(_._2)
+    byCell.foreach { case (c, ms) =>
+      val nC = ms.head._3
+      assert(ms.length.toLong == nC, s"cell $c size")
+      val quota = (100 * nC + total - 1) / total
+      assert(ms.forall(_._4 == quota))
+      // picks are exactly ranks 1..min(quota, n_c)
+      val picked = ms.filter(_._6)
+      assert(picked.length.toLong == math.min(quota, nC), s"cell $c picked ${picked.length}")
+      assert(ms.map(_._5).sorted.toSeq == (1L to nC), s"cell $c ranks not a permutation")
+      assert(picked.length > 0, s"cell $c left empty")
+    }
+    // stratification is real: more than one cell, and the global pick count
+    // is near the target (ceil rounding can only overshoot by #cells)
+    val nPicked = rows.count(_._6)
+    assert(byCell.size > 1 && nPicked >= 100 && nPicked <= 100 + byCell.size)
+    val again = Similarity.coverageSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    rows.foreach { case (id, _, _, _, _, s) => assert(again(id) == s) }
+  }
+
   test("d16 soft-dedup: totality, expected-mass conservation, cluster subsumption") {
     val rows = Dedup.softDedupWeights(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
