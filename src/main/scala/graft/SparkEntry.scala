@@ -335,6 +335,7 @@ object SparkEntry {
     "m17_metadata_strip" -> ((s, d) => Multimodal.metadataStrip(Tables.t(s, d, "documents"))),
     "m18_loudness" -> ((s, d) => Multimodal.loudnessNormalize(s, d)),
     "m19_exposure_qc" -> (Multimodal.imageExposureQc _),
+    "m20_pitch" -> ((s, d) => Multimodal.pitchDetect(s, d)),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -390,6 +391,7 @@ object SparkEntry {
     "e19_stream_approx_users" -> (EventStreams.approxUsersOnce _),
     "e20_stream_merge" -> (EventStreams.streamMergeOnce _),
     "e21_stream_quantiles" -> (EventStreams.windowQuantilesOnce _),
+    "e22_stream_heartbeat" -> (EventStreams.heartbeatOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -772,6 +774,7 @@ object SparkEntry {
     "e19_stream_approx_users" -> EventStreams.approxUsersOracleSql,
     "e20_stream_merge" -> EventStreams.streamMergeOracleSql,
     "e21_stream_quantiles" -> EventStreams.windowQuantilesOracleSql,
+    "e22_stream_heartbeat" -> EventStreams.heartbeatOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
@@ -787,6 +790,7 @@ object SparkEntry {
     "m17_metadata_strip" -> Multimodal.metadataStripOracleSql,
     "m18_loudness" -> Multimodal.loudnessNormalizeOracleSql(),
     "m19_exposure_qc" -> Multimodal.imageExposureQcOracleSql,
+    "m20_pitch" -> Multimodal.pitchDetectOracleSql(),
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1690,6 +1690,84 @@ object Multimodal {
       | TRUE AS pixels_ok, TRUE AS clean
       |FROM e GROUP BY doc_id""".stripMargin
 
+  // ---------------- pitch detection (m20) ----------------
+
+  /** Periodicity / pitch detection over the real WAV codec path (m20) —
+    * the YIN-family DIFFERENCE FUNCTION `d(τ) = Σ_{i<W} (s_i − s_{i+τ})²`
+    * minimized over a lag band, the speech/music periodicity probe an
+    * audio-curation pipeline runs to separate voiced/tonal content from
+    * noise (and to tag fundamental frequency for TTS corpus filtering).
+    * All arithmetic is exact 64-bit integers over the losslessly
+    * roundtripped PCM16 samples — no FFT, no floats — so the argmin (ties
+    * to the smallest lag) is bit-identical cross-engine.
+    *
+    * Detection is PROVEN by injection: every audio doc with
+    * `doc_id % 5 = 2` carries a pure sawtooth of period `P = 40 +
+    * doc_id % 40` (a pure function of doc_id, replayed by the oracle)
+    * INSTEAD of the noise waveform, and the lag band [40, 79] contains
+    * exactly one multiple of P — the detector must report `period = P`
+    * with `d_min = 0` for every injected doc, and the roundtrip through
+    * the WAV container proves the codec carries the wave losslessly.
+    *
+    * Scale shape: one decode + one O(W·lags) integer kernel per clip
+    * inside `mapPartitions` — row-local, zero shuffle, rides along with
+    * audio ingest at any corpus size. */
+  def pitchDetect(spark: SparkSession, dir: String,
+      window: Int = 200, lagLo: Int = 40, lagHi: Int = 79): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Boolean)]
+    t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val raw =
+            if (id % 5 == 2) {
+              val p = (40 + id % 40).toInt
+              val n = (400 + (id % 97) * 8).toInt
+              Array.tabulate(n)(i => ((i % p) * 100).toShort)
+            } else synthSamples(id)
+          val smp = wavDecode(wavEncode(raw))._1
+          var bestTau = 0L; var bestD = Long.MaxValue
+          var tau = lagLo
+          while (tau <= lagHi) {
+            var d = 0L; var i = 0
+            while (i < window) {
+              val diff = smp(i).toLong - smp(i + tau)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestTau = tau }
+            tau += 1
+          }
+          (id, bestTau, bestD, bestD == 0L)
+        }
+      }
+      .toDF("doc_id", "period", "d_min", "periodic")
+  }
+
+  /** DuckDB oracle twin of [[pitchDetect]] — the closed-form samples
+    * (noise or injected sawtooth), the same integer difference function
+    * over the same lag band, argmin with ties to the smallest lag. */
+  def pitchDetectOracleSql(window: Int = 200, lagLo: Int = 40, lagHi: Int = 79): String =
+    s"""WITH d AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n FROM documents
+       |           WHERE doc_id % 3 = 1),
+       | s AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 5 = 2
+       |             THEN [ (i % (40 + doc_id % 40)) * 100
+       |                    FOR i IN range(0, CAST(n AS BIGINT)) ]
+       |             ELSE [ ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |                    FOR i IN range(0, CAST(n AS BIGINT)) ]
+       |        END AS smp
+       |       FROM d),
+       | df AS (SELECT doc_id, tau,
+       |         list_sum(list_transform(range(0, $window),
+       |           i -> (smp[i + 1] - smp[i + tau + 1]) * (smp[i + 1] - smp[i + tau + 1]))) AS dd
+       |        FROM s, (SELECT unnest(range($lagLo, ${lagHi + 1})) AS tau) lags),
+       | r AS (SELECT doc_id, tau, dd,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY dd, tau) AS rnk FROM df)
+       |SELECT doc_id, CAST(tau AS BIGINT) AS period, CAST(dd AS BIGINT) AS d_min,
+       | (dd = 0) AS periodic
+       |FROM r WHERE rnk = 1""".stripMargin
+
   // ---------------- image exposure / contrast QC (m19) ----------------
 
   /** Image exposure & contrast QC (m19) — the screen a vision-data

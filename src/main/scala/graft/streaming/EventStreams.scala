@@ -1100,6 +1100,75 @@ object EventStreams {
        |       FROM events) l) s
        |GROUP BY user_id""".stripMargin
 
+  final case class HeartState(nEvents: Long, lastTs: Long, maxGapMs: Long, nOver: Long)
+  final case class UserHeartbeat(user_id: Long, n_events: Long, max_gap_s: Long, n_over: Long)
+
+  /** Streaming heartbeat / liveness monitor (e22) — per source (user), the
+    * largest inter-event gap seen and how many gaps exceeded the alert
+    * threshold: the upstream-feed health check every ingestion pipeline
+    * runs (a sensor, crawler shard, or log shipper that goes quiet shows
+    * up as a growing max gap long before its absence distorts downstream
+    * aggregates). Explicit keyed state, O(1) per source: last-seen
+    * timestamp + three counters — the e4 state-machine shape with a gap
+    * ACCUMULATOR instead of a session counter. Same single-batch ordering
+    * contract as e4 (the drive enforces it; e5's watermark buffer is the
+    * cross-batch-arrival variant). `max_gap_s` truncates AFTER the max so
+    * the comparison happens on exact milliseconds. */
+  def heartbeat(events: Dataset[Ev], alertSeconds: Long = 172800): Dataset[UserHeartbeat] = {
+    implicit val outEnc = Encoders.product[UserHeartbeat]
+    implicit val stEnc = Encoders.product[HeartState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[HeartState, UserHeartbeat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[HeartState]) =>
+          var st = state.getOption.getOrElse(HeartState(0, Long.MinValue, 0, 0))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs != Long.MinValue && t > st.lastTs) {
+              val gap = t - st.lastTs
+              st = st.copy(maxGapMs = math.max(st.maxGapMs, gap),
+                nOver = st.nOver + (if (gap > alertSeconds * 1000) 1 else 0))
+            }
+            st = st.copy(nEvents = st.nEvents + 1, lastTs = math.max(st.lastTs, t))
+          }
+          state.update(st)
+          Iterator.single(UserHeartbeat(user, st.nEvents, st.maxGapMs / 1000, st.nOver))
+      }
+  }
+
+  /** Run [[heartbeat]] to completion (memory sink, Update mode, final
+    * values via [[lastUpdate]]) — the `e22_stream_heartbeat` drive, with
+    * e4's single-batch ordering guard. */
+  def heartbeatOnce(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc = Encoders.product[Ev]
+    val name = s"stream_heartbeat_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val evs = readEventStream(spark, dir).select(col("user_id"), col("ts")).as[Ev]
+      val q = heartbeat(evs).toDF()
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val emitted = spark.table(name)
+    val maxEmissions = emitted.groupBy(col("user_id")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).collect().head.getLong(0)
+    require(maxEmissions <= 1,
+      s"heartbeat drive: a user emitted $maxEmissions updates — the source split " +
+        "a user across micro-batches, violating the single-batch ordering contract")
+    lastUpdate(emitted, Seq("user_id"), Seq("n_events", "max_gap_s", "n_over"))
+  }
+
+  /** DuckDB oracle twin of [[heartbeatOnce]] — consecutive-gap lag diffs
+    * per user, max truncated to seconds AFTER the fold, threshold compared
+    * on exact milliseconds. */
+  def heartbeatOracleSql(alertSeconds: Long = 172800): String =
+    s"""WITH g AS (SELECT user_id,
+       |            epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS d
+       |           FROM events)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       | CAST(coalesce(max(d), 0) // 1000 AS BIGINT) AS max_gap_s,
+       | CAST(coalesce(sum(CASE WHEN d > ${alertSeconds * 1000} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_over
+       |FROM g GROUP BY user_id""".stripMargin
+
   /** Per-user session counting with a 30-min inactivity gap, implemented as
     * explicit keyed state — the streaming-native form of q15_sessionize.
     * State is O(1) per user (two counters + last-seen). */

@@ -338,6 +338,27 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("m20 pitch: injected sawtooths detected at exactly their period, noise never flags") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.pitchDetect(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    var nInjected = 0
+    rows.foreach { case (id, period, dMin, periodic) =>
+      assert(id % 3 == 1)
+      if (id % 5 == 2) {
+        nInjected += 1
+        assert(periodic && dMin == 0L && period == 40 + id % 40,
+          s"doc $id: period $period dMin $dMin (want ${40 + id % 40})")
+      } else {
+        // pseudo-random noise must never look perfectly periodic
+        assert(!periodic && dMin > 0L, s"doc $id: noise flagged periodic")
+        assert(period >= 40 && period <= 79)
+      }
+    }
+    assert(nInjected > 0, "fixture has no injected docs")
+  }
+
   test("m19 exposure QC: injected saturation counted exactly, impurity matches recount") {
     val spark = graft.testutil.SparkSuite.spark
     val dir = "/root/testdata/sf0.001"

@@ -505,6 +505,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(state(whole)(uid)._1 == state(split2)(uid)._1 + 1, "re-merged delta must add")
   }
 
+  test("e22 heartbeat gaps equal a batch lag-diff recount") {
+    val got = EventStreams.heartbeatOnce(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, ts) =>
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val (n, maxS, nOver) = got(u)
+      assert(n == ts.length.toLong)
+      assert(maxS == (if (gaps.isEmpty) 0L else gaps.max / 1000), s"user $u max gap")
+      assert(nOver == gaps.count(_ > 172800000L).toLong, s"user $u n_over")
+    }
+    // the monitor must flag something on this fixture or the columns are vacuous
+    assert(got.values.exists(_._3 > 0), "no over-threshold gaps in fixture")
+    assert(got.values.exists(v => v._2 > 0 && v._3 == 0), "no healthy-but-gapped user")
+  }
+
   test("e21 windowed quantiles equal a batch order-statistics recount") {
     val got = EventStreams.windowQuantilesOnce(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
