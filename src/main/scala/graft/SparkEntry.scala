@@ -140,6 +140,7 @@ object SparkEntry {
     "a35_mrc_volume" -> (ArrayOps.a35_mrc_volume _),
     "a36_otsu" -> (ArrayOps.a36_otsu_threshold _),
     "a37_opening" -> (ArrayOps.a37_opening _),
+    "a38_zprofile" -> (ArrayOps.a38_zprofile _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -628,6 +629,7 @@ object SparkEntry {
     "a35_mrc_volume" -> ArrayOps.a35OracleSql,
     "a36_otsu" -> ArrayOps.a36OracleSql,
     "a37_opening" -> ArrayOps.a37OracleSql,
+    "a38_zprofile" -> ArrayOps.a38OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -1293,6 +1293,87 @@ object ArrayOps {
        |FROM fgc f LEFT JOIN erc e
        |  ON f.cx = e.cx AND f.cy = e.cy AND f.cz = e.cz""".stripMargin
 
+  /** Per-section intensity profile + drift fit (a38) — the EM stack QC
+    * every alignment pipeline runs before segmentation: mean brightness
+    * per z-section plus a least-squares DRIFT line over (z, mean), so a
+    * microscope gain ramp or illumination decay across sections is a
+    * single slope number with per-section residual evidence. The fixture
+    * volume carries a KNOWN injected ramp (`v = (7x+3y) mod 97 + 3z` —
+    * noise independent of z, so the true drift is exactly 3/section,
+    * spec-pinned) and the oracle regenerates the voxels from the same
+    * closed form — the ingest→decode→aggregate path is what's under test.
+    *
+    * Scale shape: the per-section fold is the columnar voxel scan with a
+    * map-side-combined (z) aggregation — section grain is O(depth) rows
+    * at any lateral extent; the fit runs over that tiny relation with the
+    * t18 exact-decimal regression discipline and attaches as a one-row
+    * broadcast (the a21/c12 constant-attach class). */
+  def a38_zprofile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val dec = DecimalType(18, 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-a38").toString
+    val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "raw", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          buf.setLong(x - 1, y - 1, z - 1, 0, ((x * 7 + y * 3) % 97 + 3 * z).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val per = vol.toVoxels(Box(1, 64, 1, 64, 1, 8))
+      .groupBy(col("z").cast(LongType).as("z"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(LongType)).as("vsum"))
+      .select(col("z"), col("n"), col("vsum"),
+        round(col("vsum").cast(DoubleType) / col("n"), 4).as("vmean"))
+    val pts = per.select(col("z").cast(DoubleType).cast(dec).as("lx"),
+      col("vmean").cast(dec).as("ly"))
+    val s = pts.agg(count(lit(1)).cast(DoubleType).as("fn"),
+      sum(col("lx")).cast(DoubleType).as("sx"),
+      sum(col("ly")).cast(DoubleType).as("sy"),
+      sum(col("lx") * col("ly")).cast(DoubleType).as("sxy"),
+      sum(col("lx") * col("lx")).cast(DoubleType).as("sxx"))
+    val slope = (col("fn") * col("sxy") - col("sx") * col("sy")) /
+      (col("fn") * col("sxx") - col("sx") * col("sx"))
+    per.crossJoin(broadcast(s))
+      .select(col("z"), col("n"), col("vsum"), col("vmean"),
+        round(slope, 4).as("drift"),
+        round((col("sy") - slope * col("sx")) / col("fn"), 4).as("base"))
+  }
+
+  /** Oracle twin of [[a38_zprofile]]: voxels regenerated from the closed
+    * form, same folds and regression arithmetic. */
+  def a38OracleSql: String =
+    s"""WITH g AS (SELECT x.x, y.y, z.z
+       |           FROM range(1, 65) x(x), range(1, 65) y(y), range(1, 9) z(z)),
+       | v AS (SELECT z, (x * 7 + y * 3) % 97 + 3 * z AS v FROM g),
+       | per AS (SELECT CAST(z AS BIGINT) AS z, CAST(count(*) AS BIGINT) AS n,
+       |          CAST(sum(v) AS BIGINT) AS vsum,
+       |          round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS vmean
+       |         FROM v GROUP BY z),
+       | pts AS (SELECT CAST(CAST(z AS DOUBLE) AS DECIMAL(18,8)) AS lx,
+       |          CAST(vmean AS DECIMAL(18,8)) AS ly FROM per),
+       | s AS (SELECT CAST(count(*) AS DOUBLE) AS fn,
+       |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+       |    -- vmean·z exceeds DECIMAL(18)'s int64 window at scale 16 (the
+       |    -- t30 lesson); widening one factor keeps the product exact
+       |    CAST(sum(CAST(lx AS DECIMAL(28,8)) * ly) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(lx AS DECIMAL(28,8)) * lx) AS DOUBLE) AS sxx FROM pts)
+       |SELECT per.z, per.n, per.vsum, per.vmean,
+       | round((s.fn*s.sxy - s.sx*s.sy)/(s.fn*s.sxx - s.sx*s.sx), 4) AS drift,
+       | round((s.sy - ((s.fn*s.sxy - s.sx*s.sy)/(s.fn*s.sxx - s.sx*s.sx))*s.sx)/s.fn, 4) AS base
+       |FROM per, s""".stripMargin
+
   /** Distributed morphological OPENING under the oracle gate (a37) —
     * erode→dilate fused as ONE decode pass per chunk
     * ([[graft.volume.Volume.localOpen]]) plus this O(surface) relational

@@ -405,7 +405,7 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("a21_percentiles", "c11_importance", "c12_length_hist",
+    assert(offenders == Seq("a21_percentiles", "a38_zprofile", "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label",
       "q31_gapfill", "q32_skew_report", "q34_funnel",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
@@ -445,6 +445,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // s27 is the s1 eval shape over 8-byte sign signatures (the bounded
     // broadcast-probes flat scan); its production composition buckets by
     // signature prefix (s2) and uses the XOR+popcount kernel in-bucket
+    // a38 attaches its one-row drift-fit aggregate to the O(depth)
+    // section relation (the a21/c12 constant-attach class)
     // t30 joins its two corpus-grain folds against the broadcast TEN-ROW
     // checkpoint dimension with a ≤ predicate (the q31 dimension-grid
     // class) and attaches the one-row regression fit (the t12/t18 class)

@@ -457,4 +457,26 @@ class VolumeOpsSpec extends AnyFunSuite {
     } yield (x, y, z)).toSet.size
     assert(rows.map(_.getLong(1)).sum > distinctCovered)
   }
+
+  test("a38 z-profile recovers the injected per-section drift exactly") {
+    val rows = ArrayOps.a38_zprofile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    // per-section census from the closed form
+    rows.foreach { case (z, n, vsum, vmean, _, _) =>
+      assert(n == 64L * 64)
+      val want = (for (y <- 1 to 64; x <- 1 to 64) yield ((x * 7 + y * 3) % 97 + 3 * z).toLong).sum
+      assert(vsum == want, s"z=$z")
+      assert(vmean == BigDecimal(vsum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the noise term is z-independent, so the fitted drift is EXACTLY the
+    // injected 3 counts/section and every section sits on the line
+    assert(rows.forall(_._5 == 3.0), s"drift ${rows.head._5}")
+    val base = rows.head._6
+    rows.foreach { case (z, _, _, vmean, _, b) =>
+      assert(b == base)
+      assert(math.abs(vmean - (base + 3.0 * z)) < 1e-3, s"z=$z off the drift line")
+    }
+  }
 }
