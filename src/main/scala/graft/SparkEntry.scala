@@ -311,6 +311,7 @@ object SparkEntry {
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
     "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"))),
     "c23_curriculum" -> ((s, d) => Corpus.curriculumSchedule(Tables.t(s, d, "documents"))),
+    "c24_repetition" -> ((s, d) => Corpus.repetitionBudget(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -679,6 +680,7 @@ object SparkEntry {
     "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
     "c22_cluster_reps" -> clusterRepsOracle,
     "c23_curriculum" -> Corpus.curriculumScheduleOracleSql,
+    "c24_repetition" -> Corpus.repetitionBudgetOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

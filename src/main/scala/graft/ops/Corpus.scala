@@ -1185,6 +1185,40 @@ object Corpus {
        | md5('c23:' || CAST(q.doc_id AS VARCHAR)) AS ord
        |FROM q JOIN d USING (quality)""".stripMargin
 
+  /** Quality-aware repetition budget (c24) — the data-constrained-scaling
+    * recipe (repeat good data rather than adding bad data, with diminishing
+    * returns past ~4 epochs): each document's allowed epoch count comes
+    * from its c23 quality phase — phases 1–2 repeat 4×, 3–5 repeat 2×,
+    * 6–10 are seen once — and the serving plan reports each document's
+    * served-token contribution `n_tok · epochs`, the accounting a token
+    * budget negotiation needs (unique vs served mass per phase).
+    *
+    * Scale shape: the phase relation is c23's (histogram deciles, no
+    * global sort); the budget mapping and token count are row-local; the
+    * whole operator is one broadcast join over the corpus scan c23 already
+    * performs. */
+  def repetitionBudget(docs: DataFrame): DataFrame =
+    curriculumSchedule(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok")), Seq("doc_id"))
+      .withColumn("epochs",
+        when(col("phase") <= 2, 4L).when(col("phase") <= 5, 2L).otherwise(1L))
+      .select(col("doc_id"), col("quality"), col("phase"), col("n_tok"), col("epochs"),
+        (col("n_tok") * col("epochs")).as("served_tok"))
+
+  /** DuckDB oracle twin of [[repetitionBudget]] — the c23 oracle chain
+    * plus the same phase→epochs mapping and token accounting. */
+  def repetitionBudgetOracleSql: String =
+    s"""WITH sched AS (${curriculumScheduleOracleSql.replace("\n", "\n      ")}),
+       | tk AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |        FROM documents),
+       | j AS (SELECT s.doc_id, s.quality, s.phase, tk.n_tok,
+       |        CASE WHEN s.phase <= 2 THEN 4 WHEN s.phase <= 5 THEN 2 ELSE 1 END AS epochs
+       |       FROM sched s JOIN tk USING (doc_id))
+       |SELECT doc_id, quality, phase, n_tok, CAST(epochs AS BIGINT) AS epochs,
+       | CAST(n_tok * epochs AS BIGINT) AS served_tok
+       |FROM j""".stripMargin
+
   /** Near-dup cluster REPRESENTATIVE selection (c22) — the survivor pass
     * that turns a dedup clustering into a kept corpus: within every
     * near-dup cluster (the d5 relation) keep the single highest-quality

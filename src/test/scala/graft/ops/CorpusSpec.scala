@@ -567,6 +567,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(ord0 == want)
   }
 
+  test("c24 repetition budget: epochs follow phases, served mass adds up") {
+    val rows = Corpus.repetitionBudget(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length.toLong == docs.count())
+    rows.foreach { case (_, phase, nTok, epochs, served) =>
+      val want = if (phase <= 2) 4L else if (phase <= 5) 2L else 1L
+      assert(epochs == want && served == nTok * epochs)
+    }
+    // the schedule actually discriminates: all three repetition tiers occur,
+    // and served mass strictly exceeds unique mass
+    assert(rows.map(_._4).distinct.sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(rows.map(_._5).sum > rows.map(_._3).sum)
+  }
+
   test("t30 heaps growth: checkpoint censuses match a recount, curve monotone, fit sane") {
     val rows = TextOps.heapsGrowth(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
