@@ -338,6 +338,7 @@ object SparkEntry {
     "m18_loudness" -> ((s, d) => Multimodal.loudnessNormalize(s, d)),
     "m19_exposure_qc" -> (Multimodal.imageExposureQc _),
     "m20_pitch" -> ((s, d) => Multimodal.pitchDetect(s, d)),
+    "m21_frame_dedup" -> (Multimodal.frameDedup _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -795,6 +796,7 @@ object SparkEntry {
     "m18_loudness" -> Multimodal.loudnessNormalizeOracleSql(),
     "m19_exposure_qc" -> Multimodal.imageExposureQcOracleSql,
     "m20_pitch" -> Multimodal.pitchDetectOracleSql(),
+    "m21_frame_dedup" -> Multimodal.frameDedupOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1690,6 +1690,94 @@ object Multimodal {
       | TRUE AS pixels_ok, TRUE AS clean
       |FROM e GROUP BY doc_id""".stripMargin
 
+  // ---------------- duplicate-frame detection (m21) ----------------
+
+  /** Within-video duplicate-frame detection (m21) — the static-content
+    * screen a video-curation pipeline runs before spending embed compute
+    * (slideshows, frozen feeds, and presentation captures are mostly one
+    * frame repeated; their information content is one image, not
+    * duration × fps): per video, every frame hashes (md5 of the decoded
+    * raster — exact-dup grain; the m8 aHash is the NEAR-dup grain) and the
+    * report carries distinct-frame count, the longest STATIC RUN of
+    * consecutive identical frames, and the duplicate share.
+    *
+    * Duplication is PROVEN by injection: videos with `doc_id % 4 = 0`
+    * freeze every odd frame to its predecessor (`f → f − f%2`, a pure
+    * function of (doc_id, f) replayed by the oracle), so each injected
+    * video must report exactly ⌈nf/2⌉ distinct frames and a max run ≥ 2 —
+    * through the REAL AVI encode/decode, proving the container carries
+    * repeated frames losslessly rather than aliasing them.
+    *
+    * Scale shape: one container decode + one hash pass per video inside
+    * `mapPartitions`, zero shuffle — the per-video kernel is O(frames). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Long, Double)]
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val assetDf = assets(t(spark, dir, "documents"))
+    val slots = spark.sparkContext.defaultParallelism
+    assetDf.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .repartition(slots)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val frames = (0 until videoFrameCount(id)).map { f =>
+          val fd = if (id % 4 == 0) f - (f % 2) else f
+          synthFrame(payload, fd)
+        }
+        val (decoded, _, _, _) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        val hashes = decoded.map(fr => java.security.MessageDigest.getInstance("MD5")
+          .digest(fr).map("%02x".format(_)).mkString)
+        var maxRun = 1L; var run = 1L
+        var i = 1
+        while (i < hashes.length) {
+          if (hashes(i) == hashes(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+          else run = 1
+          i += 1
+        }
+        val n = hashes.length.toLong
+        val nd = hashes.distinct.length.toLong
+        val share = BigDecimal((n - nd).toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, n, nd, maxRun, share)
+      })
+      .toDF("doc_id", "n_frames", "n_distinct", "max_run", "dup_share")
+  }
+
+  /** DuckDB oracle twin of [[frameDedup]] — frames replayed as substr
+    * rasters over the repeated text (the m4 device) with the same freeze
+    * injection, then the same distinct/run/share folds. */
+  def frameDedupOracleSql: String = {
+    val px = VideoW * VideoH
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |        4 + (doc_id % 7) AS nf FROM documents WHERE doc_id % 3 = 2),
+       | f AS (SELECT doc_id, len, text,
+       |        unnest(range(0, nf)) AS frame_no FROM d),
+       | r AS (SELECT doc_id, frame_no,
+       |        md5(substr(repeat(text,
+       |              CAST(ceil((((CASE WHEN doc_id % 4 = 0
+       |                                THEN frame_no - frame_no % 2
+       |                                ELSE frame_no END) * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |            CAST(((CASE WHEN doc_id % 4 = 0
+       |                        THEN frame_no - frame_no % 2
+       |                        ELSE frame_no END) * $FrameStride) % len AS INT) + 1, $px)) AS h
+       |       FROM f),
+       | runs AS (SELECT doc_id, frame_no, h,
+       |           CASE WHEN lag(h) OVER (PARTITION BY doc_id ORDER BY frame_no) = h
+       |                THEN 0 ELSE 1 END AS brk
+       |          FROM r),
+       | grp AS (SELECT doc_id, h,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_no
+       |                         ROWS UNBOUNDED PRECEDING) AS g
+       |         FROM runs),
+       | runlen AS (SELECT doc_id, g, count(*) AS rl FROM grp GROUP BY doc_id, g)
+       |SELECT a.doc_id, a.n_frames, a.n_distinct, m.max_run,
+       | round(CAST(a.n_frames - a.n_distinct AS DOUBLE) / a.n_frames, 4) AS dup_share
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM r GROUP BY doc_id) a
+       |JOIN (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM runlen GROUP BY doc_id) m
+       |  USING (doc_id)""".stripMargin
+  }
+
   // ---------------- pitch detection (m20) ----------------
 
   /** Periodicity / pitch detection over the real WAV codec path (m20) —

@@ -338,6 +338,30 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("m21 frame dedup: frozen videos report exactly the injected duplication") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.frameDedup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nd, maxRun, share) =>
+      assert(id % 3 == 2)
+      assert(n == 4 + id % 7)
+      assert(math.abs(share - BigDecimal((n - nd).toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0)
+      if (id % 4 == 0) {
+        // every odd frame frozen to its predecessor: ⌈n/2⌉ distinct, runs of 2
+        assert(nd == (n + 1) / 2, s"doc $id: $nd distinct of $n")
+        assert(maxRun >= 2L, s"doc $id: no static run despite injection")
+      } else {
+        // natural frames repeat only when (Δf·131) mod len == 0 — possible
+        // but a run of 2+ plus full duplication of half the video is not
+        assert(nd > n / 2, s"doc $id: unexpected mass duplication")
+      }
+    }
+    assert(rows.exists(_._1 % 4 == 0), "no injected videos in fixture")
+    assert(rows.exists(r => r._1 % 4 != 0 && r._3 == r._2), "no clean videos in fixture")
+  }
+
   test("m20 pitch: injected sawtooths detected at exactly their period, noise never flags") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.pitchDetect(spark, "/root/testdata/sf0.001").collect()
