@@ -173,6 +173,7 @@ object SparkEntry {
     "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "d15_url_canon" -> ((s, d) => Dedup.urlCanonDedup(Tables.t(s, d, "documents"))),
     "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"))),
+    "d17_bbit_minhash" -> (Dedup.bbitEstimates(_, _)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -742,6 +743,7 @@ object SparkEntry {
     "d14_bloom_dedup" -> Dedup.bloomDedupOracleSql,
     "d15_url_canon" -> Dedup.urlCanonOracleSql,
     "d16_soft_dedup" -> softDedupOracle,
+    "d17_bbit_minhash" -> bbitOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -958,6 +960,24 @@ object SparkEntry {
        |                 UNION
        |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin
+
+  /** b-bit MinHash oracle (d17): exact-Jaccard pairs from the shared CTE
+    * chain, estimates replayed from the dumped signature artifact (read at
+    * dump time, same-JVM — the centroid-dump convention). */
+  private def bbitOracle: String =
+    s"""WITH $ngramPairCtes,
+       | sg AS (SELECT doc_id, i, m FROM read_parquet('${Dedup.BbitSigDump}/*.parquet')),
+       | est AS (SELECT p.a, p.b, p.jac,
+       |          sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_full,
+       |          sum(CASE WHEN x.m % 4 = y.m % 4 THEN 1 ELSE 0 END) AS n_bbit
+       |         FROM jpairs p
+       |         JOIN sg x ON x.doc_id = p.a
+       |         JOIN sg y ON y.doc_id = p.b AND y.i = x.i
+       |         GROUP BY p.a, p.b, p.jac)
+       |SELECT a, b, jac,
+       | round(CAST(n_full AS DOUBLE) / ${Dedup.NumHashes}, 4) AS est_full,
+       | round(CAST(4 * n_bbit - ${Dedup.NumHashes} AS DOUBLE) / ${Dedup.NumHashes * 3}, 4) AS est_bbit
+       |FROM est""".stripMargin
 
   /** Soft-dedup oracle (d16): the d1 exact-group fold, the d5 recursive
     * closure with cluster sizes, and the same max-multiplicity weight. */

@@ -851,6 +851,55 @@ object Dedup {
        | min(doc_id) AS keeper
        |FROM c GROUP BY 1""".stripMargin
 
+  /** Where the most recent [[bbitEstimates]] call dumped its long-form
+    * signature relation — per-dir (the s25/q33 `dirToken` convention). */
+  @volatile private[graft] var BbitSigDump: String = ""
+
+  /** b-bit MinHash similarity estimation (d17, Li & König) — the
+    * signature-compression step that makes a billion-document similarity
+    * index memory-resident: keeping only the lowest b bits of each
+    * minhash shrinks the signature 32× (b=2 vs 64-bit values) while the
+    * collision-corrected estimator `Ĵ = (E − C)/(1 − C)` (E = observed
+    * b-bit match fraction, C = 2⁻ᵇ the accidental-collision floor)
+    * remains unbiased for large sets. The report puts, per verified
+    * near-dup pair, the EXACT Jaccard (d3's verification) next to the
+    * full-minhash estimate and the b-bit estimate — the calibration
+    * artifact that justifies (or rejects) deploying the compressed index.
+    * Both estimators are exact integer match counts over the dumped
+    * signature artifact with one rational division each, so the gate is
+    * bit-exact; the signature artifact itself is engine-fitted (xxhash64)
+    * and replayed by the oracle from parquet, the centroid-dump pattern.
+    *
+    * Scale shape: signatures are the d3 fold (one shingle pass); the
+    * estimate joins the O(pairs) LSH relation against the hash-grain
+    * signature relation twice on (doc, i) — equi-joins whose probe side
+    * is pairs·96 rows, a vanishing fraction of the corpus. */
+  def bbitEstimates(spark: SparkSession, dir: String, minJ: Double = 0.8,
+      b: Int = 2): DataFrame = {
+    val docs = Tables.t(spark, dir, "documents")
+    val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
+    val longSigs = signatures(shingles(docs)).select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
+    val dump = s"${Similarity.OracleDumpRoot}/d17_sigs_${Similarity.dirToken(dir)}"
+    longSigs.write.mode("overwrite").parquet(dump)
+    BbitSigDump = dump
+    val sigs = spark.read.parquet(dump)
+    val mask = (1L << b) - 1
+    val denomB = NumHashes * ((1 << b) - 1)
+    minhashPairs(docs, minJ).select(col("a"), col("b"), col("jac"))
+      .join(sigs.select(col("doc_id").as("a"), col("i"), col("m").as("ma")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("i"), col("m").as("mb")), Seq("b", "i"))
+      .groupBy(col("a"), col("b"), col("jac"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_full"),
+        sum(when((col("ma").bitwiseAND(mask)) === (col("mb").bitwiseAND(mask)), 1L)
+          .otherwise(0L)).as("n_bbit"))
+      .select(col("a"), col("b"), col("jac"),
+        round(col("n_full").cast(DoubleType) / NumHashes, 4).as("est_full"),
+        round(((lit(1L << b) * col("n_bbit") - NumHashes).cast(DoubleType)) / denomB, 4)
+          .as("est_bbit"))
+  }
+
   /** SOFT deduplication weights (d16) — the down-weight-don't-drop
     * alternative to d1/d5 hard removal (the SoftDedup idea: duplicated
     * content carries real signal about importance, so keep every copy but

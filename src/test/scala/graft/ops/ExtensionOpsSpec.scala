@@ -1163,6 +1163,27 @@ class ExtensionOpsSpec extends AnyFunSuite {
     rows.foreach { case (id, _, _, _, _, s) => assert(again(id) == s) }
   }
 
+  test("d17 b-bit estimates: collision-corrected, bounded error vs exact jaccard") {
+    val rows = Dedup.bbitEstimates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no near-dup pairs to estimate")
+    // pair set is exactly the d3 relation
+    val want = Dedup.minhashPairs(Tables.t(spark, dir, "documents"), 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == want)
+    rows.foreach { case (a, b, jac, estFull, estBbit) =>
+      // 96 hashes at j≥0.8: both estimators land in a loose but real band
+      assert(estFull >= jac - 0.25 && estFull <= 1.0, s"($a,$b): full $estFull vs $jac")
+      assert(estBbit >= jac - 0.35 && estBbit <= 1.0 + 1e-9, s"($a,$b): bbit $estBbit vs $jac")
+      // collision correction: the b-bit estimate never exceeds what raw
+      // matches would imply, and equals full when all 96 rows match
+      if (estFull == 1.0) assert(estBbit == 1.0)
+    }
+    // the compression must actually lose something somewhere (otherwise the
+    // b-bit column is just est_full), unless every pair is an exact dup
+    assert(rows.exists(r => r._4 != 1.0) || rows.forall(_._3 == 1.0))
+  }
+
   test("d16 soft-dedup: totality, expected-mass conservation, cluster subsumption") {
     val rows = Dedup.softDedupWeights(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
