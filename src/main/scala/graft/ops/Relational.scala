@@ -1116,6 +1116,72 @@ object Relational {
       |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
       |FROM g""".stripMargin
 
+  /** Runtime Bloom-filter join pruning (q45) — the ROW-level counterpart
+    * of q36's partition-level DPP: when a selective dimension filter joins
+    * a fact table on a NON-partition key, Catalyst's InjectRuntimeFilter
+    * builds a Bloom filter from the dimension's join keys at runtime and
+    * pushes `might_contain(l_orderkey)` into the fact scan — fact rows
+    * whose order never qualified are dropped AT THE SCAN, before the
+    * shuffle, which at 100 TB is the difference between shuffling the
+    * whole fact table and shuffling the qualifying fraction. The join is
+    * forced to shuffle (broadcast disabled in the build scope) because the
+    * runtime-filter rewrite targets exactly the join shape where no
+    * broadcast-hash reuse exists; the result is materialized INSIDE the
+    * conf scope so the executed plan is the runtime-filtered one, and the
+    * filter must be invisible to results (the oracle recomputes from the
+    * flat tables — [[graft.ops]] PlanShapeSpec pins the
+    * `BloomFilterMightContain` in the probe plan). */
+  def q45_runtime_filter(spark: SparkSession, dir: String): DataFrame =
+    withRuntimeFilterConfs(spark) { materialize(runtimeFilterQuery(spark, dir)) }
+
+  private def withRuntimeFilterConfs[A](spark: SparkSession)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the production default (10GB) targets real fact tables; the gate's
+      // fixture scan must qualify or the rewrite never fires locally
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private[graft] def runtimeFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hi = t(spark, dir, "orders").filter(col("o_totalprice") > 449000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(hi, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        outd(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")), 2).as("revenue"))
+  }
+
+  /** The probe for the plan pin: runs [[runtimeFilterQuery]] under the
+    * same confs and returns it EXECUTED, so the spec can assert the
+    * injected `BloomFilterMightContain` in the physical plan. */
+  private[graft] def q45PlanProbe(spark: SparkSession, dir: String): DataFrame =
+    withRuntimeFilterConfs(spark) {
+      val df = runtimeFilterQuery(spark, dir)
+      df.collect()
+      df
+    }
+
+  /** DuckDB oracle twin of [[q45_runtime_filter]] — the plain join+fold
+    * from the flat tables: the runtime filter must be invisible. */
+  def q45OracleSql: String =
+    s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       | round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+       |                 CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) + 0.0 AS revenue
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_totalprice > 449000.0
+       |GROUP BY o.o_orderpriority""".stripMargin
+
   /** Hierarchical bill-of-materials rollup (q44) — the recursive-query
     * shape warehouses answer with `WITH RECURSIVE` and Spark answers with
     * BOUNDED-ROUND iterative joins (Spark SQL has no recursive CTE; the

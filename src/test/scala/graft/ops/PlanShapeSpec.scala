@@ -378,6 +378,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(one.count() > 0)
   }
 
+  test("q45: the runtime Bloom filter lands in the fact side of the join") {
+    import org.apache.spark.sql.functions.col
+    val probe = Relational.q45PlanProbe(spark, dir)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    // and the filter is invisible: rows equal the plain join under default confs
+    val want = Relational.runtimeFilterQuery(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val got = probe.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.map(_._2).sum > 0)
+  }
+
   test("AQE coalesces shuffle partitions for small aggregates at runtime") {
     // 32 configured shuffle partitions over a 500-row group-by: AQE must
     // fold the near-empty post-shuffle partitions instead of running 32
