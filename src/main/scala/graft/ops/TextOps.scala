@@ -1550,6 +1550,57 @@ object TextOps {
       |   AS spoofed
       |FROM a""".stripMargin
 
+  /** Per-document keyword extraction (t31) — the tf·idf tagger a corpus
+    * exploration / clustering-label pipeline runs: each document's top-3
+    * tokens by `tf · ln(N/df)` (raw document-frequency idf — the classic
+    * salience score; stopwords die because df ≈ N drives idf → 0). The
+    * score is ROW-LOCAL (nothing aggregates over it), so it follows t20's
+    * plain-double discipline — one identically-associated `tf · ln`
+    * product per row, rounded once — not t12's decimal-sum discipline,
+    * which exists for order-insensitive REDUCTIONS; the cut is a fully
+    * ordered (score desc, token) rank ≤ 3.
+    *
+    * Scale shape: one tokenize pass materialized for its two grains (the
+    * (doc, token) tf fold and the token-grain df fold — the t12/t14
+    * re-tokenize trap); the df relation is vocabulary-sized and joins the
+    * tf relation on the token key; the top-3 is a PER-DOCUMENT window
+    * whose rank≤3 pushes into the exchange as a group-limit — no global
+    * sort, no driver state. */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = materialize(docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val n = docs.count()
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"),
+        log(lit(n.toDouble) / col("df")).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score", round(col("tf").cast(DoubleType) * col("idf"), 4))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
+  /** DuckDB oracle twin of [[keywords]] — same folds, same plain-double
+    * product, same ordered cut. */
+  def keywordsOracleSql(k: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       | tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+       | n AS (SELECT count(*) AS n FROM documents),
+       | df AS (SELECT tok, count(*) AS df,
+       |         ln(CAST((SELECT n FROM n) AS DOUBLE) / count(*)) AS idf
+       |        FROM tf GROUP BY tok),
+       | s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |        round(CAST(tf.tf AS DOUBLE) * df.idf, 4) AS score
+       |       FROM tf JOIN df USING (tok)),
+       | r AS (SELECT doc_id, tok, tf, df, score,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM s)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok,
+       | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Heaps'-law vocabulary growth (t30) — the companion diagnostic to
     * t18's Zipf fit: vocabulary size as a function of corpus size,
     * V(n) ≈ K·n^β, measured at ten deterministic ingestion checkpoints

@@ -567,6 +567,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(ord0 == want)
   }
 
+  test("t31 keywords: scores match a recount, stopword-class tokens never win") {
+    val rows = TextOps.keywords(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val n = texts.size
+    val dfm = texts.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (id, ks) =>
+      assert(ks.map(_._2).sorted.toSeq == (1L to math.min(3, texts(id).distinct.size)))
+      def sc(tok: String, tf: Long): Double =
+        BigDecimal(tf.toDouble * math.log(n.toDouble / dfm(tok)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ks.foreach { case (_, _, tok, tf, df, score) =>
+        assert(tf == texts(id).count(_ == tok).toLong && df == dfm(tok))
+        assert(score == sc(tok, tf), s"doc $id tok $tok: $score vs ${sc(tok, tf)}")
+      }
+      // the winner is the true argmax under (score desc, token)
+      val cand = texts(id).distinct.map { tok =>
+        (tok, sc(tok, texts(id).count(_ == tok).toLong))
+      }.sortBy { case (tok, s) => (-s, tok) }
+      assert(ks.minBy(_._2)._3 == cand.head._1, s"doc $id winner")
+    }
+    // corpus-universal tokens (df == N) score zero and can only appear if a
+    // document has almost no distinctive vocabulary
+    val universal = dfm.filter(_._2 == n.toLong).keySet
+    assert(rows.filter(r => universal(r._3)).forall(_._6 == 0.0))
+  }
+
   test("c24 repetition budget: epochs follow phases, served mass adds up") {
     val rows = Corpus.repetitionBudget(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
