@@ -209,6 +209,7 @@ object SparkEntry {
     "s29_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "s30_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
     "s31_coverage_sample" -> ((s, d) => Similarity.coverageSample(s, d)),
+    "s32_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -714,6 +715,7 @@ object SparkEntry {
     "s29_rrf_fusion" -> Similarity.rrfFusionOracleSql(),
     "s30_triplet_mining" -> Similarity.tripletMiningOracleSql(),
     "s31_coverage_sample" -> Similarity.coverageSampleOracleSql(),
+    "s32_nprobe_sweep" -> Similarity.nprobeSweepOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

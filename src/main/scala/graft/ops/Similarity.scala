@@ -2316,6 +2316,52 @@ object Similarity {
        | coalesce(r_sparse, -1) AS r_sparse, CAST(fused_rank AS BIGINT) AS fused_rank
        |FROM r WHERE fused_rank <= $k""".stripMargin
 
+  /** IVF nprobe tuning sweep (s32) — the recall-vs-cost curve every IVF
+    * deployment measures before fixing its probe budget: the s4 index
+    * evaluated at nprobe ∈ {1, 2, 4, 8} against the exact ground truth
+    * (s1), reported as mean recall@k and total candidate volume per
+    * setting. s11 answers "does THIS configuration clear the recall bar";
+    * this sweep answers "which configuration do I buy" — the knee of the
+    * curve is the deployment decision, and on clustered production data
+    * the curve saturates far earlier than on this worst-case gaussian
+    * fixture (no cluster structure — the reason s4's own default probes
+    * 10/16 cells).
+    *
+    * Scale shape: one shared coarse fit + ONE exact ground-truth scan
+    * (materialized — the s11 discipline), then per setting the s4
+    * cell-equi-join path (bucketed candidates, never corpus²); the eval
+    * joins are nQueries·k-row relations, broadcast-sized at any corpus
+    * scale. */
+  def nprobeSweep(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val exact = materialize(cosineTopK(spark, dir, nQueries, k)
+      .select(col("q_id"), col("nb_id")))
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = annIvf(spark, dir, nQueries, k, nprobe = np)
+        .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+      exact.join(broadcast(approx), Seq("q_id", "nb_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .agg(count(lit(1)).as("n_q"), sum(col("n_hit")).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_q"),
+          round(col("hits").cast(DoubleType) / (col("n_q") * k), 4).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB oracle twin of [[nprobeSweep]] — the s1 and s4 oracle chains
+    * verbatim per setting, same fold. */
+  def nprobeSweepOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    Seq(1, 2, 4, 8).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_q,
+         | round(CAST(sum(h.n_hit) AS DOUBLE) / (count(*) * $k), 4) AS recall
+         |FROM (
+         |  SELECT e.q_id, count(a.nb_id) AS n_hit
+         |  FROM (${cosineTopKOracleSql(nQueries, k).replace("\n", "\n  ")}) e
+         |  LEFT JOIN (${annIvfOracleSql(nQueries, k, np).replace("\n", "\n  ")}) a
+         |    ON a.q_id = e.q_id AND a.nb_id = e.nb_id
+         |  GROUP BY e.q_id) h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Centroid-stratified coreset sampling (s31) — the coverage-preserving
     * downsample a curation pipeline runs when it can afford S exemplars
     * out of N vectors (distillation sets, eval panels, labeling budgets):

@@ -1137,6 +1137,22 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._3 == -1L && r._4 >= 1), "no sparse-only winners")
   }
 
+  test("s32 nprobe sweep: recall monotone in probe budget, saturating at the s11 point") {
+    val rows = Similarity.nprobeSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (_, nQ, rec) =>
+      assert(nQ == 10L && rec >= 0.0 && rec <= 1.0)
+    }
+    // more probes can only add candidates → recall is non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"recall dropped from nprobe ${a._1} to ${b._1}")
+    }
+    // the curve must actually move on this fixture (else the sweep is flat
+    // and carries no tuning signal)
+    assert(rows.last._3 > rows.head._3, "sweep is flat")
+  }
+
   test("s31 coverage sample: proportional quotas, no empty cell, deterministic picks") {
     val rows = Similarity.coverageSample(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
