@@ -316,6 +316,7 @@ object SparkEntry {
     "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"))),
     "c23_curriculum" -> ((s, d) => Corpus.curriculumSchedule(Tables.t(s, d, "documents"))),
     "c24_repetition" -> ((s, d) => Corpus.repetitionBudget(Tables.t(s, d, "documents"))),
+    "c25_quality_drift" -> ((s, d) => Corpus.qualityDrift(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -688,6 +689,7 @@ object SparkEntry {
     "c22_cluster_reps" -> clusterRepsOracle,
     "c23_curriculum" -> Corpus.curriculumScheduleOracleSql,
     "c24_repetition" -> Corpus.repetitionBudgetOracleSql,
+    "c25_quality_drift" -> Corpus.qualityDriftOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

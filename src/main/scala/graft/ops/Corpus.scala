@@ -1141,6 +1141,68 @@ object Corpus {
        |WHERE f.n_chars BETWEEN pred.lo AND pred.hi
        |GROUP BY f.lang, audit.files_read, audit.files_total""".stripMargin
 
+  /** Per-source quality DRIFT monitor (c25) — the control chart a
+    * continuously-ingesting pipeline keeps per upstream source: mean t2
+    * quality per (source, ingestion batch), z-scored against the source's
+    * own across-batch profile, flagging batches whose quality shifted
+    * (a crawler behind a bot-wall starts returning error pages; a feed
+    * switches encodings — both show up as a batch-mean excursion long
+    * before eyeballing documents would). Batches are derived
+    * deterministically from doc_id (`doc_id div 50` — the c10 snapshot
+    * device; a live deployment keys on the real ingestion date).
+    *
+    * Cross-engine: batch means are exact decimal sums over the 4-decimal
+    * t2 score; the profile (mean/std of batch means per source) uses the
+    * e13 formula — exact decimal sums, sample variance s2 − s1²/c over
+    * c−1, one shared double expression — so z is bit-identical. Scale:
+    * one row-local scoring pass, a (source, batch)-grain fold, a
+    * source-grain fold over THAT (batch-count rows), and a broadcast
+    * profile join back — nothing at corpus grain after the first fold. */
+  def qualityDrift(docs: DataFrame, batchSize: Int = 50): DataFrame = {
+    // batch means round at SIX decimals: a 4-decimal mean of a 2-document
+    // batch lands exactly on the .00005 boundary (sum/2 has 5 decimals),
+    // where Spark's shortest-repr HALF_UP and DuckDB's binary rounding
+    // disagree — the t2 sum-not-mean lesson; at scale 6 a /2 mean is EXACT
+    // and /3 means are non-terminating (never half-boundary)
+    val dec = DecimalType(18, 6)
+    val scored = TextOps.qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), expr(s"doc_id div $batchSize").cast(LongType).as("batch"),
+        col("quality"))
+    val batches = scored.groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast(dec)).cast(DoubleType) / count(lit(1)), 6).as("mq"))
+    val prof = batches.groupBy(col("source"))
+      .agg(count(lit(1)).cast(DoubleType).as("c"),
+        sum(col("mq").cast(dec)).cast(DoubleType).as("s1"),
+        sum((col("mq").cast(dec) * col("mq").cast(dec))).cast(DoubleType).as("s2"))
+    batches.join(broadcast(prof), Seq("source"))
+      .select(col("source"), col("batch"), col("n_docs"), col("mq"),
+        round((col("mq") - col("s1") / col("c")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("c")) / (col("c") - 1)), 4).as("z"))
+      .withColumn("drifted", abs(col("z")) > 2.0)
+  }
+
+  /** DuckDB oracle twin of [[qualityDrift]] — t2 scores, same batch
+    * derivation, decimal folds, and the shared variance formula. */
+  def qualityDriftOracleSql(batchSize: Int = 50): String =
+    s"""WITH q AS (SELECT doc_id, quality
+       |           FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) t),
+       | sc AS (SELECT d.source, d.doc_id // $batchSize AS batch, q.quality
+       |        FROM q JOIN documents d USING (doc_id)),
+       | b AS (SELECT source, batch, CAST(count(*) AS BIGINT) AS n_docs,
+       |        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mq
+       |       FROM sc GROUP BY source, batch),
+       | p AS (SELECT source, CAST(count(*) AS DOUBLE) AS c,
+       |        CAST(sum(CAST(mq AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+       |        CAST(sum(CAST(mq AS DECIMAL(18,6)) * CAST(mq AS DECIMAL(18,6))) AS DOUBLE) AS s2
+       |       FROM b GROUP BY source)
+       |SELECT b.source, CAST(b.batch AS BIGINT) AS batch, b.n_docs, b.mq,
+       | round((b.mq - p.s1 / p.c) / sqrt((p.s2 - p.s1 * p.s1 / p.c) / (p.c - 1)), 4) AS z,
+       | (abs(round((b.mq - p.s1 / p.c) / sqrt((p.s2 - p.s1 * p.s1 / p.c) / (p.c - 1)), 4)) > 2.0)
+       |   AS drifted
+       |FROM b JOIN p USING (source)""".stripMargin
+
   /** Quality-curriculum schedule (c23) — the serving-order pass of
     * curriculum training: every document gets a PHASE (1 = best quality
     * decile, 10 = worst) and a seeded within-phase shuffle key, so the

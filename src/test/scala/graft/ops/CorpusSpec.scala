@@ -594,6 +594,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.filter(r => universal(r._3)).forall(_._6 == 0.0))
   }
 
+  test("c25 quality drift: z-scores match a recount, batches exhaustive") {
+    val rows = Corpus.qualityDrift(docs).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val scored = TextOps.qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => ((r.getString(r.length - 1), r.getLong(0) / 50),
+        r.getDouble(r.fieldIndex("quality"))))
+    val byBatch = scored.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.keySet == byBatch.keySet)
+    assert(rows.values.map(_._1).sum == docs.count())
+    byBatch.foreach { case (k, qs) =>
+      val (n, mq, z, drifted) = rows(k)
+      assert(n == qs.length.toLong)
+      val wantMq = BigDecimal(qs.map(BigDecimal(_)).sum.toDouble / qs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mq == wantMq, s"$k mean $mq vs $wantMq")
+      assert(drifted == (math.abs(z) > 2.0))
+    }
+    // the monitor discriminates: flagged and unflagged batches both exist
+    assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
+  }
+
   test("c24 repetition budget: epochs follow phases, served mass adds up") {
     val rows = Corpus.repetitionBudget(docs).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
