@@ -175,6 +175,7 @@ object SparkEntry {
     "d15_url_canon" -> ((s, d) => Dedup.urlCanonDedup(Tables.t(s, d, "documents"))),
     "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"))),
     "d17_bbit_minhash" -> (Dedup.bbitEstimates(_, _)),
+    "d18_simhash_eval" -> ((s, d) => Dedup.simhashEval(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -752,6 +753,7 @@ object SparkEntry {
     "d15_url_canon" -> Dedup.urlCanonOracleSql,
     "d16_soft_dedup" -> softDedupOracle,
     "d17_bbit_minhash" -> bbitOracle,
+    "d18_simhash_eval" -> simhashEvalOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -968,6 +970,51 @@ object SparkEntry {
        |                 UNION
        |                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u""".stripMargin
+
+  /** SimHash calibration oracle (d18): the d4 bit votes folded into four
+    * 16-bit band values, band-blocked candidates, XOR+popcount Hamming,
+    * scored per threshold against the shared jpairs relation. */
+  private val simhashEvalOracle: String = {
+    val sums = (0 until 64).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val bandExprs = (0 until 4).map { b =>
+      (16 * b until 16 * b + 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << (j - 16 * b)} ELSE 0 END)").mkString(" + ") +
+        s" AS band$b"
+    }.mkString(",\n       |          ")
+    s"""WITH $ngramPairCtes,
+       | h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+       | sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       | bands AS (SELECT doc_id,
+       |          $bandExprs
+       |         FROM sums),
+       | br AS (SELECT doc_id, u.bi AS bi, u.bv AS bv FROM bands,
+       |         unnest([{'bi': 0, 'bv': band0}, {'bi': 1, 'bv': band1},
+       |                 {'bi': 2, 'bv': band2}, {'bi': 3, 'bv': band3}]) AS t(u)),
+       | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM br x JOIN br y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       | ham AS (SELECT c.a, c.b,
+       |          bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1)) +
+       |          bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) AS hd
+       |         FROM cand c JOIN bands x ON x.doc_id = c.a JOIN bands y ON y.doc_id = c.b),
+       | taus AS (SELECT unnest(range(0, 4)) AS tau),
+       | ex AS (SELECT a, b FROM jpairs),
+       | nex AS (SELECT count(*) AS n FROM ex),
+       | pred AS (SELECT t.tau, count(*) AS n_pred,
+       |           sum(CASE WHEN ex.a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |          FROM taus t JOIN ham h ON h.hd <= t.tau
+       |          LEFT JOIN ex ON ex.a = h.a AND ex.b = h.b
+       |          GROUP BY t.tau)
+       |SELECT CAST(t.tau AS BIGINT) AS tau,
+       | CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+       | CAST(nex.n AS BIGINT) AS n_exact,
+       | CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+       | CASE WHEN coalesce(p.n_pred, 0) > 0
+       |      THEN round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / coalesce(p.n_pred, 0), 4)
+       |      ELSE 0.0 END AS precision,
+       | round(CAST(coalesce(p.n_hit, 0) AS DOUBLE) / nex.n, 4) AS recall
+       |FROM taus t LEFT JOIN pred p ON p.tau = t.tau, nex""".stripMargin
+  }
 
   /** b-bit MinHash oracle (d17): exact-Jaccard pairs from the shared CTE
     * chain, estimates replayed from the dumped signature artifact (read at

@@ -469,6 +469,76 @@ object Dedup {
       .agg(simhash_agg(col("h")).as("simhash"))
   }
 
+  /** Per-doc simhash as FOUR 16-bit band values (band b = bits
+    * [16b, 16b+15] of the d4 fingerprint) — the representation simhash
+    * BLOCKING needs: by pigeonhole, two fingerprints within Hamming
+    * distance 3 agree on at least one of the four bands, so same-band
+    * equality is a COMPLETE candidate generator for τ ≤ 3. */
+  private[ops] def simhashBands(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).withColumn("h", shingleHash64(col("shingle")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
+    val bandCols: Seq[Column] = (0 until 4).map { b =>
+      (16 * b until 16 * b + 16).map(j =>
+        when(col(s"s$j") > 0, lit(1L << (j - 16 * b))).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"band$b")
+    }
+    sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** SimHash dedup CALIBRATION (d18) — the s11-style acceptance eval for
+    * the d4 fingerprint: candidate pairs from 4×16-bit BAND BLOCKING (by
+    * pigeonhole, Hamming ≤ 3 ⇒ at least one band equal — so blocking is
+    * provably COMPLETE for every threshold τ ≤ 3, never a recall guess),
+    * verified by exact XOR+popcount Hamming, then scored against the
+    * exact n-gram Jaccard ≥ 0.8 relation (d2) per threshold τ ∈ 0..3:
+    * predicted pairs, hits, precision, recall. This table is what decides
+    * whether the 8-byte fingerprint can replace MinHash for a corpus — and
+    * at which τ.
+    *
+    * Scale shape: the LSH-bands principle applied to simhash — candidates
+    * come from four band-keyed equi-joins (the exploded (band_idx, value)
+    * self-join), never all-pairs; Hamming verification is row-local
+    * bit_count; the eval folds are pair-grain counts over the tiny
+    * candidate and exact relations. */
+  def simhashEval(docs: DataFrame): DataFrame = {
+    val bands = Tables.materialize(simhashBands(docs))
+    val br = bands.select(col("doc_id"), explode(expr(
+      "array(struct(0 AS bi, band0 AS bv), struct(1 AS bi, band1 AS bv), " +
+        "struct(2 AS bi, band2 AS bv), struct(3 AS bi, band3 AS bv))")).as("s"))
+      .select(col("doc_id"), col("s.bi").as("bi"), col("s.bv").as("bv"))
+    val cand = br.as("x").join(br.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val ham = cand
+      .join(bands.select(col("doc_id").as("a"), col("band0").as("xa0"),
+        col("band1").as("xa1"), col("band2").as("xa2"), col("band3").as("xa3")), Seq("a"))
+      .join(bands.select(col("doc_id").as("b"), col("band0").as("xb0"),
+        col("band1").as("xb1"), col("band2").as("xb2"), col("band3").as("xb3")), Seq("b"))
+      .select(col("a"), col("b"), expr(
+        "bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) + bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3)")
+        .cast(LongType).as("hd"))
+    val exact = ngramJaccardPairs(docs, 0.8).select(col("a"), col("b"), lit(1L).as("ex"))
+    val nExact = exact.count()
+    val taus = broadcast(docs.sparkSession.range(0, 4).select(col("id").as("tau")))
+    val pred = ham.join(taus, col("hd") <= col("tau"))
+      .join(exact, Seq("a", "b"), "left_outer")
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pred"), sum(coalesce(col("ex"), lit(0L))).as("n_hit"))
+    taus.join(pred, Seq("tau"), "left_outer")
+      .select(col("tau"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        lit(nExact).as("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_pred"), lit(0L)) > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / coalesce(col("n_pred"), lit(0L)), 4))
+          .otherwise(lit(0.0)).as("precision"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / nExact, 4).as("recall"))
+  }
+
   // ---------------- incremental dedup (delta vs corpus-at-rest) ----------------
 
   /** Every 10th document plays the "newly arrived shard"; the rest are the

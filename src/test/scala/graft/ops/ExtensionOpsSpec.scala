@@ -1179,6 +1179,31 @@ class ExtensionOpsSpec extends AnyFunSuite {
     rows.foreach { case (id, _, _, _, _, s) => assert(again(id) == s) }
   }
 
+  test("d18 simhash eval: blocking complete for tau<=3, metrics match brute force") {
+    val rows = Dedup.simhashEval(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    // brute-force ground truth from the d4 fingerprints
+    val fps = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hd(x: String, y: String) = x.zip(y).count { case (a, b) => a != b }
+    val ids = fps.keys.toSeq.sorted
+    val allPairs = for (i <- ids.indices; j <- i + 1 until ids.length)
+      yield (ids(i), ids(j), hd(fps(ids(i)), fps(ids(j))))
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (tau <- 0L to 3L) {
+      val pred = allPairs.filter(_._3 <= tau).map(p => (p._1, p._2)).toSet
+      val (nPred, nExact, nHit, prec, rec) = rows(tau)
+      assert(nPred == pred.size.toLong, s"tau=$tau blocking missed pairs: got $nPred want ${pred.size}")
+      assert(nExact == exact.size.toLong && nHit == (pred & exact).size.toLong)
+      if (nPred > 0) assert(math.abs(prec - nHit.toDouble / nPred) < 1e-4)
+      assert(math.abs(rec - nHit.toDouble / nExact) < 1e-4)
+    }
+    // monotone in tau, and the fixture produces SOME simhash-close pairs
+    assert(rows(3L)._1 >= rows(0L)._1 && rows(3L)._1 > 0)
+  }
+
   test("d17 b-bit estimates: collision-corrected, bounded error vs exact jaccard") {
     val rows = Dedup.bbitEstimates(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))

@@ -420,7 +420,7 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders == Seq("a21_percentiles", "a38_zprofile", "c11_importance", "c12_length_hist",
-      "c17_epoch_shuffle", "c19_nutrition_label",
+      "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
       "q31_gapfill", "q32_skew_report", "q34_funnel",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
@@ -459,6 +459,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // s27 is the s1 eval shape over 8-byte sign signatures (the bounded
     // broadcast-probes flat scan); its production composition buckets by
     // signature prefix (s2) and uses the XOR+popcount kernel in-bucket
+    // d18's candidates come from four band-keyed EQUI-joins (the LSH-bands
+    // principle); the flagged BNLJ is only the broadcast FOUR-ROW τ
+    // dimension attached with hd <= tau (the q31/t30 dimension class)
     // a38 attaches its one-row drift-fit aggregate to the O(depth)
     // section relation (the a21/c12 constant-attach class)
     // t30 joins its two corpus-grain folds against the broadcast TEN-ROW
