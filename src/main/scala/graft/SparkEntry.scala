@@ -275,6 +275,7 @@ object SparkEntry {
     "t29_collocations" -> ((s, d) => TextOps.collocations(Tables.t(s, d, "documents"))),
     "t30_heaps" -> ((s, d) => TextOps.heapsGrowth(Tables.t(s, d, "documents"))),
     "t31_keywords" -> ((s, d) => TextOps.keywords(Tables.t(s, d, "documents"))),
+    "t32_kneser_ney" -> ((s, d) => TextOps.knBigramScore(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -667,6 +668,7 @@ object SparkEntry {
     "t29_collocations" -> TextOps.collocationsOracleSql(),
     "t30_heaps" -> TextOps.heapsGrowthOracleSql,
     "t31_keywords" -> TextOps.keywordsOracleSql(),
+    "t32_kneser_ney" -> TextOps.knBigramScoreOracleSql(),
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

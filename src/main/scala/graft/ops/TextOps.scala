@@ -1550,6 +1550,74 @@ object TextOps {
       |   AS spoofed
       |FROM a""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM scoring (t32) — the smoothing the
+    * CCNet/KenLM quality filters actually deploy, upgraded from t17's
+    * add-one: absolute discount d = 0.75 on the bigram count, with the
+    * discounted mass redistributed through the CONTINUATION unigram
+    * `P_cont(w2) = N1+(·w2) / |bigram types|` — the "how many contexts
+    * does this word complete" estimate that fixes add-one's
+    * high-frequency bias ("Francisco" is frequent but only follows "San";
+    * KN scores it low in fresh contexts where add-one overrates it).
+    * `p(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1)·P_cont(w2)`, per-doc
+    * score = mean ln p over its bigrams.
+    *
+    * Cross-engine: d = 0.75 is decimally exact; every factor is an exact
+    * integer count; p is ONE identically-associated double expression on
+    * both engines, each ln rounds to DECIMAL(18,8) before the per-doc sum
+    * (the t17 discipline), so the reduction is order-insensitive.
+    *
+    * Scale shape: identical to t17 — bigrams built row-locally and
+    * materialized ONCE for all fit grains; the three fits are map-side
+    * combined (bigram, context, continuation); |types| is a one-row
+    * broadcast attach (the t12 class); scoring shuffles on the bigram
+    * key. */
+  def knBigramScore(docs: DataFrame, d: Double = 0.75): DataFrame = {
+    val dec = DecimalType(18, 8)
+    val bg = materialize(docs
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // type-grain fits come from the DISTINCT-bigram relation `big` itself:
+    // per context, followers = row count and c1 = mass; per word, the
+    // continuation count is the rows it terminates
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val types = big.agg(count(lit(1)).cast(DoubleType).as("n_types"))
+    val p = (greatest(col("c12").cast(DoubleType) - lit(d), lit(0.0)) / col("c1")) +
+      (lit(d) * col("n1p_w1") / col("c1")) * (col("n1p_w2").cast(DoubleType) / col("n_types"))
+    bg.join(big, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"), log(p).cast(dec).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigram"),
+        round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 4).as("kn_lp"))
+  }
+
+  /** DuckDB oracle twin of [[knBigramScore]] — same fits, the same
+    * single-association double expression, same decimal-ln discipline. */
+  def knBigramScoreOracleSql(d: Double = 0.75): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       | bge AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+       |          SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS b
+       |          FROM t WHERE len(toks) >= 2)),
+       | big AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY w1, w2),
+       | ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_w1 FROM big GROUP BY w1),
+       | cont AS (SELECT w2, count(*) AS n1p_w2 FROM big GROUP BY w2),
+       | ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big),
+       | lp AS (SELECT g.doc_id,
+       |         CAST(ln((greatest(CAST(big.c12 AS DOUBLE) - CAST($d AS DOUBLE), 0.0) / ctx.c1) +
+       |                 (CAST($d AS DOUBLE) * ctx.n1p_w1 / ctx.c1) *
+       |                 (CAST(cont.n1p_w2 AS DOUBLE) / ty.n_types))
+       |           AS DECIMAL(18,8)) AS l
+       |        FROM bge g JOIN big USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), ty)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+       |       round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS kn_lp
+       |FROM lp GROUP BY doc_id""".stripMargin
+
   /** Per-document keyword extraction (t31) — the tf·idf tagger a corpus
     * exploration / clustering-label pipeline runs: each document's top-3
     * tokens by `tf · ln(N/df)` (raw document-frequency idf — the classic

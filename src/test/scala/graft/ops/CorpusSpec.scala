@@ -567,6 +567,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(ord0 == want)
   }
 
+  test("t32 Kneser-Ney: probabilities are a proper distribution and match a recount") {
+    val rows = TextOps.knBigramScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq)
+      .filter(_._2.length >= 2)
+    assert(rows.length == texts.length)
+    // fits from the raw fixture
+    val allBigrams = texts.flatMap { case (_, t) => t.zip(t.tail) }
+    val big = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pW1 = big.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pW2 = big.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = big.size.toDouble
+    def p(w1: String, w2: String): Double =
+      math.max(big((w1, w2)).toDouble - 0.75, 0.0) / c1(w1) +
+        (0.75 * n1pW1(w1) / c1(w1)) * (n1pW2(w2) / nTypes)
+    // KN leaves a PROPER conditional: Σ_w2 p(w2|w1) == 1 for every context
+    // present in the corpus (the discounted mass exactly funds the backoff
+    // when the continuation distribution is normalized over seen types)
+    val someCtx = c1.keys.take(20)
+    someCtx.foreach { w1 =>
+      // keys is a SET — map through a Seq or equal p-values collapse
+      val total = n1pW2.keys.toSeq.map { w2 =>
+        math.max(big.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / c1(w1) +
+          (0.75 * n1pW1(w1) / c1(w1)) * (n1pW2(w2) / nTypes)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$w1' sums to $total")
+    }
+    // per-doc score recount
+    rows.foreach { case (id, nB, lp) =>
+      val t = texts.toMap.apply(id)
+      val lns = t.zip(t.tail).map { case (a, b) =>
+        BigDecimal(math.log(p(a, b))).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(nB == t.length - 1L)
+      val want = BigDecimal(lns.sum.toDouble / nB)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lp - want) <= 1e-4, s"doc $id: $lp vs $want")
+    }
+  }
+
   test("t31 keywords: scores match a recount, stopword-class tokens never win") {
     val rows = TextOps.keywords(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))

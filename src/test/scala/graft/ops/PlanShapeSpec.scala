@@ -425,7 +425,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
-      "t18_zipf", "t30_heaps", "t9_bm25"),
+      "t18_zipf", "t30_heaps", "t32_kneser_ney", "t9_bm25"),
       s"unexpected non-equi joins in: $offenders") // a21/c11/c12 join
     // q34 attaches three ONE-ROW stage counts to each other; s22 attaches
     // the one-row total to the nlist-row cell relation — 1 × N map-side
