@@ -50,7 +50,13 @@ object Dedup {
     * the index by construction. Candidates are then verified with an exact
     * intersection count. The prefix-length arithmetic runs in decimal so a
     * binary-float `t·|A|` can never round the prefix one short. */
-  def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, minJ: Double): DataFrame =
+    ngramJaccardPairsFrom(shingles(docs).filter(col("doc_id").isNotNull), minJ)
+
+  /** [[ngramJaccardPairs]] over an existing shingle relation — the seam
+    * d18 uses to feed its ground-truth pairs and its simhash bands from
+    * ONE shingle pipeline. */
+  private[ops] def ngramJaccardPairsFrom(sh0: DataFrame, minJ: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE pass builds the ranked per-document shingle relation: document
     // frequency comes from a count-over-window on the shingle partition (a
@@ -72,7 +78,7 @@ object Dedup {
     // aliasings — the r4 executed adaptive plan ran EIGHT FileScans of the
     // doc relation (PlanShapeSpec now pins scans == 1). Exact dedup at
     // corpus scale should still prefer minhashPairs (bounded candidates).
-    val sh = shingles(docs).filter(col("doc_id").isNotNull)
+    val sh = sh0
     val tExact = lit(new java.math.BigDecimal(minJ.toString))
     val docSh = materialize(sh
       .withColumn("dfreq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
@@ -296,8 +302,13 @@ object Dedup {
     * persist. Verification intersects candidates row-locally
     * (`array_intersect`) — one Exchange where re-exploding would pay
     * three. */
-  def minhashPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val sigSets = materialize(signaturesWithSets(shingles(docs)))
+  def minhashPairs(docs: DataFrame, minJ: Double): DataFrame =
+    minhashPairsFrom(materialize(signaturesWithSets(shingles(docs))), minJ)
+
+  /** [[minhashPairs]] over an ALREADY-materialized fused signature
+    * relation — the seam d17 uses to compute pairs AND dump the signature
+    * artifact from ONE shingle pipeline instead of two. */
+  private[ops] def minhashPairsFrom(sigSets: DataFrame, minJ: Double): DataFrame = {
     val cand = candidatePairsFromSignatures(sigSets)
     verifyJaccard(cand, sigSets.select(col("doc_id"), col("shs"), col("sz")), minJ)
   }
@@ -474,8 +485,11 @@ object Dedup {
     * BLOCKING needs: by pigeonhole, two fingerprints within Hamming
     * distance 3 agree on at least one of the four bands, so same-band
     * equality is a COMPLETE candidate generator for τ ≤ 3. */
-  private[ops] def simhashBands(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).withColumn("h", shingleHash64(col("shingle")))
+  private[ops] def simhashBands(docs: DataFrame): DataFrame =
+    simhashBandsFrom(shingles(docs))
+
+  private[ops] def simhashBandsFrom(shingleDf: DataFrame): DataFrame = {
+    val sh = shingleDf.withColumn("h", shingleHash64(col("shingle")))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
     }
@@ -504,7 +518,10 @@ object Dedup {
     * bit_count; the eval folds are pair-grain counts over the tiny
     * candidate and exact relations. */
   def simhashEval(docs: DataFrame): DataFrame = {
-    val bands = Tables.materialize(simhashBands(docs))
+    // ONE shingle pipeline (scan + explode + distinct shuffle) feeds both
+    // the fingerprint fits and the exact ground-truth pair relation
+    val sh = Tables.materialize(shingles(docs).filter(col("doc_id").isNotNull))
+    val bands = Tables.materialize(simhashBandsFrom(sh))
     val br = bands.select(col("doc_id"), explode(expr(
       "array(struct(0 AS bi, band0 AS bv), struct(1 AS bi, band1 AS bv), " +
         "struct(2 AS bi, band2 AS bv), struct(3 AS bi, band3 AS bv))")).as("s"))
@@ -521,7 +538,7 @@ object Dedup {
       .select(col("a"), col("b"), expr(
         "bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) + bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3)")
         .cast(LongType).as("hd"))
-    val exact = ngramJaccardPairs(docs, 0.8).select(col("a"), col("b"), lit(1L).as("ex"))
+    val exact = ngramJaccardPairsFrom(sh, 0.8).select(col("a"), col("b"), lit(1L).as("ex"))
     val nExact = exact.count()
     val taus = broadcast(docs.sparkSession.range(0, 4).select(col("id").as("tau")))
     val pred = ham.join(taus, col("hd") <= col("tau"))
@@ -947,8 +964,11 @@ object Dedup {
   def bbitEstimates(spark: SparkSession, dir: String, minJ: Double = 0.8,
       b: Int = 2): DataFrame = {
     val docs = Tables.t(spark, dir, "documents")
+    // ONE shingle pipeline feeds both consumers: the fused signature
+    // relation dumps the artifact AND generates/verifies the pairs
+    val sigSets = Tables.materialize(signaturesWithSets(shingles(docs)))
     val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
-    val longSigs = signatures(shingles(docs)).select(col("doc_id"), explode(expr(
+    val longSigs = sigSets.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
     val dump = s"${Similarity.OracleDumpRoot}/d17_sigs_${Similarity.dirToken(dir)}"
@@ -957,7 +977,7 @@ object Dedup {
     val sigs = spark.read.parquet(dump)
     val mask = (1L << b) - 1
     val denomB = NumHashes * ((1 << b) - 1)
-    minhashPairs(docs, minJ).select(col("a"), col("b"), col("jac"))
+    minhashPairsFrom(sigSets, minJ).select(col("a"), col("b"), col("jac"))
       .join(sigs.select(col("doc_id").as("a"), col("i"), col("m").as("ma")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("i"), col("m").as("mb")), Seq("b", "i"))
       .groupBy(col("a"), col("b"), col("jac"))
