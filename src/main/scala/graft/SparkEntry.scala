@@ -142,6 +142,7 @@ object SparkEntry {
     "a36_otsu" -> (ArrayOps.a36_otsu_threshold _),
     "a37_opening" -> (ArrayOps.a37_opening _),
     "a38_zprofile" -> (ArrayOps.a38_zprofile _),
+    "a39_mesh_stats" -> (ArrayOps.a39_mesh_stats _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -640,6 +641,7 @@ object SparkEntry {
     "a36_otsu" -> ArrayOps.a36OracleSql,
     "a37_opening" -> ArrayOps.a37OracleSql,
     "a38_zprofile" -> ArrayOps.a38OracleSql,
+    "a39_mesh_stats" -> ArrayOps.a39OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -1374,6 +1374,137 @@ object ArrayOps {
        | round((s.sy - ((s.fn*s.sxy - s.sx*s.sy)/(s.fn*s.sxx - s.sx*s.sx))*s.sx)/s.fn, 4) AS base
        |FROM per, s""".stripMargin
 
+  /** Precomputed LEGACY MESH morphometry (a39) — the mesh side of the
+    * neuroglancer "precomputed" layout this engine already reads voxels
+    * from: per-segment manifests (`<segid>:0` JSON) name binary fragment
+    * objects (uint32 vertex count, float32 xyz triplets, uint32 triangle
+    * indices — [[graft.core.MeshFragment]]), and the morphometry a
+    * proofreading/QC pipeline derives — vertex/face counts, bounding box,
+    * total triangle surface area — folds per segment. The fixture writes
+    * 24 deterministic tetrahedra (scale 1 + L mod 3, anchor (10L, L,
+    * L mod 5)) through the REAL encoder, so the gate proves the byte
+    * framing end-to-end: three faces of area 8s² and one of 8s²√3 only
+    * come out if every float and index decoded exactly.
+    *
+    * Determinism: per-face area = √(|cross|²)/2 where |cross|² is an
+    * EXACT integer in doubles (integer-coordinate edges), √ is IEEE
+    * correctly-rounded, each face rounds at 8 decimals and accumulates as
+    * an exact scaled long (engine) / DECIMAL(18,8) (oracle) — identical
+    * order-insensitive sums, one final double division + round.
+    *
+    * Scale shape: manifests AND fragments are read as a distributed
+    * binaryFile relation (no driver listing of segment ids — at 10⁸
+    * segments the manifest set is itself a dataset); parse/decode/fold
+    * run row-locally in one typed pass and reduce map-side at segment
+    * grain. */
+  def a39_mesh_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.MeshFragment
+    val root = java.nio.file.Files.createTempDirectory("graft-a39").toString
+    val meshDir = new java.io.File(root, "mesh"); meshDir.mkdirs()
+    var lab = 1
+    while (lab <= 24) {
+      val s = 1 + lab % 3
+      val (ax, ay, az) = (10f * lab, lab.toFloat, (lab % 5).toFloat)
+      val verts = Array(
+        ax, ay, az,
+        ax + 4 * s, ay, az,
+        ax, ay + 4 * s, az,
+        ax, ay, az + 4 * s)
+      val idx = Array(0, 1, 2, 0, 1, 3, 0, 2, 3, 1, 2, 3)
+      // ':' is legal (and conventional) in object-store keys, but the
+      // Hadoop local FileSystem rejects it — escape the PHYSICAL name
+      // only ('~'), keeping the LOGICAL legacy names in the manifest
+      val fragName = s"$lab:0:0"
+      java.nio.file.Files.write(meshDir.toPath.resolve(fragName.replace(':', '~')),
+        MeshFragment.encode(MeshFragment.Mesh(verts, idx)))
+      java.nio.file.Files.write(meshDir.toPath.resolve(s"$lab~0"),
+        MeshFragment.manifestJson(Seq(fragName)).getBytes("UTF-8"))
+      lab += 1
+    }
+    val files = spark.read.format("binaryFile").load(meshDir.toString)
+      .select(col("path"), col("content"))
+    import org.apache.spark.sql.Encoders
+    implicit val manEnc = Encoders.product[(Long, String)]
+    implicit val statEnc =
+      Encoders.product[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    val named = files.withColumn("name",
+      translate(element_at(split(col("path"), "/"), -1), "~", ":"))
+    // manifests: "<segid>:0" (two fields); fragments: "<segid>:0:<i>"
+    val manifests = named.filter(size(split(col("name"), ":")) === 2)
+      .select(col("name"), col("content")).as(Encoders.product[(String, Array[Byte])])
+      .flatMap { case (name, bytes) =>
+        val seg = name.split(":")(0).toLong
+        MeshFragment.parseManifest(new String(bytes, "UTF-8")).map(f => (seg, f))
+      }.toDF("label", "frag")
+    val fragStats = named.filter(size(split(col("name"), ":")) === 3)
+      .select(col("name"), col("content")).as(Encoders.product[(String, Array[Byte])])
+      .map { case (name, bytes) =>
+        val m = MeshFragment.decode(bytes)
+        var (mnx, mny, mnz) = (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+        var (mxx, mxy, mxz) = (Long.MinValue, Long.MinValue, Long.MinValue)
+        var i = 0
+        while (i < m.numVertices) {
+          val x = m.vertices(3 * i).toLong
+          val y = m.vertices(3 * i + 1).toLong
+          val z = m.vertices(3 * i + 2).toLong
+          if (x < mnx) mnx = x; if (x > mxx) mxx = x
+          if (y < mny) mny = y; if (y > mxy) mxy = y
+          if (z < mnz) mnz = z; if (z > mxz) mxz = z
+          i += 1
+        }
+        var a8 = 0L
+        var f = 0
+        while (f < m.numFaces) {
+          val (a, b, c) = (m.indices(3 * f), m.indices(3 * f + 1), m.indices(3 * f + 2))
+          def vx(k: Int, d: Int) = m.vertices(3 * k + d).toDouble
+          val (e1x, e1y, e1z) = (vx(b, 0) - vx(a, 0), vx(b, 1) - vx(a, 1), vx(b, 2) - vx(a, 2))
+          val (e2x, e2y, e2z) = (vx(c, 0) - vx(a, 0), vx(c, 1) - vx(a, 1), vx(c, 2) - vx(a, 2))
+          val cx = e1y * e2z - e1z * e2y
+          val cy = e1z * e2x - e1x * e2z
+          val cz = e1x * e2y - e1y * e2x
+          val area = math.sqrt(cx * cx + cy * cy + cz * cz) / 2.0
+          a8 += java.math.BigDecimal.valueOf(area)
+            .setScale(8, java.math.RoundingMode.HALF_UP).movePointRight(8).longValueExact()
+          f += 1
+        }
+        (name, m.numVertices.toLong, m.numFaces.toLong,
+          mnx, mxx, mny, mxy, mnz, mxz, a8)
+      }
+      .toDF("name", "nv", "nf", "min_x", "max_x", "min_y", "max_y", "min_z", "max_z", "a8")
+    // the manifest drives coverage: a fragment object not named by any
+    // manifest is garbage and must not count
+    manifests.join(fragStats, manifests("frag") === fragStats("name"))
+      .groupBy(col("label"))
+      .agg(sum(col("nv")).as("n_vertices"), sum(col("nf")).as("n_faces"),
+        min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+        min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"),
+        min(col("min_z")).as("min_z"), max(col("max_z")).as("max_z"),
+        sum(col("a8")).as("sa8"))
+      .select(col("label"), col("n_vertices"), col("n_faces"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        col("min_z"), col("max_z"),
+        round(col("sa8").cast(DoubleType) / 100000000.0, 4).as("area"))
+  }
+
+  /** Oracle twin of [[a39_mesh_stats]]: the tetrahedra regenerated in
+    * closed form — three axis faces of |cross|² = 256s⁴ and one oblique
+    * of 768s⁴ — with the same per-face √, 8-decimal rounding, exact sum,
+    * and final division. */
+  def a39OracleSql: String =
+    s"""WITH l AS (SELECT unnest(range(1, 25)) AS lab),
+       | p AS (SELECT lab, 1 + lab % 3 AS s FROM l),
+       | f AS (SELECT lab, unnest([CAST(256 AS BIGINT)*s*s*s*s, 256*s*s*s*s,
+       |                           256*s*s*s*s, 768*s*s*s*s]) AS c2 FROM p),
+       | a AS (SELECT lab, CAST(round(sqrt(CAST(c2 AS DOUBLE)) / 2, 8) AS DECIMAL(18,8)) AS ar
+       |       FROM f),
+       | g AS (SELECT lab, CAST(sum(ar) AS DOUBLE) AS tot FROM a GROUP BY lab)
+       |SELECT p.lab AS label, CAST(4 AS BIGINT) AS n_vertices, CAST(4 AS BIGINT) AS n_faces,
+       | CAST(10 * p.lab AS BIGINT) AS min_x, CAST(10 * p.lab + 4 * p.s AS BIGINT) AS max_x,
+       | CAST(p.lab AS BIGINT) AS min_y, CAST(p.lab + 4 * p.s AS BIGINT) AS max_y,
+       | CAST(p.lab % 5 AS BIGINT) AS min_z, CAST(p.lab % 5 + 4 * p.s AS BIGINT) AS max_z,
+       | round(g.tot, 4) AS area
+       |FROM p JOIN g ON g.lab = p.lab""".stripMargin
+
   /** Distributed morphological OPENING under the oracle gate (a37) —
     * erode→dilate fused as ONE decode pass per chunk
     * ([[graft.volume.Volume.localOpen]]) plus this O(surface) relational

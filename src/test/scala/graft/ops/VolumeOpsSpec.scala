@@ -458,6 +458,40 @@ class VolumeOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum > distinctCovered)
   }
 
+  test("a39 mesh codec roundtrips, truncation fails loudly, stats match hand geometry") {
+    import graft.core.MeshFragment
+    // codec roundtrip on an irregular mesh
+    val m = MeshFragment.Mesh(
+      Array(0f, 0f, 0f, 2.5f, 0f, 0f, 0f, 3f, 0f, 1f, 1f, 4f, 7f, 7f, 7f),
+      Array(0, 1, 2, 1, 2, 3, 0, 3, 4))
+    val rt = MeshFragment.decode(MeshFragment.encode(m))
+    assert(rt.vertices.toSeq == m.vertices.toSeq && rt.indices.toSeq == m.indices.toSeq)
+    val bytes = MeshFragment.encode(m)
+    assertThrows[IllegalArgumentException](MeshFragment.decode(bytes.take(10)))
+    assertThrows[IllegalArgumentException](MeshFragment.decode(bytes.dropRight(2)))
+    assert(MeshFragment.parseManifest(MeshFragment.manifestJson(Seq("5:0:0", "5:0:1")))
+      == Seq("5:0:0", "5:0:1"))
+    // the gated op against hand geometry
+    val rows = ArrayOps.a39_mesh_stats(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getDouble(9)))
+      .toMap
+    assert(rows.keySet == (1L to 24L).toSet)
+    rows.foreach { case (lab, (nv, nf, mnx, mxx, mny, mxy, mnz, mxz, area)) =>
+      val s = 1 + lab % 3
+      assert(nv == 4 && nf == 4)
+      assert((mnx, mxx) == (10 * lab, 10 * lab + 4 * s))
+      assert((mny, mxy) == (lab, lab + 4 * s))
+      assert((mnz, mxz) == (lab % 5, lab % 5 + 4 * s))
+      // 3 axis faces of 8s² + one oblique of 8s²√3
+      val want = BigDecimal(3 * 8.0 * s * s +
+        BigDecimal(math.sqrt(768.0 * s * s * s * s) / 2)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(area - want) < 1e-6, s"label $lab: area $area vs $want")
+    }
+  }
+
   test("a38 z-profile recovers the injected per-section drift exactly") {
     val rows = ArrayOps.a38_zprofile(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
