@@ -177,6 +177,9 @@ object SparkEntry {
     "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"))),
     "d17_bbit_minhash" -> (Dedup.bbitEstimates(_, _)),
     "d18_simhash_eval" -> ((s, d) => Dedup.simhashEval(Tables.t(s, d, "documents"))),
+    // records linkage: SymSpell deletion-neighborhood blocking (one
+    // equi-join on delete variants), levenshtein verify on collisions only
+    "d19_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(Tables.t(s, d, "customer"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -758,6 +761,7 @@ object SparkEntry {
     "d16_soft_dedup" -> softDedupOracle,
     "d17_bbit_minhash" -> bbitOracle,
     "d18_simhash_eval" -> simhashEvalOracle,
+    "d19_fuzzy_match" -> Dedup.fuzzyMatchOracleSql,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

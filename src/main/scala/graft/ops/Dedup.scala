@@ -1020,4 +1020,94 @@ object Dedup {
         round(lit(1.0) / greatest(col("n_exact"), coalesce(col("n_cluster"), lit(1L))), 4)
           .as("weight"))
   }
+
+  // ---------------- SymSpell fuzzy entity match (d19) ----------------
+
+  /** The synthesized "dirty" spelling of each customer name — a pure
+    * function of (c_custkey, c_name) the oracle replays: one of the three
+    * canonical single-keystroke typo classes at position
+    * p = (c_custkey % 16) + 2 (always interior for these 18-char names) —
+    * deletion, substitution-with-'x', or adjacent transposition. */
+  private[ops] def typoNameSql: String =
+    """CASE CAST(c_custkey % 3 AS INT)
+      | WHEN 0 THEN concat(substr(c_name, 1, CAST(c_custkey % 16 AS INT) + 1),
+      |                    substr(c_name, CAST(c_custkey % 16 AS INT) + 3))
+      | WHEN 1 THEN concat(substr(c_name, 1, CAST(c_custkey % 16 AS INT) + 1), 'x',
+      |                    substr(c_name, CAST(c_custkey % 16 AS INT) + 3))
+      | ELSE concat(substr(c_name, 1, CAST(c_custkey % 16 AS INT) + 1),
+      |             substr(c_name, CAST(c_custkey % 16 AS INT) + 3, 1),
+      |             substr(c_name, CAST(c_custkey % 16 AS INT) + 2, 1),
+      |             substr(c_name, CAST(c_custkey % 16 AS INT) + 4))
+      |END""".stripMargin.replace("\n", " ")
+
+  /** Depth-1 deletion neighborhood of a string column: the string itself
+    * plus every single-character deletion, deduplicated (deleting either of
+    * two equal adjacent characters yields one variant). */
+  private def delNeighborhoodExpr(c: String): String =
+    s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
+      s"i -> concat(substr($c, 1, i - 1), substr($c, i + 1)))))"
+
+  /** Fuzzy entity matching via symmetric-delete blocking (d19) — the
+    * records-linkage operator a pipeline runs when keys are dirty (typo'd
+    * names, OCR'd ids): candidate pairs come from an EQUI-join on the
+    * depth-1 deletion neighborhood (the SymSpell spell-correction index:
+    * any two strings within one deletion/substitution/transposition of each
+    * other share a delete-variant — deletion trivially, substitution via
+    * deleting the edited position on both sides, transposition via deleting
+    * either swapped character), then exact `levenshtein` verifies ≤ 2 and
+    * the best match per dirty record wins (min distance, then min key).
+    * `n_cand` reports blocking selectivity; `matched` reports whether the
+    * linkage recovered the planted truth.
+    *
+    * Scale shape: each side explodes to (L+1) ≈ 19 keys per record and the
+    * candidates are ONE equi-join on those keys — the index is O(n·L) and
+    * no all-pairs comparison exists anywhere; `levenshtein` (a codegen'd
+    * built-in) runs only on bucket collisions, exactly the SymSpell
+    * production layout. At 100 TB the delete-variant index shuffles
+    * n·(L+1) short strings, the same order as any inverted-index build. */
+  def fuzzyMatch(cust: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = cust.select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val dirty = cust.select(col("c_custkey").as("src_key"), expr(typoNameSql).as("dname"))
+    val ck = clean.select(col("key"), col("name"),
+      explode(expr(delNeighborhoodExpr("name"))).as("v"))
+    val dk = dirty.select(col("src_key"), col("dname"),
+      explode(expr(delNeighborhoodExpr("dname"))).as("v"))
+    val cand = dk.join(ck, Seq("v"))
+      .select(col("src_key"), col("dname"), col("key"), col("name"))
+      .dropDuplicates("src_key", "key")
+    val verified = materialize(cand
+      .withColumn("lev", levenshtein(col("dname"), col("name")).cast(LongType)))
+    val nc = verified.groupBy(col("src_key")).agg(count(lit(1)).as("n_cand"))
+    val w = Window.partitionBy(col("src_key")).orderBy(col("lev"), col("key"))
+    verified.filter(col("lev") <= 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(nc, Seq("src_key"))
+      .select(col("src_key"), col("key").as("match_key"), col("lev"), col("n_cand"),
+        (col("key") === col("src_key")).as("matched"))
+  }
+
+  /** DuckDB oracle twin of [[fuzzyMatch]] — same typo synthesis, deletion
+    * neighborhoods, blocking join, verification threshold, and tie order. */
+  def fuzzyMatchOracleSql: String = {
+    def hood(c: String): String =
+      s"list_distinct(list_append([substr($c, 1, i - 1) || substr($c, i + 1) " +
+        s"for i in range(1, length($c) + 1)], $c))"
+    s"""WITH cl AS (SELECT c_custkey AS key, c_name AS name FROM customer),
+       | dt AS (SELECT c_custkey AS src_key, $typoNameSql AS dname FROM customer),
+       | ck AS (SELECT key, name, unnest(${hood("name")}) AS v FROM cl),
+       | dk AS (SELECT src_key, dname, unnest(${hood("dname")}) AS v FROM dt),
+       | cand AS (SELECT DISTINCT d.src_key, d.dname, c.key, c.name
+       |          FROM dk d JOIN ck c ON d.v = c.v),
+       | ver AS (SELECT src_key, key,
+       |          CAST(levenshtein(dname, name) AS BIGINT) AS lev FROM cand),
+       | nc AS (SELECT src_key, CAST(count(*) AS BIGINT) AS n_cand FROM ver GROUP BY 1),
+       | best AS (SELECT src_key, key, lev,
+       |           row_number() OVER (PARTITION BY src_key ORDER BY lev, key) AS rn
+       |          FROM ver WHERE lev <= 2)
+       |SELECT b.src_key, b.key AS match_key, b.lev, n.n_cand,
+       | (b.key = b.src_key) AS matched
+       |FROM best b JOIN nc n USING (src_key) WHERE rn = 1""".stripMargin
+  }
 }
