@@ -215,6 +215,9 @@ object SparkEntry {
     "s30_triplet_mining" -> ((s, d) => Similarity.tripletMining(s, d)),
     "s31_coverage_sample" -> ((s, d) => Similarity.coverageSample(s, d)),
     "s32_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+    // NN-descent round over the s21 graph: distance-2 candidate expansion
+    // (O(n·k²), never all-pairs), exact re-rank, gained-edge accounting
+    "s33_nn_descent" -> ((s, d) => Similarity.nnDescent(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -406,6 +409,9 @@ object SparkEntry {
     "e20_stream_merge" -> (EventStreams.streamMergeOnce _),
     "e21_stream_quantiles" -> (EventStreams.windowQuantilesOnce _),
     "e22_stream_heartbeat" -> (EventStreams.heartbeatOnce _),
+    // streaming top-k: the stream keeps only e1's windowed counters; rank
+    // is served over the drained aggregate (not incrementally maintainable)
+    "e23_stream_topk" -> ((s, d) => EventStreams.windowTopkOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -726,6 +732,7 @@ object SparkEntry {
     "s30_triplet_mining" -> Similarity.tripletMiningOracleSql(),
     "s31_coverage_sample" -> Similarity.coverageSampleOracleSql(),
     "s32_nprobe_sweep" -> Similarity.nprobeSweepOracleSql(),
+    "s33_nn_descent" -> Similarity.nnDescentOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
@@ -800,6 +807,7 @@ object SparkEntry {
     "e20_stream_merge" -> EventStreams.streamMergeOracleSql,
     "e21_stream_quantiles" -> EventStreams.windowQuantilesOracleSql,
     "e22_stream_heartbeat" -> EventStreams.heartbeatOracleSql(),
+    "e23_stream_topk" -> EventStreams.windowTopkOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

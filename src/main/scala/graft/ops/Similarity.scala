@@ -2473,4 +2473,64 @@ object Similarity {
        | round(p.pos_cos - n.neg_cos, 4) AS margin,
        | (n.neg_cos >= p.pos_cos) AS violation
        |FROM pos p JOIN neg n USING (q_id)""".stripMargin
+
+  /** One NN-DESCENT refinement round over the s21 kNN graph (s33, Dong et
+    * al.'s graph-improvement principle: a neighbor of a neighbor is likely
+    * a neighbor): candidates are the current graph's UNDIRECTED edges plus
+    * every neighbor-of-a-neighbor along them, scored exactly and re-ranked
+    * top-k per source. `gained` marks edges absent from the s21 input
+    * graph — the measurable recall the round bought over pure LSH
+    * bucketing (an LSH miss is recovered whenever graph distance-2 reaches
+    * it).
+    *
+    * Scale shape: the graph is O(n·k) rows, the expansion joins it with
+    * itself on the shared endpoint — O(n·(2k)²) candidates, each scored by
+    * the codegen'd `vec_cosine` after two id-equi-joins against the
+    * embedding table. Nothing here is all-pairs, and every further descent
+    * round costs the same bounded expansion (the standard iterate-until-
+    * converged deployment keeps k·(2k)² per round regardless of corpus
+    * size). */
+  def nnDescent(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val g = materialize(knnGraph(spark, dir, k).select(col("src"), col("nb")))
+    val und = materialize(
+      g.unionByName(g.select(col("nb").as("src"), col("src").as("nb"))).distinct())
+    val nn2 = und.as("g1").join(und.as("g2"), col("g1.nb") === col("g2.src"))
+      .select(col("g1.src").as("src"), col("g2.nb").as("nb"))
+      .filter(col("src") =!= col("nb"))
+    val cand = und.unionByName(nn2).distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nb"))
+    cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("es")), Seq("src"))
+      .join(emb.select(col("vec_id").as("nb"), col("embedding").as("en")), Seq("nb"))
+      .withColumn("cos", cosine("es", "en"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .join(g.withColumn("base", lit(true)), Seq("src", "nb"), "left_outer")
+      .select(col("src"), col("nb"), round(col("cos"), 4).as("cs"), col("rnk"),
+        col("base").isNull.as("gained"))
+  }
+
+  /** DuckDB oracle twin of [[nnDescent]] — the s21 graph oracle as the
+    * base relation, the same undirected closure, distance-2 expansion,
+    * exact re-scoring, and tie order. */
+  def nnDescentOracleSql(k: Int = 3): String =
+    s"""WITH base AS (SELECT src, nb FROM (${knnGraphOracleSql(k)}) bq),
+       | und AS (SELECT DISTINCT src, nb FROM (
+       |          SELECT src, nb FROM base UNION ALL SELECT nb AS src, src AS nb FROM base) u),
+       | nn2 AS (SELECT g1.src AS src, g2.nb AS nb
+       |         FROM und g1 JOIN und g2 ON g1.nb = g2.src WHERE g1.src != g2.nb),
+       | cand AS (SELECT DISTINCT src, nb FROM (
+       |           SELECT src, nb FROM und UNION ALL SELECT src, nb FROM nn2) c),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT c.src, c.nb,
+       |        list_dot_product(ns.emb, nn.emb) / (ns.nrm * nn.nrm) AS cos
+       |       FROM cand c JOIN n ns ON ns.vec_id = c.src JOIN n nn ON nn.vec_id = c.nb),
+       | r AS (SELECT src, nb, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rnk FROM p)
+       |SELECT r.src, r.nb, r.cs, CAST(r.rnk AS BIGINT) AS rnk,
+       | (b.src IS NULL) AS gained
+       |FROM r LEFT JOIN base b ON b.src = r.src AND b.nb = r.nb
+       |WHERE r.rnk <= $k""".stripMargin
 }

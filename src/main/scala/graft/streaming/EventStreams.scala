@@ -1169,6 +1169,44 @@ object EventStreams {
        | CAST(coalesce(sum(CASE WHEN d > ${alertSeconds * 1000} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_over
        |FROM g GROUP BY user_id""".stripMargin
 
+  /** Streaming windowed TOP-K (e23) — the live "trending now" board: the
+    * STREAM maintains only the per-(window, type) counters (exactly e1's
+    * watermark-bounded state — k plays no part in what streams), and the
+    * rank is computed AT SERVE TIME over the drained final aggregates,
+    * top-3 per hour by (count desc, type). This split is the production
+    * shape for streaming top-k: rank is not incrementally maintainable
+    * under Update mode (a late event can reorder an entire window's board),
+    * so pushing it into the stream would force Complete mode's unbounded
+    * state — the serving layer ranks the tiny aggregate-grain relation
+    * instead, and WindowGroupLimit keeps even that rank pre-limited inside
+    * its exchange. */
+  def windowTopkOnce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"stream_topk_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = hourlyAgg(readEventStream(spark, dir))
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val finals = lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "sv"))
+    val w = Window.partitionBy(col("hr")).orderBy(col("n").desc, col("event_type"))
+    finals.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("hr"), col("event_type"), col("n"), col("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[windowTopkOnce]] — the batch fold of the same
+    * epoch-hour windows, ranked identically. */
+  def windowTopkOracleSql(k: Int = 3): String =
+    s"""WITH g AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+       |            event_type, count(*) AS n
+       |           FROM events GROUP BY 1, 2),
+       | r AS (SELECT hr, event_type, n,
+       |        row_number() OVER (PARTITION BY hr ORDER BY n DESC, event_type) AS rnk
+       |       FROM g)
+       |SELECT hr, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Per-user session counting with a 30-min inactivity gap, implemented as
     * explicit keyed state — the streaming-native form of q15_sessionize.
     * State is O(1) per user (two counters + last-seen). */
