@@ -283,6 +283,9 @@ object SparkEntry {
     "t30_heaps" -> ((s, d) => TextOps.heapsGrowth(Tables.t(s, d, "documents"))),
     "t31_keywords" -> ((s, d) => TextOps.keywords(Tables.t(s, d, "documents"))),
     "t32_kneser_ney" -> ((s, d) => TextOps.knBigramScore(Tables.t(s, d, "documents"))),
+    // CCNet perplexity terciles via the c23 histogram device — the score
+    // grid is bounded, so no global sort ever touches the corpus
+    "t33_ppl_filter" -> ((s, d) => TextOps.pplFilter(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -680,6 +683,7 @@ object SparkEntry {
     "t30_heaps" -> TextOps.heapsGrowthOracleSql,
     "t31_keywords" -> TextOps.keywordsOracleSql(),
     "t32_kneser_ney" -> TextOps.knBigramScoreOracleSql(),
+    "t33_ppl_filter" -> TextOps.pplFilterOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

@@ -1814,5 +1814,51 @@ object TextOps {
        | round(2.0 * p.n_pair / (a.c1 + b.c1), 4) AS dice
        |FROM p JOIN uni a ON p.w1 = a.w JOIN uni b ON p.w2 = b.w
        |ORDER BY dice DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** Perplexity-bucket filtering (t33) — the CCNet selection step: score
+    * every document under the in-corpus LM (the t32 interpolated
+    * Kneser-Ney bigram average log-prob; higher = more fluent), split the
+    * corpus into head/middle/tail TERCILES of that score, and keep
+    * head+middle — the quality gate CCNet, RedPajama, and CCNet-derived
+    * pipelines run between langid and dedup.
+    *
+    * Scale shape: terciles WITHOUT a global sort, the c23 histogram
+    * device — `kn_lp` is a 4-decimal score, so its value grid is bounded
+    * at any corpus size; the boundary statistic is one map-side-combined
+    * histogram plus a cumulative count over that tiny grid (a
+    * single-partition window over ≤ ~10⁵ cells, not the corpus), joined
+    * back broadcast. The `ntile(3) OVER (ORDER BY kn_lp)` a warehouse
+    * would write serializes the corpus through one sort partition; this
+    * form doesn't. */
+  def pplFilter(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = materialize(knBigramScore(docs))
+    val tot = scored.count()
+    val wd = Window.orderBy(col("kn_lp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = scored.groupBy(col("kn_lp")).agg(count(lit(1)).as("c"))
+      .withColumn("cd", sum(col("c")).over(wd))
+      .select(col("kn_lp"), expr(s"CAST((3 * cd + $tot - 1) div $tot AS BIGINT)").as("tile"))
+    scored.join(broadcast(cells), Seq("kn_lp"))
+      .select(col("doc_id"), col("n_bigram"), col("kn_lp"),
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("tile") <= 2).as("keep"))
+  }
+
+  /** DuckDB oracle twin of [[pplFilter]] — the t32 oracle as the scored
+    * relation, the same histogram-tercile arithmetic over the score grid. */
+  def pplFilterOracleSql: String =
+    s"""WITH s AS (SELECT doc_id, n_bigram, kn_lp
+       |           FROM (${knBigramScoreOracleSql().replace("\n", "\n      ")}) t),
+       | h AS (SELECT kn_lp, count(*) AS c FROM s GROUP BY kn_lp),
+       | cum AS (SELECT kn_lp, sum(c) OVER (ORDER BY kn_lp DESC) AS cd,
+       |          (SELECT sum(c) FROM h) AS tot FROM h),
+       | d AS (SELECT kn_lp, CAST((3 * cd + tot - 1) // tot AS BIGINT) AS tile FROM cum)
+       |SELECT s.doc_id, s.n_bigram, s.kn_lp,
+       | CASE WHEN d.tile = 1 THEN 'head' WHEN d.tile = 2 THEN 'middle'
+       |      ELSE 'tail' END AS bucket,
+       | (d.tile <= 2) AS keep
+       |FROM s JOIN d USING (kn_lp)""".stripMargin
 }
 
