@@ -356,6 +356,9 @@ object SparkEntry {
     "m19_exposure_qc" -> (Multimodal.imageExposureQc _),
     "m20_pitch" -> ((s, d) => Multimodal.pitchDetect(s, d)),
     "m21_frame_dedup" -> (Multimodal.frameDedup _),
+    // letterbox bars planted pre-encode, detected post-decode: row-local
+    // edge-run scan, zero shuffle (the m19 QC-sweep discipline)
+    "m22_border_qc" -> (Multimodal.imageBorderQc _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -829,6 +832,7 @@ object SparkEntry {
     "m19_exposure_qc" -> Multimodal.imageExposureQcOracleSql,
     "m20_pitch" -> Multimodal.pitchDetectOracleSql(),
     "m21_frame_dedup" -> Multimodal.frameDedupOracleSql,
+    "m22_border_qc" -> Multimodal.imageBorderQcOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

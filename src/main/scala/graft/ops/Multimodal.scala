@@ -1933,4 +1933,81 @@ object Multimodal {
        | (max_v - min_v < 64) AS low_contrast
        |FROM f""".stripMargin
   }
+
+  // ---------------- letterbox / border-crop QC (m22) ----------------
+
+  /** Letterbox detection + crop accounting (m22) — the border screen a
+    * vision pipeline runs before patching/embedding (black letterbox bars
+    * poison contrastive training and waste patch budget; every large image
+    * corpus crops them at ingest): scan decoded rows from the top and
+    * bottom for ALL-ZERO runs and report the crop box. Detection is
+    * PROVEN, not hoped: every 5th image gets `b = 3 + (doc_id % 20) / 5`
+    * black rows painted onto both edges BEFORE the PNG encode (a pure
+    * function of doc_id replayed by the oracle; the printable-ASCII
+    * fixture rasters are never zero, so natural rows cannot read as
+    * bars — and the roundtrip also proves the codec carries full-black
+    * rows losslessly).
+    *
+    * Scale shape: one decode + two short row scans per image inside a
+    * single `mapPartitions` — row-local, zero shuffle, the m19 QC-sweep
+    * discipline. */
+  def imageBorderQc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Long, Boolean)]
+    assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val raster = tileRaster(payload, ThumbW, ThumbH)
+          if (id % 5 == 0) {
+            val b = (3 + (id % 20) / 5).toInt
+            var r = 0
+            while (r < ThumbH) {
+              if (r < b || r >= ThumbH - b)
+                java.util.Arrays.fill(raster, r * ThumbW, (r + 1) * ThumbW, 0.toByte)
+              r += 1
+            }
+          }
+          val px = imgDecode(imgEncode(raster, ThumbW, ThumbH))._1
+          def rowBlack(r: Int): Boolean = {
+            var i = r * ThumbW; val end = i + ThumbW
+            while (i < end && px(i) == 0) i += 1
+            i == end
+          }
+          var top = 0
+          while (top < ThumbH && rowBlack(top)) top += 1
+          var lastnb = ThumbH - 1
+          while (lastnb >= 0 && rowBlack(lastnb)) lastnb -= 1
+          (id, top.toLong, (ThumbH - 1 - lastnb).toLong, (lastnb + 1 - top).toLong,
+            top >= 2 && ThumbH - 1 - lastnb >= 2)
+        }
+      }
+      .toDF("doc_id", "n_top", "n_bot", "crop_h", "letterboxed")
+  }
+
+  /** DuckDB oracle twin of [[imageBorderQc]] — the tiled raster as char
+    * codes, the same bar injection, per-row max fold, and edge-run scan. */
+  def imageBorderQcOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT doc_id,
+       |        substr(repeat(text, CAST(ceil($ipx.0 / length(text)) AS INT)), 1, $ipx) AS raster
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | rws AS (SELECT doc_id, r,
+       |          CASE WHEN doc_id % 5 = 0
+       |                AND (r < 3 + (doc_id % 20) // 5
+       |                     OR r >= $ThumbH - (3 + (doc_id % 20) // 5)) THEN 0
+       |               ELSE list_max([ord(substr(raster, CAST(r * $ThumbW + i AS INT), 1))
+       |                              for i in range(1, $ThumbW + 1)]) END AS rowmax
+       |         FROM img, range(0, $ThumbH) AS rr(r)),
+       | f AS (SELECT doc_id,
+       |        coalesce(min(CASE WHEN rowmax > 0 THEN r END), $ThumbH) AS n_top,
+       |        coalesce(max(CASE WHEN rowmax > 0 THEN r END), -1) AS lastnb
+       |       FROM rws GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_top AS BIGINT) AS n_top,
+       | CAST(${ThumbH - 1} - lastnb AS BIGINT) AS n_bot,
+       | CAST(lastnb + 1 - n_top AS BIGINT) AS crop_h,
+       | (n_top >= 2 AND ${ThumbH - 1} - lastnb >= 2) AS letterboxed
+       |FROM f""".stripMargin
+  }
 }
