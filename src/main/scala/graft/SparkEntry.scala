@@ -143,6 +143,9 @@ object SparkEntry {
     "a37_opening" -> (ArrayOps.a37_opening _),
     "a38_zprofile" -> (ArrayOps.a38_zprofile _),
     "a39_mesh_stats" -> (ArrayOps.a39_mesh_stats _),
+    // supervoxel agglomeration: a20 contact fold (voxels never shuffle) +
+    // label-grain thresholded merge via bounded-round pointer jumping
+    "a40_agglomerate" -> ((s, d) => ArrayOps.a40_agglomerate(s, d)),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -657,6 +660,7 @@ object SparkEntry {
     "a37_opening" -> ArrayOps.a37OracleSql,
     "a38_zprofile" -> ArrayOps.a38OracleSql,
     "a39_mesh_stats" -> ArrayOps.a39OracleSql,
+    "a40_agglomerate" -> ArrayOps.a40OracleSql(),
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -2270,4 +2270,97 @@ object ArrayOps {
        |              AND v.z BETWEEN r.z0 AND r.z1
        |GROUP BY r.id""".stripMargin
   }
+
+  // ---------------- supervoxel agglomeration (a40) ----------------
+
+  /** Contact-threshold agglomeration over a supervoxel segmentation (a40)
+    * — the proofreading-pipeline operator that turns an oversegmentation
+    * into objects (watershed supervoxels merged wherever the shared
+    * surface is large enough; the contact-area analogue of
+    * affinity-threshold agglomeration): the fixture is a 128-supervoxel
+    * block segmentation (8×8×2 blocks of 8×8×4 voxels) with a ~26%
+    * deterministic hole pattern so every face pair carries a DIFFERENT
+    * contact area (x/y faces ≈ 14–20 voxels, z faces ≈ 33–34); edges with
+    * `n_pairs ≥ 20` merge, yielding 20 objects of varied size from 128
+    * supervoxels. Output: per merged object, its canonical label (min
+    * supervoxel id over the component), member count, and voxel mass.
+    *
+    * Scale shape: contacts come from the a20 fold (chunk-local pairs +
+    * O(surface) seam join — voxels never shuffle); the merge runs at
+    * SUPERVOXEL grain (the [[Dedup.connectedComponents]] bounded-round
+    * pointer jumping over the O(faces) edge relation), and the mass join
+    * is label-grain. Voxel-grain work is one scan; everything after is
+    * graph-of-labels sized — exactly how a petavoxel agglomeration stays
+    * tractable. */
+  def a40_agglomerate(spark: SparkSession, dir: String, tau: Long = 20L): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val root = java.nio.file.Files.createTempDirectory("graft-a40").toString
+    val meta = Meta.VolumeMeta("segmentation", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val vol = Volume.create(spark, root, meta)
+    val buf = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          if ((x * 7 + y * 3 + z * 5) % 23 >= 6) {
+            val sv = (x - 1) / 8 + ((y - 1) / 8) * 8 + ((z - 1) / 4) * 64
+            buf.setLong(x - 1, y - 1, z - 1, 0, (sv + 1).toLong)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    vol.ingest(buf)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    vol.toVoxels(box).filter(col("value") =!= 0)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("label"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a40")
+    val contacts = Tables.materialize(contactStats(vol.localContacts(box)))
+    val sizes = vol.toVoxels(box).filter(col("value") =!= 0)
+      .groupBy(col("value").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n_vox"))
+    val edges = contacts.filter(col("n_pairs") >= tau)
+      .select(col("la").as("a"), col("lb").as("b"))
+    val merged = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("label"), col("cluster").as("comp"))
+    sizes.join(merged, Seq("label"), "left_outer")
+      .select(coalesce(col("comp"), col("label")).as("comp"),
+        col("label"), col("n_vox"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_sv"), sum(col("n_vox")).as("n_voxels"))
+  }
+
+  /** Oracle twin of [[a40_agglomerate]]: the a20 positive-shift adjacency
+    * fold over the dumped labeled voxels, the same contact threshold, a
+    * recursive min-label closure at LABEL grain (tiny by construction),
+    * and the same size join. */
+  def a40OracleSql(tau: Long = 20L): String =
+    s"""WITH RECURSIVE fg AS (
+       |  SELECT x, y, z, label FROM read_parquet('$voxelDumpRoot/a40/*.parquet')
+       |), d AS (SELECT * FROM (VALUES (1,0,0),(0,1,0),(0,0,1)) t(dx, dy, dz)),
+       | pr AS (SELECT least(f.label, n.label) AS la, greatest(f.label, n.label) AS lb
+       |        FROM fg f CROSS JOIN d s
+       |        JOIN fg n ON n.x = f.x + s.dx AND n.y = f.y + s.dy AND n.z = f.z + s.dz
+       |        WHERE f.label <> n.label),
+       | ct AS (SELECT la, lb, count(*) AS n_pairs FROM pr GROUP BY la, lb),
+       | e AS (SELECT la AS u, lb AS v FROM ct WHERE n_pairs >= $tau),
+       | sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       | verts AS (SELECT DISTINCT label FROM fg),
+       | reach(v, l) AS (
+       |  SELECT label, label FROM verts
+       |  UNION
+       |  SELECT s.v, r.l FROM reach r JOIN sym s ON s.u = r.v
+       | ),
+       | lbl AS (SELECT v AS label, min(l) AS comp FROM reach GROUP BY v),
+       | sz AS (SELECT label, count(*) AS n_vox FROM fg GROUP BY label)
+       |SELECT CAST(l.comp AS BIGINT) AS comp, CAST(count(*) AS BIGINT) AS n_sv,
+       | CAST(sum(s.n_vox) AS BIGINT) AS n_voxels
+       |FROM sz s JOIN lbl l USING (label)
+       |GROUP BY l.comp""".stripMargin
 }
