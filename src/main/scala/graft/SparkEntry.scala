@@ -332,6 +332,9 @@ object SparkEntry {
     "c23_curriculum" -> ((s, d) => Corpus.curriculumSchedule(Tables.t(s, d, "documents"))),
     "c24_repetition" -> ((s, d) => Corpus.repetitionBudget(Tables.t(s, d, "documents"))),
     "c25_quality_drift" -> ((s, d) => Corpus.qualityDrift(Tables.t(s, d, "documents"))),
+    // data-constrained scaling: breadth-first quality-prioritized epoch
+    // grants under a served-token budget — one aggregate-grain window
+    "c26_epoch_mix" -> ((s, d) => Corpus.epochAllocation(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -715,6 +718,7 @@ object SparkEntry {
     "c23_curriculum" -> Corpus.curriculumScheduleOracleSql,
     "c24_repetition" -> Corpus.repetitionBudgetOracleSql,
     "c25_quality_drift" -> Corpus.qualityDriftOracleSql(),
+    "c26_epoch_mix" -> Corpus.epochAllocationOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

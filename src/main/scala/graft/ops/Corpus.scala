@@ -1306,4 +1306,68 @@ object Corpus {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
   }
+
+  /** Multi-epoch budget allocation across sources (c26) — the
+    * data-constrained-scaling negotiation (how many EPOCHS does each
+    * source get when the served-token budget exceeds the unique mass but
+    * repetition must stay bounded): epoch units are granted BREADTH-FIRST
+    * (every source's 1st epoch before anyone's 2nd — repetition has
+    * diminishing returns, so a 2nd copy of anything beats a 5th of the
+    * best) and QUALITY-PRIORITIZED within each round (t2 mean quality
+    * decides who gets the marginal repeat), capped at 4 epochs, until the
+    * running served mass would exceed the budget (here 200% of the unique
+    * token mass). Output: per source, its unique mass, mean quality,
+    * granted epochs, and served-token contribution.
+    *
+    * Scale shape: the corpus is touched by ONE row-local scoring/counting
+    * pass folded to source grain; the allocator is a single running-sum
+    * window over the 4·|sources| epoch-unit relation — aggregate-grain,
+    * corpus-size-independent, exact integer token arithmetic. */
+  def epochAllocation(docs: DataFrame, budgetPct: Long = 200, maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val agg = Tables.materialize(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("uniq_tok"),
+          round(sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("mq")))
+    val budget = agg.agg(sum(col("uniq_tok"))).head.getLong(0) * budgetPct / 100
+    val w = Window.orderBy(col("k"), col("mq").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = agg.select(col("source"), col("uniq_tok"), col("mq"),
+      explode(expr(s"sequence(1, $maxEpochs)")).as("k"))
+      .withColumn("run", sum(col("uniq_tok")).over(w))
+      .filter(col("run") <= budget)
+      .groupBy(col("source")).agg(count(lit(1)).as("epochs"))
+    agg.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("uniq_tok"), col("mq"),
+        coalesce(col("epochs"), lit(0L)).as("epochs"),
+        (coalesce(col("epochs"), lit(0L)) * col("uniq_tok")).as("served_tok"))
+  }
+
+  /** DuckDB oracle twin of [[epochAllocation]] — same t2 scores, source
+    * fold, epoch-unit expansion, running-sum cut, and integer budget. */
+  def epochAllocationOracleSql(budgetPct: Long = 200, maxEpochs: Int = 4): String =
+    s"""WITH q AS (SELECT doc_id, quality
+       |           FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) t),
+       | s AS (SELECT d.source, len(string_split_regex(d.text, '\\s+')) AS n_tok, q.quality
+       |       FROM documents d JOIN q USING (doc_id)),
+       | a AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS uniq_tok,
+       |        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mq
+       |       FROM s GROUP BY source),
+       | tot AS (SELECT sum(uniq_tok) * $budgetPct // 100 AS b FROM a),
+       | u AS (SELECT a.source, a.uniq_tok, a.mq, r.k
+       |       FROM a, range(1, $maxEpochs + 1) r(k)),
+       | w AS (SELECT source,
+       |        sum(uniq_tok) OVER (ORDER BY k, mq DESC, source) AS run FROM u),
+       | kept AS (SELECT source, count(*) AS epochs
+       |          FROM w, tot WHERE run <= tot.b GROUP BY source)
+       |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+       | CAST(a.uniq_tok AS BIGINT) AS uniq_tok, a.mq,
+       | CAST(coalesce(k.epochs, 0) AS BIGINT) AS epochs,
+       | CAST(coalesce(k.epochs, 0) * a.uniq_tok AS BIGINT) AS served_tok
+       |FROM a LEFT JOIN kept k USING (source)""".stripMargin
 }
