@@ -289,6 +289,9 @@ object SparkEntry {
     // CCNet perplexity terciles via the c23 histogram device — the score
     // grid is bounded, so no global sort ever touches the corpus
     "t33_ppl_filter" -> ((s, d) => TextOps.pplFilter(Tables.t(s, d, "documents"))),
+    // checksum-verified PAN screening: injected candidates are valid for
+    // even ids, spoiled for odd — the screen must separate them exactly
+    "t34_luhn_screen" -> ((s, d) => TextOps.luhnScreen(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -694,6 +697,7 @@ object SparkEntry {
     "t31_keywords" -> TextOps.keywordsOracleSql(),
     "t32_kneser_ney" -> TextOps.knBigramScoreOracleSql(),
     "t33_ppl_filter" -> TextOps.pplFilterOracleSql,
+    "t34_luhn_screen" -> TextOps.luhnScreenOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),

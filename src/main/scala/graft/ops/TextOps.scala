@@ -1846,6 +1846,72 @@ object TextOps {
         (col("tile") <= 2).as("keep"))
   }
 
+  /** Luhn sum of a 16-digit candidate string column `c`, as a shared SQL
+    * fragment: left-position parity doubling (for even length, digits at
+    * odd 1-based left positions double; >9 subtracts 9), exact integer
+    * arithmetic — engine-portable CASE/substr algebra. */
+  private def luhnSumSql(c: String, len: Int): String = {
+    // per-position contribution, usable in Spark transform() and a DuckDB
+    // list comprehension alike (i is the 1-based left position variable)
+    def d = s"(ascii(substr($c, CAST(i AS INT), 1)) - 48)"
+    s"CASE WHEN i % 2 = 1 THEN (CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END) ELSE $d END"
+  }
+
+  /** Payment-card screening with CHECKSUM verification (t34) — the PII
+    * class where a bare `\\d{16}` regex drowns in false positives (order
+    * ids, timestamps, hashes): a candidate only counts when its Luhn
+    * checksum validates, exactly how production PAN scanners (DLP tools,
+    * PCI audits) separate card numbers from noise. Detection AND rejection
+    * are both proven by injection: every 4th document appends a 16-digit
+    * candidate whose first 15 digits derive from doc_id and whose check
+    * digit is CORRECT when (doc_id / 4) is even and off-by-one otherwise
+    * (a pure function replayed by the oracle) — so the screen must flag
+    * exactly the valid half and count-but-reject the rest. Row-local regex
+    * extraction + integer checksum folds, whole-stage codegen, zero
+    * shuffle. */
+  def luhnScreen(docs: DataFrame): DataFrame = {
+    // 15 base digits from a multiplicative hash of doc_id; check digit at
+    // position 16 via the Luhn closure, +1 spoiler for odd ids
+    val base = "lpad(CAST(doc_id * 2654435761 % 1000000000000000 AS STRING), 15, '0')"
+    val chk = s"aggregate(transform(sequence(1, 15), i -> ${luhnSumSql("b", 15)}), 0, (a, x) -> a + x)"
+    val aug = docs
+      .withColumn("b", expr(base))
+      .withColumn("cd", expr(s"CAST((10 - $chk % 10) % 10 + (doc_id div 4) % 2 AS INT) % 10"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" pay "), col("b"), col("cd").cast(StringType)))
+          .otherwise(col("text")).as("t"))
+    val luhn = s"aggregate(transform(sequence(1, 16), i -> ${luhnSumSql("c", 16)}), 0, (a, x) -> a + x)"
+    aug.select(col("doc_id"),
+      expr("regexp_extract_all(t, '\\\\b\\\\d{16}\\\\b', 0)").as("cands"))
+      .select(col("doc_id"), size(col("cands")).cast(LongType).as("n_cand"),
+        expr(s"size(filter(cands, c -> $luhn % 10 = 0))").cast(LongType).as("n_valid"))
+      .withColumn("has_pan", col("n_valid") > 0)
+  }
+
+  /** DuckDB oracle twin of [[luhnScreen]] — the same injection closure,
+    * candidate regex, and Luhn fold in list-comprehension form. */
+  def luhnScreenOracleSql: String = {
+    def luhnList(c: String, n: Int): String =
+      s"list_sum([${luhnSumSql(c, n).replace("ascii(", "ord(")} for i in range(1, ${n + 1})])"
+    s"""WITH b AS (SELECT doc_id,
+       |            lpad(CAST(doc_id * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') AS b
+       |           FROM documents),
+       | cd AS (SELECT doc_id, b,
+       |         CAST((10 - ${luhnList("b", 15)} % 10) % 10 + (doc_id // 4) % 2 AS INT) % 10 AS cd
+       |        FROM b),
+       | a AS (SELECT d.doc_id,
+       |        CASE WHEN d.doc_id % 4 = 0
+       |             THEN d.text || ' pay ' || c.b || CAST(c.cd AS VARCHAR)
+       |             ELSE d.text END AS t
+       |       FROM documents d JOIN cd c USING (doc_id)),
+       | x AS (SELECT doc_id, regexp_extract_all(t, '\\b\\d{16}\\b') AS cands FROM a)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_cand,
+       | CAST(len(list_filter(cands, c -> ${luhnList("c", 16)} % 10 = 0)) AS BIGINT) AS n_valid,
+       | (len(list_filter(cands, c -> ${luhnList("c", 16)} % 10 = 0)) > 0) AS has_pan
+       |FROM x""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[pplFilter]] — the t32 oracle as the scored
     * relation, the same histogram-tercile arithmetic over the score grid. */
   def pplFilterOracleSql: String =
