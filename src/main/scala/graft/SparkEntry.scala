@@ -368,6 +368,9 @@ object SparkEntry {
     // letterbox bars planted pre-encode, detected post-decode: row-local
     // edge-run scan, zero shuffle (the m19 QC-sweep discipline)
     "m22_border_qc" -> (Multimodal.imageBorderQc _),
+    // DC bias planted pre-encode (saturating), detected post-decode via
+    // exact integer folds — rail counts prove lossless codec carriage
+    "m23_dc_offset" -> (Multimodal.audioDcQc _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -845,6 +848,7 @@ object SparkEntry {
     "m20_pitch" -> Multimodal.pitchDetectOracleSql(),
     "m21_frame_dedup" -> Multimodal.frameDedupOracleSql,
     "m22_border_qc" -> Multimodal.imageBorderQcOracleSql,
+    "m23_dc_offset" -> Multimodal.audioDcQcOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1934,6 +1934,70 @@ object Multimodal {
        |FROM f""".stripMargin
   }
 
+  // ---------------- audio DC-offset / clipping QC (m23) ----------------
+
+  /** Audio DC-offset & clipping QC (m23) — the electrical-fault screen an
+    * audio-ingest pipeline runs before feature extraction (a DC-biased
+    * recording wastes dynamic range, breaks zero-crossing features (m11),
+    * and pops on concatenation; asymmetric clipping is its visible
+    * symptom): per clip, the exact integer sample sum, the mean (DC) to 4
+    * decimals, and the rail-hit counts at both extremes. Detection is
+    * PROVEN: every 4th audio document gets `(1 + doc_id % 5) · 2000`
+    * added to every sample (saturating at the int16 rails) BEFORE the WAV
+    * encode — the natural fixture's |DC| never exceeds ~485, so the > 600
+    * flag fires exactly on the injected clips, and the saturation counts
+    * prove the codec carries rail values losslessly.
+    *
+    * Scale shape: one decode + one fused integer fold per clip in a single
+    * `mapPartitions` — row-local, zero shuffle (the m18/m19 sweep
+    * discipline). */
+  def audioDcQc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Long, Long, Long, Long, Double, Boolean)]
+    t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 1) // audio rows
+      .select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val off = if (id % 12 == 1) (1 + id % 5) * 2000 else 0L
+          val adj = synthSamples(id).map { s =>
+            math.max(-32768L, math.min(32767L, s.toLong + off)).toShort
+          }
+          val (smp, _, _, _) = wavDecode(wavEncode(adj))
+          var sum = 0L; var hi = 0L; var lo = 0L
+          smp.foreach { s =>
+            sum += s
+            if (s == 32767) hi += 1
+            if (s == -32768) lo += 1
+          }
+          val n = smp.length.toLong
+          val dc = BigDecimal(sum.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, n, sum, hi, lo, dc, math.abs(dc) > 600.0)
+        }
+      }(outEnc).toDF("doc_id", "n", "sum_s", "n_clip_hi", "n_clip_lo", "dc", "dc_flag")
+  }
+
+  /** DuckDB oracle twin of [[audioDcQc]] — the closed-form synthesis, the
+    * same saturating offset, integer folds, and rounded-mean threshold. */
+  def audioDcQcOracleSql: String =
+    """WITH d AS (SELECT doc_id, 400 + (doc_id % 97) * 8 AS n,
+      |            CASE WHEN doc_id % 12 = 1 THEN (1 + doc_id % 5) * 2000 ELSE 0 END AS off
+      |           FROM documents WHERE doc_id % 3 = 1),
+      | s AS (SELECT doc_id, n,
+      |        [ greatest(-32768, least(32767,
+      |            ((doc_id * 7919 + i * 104729) % 65536) - 32768 + off))
+      |          FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+      |       FROM d),
+      | f AS (SELECT doc_id, n,
+      |        CAST(list_sum(smp) AS BIGINT) AS sum_s,
+      |        CAST(len(list_filter(smp, x -> x = 32767)) AS BIGINT) AS n_clip_hi,
+      |        CAST(len(list_filter(smp, x -> x = -32768)) AS BIGINT) AS n_clip_lo
+      |       FROM s)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n, sum_s, n_clip_hi, n_clip_lo,
+      | round(CAST(sum_s AS DOUBLE) / n, 4) AS dc,
+      | (abs(round(CAST(sum_s AS DOUBLE) / n, 4)) > 600.0) AS dc_flag
+      |FROM f""".stripMargin
+
   // ---------------- letterbox / border-crop QC (m22) ----------------
 
   /** Letterbox detection + crop accounting (m22) — the border screen a
