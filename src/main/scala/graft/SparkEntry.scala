@@ -146,6 +146,9 @@ object SparkEntry {
     // supervoxel agglomeration: a20 contact fold (voxels never shuffle) +
     // label-grain thresholded merge via bounded-round pointer jumping
     "a40_agglomerate" -> ((s, d) => ArrayOps.a40_agglomerate(s, d)),
+    // cross-acquisition intensity normalization: exact integer CDFs,
+    // cross-multiplied quantile LUT (≤256×256 level grain), store write-back
+    "a41_hist_match" -> (ArrayOps.a41_hist_match _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -670,6 +673,7 @@ object SparkEntry {
     "a38_zprofile" -> ArrayOps.a38OracleSql,
     "a39_mesh_stats" -> ArrayOps.a39OracleSql,
     "a40_agglomerate" -> ArrayOps.a40OracleSql(),
+    "a41_hist_match" -> ArrayOps.a41OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

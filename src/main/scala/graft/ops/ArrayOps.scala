@@ -2271,6 +2271,115 @@ object ArrayOps {
        |GROUP BY r.id""".stripMargin
   }
 
+  // ---------------- histogram matching (a41) ----------------
+
+  /** Histogram MATCHING across volumes (a41) — the cross-acquisition
+    * intensity normalization step (serial-section EM and light microscopy
+    * stacks are imaged in sessions with drifting illumination; downstream
+    * models need one intensity distribution): map every source grey level
+    * to the reference level at the same quantile, i.e.
+    * `LUT(v) = min{ r : F_ref(r) ≥ F_src(v) }` — a24's equalization
+    * generalized from the uniform target to an arbitrary measured one.
+    * Exactness discipline: both CDFs stay EXACT integer cumulative counts
+    * and the quantile comparison cross-multiplies (`cr·n_s ≥ cs·n_r`,
+    * products ≤ 2³⁰ — no division, no doubles, nothing to round), the
+    * a24 lesson applied to a two-distribution compare. The LUT then
+    * drives a write-back through the full distributed store path and the
+    * gate is the per-chunk census of the REOPENED result.
+    *
+    * Scale shape: two histogram folds (map-side combined, value-grain ≤
+    * 256 rows each), one ≤ 256×256 broadcast non-equi LUT join
+    * (level-grain, corpus-size-independent — the a21/c12 bounded-attach
+    * class), one broadcast LUT apply over the voxel scan. Voxels shuffle
+    * only in the store write, exactly as a24. */
+  def a41_hist_match(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-a41-src").toString
+    val refRoot = java.nio.file.Files.createTempDirectory("graft-a41-ref").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-a41-dst").toString
+    val vmeta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val src = Volume.create(spark, srcRoot, vmeta)
+    val refv = Volume.create(spark, refRoot, vmeta)
+    val bufS = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    val bufR = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val u = (x * 31 + y * 17 + z * 7) % 251
+          bufS.setLong(x - 1, y - 1, z - 1, 0, (u * u / 251).toLong) // a24's skewed field
+          bufR.setLong(x - 1, y - 1, z - 1, 0, ((x + 2 * y + 3 * z) % 200 + 28).toLong)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    src.ingest(bufS)
+    refv.ingest(bufR)
+    val box = Box(1, 64, 1, 64, 1, 8)
+    src.toVoxels(box)
+      .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a41_src")
+    refv.toVoxels(box)
+      .select(col("value").cast(LongType).as("value"))
+      .write.mode("overwrite").parquet(s"$voxelDumpRoot/a41_ref")
+    val srcVox = spark.read.parquet(s"$voxelDumpRoot/a41_src")
+    val wv = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sCum = srcVox.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cs", sum(col("cnt")).over(wv))
+      .crossJoin(broadcast(srcVox.agg(count(lit(1)).as("ns"))))
+      .select(col("value"), col("cs"), col("ns"))
+    val refVox = spark.read.parquet(s"$voxelDumpRoot/a41_ref")
+    val rCum = refVox.groupBy(col("value").as("r")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cr", sum(col("cnt")).over(Window.orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(refVox.agg(count(lit(1)).as("nr"))))
+      .select(col("r"), col("cr"), col("nr"))
+    val lut = sCum.join(broadcast(rCum), col("cr") * col("ns") >= col("cs") * col("nr"))
+      .groupBy(col("value")).agg(min(col("r")).as("m"))
+    val dst = Volume.create(spark, dstRoot, vmeta)
+    dst.fromVoxels(srcVox.join(broadcast(lut), Seq("value"))
+      .select(col("x"), col("y"), col("z"), col("m").as("value")))
+    Volume.open(spark, dstRoot).toVoxels(box)
+      .select(expr("(x - 1) DIV 32 + 1").as("cx"), expr("(y - 1) DIV 32 + 1").as("cy"),
+        expr("(z - 1) DIV 4 + 1").as("cz"), col("value").cast(LongType).as("v"))
+      .groupBy(col("cx"), col("cy"), col("cz"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy(col("cx"), col("cy"), col("cz"))
+  }
+
+  /** Oracle twin of [[a41_hist_match]]: both exact CDFs from the dumps,
+    * the same cross-multiplied quantile LUT, apply, and per-chunk census. */
+  def a41OracleSql: String =
+    s"""WITH sv AS (SELECT x, y, z, value FROM read_parquet('$voxelDumpRoot/a41_src/*.parquet')),
+       | rv AS (SELECT value FROM read_parquet('$voxelDumpRoot/a41_ref/*.parquet')),
+       | sc AS (SELECT value,
+       |         sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+       |         (SELECT count(*) FROM sv) AS ns
+       |        FROM (SELECT value, count(*) AS cnt FROM sv GROUP BY value) h),
+       | rc AS (SELECT r,
+       |         sum(cnt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+       |         (SELECT count(*) FROM rv) AS nr
+       |        FROM (SELECT value AS r, count(*) AS cnt FROM rv GROUP BY value) h),
+       | lut AS (SELECT s.value, min(r.r) AS m
+       |         FROM sc s JOIN rc r ON r.cr * s.ns >= s.cs * r.nr
+       |         GROUP BY s.value),
+       | ev AS (SELECT sv.x, sv.y, sv.z, l.m AS v FROM sv JOIN lut l USING (value))
+       |SELECT CAST((x - 1) // 32 + 1 AS BIGINT) AS cx,
+       |       CAST((y - 1) // 32 + 1 AS BIGINT) AS cy,
+       |       CAST((z - 1) // 4 + 1 AS BIGINT) AS cz,
+       |       CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS vsum,
+       |       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+       |FROM ev GROUP BY 1, 2, 3""".stripMargin
+
   // ---------------- supervoxel agglomeration (a40) ----------------
 
   /** Contact-threshold agglomeration over a supervoxel segmentation (a40)

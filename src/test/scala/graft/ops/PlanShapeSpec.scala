@@ -419,7 +419,8 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("a21_percentiles", "a38_zprofile", "c11_importance", "c12_length_hist",
+    assert(offenders == Seq("a21_percentiles", "a38_zprofile", "a41_hist_match",
+      "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
       "q31_gapfill", "q32_skew_report", "q34_funnel",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
@@ -464,6 +465,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // dimension attached with hd <= tau (the q31/t30 dimension class)
     // a38 attaches its one-row drift-fit aggregate to the O(depth)
     // section relation (the a21/c12 constant-attach class)
+    // a41's quantile-matching LUT is a ≤256×256 broadcast non-equi join
+    // at grey-LEVEL grain (cr·ns ≥ cs·nr) plus two one-row total attaches
+    // — level-grain is corpus-size-independent (the q31 dimension class)
     // t30 joins its two corpus-grain folds against the broadcast TEN-ROW
     // checkpoint dimension with a ≤ predicate (the q31 dimension-grid
     // class) and attaches the one-row regression fit (the t12/t18 class)
