@@ -72,6 +72,9 @@ object SparkEntry {
     "q43_time_travel" -> (Relational.q43_time_travel _),
     "q44_bom_rollup" -> ((s, d) => Relational.q44_bom_rollup(Tables.t(s, d, "part"))),
     "q45_runtime_filter" -> (Relational.q45_runtime_filter _),
+    // retraction-based IVM: corrections leave the view as negated partials
+    // before their restated values merge in — O(corrections)+O(|MV|)
+    "q46_retraction_mv" -> (Relational.q46_retraction_mv _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -613,6 +616,7 @@ object SparkEntry {
     "q43_time_travel" -> Relational.q43OracleSql,
     "q44_bom_rollup" -> Relational.q44OracleSql,
     "q45_runtime_filter" -> Relational.q45OracleSql,
+    "q46_retraction_mv" -> Relational.q46OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->

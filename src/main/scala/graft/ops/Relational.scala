@@ -1243,4 +1243,63 @@ object Relational {
        | round(CAST(sum(q * price) AS DOUBLE), 2) + 0.0 AS total_cost
        |FROM cl WHERE cur < 8
        |GROUP BY cur""".stripMargin
+
+  /** Once-per-JVM registry of q46's standing MV parquet per input dir. */
+  private val mv46Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** RETRACTION-based incremental view maintenance (q46) — the refresh
+    * shape q33 cannot express: q33's delta is append-only, but real feeds
+    * also RESTATE history (late corrections, GDPR rewrites, backfills).
+    * An updated row cannot just be re-aggregated in — its OLD contribution
+    * must leave the view first. The standing hourly (hr × type) count/sum
+    * MV (built once over the original facts, the q33 artifact discipline)
+    * is refreshed by a union of three partial relations: the view itself,
+    * the NEGATED old partials of the corrected rows (the retraction), and
+    * the new partials of their restated values — one O(|corrections|)
+    * scan + one MV-grain merge, never a history re-scan. count and
+    * decimal-sum are groups under addition (every retraction is exact:
+    * decimals, not floats), so merge ∘ retract ≡ full recompute — and the
+    * ORACLE is that full recompute over the corrected facts, so the
+    * equivalence is gated, not asserted. The correction set is every 37th
+    * event restated by +1.50 (a pure function both engines replay).
+    *
+    * At 100 TB: refresh cost is O(corrections) + O(|MV|), independent of
+    * history volume; without retraction the only correct alternative is a
+    * full restatement of every affected partition. */
+  def q46_retraction_mv(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("unix_timestamp(ts) DIV 3600").as("hr_idx"),
+        col("event_type"), col("value").cast(dec).as("v"))
+    val mvPath = mv46Paths.computeIfAbsent(dir, _ => {
+      val p = s"${Similarity.OracleDumpRoot}/q46_mv_${Similarity.dirToken(dir)}"
+      ev.groupBy(col("hr_idx"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val corr = ev.filter(col("event_id") % 37 === 0)
+    val retract = corr.groupBy(col("hr_idx"), col("event_type"))
+      .agg((-count(lit(1))).as("n"), (-sum(col("v"))).cast(dec).as("sv"))
+    val restate = corr
+      .withColumn("v2", (col("v") + lit(new java.math.BigDecimal("1.50"))).cast(dec))
+      .groupBy(col("hr_idx"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v2")).cast(dec).as("sv"))
+    spark.read.parquet(mvPath)
+      .unionByName(retract).unionByName(restate)
+      .groupBy(col("hr_idx"), col("event_type"))
+      .agg(sum(col("n")).as("n"), outd(sum(col("sv"))).as("sv"))
+  }
+
+  /** DuckDB oracle twin of [[q46_retraction_mv]] — the FULL recompute over
+    * the CORRECTED facts (retraction maintenance must be invisible). */
+  def q46OracleSql: String =
+    """WITH c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr_idx, event_type,
+      |            CASE WHEN event_id % 37 = 0
+      |                 THEN CAST(CAST(value AS DECIMAL(18,4)) + 1.50 AS DECIMAL(18,4))
+      |                 ELSE CAST(value AS DECIMAL(18,4)) END AS v
+      |           FROM events)
+      |SELECT hr_idx, event_type, CAST(count(*) AS BIGINT) AS n,
+      | round(CAST(sum(v) AS DOUBLE), 3) AS sv
+      |FROM c GROUP BY 1, 2""".stripMargin
 }
