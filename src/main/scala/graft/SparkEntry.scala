@@ -436,6 +436,9 @@ object SparkEntry {
     // streaming top-k: the stream keeps only e1's windowed counters; rank
     // is served over the drained aggregate (not incrementally maintainable)
     "e23_stream_topk" -> ((s, d) => EventStreams.windowTopkOnce(s, d)),
+    // PSI distribution drift: profile fitted at rest (e13 principle), the
+    // stream keeps only per-(day,bin) counters; +80 shift every 7th day
+    "e24_stream_psi" -> (EventStreams.psiDriftOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -838,6 +841,7 @@ object SparkEntry {
     "e21_stream_quantiles" -> EventStreams.windowQuantilesOracleSql,
     "e22_stream_heartbeat" -> EventStreams.heartbeatOracleSql(),
     "e23_stream_topk" -> EventStreams.windowTopkOracleSql(),
+    "e24_stream_psi" -> EventStreams.psiDriftOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

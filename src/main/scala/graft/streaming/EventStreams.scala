@@ -1207,6 +1207,86 @@ object EventStreams {
        |SELECT hr, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Shared 8-bin value binning for e24 (width 16, top bin open). */
+  private def psiBinSql(v: String): String =
+    s"least(7, CAST(floor(($v) / 16) AS INT))"
+
+  /** The e24 PSI arithmetic over pivoted bin counts `c0..c7`/`nd` against
+    * profile counts `p0..p7`/`pn`, Laplace-smoothed, as ONE fixed
+    * left-associated expression chain — a row-local double fold in source
+    * order, identical in both engines (a SQL SUM over term rows would be
+    * partial-aggregation-order sensitive; this is the t20 plain-double
+    * discipline applied to an 8-term reduction). */
+  private[streaming] def psiChainSql: String = {
+    def q(i: Int) = s"((c$i + 1.0) / (nd + 8.0))"
+    def p(i: Int) = s"((p$i + 1.0) / (pn + 8.0))"
+    (0 until 8).map(i => s"(${q(i)} - ${p(i)}) * ln(${q(i)} / ${p(i)})").mkString(" + ")
+  }
+
+  /** Streaming DISTRIBUTION-drift monitor (e24) — the Population
+    * Stability Index check a feature pipeline runs next to its rate
+    * monitor (e13 catches "traffic changed volume"; this catches "values
+    * changed shape at the same volume" — an upstream unit change, a new
+    * client version, a sensor recalibration): the at-rest history fits an
+    * 8-bin value PROFILE (the e13 fit-at-rest principle — zero extra
+    * streaming state); the stream maintains only per-(day, bin) counters
+    * (watermark-bounded, e1 class); at serve time each drained day pivots
+    * to a dense bin vector and scores
+    * `PSI = Σ (qᵢ−pᵢ)·ln(qᵢ/pᵢ)` (Laplace-smoothed) against the profile.
+    * The alarm sits at 1.0 — far above the textbook 0.2 because the
+    * smallest fixture runs ~33 events/day, where smoothed sampling noise
+    * alone reaches ~0.25 (at production day volumes the same code alarms
+    * at 0.2). Drift is PROVEN by injection: every 7th day's values shift
+    * by +80 (five bin widths — a pure function of the epoch day replayed
+    * by the oracle); natural days score ≤ ~0.25 at any fixture scale and
+    * the shifted days ≥ ~2, so the alarm fires exactly on them. */
+  def psiDriftOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_psi_${System.nanoTime()}"
+    val injected = s"value + (CASE WHEN (unix_timestamp(ts) DIV 86400) % 7 = 3 THEN 80 ELSE 0 END)"
+    withFewStatePartitions(spark, 8) {
+      val q = readEventStream(spark, dir)
+        .select(col("ts"), expr(psiBinSql(injected)).as("b"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_timestamp(w.start) DIV 86400").as("d"), col("b"), col("n"))
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val finals = lastUpdate(spark.table(name), Seq("d", "b"), Seq("n"))
+    val profile = Tables.events(spark, dir)
+      .select(expr(psiBinSql("value")).as("b"))
+      .agg(count(lit(1)).as("pn"),
+        (0 until 8).map(i => coalesce(sum(when(col("b") === i, 1L)), lit(0L)).as(s"p$i")): _*)
+    val days = finals.groupBy(col("d"))
+      .agg(sum(col("n")).as("nd"),
+        (0 until 8).map(i => coalesce(sum(when(col("b") === i, col("n"))), lit(0L)).as(s"c$i")): _*)
+    days.crossJoin(broadcast(profile))
+      .select(col("d"), col("nd"),
+        expr(s"round($psiChainSql, 4) + 0.0").as("psi"),
+        expr(s"round($psiChainSql, 4) > 1.0").as("drifted"))
+  }
+
+  /** DuckDB oracle twin of [[psiDriftOnce]] — batch fold of the same
+    * injected binning, dense pivot, profile attach, and PSI chain. */
+  def psiDriftOracleSql: String = {
+    def cs(pre: String) = (0 until 8)
+      .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS $pre$i").mkString(", ")
+    s"""WITH pb AS (SELECT ${psiBinSql("value")} AS b FROM events),
+       | prof AS (SELECT count(*) AS pn, ${cs("p")} FROM pb),
+       | x AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+       |        value + (CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 = 3
+       |                      THEN 80 ELSE 0 END) AS v
+       |       FROM events),
+       | db AS (SELECT d, ${psiBinSql("v")} AS b FROM x),
+       | g AS (SELECT d, count(*) AS nd, ${cs("c")} FROM db GROUP BY d),
+       | j AS (SELECT g.*, prof.* FROM g, prof)
+       |SELECT d, CAST(nd AS BIGINT) AS nd,
+       | round($psiChainSql, 4) AS psi,
+       | (round($psiChainSql, 4) > 1.0) AS drifted
+       |FROM j""".stripMargin
+  }
+
   /** Per-user session counting with a 30-min inactivity gap, implemented as
     * explicit keyed state — the streaming-native form of q15_sessionize.
     * State is O(1) per user (two counters + last-seen). */
