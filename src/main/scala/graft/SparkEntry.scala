@@ -189,6 +189,9 @@ object SparkEntry {
     // records linkage: SymSpell deletion-neighborhood blocking (one
     // equi-join on delete variants), levenshtein verify on collisions only
     "d19_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(Tables.t(s, d, "customer"))),
+    // incremental cluster maintenance: label-grain merge of only the NEW
+    // pairs (d8 index probe + delta×delta); oracle is the FULL d5 recompute
+    "d20_incr_clusters" -> (Dedup.incrementalClusters(_, _)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -377,6 +380,9 @@ object SparkEntry {
     // DC bias planted pre-encode (saturating), detected post-decode via
     // exact integer folds — rail counts prove lossless codec carriage
     "m23_dc_offset" -> (Multimodal.audioDcQc _),
+    // cross-video dedup: frame-hash inverted index (no all-pairs), exact
+    // frame-set Jaccard verify; donor-payload injection proves detection
+    "m24_video_dup" -> (Multimodal.videoDup _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -802,6 +808,8 @@ object SparkEntry {
     "d17_bbit_minhash" -> bbitOracle,
     "d18_simhash_eval" -> simhashEvalOracle,
     "d19_fuzzy_match" -> Dedup.fuzzyMatchOracleSql,
+    // incremental maintenance must be invisible: same oracle as d5
+    "d20_incr_clusters" -> dupClusterOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -861,6 +869,7 @@ object SparkEntry {
     "m21_frame_dedup" -> Multimodal.frameDedupOracleSql,
     "m22_border_qc" -> Multimodal.imageBorderQcOracleSql,
     "m23_dc_offset" -> Multimodal.audioDcQcOracleSql,
+    "m24_video_dup" -> Multimodal.videoDupOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1934,6 +1934,89 @@ object Multimodal {
        |FROM f""".stripMargin
   }
 
+  // ---------------- cross-video near-duplicate detection (m24) ----------------
+
+  /** CROSS-video near-duplicate detection (m24) — the video-corpus analogue
+    * of MinHash dedup (re-uploads, re-encodes, and trims of the same clip
+    * dominate any crawled video set; m21 finds duplication WITHIN a video,
+    * this finds it ACROSS videos): each video reduces to its SET of
+    * distinct frame hashes (through the real AVI encode→decode roundtrip),
+    * candidate pairs come from an INVERTED INDEX on frame hash (videos
+    * sharing no frame never meet — the d3 bucket principle, frame-hash =
+    * bucket), and candidates verify by exact frame-set Jaccard ≥ 0.3.
+    * Duplication is PROVEN by injection: every 5th video (doc_id ≥ 17)
+    * synthesizes its frames from the PAYLOAD of the PREVIOUS video (3 ids
+    * earlier — never itself a planted one, so donor frames stay its own;
+    * a pure function replayed by the oracle), so those pairs share a
+    * frame prefix and must surface with Jaccard = min(nf)/max(nf)-ish,
+    * while unrelated payloads share nothing.
+    *
+    * Scale shape: hashes are one decode pass per video (zero shuffle); the
+    * index join shuffles (video × distinct-frame) rows; verification
+    * touches only hash collisions — no all-pairs anywhere. */
+  def videoDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val outEnc = Encoders.product[(Long, String)]
+    val vids = assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+    val donors = vids.select(col("doc_id").as("src_id"), col("payload").as("src_payload"))
+    val withDup = vids
+      .withColumn("src_id",
+        when(expr("(doc_id div 3) % 5 = 0") && col("doc_id") >= 17, col("doc_id") - 3)
+          .otherwise(col("doc_id")))
+      .drop("payload").join(donors, Seq("src_id"))
+      .select(col("doc_id"), col("src_payload").as("payload"))
+    val fh = materialize(withDup.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frames = (0 until videoFrameCount(id)).map(f => synthFrame(payload, f))
+        val (decoded, _, _, _) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        decoded.map(fr => java.security.MessageDigest.getInstance("MD5")
+          .digest(fr).map("%02x".format(_)).mkString).distinct.map(h => (id, h))
+      })(outEnc).toDF("doc_id", "h"))
+    val sizes = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    fh.select(col("doc_id").as("a"), col("h"))
+      .join(fh.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
+      .withColumn("jac", col("shared").cast(DoubleType) /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.3)
+      .select(col("a"), col("b"), col("na"), col("nb"), col("shared"),
+        round(col("jac"), 4).as("jac"))
+  }
+
+  /** DuckDB oracle twin of [[videoDup]] — the m21 closed-form frame device
+    * (frame raster ≡ a substr of the cyclically repeated text, hashed with
+    * the same md5) under the same donor-payload injection, inverted-index
+    * pairing, and Jaccard threshold. */
+  def videoDupOracleSql: String = {
+    val px = VideoW * VideoH
+    s"""WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+       | src AS (SELECT a.doc_id, b.text, octet_length(encode(b.text)) AS len,
+       |          4 + (a.doc_id % 7) AS nf
+       |         FROM v a JOIN v b ON b.doc_id =
+       |           CASE WHEN (a.doc_id // 3) % 5 = 0 AND a.doc_id >= 17
+       |                THEN a.doc_id - 3 ELSE a.doc_id END),
+       | f AS (SELECT doc_id, text, len, unnest(range(0, nf)) AS fno FROM src),
+       | r AS (SELECT DISTINCT doc_id,
+       |        md5(substr(repeat(text,
+       |              CAST(ceil(((fno * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |            CAST((fno * $FrameStride) % len AS INT) + 1, $px)) AS h
+       |       FROM f),
+       | sz AS (SELECT doc_id, count(*) AS nf FROM r GROUP BY doc_id),
+       | p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |       FROM r x JOIN r y ON x.h = y.h AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT p.a, p.b, CAST(sa.nf AS BIGINT) AS na, CAST(sb.nf AS BIGINT) AS nb,
+       | CAST(p.shared AS BIGINT) AS shared,
+       | round(CAST(p.shared AS DOUBLE) / (sa.nf + sb.nf - p.shared), 4) AS jac
+       |FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+       |WHERE CAST(p.shared AS DOUBLE) / (sa.nf + sb.nf - p.shared) >= 0.3""".stripMargin
+  }
+
   // ---------------- audio DC-offset / clipping QC (m23) ----------------
 
   /** Audio DC-offset & clipping QC (m23) — the electrical-fault screen an

@@ -419,7 +419,7 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(n)
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
-    assert(offenders == Seq("a21_percentiles", "a38_zprofile", "a41_hist_match",
+    assert(offenders == Seq("a21_percentiles", "a38_zprofile",
       "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
       "e24_stream_psi",
@@ -468,7 +468,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // section relation (the a21/c12 constant-attach class)
     // a41's quantile-matching LUT is a ≤256×256 broadcast non-equi join
     // at grey-LEVEL grain (cr·ns ≥ cs·nr) plus two one-row total attaches
-    // — level-grain is corpus-size-independent (the q31 dimension class)
+    // — level-grain is corpus-size-independent (the q31 dimension class);
+    // it runs inside the store BUILD, so the gated (returned) plan — the
+    // census over the reopened destination volume — never contains it
+    // and a41 does not appear in this list
     // e24's serve-time scoring attaches the ONE-ROW at-rest profile to the
     // drained day-grain relation (the t12 constant-attach class; the
     // stream itself carries only watermark-bounded counters)
