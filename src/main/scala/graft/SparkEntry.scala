@@ -347,6 +347,9 @@ object SparkEntry {
     // data-constrained scaling: breadth-first quality-prioritized epoch
     // grants under a served-token budget — one aggregate-grain window
     "c26_epoch_mix" -> ((s, d) => Corpus.epochAllocation(Tables.t(s, d, "documents"))),
+    // data-card fertility table: tokens-per-word per (lang, source) under
+    // the shared t6 pre-tokenizer — one row-local pass, one small fold
+    "c27_fertility" -> ((s, d) => Corpus.tokenizerFertility(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -445,6 +448,9 @@ object SparkEntry {
     // PSI distribution drift: profile fitted at rest (e13 principle), the
     // stream keeps only per-(day,bin) counters; +80 shift every 7th day
     "e24_stream_psi" -> (EventStreams.psiDriftOnce _),
+    // full-outer stream-stream interval join: both sides' unmatched rows
+    // emit when the watermark proves no partner can arrive
+    "e25_stream_fulljoin" -> ((s, d) => EventStreams.fullIntervalJoinOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -743,6 +749,7 @@ object SparkEntry {
     "c24_repetition" -> Corpus.repetitionBudgetOracleSql,
     "c25_quality_drift" -> Corpus.qualityDriftOracleSql(),
     "c26_epoch_mix" -> Corpus.epochAllocationOracleSql(),
+    "c27_fertility" -> Corpus.tokenizerFertilityOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -850,6 +857,7 @@ object SparkEntry {
     "e22_stream_heartbeat" -> EventStreams.heartbeatOracleSql(),
     "e23_stream_topk" -> EventStreams.windowTopkOracleSql(),
     "e24_stream_psi" -> EventStreams.psiDriftOracleSql,
+    "e25_stream_fulljoin" -> EventStreams.fullIntervalJoinOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

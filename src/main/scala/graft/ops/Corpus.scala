@@ -1348,6 +1348,48 @@ object Corpus {
         (coalesce(col("epochs"), lit(0L)) * col("uniq_tok")).as("served_tok"))
   }
 
+  /** Tokenizer-fertility data card (c27) — the tokens-per-word table every
+    * multilingual data card publishes (fertility decides how much compute
+    * a language really gets per word: a tokenizer that fragments one
+    * language 2× charges it double per token budget; the metric drives
+    * both tokenizer choice and mixture correction): per (lang, source),
+    * exact token and word counts under the t6 pre-tokenizer
+    * ([[TextOps.BpeTokenRe]] — the GPT-2-style split both engines share)
+    * vs the whitespace word count, fertility = tokens/words, plus
+    * chars-per-token compression. All counts are exact integers folded
+    * map-side; the two divisions happen once per output row.
+    *
+    * Scale shape: one row-local counting pass over the corpus → one
+    * aggregation at (lang × source) grain — the c25 sweep discipline. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+      size(expr(s"regexp_extract_all(text, '${TextOps.BpeTokenRe}', 0)")).cast(LongType).as("n_tok"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_words"),
+      length(col("text")).cast(LongType).as("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+        sum(col("n_words")).as("n_words"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tok").cast(DoubleType) / col("n_words"), 4))
+      .withColumn("chars_per_tok",
+        round(col("n_chars").cast(DoubleType) / col("n_tok"), 4))
+
+  /** DuckDB oracle twin of [[tokenizerFertility]] — same pre-tokenizer,
+    * folds, and divisions. */
+  def tokenizerFertilityOracleSql: String =
+    s"""WITH x AS (SELECT lang, source,
+       |            len(regexp_extract_all(text, '${TextOps.BpeTokenRe}')) AS n_tok,
+       |            len(string_split_regex(text, '\\s+')) AS n_words,
+       |            length(text) AS n_chars
+       |           FROM documents)
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       | CAST(sum(n_words) AS BIGINT) AS n_words,
+       | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       | round(CAST(sum(n_tok) AS DOUBLE) / sum(n_words), 4) AS fertility,
+       | round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4) AS chars_per_tok
+       |FROM x GROUP BY lang, source""".stripMargin
+
   /** DuckDB oracle twin of [[epochAllocation]] — same t2 scores, source
     * fold, epoch-unit expansion, running-sum cut, and integer budget. */
   def epochAllocationOracleSql(budgetPct: Long = 200, maxEpochs: Int = 4): String =

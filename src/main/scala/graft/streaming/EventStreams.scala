@@ -830,6 +830,68 @@ object EventStreams {
 
   /** DuckDB oracle twin of [[leftIntervalJoinOnce]] (batch LEFT JOIN ≡ a
     * fully-flushed outer stream join). */
+  /** FULL-OUTER stream-stream interval join (e25) — the reconciliation
+    * variant e6 (inner) and e7 (left) can't express: BOTH sides must
+    * surface unmatched (a purchase with no qualifying click is an
+    * attribution gap; a click with no purchase is abandoned intent — a
+    * funnel needs both at once). Same watermark/state mechanics as e7 —
+    * each side buffers only its watermark-bounded window, and an
+    * unmatched row emits exactly when the watermark proves no partner can
+    * arrive (the e7 sentinel drive advances it deterministically).
+    * Output: per user, matched pairs and each side's unmatched counts —
+    * the three-way reconciliation ledger. */
+  def fullIntervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
+    val stage = stageWithSentinels(spark, dir, Seq("purchase", "click"))
+    val name = s"stream_ivjoin_full_${System.nanoTime()}"
+    try {
+      withFewStatePartitions(spark, 8) {
+        val ev = readEventStream(spark, stage)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        val q = joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally rmStage(stage)
+    spark.table(name)
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("p_id"), col("c_id"))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("p_id").isNotNull && col("c_id").isNotNull, 1L).otherwise(0L))
+        .as("n_matched"),
+        sum(when(col("p_id").isNotNull && col("c_id").isNull, 1L).otherwise(0L))
+          .as("n_p_unmatched"),
+        sum(when(col("p_id").isNull && col("c_id").isNotNull, 1L).otherwise(0L))
+          .as("n_c_unmatched"))
+  }
+
+  /** DuckDB oracle twin of [[fullIntervalJoinOnce]] — the batch FULL JOIN
+    * under the identical interval predicate and per-user ledger. */
+  def fullIntervalJoinOracleSql(windowMin: Int = 30): String =
+    s"""SELECT coalesce(p.user_id, c.user_id) AS user_id,
+       | CAST(sum(CASE WHEN p.event_id IS NOT NULL AND c.event_id IS NOT NULL
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       | CAST(sum(CASE WHEN p.event_id IS NOT NULL AND c.event_id IS NULL
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_p_unmatched,
+       | CAST(sum(CASE WHEN p.event_id IS NULL AND c.event_id IS NOT NULL
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_c_unmatched
+       |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       |FULL JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts >= p.ts - INTERVAL $windowMin MINUTE
+       | AND c.ts <= p.ts
+       |GROUP BY 1""".stripMargin
+
   def leftIntervalJoinOracleSql(windowMin: Int = 30): String =
     s"""SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_rows,
        | CAST(count(c.event_id) AS BIGINT) AS n_matched,
