@@ -75,6 +75,9 @@ object SparkEntry {
     // retraction-based IVM: corrections leave the view as negated partials
     // before their restated values merge in — O(corrections)+O(|MV|)
     "q46_retraction_mv" -> (Relational.q46_retraction_mv _),
+    // discrete lower weighted median: exact decimal cumulation over a
+    // total order, first 2·cw ≥ W crossing — no interpolation anywhere
+    "q47_weighted_median" -> (Relational.q47_weighted_median _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -632,6 +635,7 @@ object SparkEntry {
     "q44_bom_rollup" -> Relational.q44OracleSql,
     "q45_runtime_filter" -> Relational.q45OracleSql,
     "q46_retraction_mv" -> Relational.q46OracleSql,
+    "q47_weighted_median" -> Relational.q47OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->

@@ -1244,6 +1244,61 @@ object Relational {
        |FROM cl WHERE cur < 8
        |GROUP BY cur""".stripMargin
 
+  /** WEIGHTED median per group (q47) — the order statistic q25/q26 can't
+    * express: "the price at which half the QUANTITY sits below" weights
+    * each row by a measure, the statistic procurement/pricing analytics
+    * actually wants (an unweighted median over line items lets a thousand
+    * 1-unit lines outvote one 10⁴-unit line). Discrete lower weighted
+    * median, exactly: rows sort by (price, orderkey, linenumber) — a
+    * total order, so ties cannot drift — cumulative weight runs as an
+    * EXACT decimal, and the pick is the first row with 2·cw ≥ W. No
+    * interpolation, no doubles until presentation (the e21 discrete-pick
+    * discipline lifted to weighted form).
+    *
+    * Scale shape: one window sort per group partition (the statistic is
+    * order-based; the sort shuffles each group once) + a group-grain
+    * count fold. The filter-then-rank picks the answer without a second
+    * pass: row_number runs over the already-filtered suffix. */
+  def q47_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val x = Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"),
+        col("l_quantity").cast(dec).as("w"), col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln"))
+    val ord = Window.partitionBy(col("rf")).orderBy(col("p"), col("k"), col("ln"))
+    val cum = x
+      .withColumn("cw", sum(col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("rf"))))
+    val n = x.groupBy(col("rf")).agg(count(lit(1)).as("n"))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .join(n, Seq("rf"))
+      .select(col("rf").as("l_returnflag"), col("n"),
+        outd(col("tw"), 2).as("total_w"), col("p").as("wmedian"))
+  }
+
+  /** DuckDB oracle twin of [[q47_weighted_median]] — same total order,
+    * exact decimal cumulation, and first-crossing pick. */
+  def q47OracleSql: String =
+    """WITH x AS (SELECT l_returnflag AS rf, l_extendedprice AS p,
+      |            CAST(l_quantity AS DECIMAL(18,4)) AS w, l_orderkey AS k,
+      |            l_linenumber AS ln
+      |           FROM lineitem),
+      | c AS (SELECT rf, p, k, ln,
+      |        sum(w) OVER (PARTITION BY rf ORDER BY p, k, ln
+      |                     ROWS UNBOUNDED PRECEDING) AS cw,
+      |        sum(w) OVER (PARTITION BY rf) AS tw
+      |       FROM x),
+      | f AS (SELECT rf, p, cw, tw,
+      |        row_number() OVER (PARTITION BY rf ORDER BY p, k, ln) AS rn
+      |       FROM c WHERE 2 * cw >= tw),
+      | n AS (SELECT rf, count(*) AS n FROM x GROUP BY rf)
+      |SELECT f.rf AS l_returnflag, CAST(n.n AS BIGINT) AS n,
+      | round(CAST(f.tw AS DOUBLE), 2) AS total_w, f.p AS wmedian
+      |FROM f JOIN n ON n.rf = f.rf WHERE f.rn = 1""".stripMargin
+
   /** Once-per-JVM registry of q46's standing MV parquet per input dir. */
   private val mv46Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
