@@ -195,6 +195,9 @@ object SparkEntry {
     // incremental cluster maintenance: label-grain merge of only the NEW
     // pairs (d8 index probe + delta×delta); oracle is the FULL d5 recompute
     "d20_incr_clusters" -> (Dedup.incrementalClusters(_, _)),
+    // (b,r) S-curve calibration: empirical recall/precision per banding
+    // vs the exact PPJoin truth and the theoretical design point
+    "d21_lsh_tuning" -> (Dedup.lshTuningSweep(_, _)),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -821,6 +824,7 @@ object SparkEntry {
     "d19_fuzzy_match" -> Dedup.fuzzyMatchOracleSql,
     // incremental maintenance must be invisible: same oracle as d5
     "d20_incr_clusters" -> dupClusterOracle,
+    "d21_lsh_tuning" -> lshTuneOracle,
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
@@ -1030,6 +1034,42 @@ object SparkEntry {
        | h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
        | sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
        |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
+
+  /** d21 oracle: band keys replayed VERBATIM from the dumped long-form
+    * signature artifact (raw r-value tuples, `string_agg` in i order ≡
+    * Spark's column-order `concat_ws`), exact truth from [[ngramPairCtes]],
+    * and the theoretical design-point literals shared through
+    * [[Dedup.lshTheoRecall]] so both engines carry the identical constant. */
+  private def lshTuneOracle: String = {
+    val cfgVals = Dedup.LshTuneConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    val theoVals = Dedup.LshTuneConfigs
+      .map { case (b, r) => s"($b, $r, ${Dedup.lshTheoRecall(b, r)})" }.mkString(", ")
+    s"""WITH $ngramPairCtes,
+       | tp AS (SELECT a, b FROM jpairs),
+       | nt AS (SELECT count(*) AS n_true FROM tp),
+       | sigs AS (SELECT doc_id, i, m FROM read_parquet('${Dedup.TuneSigDump}/*.parquet')),
+       | cfg AS (SELECT * FROM (VALUES $cfgVals) c(cfg_b, cfg_r)),
+       | bk AS (SELECT c.cfg_b, c.cfg_r, s.doc_id, CAST(s.i // c.cfg_r AS INT) AS band,
+       |         string_agg(CAST(s.m AS VARCHAR), '_' ORDER BY s.i) AS k
+       |        FROM sigs s JOIN cfg c ON s.i < c.cfg_b * c.cfg_r
+       |        GROUP BY 1, 2, 3, 4),
+       | cand AS (SELECT DISTINCT x.cfg_b, x.cfg_r, x.doc_id AS a, y.doc_id AS b
+       |          FROM bk x JOIN bk y ON x.cfg_b = y.cfg_b AND x.cfg_r = y.cfg_r
+       |           AND x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id),
+       | nc AS (SELECT cfg_b, cfg_r, count(*) AS n_cand FROM cand GROUP BY 1, 2),
+       | nf AS (SELECT c.cfg_b, c.cfg_r, count(*) AS n_found
+       |        FROM cand c JOIN tp ON tp.a = c.a AND tp.b = c.b GROUP BY 1, 2),
+       | th AS (SELECT * FROM (VALUES $theoVals) t(cfg_b, cfg_r, theo_recall))
+       |SELECT CAST(nc.cfg_b AS INT) AS b, CAST(nc.cfg_r AS INT) AS r,
+       | CAST(nc.n_cand AS BIGINT) AS n_cand,
+       | CAST(coalesce(nf.n_found, 0) AS BIGINT) AS n_found,
+       | CAST(nt.n_true AS BIGINT) AS n_true,
+       | round(CAST(coalesce(nf.n_found, 0) AS DOUBLE) / nt.n_true, 4) AS recall,
+       | round(CAST(coalesce(nf.n_found, 0) AS DOUBLE) / nc.n_cand, 4) AS prec,
+       | th.theo_recall
+       |FROM nc LEFT JOIN nf ON nf.cfg_b = nc.cfg_b AND nf.cfg_r = nc.cfg_r
+       | JOIN th ON th.cfg_b = nc.cfg_b AND th.cfg_r = nc.cfg_r, nt""".stripMargin
   }
 
   /** Clustering oracle: transitive closure of the near-dup pair graph via a

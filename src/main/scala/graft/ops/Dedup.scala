@@ -1021,6 +1021,83 @@ object Dedup {
           .as("weight"))
   }
 
+  // ---------------- LSH (b, r) tuning sweep (d21) ----------------
+
+  /** Where the most recent [[lshTuningSweep]] dumped its long-form
+    * signatures — per-dir (the d17/s25 `dirToken` convention). */
+  @volatile private[graft] var TuneSigDump: String = ""
+
+  /** Theoretical MinHash-LSH collision probability 1 − (1 − jʳ)ᵇ at the
+    * design similarity, rounded once — computed HERE so the Spark column
+    * and the oracle literal are the same constant by construction. */
+  def lshTheoRecall(b: Int, r: Int, j: Double = 0.8): Double =
+    BigDecimal(1.0 - math.pow(1.0 - math.pow(j, r), b))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The d21 configuration grid: (bands, rows) factorizations of the 96
+    * minhashes, from high-recall/low-precision to the reverse. */
+  val LshTuneConfigs: Seq[(Int, Int)] = Seq((32, 3), (24, 4), (16, 6), (12, 8))
+
+  /** LSH (b, r) CALIBRATION sweep (d21) — the S-curve measurement that
+    * justifies an index shape before 100 TB gets signed with it: for each
+    * factorization (b bands × r rows) of the same 96-minhash signature,
+    * the EMPIRICAL candidate-pair count, recall and precision against the
+    * exact-Jaccard truth (the d2 PPJoin relation), next to the design-point
+    * theoretical collision rate 1 − (1 − 0.8ʳ)ᵇ. More rows per band →
+    * sharper curve → fewer false candidates but recall risk; this artifact
+    * shows where the fixture's corpus actually sits. Band keys are the raw
+    * r-value tuples (what a production system hashes for key size —
+    * equality semantics identical), so the oracle replays them verbatim
+    * from the dumped signature artifact.
+    *
+    * Scale shape: ONE shingle pipeline feeds everything (the d17 fused
+    * discipline); each config contributes doc×b band rows to one shared
+    * equi-join; the true-pair relation is the run-rarely PPJoin eval (the
+    * d18 adjudication: a calibration job, not a serving path). */
+  def lshTuningSweep(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val sigSets = materialize(signaturesWithSets(shingles(docs)))
+    val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
+    val longSigs = sigSets.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
+    val dump = s"${Similarity.OracleDumpRoot}/d21_sigs_${Similarity.dirToken(dir)}"
+    longSigs.write.mode("overwrite").parquet(dump)
+    TuneSigDump = dump
+    val truePairs = materialize(
+      ngramJaccardPairs(docs, minJ).select(col("a"), col("b")))
+    val bandRel = LshTuneConfigs.map { case (b, r) =>
+      val bandExpr = array((0 until b).map(j => struct(lit(j).as("band"),
+        concat_ws("_", (0 until r).map(i => col(s"m${j * r + i}")): _*).as("k"))): _*)
+      sigSets.select(lit(b).as("cfg_b"), lit(r).as("cfg_r"), col("doc_id"),
+        explode(bandExpr).as("bk"))
+        .select(col("cfg_b"), col("cfg_r"), col("bk.band").as("band"),
+          col("bk.k").as("k"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val cand = bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),
+      col("doc_id").as("a"))
+      .join(bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),
+        col("doc_id").as("b")), Seq("cfg_b", "cfg_r", "band", "k"))
+      .filter(col("a") < col("b"))
+      .select(col("cfg_b"), col("cfg_r"), col("a"), col("b")).distinct()
+      .transform(materialize)
+    val nCand = cand.groupBy(col("cfg_b"), col("cfg_r")).agg(count(lit(1)).as("n_cand"))
+    val nFound = cand.join(truePairs, Seq("a", "b"))
+      .groupBy(col("cfg_b"), col("cfg_r")).agg(count(lit(1)).as("n_found"))
+    val theoDf = LshTuneConfigs.map { case (b, r) => (b, r, lshTheoRecall(b, r, minJ)) }
+      .toDF("cfg_b", "cfg_r", "theo_recall")
+    nCand.join(nFound, Seq("cfg_b", "cfg_r"), "left_outer")
+      .na.fill(0L, Seq("n_found"))
+      .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true"))))
+      .join(broadcast(theoDf), Seq("cfg_b", "cfg_r"))
+      .select(col("cfg_b").as("b"), col("cfg_r").as("r"), col("n_cand"),
+        col("n_found"), col("n_true"),
+        round(col("n_found").cast(DoubleType) / col("n_true"), 4).as("recall"),
+        round(col("n_found").cast(DoubleType) / col("n_cand"), 4).as("prec"),
+        col("theo_recall"))
+  }
+
   // ---------------- incremental cluster maintenance (d20) ----------------
 
   /** Per-JVM registry of the at-rest cluster-assignment artifact per dir. */
