@@ -356,6 +356,9 @@ object SparkEntry {
     // data-card fertility table: tokens-per-word per (lang, source) under
     // the shared t6 pre-tokenizer — one row-local pass, one small fold
     "c27_fertility" -> ((s, d) => Corpus.tokenizerFertility(Tables.t(s, d, "documents"))),
+    // dedup-aware c26: per-doc mass discounted by the d16 weight before
+    // the allocator — the epoch delta vs c26 is the repetition tax
+    "c28_effective_mix" -> ((s, d) => Corpus.effectiveEpochAllocation(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -757,6 +760,7 @@ object SparkEntry {
     "c25_quality_drift" -> Corpus.qualityDriftOracleSql(),
     "c26_epoch_mix" -> Corpus.epochAllocationOracleSql(),
     "c27_fertility" -> Corpus.tokenizerFertilityOracleSql,
+    "c28_effective_mix" -> effectiveMixOracle,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -1035,6 +1039,34 @@ object SparkEntry {
        | sums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
        |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
   }
+
+  /** c28 oracle: the d16 soft-dedup weights (nested as a subquery — its
+    * recursive closure stays self-contained), the t2 quality fold, and the
+    * c26 allocator over exact-decimal EFFECTIVE masses. */
+  private def effectiveMixOracle: String =
+    s"""WITH sd AS (SELECT doc_id, weight FROM (
+       |${softDedupOracle.replace("\n", "\n   ")}) sdq),
+       | q2 AS (SELECT doc_id, quality
+       |        FROM (${graft.ops.TextOps.qualityOracleSql.replace("\n", "\n      ")}) qq),
+       | s AS (SELECT d.source, len(string_split_regex(d.text, '\\s+')) AS n_tok,
+       |        sd.weight, q2.quality
+       |       FROM documents d JOIN sd USING (doc_id) JOIN q2 USING (doc_id)),
+       | a AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS uniq_tok,
+       |        sum(CAST(weight AS DECIMAL(18,4)) * n_tok) AS eff_tok,
+       |        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mq
+       |       FROM s GROUP BY source),
+       | tot AS (SELECT sum(eff_tok) * 200 / 100 AS b FROM a),
+       | u AS (SELECT a.source, a.eff_tok, a.mq, r.k FROM a, range(1, 5) r(k)),
+       | w AS (SELECT source,
+       |        sum(eff_tok) OVER (ORDER BY k, mq DESC, source) AS run FROM u),
+       | kept AS (SELECT source, count(*) AS epochs
+       |          FROM w, tot WHERE run <= tot.b GROUP BY source)
+       |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+       | CAST(a.uniq_tok AS BIGINT) AS uniq_tok,
+       | round(CAST(a.eff_tok AS DOUBLE), 2) AS eff_tok, a.mq,
+       | CAST(coalesce(k.epochs, 0) AS BIGINT) AS epochs,
+       | round(CAST(coalesce(k.epochs, 0) * a.eff_tok AS DOUBLE), 2) AS served_eff
+       |FROM a LEFT JOIN kept k USING (source)""".stripMargin
 
   /** d21 oracle: band keys replayed VERBATIM from the dumped long-form
     * signature artifact (raw r-value tuples, `string_agg` in i order ≡

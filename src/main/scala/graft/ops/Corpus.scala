@@ -1348,6 +1348,53 @@ object Corpus {
         (coalesce(col("epochs"), lit(0L)) * col("uniq_tok")).as("served_tok"))
   }
 
+  /** DEDUP-AWARE epoch allocation (c28) — c26's budget negotiation run on
+    * the token masses that actually matter: raw per-source counts double-
+    * charge duplicated content (a source that is 40% near-duplicate holds
+    * 40% less distinct signal than its token count claims), so each
+    * document's mass is discounted by its d16 soft-dedup weight
+    * (1/multiplicity — the expected-unique-mass correction) BEFORE the
+    * allocator runs. Same breadth-first quality-prioritized grant loop as
+    * c26, with the running sum and budget in EXACT decimals (weight is a
+    * 4-decimal value, so weight·tokens is exact decimal arithmetic,
+    * order-insensitive). The c26-vs-c28 epoch delta per source is
+    * precisely the repetition tax duplicates impose.
+    *
+    * Scale shape: the d16 relation scales as its own operator (LSH +
+    * bounded-round CC, no all-pairs); the allocator stays one window over
+    * 4·|sources| rows. Pure composition — the c9 principle. */
+  def effectiveEpochAllocation(docs: DataFrame, budgetPct: Long = 200,
+      maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(18, 4)
+    val wts = Dedup.softDedupWeights(docs).select(col("doc_id"), col("weight"))
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
+    val agg = Tables.materialize(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+        .join(wts, Seq("doc_id")).join(q, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("uniq_tok"),
+          sum(col("weight").cast(dec) * col("n_tok")).as("eff_tok"),
+          round(sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("mq")))
+    val budget = agg.agg(sum(col("eff_tok"))).head.getDecimal(0)
+      .multiply(new java.math.BigDecimal(budgetPct))
+      .divide(new java.math.BigDecimal(100))
+    val w = Window.orderBy(col("k"), col("mq").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = agg.select(col("source"), col("eff_tok"), col("mq"),
+      explode(expr(s"sequence(1, $maxEpochs)")).as("k"))
+      .withColumn("run", sum(col("eff_tok")).over(w))
+      .filter(col("run") <= lit(budget))
+      .groupBy(col("source")).agg(count(lit(1)).as("epochs"))
+    agg.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("uniq_tok"),
+        outd(col("eff_tok"), 2).as("eff_tok"), col("mq"),
+        coalesce(col("epochs"), lit(0L)).as("epochs"),
+        outd(coalesce(col("epochs"), lit(0L)) * col("eff_tok"), 2).as("served_eff"))
+  }
+
   /** Tokenizer-fertility data card (c27) — the tokens-per-word table every
     * multilingual data card publishes (fertility decides how much compute
     * a language really gets per word: a tokenizer that fragments one
