@@ -1390,9 +1390,9 @@ object Corpus {
       .groupBy(col("source")).agg(count(lit(1)).as("epochs"))
     agg.join(kept, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"), col("uniq_tok"),
-        outd(col("eff_tok"), 2).as("eff_tok"), col("mq"),
+        Tables.outd(col("eff_tok"), 2).as("eff_tok"), col("mq"),
         coalesce(col("epochs"), lit(0L)).as("epochs"),
-        outd(coalesce(col("epochs"), lit(0L)) * col("eff_tok"), 2).as("served_eff"))
+        Tables.outd(coalesce(col("epochs"), lit(0L)) * col("eff_tok"), 2).as("served_eff"))
   }
 
   /** Tokenizer-fertility data card (c27) — the tokens-per-word table every
