@@ -1057,7 +1057,11 @@ object Dedup {
   def lshTuningSweep(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
-    val sigSets = materialize(signaturesWithSets(shingles(docs)))
+    // ONE shingle pipeline feeds both the signature fit and the exact
+    // ground-truth pairs (the d17/d18 shared-prologue discipline —
+    // unshared, the shingle explode+distinct ran twice and dominated)
+    val sh = materialize(shingles(docs))
+    val sigSets = materialize(signaturesWithSets(sh))
     val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
     val longSigs = sigSets.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
@@ -1066,15 +1070,19 @@ object Dedup {
     longSigs.write.mode("overwrite").parquet(dump)
     TuneSigDump = dump
     val truePairs = materialize(
-      ngramJaccardPairs(docs, minJ).select(col("a"), col("b")))
-    val bandRel = LshTuneConfigs.map { case (b, r) =>
+      ngramJaccardPairsFrom(sh.filter(col("doc_id").isNotNull), minJ)
+        .select(col("a"), col("b")))
+    // materialized: the self-join below consumes it twice, and each of its
+    // four branches carries an 84-struct projection whose codegen is the
+    // expensive part — one execution, checkpointed blocks for both sides
+    val bandRel = materialize(LshTuneConfigs.map { case (b, r) =>
       val bandExpr = array((0 until b).map(j => struct(lit(j).as("band"),
         concat_ws("_", (0 until r).map(i => col(s"m${j * r + i}")): _*).as("k"))): _*)
       sigSets.select(lit(b).as("cfg_b"), lit(r).as("cfg_r"), col("doc_id"),
         explode(bandExpr).as("bk"))
         .select(col("cfg_b"), col("cfg_r"), col("bk.band").as("band"),
           col("bk.k").as("k"), col("doc_id"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     val cand = bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),
       col("doc_id").as("a"))
       .join(bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),
