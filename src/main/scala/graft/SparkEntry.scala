@@ -78,6 +78,9 @@ object SparkEntry {
     // discrete lower weighted median: exact decimal cumulation over a
     // total order, first 2·cw ≥ W crossing — no interpolation anywhere
     "q47_weighted_median" -> (Relational.q47_weighted_median _),
+    // Spark-4 VARIANT: parse once at the scan edge, typed variant_get
+    // extractions feed ordinary folds (vs q24's per-expression re-parse)
+    "q48_variant" -> (Relational.q48_variant _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -307,6 +310,9 @@ object SparkEntry {
     // checksum-verified PAN screening: injected candidates are valid for
     // even ids, spoiled for odd — the screen must separate them exactly
     "t34_luhn_screen" -> ((s, d) => TextOps.luhnScreen(Tables.t(s, d, "documents"))),
+    // FineWeb-edu-class academic signal: citation apparatus counted by
+    // class, length-scaled injection proof (the t23 lesson)
+    "t35_citations" -> ((s, d) => TextOps.citationDensity(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -460,6 +466,9 @@ object SparkEntry {
     // full-outer stream-stream interval join: both sides' unmatched rows
     // emit when the watermark proves no partner can arrive
     "e25_stream_fulljoin" -> ((s, d) => EventStreams.fullIntervalJoinOnce(s, d)),
+    // per-user hourly cap via O(1) keyed state — first-cap-of-the-hour is
+    // deterministic under the e22 single-batch ordering guard
+    "e26_stream_ratelimit" -> (EventStreams.rateLimitOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -642,6 +651,7 @@ object SparkEntry {
     "q45_runtime_filter" -> Relational.q45OracleSql,
     "q46_retraction_mv" -> Relational.q46OracleSql,
     "q47_weighted_median" -> Relational.q47OracleSql,
+    "q48_variant" -> Relational.q48OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -734,6 +744,7 @@ object SparkEntry {
     "t32_kneser_ney" -> TextOps.knBigramScoreOracleSql(),
     "t33_ppl_filter" -> TextOps.pplFilterOracleSql,
     "t34_luhn_screen" -> TextOps.luhnScreenOracleSql,
+    "t35_citations" -> TextOps.citationDensityOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
@@ -870,6 +881,7 @@ object SparkEntry {
     "e23_stream_topk" -> EventStreams.windowTopkOracleSql(),
     "e24_stream_psi" -> EventStreams.psiDriftOracleSql,
     "e25_stream_fulljoin" -> EventStreams.fullIntervalJoinOracleSql(),
+    "e26_stream_ratelimit" -> EventStreams.rateLimitOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -1299,6 +1299,41 @@ object Relational {
       | round(CAST(f.tw AS DOUBLE), 2) AS total_w, f.p AS wmedian
       |FROM f JOIN n ON n.rf = f.rf WHERE f.rn = 1""".stripMargin
 
+  /** Semi-structured VARIANT processing (q48) — the Spark 4 native path
+    * for JSON-ish columns: `parse_json` turns the string into the binary
+    * VARIANT encoding ONCE at the scan edge (the open-format answer to
+    * per-expression re-parsing — q24's `get_json_object` re-tokenizes the
+    * string for every extraction), then typed `variant_get` extractions
+    * feed ordinary relational folds. Same panel shape as q24 so the two
+    * paths are directly comparable: per event_type, counts and exact
+    * integer stats of the extracted field.
+    *
+    * At scale this is the difference between parsing 100 TB of JSON once
+    * versus once per expression; shredded-variant storage pushes the
+    * parse to the writer entirely. */
+  def q48_variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(pmod(col("k"), lit(2)) === 0, 1L).otherwise(0L)).as("n_even"))
+
+  /** DuckDB oracle twin of [[q48_variant]] — JSON extraction of the same
+    * field with the same integer folds. */
+  def q48OracleSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      | CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Once-per-JVM registry of q46's standing MV parquet per input dir. */
   private val mv46Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -1912,6 +1912,64 @@ object TextOps {
        |FROM x""".stripMargin
   }
 
+  /** One unit of the t35 citation block: a numeric bracket, a name-year
+    * citation, a DOI, and a reference URL — quote-free so it embeds
+    * verbatim in both engines' string literals. */
+  val CitationUnit: String = " [12] (Smith, 2020) doi:10.1000/j.123 https://ref.example.org/p"
+
+  /** Citation-density scoring (t35) — the academic-content signal an
+    * educational-quality pipeline extracts (FineWeb-edu-class filters
+    * weight citation apparatus heavily; reference density separates a
+    * paper-like page from chat): count numeric bracket citations
+    * `[12]`, name-year citations `(Smith, 2020)`, DOIs, and URLs, and
+    * flag documents whose citation mass and density cross thresholds.
+    * Detection is PROVEN by injection: every 6th document appends
+    * `⌊n_chars/300⌋ + 2` [[CitationUnit]] blocks (scaled with length, the
+    * t23 lesson, so density clears its floor at ANY document length; a
+    * pure function replayed by the oracle) — this corpus's natural text
+    * carries none of these patterns, so the flag fires exactly on the
+    * injected. Row-local regex counts in the Java≡RE2 common subset (t6
+    * discipline), whole-stage codegen, zero shuffle. */
+  def citationDensity(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(col("text"), expr(
+          s"repeat('$CitationUnit', CAST(length(text) DIV 300 + 2 AS INT))")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+      size(split(col("t"), "\\s+")).cast(LongType).as("n_tok"),
+      size(expr("regexp_extract_all(t, '\\\\[\\\\d{1,3}\\\\]', 0)")).cast(LongType).as("n_bracket"),
+      size(expr("regexp_extract_all(t, '\\\\([A-Z][a-z]+, (19|20)\\\\d{2}\\\\)', 0)")).cast(LongType).as("n_nameyear"),
+      size(expr("regexp_extract_all(t, 'doi:10\\\\.\\\\d{4,5}/[^ ]+', 0)")).cast(LongType).as("n_doi"),
+      size(expr("regexp_extract_all(t, 'https?://[^ ]+', 0)")).cast(LongType).as("n_url"))
+      .withColumn("n_cit", col("n_bracket") + col("n_nameyear") + col("n_doi"))
+      .withColumn("density", round(col("n_cit").cast(DoubleType) / col("n_tok"), 4))
+      .withColumn("academic", col("n_cit") >= 3 && col("density") >= 0.01)
+  }
+
+  /** DuckDB oracle twin of [[citationDensity]] — same injection, regex
+    * classes, counts, and thresholds. */
+  def citationDensityOracleSql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 6 = 0
+       |                 THEN text || repeat('$CitationUnit',
+       |                        CAST(length(text) // 300 + 2 AS INT))
+       |                 ELSE text END AS t
+       |           FROM documents),
+       | c AS (SELECT doc_id,
+       |        CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_tok,
+       |        CAST(len(regexp_extract_all(t, '\\[\\d{1,3}\\]')) AS BIGINT) AS n_bracket,
+       |        CAST(len(regexp_extract_all(t, '\\([A-Z][a-z]+, (19|20)\\d{2}\\)')) AS BIGINT) AS n_nameyear,
+       |        CAST(len(regexp_extract_all(t, 'doi:10\\.\\d{4,5}/[^ ]+')) AS BIGINT) AS n_doi,
+       |        CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_url
+       |       FROM a)
+       |SELECT doc_id, n_tok, n_bracket, n_nameyear, n_doi, n_url,
+       | (n_bracket + n_nameyear + n_doi) AS n_cit,
+       | round(CAST(n_bracket + n_nameyear + n_doi AS DOUBLE) / n_tok, 4) AS density,
+       | ((n_bracket + n_nameyear + n_doi) >= 3
+       |  AND round(CAST(n_bracket + n_nameyear + n_doi AS DOUBLE) / n_tok, 4) >= 0.01) AS academic
+       |FROM c""".stripMargin
+
   /** DuckDB oracle twin of [[pplFilter]] — the t32 oracle as the scored
     * relation, the same histogram-tercile arithmetic over the score grid. */
   def pplFilterOracleSql: String =

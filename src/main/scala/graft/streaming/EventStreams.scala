@@ -1165,6 +1165,75 @@ object EventStreams {
   final case class HeartState(nEvents: Long, lastTs: Long, maxGapMs: Long, nOver: Long)
   final case class UserHeartbeat(user_id: Long, n_events: Long, max_gap_s: Long, n_over: Long)
 
+  final case class RlEv(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class RlState(hour: Long, inHour: Long, kept: Long, dropped: Long)
+  final case class UserRate(user_id: Long, n_kept: Long, n_dropped: Long)
+
+  /** Streaming per-user RATE LIMITING (e26) — the spam/abuse cap a feed
+    * pipeline enforces at ingest (an unthrottled producer poisons both
+    * dedup statistics and per-user quotas downstream): at most `cap`
+    * events per user per epoch hour pass; the rest count as dropped. Keyed
+    * state is O(1) per user — (current hour, count in hour, running
+    * totals) — the e22 explicit-state shape; events process in (ts,
+    * event_id) order within the batch, so "first `cap` of the hour" is
+    * deterministic. Update-mode emissions drain via the final-value
+    * reduction; the e22 single-batch ordering guard applies (a multi-batch
+    * deployment orders by event time within each watermark-closed batch —
+    * the cap rule is identical). */
+  def rateLimit(events: Dataset[RlEv], cap: Long = 3): Dataset[UserRate] = {
+    implicit val outEnc = Encoders.product[UserRate]
+    implicit val stEnc = Encoders.product[RlState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RlState, UserRate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[RlEv], state: GroupState[RlState]) =>
+          var st = state.getOption.getOrElse(RlState(Long.MinValue, 0, 0, 0))
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val hr = e.ts.getTime / 3600000L
+            if (hr != st.hour) st = st.copy(hour = hr, inHour = 0)
+            if (st.inHour < cap) st = st.copy(inHour = st.inHour + 1, kept = st.kept + 1)
+            else st = st.copy(dropped = st.dropped + 1)
+          }
+          state.update(st)
+          Iterator.single(UserRate(user, st.kept, st.dropped))
+      }
+  }
+
+  /** Run [[rateLimit]] to completion (memory sink, Update mode, final
+    * values via [[lastUpdate]]) — the `e26_stream_ratelimit` drive, with
+    * e22's single-batch ordering guard. */
+  def rateLimitOnce(spark: SparkSession, dir: String): DataFrame = {
+    implicit val evEnc = Encoders.product[RlEv]
+    val name = s"stream_ratelimit_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val evs = readEventStream(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id")).as[RlEv]
+      val q = rateLimit(evs).toDF()
+        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val emitted = spark.table(name)
+    val maxEmissions = emitted.groupBy(col("user_id")).count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("m")).collect().head.getLong(0)
+    require(maxEmissions <= 1,
+      s"ratelimit drive: a user emitted $maxEmissions updates — the source split " +
+        "a user across micro-batches, violating the single-batch ordering contract")
+    lastUpdate(emitted, Seq("user_id"), Seq("n_kept", "n_dropped"))
+  }
+
+  /** DuckDB oracle twin of [[rateLimitOnce]] — rank within (user, epoch
+    * hour) by (ts, event_id); kept = rank ≤ cap. */
+  def rateLimitOracleSql(cap: Long = 3): String =
+    s"""WITH r AS (SELECT user_id,
+       |            row_number() OVER (
+       |              PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+       |              ORDER BY ts, event_id) AS rn
+       |           FROM events)
+       |SELECT user_id,
+       | CAST(sum(CASE WHEN rn <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(sum(CASE WHEN rn > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY user_id""".stripMargin
+
   /** Streaming heartbeat / liveness monitor (e22) — per source (user), the
     * largest inter-event gap seen and how many gaps exceeded the alert
     * threshold: the upstream-feed health check every ingestion pipeline
