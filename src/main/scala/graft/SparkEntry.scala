@@ -158,6 +158,9 @@ object SparkEntry {
     // cross-acquisition intensity normalization: exact integer CDFs,
     // cross-multiplied quantile LUT (≤256×256 level grain), store write-back
     "a41_hist_match" -> (ArrayOps.a41_hist_match _),
+    // precomputed skeleton codec: real bytes through encode→binaryFile→
+    // decode; degree/cable morphometry, exact integers end to end
+    "a42_skeleton_stats" -> (ArrayOps.a42_skeleton_stats _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -713,6 +716,7 @@ object SparkEntry {
     "a39_mesh_stats" -> ArrayOps.a39OracleSql,
     "a40_agglomerate" -> ArrayOps.a40OracleSql(),
     "a41_hist_match" -> ArrayOps.a41OracleSql,
+    "a42_skeleton_stats" -> ArrayOps.a42OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -2271,6 +2271,127 @@ object ArrayOps {
        |GROUP BY r.id""".stripMargin
   }
 
+  // ---------------- precomputed skeleton morphometry (a42) ----------------
+
+  /** Precomputed SKELETON morphometry (a42) — the skeleton side of the
+    * neuroglancer "precomputed" layout, completing the voxel → mesh (a39)
+    * → skeleton triad a connectomics stack serves: per-segment binary
+    * skeleton objects ([[graft.core.Skeleton]]: uint32 vertex/edge counts,
+    * float32 xyz, uint32 index pairs), and the tracing-QC morphometry —
+    * vertex/edge counts, ENDPOINT and BRANCH-POINT counts from the degree
+    * fold, exact cable length, bounding box — per segment. The fixture
+    * writes 20 deterministic T-shaped skeletons (backbone of
+    * `4 + L mod 7` segments, one branch of `2 + L mod 4` segments at node
+    * `1 + L mod 3`, spacing `1 + L mod 3`, anchor (10L, L, L mod 5))
+    * through the REAL encoder; stats only come out if every float, count,
+    * and edge index decoded exactly — the a39 byte-framing discipline.
+    *
+    * Determinism: all coordinates are small integers in float32 (exact);
+    * every edge is axis-aligned with integer spacing, so each length is
+    * an exact integer (IEEE sqrt of a perfect square) and cable is an
+    * exact BIGINT — no rounding anywhere in the gate.
+    *
+    * Scale shape: skeleton objects are a distributed binaryFile relation
+    * (no driver listing — at 10⁸ segments the skeleton set is itself a
+    * dataset); decode + degree fold + length fold run row-locally in one
+    * typed pass, one map-side-combined reduce at segment grain. */
+  def a42_skeleton_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Skeleton
+    val root = java.nio.file.Files.createTempDirectory("graft-a42").toString
+    val skDir = new java.io.File(root, "skeletons"); skDir.mkdirs()
+    var lab = 1
+    while (lab <= 20) {
+      val s = 1 + lab % 3
+      val nbk = 4 + lab % 7 // backbone segments (vertices 0..nbk)
+      val nbr = 2 + lab % 4 // branch segments
+      val j = 1 + lab % 3 // branch attachment node (interior: j < nbk)
+      val (ax, ay, az) = (10f * lab, lab.toFloat, (lab % 5).toFloat)
+      val verts = new Array[Float](3 * (nbk + 1 + nbr))
+      var i = 0
+      while (i <= nbk) {
+        verts(3 * i) = ax + i * s; verts(3 * i + 1) = ay; verts(3 * i + 2) = az
+        i += 1
+      }
+      var k = 1
+      while (k <= nbr) {
+        val vi = nbk + k
+        verts(3 * vi) = ax + j * s; verts(3 * vi + 1) = ay + k * s; verts(3 * vi + 2) = az
+        k += 1
+      }
+      val edges = new Array[Int](2 * (nbk + nbr))
+      i = 0
+      while (i < nbk) { edges(2 * i) = i; edges(2 * i + 1) = i + 1; i += 1 }
+      edges(2 * nbk) = j; edges(2 * nbk + 1) = nbk + 1
+      k = 1
+      while (k < nbr) {
+        edges(2 * (nbk + k)) = nbk + k; edges(2 * (nbk + k) + 1) = nbk + k + 1
+        k += 1
+      }
+      java.nio.file.Files.write(skDir.toPath.resolve(lab.toString),
+        Skeleton.encode(Skeleton.Skel(verts, edges)))
+      lab += 1
+    }
+    import org.apache.spark.sql.Encoders
+    implicit val statEnc =
+      Encoders.product[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    spark.read.format("binaryFile").load(skDir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as(Encoders.product[(String, Array[Byte])])
+      .map { case (name, bytes) =>
+        val sk = Skeleton.decode(bytes)
+        val deg = new Array[Int](sk.numVertices)
+        var cable = 0L
+        var e = 0
+        while (e < sk.numEdges) {
+          val (a, b) = (sk.edges(2 * e), sk.edges(2 * e + 1))
+          deg(a) += 1; deg(b) += 1
+          def d(i: Int, c: Int) = sk.vertices(3 * i + c).toDouble
+          val len = math.sqrt(
+            (d(a, 0) - d(b, 0)) * (d(a, 0) - d(b, 0)) +
+              (d(a, 1) - d(b, 1)) * (d(a, 1) - d(b, 1)) +
+              (d(a, 2) - d(b, 2)) * (d(a, 2) - d(b, 2)))
+          cable += len.toLong
+          e += 1
+        }
+        var (mnx, mny, mnz) = (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+        var (mxx, mxy) = (Long.MinValue, Long.MinValue)
+        var i = 0
+        while (i < sk.numVertices) {
+          val x = sk.vertices(3 * i).toLong
+          val y = sk.vertices(3 * i + 1).toLong
+          val z = sk.vertices(3 * i + 2).toLong
+          if (x < mnx) mnx = x; if (x > mxx) mxx = x
+          if (y < mny) mny = y; if (y > mxy) mxy = y
+          if (z < mnz) mnz = z
+          i += 1
+        }
+        (name.toLong, sk.numVertices.toLong, sk.numEdges.toLong,
+          deg.count(_ == 1).toLong, deg.count(_ >= 3).toLong, cable,
+          mnx, mxx, mny, mxy, mnz)
+      }
+      .toDF("label", "n_vertices", "n_edges", "n_endpoints", "n_branches",
+        "cable", "x0", "x1", "y0", "y1", "z0")
+  }
+
+  /** Oracle twin of [[a42_skeleton_stats]] — the closed-form construction
+    * replayed per label: counts, degree census, exact cable, bbox. */
+  def a42OracleSql: String =
+    """WITH l AS (SELECT CAST(lab AS BIGINT) AS label, 1 + lab % 3 AS s,
+      |            4 + lab % 7 AS nbk, 2 + lab % 4 AS nbr, 1 + lab % 3 AS j
+      |           FROM range(1, 21) t(lab))
+      |SELECT label,
+      | CAST(nbk + 1 + nbr AS BIGINT) AS n_vertices,
+      | CAST(nbk + nbr AS BIGINT) AS n_edges,
+      | CAST(3 AS BIGINT) AS n_endpoints,
+      | CAST(1 AS BIGINT) AS n_branches,
+      | CAST((nbk + nbr) * s AS BIGINT) AS cable,
+      | CAST(10 * label AS BIGINT) AS x0,
+      | CAST(10 * label + nbk * s AS BIGINT) AS x1,
+      | CAST(label AS BIGINT) AS y0,
+      | CAST(label + nbr * s AS BIGINT) AS y1,
+      | CAST(label % 5 AS BIGINT) AS z0
+      |FROM l""".stripMargin
+
   // ---------------- histogram matching (a41) ----------------
 
   /** Histogram MATCHING across volumes (a41) — the cross-acquisition
