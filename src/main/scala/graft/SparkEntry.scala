@@ -368,6 +368,9 @@ object SparkEntry {
     // dedup-aware c26: per-doc mass discounted by the d16 weight before
     // the allocator — the epoch delta vs c26 is the repetition tax
     "c28_effective_mix" -> ((s, d) => Corpus.effectiveEpochAllocation(Tables.t(s, d, "documents"))),
+    // weak-supervision reliability: three heuristic raters, per-source
+    // observed agreement and chance-corrected Fleiss kappa
+    "c29_rater_agreement" -> ((s, d) => Corpus.raterAgreement(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -776,6 +779,7 @@ object SparkEntry {
     "c26_epoch_mix" -> Corpus.epochAllocationOracleSql(),
     "c27_fertility" -> Corpus.tokenizerFertilityOracleSql,
     "c28_effective_mix" -> effectiveMixOracle,
+    "c29_rater_agreement" -> Corpus.raterAgreementOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

@@ -1395,6 +1395,78 @@ object Corpus {
         Tables.outd(coalesce(col("epochs"), lit(0L)) * col("eff_tok"), 2).as("served_eff"))
   }
 
+  /** The c29 agreement arithmetic over per-source integer tallies
+    * (`agree`, `p1..p3`, `n`) as ONE engine-portable expression chain:
+    * observed agreement Pₒ = agree/(3n), chance agreement
+    * Pₑ = p̄² + (1−p̄)² with p̄ the pooled positive rate, Fleiss-style
+    * κ = (Pₒ−Pₑ)/(1−Pₑ) — fixed-order double arithmetic from exact
+    * integers, guarded for the degenerate all-agree marginal. */
+  private def kappaSql: String = {
+    val po = "(CAST(agree AS DOUBLE) / (3 * n))"
+    val pb = "(CAST(p1 + p2 + p3 AS DOUBLE) / (3 * n))"
+    val pe = s"($pb * $pb + (1 - $pb) * (1 - $pb))"
+    s"CASE WHEN $pe = 1.0 THEN 1.0 ELSE round(($po - $pe) / (1 - $pe), 4) END"
+  }
+  private def poSql: String = "round(CAST(agree AS DOUBLE) / (3 * n), 4)"
+
+  /** Weak-labeler AGREEMENT audit (c29) — the reliability check a
+    * weak-supervision pipeline runs before trusting heuristic labels
+    * (Snorkel-style labeling functions only help where they agree more
+    * than chance; a source where κ ≈ 0 is getting random labels): three
+    * in-repo raters vote keep/drop per document — t2 quality ≥ 1.0, the
+    * t16 Gopher rule conjunction, and a t19 character-entropy band
+    * [2.8, 4.0] — and per source the tally yields pairwise observed
+    * agreement Pₒ and chance-corrected Fleiss κ. All votes are exact
+    * integer/boolean comparisons on already-rounded scores, so the tallies
+    * are bit-stable; the κ chain is one fixed-order double expression.
+    *
+    * Scale shape: three row-local scoring passes (each its own operator's
+    * cost), two doc-grain equi-joins, one source-grain fold. */
+  def raterAgreement(docs: DataFrame): DataFrame = {
+    val r1 = TextOps.qualityScores(docs)
+      .select(col("doc_id"), (col("quality") >= 1.0).as("v1"))
+    // the t16 registration (and its oracle) evaluate the rules over the
+    // synthetic-lines-augmented text — this rater votes on the same input
+    val r2 = TextOps.gopherRules(TextOps.withSyntheticLines(docs))
+      .select(col("doc_id"), col("keep").as("v2"))
+    val r3 = TextOps.charEntropy(docs)
+      .select(col("doc_id"), col("ent").between(2.8, 4.0).as("v3"))
+    docs.select(col("doc_id"), col("source"))
+      .join(r1, Seq("doc_id")).join(r2, Seq("doc_id")).join(r3, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v1").cast(LongType)).as("p1"),
+        sum(col("v2").cast(LongType)).as("p2"),
+        sum(col("v3").cast(LongType)).as("p3"),
+        sum(expr("CAST(v1 = v2 AS INT) + CAST(v1 = v3 AS INT) + CAST(v2 = v3 AS INT)"))
+          .as("agree"))
+      .select(col("source"), col("n"), col("p1"), col("p2"), col("p3"), col("agree"),
+        expr(poSql).as("po"), expr(kappaSql).as("kappa"))
+  }
+
+  /** DuckDB oracle twin of [[raterAgreement]] — the three rater oracles as
+    * CTE subqueries, identical tallies and κ chain. */
+  def raterAgreementOracleSql: String =
+    s"""WITH q AS (SELECT doc_id, (quality >= 1.0) AS v1
+       |           FROM (${TextOps.qualityOracleSql.replace("\n", "\n      ")}) t1),
+       | g AS (SELECT doc_id, keep AS v2
+       |       FROM (${TextOps.gopherRulesOracleSql().replace("\n", "\n      ")}) t2),
+       | e AS (SELECT doc_id, (ent BETWEEN 2.8 AND 4.0) AS v3
+       |       FROM (${TextOps.charEntropyOracleSql.replace("\n", "\n      ")}) t3),
+       | v AS (SELECT d.source, q.v1, g.v2, e.v3
+       |       FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)
+       |        JOIN e USING (doc_id)),
+       | a AS (SELECT source, count(*) AS n,
+       |        sum(CAST(v1 AS INT)) AS p1, sum(CAST(v2 AS INT)) AS p2,
+       |        sum(CAST(v3 AS INT)) AS p3,
+       |        sum(CAST(v1 = v2 AS INT) + CAST(v1 = v3 AS INT) + CAST(v2 = v3 AS INT)) AS agree
+       |       FROM v GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n, CAST(p1 AS BIGINT) AS p1,
+       | CAST(p2 AS BIGINT) AS p2, CAST(p3 AS BIGINT) AS p3,
+       | CAST(agree AS BIGINT) AS agree,
+       | $poSql AS po, $kappaSql AS kappa
+       |FROM a""".stripMargin
+
   /** Tokenizer-fertility data card (c27) — the tokens-per-word table every
     * multilingual data card publishes (fertility decides how much compute
     * a language really gets per word: a tokenizer that fragments one
