@@ -242,6 +242,9 @@ object SparkEntry {
     // NN-descent round over the s21 graph: distance-2 candidate expansion
     // (O(n·k²), never all-pairs), exact re-rank, gained-edge accounting
     "s33_nn_descent" -> ((s, d) => Similarity.nnDescent(s, d)),
+    // query-adaptive nprobe: top-2 centroid margin (already computed by
+    // cell selection) routes each query to 4/8/12 probes — free routing
+    "s34_adaptive_nprobe" -> ((s, d) => Similarity.adaptiveNprobe(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -809,6 +812,7 @@ object SparkEntry {
     "s31_coverage_sample" -> Similarity.coverageSampleOracleSql(),
     "s32_nprobe_sweep" -> Similarity.nprobeSweepOracleSql(),
     "s33_nn_descent" -> Similarity.nnDescentOracleSql(),
+    "s34_adaptive_nprobe" -> Similarity.adaptiveNprobeOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -2474,6 +2474,103 @@ object Similarity {
        | (n.neg_cos >= p.pos_cos) AS violation
        |FROM pos p JOIN neg n USING (q_id)""".stripMargin
 
+  /** Where the most recent [[adaptiveNprobe]] call dumped its coarse
+    * centroids — per-dir (the s25/q33 `dirToken` convention). */
+  @volatile private[graft] var AdaptiveCentroidDump: String = ""
+
+  /** QUERY-ADAPTIVE nprobe routing (s34) — the per-query cost control a
+    * fixed-nprobe IVF (s4) leaves on the table: a query whose best cell
+    * wins by a wide margin has its neighbors concentrated there (probe
+    * few), a near-tie query needs breadth (probe many). The router reads
+    * the margin between the top-2 coarse-centroid scores — information
+    * the cell-selection kernel already computed, so routing is FREE — and
+    * picks nprobe ∈ {4, 8, 12} on rounded-margin thresholds (0.2/0.1 —
+    * the fixture margin quartiles straddle them, so all three routes are
+    * exercised); candidates
+    * and the exact rerank then proceed exactly as s4. Output carries the
+    * routing evidence per query (margin, chosen nprobe, candidates
+    * scored) next to the top-k, so the artifact shows the cost spread the
+    * router bought.
+    *
+    * Scale shape: identical to s4 — row-local codegen cell scores, the
+    * routed (query × cell) relation broadcast into the cell equi-join,
+    * one window per query partition. The decision threshold compares
+    * ROUNDED margins, so the route cannot drift between engines. */
+  def adaptiveNprobe(spark: SparkSession, dir: String, nQueries: Int = 25, k: Int = 5,
+      nlist: Int = 16): DataFrame = {
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    val dump = s"$OracleDumpRoot/s34_centroids_${dirToken(dir)}"
+    dumpCentroids(spark, centMatrix, dump)
+    AdaptiveCentroidDump = dump
+    val assigned = emb.select(col("vec_id").as("nb_id"), col("embedding").as("ea"),
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
+    val routed = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        centroid_topn(col("embedding"), centMatrix, nlist).as("ranked"))
+      .withColumn("margin", round(expr("ranked[0].cs - ranked[1].cs"), 4))
+      .withColumn("np",
+        when(col("margin") >= 0.2, 4).when(col("margin") >= 0.1, 8).otherwise(12))
+      .select(col("q_id"), col("qa"), col("margin"), col("np"),
+        explode(expr("slice(ranked, 1, np)")).as("cell"))
+      .select(col("q_id"), col("qa"), col("margin"), col("np"),
+        col("cell.cluster").as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    val cand = assigned.join(broadcast(routed), Seq("cluster"))
+      .filter(col("nb_id") =!= col("q_id"))
+      .transform(materialize)
+    val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    cand.withColumn("cos", cosine("qa", "ea"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(nCand, Seq("q_id"))
+      .select(col("q_id"), col("margin"), col("np").cast(LongType).as("nprobe"),
+        col("n_cand"), col("nb_id"), round(col("cos"), 4).as("cs"),
+        col("rnk").cast(LongType).as("rnk"))
+  }
+
+  /** DuckDB oracle twin of [[adaptiveNprobe]] — the s4 replay with the
+    * same rounded-margin router between cell ranking and cell probing. */
+  def adaptiveNprobeOracleSql(nQueries: Int = 25, k: Int = 5): String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$AdaptiveCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, cluster FROM (
+       |          SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | qr AS (SELECT vec_id AS q_id, cluster, cs,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS crnk
+       |        FROM s WHERE vec_id < $nQueries),
+       | np AS (SELECT q_id,
+       |         round(max(CASE WHEN crnk = 1 THEN cs END) -
+       |               max(CASE WHEN crnk = 2 THEN cs END), 4) AS margin,
+       |         CASE WHEN round(max(CASE WHEN crnk = 1 THEN cs END) -
+       |                         max(CASE WHEN crnk = 2 THEN cs END), 4) >= 0.2 THEN 4
+       |              WHEN round(max(CASE WHEN crnk = 1 THEN cs END) -
+       |                         max(CASE WHEN crnk = 2 THEN cs END), 4) >= 0.1 THEN 8
+       |              ELSE 12 END AS np
+       |        FROM qr GROUP BY q_id),
+       | qc AS (SELECT qr.q_id, qr.cluster FROM qr JOIN np USING (q_id)
+       |        WHERE qr.crnk <= np.np),
+       | cand AS (SELECT qc.q_id, a.vec_id AS nb_id FROM qc JOIN asg a USING (cluster)
+       |          WHERE a.vec_id != qc.q_id),
+       | nc AS (SELECT q_id, count(*) AS n_cand FROM cand GROUP BY q_id),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT cand.q_id, cand.nb_id,
+       |        CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+       |             ELSE list_dot_product(nq.emb, nn.emb) / (nq.nrm * nn.nrm) END AS cos
+       |       FROM cand JOIN n nq ON nq.vec_id = cand.q_id JOIN n nn ON nn.vec_id = cand.nb_id),
+       | r AS (SELECT q_id, nb_id, round(cos, 4) AS cs,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id) AS rnk FROM p)
+       |SELECT r.q_id, np.margin, CAST(np.np AS BIGINT) AS nprobe,
+       | CAST(nc.n_cand AS BIGINT) AS n_cand, r.nb_id, r.cs, CAST(r.rnk AS BIGINT) AS rnk
+       |FROM r JOIN np USING (q_id) JOIN nc USING (q_id) WHERE r.rnk <= $k""".stripMargin
+
   /** One NN-DESCENT refinement round over the s21 kNN graph (s33, Dong et
     * al.'s graph-improvement principle: a neighbor of a neighbor is likely
     * a neighbor): candidates are the current graph's UNDIRECTED edges plus
