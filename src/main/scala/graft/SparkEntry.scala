@@ -410,6 +410,9 @@ object SparkEntry {
     // cross-video dedup: frame-hash inverted index (no all-pairs), exact
     // frame-set Jaccard verify; donor-payload injection proves detection
     "m24_video_dup" -> (Multimodal.videoDup _),
+    // sensor-banding QC: stripes planted pre-encode, exact integer
+    // column/row deviation folds, division-free verdict
+    "m25_stripe_qc" -> (Multimodal.stripeQc _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -914,6 +917,7 @@ object SparkEntry {
     "m22_border_qc" -> Multimodal.imageBorderQcOracleSql,
     "m23_dc_offset" -> Multimodal.audioDcQcOracleSql,
     "m24_video_dup" -> Multimodal.videoDupOracleSql,
+    "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

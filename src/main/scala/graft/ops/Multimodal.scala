@@ -1934,6 +1934,111 @@ object Multimodal {
        |FROM f""".stripMargin
   }
 
+  // ---------------- fixed-pattern stripe QC (m25) ----------------
+
+  /** Fixed-pattern STRIPE detection (m25) — the banding screen for sensor
+    * and microscopy artifacts (readout electronics and scan-line
+    * acquisition imprint periodic column stripes; striped frames poison
+    * both training and downstream stitching, and EM pipelines de-stripe
+    * before alignment): per image, exact integer COLUMN sums and ROW sums
+    * from the decoded raster, the max|column mean − global mean| vs the
+    * same for rows, and a verdict when column deviation dominates row
+    * deviation by 3× and exceeds a floor. Striping is PROVEN by
+    * injection: every 6th image gets +40 (saturating) on every 8th
+    * column BEFORE the PNG encode — a pure function of (doc_id, x)
+    * replayed by the oracle; natural tiled-text rasters have near-equal
+    * column/row deviations, so the verdict fires exactly on the injected.
+    *
+    * Determinism: both deviations carry the SAME W·H scale
+    * (`|colSum·W − total| = W·H·|colMean − mean|`, and symmetrically for
+    * rows), so the verdict compares exact integers directly — no
+    * division anywhere. One
+    * decode + one fused fold per image, zero shuffle (the m19 sweep
+    * discipline). */
+  def stripeQc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Long, Boolean)]
+    assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          // stride-131 sampling (the synthFrame device), NOT plain tiling:
+          // a tiled raster is itself column-periodic whenever the text
+          // length shares factors with W, which reads as natural striping;
+          // the coprime stride decorrelates columns from text structure so
+          // the verdict isolates the injected pattern
+          val raster = new Array[Byte](ThumbW * ThumbH)
+          if (payload.length > 0) {
+            var i = 0
+            while (i < raster.length) {
+              raster(i) = payload((i * 131) % payload.length); i += 1
+            }
+          }
+          if (id % 6 == 0) {
+            var p = 0
+            while (p < raster.length) {
+              if (p % ThumbW % 8 == 0)
+                raster(p) = math.min(255, (raster(p) & 0xff) + 60).toByte
+              p += 1
+            }
+          }
+          val px = imgDecode(imgEncode(raster, ThumbW, ThumbH))._1
+          val colSum = new Array[Long](ThumbW)
+          val rowSum = new Array[Long](ThumbH)
+          var total = 0L
+          var p = 0
+          while (p < px.length) {
+            val v = (px(p) & 0xff).toLong
+            colSum(p % ThumbW) += v
+            rowSum(p / ThumbW) += v
+            total += v
+            p += 1
+          }
+          // scaled integer deviations: |colSum·W − total| is W·H·|colMean −
+          // globalMean| (column count = H, W columns); rows symmetric
+          var colDev = 0L
+          colSum.foreach { s => val d = math.abs(s * ThumbW - total); if (d > colDev) colDev = d }
+          var rowDev = 0L
+          rowSum.foreach { s => val d = math.abs(s * ThumbH - total); if (d > rowDev) rowDev = d }
+          // both devs are W·H·|meanDelta| — compare directly; the 40-level
+          // floor (colDev > 40·W·H ⇔ |colMean − mean| > 40) sits between
+          // the strongest natural periodicity this corpus produces (~33
+          // levels) and the weakest injected stripe (~50)
+          val striped = colDev > 3L * rowDev &&
+            colDev > 40L * ThumbW * ThumbH
+          (id, total, colDev, rowDev, striped)
+        }
+      }
+      .toDF("doc_id", "total", "col_dev", "row_dev", "striped")
+  }
+
+  /** DuckDB oracle twin of [[stripeQc]] — the stride-sampled raster as
+    * char codes, the same saturating stripe injection, integer column/row
+    * folds, and the division-free verdict. */
+  def stripeQcOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT doc_id, text, length(text) AS len
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | px AS (SELECT doc_id, (i - 1) % $ThumbW AS cx, (i - 1) // $ThumbW AS cy,
+       |         CASE WHEN doc_id % 6 = 0 AND (i - 1) % $ThumbW % 8 = 0
+       |              THEN least(255, ord(substr(text, CAST(((i - 1) * 131) % len AS INT) + 1, 1)) + 60)
+       |              ELSE ord(substr(text, CAST(((i - 1) * 131) % len AS INT) + 1, 1)) END AS v
+       |        FROM img, range(1, $ipx + 1) AS u(i)),
+       | t AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
+       | cd AS (SELECT p.doc_id, max(abs(s * $ThumbW - t.total)) AS col_dev
+       |        FROM (SELECT doc_id, cx, sum(v) AS s FROM px GROUP BY doc_id, cx) p
+       |        JOIN t USING (doc_id) GROUP BY p.doc_id),
+       | rd AS (SELECT p.doc_id, max(abs(s * $ThumbH - t.total)) AS row_dev
+       |        FROM (SELECT doc_id, cy, sum(v) AS s FROM px GROUP BY doc_id, cy) p
+       |        JOIN t USING (doc_id) GROUP BY p.doc_id)
+       |SELECT t.doc_id, CAST(t.total AS BIGINT) AS total,
+       | CAST(cd.col_dev AS BIGINT) AS col_dev, CAST(rd.row_dev AS BIGINT) AS row_dev,
+       | (cd.col_dev > 3 * rd.row_dev
+       |  AND cd.col_dev > 40 * $ThumbW * $ThumbH) AS striped
+       |FROM t JOIN cd USING (doc_id) JOIN rd USING (doc_id)""".stripMargin
+  }
+
   // ---------------- cross-video near-duplicate detection (m24) ----------------
 
   /** CROSS-video near-duplicate detection (m24) — the video-corpus analogue
