@@ -413,6 +413,9 @@ object SparkEntry {
     // sensor-banding QC: stripes planted pre-encode, exact integer
     // column/row deviation folds, division-free verdict
     "m25_stripe_qc" -> (Multimodal.stripeQc _),
+    // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
+    // log10; injected noise floor drops injected clips ~7 dB
+    "m26_audio_snr" -> (Multimodal.audioSnr _),
     "m6_modal_video" -> (Multimodal.modalVideo _),
     // m7 ingests REAL media FILES (engine-encoded .tif/.wav/.avi on disk)
     // through spark.read.format("binaryFile") + the real decoders — the
@@ -918,6 +921,7 @@ object SparkEntry {
     "m23_dc_offset" -> Multimodal.audioDcQcOracleSql,
     "m24_video_dup" -> Multimodal.videoDupOracleSql,
     "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
+    "m26_audio_snr" -> Multimodal.audioSnrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,
     "m8_image_phash" -> Multimodal.imagePhashOracleSql,

@@ -1934,6 +1934,95 @@ object Multimodal {
        |FROM f""".stripMargin
   }
 
+  // ---------------- audio SNR estimation (m26) ----------------
+
+  /** Signal-to-noise estimation (m26) — the audio-quality gate a speech
+    * corpus runs before transcription compute (low-SNR clips waste ASR
+    * budget and poison alignment): frames classify by the m9 VAD energy
+    * threshold, the VOICED mean frame energy over the UNVOICED mean frame
+    * energy estimates SNR in dB, and clips under 26 dB flag. Degradation
+    * is PROVEN by injection: every 5th clip gains a deterministic ±2048
+    * noise floor (saturating, a pure function of (doc_id, i) replayed by
+    * the oracle) — small enough that no frame flips its VAD class (±2048
+    * keeps unvoiced frames an order of magnitude under the 10⁹ threshold)
+    * but a ~5× noise-floor raise, so clean clips sit ≈ 30 dB and injected
+    * ≈ 23 dB. Exact integer energy folds; ONE log10 at the end, rounded
+    * to 2 (the knBigram ln-parity discipline).
+    *
+    * Scale shape: one decode + one fused frame fold per clip in
+    * `mapPartitions` — the m9 sweep, zero shuffle. */
+  def audioSnr(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.scalaLong
+    val outEnc = Encoders.product[(Long, Long, Long, Long, Long, Double, Boolean)]
+    t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val raw = synthVadSamples(id)
+          val adj = if (id % 5 == 0) {
+            Array.tabulate(raw.length) { i =>
+              val noise = ((id * 131 + i.toLong * 71) % 4096) - 2048
+              math.max(-32768L, math.min(32767L, raw(i).toLong + noise)).toShort
+            }
+          } else raw
+          val (smp, _, _, _) = wavDecode(wavEncode(adj))
+          val nFrames = smp.length / VadFrame
+          var (se, sa, ne, na) = (0L, 0L, 0L, 0L)
+          var f = 0
+          while (f < nFrames) {
+            var fe = 0L
+            var i = f * VadFrame
+            val end = i + VadFrame
+            while (i < end) { val s = smp(i).toLong; fe += s * s; i += 1 }
+            if (fe > VadThreshold) { se += fe; sa += 1 } else { ne += fe; na += 1 }
+            f += 1
+          }
+          val snr =
+            if (sa == 0 || na == 0 || ne == 0) Double.NaN
+            else BigDecimal(10.0 * math.log10((se.toDouble / sa) / (ne.toDouble / na)))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, sa, na, se, ne, snr, !snr.isNaN && snr < 26.0)
+        }
+      }(outEnc)
+      .toDF("doc_id", "n_voiced", "n_unvoiced", "e_voiced", "e_unvoiced", "snr_db", "low_snr")
+  }
+
+  /** DuckDB oracle twin of [[audioSnr]] — the closed-form synthesis with
+    * the same saturating noise injection, frame folds, and dB chain. */
+  def audioSnrOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 1600 + (doc_id % 97) * 16 AS n FROM documents),
+       | s AS (SELECT doc_id, n,
+       |        [ CASE WHEN doc_id % 5 = 0
+       |               THEN greatest(-32768, least(32767,
+       |                 (CASE WHEN ((doc_id * 31 + (i // $VadFrame) * 17) % 7) < 3
+       |                       THEN ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |                       ELSE (((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024 END)
+       |                 + ((doc_id * 131 + i * 71) % 4096) - 2048))
+       |               ELSE (CASE WHEN ((doc_id * 31 + (i // $VadFrame) * 17) % 7) < 3
+       |                          THEN ((doc_id * 7919 + i * 104729) % 65536) - 32768
+       |                          ELSE (((doc_id * 7919 + i * 104729) % 65536) - 32768) % 1024 END)
+       |          END FOR i IN range(0, CAST(n AS BIGINT)) ] AS smp
+       |       FROM d),
+       | f AS (SELECT doc_id, unnest(range(0, n // $VadFrame)) AS fi, smp FROM s),
+       | fe AS (SELECT doc_id,
+       |         list_sum(list_transform(
+       |           smp[CAST(fi * $VadFrame + 1 AS INT):CAST((fi + 1) * $VadFrame AS INT)],
+       |           x -> x * x)) AS fe
+       |        FROM f),
+       | a AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN fe > $VadThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+       |        CAST(sum(CASE WHEN fe > $VadThreshold THEN 0 ELSE 1 END) AS BIGINT) AS n_unvoiced,
+       |        CAST(sum(CASE WHEN fe > $VadThreshold THEN fe ELSE 0 END) AS BIGINT) AS e_voiced,
+       |        CAST(sum(CASE WHEN fe > $VadThreshold THEN 0 ELSE fe END) AS BIGINT) AS e_unvoiced
+       |       FROM fe GROUP BY doc_id)
+       |SELECT doc_id, n_voiced, n_unvoiced, e_voiced, e_unvoiced,
+       | CASE WHEN n_voiced = 0 OR n_unvoiced = 0 OR e_unvoiced = 0 THEN CAST('NaN' AS DOUBLE)
+       |      ELSE round(10.0 * log10((CAST(e_voiced AS DOUBLE) / n_voiced) /
+       |                              (CAST(e_unvoiced AS DOUBLE) / n_unvoiced)), 2) END AS snr_db,
+       | (n_voiced > 0 AND n_unvoiced > 0 AND e_unvoiced > 0
+       |  AND round(10.0 * log10((CAST(e_voiced AS DOUBLE) / n_voiced) /
+       |                         (CAST(e_unvoiced AS DOUBLE) / n_unvoiced)), 2) < 26.0) AS low_snr
+       |FROM a""".stripMargin
+
   // ---------------- fixed-pattern stripe QC (m25) ----------------
 
   /** Fixed-pattern STRIPE detection (m25) — the banding screen for sensor
