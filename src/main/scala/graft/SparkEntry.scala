@@ -161,6 +161,9 @@ object SparkEntry {
     // precomputed skeleton codec: real bytes through encode→binaryFile→
     // decode; degree/cable morphometry, exact integers end to end
     "a42_skeleton_stats" -> (ArrayOps.a42_skeleton_stats _),
+    // version diff at chunk grain: blob-hash compare (nothing decodes for
+    // unchanged chunks), voxel join only inside the changed region
+    "a43_version_diff" -> (ArrayOps.a43_version_diff _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -729,6 +732,7 @@ object SparkEntry {
     "a40_agglomerate" -> ArrayOps.a40OracleSql(),
     "a41_hist_match" -> ArrayOps.a41OracleSql,
     "a42_skeleton_stats" -> ArrayOps.a42OracleSql,
+    "a43_version_diff" -> ArrayOps.a43OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -2271,6 +2271,103 @@ object ArrayOps {
        |GROUP BY r.id""".stripMargin
   }
 
+  // ---------------- versioned-volume diff (a43) ----------------
+
+  /** Versioned-volume DIFF manifest (a43) — the change audit a
+    * proofreading/re-acquisition workflow runs between two versions of a
+    * layer ("what did this edit round actually touch?"): chunk-level
+    * detection compares the STORED OBJECTS (md5 over the chunk blobs via
+    * the DSv2 chunk table — no voxel is decoded for unchanged chunks;
+    * deterministic codec ⇒ byte-equal iff voxel-equal), and only the
+    * changed chunks pay a voxel-grain join for the delta census
+    * (n_diff, max |Δ|). The edit is a pure function (box
+    * [17,32]²×[3,6] gains +50, saturating), so exactly the 2 chunks
+    * intersecting it must flag and every other chunk must prove byte
+    * identity.
+    *
+    * At 100 TB this shape is the whole point: version diff costs one LIST
+    * + blob-hash pass at chunk grain (objects stream, nothing decodes)
+    * plus voxel work proportional to the CHANGED region only — the a14
+    * LIST-audit principle extended to cross-version comparison. */
+  def a43_version_diff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val r1 = java.nio.file.Files.createTempDirectory("graft-a43-v1").toString
+    val r2 = java.nio.file.Files.createTempDirectory("graft-a43-v2").toString
+    val vmeta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+      Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+    val v1 = Volume.create(spark, r1, vmeta)
+    val v2 = Volume.create(spark, r2, vmeta)
+    val b1 = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    val b2 = VoxelBuffer.zeros(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+    var z = 1
+    while (z <= 8) {
+      var y = 1
+      while (y <= 64) {
+        var x = 1
+        while (x <= 64) {
+          val u = (x * 31 + y * 17 + z * 7) % 251
+          val base = (u * u / 251).toLong
+          b1.setLong(x - 1, y - 1, z - 1, 0, base)
+          val edited =
+            if (x >= 17 && x <= 32 && y >= 17 && y <= 32 && z >= 3 && z <= 6)
+              math.min(255L, base + 50)
+            else base
+          b2.setLong(x - 1, y - 1, z - 1, 0, edited)
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    v1.ingest(b1)
+    v2.ingest(b2)
+    def chunks(root: String, side: String) =
+      spark.read.format("precomputed").load(root)
+        .select(col("cx"), col("cy"), col("cz"), md5(col("blob")).as(s"h_$side"))
+    val manifest = chunks(r1, "a").join(chunks(r2, "b"), Seq("cx", "cy", "cz"))
+      .withColumn("changed", col("h_a") =!= col("h_b"))
+    val box = Box(1, 64, 1, 64, 1, 8)
+    def vox(vol: Volume, side: String) = vol.toVoxels(box)
+      .select(col("x"), col("y"), col("z"),
+        expr("(x - 1) DIV 32 + 1").as("cx"), expr("(y - 1) DIV 32 + 1").as("cy"),
+        expr("(z - 1) DIV 4 + 1").as("cz"),
+        col("value").cast(LongType).as(s"v_$side"))
+    val changedKeys = manifest.filter(col("changed"))
+      .select(col("cx"), col("cy"), col("cz"))
+    val deltas = vox(v1, "a").join(broadcast(changedKeys), Seq("cx", "cy", "cz"))
+      .join(vox(v2, "b"), Seq("cx", "cy", "cz", "x", "y", "z"))
+      .filter(col("v_a") =!= col("v_b"))
+      .groupBy(col("cx"), col("cy"), col("cz"))
+      .agg(count(lit(1)).as("n_diff"),
+        max(abs(col("v_b") - col("v_a"))).as("max_delta"))
+    manifest.join(deltas, Seq("cx", "cy", "cz"), "left_outer")
+      .select(col("cx").cast(LongType).as("cx"), col("cy").cast(LongType).as("cy"),
+        col("cz").cast(LongType).as("cz"), col("changed"),
+        coalesce(col("n_diff"), lit(0L)).as("n_diff"),
+        coalesce(col("max_delta"), lit(0L)).as("max_delta"))
+  }
+
+  /** Oracle twin of [[a43_version_diff]]: both versions regenerated from
+    * the closed form, per-chunk change census — a chunk is changed iff any
+    * voxel differs, which must agree with the engine's blob-hash verdict. */
+  def a43OracleSql: String =
+    """WITH g AS (SELECT x.x, y.y, z.z FROM range(1, 65) x(x), range(1, 65) y(y), range(1, 9) z(z)),
+      | v AS (SELECT x, y, z,
+      |        ((x * 31 + y * 17 + z * 7) % 251) * ((x * 31 + y * 17 + z * 7) % 251) // 251 AS v1
+      |       FROM g),
+      | e AS (SELECT x, y, z, v1,
+      |        CASE WHEN x BETWEEN 17 AND 32 AND y BETWEEN 17 AND 32 AND z BETWEEN 3 AND 6
+      |             THEN least(255, v1 + 50) ELSE v1 END AS v2
+      |       FROM v),
+      | c AS (SELECT (x - 1) // 32 + 1 AS cx, (y - 1) // 32 + 1 AS cy, (z - 1) // 4 + 1 AS cz,
+      |        v1, v2 FROM e)
+      |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, CAST(cz AS BIGINT) AS cz,
+      | (sum(CASE WHEN v1 != v2 THEN 1 ELSE 0 END) > 0) AS changed,
+      | CAST(sum(CASE WHEN v1 != v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+      | CAST(coalesce(max(CASE WHEN v1 != v2 THEN abs(v2 - v1) END), 0) AS BIGINT) AS max_delta
+      |FROM c GROUP BY 1, 2, 3""".stripMargin
+
   // ---------------- precomputed skeleton morphometry (a42) ----------------
 
   /** Precomputed SKELETON morphometry (a42) — the skeleton side of the
