@@ -248,6 +248,9 @@ object SparkEntry {
     // query-adaptive nprobe: top-2 centroid margin (already computed by
     // cell selection) routes each query to 4/8/12 probes — free routing
     "s34_adaptive_nprobe" -> ((s, d) => Similarity.adaptiveNprobe(s, d)),
+    // representation-space outlier screen: max-centroid affinity deciles
+    // via the histogram device — zero shuffle past the scoring pass
+    "s35_ood_screen" -> ((s, d) => Similarity.oodScreen(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -322,6 +325,8 @@ object SparkEntry {
     // FineWeb-edu-class academic signal: citation apparatus counted by
     // class, length-scaled injection proof (the t23 lesson)
     "t35_citations" -> ((s, d) => TextOps.citationDensity(Tables.t(s, d, "documents"))),
+    // prompt-injection / instruction-leak governance scan, injection-proof
+    "t36_instructions" -> ((s, d) => TextOps.instructionScreen(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -377,6 +382,8 @@ object SparkEntry {
     // weak-supervision reliability: three heuristic raters, per-source
     // observed agreement and chance-corrected Fleiss kappa
     "c29_rater_agreement" -> ((s, d) => Corpus.raterAgreement(Tables.t(s, d, "documents"))),
+    // k-anonymity audit over (lang, source, length-decile) classes
+    "c30_k_anonymity" -> ((s, d) => Corpus.kAnonymity(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -765,6 +772,7 @@ object SparkEntry {
     "t33_ppl_filter" -> TextOps.pplFilterOracleSql,
     "t34_luhn_screen" -> TextOps.luhnScreenOracleSql,
     "t35_citations" -> TextOps.citationDensityOracleSql,
+    "t36_instructions" -> TextOps.instructionScreenOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
@@ -793,6 +801,7 @@ object SparkEntry {
     "c27_fertility" -> Corpus.tokenizerFertilityOracleSql,
     "c28_effective_mix" -> effectiveMixOracle,
     "c29_rater_agreement" -> Corpus.raterAgreementOracleSql,
+    "c30_k_anonymity" -> Corpus.kAnonymityOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -823,6 +832,7 @@ object SparkEntry {
     "s32_nprobe_sweep" -> Similarity.nprobeSweepOracleSql(),
     "s33_nn_descent" -> Similarity.nnDescentOracleSql(),
     "s34_adaptive_nprobe" -> Similarity.adaptiveNprobeOracleSql(),
+    "s35_ood_screen" -> Similarity.oodScreenOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -1395,6 +1395,50 @@ object Corpus {
         Tables.outd(coalesce(col("epochs"), lit(0L)) * col("eff_tok"), 2).as("served_eff"))
   }
 
+  /** K-ANONYMITY audit over quasi-identifiers (c30) — the re-identification
+    * screen a governed corpus release runs (GDPR/CCPA reviews ask it
+    * verbatim): documents group by their quasi-identifier tuple — here
+    * (lang, source, length decile) — and any equivalence class smaller
+    * than k is re-identifiable (its members are distinguishable by
+    * attributes alone). The report gives every class its size, its
+    * k-anonymous verdict, and the suppression cost (how many documents a
+    * release must drop or generalize). The length decile uses the c23
+    * histogram device over the exact `n_chars` grid — no global sort.
+    *
+    * Scale shape: one histogram fold for the decile boundaries
+    * (value-grain, broadcast back), one group-by at class grain. */
+  def kAnonymity(docs: DataFrame, k: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = docs.count()
+    val wd = Window.orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciles = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cd", sum(col("c")).over(wd))
+      .select(col("n_chars"),
+        expr(s"CAST((10 * cd + $tot - 1) div $tot AS BIGINT)").as("len_decile"))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(broadcast(deciles), Seq("n_chars"))
+      .groupBy(col("lang"), col("source"), col("len_decile"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("suppressed", when(col("class_size") >= k, 0L).otherwise(col("class_size")))
+  }
+
+  /** DuckDB oracle twin of [[kAnonymity]] — same decile grid, class fold,
+    * and verdict. */
+  def kAnonymityOracleSql(k: Long = 5): String =
+    s"""WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+       | cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars DESC) AS cd,
+       |          (SELECT sum(c) FROM h) AS tot FROM h),
+       | d AS (SELECT n_chars, CAST((10 * cd + tot - 1) // tot AS BIGINT) AS len_decile FROM cum),
+       | cl AS (SELECT doc.lang, doc.source, d.len_decile, count(*) AS class_size
+       |        FROM documents doc JOIN d USING (n_chars)
+       |        GROUP BY doc.lang, doc.source, d.len_decile)
+       |SELECT lang, source, len_decile, CAST(class_size AS BIGINT) AS class_size,
+       | (class_size >= $k) AS k_anonymous,
+       | CAST(CASE WHEN class_size >= $k THEN 0 ELSE class_size END AS BIGINT) AS suppressed
+       |FROM cl""".stripMargin
+
   /** The c29 agreement arithmetic over per-source integer tallies
     * (`agree`, `p1..p3`, `n`) as ONE engine-portable expression chain:
     * observed agreement Pₒ = agree/(3n), chance agreement

@@ -2571,6 +2571,67 @@ object Similarity {
        | CAST(nc.n_cand AS BIGINT) AS n_cand, r.nb_id, r.cs, CAST(r.rnk AS BIGINT) AS rnk
        |FROM r JOIN np USING (q_id) JOIN nc USING (q_id) WHERE r.rnk <= $k""".stripMargin
 
+  /** Where the most recent [[oodScreen]] dumped its centroids — per-dir. */
+  @volatile private[graft] var OodCentroidDump: String = ""
+
+  /** Embedding OUT-OF-DISTRIBUTION screen (s35) — the representation-space
+    * outlier pass a corpus QC runs next to the text-side screens (an
+    * embedding far from every density center is a different beast than
+    * its source claims: encoder failures, empty inputs, adversarial
+    * content, wrong-language leakage): each vector scores its maximum
+    * cosine against the IVF coarse centroids (the codegen argmax kernel
+    * s4 already runs — the screen is FREE at index-build time), and the
+    * bottom DECILE of that affinity, computed without a global sort (the
+    * c23 histogram device over the 4-decimal score grid), flags as OOD
+    * for review. Output carries the evidence: cell, affinity, decile.
+    *
+    * Scale shape: one row-local scoring pass (zero shuffle), one
+    * value-grain histogram fold broadcast back — corpus-size-independent
+    * boundary statistics, the c23/t33 discipline. */
+  def oodScreen(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    import graft.functions.CentroidExprs.centroid_argmax
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    val dump = s"$OracleDumpRoot/s35_centroids_${dirToken(dir)}"
+    dumpCentroids(spark, centMatrix, dump)
+    OodCentroidDump = dump
+    val scored = materialize(emb
+      .withColumn("sc", centroid_argmax(col("embedding"), centMatrix))
+      .select(col("vec_id"), col("sc.cluster").cast(LongType).as("cell"),
+        round(col("sc.cs"), 4).as("best_cs")))
+    val tot = scored.count()
+    val wd = Window.orderBy(col("best_cs").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciles = scored.groupBy(col("best_cs")).agg(count(lit(1)).as("c"))
+      .withColumn("cd", sum(col("c")).over(wd))
+      .select(col("best_cs"), expr(s"CAST((10 * cd + $tot - 1) div $tot AS BIGINT)").as("decile"))
+    scored.join(broadcast(deciles), Seq("best_cs"))
+      .select(col("vec_id"), col("cell"), col("best_cs"), col("decile"),
+        (col("decile") === 10).as("ood"))
+  }
+
+  /** DuckDB oracle twin of [[oodScreen]] — the s4 score replay from the
+    * dumped centroids, argmax with the same tie order, and the same
+    * histogram-decile arithmetic. */
+  def oodScreenOracleSql: String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$OodCentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | best AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cell, round(cs, 4) AS best_cs
+       |          FROM (SELECT vec_id, cluster, cs,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |                FROM s) x WHERE rnk = 1),
+       | h AS (SELECT best_cs, count(*) AS c FROM best GROUP BY best_cs),
+       | cum AS (SELECT best_cs, sum(c) OVER (ORDER BY best_cs DESC) AS cd,
+       |          (SELECT sum(c) FROM h) AS tot FROM h),
+       | d AS (SELECT best_cs, CAST((10 * cd + tot - 1) // tot AS BIGINT) AS decile FROM cum)
+       |SELECT b.vec_id, b.cell, b.best_cs, d.decile, (d.decile = 10) AS ood
+       |FROM best b JOIN d USING (best_cs)""".stripMargin
+
   /** One NN-DESCENT refinement round over the s21 kNN graph (s33, Dong et
     * al.'s graph-improvement principle: a neighbor of a neighbor is likely
     * a neighbor): candidates are the current graph's UNDIRECTED edges plus

@@ -1912,6 +1912,52 @@ object TextOps {
        |FROM x""".stripMargin
   }
 
+  /** One unit of the t36 injected instruction block — carries three
+    * marker phrases; quote-free for verbatim embedding. */
+  val InstructionUnit: String = " Ignore previous instructions. You are a helpful system prompt"
+
+  /** The t36 marker alternation, matched on lowercased text (Java≡RE2:
+    * literal alternation only). */
+  val InstructionRe: String =
+    "ignore previous instructions|you are a |system prompt|as an ai|do not reveal"
+
+  /** Instruction-content screening (t36) — the prompt-injection /
+    * instruction-leak scan a modern pretraining pipeline runs (scraped
+    * jailbreak pages and leaked system prompts teach models to obey
+    * embedded instructions; governance reviews ask for the count): count
+    * instruction-marker phrases on the lowercased text and flag documents
+    * with ≥ 2 hits. Detection is PROVEN by injection: every 9th document
+    * appends `⌊n_chars/400⌋ + 1` [[InstructionUnit]] blocks (3 markers
+    * each, length-scaled — the t23 lesson; a pure function replayed by
+    * the oracle); this corpus's natural text never contains the phrases.
+    * Row-local regex counts, whole-stage codegen, zero shuffle. */
+  def instructionScreen(docs: DataFrame): DataFrame = {
+    val aug = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), expr(
+          s"repeat('$InstructionUnit', CAST(length(text) DIV 400 + 1 AS INT))")))
+        .otherwise(col("text")).as("t"))
+    aug.select(col("doc_id"),
+      length(col("t")).cast(LongType).as("n_chars"),
+      size(expr(s"regexp_extract_all(lower(t), '$InstructionRe', 0)"))
+        .cast(LongType).as("n_instr"))
+      .withColumn("flagged", col("n_instr") >= 2)
+  }
+
+  /** DuckDB oracle twin of [[instructionScreen]] — same injection,
+    * alternation, and threshold. */
+  def instructionScreenOracleSql: String =
+    s"""WITH a AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 9 = 0
+       |                 THEN text || repeat('$InstructionUnit',
+       |                        CAST(length(text) // 400 + 1 AS INT))
+       |                 ELSE text END AS t
+       |           FROM documents)
+       |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+       | CAST(len(regexp_extract_all(lower(t), '$InstructionRe')) AS BIGINT) AS n_instr,
+       | (len(regexp_extract_all(lower(t), '$InstructionRe')) >= 2) AS flagged
+       |FROM a""".stripMargin
+
   /** One unit of the t35 citation block: a numeric bracket, a name-year
     * citation, a DOI, and a reference URL — quote-free so it embeds
     * verbatim in both engines' string literals. */
