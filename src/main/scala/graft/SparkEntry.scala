@@ -81,6 +81,9 @@ object SparkEntry {
     // Spark-4 VARIANT: parse once at the scan edge, typed variant_get
     // extractions feed ordinary folds (vs q24's per-expression re-parse)
     "q48_variant" -> (Relational.q48_variant _),
+    // bitemporal as-of: valid-time x transaction-time visibility, epoch-
+    // day integer arithmetic, broadcast 4-probe dimension attach
+    "q49_bitemporal" -> (Relational.q49_bitemporal _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -677,6 +680,7 @@ object SparkEntry {
     "q46_retraction_mv" -> Relational.q46OracleSql,
     "q47_weighted_median" -> Relational.q47OracleSql,
     "q48_variant" -> Relational.q48OracleSql,
+    "q49_bitemporal" -> Relational.q49OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->

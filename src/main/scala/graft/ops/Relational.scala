@@ -1334,6 +1334,77 @@ object Relational {
       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_even
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** BITEMPORAL as-of queries (q49) — the two-axis time travel q37 (one
+    * valid-time axis) and q43 (one transaction-time axis) each cover half
+    * of: VALID time is when a fact was true in the world, TRANSACTION
+    * time is when the system learned it; an audit ("what did we believe
+    * on date T about the state at date V?") needs both. Facts derive
+    * from orders with a deterministic restatement: every 11th order's
+    * price was corrected 10 days after booking with UNCHANGED valid time
+    * (the classic late-correction shape — the world never changed, our
+    * record did); the original's transaction interval closes where the
+    * correction's opens, so exactly one version is visible at any tt.
+    * Four (vt, tt) probes — before/after the corrections became visible,
+    * early/late valid times — each report count + exact decimal mass.
+    * All time arithmetic runs on epoch-DAY integers (no timestamp algebra
+    * to drift), probes derive from the data span by integer division.
+    *
+    * Scale shape: the probe dimension is a broadcast 4-row attach (the
+    * q31 dimension-grid class); facts stream through it once — at any
+    * scale a bitemporal as-of is a range predicate per probe, not a
+    * shuffle. */
+  def q49_bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(18, 2)
+    val inf = 999999999L
+    val o = Tables.t(spark, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_totalprice"), expr("unix_timestamp(o_orderdate) DIV 86400").as("d"))
+    val mm = o.agg(min(col("d")), max(col("d"))).head()
+    val (d0, d1) = (mm.getLong(0), mm.getLong(1))
+    val vt = d0 + (d1 - d0) / 2
+    val probes = Seq((1L, vt, vt + 5), (2L, vt, d1 + 20),
+      (3L, d0 + (d1 - d0) / 4, d1 + 20), (4L, d1, d1 + 20))
+      .toDF("probe", "vt", "tt")
+    val orig = o.select(col("k"), col("o_totalprice").cast(dec).as("price"),
+      col("d").as("vt_from"), lit(inf).as("vt_to"), col("d").as("tt_from"),
+      when(col("k") % 11 === 0, col("d") + 10).otherwise(lit(inf)).as("tt_to"))
+    val corr = o.filter(col("k") % 11 === 0).select(col("k"),
+      (col("o_totalprice").cast(dec) + lit(new java.math.BigDecimal("100.00")))
+        .cast(dec).as("price"),
+      col("d").as("vt_from"), lit(inf).as("vt_to"),
+      (col("d") + 10).as("tt_from"), lit(inf).as("tt_to"))
+    orig.unionByName(corr)
+      .join(broadcast(probes),
+        col("vt_from") <= col("vt") && col("vt") < col("vt_to") &&
+          col("tt_from") <= col("tt") && col("tt") < col("tt_to"))
+      .groupBy(col("probe"), col("vt"), col("tt"))
+      .agg(count(lit(1)).as("n"), outd(sum(col("price")), 2).as("sum_price"))
+  }
+
+  /** DuckDB oracle twin of [[q49_bitemporal]] — the same restatement
+    * closure, probe derivation, visibility predicate, and decimal mass. */
+  def q49OracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice,
+      |            CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d FROM orders),
+      | mm AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+      | pr AS (SELECT 1 AS probe, d0 + (d1 - d0) // 2 AS vt, d0 + (d1 - d0) // 2 + 5 AS tt FROM mm
+      |        UNION ALL SELECT 2, d0 + (d1 - d0) // 2, d1 + 20 FROM mm
+      |        UNION ALL SELECT 3, d0 + (d1 - d0) // 4, d1 + 20 FROM mm
+      |        UNION ALL SELECT 4, d1, d1 + 20 FROM mm),
+      | f AS (SELECT k, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |        d AS vt_from, 999999999 AS vt_to, d AS tt_from,
+      |        CASE WHEN k % 11 = 0 THEN d + 10 ELSE 999999999 END AS tt_to FROM o
+      |       UNION ALL
+      |       SELECT k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100.00 AS DECIMAL(18,2)),
+      |        d, 999999999, d + 10, 999999999 FROM o WHERE k % 11 = 0),
+      | v AS (SELECT pr.probe, pr.vt, pr.tt, f.price FROM f JOIN pr
+      |       ON f.vt_from <= pr.vt AND pr.vt < f.vt_to
+      |       AND f.tt_from <= pr.tt AND pr.tt < f.tt_to)
+      |SELECT CAST(probe AS BIGINT) AS probe, CAST(vt AS BIGINT) AS vt,
+      | CAST(tt AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS n,
+      | round(CAST(sum(price) AS DOUBLE), 2) AS sum_price
+      |FROM v GROUP BY probe, vt, tt""".stripMargin
+
   /** Once-per-JVM registry of q46's standing MV parquet per input dir. */
   private val mv46Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -423,7 +423,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
       "d21_lsh_tuning", "e24_stream_psi",
-      "q31_gapfill", "q32_skew_report", "q34_funnel",
+      "q31_gapfill", "q32_skew_report", "q34_funnel", "q49_bitemporal",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
       "s7_pq_topk", "s9_knn_label", "t12_unigram_lp", "t17_bigram_lp",
@@ -478,6 +478,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // d21 attaches its ONE-ROW exact-truth total to the 4-row config
     // relation (the t12 class); its candidates are band-keyed EQUI-joins
     // and its truth is the adjudicated run-rarely PPJoin eval (d18 class)
+    // q49 streams the fact relation through a broadcast FOUR-ROW probe
+    // dimension under a range visibility predicate (the q31/t30
+    // dimension-grid class — bitemporal as-of is a predicate, not a
+    // shuffle)
     // t30 joins its two corpus-grain folds against the broadcast TEN-ROW
     // checkpoint dimension with a ≤ predicate (the q31 dimension-grid
     // class) and attaches the one-row regression fit (the t12/t18 class)
