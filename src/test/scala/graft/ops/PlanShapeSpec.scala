@@ -158,6 +158,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("d21: one scan of documents under AQE (one shingle pipeline feeds fit AND truth)") {
+    // the r10 lesson: a first cut ran the shingle explode twice (signature
+    // fit and PPJoin truth each rebuilt it); the shared materialized
+    // relation pins the corpus cost at ONE pass for the whole sweep
+    assert(scansOf("documents", "d21_lsh_tuning") == 1)
+  }
+
+  test("s35: two scans of embeddings under AQE (train sample; one scoring pass)") {
+    // 1 scan materializing the capped k-means sample + 1 row-local scoring
+    // pass; the decile histogram folds the MATERIALIZED scored relation,
+    // so the boundary statistic adds no parquet scan
+    assert(scansOf("embeddings", "s35_ood_screen") == 2)
+  }
+
   test("t17: one scan of documents under AQE (bigram relation materialized for 3 consumers)") {
     // bigram fit, context fit, vocab, and the scoring join all read the
     // materialized row-local bigram build — a regression re-tokenizes the
