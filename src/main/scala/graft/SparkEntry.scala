@@ -84,6 +84,8 @@ object SparkEntry {
     // bitemporal as-of: valid-time x transaction-time visibility, epoch-
     // day integer arithmetic, broadcast 4-probe dimension attach
     "q49_bitemporal" -> (Relational.q49_bitemporal _),
+    // last-touch attribution: fill-forward window, no interval self-join
+    "q50_attribution" -> (Relational.q50_attribution _),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -167,6 +169,8 @@ object SparkEntry {
     // version diff at chunk grain: blob-hash compare (nothing decodes for
     // unchanged chunks), voxel join only inside the changed region
     "a43_version_diff" -> (ArrayOps.a43_version_diff _),
+    // annotation layer: real cell framing roundtrip + per-cell census
+    "a44_annotations" -> (ArrayOps.a44_annotations _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
@@ -254,6 +258,8 @@ object SparkEntry {
     // representation-space outlier screen: max-centroid affinity deciles
     // via the histogram device — zero shuffle past the scoring pass
     "s35_ood_screen" -> ((s, d) => Similarity.oodScreen(s, d)),
+    // transductive label spread over the s21 kNN graph, clamped seeds
+    "s36_label_prop" -> ((s, d) => Similarity.labelProp(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -330,6 +336,8 @@ object SparkEntry {
     "t35_citations" -> ((s, d) => TextOps.citationDensity(Tables.t(s, d, "documents"))),
     // prompt-injection / instruction-leak governance scan, injection-proof
     "t36_instructions" -> ((s, d) => TextOps.instructionScreen(Tables.t(s, d, "documents"))),
+    // C4 line-keep + page-drop ruleset; lorem/brace pages proven by injection
+    "t37_c4_filters" -> ((s, d) => TextOps.c4Filters(Tables.t(s, d, "documents"))),
     "t13_normalize" -> ((s, d) => TextOps.normalizeText(Tables.t(s, d, "documents"))),
     "t13b_nfkc" -> ((s, d) => TextOps.nfkcNormalize(Tables.t(s, d, "documents"))),
     // the synthetic corpus is single-line, so the gate injects line
@@ -426,6 +434,8 @@ object SparkEntry {
     // sensor-banding QC: stripes planted pre-encode, exact integer
     // column/row deviation folds, division-free verdict
     "m25_stripe_qc" -> (Multimodal.stripeQc _),
+    // focus screen: integer Laplacian energy, injected 3-tap blur proof
+    "m27_blur_qc" -> (Multimodal.blurQc _),
     // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
     // log10; injected noise floor drops injected clips ~7 dB
     "m26_audio_snr" -> (Multimodal.audioSnr _),
@@ -497,6 +507,8 @@ object SparkEntry {
     // per-user hourly cap via O(1) keyed state — first-cap-of-the-hour is
     // deterministic under the e22 single-batch ordering guard
     "e26_stream_ratelimit" -> (EventStreams.rateLimitOnce _),
+    // watermark drop accounting: staged straggler replay vs batch recount
+    "e27_late_audit" -> (EventStreams.lateAuditOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -681,6 +693,7 @@ object SparkEntry {
     "q47_weighted_median" -> Relational.q47OracleSql,
     "q48_variant" -> Relational.q48OracleSql,
     "q49_bitemporal" -> Relational.q49OracleSql,
+    "q50_attribution" -> Relational.q50OracleSql,
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -744,6 +757,7 @@ object SparkEntry {
     "a41_hist_match" -> ArrayOps.a41OracleSql,
     "a42_skeleton_stats" -> ArrayOps.a42OracleSql,
     "a43_version_diff" -> ArrayOps.a43OracleSql,
+    "a44_annotations" -> ArrayOps.a44OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
@@ -777,6 +791,7 @@ object SparkEntry {
     "t34_luhn_screen" -> TextOps.luhnScreenOracleSql,
     "t35_citations" -> TextOps.citationDensityOracleSql,
     "t36_instructions" -> TextOps.instructionScreenOracleSql,
+    "t37_c4_filters" -> TextOps.c4FiltersOracleSql,
     "t13_normalize" -> TextOps.normalizeTextOracleSql,
     "t13b_nfkc" -> TextOps.nfkcNormalizeOracleSql,
     "t16_gopher_rules" -> TextOps.gopherRulesOracleSql(),
@@ -837,6 +852,7 @@ object SparkEntry {
     "s33_nn_descent" -> Similarity.nnDescentOracleSql(),
     "s34_adaptive_nprobe" -> Similarity.adaptiveNprobeOracleSql(),
     "s35_ood_screen" -> Similarity.oodScreenOracleSql,
+    "s36_label_prop" -> Similarity.labelPropOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
@@ -918,6 +934,7 @@ object SparkEntry {
     "e24_stream_psi" -> EventStreams.psiDriftOracleSql,
     "e25_stream_fulljoin" -> EventStreams.fullIntervalJoinOracleSql(),
     "e26_stream_ratelimit" -> EventStreams.rateLimitOracleSql(),
+    "e27_late_audit" -> EventStreams.lateAuditOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,
@@ -939,6 +956,7 @@ object SparkEntry {
     "m23_dc_offset" -> Multimodal.audioDcQcOracleSql,
     "m24_video_dup" -> Multimodal.videoDupOracleSql,
     "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
+    "m27_blur_qc" -> Multimodal.blurQcOracleSql,
     "m26_audio_snr" -> Multimodal.audioSnrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,

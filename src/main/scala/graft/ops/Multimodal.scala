@@ -2128,6 +2128,109 @@ object Multimodal {
        |FROM t JOIN cd USING (doc_id) JOIN rd USING (doc_id)""".stripMargin
   }
 
+  // ---------------- blur / focus QC (m27) ----------------
+
+  /** BLUR detection (m27) — the focus screen a vision-data pipeline runs
+    * ahead of training (defocused frames, motion smear, and re-encoded
+    * upscales carry no high-frequency content and dilute the batch):
+    * per image, the integer sum of squared horizontal second differences
+    * (the 1-D Laplacian energy) over the decoded raster, and a verdict
+    * when that energy falls below a fixed per-sample floor. Blur is
+    * PROVEN by injection: every image with `doc_id % 6 == 3` gets a
+    * 3-tap horizontal box blur (integer floor mean, interior columns,
+    * edges copied) BEFORE the PNG encode — a pure function of the raster
+    * replayed by the oracle. Natural text-byte rasters are
+    * high-frequency (energy ≥ ~2700·(W−2)·H at every shipped SF); the
+    * 3-tap blur divides second-difference amplitude by ~3 and energy by
+    * ~9 (≤ ~630·(W−2)·H measured) — the 1200·(W−2)·H floor sits ≥1.9×
+    * from both populations.
+    *
+    * Raster device note: the stride sample must stay coprime to the
+    * payload length — `(i·131) mod n` is CONSTANT when n divides the
+    * stride multiples (a 131-char doc ships at sf0.01), so the stride
+    * falls back to 127 whenever 131 | n (131·127 > any shipped doc).
+    * Determinism: all-integer pixels, floor division, integer energy —
+    * no floats anywhere. One decode + one fused fold per image, zero
+    * shuffle (the m19/m25 sweep discipline). */
+  def blurQc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val outEnc = Encoders.product[(Long, Long, Boolean)]
+    assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = payload.length
+          val stride = if (n % 131 == 0) 127 else 131
+          val raster = new Array[Byte](ThumbW * ThumbH)
+          if (n > 0) {
+            var i = 0
+            while (i < raster.length) {
+              raster(i) = payload((i * stride) % n); i += 1
+            }
+          }
+          val src =
+            if (id % 6 == 3) {
+              val b = raster.clone()
+              var y = 0
+              while (y < ThumbH) {
+                var x = 1
+                while (x < ThumbW - 1) {
+                  val p = y * ThumbW + x
+                  b(p) = (((raster(p - 1) & 0xff) + (raster(p) & 0xff) +
+                    (raster(p + 1) & 0xff)) / 3).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              b
+            } else raster
+          val px = imgDecode(imgEncode(src, ThumbW, ThumbH))._1
+          var ssl = 0L
+          var y = 0
+          while (y < ThumbH) {
+            var x = 1
+            while (x < ThumbW - 1) {
+              val p = y * ThumbW + x
+              val d = (px(p - 1) & 0xff) + (px(p + 1) & 0xff) - 2 * (px(p) & 0xff)
+              ssl += d.toLong * d
+              x += 1
+            }
+            y += 1
+          }
+          (id, ssl, ssl < 1200L * (ThumbW - 2) * ThumbH)
+        }
+      }
+      .toDF("doc_id", "sharpness", "blurry")
+  }
+
+  /** DuckDB oracle twin of [[blurQc]] — the stride-sampled raster (with
+    * the 127 coprime fallback) as char codes, the same interior 3-tap
+    * floor-mean blur injection, and the integer second-difference energy
+    * with the same floor. */
+  def blurQcOracleSql: String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT doc_id, text, length(text) AS len
+       |       FROM documents WHERE doc_id % 3 = 0),
+       | px AS (SELECT doc_id, (i - 1) % $ThumbW AS cx, (i - 1) // $ThumbW AS cy,
+       |         ord(substr(text, CAST(((i - 1) *
+       |           (CASE WHEN len % 131 = 0 THEN 127 ELSE 131 END)) % len AS INT) + 1, 1)) AS v
+       |        FROM img, range(1, $ipx + 1) AS u(i)),
+       | bl AS (SELECT doc_id, cx, cy,
+       |         CASE WHEN doc_id % 6 = 3 AND cx BETWEEN 1 AND ${ThumbW - 2}
+       |              THEN (lag(v) OVER w + v + lead(v) OVER w) // 3
+       |              ELSE v END AS b
+       |        FROM px WINDOW w AS (PARTITION BY doc_id, cy ORDER BY cx)),
+       | dd AS (SELECT doc_id, cx,
+       |         (lag(b) OVER w2 + lead(b) OVER w2 - 2 * b) AS d
+       |        FROM bl WINDOW w2 AS (PARTITION BY doc_id, cy ORDER BY cx)),
+       | e AS (SELECT doc_id, sum(d * d) AS ssl FROM dd
+       |       WHERE cx BETWEEN 1 AND ${ThumbW - 2} GROUP BY doc_id)
+       |SELECT doc_id, CAST(ssl AS BIGINT) AS sharpness,
+       | (ssl < 1200 * ${ThumbW - 2} * $ThumbH) AS blurry
+       |FROM e""".stripMargin
+  }
+
   // ---------------- cross-video near-duplicate detection (m24) ----------------
 
   /** CROSS-video near-duplicate detection (m24) — the video-corpus analogue

@@ -1463,4 +1463,60 @@ object Relational {
       |SELECT hr_idx, event_type, CAST(count(*) AS BIGINT) AS n,
       | round(CAST(sum(v) AS DOUBLE), 3) AS sv
       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** LAST-TOUCH conversion attribution (q50) — the marketing/growth query
+    * every event pipeline runs: credit each `purchase` to the most recent
+    * preceding touch event (`click`/`view`/`signup`) by the same user
+    * inside a 72-hour lookback, else `unattributed`, then roll up
+    * conversion count and exact-decimal revenue per channel.
+    *
+    * The scalable shape is NOT a touches⋈purchases interval join (that
+    * explodes on active users): touches and conversions ride ONE
+    * user-keyed window sort and the touch context FILLS FORWARD —
+    * `last(touch_struct, ignoreNulls)` over `rows(-∞, -1)` — so each
+    * purchase reads its predecessor touch in O(1) from the running frame.
+    * One shuffle on user_id, no self-join, no candidate blowup; the
+    * struct keeps (ts, channel) atomic so the window picks both fields
+    * from the SAME touch row. The strictly-preceding frame plus the
+    * (ts, event_id) order makes same-timestamp races deterministic and
+    * keeps a purchase from attributing to itself. */
+  def q50_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val base = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("value"),
+      when(col("event_type").isin("click", "view", "signup"),
+        struct(col("ts").as("tts"), col("event_type").as("channel"))).as("touch"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        when(col("lt").isNotNull &&
+          col("lt.tts") >= col("ts") - expr("INTERVAL 72 HOURS"),
+          col("lt.channel")).otherwise(lit("unattributed")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conv"), outd(dsum(col("value")), 2).as("revenue"))
+  }
+
+  /** DuckDB oracle twin of [[q50_attribution]] — the same fill-forward
+    * window (IGNORE NULLS, strictly-preceding frame), lookback predicate,
+    * and decimal revenue. */
+  def q50OracleSql: String =
+    """WITH b AS (SELECT user_id, ts, event_id, event_type, value,
+      |        CASE WHEN event_type IN ('click','view','signup')
+      |             THEN struct_pack(tts := ts, channel := event_type) END AS touch
+      |       FROM events),
+      | l AS (SELECT event_type, ts, value,
+      |        last_value(touch IGNORE NULLS) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      |       FROM b),
+      | p AS (SELECT CASE WHEN lt IS NOT NULL AND lt.tts >= ts - INTERVAL 72 HOUR
+      |              THEN lt.channel ELSE 'unattributed' END AS channel,
+      |        CAST(value AS DECIMAL(18,4)) AS v
+      |       FROM l WHERE event_type = 'purchase')
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+      | round(CAST(sum(v) AS DOUBLE), 2) AS revenue
+      |FROM p GROUP BY channel""".stripMargin
 }

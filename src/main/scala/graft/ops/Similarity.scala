@@ -2691,4 +2691,84 @@ object Similarity {
        | (b.src IS NULL) AS gained
        |FROM r LEFT JOIN base b ON b.src = r.src AND b.nb = r.nb
        |WHERE r.rnk <= $k""".stripMargin
+
+  /** Semi-supervised LABEL PROPAGATION over the s21 kNN graph (s36, Zhu &
+    * Ghahramani's transductive principle): every third vector keeps its
+    * ground-truth label as a clamped SEED; every other vector is
+    * unlabeled and, for `rounds` synchronous rounds, takes the majority
+    * label of its (undirected) kNN neighbors from the previous round —
+    * ties break to the smallest label, seeds never move. This is how a
+    * pipeline stretches a small labeled subset across a 100 TB corpus
+    * (domain tags, quality tiers, license classes) without training
+    * anything: the kNN index already exists (s21), and each round is a
+    * pure relational pass over it.
+    *
+    * Scale shape: the graph is O(n·k) edges; one round = edges ⋈ labels
+    * (two longs per row) + a count aggregate at (node, label) grain + a
+    * per-node argmax window — never the embeddings, never all-pairs.
+    * Labels only ever GAIN coverage (a node labeled in round r has a
+    * labeled neighbor that stays labeled), so a fixed small round count
+    * reaches the graph's label frontier like d11's bounded power
+    * iteration; each round materializes ([[Tables.materialize]]) to keep
+    * lineage O(1). Coverage gaps are honest: an isolated node (no LSH
+    * bucket-mate) reports a NULL prediction, not a guess. */
+  def labelProp(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val g = materialize(knnGraph(spark, dir, k).select(col("src"), col("nb")))
+    val und = materialize(
+      g.unionByName(g.select(col("nb").as("src"), col("src").as("nb"))).distinct())
+    val nodes = emb.select(col("vec_id"),
+      col("label").cast(LongType).as("true_label"),
+      (col("vec_id") % 3 === 0).as("is_seed"))
+    var lab = nodes
+      .select(col("vec_id"), when(col("is_seed"), col("true_label")).as("lbl"))
+      .transform(materialize)
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(lab.filter(col("lbl").isNotNull)
+          .select(col("vec_id").as("nb"), col("lbl")), Seq("nb"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+      val pick = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("lbl").as("vote"))
+      lab = nodes
+        .join(pick, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          when(col("is_seed"), col("true_label")).otherwise(col("vote")).as("lbl"))
+        .transform(materialize)
+    }
+    nodes.join(lab, Seq("vec_id"))
+      .select(col("vec_id"), col("is_seed"), col("true_label"),
+        col("lbl").as("pred_label"),
+        when(col("lbl").isNotNull, col("lbl") === col("true_label")).as("correct"))
+  }
+
+  /** DuckDB oracle twin of [[labelProp]] — the s21 graph oracle as the
+    * edge relation, the same seed rule, and each synchronous round
+    * unrolled as a votes→argmax→relabel CTE triple. */
+  def labelPropOracleSql(k: Int = 3, rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s""" v$r AS (SELECT e.src, l.lbl, count(*) AS c
+         |        FROM und e JOIN lab${r - 1} l ON l.vec_id = e.nb
+         |        WHERE l.lbl IS NOT NULL GROUP BY e.src, l.lbl),
+         | p$r AS (SELECT src AS vec_id, lbl AS vote FROM (
+         |          SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |          FROM v$r) q WHERE rn = 1),
+         | lab$r AS (SELECT n.vec_id,
+         |            CASE WHEN n.is_seed THEN n.true_label ELSE p.vote END AS lbl
+         |           FROM nodes n LEFT JOIN p$r p ON p.vec_id = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT src, nb FROM (${knnGraphOracleSql(k)}) bq),
+       | und AS (SELECT DISTINCT src, nb FROM (
+       |          SELECT src, nb FROM base UNION ALL SELECT nb AS src, src AS nb FROM base) u),
+       | nodes AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+       |            vec_id % 3 = 0 AS is_seed FROM embeddings),
+       | lab0 AS (SELECT vec_id, CASE WHEN is_seed THEN true_label END AS lbl FROM nodes),
+       |$roundCtes
+       |SELECT n.vec_id, n.is_seed, n.true_label, l.lbl AS pred_label,
+       | CASE WHEN l.lbl IS NOT NULL THEN l.lbl = n.true_label END AS correct
+       |FROM nodes n JOIN lab$rounds l ON l.vec_id = n.vec_id""".stripMargin
+  }
 }

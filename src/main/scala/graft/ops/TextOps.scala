@@ -2030,5 +2030,72 @@ object TextOps {
        |      ELSE 'tail' END AS bucket,
        | (d.tile <= 2) AS keep
        |FROM s JOIN d USING (kn_lp)""".stripMargin
+
+  /** C4-style LINE-level cleaning + page filters (t37, Raffel et al.
+    * 2020 §2.2 — the other canonical web-corpus ruleset; t16's Gopher
+    * rules are page-level QUALITY flags, this is the line-keep +
+    * page-drop pipeline C4 actually ships): a line survives only if it
+    * ends in terminal punctuation (`.` `!` `?` `"`) AND carries ≥3
+    * words; a page drops entirely if it mentions "lorem ipsum" or
+    * contains a curly brace (the code-page tell), or keeps fewer than 2
+    * surviving lines. Line structure rides the t16 injection
+    * ([[withSyntheticLines]] — every (doc_id+j)%5==0 line gains the
+    * terminal " ..."), and the page filters are PROVEN by injection:
+    * every doc_id%13==0 page gains a lorem-ipsum line, every
+    * doc_id%17==0 page a braced code line — pure doc_id functions the
+    * oracle replays.
+    *
+    * Determinism: counts and flags are integers/booleans over exact
+    * string predicates — no floats anywhere. Scale shape: zero shuffle,
+    * one row-local pass (the t16 discipline) — at 100 TB this is the
+    * map-only cut in front of every downstream operator, and
+    * `kept_chars` is the byte budget the cut leaves behind. */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val injected = withSyntheticLines(docs)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nlorem ipsum dolor sit amet ...")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nvar f = function() { return 1; } ...")).otherwise(lit(""))))
+    injected
+      .select(col("doc_id"),
+        split(col("text"), "\n").as("lns"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+      .select(col("doc_id"),
+        size(col("lns")).cast(LongType).as("n_lines"),
+        filter(col("lns"), l =>
+          (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+            size(filter(split(l, " "), w => w.rlike("[a-z]"))) >= 3).as("kept"),
+        col("has_lorem"), col("has_brace"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        aggregate(col("kept"), lit(0L), (acc, l) => acc + length(l)).as("kept_chars"),
+        col("has_lorem"), col("has_brace"),
+        (size(col("kept")) >= 2 && !col("has_lorem") && !col("has_brace")).as("keep"))
+  }
+
+  /** DuckDB oracle twin of [[c4Filters]] — the t16 line injection
+    * ([[syntheticLinesCtes]], one shared copy), the same page
+    * injections, line predicate, and page gate. */
+  def c4FiltersOracleSql: String =
+    s"""WITH $syntheticLinesCtes,
+       | tx AS (SELECT doc_id, text ||
+       |         CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet ...' ELSE '' END ||
+       |         CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'var f = function() { return 1; } ...' ELSE '' END AS text
+       |        FROM st),
+       | r AS (SELECT doc_id, string_split(text, chr(10)) AS lns,
+       |        contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |        contains(text, '{') AS has_brace FROM tx),
+       | k AS (SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
+       |        list_filter(lns, l ->
+       |          (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+       |          AND len(list_filter(string_split(l, ' '), w -> regexp_matches(w, '[a-z]'))) >= 3) AS kept,
+       |        has_lorem, has_brace FROM r)
+       |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+       | CAST(coalesce(list_sum(list_transform(kept, l -> length(l))), 0) AS BIGINT) AS kept_chars,
+       | has_lorem, has_brace,
+       | (len(kept) >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
+       |FROM k""".stripMargin
 }
 

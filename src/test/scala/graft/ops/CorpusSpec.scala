@@ -10,6 +10,40 @@ class CorpusSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   lazy val docs = Tables.t(spark, dir, "documents")
 
+  test("t37 C4 filters: page flags fire exactly on the injected pages; driver line recount agrees") {
+    val out = TextOps.c4Filters(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    }.toMap
+    assert(out.size == docs.count())
+    // driver replay: the t16 line injection + the t37 page injections
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, raw) =>
+      val toks = raw.split("\\s+")
+      val nLines = math.ceil(toks.length / 12.0).toInt
+      val lines = (0 until nLines).map { j =>
+        val bullet = if ((id + j) % 4 == 0) "- " else ""
+        val ell = if ((id + j) % 5 == 0) " ..." else ""
+        bullet + toks.slice(j * 12, j * 12 + 12).mkString(" ") + ell
+      } ++
+        (if (id % 13 == 0) Seq("lorem ipsum dolor sit amet ...") else Nil) ++
+        (if (id % 17 == 0) Seq("var f = function() { return 1; } ...") else Nil)
+      val kept = lines.filter(l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          l.split(" ", -1).count(_.exists(c => c >= 'a' && c <= 'z')) >= 3)
+      val (nl, nk, kc, lorem, brace, keep) = out(id)
+      assert(nl == lines.size, s"doc $id n_lines")
+      assert(nk == kept.size, s"doc $id n_kept")
+      assert(kc == kept.map(_.length).sum.toLong, s"doc $id kept_chars")
+      assert(lorem == (id % 13 == 0), s"doc $id lorem flag")
+      assert(brace == (id % 17 == 0), s"doc $id brace flag")
+      assert(keep == (kept.size >= 2 && id % 13 != 0 && id % 17 != 0), s"doc $id keep")
+    }
+    assert(out.exists(!_._2._6), "no dropped pages in fixture")
+    assert(out.exists(_._2._6), "no kept pages in fixture")
+  }
+
   test("splitAssign is deterministic, total, and growth-stable") {
     val s1 = Corpus.splitAssign(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     val s2 = Corpus.splitAssign(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap

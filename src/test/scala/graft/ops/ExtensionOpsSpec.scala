@@ -802,6 +802,41 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("s36 label propagation equals a driver synchronous replay; seeds clamped") {
+    val out = Similarity.labelProp(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+    }.toMap
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val trueLbl = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    var lab: Map[Long, Option[Long]] =
+      trueLbl.map { case (id, l) => id -> (if (id % 3 == 0) Some(l) else None) }
+    for (_ <- 1 to 3) {
+      val votes = und.flatMap { case (src, nb) => lab(nb).map(l => (src, l)) }
+        .groupBy(identity).map { case ((src, l), v) => (src, l, v.size) }
+      val pick = votes.groupBy(_._1).map { case (src, vs) =>
+        src -> vs.toSeq.sortBy(v => (-v._3, v._2)).head._2
+      }
+      lab = lab.map { case (id, _) =>
+        id -> (if (id % 3 == 0) Some(trueLbl(id)) else pick.get(id))
+      }
+    }
+    assert(out.keySet == trueLbl.keySet)
+    out.foreach { case (id, (isSeed, tl, pred, correct)) =>
+      assert(isSeed == (id % 3 == 0), s"vec $id seed flag")
+      assert(tl == trueLbl(id), s"vec $id true label")
+      assert(pred == lab(id), s"vec $id prediction")
+      assert(correct == pred.map(_ == tl), s"vec $id correctness")
+    }
+    // the spread is real: labels reached non-seed nodes
+    assert(out.exists { case (id, (s, _, p, _)) => !s && p.isDefined })
+  }
+
   test("s21 kNN graph equals a driver-side bucket+rank recomputation") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.t(spark, dir, "embeddings")

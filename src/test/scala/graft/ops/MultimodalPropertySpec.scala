@@ -338,6 +338,24 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     assert(ex.getMessage.contains("CRC"))
   }
 
+  test("m27 blur QC: flags exactly the injected 3-tap blurred images, with margin") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.blurQc(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val floor = 1200L * (Multimodal.ThumbW - 2) * Multimodal.ThumbH
+    rows.foreach { case (id, ssl, blurry) =>
+      assert(id % 3 == 0)
+      assert(blurry == (id % 6 == 3), s"doc $id ssl=$ssl")
+      // verdicts must not sit near the floor — the injection proof is a
+      // separation claim, not a lucky threshold
+      if (id % 6 == 3) assert(ssl * 3 < floor * 2, s"doc $id blurred too sharp: $ssl")
+      else assert(ssl * 2 > floor * 3, s"doc $id natural too soft: $ssl")
+    }
+    assert(rows.exists(_._1 % 6 == 3), "no injected images in fixture")
+    assert(rows.exists(_._1 % 6 != 3), "no natural images in fixture")
+  }
+
   test("m21 frame dedup: frozen videos report exactly the injected duplication") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.frameDedup(spark, "/root/testdata/sf0.001").collect()

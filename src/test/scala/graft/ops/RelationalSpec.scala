@@ -20,6 +20,42 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 attribution equals a driver fill-forward walk; purchases fully partitioned") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q50_attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val touch = Set("click", "view", "signup")
+    val want = scala.collection.mutable.Map.empty[String, (Long, BigDecimal)]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var lt: Option[(Long, String)] = None
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (r._4 == "purchase") {
+          val ch = lt match {
+            case Some((tts, c)) if tts >= r._2 - 72L * 3600 * 1000000 => c
+            case _ => "unattributed"
+          }
+          val (n, v) = want.getOrElse(ch, (0L, BigDecimal(0)))
+          want(ch) = (n + 1,
+            v + BigDecimal(r._5).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }
+        if (touch(r._4)) lt = Some((r._2, r._4))
+      }
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (ch, (n, rev)) =>
+      assert(got(ch)._1 == n, s"$ch count")
+      assert(math.abs(got(ch)._2 -
+        rev.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$ch revenue")
+    }
+    assert(got.values.map(_._1).sum == ev.count(_._4 == "purchase"),
+      "every purchase attributed to exactly one channel")
+  }
+
   test("q41 time-weighted average equals a driver interval walk; differs from plain avg") {
     import org.apache.spark.sql.functions._
     val got = Relational.q41_time_weighted(spark, dir).collect()
