@@ -2690,4 +2690,88 @@ object ArrayOps {
        | CAST(sum(s.n_vox) AS BIGINT) AS n_voxels
        |FROM sz s JOIN lbl l USING (label)
        |GROUP BY l.comp""".stripMargin
+
+  // ---------------- precomputed annotation spatial index (a44) ----------------
+
+  /** Precomputed ANNOTATION layer roundtrip + per-cell census (a44) — the
+    * point-annotation surface of the reference ecosystem (synapse marks,
+    * somata, proofreading points live in `neuroglancer_annotations_v1`
+    * layers NEXT to the voxel layers this engine serves; a pipeline that
+    * cannot read/write them cannot exchange targets with viewers or
+    * proofreading tools): a deterministic point set partitions into
+    * spatial-index grid cells, each cell encodes through the REAL
+    * multiple-annotation framing ([[graft.core.Annotations]] — u64 count,
+    * float32 xyz triplets, u64 ids), lands as one object per cell under
+    * the standard `X_Y_Z`-style key, and the gate is the census of the
+    * REOPENED cells: count, id mass, and integer bbox per cell.
+    *
+    * Point closed form (replayed by the oracle): id i ∈ [1, 120],
+    * `x = (37i) mod 96`, `y = (53i) mod 64`, `z = (29i) mod 48`; cells
+    * are 32×32×16, so the index spans 3×2×3 cells. Integer coordinates
+    * are exact in float32, so the decode→census is bit-deterministic.
+    *
+    * Scale shape: cells are a distributed binaryFile relation (no driver
+    * listing — a synapse layer at connectome scale holds 10⁹ points over
+    * 10⁶ cells); encode groups points by cell key (ONE shuffle at point
+    * grain, the fromVoxels discipline), decode + census run row-locally
+    * per cell. The driver touches only the 18-cell fixture here; nothing
+    * in the path reads more than one cell at a time. */
+  def a44_annotations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Annotations
+    val root = java.nio.file.Files.createTempDirectory("graft-a44").toString
+    val cellDir = new java.io.File(root, "spatial0"); cellDir.mkdirs()
+    val pts = (1 to 120).map { i =>
+      ((37 * i) % 96, (53 * i) % 64, (29 * i) % 48, i.toLong)
+    }
+    pts.groupBy { case (x, y, z, _) => (x / 32, y / 32, z / 16) }
+      .foreach { case ((cx, cy, cz), cell) =>
+        val sorted = cell.sortBy(_._4)
+        val pos = new Array[Float](3 * sorted.length)
+        sorted.zipWithIndex.foreach { case ((x, y, z, _), k) =>
+          pos(3 * k) = x.toFloat; pos(3 * k + 1) = y.toFloat; pos(3 * k + 2) = z.toFloat
+        }
+        java.nio.file.Files.write(cellDir.toPath.resolve(s"${cx}_${cy}_$cz"),
+          Annotations.encode(Annotations.Points(pos, sorted.map(_._4).toArray)))
+      }
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc =
+      Encoders.product[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    spark.read.format("binaryFile").load(cellDir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"), col("content"))
+      .as(Encoders.product[(String, Array[Byte])])
+      .map { case (name, bytes) =>
+        val p = Annotations.decode(bytes)
+        val Array(cx, cy, cz) = name.split("_").map(_.toLong)
+        var idSum = 0L
+        var (mnx, mny, mnz) = (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+        var (mxx, mxy, mxz) = (Long.MinValue, Long.MinValue, Long.MinValue)
+        var i = 0
+        while (i < p.count) {
+          idSum += p.ids(i)
+          val x = p.positions(3 * i).toLong
+          val y = p.positions(3 * i + 1).toLong
+          val z = p.positions(3 * i + 2).toLong
+          if (x < mnx) mnx = x; if (x > mxx) mxx = x
+          if (y < mny) mny = y; if (y > mxy) mxy = y
+          if (z < mnz) mnz = z; if (z > mxz) mxz = z
+          i += 1
+        }
+        (cx, cy, cz, p.count.toLong, idSum, mnx, mxx, mny, mxy, mnz, mxz)
+      }
+      .toDF("cx", "cy", "cz", "n", "id_sum", "x0", "x1", "y0", "y1", "z0", "z1")
+  }
+
+  /** Oracle twin of [[a44_annotations]] — the closed-form point set
+    * bucketed into the same 32×32×16 cells, census per cell. */
+  def a44OracleSql: String =
+    """WITH p AS (SELECT CAST(i AS BIGINT) AS id,
+      |            (37 * i) % 96 AS x, (53 * i) % 64 AS y, (29 * i) % 48 AS z
+      |           FROM range(1, 121) t(i))
+      |SELECT CAST(x // 32 AS BIGINT) AS cx, CAST(y // 32 AS BIGINT) AS cy,
+      | CAST(z // 16 AS BIGINT) AS cz,
+      | CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+      | CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
+      | CAST(min(y) AS BIGINT) AS y0, CAST(max(y) AS BIGINT) AS y1,
+      | CAST(min(z) AS BIGINT) AS z0, CAST(max(z) AS BIGINT) AS z1
+      |FROM p GROUP BY 1, 2, 3""".stripMargin
 }

@@ -1525,4 +1525,90 @@ object EventStreams {
       | CAST(sum(u.n_events) AS BIGINT) AS sum_events,
       | CAST(count(DISTINCT lt.last_type) AS BIGINT) AS n_types
       |FROM u JOIN lt USING (user_id) GROUP BY 1""".stripMargin
+
+  /** WATERMARK LATE-DATA AUDIT (e27) — the reconciliation every
+    * production stream runs next to its sink: a watermark is a DATA-LOSS
+    * CONTRACT (rows later than the bound are dropped by design), and the
+    * audit quantifies what the contract cost — per hourly window and
+    * type, the streamed count vs the batch recount of the full feed,
+    * and their difference (the dropped stragglers). The drive makes the
+    * drop DETERMINISTIC: the feed splits by `event_id % 5` into an
+    * on-time file and a straggler file; batch 1 processes only the
+    * on-time file (arming the watermark at max(on-time ts) − 1 h), the
+    * straggler file lands after batch 1 COMMITS, so batch 2 replays
+    * every straggler against the armed watermark — stragglers whose
+    * window closed before the watermark are dropped, recent ones still
+    * merge. The oracle replays exactly this: the kept set is on-time ∪
+    * {stragglers with window end past the armed watermark} (Spark
+    * tracks event-time stats in MILLISECONDS, so the oracle truncates
+    * the max to ms before subtracting the delay).
+    *
+    * Scale shape: the audit itself is the e1 aggregate plus ONE batch
+    * recount join at window grain — the sink-vs-source reconciliation a
+    * pipeline runs hourly, never at event grain. Streaming state stays
+    * watermark-bounded (that is the point being audited). */
+  def lateAuditOnce(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-e27").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def writeSplit(df: DataFrame, name: String): Unit = {
+      val tmp = s"$stage/__tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$stage/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val name = s"stream_lateaudit_${System.nanoTime()}"
+    try {
+      writeSplit(raw.filter(col("event_id") % 5 =!= 0), "events0.parquet")
+      withFewStatePartitions(spark, 8) {
+        val agg = readEventStream(spark, stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("event_type"), col("n"))
+        val q = agg.writeStream.outputMode(OutputMode.Update)
+          .format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable() // batch 1: on-time rows arm the watermark
+          writeSplit(raw.filter(col("event_id") % 5 === 0), "events1.parquet")
+          q.processAllAvailable() // batch 2: stragglers vs armed watermark
+        } finally q.stop()
+      }
+    } finally rmStage(stage)
+    val streamed = lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n"))
+      .select(col("hr"), col("event_type"), col("n").as("n_stream"))
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(streamed, Seq("hr", "event_type"), "left_outer")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"), col("n_total"),
+        (col("n_total") - coalesce(col("n_stream"), lit(0L))).as("n_dropped"))
+  }
+
+  /** DuckDB oracle twin of [[lateAuditOnce]] — the same split, the armed
+    * watermark (ms-truncated max − 1 h), the window-end drop predicate,
+    * and the reconciliation join. */
+  def lateAuditOracleSql: String =
+    """WITH ontime AS (SELECT * FROM events WHERE event_id % 5 != 0),
+      | wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wus FROM ontime),
+      | kept AS (SELECT * FROM ontime
+      |          UNION ALL
+      |          SELECT l.* FROM events l, wm
+      |          WHERE l.event_id % 5 = 0
+      |            AND epoch_us(date_trunc('hour', l.ts) + INTERVAL 1 HOUR) > wm.wus),
+      | s AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr, event_type,
+      |        count(*) AS n_stream FROM kept GROUP BY 1, 2),
+      | t AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr, event_type,
+      |        count(*) AS n_total FROM events GROUP BY 1, 2)
+      |SELECT t.hr, t.event_type,
+      | CAST(coalesce(s.n_stream, 0) AS BIGINT) AS n_stream,
+      | CAST(t.n_total AS BIGINT) AS n_total,
+      | CAST(t.n_total - coalesce(s.n_stream, 0) AS BIGINT) AS n_dropped
+      |FROM t LEFT JOIN s USING (hr, event_type)""".stripMargin
 }

@@ -505,6 +505,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(state(whole)(uid)._1 == state(split2)(uid)._1 + 1, "re-merged delta must add")
   }
 
+  test("e27 late audit: drops are exactly the stragglers behind the armed watermark") {
+    val got = EventStreams.lateAuditOnce(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = Tables.events(spark, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hr"),
+        col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("w0us"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // armed watermark: ms-truncated max on-time ts minus 1 h
+    val wmUs = ev.filter(_._3 % 5 != 0).map(_._4).max / 1000 * 1000 - 3600L * 1000000
+    val want = ev.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      val total = rows.length.toLong
+      val dropped = rows.count(e => e._3 % 5 == 0 && e._5 + 3600L * 1000000 <= wmUs).toLong
+      k -> ((total - dropped, total, dropped))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"window $k") }
+    // the audit must observe real drops AND real survivors, or it is vacuous
+    assert(got.values.map(_._3).sum > 0, "no stragglers dropped — watermark never armed")
+    assert(got.values.exists(v => v._3 == 0 && v._2 > 0), "every window lost rows")
+    // on-time rows never drop: per-window drops are bounded by the straggler count
+    ev.groupBy(e => (e._1, e._2)).foreach { case (k, rows) =>
+      assert(got(k)._3 <= rows.count(_._3 % 5 == 0).toLong, s"window $k dropped on-time rows")
+    }
+  }
+
   test("e22 heartbeat gaps equal a batch lag-diff recount") {
     val got = EventStreams.heartbeatOnce(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
