@@ -86,6 +86,8 @@ object SparkEntry {
     "q49_bitemporal" -> (Relational.q49_bitemporal _),
     // last-touch attribution: fill-forward window, no interval self-join
     "q50_attribution" -> (Relational.q50_attribution _),
+    // equi-depth optimizer stats: value-grain census, integer bucket rule
+    "q51_stats_histogram" -> ((s, d) => Relational.q51_stats_histogram(s, d)),
     // current-state extraction: per-key top-1 via WindowGroupLimit
     "q29_latest_per_key" -> (Relational.q29_latest_per_key _),
     "q26_approx_percentile" -> (Relational.q26_approx_percentile _),
@@ -214,6 +216,8 @@ object SparkEntry {
     // (b,r) S-curve calibration: empirical recall/precision per banding
     // vs the exact PPJoin truth and the theoretical design point
     "d21_lsh_tuning" -> (Dedup.lshTuningSweep(_, _)),
+    // ExactSubstr-style duplicated-span profile over the shingle index
+    "d22_dup_spans" -> ((s, d) => Dedup.dupSpans(Tables.t(s, d, "documents"))),
     "s1_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "s4_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -260,6 +264,8 @@ object SparkEntry {
     "s35_ood_screen" -> ((s, d) => Similarity.oodScreen(s, d)),
     // transductive label spread over the s21 kNN graph, clamped seeds
     "s36_label_prop" -> ((s, d) => Similarity.labelProp(s, d)),
+    // class-grain eval of the index-backed kNN classifier
+    "s37_knn_confusion" -> ((s, d) => Similarity.knnConfusion(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -694,6 +700,7 @@ object SparkEntry {
     "q48_variant" -> Relational.q48OracleSql,
     "q49_bitemporal" -> Relational.q49OracleSql,
     "q50_attribution" -> Relational.q50OracleSql,
+    "q51_stats_histogram" -> Relational.q51OracleSql(),
     // q30 shares q28's oracle shape: bucketing, like salting, must be
     // invisible in the result — only the plan changes
     "q30_bucketed_join" ->
@@ -853,6 +860,7 @@ object SparkEntry {
     "s34_adaptive_nprobe" -> Similarity.adaptiveNprobeOracleSql(),
     "s35_ood_screen" -> Similarity.oodScreenOracleSql,
     "s36_label_prop" -> Similarity.labelPropOracleSql(),
+    "s37_knn_confusion" -> Similarity.knnConfusionOracleSql(),
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),
@@ -892,6 +900,7 @@ object SparkEntry {
     // incremental maintenance must be invisible: same oracle as d5
     "d20_incr_clusters" -> dupClusterOracle,
     "d21_lsh_tuning" -> lshTuneOracle,
+    "d22_dup_spans" -> Dedup.dupSpansOracleSql(),
     "s1_cosine_topk" -> Similarity.cosineTopKOracleSql(),
     "t1_tokens" ->
       """SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,

@@ -1251,4 +1251,67 @@ object Dedup {
        | (b.key = b.src_key) AS matched
        |FROM best b JOIN nc n USING (src_key) WHERE rn = 1""".stripMargin
   }
+
+  // ---------------- cross-document duplicated-span profile (d22) ----------------
+
+  /** CROSS-document duplicated-SPAN profile (d22, the ExactSubstr
+    * principle of Lee et al. 2022 at token-window grain): for every
+    * document, the fraction of token POSITIONS covered by at least one
+    * 6-token window that also occurs verbatim in ANOTHER document. d6
+    * answers "which block survives globally" (dedup by first
+    * occurrence); this answers the per-document QUESTION a curation
+    * pipeline cuts on — "how much of THIS document is boilerplate shared
+    * with the rest of the corpus" (d12's C4 line rule, generalized past
+    * line boundaries to arbitrary token windows).
+    *
+    * Scale shape: the ONLY relations are the shingle inverted index
+    * (token grain — the d2/d3 substrate), a key-grain cross-doc filter
+    * (count distinct doc ≥ 2 — no pair relation, no join back to text),
+    * and a bounded 6× position expansion de-duplicated at (doc, pos)
+    * grain. Nothing is all-pairs and nothing rejoins the documents
+    * table; at 100 TB the widest shuffle carries (hash, doc, idx)
+    * triples, the same mass d3's index already moves. */
+  def dupSpans(docs: DataFrame, k: Int = 6): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
+        posexplode(expr(
+          s"""CASE WHEN size(toks) >= $k
+             |THEN transform(sequence(0, size(toks) - $k),
+             |               j -> md5(concat_ws(' ', slice(toks, j + 1, $k))))
+             |ELSE cast(array() AS array<string>) END""".stripMargin)))
+      .toDF("doc_id", "n_tok", "j", "h")
+    val crossDoc = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val covered = sh.join(crossDoc, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("j"), col("j") + lit(k - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        outd(coalesce(col("n_dup_pos"), lit(0L)).cast(DoubleType) / col("n_tok"), 4)
+          .as("dup_frac"))
+  }
+
+  /** DuckDB oracle twin of [[dupSpans]] — the same 6-token md5 windows,
+    * cross-doc key filter, and position-coverage fold. */
+  def dupSpansOracleSql(k: Int = 6): String =
+    s"""WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       | sh AS (SELECT doc_id, u.j AS j, u.h AS h FROM (
+       |    SELECT doc_id, unnest([{'j': j, 'h': md5(array_to_string(t[j+1:j+$k], ' '))}
+       |                           FOR j IN range(0, CAST(greatest(len(t) - $k + 1, 0) AS BIGINT))]) AS u
+       |    FROM base) s),
+       | xk AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       | cov AS (SELECT DISTINCT s.doc_id, s.j + d.d AS pos
+       |         FROM sh s JOIN xk USING (h), range(0, $k) d(d)),
+       | agg AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tok,
+       | CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_pos,
+       | round(CAST(coalesce(a.n_dup, 0) AS DOUBLE) / len(b.t), 4) AS dup_frac
+       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
 }

@@ -1499,6 +1499,54 @@ object Relational {
       .agg(count(lit(1)).as("n_conv"), outd(dsum(col("value")), 2).as("revenue"))
   }
 
+  /** EQUI-DEPTH column statistics (q51) — the ANALYZE-style histogram an
+    * optimizer stores per column (bucket bounds, row count, NDV): 8
+    * equi-depth buckets over `l_extendedprice` in exact integer cents.
+    * The fold runs at VALUE grain, not row grain — a (value, count)
+    * census first (map-side combined), then one cumulative window over
+    * the census and the integer bucket rule `⌊start·B/total⌋ + 1`
+    * (`start` = cumulative count before the value), so ties always land
+    * whole in one bucket (real histogram semantics — a value never
+    * splits) and the result is bit-deterministic with no doubles
+    * anywhere. The t33 tercile device, promoted to the optimizer-stats
+    * artifact.
+    *
+    * Scale shape: the only unpartitioned step is the cumulative window
+    * over the value-grain census — bounded by the price DOMAIN (cents
+    * cardinality), not the table; the row-grain alternative (global
+    * ntile) would be a full single-partition sort of the fact table.
+    * Production collects the same artifact from the q26 sketch when the
+    * domain itself is unbounded; this is the exact form the optimizer
+    * can trust for selectivity. */
+  def q51_stats_histogram(spark: SparkSession, dir: String, b: Int = 8): DataFrame = {
+    val vals = materialize(t(spark, dir, "lineitem")
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+    val tot = vals.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("bucket", expr(s"CAST((cum - cnt) * $b div $tot + 1 AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"), count(lit(1)).as("ndv"))
+  }
+
+  /** DuckDB oracle twin of [[q51_stats_histogram]] — the same cents
+    * census, cumulative start positions, and integer bucket rule. */
+  def q51OracleSql(b: Int = 8): String =
+    s"""WITH vals AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |              count(*) AS cnt
+       |             FROM lineitem GROUP BY 1),
+       | c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+       |        (SELECT sum(cnt) FROM vals) AS tot FROM vals),
+       | t AS (SELECT v, cnt, CAST((cum - cnt) * $b // tot + 1 AS BIGINT) AS bucket FROM c)
+       |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(min(v) AS BIGINT) AS lo,
+       | CAST(max(v) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS ndv
+       |FROM t GROUP BY bucket""".stripMargin
+
   /** DuckDB oracle twin of [[q50_attribution]] — the same fill-forward
     * window (IGNORE NULLS, strictly-preceding frame), lookback predicate,
     * and decimal revenue. */

@@ -2771,4 +2771,63 @@ object Similarity {
        | CASE WHEN l.lbl IS NOT NULL THEN l.lbl = n.true_label END AS correct
        |FROM nodes n JOIN lab$rounds l ON l.vec_id = n.vec_id""".stripMargin
   }
+
+  /** kNN-classifier CONFUSION MATRIX over the s21 graph (s37) — the
+    * class-grain eval report for the INDEX-backed classifier: every
+    * vector with graph neighbors gets the majority label of its kNN
+    * edges (ties to the smallest label — the s9 vote, served from the
+    * index instead of a flat scan), and the gate is the normalized
+    * confusion matrix: per (true, predicted) cell, the count and the
+    * row fraction. s9 serves per-query predictions on an eval slice;
+    * s11 grades the INDEX's recall; this grades the CLASSIFIER at class
+    * grain over the whole corpus — the artifact a labeling pipeline
+    * actually reviews before trusting propagated labels (which classes
+    * bleed into which).
+    *
+    * Scale shape: the vote is one equi-join of the O(n·k) edge relation
+    * against labels + a (node, label) count + per-node argmax window
+    * (WindowGroupLimit pushes the rank-1 cut into the exchange); the
+    * matrix fold is label² grain. Nothing touches embeddings. */
+  def knnConfusion(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("lbl"))
+    val g = knnGraph(spark, dir, k).select(col("src"), col("nb"))
+    val votes = g.join(emb.select(col("vec_id").as("nb"), col("lbl")), Seq("nb"))
+      .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("lbl").as("pred"))
+    val cells = pred
+      .join(emb.select(col("vec_id"), col("lbl").as("true_label")), Seq("vec_id"))
+      .groupBy(col("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("true_label"))
+    cells
+      .withColumn("n_true", sum(col("n")).over(wt))
+      .select(col("true_label"), col("pred_label"), col("n"), col("n_true"),
+        outd(col("n").cast(DoubleType) / col("n_true"), 4).as("row_frac"))
+  }
+
+  /** DuckDB oracle twin of [[knnConfusion]] — the s21 graph oracle as
+    * the edge relation, the same vote, argmax tie order, and matrix
+    * normalization. */
+  def knnConfusionOracleSql(k: Int = 3): String =
+    s"""WITH base AS (SELECT src, nb FROM (${knnGraphOracleSql(k)}) bq),
+       | votes AS (SELECT b.src, CAST(e.label AS BIGINT) AS lbl, count(*) AS c
+       |           FROM base b JOIN embeddings e ON e.vec_id = b.nb
+       |           GROUP BY b.src, e.label),
+       | pred AS (SELECT src AS vec_id, lbl AS pred FROM (
+       |            SELECT src, lbl,
+       |             row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+       |            FROM votes) q WHERE rn = 1),
+       | cells AS (SELECT CAST(e.label AS BIGINT) AS true_label, p.pred AS pred_label,
+       |            count(*) AS n
+       |           FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+       |           GROUP BY 1, 2),
+       | m AS (SELECT true_label, pred_label, n,
+       |        sum(n) OVER (PARTITION BY true_label) AS n_true FROM cells)
+       |SELECT true_label, pred_label, CAST(n AS BIGINT) AS n,
+       | CAST(n_true AS BIGINT) AS n_true,
+       | round(CAST(n AS DOUBLE) / n_true, 4) AS row_frac
+       |FROM m""".stripMargin
 }

@@ -802,6 +802,60 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("d22 dup spans equal a driver shingle-coverage replay; injected overlap detected") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, dir, "documents")
+    val got = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val k = 6
+    val sh = texts.toSeq.flatMap { case (id, t) =>
+      if (t.length >= k) (0 to t.length - k).map(j => (id, j, t.slice(j, j + k).mkString(" ")))
+      else Nil
+    }
+    val crossDoc = sh.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = texts.map { case (id, t) =>
+      val cov = sh.filter(s => s._1 == id && crossDoc(s._3))
+        .flatMap(s => s._2 until s._2 + k).distinct.size.toLong
+      id -> ((t.length.toLong, cov,
+        BigDecimal(cov.toDouble / t.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, cov, frac)) =>
+      assert(got(id)._1 == n, s"doc $id n_tok")
+      assert(got(id)._2 == cov, s"doc $id n_dup_pos")
+      assert(math.abs(got(id)._3 - frac) < 1e-9, s"doc $id dup_frac")
+    }
+    // both outcomes must exist on the fixture, or the profile is vacuous
+    assert(got.values.exists(_._2 > 0), "no cross-document spans found")
+    assert(got.values.exists(_._2 == 0), "every document fully duplicated")
+  }
+
+  test("s37 confusion matrix equals a driver vote recount; rows sum to prediction counts") {
+    val got = Similarity.knnConfusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val lbl = Tables.t(spark, dir, "embeddings").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val edges = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pred = edges.groupBy(_._1).map { case (src, es) =>
+      val votes = es.map(e => lbl(e._2)).groupBy(identity).view.mapValues(_.size)
+      src -> votes.toSeq.sortBy(v => (-v._2, v._1)).head._1
+    }
+    val want = pred.toSeq.groupBy { case (v, p) => (lbl(v), p) }.view.mapValues(_.size.toLong)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (cell, n) => assert(got(cell)._1 == n, s"cell $cell") }
+    // row marginals: n_true is the per-true-class prediction count
+    got.groupBy(_._1._1).foreach { case (t, cells) =>
+      val rowSum = cells.values.map(_._1).sum
+      cells.values.foreach { case (_, nTrue, _) => assert(nTrue == rowSum, s"class $t marginal") }
+      val fracSum = cells.values.map(_._3).sum
+      assert(math.abs(fracSum - 1.0) < 0.01, s"class $t fractions sum to $fracSum")
+    }
+  }
+
   test("s36 label propagation equals a driver synchronous replay; seeds clamped") {
     val out = Similarity.labelProp(spark, dir).collect().map { r =>
       r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),

@@ -20,6 +20,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 equi-depth histogram: contiguous buckets, conserved mass, ties never split") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q51_stats_histogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val cents = Tables.t(spark, dir, "lineitem")
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val b = 8
+    assert(rows.map(_._1).toSeq == (1L to b).toSeq, "bucket ids dense 1..B")
+    assert(rows.map(_._2).sum == cents.length.toLong, "row mass conserved")
+    assert(rows.map(_._5).sum == cents.distinct.length.toLong, "ndv conserved")
+    // contiguity and no value split: hi(i) < lo(i+1)
+    rows.sliding(2).foreach {
+      case Array(a, c) => assert(a._4 < c._3, s"buckets ${a._1}/${c._1} overlap")
+      case _ =>
+    }
+    rows.foreach { case (i, n, lo, hi, ndv) =>
+      assert(lo <= hi && ndv >= 1 && n >= ndv, s"bucket $i shape")
+      val inRange = cents.count(v => v >= lo && v <= hi).toLong
+      assert(inRange == n, s"bucket $i count vs value range")
+    }
+    // equi-depth within one value's multiplicity: each bucket's START obeys
+    // the integer rule, so depth drift is bounded by the largest tie group
+    val maxTie = cents.groupBy(identity).values.map(_.length).max.toLong
+    val ideal = cents.length.toLong / b
+    rows.foreach { case (i, n, _, _, _) =>
+      assert(n <= ideal + maxTie + b, s"bucket $i too deep: $n vs ideal $ideal")
+    }
+  }
+
   test("q50 attribution equals a driver fill-forward walk; purchases fully partitioned") {
     import org.apache.spark.sql.functions._
     val got = Relational.q50_attribution(spark, dir).collect()
