@@ -442,6 +442,8 @@ object SparkEntry {
     "m25_stripe_qc" -> (Multimodal.stripeQc _),
     // focus screen: integer Laplacian energy, injected 3-tap blur proof
     "m27_blur_qc" -> (Multimodal.blurQc _),
+    // banded aHash near-dup through the codec path, planted-donor proof
+    "m28_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
     // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
     // log10; injected noise floor drops injected clips ~7 dB
     "m26_audio_snr" -> (Multimodal.audioSnr _),
@@ -966,6 +968,7 @@ object SparkEntry {
     "m24_video_dup" -> Multimodal.videoDupOracleSql,
     "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
     "m27_blur_qc" -> Multimodal.blurQcOracleSql,
+    "m28_image_neardup" -> Multimodal.imageNearDupOracleSql(),
     "m26_audio_snr" -> Multimodal.audioSnrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,

@@ -1495,6 +1495,112 @@ object Multimodal {
        |FROM ph""".stripMargin
   }
 
+  // ---------------- banded perceptual near-dup (m28) ----------------
+
+  /** Perceptual image NEAR-dup detection (m28) — the LAION dedup step m8
+    * promises but gates only exactly ("near-dup at Hamming ≤ k would band
+    * the 16 nibbles exactly like d4's simhash banding"): re-encoded,
+    * re-tiled, or slightly-retouched copies hash CLOSE but not equal, so
+    * the 64-bit aHash splits into 4 bands of 16 bits, candidates share at
+    * least one band (pigeonhole: Hamming ≤ 3 guarantees an intact band),
+    * and candidates verify by exact nibble-XOR popcount ≤ 3. Near-dup is
+    * PROVEN by injection: every image with `doc_id % 9 == 0` (≥ 9)
+    * synthesizes its raster from the PREVIOUS image's payload (doc_id−3,
+    * never itself planted) with one pixel brightened by +1 BEFORE the PNG
+    * encode — measured Hamming ≤ 2 against the donor at every shipped SF,
+    * while unrelated rasters collide on at most a band (worst measured
+    * bucket: 12 of 1667 images at sf0.1).
+    *
+    * Scale shape: hash is one decode pass (row-local); the index join
+    * shuffles (image × 4) band rows of two small values; verification
+    * touches only band collisions and compares 16-nibble strings — the
+    * d3/d18 banding discipline applied through the REAL codec path. */
+  def imageNearDup(spark: SparkSession, dir: String, tau: Int = 3): DataFrame = {
+    val imgs = assets(t(spark, dir, "documents"))
+      .filter(col("modality") === "image")
+      .select(col("doc_id"), col("payload"))
+    val donors = imgs.select((col("doc_id") + 3).as("doc_id"), col("payload").as("donor"))
+    implicit val hashEnc = Encoders.product[(Long, String)]
+    val hashed = imgs.join(donors, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("payload"), col("donor"))
+      .as(Encoders.product[(Long, Array[Byte], Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, payload, donor) =>
+          val src =
+            if (id % 9 == 0 && id >= 9 && donor != null) {
+              val r = tileRaster(donor, ThumbW, ThumbH)
+              r(0) = math.min(255, (r(0) & 0xff) + 1).toByte
+              r
+            } else tileRaster(payload, ThumbW, ThumbH)
+          val px = imgDecode(imgEncode(src, ThumbW, ThumbH))._1
+          (id, aHashHex(px))
+        }
+      }
+      .toDF("doc_id", "phash")
+      .transform(Tables.materialize)
+    val bands = hashed.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> substring(phash, b * 4 + 1, 4))")))
+      .toDF("doc_id", "band", "bv")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("a"), col("phash").as("ha")), Seq("a"))
+      .join(hashed.select(col("doc_id").as("b"), col("phash").as("hb")), Seq("b"))
+      .withColumn("hamming", expr(
+        """aggregate(transform(sequence(0, 15),
+          | i -> bit_count(CAST(conv(substring(ha, i + 1, 1), 16, 10) AS INT) ^
+          |                CAST(conv(substring(hb, i + 1, 1), 16, 10) AS INT))),
+          | 0, (acc, x) -> acc + x)""".stripMargin).cast(LongType))
+      .filter(col("hamming") <= tau)
+      .select(col("a"), col("b"), col("hamming"),
+        (col("b") - col("a") === 3 && col("b") % 9 === 0).as("planted"))
+  }
+
+  /** DuckDB oracle twin of [[imageNearDup]] — the donor substitution and
+    * one-pixel brightening replayed on the tiled raster, the m8 block-sum
+    * hash, the same 16-bit banding, and the nibble-XOR verification. */
+  def imageNearDupOracleSql(tau: Int = 3): String = {
+    val ipx = ThumbW * ThumbH
+    s"""WITH img AS (SELECT d.doc_id,
+       |         CASE WHEN d.doc_id % 9 = 0 AND d.doc_id >= 9 AND dn.text IS NOT NULL
+       |              THEN dn.text ELSE d.text END AS src,
+       |         (d.doc_id % 9 = 0 AND d.doc_id >= 9 AND dn.text IS NOT NULL) AS planted_src
+       |        FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 3
+       |        WHERE d.doc_id % 3 = 0),
+       | ras AS (SELECT doc_id, planted_src,
+       |          substr(repeat(src, CAST(ceil($ipx.0 / length(src)) AS INT)), 1, $ipx) AS raster
+       |         FROM img),
+       | px AS (SELECT doc_id, i - 1 AS p,
+       |         CASE WHEN i = 1 AND planted_src
+       |              THEN least(255, ord(substr(raster, 1, 1)) + 1)
+       |              ELSE ord(substr(raster, CAST(i AS INT), 1)) END AS v
+       |        FROM ras, range(1, $ipx + 1) AS u(i)),
+       | blk AS (SELECT doc_id, (((p // $ThumbW) // 6) * 8 + ((p % $ThumbW) // 8)) AS block,
+       |          sum(v) AS bs FROM px GROUP BY 1, 2),
+       | tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY doc_id),
+       | nib AS (SELECT b.doc_id, b.block // 4 AS k,
+       |          CAST(sum((CASE WHEN b.bs * 64 > t.ts THEN 1 ELSE 0 END) *
+       |            (CASE b.block % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS BIGINT) AS v
+       |         FROM blk b JOIN tot t USING (doc_id) GROUP BY 1, 2),
+       | bandv AS (SELECT doc_id, k // 4 AS band,
+       |            sum(v * (CASE k % 4 WHEN 0 THEN 4096 WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END)) AS bv
+       |           FROM nib GROUP BY 1, 2),
+       | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM bandv x JOIN bandv y
+       |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       | hm AS (SELECT c.a, c.b, sum(bit_count(xor(na.v, nb.v))) AS hamming
+       |        FROM cand c JOIN nib na ON na.doc_id = c.a
+       |        JOIN nib nb ON nb.doc_id = c.b AND nb.k = na.k
+       |        GROUP BY c.a, c.b)
+       |SELECT a, b, CAST(hamming AS BIGINT) AS hamming,
+       | (b - a = 3 AND b % 9 = 0) AS planted
+       |FROM hm WHERE hamming <= $tau""".stripMargin
+  }
+
   // ---------------- Loudness normalization (m18) ----------------
 
   /** Loudness normalization (m18) — the gain-staging pass an audio corpus

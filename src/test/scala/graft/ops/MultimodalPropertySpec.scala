@@ -356,6 +356,25 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     assert(rows.exists(_._1 % 6 != 3), "no natural images in fixture")
   }
 
+  test("m28 near-dup: every planted donor pair surfaces; verification bound holds") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.imageNearDup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, h, planted) =>
+      assert(a < b && h <= 3, s"pair ($a,$b) hamming $h")
+      assert(planted == (b - a == 3 && b % 9 == 0), s"pair ($a,$b) planted flag")
+      if (planted) assert(h <= 2, s"planted pair ($a,$b) drifted to hamming $h")
+    }
+    // every planted pair must surface: donor = id - 3 for id % 9 == 0, id >= 9
+    val nImgs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 0")).count()
+    val maxId = (nImgs - 1) * 3
+    val wantPlanted = (9L to maxId by 9).map(id => (id - 3, id)).toSet
+    val gotPlanted = rows.filter(_._4).map(r => (r._1, r._2)).toSet
+    assert(gotPlanted == wantPlanted, "planted pair set mismatch")
+  }
+
   test("m21 frame dedup: frozen videos report exactly the injected duplication") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.frameDedup(spark, "/root/testdata/sf0.001").collect()
