@@ -266,6 +266,8 @@ object SparkEntry {
     "s36_label_prop" -> ((s, d) => Similarity.labelProp(s, d)),
     // class-grain eval of the index-backed kNN classifier
     "s37_knn_confusion" -> ((s, d) => Similarity.knnConfusion(s, d)),
+    // two-stage residual quantization: coarse cell + residual codebook
+    "s38_residual_quant" -> ((s, d) => Similarity.residualQuantizer(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -863,6 +865,7 @@ object SparkEntry {
     "s35_ood_screen" -> Similarity.oodScreenOracleSql,
     "s36_label_prop" -> Similarity.labelPropOracleSql(),
     "s37_knn_confusion" -> Similarity.knnConfusionOracleSql(),
+    "s38_residual_quant" -> Similarity.residualQuantizerOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

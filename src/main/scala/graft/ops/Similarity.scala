@@ -2830,4 +2830,113 @@ object Similarity {
        | CAST(n_true AS BIGINT) AS n_true,
        | round(CAST(n AS DOUBLE) / n_true, 4) AS row_frac
        |FROM m""".stripMargin
+
+  // ---------------- two-stage residual quantization (s38) ----------------
+
+  /** Where the most recent [[residualQuantizer]] call dumped its fitted
+    * stage-1 centroids / stage-2 residual codebook — per-dir (the
+    * s22/s25 `dirToken` convention). */
+  @volatile private[ops] var RqCentroidDump: String = s"$OracleDumpRoot/s38_c1"
+  @volatile private[ops] var RqCodebookDump: String = s"$OracleDumpRoot/s38_c2"
+
+  /** Per-dir cache of the s38 two-stage fit (stage-1 centroids, stage-2
+    * residual codebook) — fitting is ingest-time work, queries reuse it
+    * (the s6/s25 cached-fit discipline). */
+  private val rqFits =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], Array[Array[Double]])]()
+
+  /** Squared-L2 argmin of `v` against a small fitted centroid matrix, as
+    * one codegen-friendly expression: per centroid a sequential
+    * `zip_with`+fold distance (index order — the same summation order as
+    * DuckDB's `list_dot_product`, the s21-proven cross-engine contract),
+    * then `array_min` over (dist, cluster) structs — lexicographic min,
+    * ties to the smallest cluster id. */
+  private def l2Best(v: Column, cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(
+          zip_with(v, array(c.map(lit): _*), (x, y) => {
+            val d = x.cast(DoubleType) - y; d * d
+          }),
+          lit(0.0), (acc, z) => acc + z).as("dist"),
+        lit(j).as("cluster"))
+    }: _*))
+
+  /** Two-stage RESIDUAL quantization (s38, the RQ/AQ family production
+    * ANN systems use between plain PQ and full-precision): stage 1
+    * assigns each vector to its nearest (squared-L2) coarse centroid,
+    * stage 2 quantizes the RESIDUAL against a codebook fitted on
+    * residuals — reconstruction error drops from ‖r‖² (coarse-only) to
+    * ‖r − c₂‖², and the report carries both so the distortion the second
+    * stage buys is measurable per vector. Complements the existing
+    * lattice: SQ8 (s5/s26) scales components, PQ (s7) splits dimensions,
+    * RQ refines the coarse cell additively.
+    *
+    * Scale shape: both fits are bounded by [[IvfTrainCap]] and cached
+    * per dir (ingest-time work); the corpus pass is ONE map-only select
+    * — two inlined argmin kernels and a residual `zip_with`, zero
+    * shuffle, no join (the s6 assignment discipline). Both codebooks
+    * dump to parquet so the oracle replays assignment + error from the
+    * same constants. */
+  def residualQuantizer(spark: SparkSession, dir: String, k1: Int = 8,
+      k2: Int = 16): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (c1, c2) = rqFits.computeIfAbsent(dir, { _ =>
+      val train = cappedTrainSample(emb)
+      val cc1 = fitCoarseCentroids(train, k1, seed = 13)
+      val residuals = train.map { p =>
+        val j = cc1.indices.minBy { i =>
+          var s = 0.0; var d = 0
+          while (d < p.length) { val t = p(d) - cc1(i)(d); s += t * t; d += 1 }
+          s
+        }
+        p.indices.map(d => p(d) - cc1(j)(d)).toArray
+      }
+      val cc2 = lloydLocal(residuals, k2, maxIter = 10, seed = 17)
+      (cc1, cc2)
+    })
+    RqCentroidDump = s"$OracleDumpRoot/s38_c1_${dirToken(dir)}"
+    RqCodebookDump = s"$OracleDumpRoot/s38_c2_${dirToken(dir)}"
+    dumpCentroids(spark, c1, RqCentroidDump)
+    dumpCentroids(spark, c2, RqCodebookDump)
+    val c1Arr = array(c1.map(c => array(c.map(lit): _*)): _*)
+    emb
+      .select(col("vec_id"), col("embedding"), l2Best(col("embedding"), c1).as("b1"))
+      .select(col("vec_id"), col("b1.cluster").cast(LongType).as("cell"),
+        col("b1.dist").as("e1"),
+        zip_with(col("embedding"), element_at(c1Arr, col("b1.cluster") + 1),
+          (x, y) => x.cast(DoubleType) - y).as("r"))
+      .select(col("vec_id"), col("cell"), col("e1"), l2Best(col("r"), c2).as("b2"))
+      .select(col("vec_id"), col("cell"), col("b2.cluster").cast(LongType).as("code"),
+        outd(col("e1"), 4).as("err1"), outd(col("b2.dist"), 4).as("err2"))
+  }
+
+  /** DuckDB oracle twin of [[residualQuantizer]] — both codebooks read
+    * from the dumps, the same sequential squared-L2 distances
+    * (`list_dot_product` of the difference list), tie orders, and
+    * rounding. */
+  def residualQuantizerOracleSql: String =
+    s"""WITH c1 AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |            FROM read_parquet('$RqCentroidDump/*.parquet')),
+       | c2 AS (SELECT cluster AS code, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS cent
+       |        FROM read_parquet('$RqCodebookDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | d1 AS (SELECT vec_id, emb, cluster, cent, list_dot_product(l, l) AS dist FROM (
+       |          SELECT vec_id, emb, cluster, cent,
+       |           [emb[i] - cent[i] FOR i IN range(1, len(emb) + 1)] AS l
+       |          FROM e, c1) z1),
+       | a1 AS (SELECT vec_id, emb, cluster, cent, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rnk FROM d1),
+       | r AS (SELECT vec_id, cluster AS cell, dist AS e1,
+       |        [emb[i] - cent[i] FOR i IN range(1, len(emb) + 1)] AS res
+       |       FROM a1 WHERE rnk = 1),
+       | d2 AS (SELECT vec_id, cell, e1, code, list_dot_product(l2, l2) AS dist2 FROM (
+       |          SELECT r.vec_id, r.cell, r.e1, c2.code,
+       |           [res[i] - cent[i] FOR i IN range(1, len(res) + 1)] AS l2
+       |          FROM r, c2) z2),
+       | a2 AS (SELECT vec_id, cell, e1, code, dist2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, code) AS rnk FROM d2)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(code AS BIGINT) AS code,
+       | round(e1, 4) AS err1, round(dist2, 4) AS err2
+       |FROM a2 WHERE rnk = 1""".stripMargin
 }

@@ -802,6 +802,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("s38 residual quantizer equals a driver replay from the dumps; stage 2 cuts distortion") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.residualQuantizer(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def readDump(path: String): Map[Int, Array[Double]] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val c1 = readDump(Similarity.RqCentroidDump)
+    val c2 = readDump(Similarity.RqCodebookDump)
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    assert(got.keySet == emb.keySet)
+    emb.foreach { case (id, v) =>
+      val cell = c1.toSeq.map { case (j, c) => (j, d2(v, c)) }
+        .minBy { case (j, d) => (d, j) }._1
+      val r = v.indices.map(i => v(i) - c1(cell)(i)).toArray
+      val (code, e2) = c2.toSeq.map { case (j, c) => (j, d2(r, c)) }
+        .minBy { case (j, d) => (d, j) }
+      val (gc, gcode, ge1, ge2) = got(id)
+      assert(gc == cell.toLong, s"vec $id cell")
+      assert(gcode == code.toLong, s"vec $id code")
+      assert(math.abs(ge1 - d2(v, c1(cell))) < 1e-3, s"vec $id err1")
+      assert(math.abs(ge2 - e2) < 1e-3, s"vec $id err2")
+    }
+    // the second stage must buy real distortion on average, or it is vacuous
+    val m1 = got.values.map(_._3).sum / got.size
+    val m2 = got.values.map(_._4).sum / got.size
+    assert(m2 < m1 * 0.9, s"stage 2 bought nothing: $m1 -> $m2")
+  }
+
   test("d22 dup spans equal a driver shingle-coverage replay; injected overlap detected") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, dir, "documents")
