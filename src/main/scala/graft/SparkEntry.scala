@@ -446,6 +446,8 @@ object SparkEntry {
     "m27_blur_qc" -> (Multimodal.blurQc _),
     // banded aHash near-dup through the codec path, planted-donor proof
     "m28_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    // per-scene sharpest-frame pick: m10 scenes x m27 focus kernel
+    "m29_keyframe_select" -> (Multimodal.keyframeSelect _),
     // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
     // log10; injected noise floor drops injected clips ~7 dB
     "m26_audio_snr" -> (Multimodal.audioSnr _),
@@ -972,6 +974,7 @@ object SparkEntry {
     "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
     "m27_blur_qc" -> Multimodal.blurQcOracleSql,
     "m28_image_neardup" -> Multimodal.imageNearDupOracleSql(),
+    "m29_keyframe_select" -> Multimodal.keyframeSelectOracleSql,
     "m26_audio_snr" -> Multimodal.audioSnrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,
     "m7_modal_ingest" -> Multimodal.modalIngestOracleSql,

@@ -1495,6 +1495,118 @@ object Multimodal {
        |FROM ph""".stripMargin
   }
 
+  // ---------------- per-scene keyframe selection (m29) ----------------
+
+  /** Per-scene KEYFRAME selection (m29) — the thumbnail/representative-
+    * frame pass a vision corpus runs after shot detection (m10 finds the
+    * scene grain; captioning/embedding then wants ONE good frame per
+    * scene, not the motion-smeared ones): within each 3-frame scene the
+    * sharpest frame by integer Laplacian energy (the m27 kernel at frame
+    * grain) wins, ties to the earliest frame. Selection is PROVEN by
+    * construction: frames 1 and 2 of every scene get the m27 3-tap blur
+    * BEFORE the AVI encode (a pure function of the m10 frame synthesis),
+    * so the sharp frame 0 must win every scene — measured margin ≥ 2.5M
+    * energy units at every shipped SF — and `best_blurred` rides along
+    * so the margin itself is gated.
+    *
+    * Scale shape: one AVI decode + per-frame integer fold + an in-kernel
+    * per-scene argmax, all row-local per video (the m10 discipline);
+    * output is scene-grain, nothing shuffles but the result. */
+  def keyframeSelect(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc = Encoders.product[(Long, Array[Byte])]
+    implicit val outEnc = Encoders.product[(Long, Long, Long, Long, Long)]
+    val assetDf = assets(t(spark, dir, "documents"))
+    val slots = assetDf.sparkSession.sparkContext.defaultParallelism
+    assetDf.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"))
+      .repartition(slots)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val nf = sceneFrameCount(id)
+        val frames = (0 until nf).map { f =>
+          val base = synthFrame(payload, f / 3)
+          if (f % 3 == 0) base
+          else {
+            val out = base.clone()
+            var y = 0
+            while (y < VideoH) {
+              var x = 1
+              while (x < VideoW - 1) {
+                val p = y * VideoW + x
+                out(p) = (((base(p - 1) & 0xff) + (base(p) & 0xff) +
+                  (base(p + 1) & 0xff)) / 3).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        }
+        val (decoded, _, _, _) = aviDecode(aviEncode(frames, VideoW, VideoH, videoFps(id)))
+        def en(px: Array[Byte]): Long = {
+          var s = 0L
+          var y = 0
+          while (y < VideoH) {
+            var x = 1
+            while (x < VideoW - 1) {
+              val p = y * VideoW + x
+              val d = (px(p - 1) & 0xff) + (px(p + 1) & 0xff) - 2 * (px(p) & 0xff)
+              s += d.toLong * d
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        val es = decoded.map(en)
+        (0 until nf / 3).map { sc =>
+          val fs = 3 * sc until 3 * sc + 3
+          val key = fs.minBy(f => (-es(f), f)) // max energy, ties earliest
+          (id, sc.toLong, key.toLong, es(key), math.max(es(3 * sc + 1), es(3 * sc + 2)))
+        }
+      })
+      .toDF("doc_id", "scene", "key_fno", "key_energy", "best_blurred")
+  }
+
+  /** DuckDB oracle twin of [[keyframeSelect]] — the m10 frame synthesis,
+    * the same interior 3-tap floor-mean blur on frames 1/2 of each
+    * scene, the integer second-difference energy, and the argmax tie
+    * order. */
+  def keyframeSelectOracleSql: String = {
+    val px = VideoW * VideoH
+    // B(j): blurred pixel value at 1-based string index j — interior
+    // columns of a blurred frame take the 3-tap floor mean, everything
+    // else the raw pixel (the engine's copy-edges rule)
+    def b(j: String): String =
+      s"(CASE WHEN blurred AND (($j) - 1) % $VideoW BETWEEN 1 AND ${VideoW - 2} " +
+        s"THEN (ord(substr(raster, CAST(($j) - 1 AS INT), 1)) + ord(substr(raster, CAST($j AS INT), 1)) + " +
+        s"ord(substr(raster, CAST(($j) + 1 AS INT), 1))) // 3 " +
+        s"ELSE ord(substr(raster, CAST($j AS INT), 1)) END)"
+    s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+       |        (2 + doc_id % 4) * 3 AS nf FROM documents WHERE doc_id % 3 = 2),
+       | f AS (SELECT doc_id, len, text, unnest(range(0, nf)) AS fno FROM d),
+       | r AS (SELECT doc_id, fno, (fno % 3 <> 0) AS blurred,
+       |        substr(repeat(text, CAST(ceil((((fno // 3) * $FrameStride) % len + $px.0) / len) AS INT) + 1),
+       |               CAST(((fno // 3) * $FrameStride) % len AS INT) + 1, $px) AS raster
+       |       FROM f),
+       | bl AS (SELECT doc_id, fno, [${b("i")} FOR i IN range(1, $px + 1)] AS bv FROM r),
+       | en AS (SELECT doc_id, fno, CAST(list_sum(
+       |         [CASE WHEN (i - 1) % $VideoW BETWEEN 1 AND ${VideoW - 2}
+       |               THEN (bv[CAST(i AS INT) - 1] + bv[CAST(i AS INT) + 1] - 2 * bv[CAST(i AS INT)]) *
+       |                    (bv[CAST(i AS INT) - 1] + bv[CAST(i AS INT) + 1] - 2 * bv[CAST(i AS INT)])
+       |               ELSE 0 END FOR i IN range(1, $px + 1)]) AS BIGINT) AS e
+       |        FROM bl),
+       | bb AS (SELECT doc_id, fno // 3 AS scene, max(e) AS best_blurred
+       |        FROM en WHERE fno % 3 <> 0 GROUP BY 1, 2),
+       | sel AS (SELECT doc_id, fno // 3 AS scene, fno, e,
+       |          row_number() OVER (PARTITION BY doc_id, fno // 3 ORDER BY e DESC, fno) AS rn
+       |         FROM en)
+       |SELECT s.doc_id, CAST(s.scene AS BIGINT) AS scene, CAST(s.fno AS BIGINT) AS key_fno,
+       | CAST(s.e AS BIGINT) AS key_energy, CAST(b2.best_blurred AS BIGINT) AS best_blurred
+       |FROM sel s JOIN bb b2 ON b2.doc_id = s.doc_id AND b2.scene = s.scene
+       |WHERE s.rn = 1""".stripMargin
+  }
+
   // ---------------- banded perceptual near-dup (m28) ----------------
 
   /** Perceptual image NEAR-dup detection (m28) — the LAION dedup step m8

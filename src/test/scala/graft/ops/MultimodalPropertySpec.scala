@@ -356,6 +356,22 @@ class MultimodalPropertySpec extends AnyFunSuite with MiniProp {
     assert(rows.exists(_._1 % 6 != 3), "no natural images in fixture")
   }
 
+  test("m29 keyframe: the sharp frame wins every scene, with real margin") {
+    val spark = graft.testutil.SparkSuite.spark
+    val rows = Multimodal.keyframeSelect(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scene, keyFno, keyE, bestBlurred) =>
+      assert(id % 3 == 2, s"doc $id not a video")
+      assert(keyFno == scene * 3, s"doc $id scene $scene picked blurred frame $keyFno")
+      assert(keyE > bestBlurred, s"doc $id scene $scene: no margin ($keyE vs $bestBlurred)")
+    }
+    // scene census matches the m10 device: 2 + id % 4 scenes per video
+    rows.groupBy(_._1).foreach { case (id, sc) =>
+      assert(sc.map(_._2).toSet == (0L until (2 + id % 4)).toSet, s"doc $id scene set")
+    }
+  }
+
   test("m28 near-dup: every planted donor pair surfaces; verification bound holds") {
     val spark = graft.testutil.SparkSuite.spark
     val rows = Multimodal.imageNearDup(spark, "/root/testdata/sf0.001").collect()
