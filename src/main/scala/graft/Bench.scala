@@ -197,7 +197,23 @@ object Bench {
     spark.stop()
     System.err.flush()
     System.out.flush()
-    System.out.println(s"""{"queries":$qs,"singles":$singles,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
+    val fullLine =
+      s"""{"queries":$qs,"singles":$singles,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}"""
+    // DURABLE in-repo record (r10 directive): the driver archives only a
+    // ~2 KB log TAIL, so the full per-query map has never survived into a
+    // BENCH_r* artifact. Every run therefore also writes the complete
+    // machine-readable result to a file (committed as bench_self.json) —
+    // the stdout tail mechanics can clip what they like, the repo still
+    // carries the whole run. Timestamped so consecutive runs are
+    // distinguishable; written BEFORE the stdout lines so a crash between
+    // them cannot leave stdout claiming a result the file lacks.
+    val selfOut = sys.env.getOrElse("SPARK_GRAFT_SELF_OUT", "bench_self.json")
+    try {
+      val stamp = java.time.Instant.now().toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(selfOut),
+        s"""{"written_at":"$stamp",${fullLine.tail}""".getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] self-record write failed: $e") }
+    System.out.println(fullLine)
     // COMPACT final line, emitted LAST so it sits fully inside the driver's
     // ~2 KB log tail (the full line above overflows it — BENCH_r07's
     // `"parsed": null`). Query names shrink to their unique leading token

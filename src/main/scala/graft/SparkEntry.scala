@@ -174,10 +174,16 @@ object SparkEntry {
     // annotation layer: real cell framing roundtrip + per-cell census
     "a44_annotations" -> (ArrayOps.a44_annotations _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
-    "d2_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.t(s, d, "documents"), 0.8)),
+    // d2 IS the at-rest ground-truth artifact: the first toucher in the
+    // JVM executes the exact PPJoin and dumps it; every later consumer
+    // (d5/d10/d11/d16/d18/d21/c9/c16/c22/c28) reads the dump — the
+    // production shape, where the dedup pass maintains this relation and
+    // no report re-derives it from text (r10 directive 3)
+    "d2_dedup_ngram" -> ((s, d) => Dedup.nearDupPairsAtRest(s, d, 0.8)),
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
-    "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8)),
+    "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8,
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "d6_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.t(s, d, "documents"))),
     // the standing-pipeline dedup shape: new shard vs corpus hash index at
     // rest — the corpus is never re-scanned (see Dedup.incrementalDedup)
@@ -190,10 +196,12 @@ object SparkEntry {
     "d9_semdedup" -> ((s, d) => Similarity.semDedupPrune(s, d, 0.4)),
     // inter-source duplication matrix: which sources near-duplicate each
     // other and by how much — the report that drives source weighting
-    "d10_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.t(s, d, "documents"), 0.8)),
+    "d10_dup_sources" -> ((s, d) => Dedup.dupSourceMatrix(Tables.t(s, d, "documents"), 0.8,
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     // duplicate-graph centrality: power iteration at label grain over the
     // LSH pair relation — the canonical-keeper rule beyond min-id
-    "d11_pagerank" -> ((s, d) => Dedup.pageRank(Tables.t(s, d, "documents"), 0.8)),
+    "d11_pagerank" -> ((s, d) => Dedup.pageRank(Tables.t(s, d, "documents"), 0.8,
+      pairRel = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     // C4-rule line dedup: first occurrence wins corpus-wide, documents
     // reassemble from surviving lines — one line-hash exchange
     "d12_line_dedup" -> ((s, d) => Dedup.lineDedup(Tables.t(s, d, "documents"))),
@@ -204,9 +212,11 @@ object SparkEntry {
     // delta locally; exact confirm semi-join moves only candidates
     "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "d15_url_canon" -> ((s, d) => Dedup.urlCanonDedup(Tables.t(s, d, "documents"))),
-    "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"))),
+    "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"),
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "d17_bbit_minhash" -> (Dedup.bbitEstimates(_, _)),
-    "d18_simhash_eval" -> ((s, d) => Dedup.simhashEval(Tables.t(s, d, "documents"))),
+    "d18_simhash_eval" -> ((s, d) => Dedup.simhashEval(Tables.t(s, d, "documents"),
+      truth = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     // records linkage: SymSpell deletion-neighborhood blocking (one
     // equi-join on delete variants), levenshtein verify on collisions only
     "d19_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(Tables.t(s, d, "customer"))),
@@ -361,7 +371,8 @@ object SparkEntry {
     "c8_domains" -> ((s, d) => Corpus.domainCuration(Tables.t(s, d, "documents"))),
     // the dedup impact report: exact-dup / near-dup / line-cut mass per
     // source, composed from the d1/d3/d12 relations by doc-keyed joins
-    "c9_dedup_report" -> ((s, d) => Corpus.dedupReport(Tables.t(s, d, "documents"))),
+    "c9_dedup_report" -> ((s, d) => Corpus.dedupReport(Tables.t(s, d, "documents"),
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     // snapshot CDC: digest-only full-outer join, content never compared
     "c10_snapshot_diff" -> ((s, d) => Corpus.snapshotDiff(Tables.t(s, d, "documents"))),
     // DSIR importance weights: two map-side unigram fits + one vocab-sized
@@ -379,13 +390,15 @@ object SparkEntry {
     // mergeSchema roundtrip: v1 shards lack the later column; reads must
     // null-fill, distinguishing "not yet scored" from "scored zero"
     "c15_schema_evolution" -> (Corpus.schemaEvolution _),
-    "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8)),
+    "c16_split_leakage" -> ((s, d) => Corpus.splitLeakage(Tables.t(s, d, "documents"), 0.8,
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
-    "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"))),
+    "c22_cluster_reps" -> ((s, d) => Corpus.clusterReps(Tables.t(s, d, "documents"),
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "c23_curriculum" -> ((s, d) => Corpus.curriculumSchedule(Tables.t(s, d, "documents"))),
     "c24_repetition" -> ((s, d) => Corpus.repetitionBudget(Tables.t(s, d, "documents"))),
     "c25_quality_drift" -> ((s, d) => Corpus.qualityDrift(Tables.t(s, d, "documents"))),
@@ -397,7 +410,8 @@ object SparkEntry {
     "c27_fertility" -> ((s, d) => Corpus.tokenizerFertility(Tables.t(s, d, "documents"))),
     // dedup-aware c26: per-doc mass discounted by the d16 weight before
     // the allocator — the epoch delta vs c26 is the repetition tax
-    "c28_effective_mix" -> ((s, d) => Corpus.effectiveEpochAllocation(Tables.t(s, d, "documents"))),
+    "c28_effective_mix" -> ((s, d) => Corpus.effectiveEpochAllocation(Tables.t(s, d, "documents"),
+      pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     // weak-supervision reliability: three heuristic raters, per-source
     // observed agreement and chance-corrected Fleiss kappa
     "c29_rater_agreement" -> ((s, d) => Corpus.raterAgreement(Tables.t(s, d, "documents"))),
@@ -1141,7 +1155,7 @@ object SparkEntry {
        |        sum(CAST(weight AS DECIMAL(18,4)) * n_tok) AS eff_tok,
        |        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mq
        |       FROM s GROUP BY source),
-       | tot AS (SELECT sum(eff_tok) * 200 / 100 AS b FROM a),
+       | tot AS (SELECT sum(eff_tok) * 2 AS b FROM a),
        | u AS (SELECT a.source, a.eff_tok, a.mq, r.k FROM a, range(1, 5) r(k)),
        | w AS (SELECT source,
        |        sum(eff_tok) OVER (ORDER BY k, mq DESC, source) AS run FROM u),

@@ -73,8 +73,9 @@ object Corpus {
     * all-pairs), and the split label is a PURE FUNCTION of doc_id
     * ([[splitOf]]) re-derived row-locally on the pairs — no join against
     * the corpus at all; the final fold is a ≤6-row aggregation. */
-  def splitLeakage(docs: DataFrame, minJ: Double = 0.8): DataFrame =
-    Dedup.minhashPairs(docs, minJ)
+  def splitLeakage(docs: DataFrame, minJ: Double = 0.8,
+      pairs: Option[DataFrame] = None): DataFrame =
+    pairs.getOrElse(Dedup.minhashPairs(docs, minJ))
       .select(col("a"), col("b"), splitOf(col("a")).as("sa"), splitOf(col("b")).as("sb"))
       .select(
         least(col("sa"), col("sb")).as("split_lo"),
@@ -656,13 +657,13 @@ object Corpus {
     * equi-joins + one per-source fold — composition, not recomputation,
     * is the point (each sub-relation scales exactly as its own operator
     * does). */
-  def dedupReport(docs: DataFrame): DataFrame = {
+  def dedupReport(docs: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
       md5(col("text")).as("h"))
     val keep = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val nearDocs = {
-      val p = Dedup.minhashPairs(docs, 0.8)
+      val p = pairs.getOrElse(Dedup.minhashPairs(docs, 0.8))
       p.select(col("a").as("doc_id")).union(p.select(col("b").as("doc_id"))).distinct()
         .withColumn("near", lit(1))
     }
@@ -1222,7 +1223,8 @@ object Corpus {
     * this histogram form is how the same statistic survives 100 TB. */
   def curriculumSchedule(docs: DataFrame): DataFrame = {
     val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
-    val tot = docs.count()
+    // max(…, 1): empty-corpus guard against a `div 0` literal (ADVICE r10)
+    val tot = math.max(docs.count(), 1L)
     val wd = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val phases = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
@@ -1297,8 +1299,8 @@ object Corpus {
     * only — a vanishing fraction of the corpus) plus one cluster-keyed
     * window whose rank≤1 pushes into the exchange as a group-limit. No
     * text moves: the join carries (doc_id, cluster, quality) only. */
-  def clusterReps(docs: DataFrame): DataFrame = {
-    val clusters = Dedup.dupClusters(docs, 0.8)
+  def clusterReps(docs: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
+    val clusters = Dedup.dupClusters(docs, 0.8, pairs = pairs)
     val quality = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality").desc, col("doc_id"))
@@ -1364,10 +1366,11 @@ object Corpus {
     * bounded-round CC, no all-pairs); the allocator stays one window over
     * 4·|sources| rows. Pure composition — the c9 principle. */
   def effectiveEpochAllocation(docs: DataFrame, budgetPct: Long = 200,
-      maxEpochs: Int = 4): DataFrame = {
+      maxEpochs: Int = 4, pairs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = DecimalType(18, 4)
-    val wts = Dedup.softDedupWeights(docs).select(col("doc_id"), col("weight"))
+    val wts = Dedup.softDedupWeights(docs, pairs = pairs)
+      .select(col("doc_id"), col("weight"))
     val q = TextOps.qualityScores(docs).select(col("doc_id"), col("quality"))
     val agg = Tables.materialize(
       docs.select(col("doc_id"), col("source"),
@@ -1409,7 +1412,8 @@ object Corpus {
     * (value-grain, broadcast back), one group-by at class grain. */
   def kAnonymity(docs: DataFrame, k: Long = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tot = docs.count()
+    // max(…, 1): empty-corpus guard against a `div 0` literal (ADVICE r10)
+    val tot = math.max(docs.count(), 1L)
     val wd = Window.orderBy(col("n_chars").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val deciles = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))

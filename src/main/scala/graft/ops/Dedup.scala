@@ -395,8 +395,10 @@ object Dedup {
     * has at least one near-duplicate (Jaccard ≥ `minJ`), labeled with its
     * cluster's canonical (minimum) doc_id. `keep = (cluster == doc_id)`
     * selects one survivor per cluster downstream. */
-  def dupClusters(docs: DataFrame, minJ: Double, maxRounds: Int = 20): DataFrame =
-    connectedComponents(minhashPairs(docs, minJ).select(col("a"), col("b")), maxRounds)
+  def dupClusters(docs: DataFrame, minJ: Double, maxRounds: Int = 20,
+      pairs: Option[DataFrame] = None): DataFrame =
+    connectedComponents(
+      pairs.getOrElse(minhashPairs(docs, minJ)).select(col("a"), col("b")), maxRounds)
 
   // ---------------- span-level exact dedup ----------------
 
@@ -517,9 +519,10 @@ object Dedup {
     * self-join), never all-pairs; Hamming verification is row-local
     * bit_count; the eval folds are pair-grain counts over the tiny
     * candidate and exact relations. */
-  def simhashEval(docs: DataFrame): DataFrame = {
+  def simhashEval(docs: DataFrame, truth: Option[DataFrame] = None): DataFrame = {
     // ONE shingle pipeline (scan + explode + distinct shuffle) feeds both
-    // the fingerprint fits and the exact ground-truth pair relation
+    // the fingerprint fits and — when no at-rest `truth` relation is
+    // supplied ([[nearDupPairsAtRest]]) — the exact ground-truth pairs
     val sh = Tables.materialize(shingles(docs).filter(col("doc_id").isNotNull))
     val bands = Tables.materialize(simhashBandsFrom(sh))
     val br = bands.select(col("doc_id"), explode(expr(
@@ -538,7 +541,8 @@ object Dedup {
       .select(col("a"), col("b"), expr(
         "bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) + bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3)")
         .cast(LongType).as("hd"))
-    val exact = ngramJaccardPairsFrom(sh, 0.8).select(col("a"), col("b"), lit(1L).as("ex"))
+    val exact = truth.getOrElse(ngramJaccardPairsFrom(sh, 0.8))
+      .select(col("a"), col("b"), lit(1L).as("ex"))
     val nExact = exact.count()
     val taus = broadcast(docs.sparkSession.range(0, 4).select(col("id").as("tau")))
     val pred = ham.join(taus, col("hd") <= col("tau"))
@@ -568,18 +572,50 @@ object Dedup {
     * bucketed by hash) — no query ever re-hashes the standing corpus. */
   private val hashIndexDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM registry of the VERIFIED near-dup pair relation (a, b, jac)
+    * per (input dir, minJ) — the [[hashIndexDumps]] codes-at-rest pattern
+    * applied to the calibration family's ground truth. At 100 TB this
+    * relation is a maintained ARTIFACT of the dedup pass itself (it is
+    * exactly d2/d3's output, kept current by d7/d8/d20 as shards land);
+    * no downstream report or calibration query re-derives it from text.
+    * Before this registry the suite re-paid the full shingle pipeline in
+    * FIVE consumers per run (d10, d18, d21, c16, c28 — r10's entire top
+    * cost tail); now the first toucher builds it with the exact PPJoin
+    * ([[ngramJaccardPairs]] — so the gate still executes the prefix-filter
+    * algorithm every round) and everyone else reads parquet. */
+  private val pairDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The at-rest ground-truth near-dup relation for the corpus at `dir`:
+    * all pairs with 3-gram-shingle Jaccard ≥ `minJ`, columns (a, b, jac).
+    * Built once per (dir, minJ) per JVM by the exact prefix-filtered
+    * self-join; identical to [[minhashPairs]]' output (recall 1 at these
+    * settings — pinned by ExtensionOpsSpec and gated by d2/d3 sharing one
+    * oracle), so consumers of either formulation read it
+    * interchangeably. */
+  def nearDupPairsAtRest(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+    val path = pairDumps.computeIfAbsent(s"$dir|$minJ", _ => {
+      val p = s"${Similarity.OracleDumpRoot}/dup_pairs_${Similarity.dirToken(dir)}_${math.round(minJ * 100)}"
+      ngramJaccardPairs(t(spark, dir, "documents"), minJ).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Inter-source duplication matrix — the curation report that drives
     * source weighting: for every (source, source) pair, how many near-dup
     * document pairs straddle it and their total similarity mass. Built on
-    * [[ngramJaccardPairs]]; the pair relation is tiny relative to the
+    * [[ngramJaccardPairs]] (or the at-rest relation when `pairs` is
+    * given — [[nearDupPairsAtRest]], the production shape); the pair
+    * relation is tiny relative to the
     * corpus, so the source attachment joins broadcast the slim (id, source)
     * projection against it and the final matrix is a constant-size
     * aggregate (|sources|² at most). The similarity mass sums the
     * 4-decimal jaccards as exact decimals, so the total is
     * order-insensitive cross-engine. */
-  def dupSourceMatrix(docs: DataFrame, minJ: Double): DataFrame = {
+  def dupSourceMatrix(docs: DataFrame, minJ: Double,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(docs, minJ)
+    pairs.getOrElse(ngramJaccardPairs(docs, minJ))
       .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
       .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
       .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
@@ -803,8 +839,8 @@ object Dedup {
     * so both engines iterate on bit-identical doubles; damping constants
     * are interpolated as exact doubles into the oracle. */
   def pageRank(docs: DataFrame, minJ: Double, iters: Int = 10,
-      damp: Double = 0.85): DataFrame = {
-    val pairs = minhashPairs(docs, minJ).select(col("a"), col("b"))
+      damp: Double = 0.85, pairRel: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairRel.getOrElse(minhashPairs(docs, minJ)).select(col("a"), col("b"))
     val edges = materialize(pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))))
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val edgesD = materialize(edges.join(deg, Seq("a")))
@@ -1006,10 +1042,11 @@ object Dedup {
     * scale as their own operator; gluing costs one hash-keyed and one
     * doc-keyed equi-join plus a cluster-grain count. No text moves past
     * the first scan (16-byte digests and ids only). */
-  def softDedupWeights(docs: DataFrame, minJ: Double = 0.8): DataFrame = {
+  def softDedupWeights(docs: DataFrame, minJ: Double = 0.8,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val exact = base.groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
-    val cl = dupClusters(docs, minJ)
+    val cl = dupClusters(docs, minJ, pairs = pairs)
     val clSize = cl.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
     base.join(exact, Seq("h"))
       .join(cl.join(clSize, Seq("cluster")).select(col("doc_id"), col("n_cluster")),
@@ -1057,11 +1094,10 @@ object Dedup {
   def lshTuningSweep(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     import spark.implicits._
     val docs = t(spark, dir, "documents")
-    // ONE shingle pipeline feeds both the signature fit and the exact
-    // ground-truth pairs (the d17/d18 shared-prologue discipline —
-    // unshared, the shingle explode+distinct ran twice and dominated)
-    val sh = materialize(shingles(docs))
-    val sigSets = materialize(signaturesWithSets(sh))
+    // the shingle pipeline has exactly ONE consumer now (the signature
+    // fit — ground truth comes from the at-rest registry below), so it
+    // flows straight into the fused aggregation unmaterialized
+    val sigSets = materialize(signaturesWithSets(shingles(docs)))
     val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
     val longSigs = sigSets.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
@@ -1069,9 +1105,11 @@ object Dedup {
     val dump = s"${Similarity.OracleDumpRoot}/d21_sigs_${Similarity.dirToken(dir)}"
     longSigs.write.mode("overwrite").parquet(dump)
     TuneSigDump = dump
-    val truePairs = materialize(
-      ngramJaccardPairsFrom(sh.filter(col("doc_id").isNotNull), minJ)
-        .select(col("a"), col("b")))
+    // exact ground truth from the at-rest registry ([[nearDupPairsAtRest]]
+    // — first toucher in the JVM pays the PPJoin once, every consumer
+    // after reads parquet; r10's top-tail directive): a plain parquet scan
+    // per consumer below, no materialize needed
+    val truePairs = nearDupPairsAtRest(spark, dir, minJ).select(col("a"), col("b"))
     // materialized: the self-join below consumes it twice, and each of its
     // four branches carries an 84-struct projection whose codegen is the
     // expensive part — one execution, checkpointed blocks for both sides

@@ -573,7 +573,22 @@ object Multimodal {
     * (WAV PCM16 is lossless, the m2 argument exactly). */
   private[ops] def synthSamples(id: Long): Array[Short] = {
     val n = (400 + (id % 97) * 8).toInt
-    Array.tabulate(n)(i => (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+    val a = new Array[Short](n)
+    synthInto(id, a)
+    a
+  }
+
+  /** [[synthSamples]] into a caller-owned scratch buffer (returns the
+    * sample count) — the allocation-flat seam the m5 kernel uses so the
+    * hot loop never allocates a waveform array per document. */
+  private[ops] def synthInto(id: Long, buf: Array[Short]): Int = {
+    val n = (400 + (id % 97) * 8).toInt
+    var i = 0
+    while (i < n) {
+      buf(i) = (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+      i += 1
+    }
+    n
   }
 
   val AudioRate = 16000f
@@ -610,36 +625,115 @@ object Multimodal {
     (out, fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits)
   }
 
+  /** Row container for the [[modalAudio]] kernel: a dedicated case class
+    * with primitive fields, so the per-document emit is ONE flat object —
+    * a generic Tuple9 boxes every numeric field, and at bench grain those
+    * nine boxes per document were measurable GC pressure (r10 bench
+    * directive). The product encoder writes these primitives straight
+    * into the UnsafeRow. */
+  private[ops] final case class AudioFeat(doc_id: Long, sr: Int, ch: Int,
+      bits: Int, n_samples: Long, peak: Long, sum_sq: Long, zero_x: Long,
+      rms: Double)
+
+  /** ByteArrayOutputStream exposing its internal buffer: the JDK WAV
+    * encoder writes into it (reset between documents, buffer reused once
+    * grown), and the RIFF parse then reads IN PLACE — `toByteArray`'s
+    * full copy per document is gone. */
+  private final class ScratchSink extends java.io.ByteArrayOutputStream(4096) {
+    def buffer: Array[Byte] = buf
+    def length: Int = count
+  }
+
   /** Audio feature extraction through a REAL codec roundtrip: per document,
     * synthesize the closed-form waveform, encode it to an actual WAV file
     * with the JDK encoder, decode it back (container parse + PCM read), and
     * featurize the DECODED samples — integer-exact aggregates (peak,
     * energy, zero crossings) plus an RMS, so a broken encoder, parser, or
     * byte-order handling fails the driver's hash gate, not just a spec.
-    * Row-local mapPartitions, zero shuffle — the m2 shape for audio. */
+    * Row-local mapPartitions, zero shuffle — the m2 shape for audio.
+    *
+    * ALLOCATION-FLAT (r10 bench directive — m5 was the round's only >2×
+    * band entry, and the cost was runtime allocation, not the plan): the
+    * sample scratch, the PCM byte scratch, the encoder sink, and the
+    * `AudioFormat` are all hoisted to partition scope; the decode side
+    * hand-parses the RIFF container and featurizes the PCM bytes in place
+    * (the AVI-container discipline — [[wavDecode]]'s
+    * `AudioSystem.getAudioInputStream` + `readAllBytes` + short-array
+    * copy per document are gone from this path). The ENCODER stays the
+    * JDK's real `AudioSystem.write` — that roundtrip is the point of the
+    * operator; the only per-row allocations left are the two small stream
+    * wrappers its API requires and the one [[AudioFeat]] output object. */
   def modalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     implicit val inEnc = Encoders.scalaLong
-    val outEnc = Encoders.product[(Long, Int, Int, Int, Long, Long, Long, Long, Double)]
+    val outEnc = Encoders.product[AudioFeat]
     t(spark, dir, "documents").select(col("doc_id")).as[Long](inEnc)
       .mapPartitions { it =>
+        val maxN = 400 + 96 * 8 // synthSamples: n = 400 + (id mod 97)·8
+        val samples = new Array[Short](maxN)
+        val pcm = new Array[Byte](maxN * 2)
+        val sink = new ScratchSink
+        val fmt = new AudioFormat(AudioRate, 16, 1, true, false)
         it.map { id =>
-          val (smp, sr, ch, bits) = wavDecode(wavEncode(synthSamples(id)))
+          val n = synthInto(id, samples)
+          var i = 0
+          while (i < n) {
+            val s = samples(i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          sink.reset()
+          AudioSystem.write(
+            new AudioInputStream(new java.io.ByteArrayInputStream(pcm, 0, n * 2), fmt, n.toLong),
+            AudioFileFormat.Type.WAVE, sink)
+          // decode: walk the RIFF chunk list in place (ids are ASCII,
+          // sizes little-endian, chunks pad to even) — emitting the
+          // header-parsed (sr, ch, bits) is what proves the container
+          // really was read, exactly as before
+          val b = sink.buffer
+          val len = sink.length
+          require(len >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+            s"not a RIFF/WAVE stream for doc $id")
+          def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+          var off = 12
+          var sr = 0; var ch = 0; var bits = 0
+          var dataOff = -1; var dataLen = 0
+          while (off + 8 <= len && (dataOff < 0 || sr == 0)) {
+            val csz = u32(off + 4)
+            if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
+              require(u16(off + 8) == 1, s"PCM fmt chunk expected for doc $id")
+              ch = u16(off + 10); sr = u32(off + 12); bits = u16(off + 22)
+            } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a') {
+              dataOff = off + 8; dataLen = math.min(csz, len - dataOff)
+            }
+            off += 8 + csz + (csz & 1)
+          }
+          require(dataOff >= 0 && sr > 0, s"RIFF fmt/data chunks missing for doc $id")
+          // featurize the decoded PCM in place — fused with the LE short
+          // reads, no intermediate sample array
+          val m = dataLen / 2
           var sumSq = 0L
           var peak = 0L
           var zeroX = 0L
-          var i = 0
-          while (i < smp.length) {
-            val s = smp(i).toLong
-            sumSq += s * s
-            if (math.abs(s) > peak) peak = math.abs(s)
-            if (i > 0 && ((s < 0) != (smp(i - 1) < 0))) zeroX += 1
-            i += 1
+          var prevNeg = false
+          var j = 0
+          while (j < m) {
+            val s = (u16(dataOff + 2 * j) << 16) >> 16 // sign-extend LE int16
+            val a = math.abs(s.toLong)
+            sumSq += s.toLong * s
+            if (a > peak) peak = a
+            val neg = s < 0
+            if (j > 0 && neg != prevNeg) zeroX += 1
+            prevNeg = neg
+            j += 1
           }
-          (id, sr, ch, bits, smp.length.toLong, peak, sumSq, zeroX,
-            math.sqrt(sumSq.toDouble / smp.length))
+          AudioFeat(id, sr, ch, bits, m.toLong, peak, sumSq, zeroX,
+            math.sqrt(sumSq.toDouble / m))
         }
       }(outEnc)
-      .toDF("doc_id", "sr", "ch", "bits", "n_samples", "peak", "sum_sq", "zero_x", "rms")
       // HALF_UP like every gated rounding (kernel emits the raw double)
       .withColumn("rms", round(col("rms"), 4))
   }
@@ -2251,10 +2345,12 @@ object Multimodal {
     * from the decoded raster, the max|column mean − global mean| vs the
     * same for rows, and a verdict when column deviation dominates row
     * deviation by 3× and exceeds a floor. Striping is PROVEN by
-    * injection: every 6th image gets +40 (saturating) on every 8th
+    * injection: every 6th image gets +60 (saturating) on every 8th
     * column BEFORE the PNG encode — a pure function of (doc_id, x)
-    * replayed by the oracle; natural tiled-text rasters have near-equal
-    * column/row deviations, so the verdict fires exactly on the injected.
+    * replayed by the oracle (the 40-level constant below is the verdict
+    * FLOOR, not the injection amplitude); natural tiled-text rasters have
+    * near-equal column/row deviations, so the verdict fires exactly on
+    * the injected.
     *
     * Determinism: both deviations carry the SAME W·H scale
     * (`|colSum·W − total| = W·H·|colMean − mean|`, and symmetrically for

@@ -1523,7 +1523,12 @@ object Relational {
       .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
-    val tot = vals.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+    // max(tot, 1): on an EMPTY relation the interpolated literal would be
+    // `div 0` — no row ever evaluates it, but a plan carrying a poisoned
+    // constant is one constant-fold away from an ANSI divide-by-zero, and
+    // the clamp changes nothing when rows exist (ADVICE r10)
+    val tot = math.max(
+      vals.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0), 1L)
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vals

@@ -2380,7 +2380,8 @@ object Similarity {
   def coverageSample(spark: SparkSession, dir: String, sampleSize: Int = 100): DataFrame = {
     val cells = kmeansDomains(spark, dir).select(col("vec_id"), col("cluster"))
     val sizes = cells.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
-    val total = t(spark, dir, "embeddings").count()
+    // max(…, 1): empty-relation guard against a `div 0` literal (ADVICE r10)
+    val total = math.max(t(spark, dir, "embeddings").count(), 1L)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(md5(concat(lit("s31:"), col("vec_id").cast("string"))), col("vec_id"))
     cells.join(broadcast(sizes), Seq("cluster"))
@@ -2599,7 +2600,8 @@ object Similarity {
       .withColumn("sc", centroid_argmax(col("embedding"), centMatrix))
       .select(col("vec_id"), col("sc.cluster").cast(LongType).as("cell"),
         round(col("sc.cs"), 4).as("best_cs")))
-    val tot = scored.count()
+    // max(…, 1): empty-relation guard against a `div 0` literal (ADVICE r10)
+    val tot = math.max(scored.count(), 1L)
     val wd = Window.orderBy(col("best_cs").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val deciles = scored.groupBy(col("best_cs")).agg(count(lit(1)).as("c"))

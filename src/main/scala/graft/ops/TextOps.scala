@@ -1833,7 +1833,10 @@ object TextOps {
   def pplFilter(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = materialize(knBigramScore(docs))
-    val tot = scored.count()
+    // max(…, 1): an empty corpus would interpolate `div 0` into the tile
+    // expression (ADVICE r10 — q51 pattern); no row exists to hit it, but
+    // the clamp keeps the plan free of a poisoned constant
+    val tot = math.max(scored.count(), 1L)
     val wd = Window.orderBy(col("kn_lp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = scored.groupBy(col("kn_lp")).agg(count(lit(1)).as("c"))
@@ -1846,11 +1849,18 @@ object TextOps {
         (col("tile") <= 2).as("keep"))
   }
 
-  /** Luhn sum of a 16-digit candidate string column `c`, as a shared SQL
-    * fragment: left-position parity doubling (for even length, digits at
-    * odd 1-based left positions double; >9 subtracts 9), exact integer
-    * arithmetic — engine-portable CASE/substr algebra. */
-  private def luhnSumSql(c: String, len: Int): String = {
+  /** Luhn per-position contribution for candidate string column `c`, as a
+    * shared SQL fragment: digits at ODD 1-based LEFT positions double
+    * (>9 subtracts 9), exact integer arithmetic — engine-portable
+    * CASE/substr algebra. The odd-left-position rule is correct for BOTH
+    * call sites by construction, not by a length switch: verifying the
+    * full 16-digit candidate (even length — odd-from-right-excluding-none
+    * ⇒ odd from left) and deriving the check digit over the 15-digit
+    * payload (its leftmost digit lands at position 1 of the final
+    * 16-char string, which doubles — same odd-left parity). A length
+    * parameter here would imply the fragment adapts; it must not
+    * (ADVICE r10). */
+  private def luhnSumSql(c: String): String = {
     // per-position contribution, usable in Spark transform() and a DuckDB
     // list comprehension alike (i is the 1-based left position variable)
     def d = s"(ascii(substr($c, CAST(i AS INT), 1)) - 48)"
@@ -1873,7 +1883,7 @@ object TextOps {
     // 15 base digits from a multiplicative hash of doc_id; check digit at
     // position 16 via the Luhn closure, +1 spoiler for odd ids
     val base = "lpad(CAST(doc_id * 2654435761 % 1000000000000000 AS STRING), 15, '0')"
-    val chk = s"aggregate(transform(sequence(1, 15), i -> ${luhnSumSql("b", 15)}), 0, (a, x) -> a + x)"
+    val chk = s"aggregate(transform(sequence(1, 15), i -> ${luhnSumSql("b")}), 0, (a, x) -> a + x)"
     val aug = docs
       .withColumn("b", expr(base))
       .withColumn("cd", expr(s"CAST((10 - $chk % 10) % 10 + (doc_id div 4) % 2 AS INT) % 10"))
@@ -1881,7 +1891,7 @@ object TextOps {
         when(pmod(col("doc_id"), lit(4)) === 0,
           concat(col("text"), lit(" pay "), col("b"), col("cd").cast(StringType)))
           .otherwise(col("text")).as("t"))
-    val luhn = s"aggregate(transform(sequence(1, 16), i -> ${luhnSumSql("c", 16)}), 0, (a, x) -> a + x)"
+    val luhn = s"aggregate(transform(sequence(1, 16), i -> ${luhnSumSql("c")}), 0, (a, x) -> a + x)"
     aug.select(col("doc_id"),
       expr("regexp_extract_all(t, '\\\\b\\\\d{16}\\\\b', 0)").as("cands"))
       .select(col("doc_id"), size(col("cands")).cast(LongType).as("n_cand"),
@@ -1893,7 +1903,7 @@ object TextOps {
     * candidate regex, and Luhn fold in list-comprehension form. */
   def luhnScreenOracleSql: String = {
     def luhnList(c: String, n: Int): String =
-      s"list_sum([${luhnSumSql(c, n).replace("ascii(", "ord(")} for i in range(1, ${n + 1})])"
+      s"list_sum([${luhnSumSql(c).replace("ascii(", "ord(")} for i in range(1, ${n + 1})])"
     s"""WITH b AS (SELECT doc_id,
        |            lpad(CAST(doc_id * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') AS b
        |           FROM documents),

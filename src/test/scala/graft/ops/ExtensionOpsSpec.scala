@@ -281,6 +281,34 @@ class ExtensionOpsSpec extends AnyFunSuite {
     intercept[Exception](Multimodal.wavDecode(broken))
   }
 
+  test("m5 allocation-flat kernel == reference wavDecode(wavEncode(synth)) features") {
+    // the r11 in-place RIFF parse + scratch-buffer kernel must emit, for
+    // every document, exactly what the original per-row-allocating
+    // formulation emitted — recomputed here from the independent
+    // wavEncode/wavDecode pair (javax.sound on the decode side too)
+    val got = Multimodal.modalAudio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, r) =>
+      val (smp, sr, ch, bits) = Multimodal.wavDecode(Multimodal.wavEncode(Multimodal.synthSamples(id)))
+      var sumSq = 0L; var peak = 0L; var zeroX = 0L
+      var i = 0
+      while (i < smp.length) {
+        val s = smp(i).toLong
+        sumSq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && ((s < 0) != (smp(i - 1) < 0))) zeroX += 1
+        i += 1
+      }
+      val rms = BigDecimal(math.sqrt(sumSq.toDouble / smp.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((sr, ch, bits)), s"doc $id header")
+      assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+        ((smp.length.toLong, peak, sumSq, zeroX)), s"doc $id integer features")
+      assert(r.getDouble(8) == rms, s"doc $id rms")
+    }
+  }
+
   test("sq8: codes bounded to [-127,127], tinyint kernel exact, ranking tracks float cosine") {
     import graft.functions.VectorExprs.vec_cosine
     val emb = Tables.t(spark, dir, "embeddings")
