@@ -592,6 +592,10 @@ object Dedup {
     * settings — pinned by ExtensionOpsSpec and gated by d2/d3 sharing one
     * oracle), so consumers of either formulation read it
     * interchangeably. */
+  /** Test seam: clear the registry so a spec can observe the
+    * build-vs-warmed scan counts deterministically (PlanShapeSpec d2). */
+  private[graft] def resetPairRegistryForTests(): Unit = pairDumps.clear()
+
   def nearDupPairsAtRest(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val path = pairDumps.computeIfAbsent(s"$dir|$minJ", _ => {
       val p = s"${Similarity.OracleDumpRoot}/dup_pairs_${Similarity.dirToken(dir)}_${math.round(minJ * 100)}"
@@ -614,7 +618,10 @@ object Dedup {
     * order-insensitive cross-engine. */
   def dupSourceMatrix(docs: DataFrame, minJ: Double,
       pairs: Option[DataFrame] = None): DataFrame = {
-    val src = docs.select(col("doc_id"), col("source"))
+    // materialized: BOTH attach sides consume it, and AQE's runtime stage
+    // matching does not fire across the a/b aliasing (the r4 finding) —
+    // unmaterialized, the thin projection scanned the corpus twice
+    val src = materialize(docs.select(col("doc_id"), col("source")))
     pairs.getOrElse(ngramJaccardPairs(docs, minJ))
       .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
       .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))

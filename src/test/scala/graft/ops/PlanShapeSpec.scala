@@ -59,16 +59,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("d2: one scan of documents under AQE (shingle pipeline materialized)") {
+  test("d2: builds the at-rest pair registry in ONE documents scan; warmed consumers scan ZERO") {
+    // first toucher executes the exact PPJoin (one materialized shingle
+    // pipeline = one scan) and dumps the relation; afterwards every
+    // consumer of the ground truth reads parquet — the corpus is never
+    // re-scanned (r11: nearDupPairsAtRest)
+    graft.ops.Dedup.resetPairRegistryForTests()
     assert(scansOf("documents", "d2_dedup_ngram") == 1)
+    assert(scansOf("documents", "d2_dedup_ngram") == 0)
   }
 
   test("d3: one scan of documents under AQE (fused signature aggregation)") {
     assert(scansOf("documents", "d3_dedup_minhash") == 1)
   }
 
-  test("d5: one scan of documents under AQE (pairs materialized before CC)") {
-    assert(scansOf("documents", "d5_dedup_clusters") == 1)
+  test("d5: warmed, clustering runs at pair grain — zero documents scans") {
+    // the CC rounds iterate over the at-rest pair relation; the corpus
+    // text never re-enters (r11 registry — was 1 scan per run before)
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm registry
+    assert(scansOf("documents", "d5_dedup_clusters") == 0)
   }
 
   test("s2: four scans of embeddings under AQE (bucketing materialized)") {
@@ -139,13 +148,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "d9_semdedup") == 3)
   }
 
-  test("d10: two scans of documents under AQE (d2 pipeline + shared pruned source-attach)") {
-    // the near-dup pair pipeline keeps d2's single materialized scan; the
-    // two (doc_id, source) attach sides canonicalize to the same
-    // column-pruned scan subtree, so the exchange is reused and the whole
-    // matrix costs ONE extra thin-column pass — no path re-runs the
-    // shingle pipeline
-    assert(scansOf("documents", "d10_dup_sources") == 2)
+  test("d10: warmed, the matrix costs ONE thin-column source-attach pass") {
+    // pairs come from the at-rest registry (zero corpus scans); the two
+    // (doc_id, source) attach sides canonicalize to the same column-pruned
+    // scan subtree, so the exchange is reused and the whole matrix costs
+    // ONE extra thin-column pass — no path re-runs the shingle pipeline
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm registry
+    assert(scansOf("documents", "d10_dup_sources") == 1)
   }
 
   test("s10: one scan of embeddings (posexplode + two-level aggregation, no joins)") {
@@ -158,11 +167,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("d21: one scan of documents under AQE (one shingle pipeline feeds fit AND truth)") {
-    // the r10 lesson: a first cut ran the shingle explode twice (signature
-    // fit and PPJoin truth each rebuilt it); the shared materialized
-    // relation pins the corpus cost at ONE pass for the whole sweep
+  test("d21: warmed, one scan of documents (signature fit; truth from the at-rest registry)") {
+    // the r10 lesson generalized in r11: the signature fit costs one
+    // materialized pass, and the PPJoin truth no longer recomputes at all —
+    // it reads the registry dump, pinning the sweep's corpus cost at ONE
+    // pass regardless of how many configs the grid carries
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm registry
     assert(scansOf("documents", "d21_lsh_tuning") == 1)
+  }
+
+  test("m28: banded candidate join is band-keyed — SMJ/SHJ equi-join, never all-pairs") {
+    // the pigeonhole banding only pays off if the candidate join really is
+    // an equi-join on (band, bv); an accidental all-pairs here is images²
+    val p = plan("m28_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p) // the band-bucket self-join is present
+  }
+
+  test("m28: two documents scans under AQE (image + donor sides; hash relation materialized)") {
+    // the self-joined (image, donor) payload attach costs two binary-column
+    // scans; bands and BOTH verification attaches then read the
+    // materialized 16-char hash relation, never the payloads again
+    assert(scansOf("documents", "m28_image_neardup") == 2)
+  }
+
+  test("m29: per-scene argmax is in-kernel — one explicit Exchange, no Window, no Join") {
+    // scene selection happens inside the decode pass (row-local per
+    // video); the only exchange is the explicit slot-balancing
+    // repartition, and nothing shuffles at frame grain
+    val p = plan("m29_keyframe_select")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q49: bitemporal as-of is a broadcast probe-dimension predicate — one Exchange total") {
+    // the fact relation streams ONCE through the broadcast 4-row probe
+    // dimension under the range visibility predicate; the only shuffle is
+    // the final probe-grain aggregation — history is never sorted or
+    // re-shuffled for the as-of semantics
+    val p = plan("q49_bitemporal")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // one SHUFFLE exchange (the final aggregation); the BroadcastExchange
+    // of the 4-row probe dimension is the point of the shape, not a cost
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s38: warmed, the two-stage residual encode is ONE row-local embeddings pass") {
+    // both codebooks are fit-grain artifacts (capped sample, once per
+    // JVM); the gated assignment chain (coarse argmax -> residual ->
+    // codebook argmax) must stay a single scan with no Exchange and no
+    // Join — the codebooks ride as literals/broadcast constants
+    graft.SparkEntry.queries("s38_residual_quant")(spark, dir).collect() // warm fits
+    assert(scansOf("embeddings", "s38_residual_quant") == 1)
+    val p = plan("s38_residual_quant")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
   test("s35: two scans of embeddings under AQE (train sample; one scoring pass)") {
