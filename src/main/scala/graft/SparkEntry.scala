@@ -173,6 +173,9 @@ object SparkEntry {
     "a43_version_diff" -> (ArrayOps.a43_version_diff _),
     // annotation layer: real cell framing roundtrip + per-cell census
     "a44_annotations" -> (ArrayOps.a44_annotations _),
+    // SQL DDL surface: CREATE TABLE USING precomputed + INSERT INTO +
+    // SELECT — the create-new-dataset path entirely from SQL
+    "a45_sql_ddl" -> (ArrayOps.a45_sql_ddl _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     // d2 IS the at-rest ground-truth artifact: the first toucher in the
     // JVM executes the exact PPJoin and dumps it; every later consumer
@@ -785,6 +788,7 @@ object SparkEntry {
     "a42_skeleton_stats" -> ArrayOps.a42OracleSql,
     "a43_version_diff" -> ArrayOps.a43OracleSql,
     "a44_annotations" -> ArrayOps.a44OracleSql,
+    "a45_sql_ddl" -> ArrayOps.a5OracleSql, // same closed-form 2x2x2 grid of 32x32x4 chunks
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -2774,4 +2774,49 @@ object ArrayOps {
       | CAST(min(y) AS BIGINT) AS y0, CAST(max(y) AS BIGINT) AS y1,
       | CAST(min(z) AS BIGINT) AS z0, CAST(max(z) AS BIGINT) AS z1
       |FROM p GROUP BY 1, 2, 3""".stripMargin
+
+  /** Once-per-JVM registry of the a45 SQL-DDL pipeline's destination store
+    * per input dir (the gate re-runs queries; the DDL runs once). */
+  private val ddlRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL DDL pipeline under the gate (a45, r10 stretch directive): a new
+    * dataset is CREATEd, ingested, and read back ENTIRELY through SQL —
+    * `CREATE TABLE ... USING precomputed OPTIONS (...)` (the reference's
+    * create-new-dataset path, src/type.jl:85-99, as DDL via
+    * [[graft.sources.PrecomputedCatalog]]), `INSERT INTO ... SELECT` at
+    * chunk grain from an attached source layer, and a metadata `SELECT`
+    * over the result. The returned chunk table has the a5 closed-form
+    * oracle (same 2×2×2 grid of 32×32×4 chunks); the voxel payload's
+    * bit-exactness is asserted in-engine via the independent cutout path
+    * (MurmurHash3 content is not oracle-replayable) and pinned again by
+    * SqlDdlSpec. */
+  def a45_sql_ddl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    graft.plans.GraftExtensions.install(spark)
+    val root = ddlRoots.computeIfAbsent(dir, _ => {
+      val tok = graft.ops.Similarity.dirToken(dir)
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft-a45-src").toString
+      val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+      val buf = VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1))
+      Volume.create(spark, srcRoot, meta).ingest(buf)
+      val dst = java.nio.file.Files.createTempDirectory("graft-a45-dst").toString + "/layer"
+      spark.sql(s"CREATE TABLE graft.a45_src_$tok USING precomputed OPTIONS (path '$srcRoot')")
+      spark.sql(s"""CREATE TABLE graft.a45_dst_$tok USING precomputed OPTIONS (
+        path '$dst', voxel_type 'uint8', size '64,64,8', chunk_size '32,32,4',
+        resolution '1,1,1', encoding 'gzip')""")
+      spark.sql(s"INSERT INTO graft.a45_dst_$tok SELECT * FROM graft.a45_src_$tok")
+      require(Volume.open(spark, dst).cutout(Box(1, 64, 1, 64, 1, 8)) == buf,
+        "a45: SQL-ingested volume must decode bit-exactly")
+      dst
+    })
+    // re-attach is a no-op when the table is already registered in this
+    // session; direct `precomputed.`path`` queries are file-source-only in
+    // Spark SQL, so the read goes through the catalog identifier too
+    val tok = graft.ops.Similarity.dirToken(dir)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.a45_dst_$tok USING precomputed OPTIONS (path '$root')")
+    spark.sql(s"""SELECT mip, cx, cy, cz, x0, x1, y0, y1, z0, z1, key
+      FROM graft.a45_dst_$tok""")
+  }
 }

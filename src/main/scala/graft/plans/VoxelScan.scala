@@ -438,5 +438,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(PushBoxFilters))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushBoxFilters
+    // the SQL DDL surface: CREATE TABLE graft.x USING precomputed — the
+    // catalog is lazily instantiated on first reference, so setting the
+    // conf here is enough (never overrides a user-provided catalog)
+    if (!spark.conf.getOption("spark.sql.catalog.graft").isDefined)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.PrecomputedCatalog].getName)
   }
 }

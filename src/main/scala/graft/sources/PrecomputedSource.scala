@@ -37,8 +37,11 @@ import graft.volume.ChunkStore
   *  - **write support**: each row becomes one store object under its
   *    canonical chunk key.
   *
-  * Usage: `spark.read.format("precomputed").option("mip", "1").load(root)`
-  * or SQL `SELECT ... FROM precomputed.`/path/to/layer``.
+  * Usage: `spark.read.format("precomputed").option("mip", "1").load(root)`;
+  * from SQL, register the layer in the [[PrecomputedCatalog]]
+  * (`CREATE TABLE graft.vol USING precomputed OPTIONS (path '...')`) and
+  * query `graft.vol` — Spark's direct `format.`path`` SQL syntax is
+  * file-source-only.
   */
 class PrecomputedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "precomputed"
