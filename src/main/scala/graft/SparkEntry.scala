@@ -254,7 +254,9 @@ object SparkEntry {
     // index build; row-local, one scan, zero shuffle
     "s19_embedding_qc" -> (Similarity.embeddingQc _),
     "s20_dim_stats" -> (Similarity.dimStats _),
-    "s21_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    // s21 IS the at-rest graph artifact: first toucher runs the real
+    // LSH-bucketed build and dumps; s33/s36/s37 read it at rest (r11)
+    "s21_knn_graph" -> ((s, d) => Similarity.knnGraphAtRest(s, d)),
     "s22_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
     "s23_whiten_qc" -> (Similarity.whitenQc _),
     "s24_covariance" -> (Similarity.covarianceMatrix _),
