@@ -283,6 +283,9 @@ object SparkEntry {
     "s37_knn_confusion" -> ((s, d) => Similarity.knnConfusion(s, d)),
     // two-stage residual quantization: coarse cell + residual codebook
     "s38_residual_quant" -> ((s, d) => Similarity.residualQuantizer(s, d)),
+    // day-2 index operation: new shard assigned against the IVF centroids
+    // AT REST (O(delta), never a refit); cell-grain drift + hot-cell report
+    "s39_ivf_delta" -> ((s, d) => Similarity.ivfDelta(s, d)),
     "s9_knn_label" -> ((s, d) => Similarity.knnLabelVote(s, d)),
     // nearest-class-mean prototypes: (label×dim)-grain partial sums — the
     // wide exchange never carries vectors. Gated at cell grain (the
@@ -422,6 +425,10 @@ object SparkEntry {
     "c29_rater_agreement" -> ((s, d) => Corpus.raterAgreement(Tables.t(s, d, "documents"))),
     // k-anonymity audit over (lang, source, length-decile) classes
     "c30_k_anonymity" -> ((s, d) => Corpus.kAnonymity(Tables.t(s, d, "documents"))),
+    // temperature-scaled source DRAW distribution (p_i ∝ sqrt(n_i)):
+    // shares, expected draws, the repetition factor UniMax caps — the
+    // report c7's doc-grain keep decision is configured from
+    "c31_sampling_shares" -> ((s, d) => Corpus.samplingShares(Tables.t(s, d, "documents"))),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -854,6 +861,7 @@ object SparkEntry {
     "c28_effective_mix" -> effectiveMixOracle,
     "c29_rater_agreement" -> Corpus.raterAgreementOracleSql,
     "c30_k_anonymity" -> Corpus.kAnonymityOracleSql(),
+    "c31_sampling_shares" -> Corpus.samplingSharesOracleSql,
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,
@@ -888,6 +896,7 @@ object SparkEntry {
     "s36_label_prop" -> Similarity.labelPropOracleSql(),
     "s37_knn_confusion" -> Similarity.knnConfusionOracleSql(),
     "s38_residual_quant" -> Similarity.residualQuantizerOracleSql,
+    "s39_ivf_delta" -> Similarity.ivfDeltaOracleSql,
     "s9_knn_label" -> Similarity.knnLabelVoteOracleSql(),
     "s10_class_centroids" -> Similarity.classCentroidsOracleSql,
     "s11_ann_recall" -> Similarity.annRecallEvalOracleSql(),

@@ -1579,4 +1579,69 @@ object Corpus {
        | CAST(coalesce(k.epochs, 0) AS BIGINT) AS epochs,
        | CAST(coalesce(k.epochs, 0) * a.uniq_tok AS BIGINT) AS served_tok
        |FROM a LEFT JOIN kept k USING (source)""".stripMargin
+
+  // ---------------- temperature-scaled source mixing (c31) ----------------
+
+  /** TEMPERATURE-scaled source sampling weights (c31) — the multilingual/
+    * multi-source mixing rule (the mT5/UniMax family): raw proportional
+    * sampling lets the biggest source drown the mix, uniform sampling
+    * over-repeats the smallest; the standard compromise samples source i
+    * with p_i ∝ n_i^(1/T). This report gives, per source, the raw share,
+    * the temperature share, the expected token draw at a one-epoch total
+    * budget, and the REPETITION factor (expected draw / unique tokens —
+    * the over-sampling risk the UniMax paper caps; >1 means that source
+    * repeats). T is fixed at 2: the exponent becomes sqrt, which IEEE 754
+    * requires correctly rounded in both engines — an arbitrary-α pow has
+    * no such cross-engine contract, so a tunable temperature would put
+    * the gate on an implementation-defined path. The op family divides
+    * cleanly: c7 APPLIES a doc-grain temperature keep decision, c26/c28
+    * allocate whole epochs under a budget — this REPORTS the draw
+    * distribution itself plus each source's repetition factor, the
+    * artifact the sampler is configured from.
+    *
+    * Determinism: weights round to 4 decimals then sum as EXACT decimals
+    * (order-insensitive); every division/multiplication chain is written
+    * with the same association in both engines. Scale shape: one
+    * map-side-combined source fold; everything after is |sources|-grain
+    * (the unpartitioned window is bounded by source cardinality). */
+  def samplingShares(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val agg = docs
+      .select(col("source"), size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val share = col("w").cast(DoubleType) / col("tot_w").cast(DoubleType)
+    agg
+      .withColumn("w", round(sqrt(col("n_tok").cast(DoubleType)), 4).cast(dec))
+      .withColumn("tot_tok", sum(col("n_tok")).over(wAll))
+      .withColumn("tot_w", sum(col("w")).over(wAll))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        round(col("n_tok").cast(DoubleType) / col("tot_tok").cast(DoubleType), 6)
+          .as("raw_share"),
+        round(share, 6).as("temp_share"),
+        round(share * col("tot_tok").cast(DoubleType), 2).as("exp_tok"),
+        when(col("n_tok") > 0,
+          round(share * col("tot_tok").cast(DoubleType) / col("n_tok").cast(DoubleType), 4))
+          .as("repetition"))
+  }
+
+  /** DuckDB oracle twin of [[samplingShares]] — same token fold, sqrt
+    * weights rounded-then-summed as decimals, and identically associated
+    * arithmetic chains. */
+  def samplingSharesOracleSql: String =
+    """WITH a AS (SELECT source, count(*) AS n_docs,
+      |        sum(len(string_split_regex(text, '\s+'))) AS n_tok
+      |       FROM documents GROUP BY source),
+      | w AS (SELECT source, n_docs, n_tok,
+      |        CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 4) AS DECIMAL(18,4)) AS w FROM a),
+      | t AS (SELECT *, sum(n_tok) OVER () AS tot_tok, sum(w) OVER () AS tot_w FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tok AS BIGINT) AS n_tok,
+      | round(CAST(n_tok AS DOUBLE) / CAST(tot_tok AS DOUBLE), 6) AS raw_share,
+      | round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS temp_share,
+      | round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) * CAST(tot_tok AS DOUBLE), 2) AS exp_tok,
+      | CASE WHEN n_tok > 0 THEN
+      |  round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE) * CAST(tot_tok AS DOUBLE) / CAST(n_tok AS DOUBLE), 4)
+      | END AS repetition
+      |FROM t""".stripMargin
 }

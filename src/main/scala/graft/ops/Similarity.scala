@@ -2966,4 +2966,122 @@ object Similarity {
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(code AS BIGINT) AS code,
        | round(e1, 4) AS err1, round(dist2, 4) AS err2
        |FROM a2 WHERE rnk = 1""".stripMargin
+
+  // ---------------- incremental IVF index maintenance (s39) ----------------
+
+  /** Every 10th vector plays the newly-arrived shard (the d7 DeltaMod
+    * convention, vector side). */
+  val VecDeltaMod = 10
+
+  /** Where the most recent [[ivfDelta]] dumped its at-rest artifacts —
+    * per-dir (the s22/s35 `dirToken` convention). */
+  @volatile private[graft] var S39CentroidDump: String = ""
+  @volatile private[graft] var S39CellsDump: String = ""
+
+  /** Per-JVM registry of the at-rest IVF index per dir: the coarse
+    * centroid matrix (in memory, for the delta's row-local argmax) plus
+    * the dumped centroid + standing-cell-census parquet paths. */
+  private val s39Fits = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], String, String)]()
+
+  /** INCREMENTAL IVF index maintenance (s39) — the d7/d8/d20 standing-
+    * pipeline posture applied to the VECTOR index: a new embedding shard
+    * (the delta) is assigned against the index's centroids AT REST —
+    * never a refit, never a corpus re-scan — and the report is the
+    * cell-grain health check an index operator reviews before serving the
+    * merged index: standing vs delta occupancy per cell, both mean
+    * assignment cosines (distribution drift shows as the delta scoring
+    * systematically worse), and a `hot` verdict where a cell's delta
+    * share exceeds 2× its standing share (cross-multiplied integers — the
+    * a24/a41 no-division discipline; such cells are the re-split
+    * candidates). s4 builds and serves the index, s22 audits its balance
+    * at rest, s34 adapts probe depth — this is the day-2 operation in
+    * between: keeping the index current as shards land.
+    *
+    * Scale shape: fit + standing census are once-per-index artifacts
+    * (capped sample; one standing assignment pass at build, maintained by
+    * ingest thereafter); the per-shard query touches ONLY the delta (one
+    * row-local codegen argmax pass + a cell-grain fold) and joins the
+    * 16-row census — per-shard cost O(delta + nlist), not O(corpus).
+    * Totals attach via an unpartitioned window over the ≤nlist-row cell
+    * relation (the c7 fold — no one-row cross join enters the plan). */
+  def ivfDelta(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    import graft.functions.CentroidExprs.centroid_argmax
+    val emb = t(spark, dir, "embeddings")
+    val dec = DecimalType(18, 4)
+    val (cents, centPath, cellPath) = s39Fits.computeIfAbsent(dir, { _ =>
+      val tok = dirToken(dir)
+      val standing = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) =!= 0)
+      val cc = fitCoarseCentroids(cappedTrainSample(standing), nlist)
+      val cPath = s"$OracleDumpRoot/s39_centroids_$tok"
+      dumpCentroids(spark, cc, cPath)
+      val cellsPath = s"$OracleDumpRoot/s39_cells_$tok"
+      standing
+        .withColumn("sc", centroid_argmax(col("embedding"), cc))
+        .select(col("sc.cluster").cast(LongType).as("cell"),
+          round(col("sc.cs"), 4).cast(dec).as("cs"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_standing"), sum(col("cs")).as("s_sum"))
+        .write.mode("overwrite").parquet(cellsPath)
+      (cc, cPath, cellsPath)
+    })
+    S39CentroidDump = centPath
+    S39CellsDump = cellPath
+    val deltaCells = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) === 0)
+      .withColumn("sc", centroid_argmax(col("embedding"), cents))
+      .select(col("sc.cluster").cast(LongType).as("cell"),
+        round(col("sc.cs"), 4).cast(dec).as("cs"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_delta"), sum(col("cs")).as("d_sum"))
+    val atRest = spark.read.parquet(cellPath)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    atRest.join(deltaCells, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("s_sum"), col("d_sum"))
+      .withColumn("tot_standing", sum(col("n_standing")).over(wAll))
+      .withColumn("tot_delta", sum(col("n_delta")).over(wAll))
+      .select(col("cell"), col("n_standing"), col("n_delta"),
+        when(col("n_standing") > 0,
+          round(col("s_sum").cast(DoubleType) / col("n_standing"), 4)).as("mean_cs_standing"),
+        when(col("n_delta") > 0,
+          round(col("d_sum").cast(DoubleType) / col("n_delta"), 4)).as("mean_cs_delta"),
+        (col("n_delta") * col("tot_standing") > col("n_standing") * col("tot_delta") * 2)
+          .as("hot"))
+  }
+
+  /** DuckDB oracle twin of [[ivfDelta]] — the standing census read from
+    * the at-rest dump (the engine never recomputes it either), the delta
+    * assignment replayed from the dumped centroids with the s35 score
+    * formula and tie order, and the same decimal folds and
+    * cross-multiplied verdict. */
+  def ivfDeltaOracleSql: String =
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('$S39CentroidDump/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE vec_id % $VecDeltaMod = 0),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cell,
+       |          CAST(round(cs, 4) AS DECIMAL(18,4)) AS cs FROM (
+       |          SELECT vec_id, cluster, cs,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | d AS (SELECT cell, count(*) AS n_delta, sum(cs) AS d_sum FROM asg GROUP BY cell),
+       | r AS (SELECT cell, n_standing, s_sum FROM read_parquet('$S39CellsDump/*.parquet')),
+       | j AS (SELECT coalesce(r.cell, d.cell) AS cell,
+       |        coalesce(r.n_standing, 0) AS n_standing, coalesce(d.n_delta, 0) AS n_delta,
+       |        r.s_sum, d.d_sum
+       |       FROM r FULL OUTER JOIN d ON r.cell = d.cell),
+       | tt AS (SELECT *, sum(n_standing) OVER () AS tot_standing,
+       |         sum(n_delta) OVER () AS tot_delta FROM j)
+       |SELECT cell, CAST(n_standing AS BIGINT) AS n_standing,
+       | CAST(n_delta AS BIGINT) AS n_delta,
+       | CASE WHEN n_standing > 0 THEN round(CAST(s_sum AS DOUBLE) / n_standing, 4) END AS mean_cs_standing,
+       | CASE WHEN n_delta > 0 THEN round(CAST(d_sum AS DOUBLE) / n_delta, 4) END AS mean_cs_delta,
+       | (n_delta * tot_standing > n_standing * tot_delta * 2) AS hot
+       |FROM tt""".stripMargin
 }

@@ -774,4 +774,25 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("c31 sampling shares: distributions normalize, temperature flattens, repetition prices it") {
+    val rows = Corpus.samplingShares(docs).collect().map { r =>
+      (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+    }
+    assert(rows.nonEmpty)
+    // both share columns are distributions (rounding slack only)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "raw shares")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, "temp shares")
+    // expected draws re-spend exactly the one-epoch token budget
+    val tot = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._5).sum - tot) < tot * 1e-3)
+    // temperature FLATTENS: the biggest source's temp share is below its
+    // raw share, the smallest's above — and the repetition factor prices
+    // it (smallest repeats > 1, biggest < 1)
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._4 < big._3, s"big source must be damped: $big")
+    assert(small._4 > small._3, s"small source must be boosted: $small")
+    assert(small._6 > 1.0 && big._6 < 1.0, s"repetition prices the flattening: $small $big")
+  }
 }

@@ -1428,4 +1428,28 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._6) && got.values.exists(!_._6),
       "need both violated and satisfied triplets")
   }
+
+  test("s39 ivf delta: censuses conserve the split, means bounded, hot rule recounts") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val nDelta = emb.filter(expr(s"vec_id % ${Similarity.VecDeltaMod} = 0")).count()
+    val nStand = emb.count() - nDelta
+    val rows = Similarity.ivfDelta(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5))
+    }
+    // every vector lands in exactly one cell on each side of the split
+    assert(rows.map(_._2).sum == nStand, "standing census conservation")
+    assert(rows.map(_._3).sum == nDelta, "delta census conservation")
+    // assignment cosines are cosines
+    rows.flatMap(r => r._4.toSeq ++ r._5.toSeq).foreach(m => assert(m >= -1.0 && m <= 1.0))
+    // the hot verdict is exactly the cross-multiplied 2x-share rule
+    rows.foreach { case (cell, ns, nd, _, _, hot) =>
+      assert(hot == (nd * nStand > ns * nDelta * 2), s"cell $cell")
+    }
+    // determinism: the at-rest artifacts make the report reproducible
+    val again = Similarity.ivfDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == rows.map(r => (r._1, r._2, r._3)).sorted.toSeq)
+  }
 }

@@ -223,6 +223,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("s39: warmed, the delta assignment is ONE filtered embeddings pass") {
+    // the standing census comes from the at-rest dump (never recomputed);
+    // the per-shard cost is one pushdown-filtered delta scan + a
+    // nlist-grain fold — O(delta), the d7 posture on the vector index
+    graft.SparkEntry.queries("s39_ivf_delta")(spark, dir).collect() // warm fits
+    assert(scansOf("embeddings", "s39_ivf_delta") == 1)
+  }
+
   test("s35: two scans of embeddings under AQE (train sample; one scoring pass)") {
     // 1 scan materializing the capped k-means sample + 1 row-local scoring
     // pass; the decile histogram folds the MATERIALIZED scored relation,
