@@ -547,6 +547,10 @@ object SparkEntry {
     "e26_stream_ratelimit" -> (EventStreams.rateLimitOnce _),
     // watermark drop accounting: staged straggler replay vs batch recount
     "e27_late_audit" -> (EventStreams.lateAuditOnce _),
+    // streaming upkeep of the vector index: per-batch delta assignment
+    // against at-rest centroids, immutable partial censuses, one serving
+    // fold — s39's streaming twin (the e9/e14 posture)
+    "e28_stream_ivf" -> (EventStreams.streamIvfOnce _),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -980,6 +984,7 @@ object SparkEntry {
     "e25_stream_fulljoin" -> EventStreams.fullIntervalJoinOracleSql(),
     "e26_stream_ratelimit" -> EventStreams.rateLimitOracleSql(),
     "e27_late_audit" -> EventStreams.lateAuditOracleSql,
+    "e28_stream_ivf" -> EventStreams.streamIvfOracleSql,
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

@@ -3005,12 +3005,18 @@ object Similarity {
     * 16-row census — per-shard cost O(delta + nlist), not O(corpus).
     * Totals attach via an unpartitioned window over the ≤nlist-row cell
     * relation (the c7 fold — no one-row cross join enters the plan). */
-  def ivfDelta(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+  /** The at-rest IVF index for `dir`: coarse centroids fit on the STANDING
+    * corpus (capped sample), the centroid dump, and the standing cell
+    * census dump (cell, n_standing, s_sum) — built once per JVM, the
+    * artifact [[ivfDelta]] (batch upkeep) and the e28 streaming upkeep
+    * both read. Sets the oracle dump vars (same per-dir values from every
+    * caller — the q33/q36 convention). */
+  private[graft] def ivfAtRest(spark: SparkSession, dir: String,
+      nlist: Int = 16): (Array[Array[Double]], String, String) = {
     import graft.functions.CentroidExprs.centroid_argmax
-    val emb = t(spark, dir, "embeddings")
-    val dec = DecimalType(18, 4)
-    val (cents, centPath, cellPath) = s39Fits.computeIfAbsent(dir, { _ =>
+    val fit = s39Fits.computeIfAbsent(dir, { _ =>
       val tok = dirToken(dir)
+      val emb = t(spark, dir, "embeddings")
       val standing = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) =!= 0)
       val cc = fitCoarseCentroids(cappedTrainSample(standing), nlist)
       val cPath = s"$OracleDumpRoot/s39_centroids_$tok"
@@ -3019,14 +3025,22 @@ object Similarity {
       standing
         .withColumn("sc", centroid_argmax(col("embedding"), cc))
         .select(col("sc.cluster").cast(LongType).as("cell"),
-          round(col("sc.cs"), 4).cast(dec).as("cs"))
+          round(col("sc.cs"), 4).cast(DecimalType(18, 4)).as("cs"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_standing"), sum(col("cs")).as("s_sum"))
         .write.mode("overwrite").parquet(cellsPath)
       (cc, cPath, cellsPath)
     })
-    S39CentroidDump = centPath
-    S39CellsDump = cellPath
+    S39CentroidDump = fit._2
+    S39CellsDump = fit._3
+    fit
+  }
+
+  def ivfDelta(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    import graft.functions.CentroidExprs.centroid_argmax
+    val emb = t(spark, dir, "embeddings")
+    val dec = DecimalType(18, 4)
+    val (cents, _, cellPath) = ivfAtRest(spark, dir, nlist)
     val deltaCells = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) === 0)
       .withColumn("sc", centroid_argmax(col("embedding"), cents))
       .select(col("sc.cluster").cast(LongType).as("cell"),

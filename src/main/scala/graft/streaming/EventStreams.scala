@@ -1611,4 +1611,103 @@ object EventStreams {
       | CAST(t.n_total AS BIGINT) AS n_total,
       | CAST(t.n_total - coalesce(s.n_stream, 0) AS BIGINT) AS n_dropped
       |FROM t LEFT JOIN s USING (hr, event_type)""".stripMargin
+
+  // ---------------- streaming vector-index upkeep (e28) ----------------
+
+  /** STREAMING vector-index upkeep (e28) — e9/e14's standing-index posture
+    * applied to the VECTOR index (s39's streaming twin): the embedding
+    * delta arrives as a stream, each micro-batch assigns against the IVF
+    * centroids AT REST (row-local codegen argmax — never a refit, never a
+    * corpus re-scan) and lands its cell-grain partial census as an
+    * IMMUTABLE per-batch artifact (`acc/batch_<id>` — a retried batch
+    * overwrites its own subdir instead of double-appending, the e14/e15
+    * hardening note made structural). The served census is then standing
+    * dump + all partials in ONE nlist-grain fold; merge cadence is
+    * invisible by associativity (counts and exact-decimal score masses
+    * add), which the spec pins by running the same feed in 1 and 3
+    * micro-batches. Zero streaming state: the artifacts ARE the state
+    * (the e14 property), and per-batch cost is O(batch + nlist). */
+  def streamIvfOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val (cents, _, cellPath) = Similarity.ivfAtRest(spark, dir)
+    val acc = java.nio.file.Files.createTempDirectory("graft-e28-acc").toString
+    streamIvfInto(spark, s"$dir/embeddings*.parquet",
+      Tables.t(spark, dir, "embeddings").schema, cents, acc)
+    servedIvfCensus(spark, cellPath, acc)
+  }
+
+  /** The streaming half of [[streamIvfOnce]], factored so the spec can
+    * drive the same feed at different micro-batch cadences. */
+  private[streaming] def streamIvfInto(spark: SparkSession, glob: String,
+      schema: StructType, cents: Array[Array[Double]], acc: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import graft.functions.CentroidExprs.centroid_argmax
+    import graft.ops.Similarity
+    val reader0 = spark.readStream.schema(schema)
+    // the spec drives one-file-per-micro-batch to PROVE cadence invariance;
+    // the gate path takes whatever the source offers
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val delta = reader.parquet(glob)
+      .filter(pmod(col("vec_id"), lit(Similarity.VecDeltaMod)) === 0)
+      .select(col("embedding"))
+    val name = s"stream_ivf_${System.nanoTime()}"
+    withFewStatePartitions(spark, 8) {
+      val q = delta.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .withColumn("sc", centroid_argmax(col("embedding"), cents))
+            .select(col("sc.cluster").cast(LongType).as("cell"),
+              round(col("sc.cs"), 4).cast(DecimalType(18, 4)).as("cs"))
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).as("n"), sum(col("cs")).as("s"))
+            .write.mode("overwrite").parquet(s"$acc/batch_$batchId")
+        }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The serving fold of [[streamIvfOnce]]: standing census + every
+    * partial, one bounded (≤ nlist rows per relation) aggregation. */
+  private[streaming] def servedIvfCensus(spark: SparkSession, cellPath: String,
+      acc: String): DataFrame = {
+    val standing = spark.read.parquet(cellPath)
+      .select(col("cell"), col("n_standing").as("n"), col("s_sum").as("s"))
+    val parts = spark.read.parquet(s"$acc/batch_*")
+      .select(col("cell"), col("n"), col("s"))
+    standing.unionByName(parts)
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+      .select(col("cell"), col("nt").cast(LongType).as("n_total"),
+        round(col("st").cast(DoubleType) / col("nt"), 4).as("mean_cs"))
+  }
+
+  /** DuckDB oracle twin of [[streamIvfOnce]] — standing census from the
+    * at-rest dump (the engine never recomputes it either), the streamed
+    * delta replayed as one batch assignment from the dumped centroids
+    * (micro-batch cadence must be invisible), same decimal folds. */
+  def streamIvfOracleSql: String = {
+    import graft.ops.Similarity
+    s"""WITH c AS (SELECT cluster, centroid AS cent FROM read_parquet('${Similarity.S39CentroidDump}/*.parquet')),
+       | e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |       FROM embeddings WHERE vec_id % ${Similarity.VecDeltaMod} = 0),
+       | s AS (SELECT vec_id, cluster,
+       |        CASE WHEN sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent)) = 0 THEN 0.0
+       |             ELSE list_dot_product(emb, cent) /
+       |                  (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(cent, cent))) END AS cs
+       |       FROM e, c),
+       | asg AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cell,
+       |          CAST(round(cs, 4) AS DECIMAL(18,4)) AS cs FROM (
+       |          SELECT vec_id, cluster, cs,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rnk
+       |          FROM s) x WHERE rnk = 1),
+       | d AS (SELECT cell, count(*) AS n, sum(cs) AS s FROM asg GROUP BY cell),
+       | r AS (SELECT cell, n_standing AS n, s_sum AS s
+       |       FROM read_parquet('${Similarity.S39CellsDump}/*.parquet')),
+       | u AS (SELECT * FROM r UNION ALL SELECT * FROM d)
+       |SELECT cell, CAST(sum(n) AS BIGINT) AS n_total,
+       | round(CAST(sum(s) AS DOUBLE) / sum(n), 4) AS mean_cs
+       |FROM u GROUP BY cell""".stripMargin
+  }
 }

@@ -576,4 +576,30 @@ class EventStreamsSpec extends AnyFunSuite {
     // or the two columns are vacuously equal
     assert(byWin.values.exists(vs => (vs.length + 1) / 2 != (9 * vs.length + 9) / 10))
   }
+
+  test("e28 ivf upkeep: micro-batch cadence invisible; served census conserves the corpus") {
+    import graft.ops.{Similarity, Tables}
+    val emb = Tables.t(spark, dir, "embeddings")
+    val (cents, _, cellPath) = Similarity.ivfAtRest(spark, dir)
+    // the same delta feed in ONE file vs THREE files (three micro-batches
+    // under maxFilesPerTrigger semantics of the file source): the served
+    // census must be identical — the fold is associative by construction
+    def run(nFiles: Int): Map[Long, (Long, Double)] = {
+      val feed = SparkSuite.tempDir(s"graft-e28-feed$nFiles")
+      emb.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val acc = SparkSuite.tempDir(s"graft-e28-acc$nFiles")
+      EventStreams.streamIvfInto(spark, s"$feed/*.parquet", emb.schema, cents, acc,
+        maxFilesPerTrigger = Some(1)) // one file per micro-batch
+      val nBatches = new java.io.File(acc).listFiles().count(_.getName.startsWith("batch_"))
+      assert(nBatches == nFiles, s"expected $nFiles micro-batches, got $nBatches")
+      EventStreams.servedIvfCensus(spark, cellPath, acc).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    val one = run(1)
+    val three = run(3)
+    assert(one == three, "micro-batch cadence leaked into the served census")
+    // conservation: standing + delta = every vector, each in exactly one cell
+    assert(one.values.map(_._1).sum == emb.count())
+    one.values.foreach { case (_, m) => assert(m >= -1.0 && m <= 1.0) }
+  }
 }
