@@ -176,6 +176,9 @@ object SparkEntry {
     // SQL DDL surface: CREATE TABLE USING precomputed + INSERT INTO +
     // SELECT — the create-new-dataset path entirely from SQL
     "a45_sql_ddl" -> (ArrayOps.a45_sql_ddl _),
+    // fixity audit: store digests vs the at-rest manifest; planted
+    // bit-rot must surface, clean chunks must clear
+    "a46_fixity_audit" -> (ArrayOps.a46_fixity_audit _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     // d2 IS the at-rest ground-truth artifact: the first toucher in the
     // JVM executes the exact PPJoin and dumps it; every later consumer
@@ -429,6 +432,9 @@ object SparkEntry {
     // shares, expected draws, the repetition factor UniMax caps — the
     // report c7's doc-grain keep decision is configured from
     "c31_sampling_shares" -> ((s, d) => Corpus.samplingShares(Tables.t(s, d, "documents"))),
+    // embedding-level eval-leakage screen (paraphrase/translation-robust,
+    // next to c3/c18's n-gram decontam): bucketed corpus x broadcast eval
+    "c32_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
     "s6_domains" -> ((s, d) => Similarity.kmeansDomains(s, d)),
     "m1_modal_meta" -> (Multimodal.modalMeta _),
     "m2_modal_features" -> (Multimodal.modalFeatures _),
@@ -802,6 +808,7 @@ object SparkEntry {
     "a43_version_diff" -> ArrayOps.a43OracleSql,
     "a44_annotations" -> ArrayOps.a44OracleSql,
     "a45_sql_ddl" -> ArrayOps.a5OracleSql, // same closed-form 2x2x2 grid of 32x32x4 chunks
+    "a46_fixity_audit" -> ArrayOps.a46OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,
@@ -866,6 +873,7 @@ object SparkEntry {
     "c29_rater_agreement" -> Corpus.raterAgreementOracleSql,
     "c30_k_anonymity" -> Corpus.kAnonymityOracleSql(),
     "c31_sampling_shares" -> Corpus.samplingSharesOracleSql,
+    "c32_semantic_decontam" -> Similarity.semanticDecontamOracleSql(),
     "t4_fingerprint" -> TextOps.fingerprintsOracleSql(),
     "c3_decontam" -> Corpus.decontaminateOracleSql(),
     "c4_report" -> Corpus.corpusReportOracleSql,

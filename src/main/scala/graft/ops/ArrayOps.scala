@@ -2779,6 +2779,77 @@ object ArrayOps {
     * per input dir (the gate re-runs queries; the DDL runs once). */
   private val ddlRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Once-per-JVM registry of the a46 fixture per input dir:
+    * (volume root, fixity-manifest parquet path). */
+  private val fixityRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** FIXITY / bit-rot audit (a46) — the archival-integrity pass every
+    * long-lived chunk store runs (object stores corrupt rarely but not
+    * never, and a connectomics layer lives for years): at ingest the
+    * pipeline records a fixity MANIFEST (chunk key → content digest — the
+    * a33 digest machinery, persisted as the at-rest artifact); the audit
+    * re-reads the store, recomputes digests, and reports per chunk whether
+    * the bytes still match. Drift is PROVEN by injection: after the
+    * manifest is written, every chunk with `(cx + cy + cz) % 3 == 0` gets
+    * one byte flipped in its stored object — a pure function of the chunk
+    * grid the oracle replays closed-form, so the audit must flag exactly
+    * the corrupted chunks and clear the rest from REAL byte comparison.
+    *
+    * Scale shape: the audit is one chunk-table scan (digests computed
+    * row-locally on the blob column) joined to the manifest on key — at
+    * 100 TB both sides are chunk-grain, the join is key-equi, and the scan
+    * streams every object exactly once (the same I/O a restore would pay;
+    * production runs it partition-by-partition on a cadence). */
+  def a46_fixity_audit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{ChunkStore, Volume, VoxelBuffer}
+    val (root, man) = fixityRoots.computeIfAbsent(dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft-a46").toString
+      val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
+      val vol = Volume.create(spark, r, meta)
+      vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 8, 1, (1, 1, 1)))
+      val m = s"$voxelDumpRoot/a46_manifest_${graft.ops.Similarity.dirToken(dir)}"
+      spark.read.format("precomputed").load(r)
+        .select(col("key"), md5(col("blob")).as("h"))
+        .write.mode("overwrite").parquet(m)
+      // bit-rot injection AFTER the manifest: flip one byte in every
+      // (cx+cy+cz)%3==0 chunk's stored object (fixture corruption — 8
+      // objects, driver-side on purpose; the AUDIT below is the
+      // distributed operator under test)
+      val fs = ChunkStore.fs(r, spark.sessionState.newHadoopConf())
+      spark.read.format("precomputed").load(r)
+        .select(col("cx"), col("cy"), col("cz"), col("key")).collect()
+        .foreach { row =>
+          if ((row.getInt(0) + row.getInt(1) + row.getInt(2)) % 3 == 0) {
+            val key = s"1_1_1/${row.getString(3)}"
+            val bytes = ChunkStore.read(fs, r, key)
+            bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x5A).toByte
+            ChunkStore.write(fs, r, key, bytes)
+          }
+        }
+      (r, m)
+    })
+    spark.read.format("precomputed").load(root)
+      .select(col("cx"), col("cy"), col("cz"), col("key"), md5(col("blob")).as("now"))
+      .join(spark.read.parquet(man), Seq("key"))
+      .select(col("cx"), col("cy"), col("cz"), col("key"),
+        (col("now") =!= col("h")).as("drifted"))
+  }
+
+  /** Closed-form oracle of [[a46_fixity_audit]]: the 2×2×2 grid of 32×32×4
+    * chunks with the injection rule replayed — the engine's digests must
+    * flag exactly these. */
+  def a46OracleSql: String =
+    """SELECT CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy, CAST(cz AS INT) AS cz,
+      | ((cx-1)*32) || '-' || (cx*32) || '_' || ((cy-1)*32) || '-' || (cy*32) ||
+      |   '_' || ((cz-1)*4) || '-' || (cz*4) AS key,
+      | (cx + cy + cz) % 3 = 0 AS drifted
+      |FROM (SELECT unnest(generate_series(1,2)) AS cx),
+      |     (SELECT unnest(generate_series(1,2)) AS cy),
+      |     (SELECT unnest(generate_series(1,2)) AS cz)""".stripMargin
+
   /** SQL DDL pipeline under the gate (a45, r10 stretch directive): a new
     * dataset is CREATEd, ingested, and read back ENTIRELY through SQL —
     * `CREATE TABLE ... USING precomputed OPTIONS (...)` (the reference's

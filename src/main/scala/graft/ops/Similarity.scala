@@ -1315,6 +1315,84 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cs"))
   }
 
+  /** SEMANTIC decontamination (c32) — the embedding-level eval-leakage
+    * screen modern pipelines run NEXT TO the n-gram one (c3/c18 catch
+    * verbatim and fuzzy text overlap; a paraphrased or translated
+    * benchmark item shares no n-grams but lands next to the eval item in
+    * embedding space): every corpus vector whose cosine to ANY eval-set
+    * vector (the `vec_id % 50 == 0` split — the d7 delta convention)
+    * reaches `minCos` is flagged, with its hit count and worst offender.
+    * The flagged list is what a release drops or quarantines.
+    *
+    * Scale shape: the corpus side is the s2 LSH bucket relation — AT
+    * 100 TB it is the standing index, bucketed at rest — and the eval
+    * side is tiny (broadcast); candidates come from the bucket equi-join
+    * (never corpus × eval), verified by exact cosine, and the per-doc
+    * fold is one window over the flagged candidates (rank + count share
+    * the partition, one exchange). Same candidate-generation contract as
+    * s21: the oracle replays the bucket join verbatim, so recall is
+    * gated, not assumed. */
+  def semanticDecontam(spark: SparkSession, dir: String, minCos: Double = 0.2,
+      evalMod: Int = 50): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val sig = capBuckets(
+      materialize(
+        withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
+          .select(col("vec_id"), col("bucket"))),
+      MaxBucketWidth)
+    val evalSide = sig.filter(pmod(col("vec_id"), lit(evalMod)) === 0)
+      .select(col("vec_id").as("eval_id"), col("bucket"))
+    val trainSide = sig.filter(pmod(col("vec_id"), lit(evalMod)) =!= 0)
+      .select(col("vec_id").as("train_id"), col("bucket"))
+    val cand = trainSide.join(broadcast(evalSide), Seq("bucket"))
+      .select(col("train_id"), col("eval_id")).dropDuplicates("train_id", "eval_id")
+    val w = Window.partitionBy(col("train_id"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("train_id"), col("embedding").as("te")), Seq("train_id"))
+      .join(broadcast(emb.filter(pmod(col("vec_id"), lit(evalMod)) === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))), Seq("eval_id"))
+      .withColumn("cos", cosine("te", "ee"))
+      .filter(col("cos") >= minCos)
+    scored
+      .withColumn("n_eval_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("n_eval_hits"), col("eval_id").as("worst_eval"),
+        round(col("cos"), 4).as("cs"))
+  }
+
+  /** DuckDB oracle twin of [[semanticDecontam]] — the s21-style bucket
+    * replay (plane constants inlined), the same split, exact-cosine
+    * verification, and the same per-doc fold. */
+  def semanticDecontamOracleSql(minCos: Double = 0.2, evalMod: Int = 50): String = {
+    def planeLit(p: Array[Double]): String =
+      "[" + p.map(_.toString).mkString(",") + "]::DOUBLE[]"
+    val bucketExprs = (0 until Tables).map { t =>
+      val bits = (0 until Planes).map { p =>
+        s"(CASE WHEN list_dot_product(emb, ${planeLit(planes(t)(p))}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("\n      + ")
+      s"CAST(${t.toLong << 32} AS BIGINT) + $bits"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       | b AS (SELECT vec_id, unnest([
+       |    $bucketExprs]) AS bucket FROM e),
+       | cand AS (SELECT DISTINCT t.vec_id AS train_id, q.vec_id AS eval_id
+       |          FROM b t JOIN b q USING (bucket)
+       |          WHERE t.vec_id % $evalMod != 0 AND q.vec_id % $evalMod = 0),
+       | n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       | p AS (SELECT c.train_id, c.eval_id,
+       |        list_dot_product(nt.emb, ne.emb) / (nt.nrm * ne.nrm) AS cos
+       |       FROM cand c JOIN n nt ON nt.vec_id = c.train_id
+       |       JOIN n ne ON ne.vec_id = c.eval_id),
+       | f AS (SELECT train_id, eval_id, cos,
+       |        count(*) OVER (PARTITION BY train_id) AS n_eval_hits,
+       |        row_number() OVER (PARTITION BY train_id ORDER BY cos DESC, eval_id) AS rn
+       |       FROM p WHERE cos >= $minCos)
+       |SELECT train_id, CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+       | eval_id AS worst_eval, round(cos, 4) AS cs
+       |FROM f WHERE rn = 1""".stripMargin
+  }
+
   /** IVF cell-balance diagnostic (s22) — the index-health measurement
     * that DECIDES nlist and flags a degenerate fit (q32's role, for ANN):
     * per cell, the member count, corpus share, and load factor
