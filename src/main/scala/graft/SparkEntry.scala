@@ -179,6 +179,10 @@ object SparkEntry {
     // fixity audit: store digests vs the at-rest manifest; planted
     // bit-rot must surface, clean chunks must clear
     "a46_fixity_audit" -> (ArrayOps.a46_fixity_audit _),
+    // audit-then-repair for mip pyramids: only FLAGGED chunks recompute
+    // from the base level (O(drift)); post-repair re-derivation must be
+    // clean everywhere and the drift set exactly the injected one
+    "a47_mip_repair" -> (ArrayOps.a47_mip_repair _),
     "d1_dedup_exact" -> ((s, d) => Dedup.exactDuplicates(Tables.t(s, d, "documents"))),
     // d2 IS the at-rest ground-truth artifact: the first toucher in the
     // JVM executes the exact PPJoin and dumps it; every later consumer
@@ -809,6 +813,7 @@ object SparkEntry {
     "a44_annotations" -> ArrayOps.a44OracleSql,
     "a45_sql_ddl" -> ArrayOps.a5OracleSql, // same closed-form 2x2x2 grid of 32x32x4 chunks
     "a46_fixity_audit" -> ArrayOps.a46OracleSql,
+    "a47_mip_repair" -> ArrayOps.a47OracleSql,
     "t3_langid" -> TextOps.langIdOracleSql,
     "t15_langid_eval" -> TextOps.langIdEvalOracleSql,
     "t6_bpe_tokens" -> TextOps.bpeTokensOracleSql,

@@ -2838,6 +2838,144 @@ object ArrayOps {
         (col("now") =!= col("h")).as("drifted"))
   }
 
+  /** Once-per-JVM registry of the a47 fixture per input dir (dump paths
+    * are derived; the value records completion). */
+  private val mipRepairDone =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Where the most recent [[a47_mip_repair]] left its dumps — per-dir
+    * (the q33/q36 dirToken convention; the oracle def reads these at dump
+    * time in the same JVM). */
+  @volatile private[graft] var A47M0Dump: String = ""
+  @volatile private[graft] var A47M1Dump: String = ""
+
+  /** Mip-pyramid REPAIR (a47) — closing the loop a19 opens: a19 AUDITS a
+    * pyramid against its base level (mean-pool re-derivation); this
+    * operator repairs what the audit flags, at O(drift) cost — only the
+    * DRIFTED mip-1 chunks are recomputed from mip-0 ([[VolumeOps
+    * .buildNextMip]] restricted to each flagged chunk's base region) and
+    * written back; pristine chunks are never touched, and the gate proves
+    * BOTH halves: the post-repair pyramid must re-derive clean everywhere
+    * (n_match_after == n_voxels on every chunk) AND the drifted set must
+    * be exactly the injected one (two mip-1 chunks zeroed-to-7 after the
+    * pyramid build — a pure function of the chunk grid).
+    *
+    * Scale shape: the audit is the a19 join (voxel-grain, chunk-pruned);
+    * the repair loop is driver-side over the FLAGGED chunk list — the
+    * audit's entire point is that this list is tiny (each repair is
+    * itself a distributed buildNextMip over one chunk's base region), the
+    * d20 incremental posture applied to pyramids. */
+  def a47_mip_repair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Meta
+    import graft.volume.{Volume, VoxelBuffer}
+    val tok = graft.ops.Similarity.dirToken(dir)
+    val m0Dump = s"$voxelDumpRoot/a47m0_$tok"
+    val m1Dump = s"$voxelDumpRoot/a47m1_$tok"
+    A47M0Dump = m0Dump
+    A47M1Dump = m1Dump
+    mipRepairDone.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-a47").toString
+      val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
+        Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 16), (0, 0, 0))))
+        .withNumMips(2)
+      val vol = Volume.create(spark, root, meta)
+      vol.ingest(VoxelBuffer.sequenced(Meta.TUInt8, 64, 64, 16, 1, (1, 1, 1)))
+      VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, 1, 16))
+      val vol1 = new Volume(spark, root, meta, 2)
+      // inject drift into mip-1 chunks cz=2 and cz=4 (z 5..8 and 13..16)
+      Seq(5, 13).foreach { z0 =>
+        val tamper = VoxelBuffer.zeros(Meta.TUInt8, 32, 32, 4, 1, (1, 1, z0))
+        var tz = 0
+        while (tz < 4) {
+          var ty = 0
+          while (ty < 32) {
+            var tx = 0
+            while (tx < 32) { tamper.setLong(tx, ty, tz, 0, 7L); tx += 1 }
+            ty += 1
+          }
+          tz += 1
+        }
+        vol1.ingest(tamper)
+      }
+      // AUDIT: re-derive mip-1 from mip-0 (xy mean-pool) and flag chunks
+      // with any mismatching voxel — the a19 comparison at chunk grain
+      val m0 = vol.toVoxels(Box(1, 64, 1, 64, 1, 16))
+        .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+      m0.write.mode("overwrite").parquet(m0Dump)
+      val want = spark.read.parquet(m0Dump)
+        .groupBy(
+          (floor((col("x") - 1) / 2) + 1).cast(IntegerType).as("x"),
+          (floor((col("y") - 1) / 2) + 1).cast(IntegerType).as("y"),
+          col("z"))
+        .agg(round(avg(col("value"))).cast(LongType).as("want"))
+      val drifted = vol1.toVoxels(Box(1, 32, 1, 32, 1, 16))
+        .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+        .join(want, Seq("x", "y", "z"))
+        .filter(col("value") =!= col("want"))
+        .select(((col("z") - 1).cast(LongType) / 4 + 1).cast(IntegerType).as("cz"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      // the audit must localize EXACTLY the injected chunks — anything
+      // else is a broken audit, and the oracle (which folds the same
+      // dumps) could not see it, so this check is loud in-engine
+      require(drifted.sameElements(Array(2, 4)),
+        s"a47: audit found drift set ${drifted.toSeq}, expected [2, 4]")
+      // REPAIR: recompute ONLY the flagged chunks from the base level
+      drifted.foreach { cz =>
+        VolumeOps.buildNextMip(vol, Box(1, 64, 1, 64, (cz - 1) * 4 + 1, cz * 4))
+      }
+      new Volume(spark, root, meta, 2).toVoxels(Box(1, 32, 1, 32, 1, 16))
+        .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("value"))
+        .write.mode("overwrite").parquet(m1Dump)
+      // post-repair re-derivation must be clean EVERYWHERE (same dump the
+      // gate folds — but equality of engine and oracle folds alone would
+      // not prove the repair landed, so the property is asserted here)
+      val dirtyAfter = spark.read.parquet(m1Dump)
+        .join(want, Seq("x", "y", "z"))
+        .filter(col("value") =!= col("want")).count()
+      require(dirtyAfter == 0, s"a47: $dirtyAfter voxels still drifted after repair")
+      true
+    })
+    // the gated report: per mip-1 chunk, the injected-drift verdict and
+    // the post-repair agreement census (must be total everywhere)
+    val want = spark.read.parquet(m0Dump)
+      .groupBy(
+        (floor((col("x") - 1) / 2) + 1).cast(IntegerType).as("x"),
+        (floor((col("y") - 1) / 2) + 1).cast(IntegerType).as("y"),
+        col("z"))
+      .agg(round(avg(col("value"))).cast(LongType).as("want"))
+    spark.read.parquet(m1Dump)
+      .join(want, Seq("x", "y", "z"))
+      .groupBy(
+        (floor((col("x") - 1) / 32) + 1).cast(IntegerType).as("cx"),
+        (floor((col("y") - 1) / 32) + 1).cast(IntegerType).as("cy"),
+        (floor((col("z") - 1) / 4) + 1).cast(IntegerType).as("cz"))
+      .agg(count(lit(1)).as("n_voxels"),
+        sum(when(col("value") === col("want"), 1L).otherwise(0L)).as("n_match_after"))
+      .select(col("cx"), col("cy"), col("cz"),
+        (pmod(col("cz"), lit(2)) === 0).as("was_drifted"),
+        col("n_voxels"), col("n_match_after"))
+  }
+
+  /** Dump-replay oracle of [[a47_mip_repair]]: the same mean-pool
+    * re-derivation and chunk census over the post-repair dump, with the
+    * injection rule replayed closed-form. */
+  def a47OracleSql: String =
+    s"""WITH want AS (SELECT CAST(floor((x-1)/2)+1 AS INT) AS x,
+       |        CAST(floor((y-1)/2)+1 AS INT) AS y, z,
+       |        CAST(round(avg(value)) AS BIGINT) AS want
+       |       FROM read_parquet('$A47M0Dump/*.parquet') GROUP BY 1, 2, z),
+       | j AS (SELECT m.x, m.y, m.z, m.value, w.want
+       |       FROM read_parquet('$A47M1Dump/*.parquet') m
+       |       JOIN want w USING (x, y, z))
+       |SELECT CAST(floor((x-1)/32)+1 AS INT) AS cx,
+       | CAST(floor((y-1)/32)+1 AS INT) AS cy,
+       | CAST(floor((z-1)/4)+1 AS INT) AS cz,
+       | (CAST(floor((z-1)/4)+1 AS INT) % 2 = 0) AS was_drifted,
+       | CAST(count(*) AS BIGINT) AS n_voxels,
+       | CAST(sum(CASE WHEN value = want THEN 1 ELSE 0 END) AS BIGINT) AS n_match_after
+       |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+
+
   /** Closed-form oracle of [[a46_fixity_audit]]: the 2×2×2 grid of 32×32×4
     * chunks with the injection rule replayed — the engine's digests must
     * flag exactly these. */
