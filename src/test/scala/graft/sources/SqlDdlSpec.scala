@@ -72,4 +72,17 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.ddl_keep").head.getLong(0) == 8)
     spark.sql("DROP TABLE graft.ddl_keep")
   }
+
+  test("DDL lifecycle: SHOW TABLES lists registrations; ALTER TABLE RENAME keeps the store") {
+    val src = seededVolume()
+    spark.sql(s"CREATE TABLE graft.ddl_old USING precomputed OPTIONS (path '${src.root}')")
+    val listed = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(listed.contains("ddl_old"), listed)
+    // the TO identifier is relative to the table's own catalog
+    spark.sql("ALTER TABLE graft.ddl_old RENAME TO ddl_new")
+    assert(spark.sql("SELECT count(*) FROM graft.ddl_new").head.getLong(0) == 8)
+    val e = intercept[Exception](spark.sql("SELECT count(*) FROM graft.ddl_old").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    spark.sql("DROP TABLE graft.ddl_new")
+  }
 }
