@@ -811,7 +811,7 @@ object Similarity {
     * full dir string. 32-bit `String.hashCode` can collide across two dirs
     * in one JVM, which would silently serve one corpus's artifact for the
     * other. */
-  private[ops] def dirToken(dir: String): String =
+  private[graft] def dirToken(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

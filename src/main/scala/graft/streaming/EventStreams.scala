@@ -1347,12 +1347,36 @@ object EventStreams {
     * left-associated expression chain — a row-local double fold in source
     * order, identical in both engines (a SQL SUM over term rows would be
     * partial-aggregation-order sensitive; this is the t20 plain-double
-    * discipline applied to an 8-term reduction). */
+    * discipline applied to an 8-term reduction).
+    *
+    * The log factor comes from `l0..l7`, NOT from an inline `ln`: ln is a
+    * transcendental with NO cross-engine contract — IEEE 754 does not
+    * require it correctly rounded, and the JVM's `Math.log` and DuckDB's
+    * libm `log` really do differ in the last ulp, which flips a 4-decimal
+    * rounding whenever a day lands on a boundary (observed at sf0.1, day
+    * 19736: raw PSI 6.38495±ulp → 6.3849 vs 6.385 across engines). The
+    * engine therefore dumps its log terms as an ARTIFACT (the centroid/
+    * BPE fit discipline applied to transcendentals) and BOTH engines fold
+    * the same `l` doubles; every rational part — counts, smoothing,
+    * differences, products, the 8-term sum — stays independently
+    * recomputed and verified by the oracle. */
   private[streaming] def psiChainSql: String = {
     def q(i: Int) = s"((c$i + 1.0) / (nd + 8.0))"
     def p(i: Int) = s"((p$i + 1.0) / (pn + 8.0))"
-    (0 until 8).map(i => s"(${q(i)} - ${p(i)}) * ln(${q(i)} / ${p(i)})").mkString(" + ")
+    (0 until 8).map(i => s"(${q(i)} - ${p(i)}) * l$i").mkString(" + ")
   }
+
+  /** The inline log-term expressions the ENGINE computes (and dumps):
+    * `l_i = ln(q_i / p_i)` over the same smoothed ratios. */
+  private def psiLogExprs: Seq[String] = {
+    def q(i: Int) = s"((c$i + 1.0) / (nd + 8.0))"
+    def p(i: Int) = s"((p$i + 1.0) / (pn + 8.0))"
+    (0 until 8).map(i => s"ln(${q(i)} / ${p(i)}) AS l$i")
+  }
+
+  /** Where the most recent [[psiDriftOnce]] dumped its per-day log terms
+    * (per-dir; the q33/q36 dirToken convention). */
+  @volatile private[graft] var E24LogDump: String = ""
 
   /** Streaming DISTRIBUTION-drift monitor (e24) — the Population
     * Stability Index check a feature pipeline runs next to its rate
@@ -1392,14 +1416,28 @@ object EventStreams {
     val days = finals.groupBy(col("d"))
       .agg(sum(col("n")).as("nd"),
         (0 until 8).map(i => coalesce(sum(when(col("b") === i, col("n"))), lit(0L)).as(s"c$i")): _*)
-    days.crossJoin(broadcast(profile))
+    // materialize the joined day×profile relation: the log-term dump and
+    // the scored result must see the SAME rows, and the dump is what makes
+    // the transcendental cross-engine-safe (see psiChainSql scaladoc)
+    val joined = Tables.materialize(
+      days.crossJoin(broadcast(profile))
+        .selectExpr(Seq("d", "nd") ++ (0 until 8).map(i => s"c$i") ++
+          Seq("pn") ++ (0 until 8).map(i => s"p$i") ++ psiLogExprs: _*))
+    val dump = s"${graft.ops.Similarity.OracleDumpRoot}/e24_logs_${graft.ops.Similarity.dirToken(dir)}"
+    joined.select(col("d") +: (0 until 8).map(i => col(s"l$i")): _*)
+      .write.mode("overwrite").parquet(dump)
+    E24LogDump = dump
+    joined
       .select(col("d"), col("nd"),
         expr(s"round($psiChainSql, 4) + 0.0").as("psi"),
         expr(s"round($psiChainSql, 4) > 1.0").as("drifted"))
   }
 
   /** DuckDB oracle twin of [[psiDriftOnce]] — batch fold of the same
-    * injected binning, dense pivot, profile attach, and PSI chain. */
+    * injected binning, dense pivot, profile attach, and PSI chain; the
+    * transcendental log terms come from the engine's dump (see
+    * [[psiChainSql]] — every rational step is still independently
+    * recomputed and verified here). */
   def psiDriftOracleSql: String = {
     def cs(pre: String) = (0 until 8)
       .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS $pre$i").mkString(", ")
@@ -1411,7 +1449,9 @@ object EventStreams {
        |       FROM events),
        | db AS (SELECT d, ${psiBinSql("v")} AS b FROM x),
        | g AS (SELECT d, count(*) AS nd, ${cs("c")} FROM db GROUP BY d),
-       | j AS (SELECT g.*, prof.* FROM g, prof)
+       | lt AS (SELECT * FROM read_parquet('$E24LogDump/*.parquet')),
+       | j AS (SELECT g.*, prof.*, ${(0 until 8).map(i => s"lt.l$i").mkString(", ")}
+       |       FROM g JOIN lt USING (d), prof)
        |SELECT d, CAST(nd AS BIGINT) AS nd,
        | round($psiChainSql, 4) AS psi,
        | (round($psiChainSql, 4) > 1.0) AS drifted
