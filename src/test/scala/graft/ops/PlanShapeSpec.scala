@@ -502,7 +502,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders == Seq("a21_percentiles", "a38_zprofile",
       "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
-      "d21_lsh_tuning", "e24_stream_psi",
+      "d21_lsh_tuning",
       "q31_gapfill", "q32_skew_report", "q34_funnel", "q49_bitemporal",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
       "s27_hamming_topk", "s29_rrf_fusion", "s30_triplet_mining", "s5_sq8_topk",
@@ -554,7 +554,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // and a41 does not appear in this list
     // e24's serve-time scoring attaches the ONE-ROW at-rest profile to the
     // drained day-grain relation (the t12 constant-attach class; the
-    // stream itself carries only watermark-bounded counters)
+    // stream itself carries only watermark-bounded counters) — since the
+    // r11 log-term-artifact fix that attach happens inside a MATERIALIZED
+    // relation, so the gated plan reads the checkpoint and e24 no longer
+    // appears in this list
     // d21 attaches its ONE-ROW exact-truth total to the 4-row config
     // relation (the t12 class); its candidates are band-keyed EQUI-joins
     // and its truth is the adjudicated run-rarely PPJoin eval (d18 class)
