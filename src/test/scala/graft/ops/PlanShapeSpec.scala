@@ -231,6 +231,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("embeddings", "s39_ivf_delta") == 1)
   }
 
+  test("c31: the draw-distribution report joins nothing — one source fold + bounded window") {
+    // everything after the map-side-combined source aggregation is
+    // |sources|-grain; a join (or a second corpus scan) here would mean
+    // the shares were re-derived from rows instead of the fold
+    val p = plan("c31_sampling_shares")
+    assert(!p.contains("Join"), p)
+    assert(scansOf("documents", "c31_sampling_shares") == 1)
+  }
+
+  test("c32: semantic decontam is bucket-equi + broadcast — never corpus x eval") {
+    val p = plan("c32_semantic_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rank-1 cut pushes into the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // 1 bucketing pass (materialized, feeds hot-bucket cap + both split
+    // sides) + 1 train-side embedding attach + 1 broadcast eval attach
+    assert(scansOf("embeddings", "c32_semantic_decontam") == 3)
+  }
+
+  test("a46: warmed, the audit is one blob scan of the store + a key-equi manifest join") {
+    graft.SparkEntry.queries("a46_fixity_audit")(spark, dir).collect() // warm fixture
+    val p = plan("a46_fixity_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PrecomputedScan"), p)
+  }
+
   test("s35: two scans of embeddings under AQE (train sample; one scoring pass)") {
     // 1 scan materializing the capped k-means sample + 1 row-local scoring
     // pass; the decile histogram folds the MATERIALIZED scored relation,
