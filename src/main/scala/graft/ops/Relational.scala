@@ -700,8 +700,11 @@ object Relational {
       .select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("x"))
     val med = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(x, 0.5)").as("med"))
-    val withAd = li.join(broadcast(med), Seq("l_returnflag"))
-      .withColumn("ad", abs(col("x") - col("med")))
+    // materialized: BOTH the MAD fit and the outlier pass consume it, and
+    // under AQE the unshared lineage re-ran the corpus scan + median
+    // attach per consumer (the d2/r4 lesson) — one pass, two readers
+    val withAd = materialize(li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("ad", abs(col("x") - col("med"))))
     val mad = withAd.groupBy(col("l_returnflag"))
       .agg(expr("percentile(ad, 0.5)").as("mad"))
     withAd.join(broadcast(mad), Seq("l_returnflag"))
