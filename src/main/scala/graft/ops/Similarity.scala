@@ -336,6 +336,25 @@ object Similarity {
     df.join(broadcast(hot), Seq("bucket"), "left_anti")
   }
 
+  /** [[capBuckets]] for ORACLE-GATED candidate generation (c32): the
+    * oracle replays the bucket join UNCAPPED, so a bucket actually
+    * exceeding the cap must FAIL the run loudly (assert_true on the
+    * broadcast build side — evaluated only for over-cap buckets, so the
+    * healthy path costs exactly what [[capBuckets]] does) instead of
+    * silently dropping candidates the oracle keeps (ADVICE r11 — the
+    * MaxBucketWidth doc proves this unreachable at the gated SFs; this
+    * makes a future dataset that trips it a crash, not a divergence). */
+  private def capBucketsOrFail(df: DataFrame, cap: Int): DataFrame = {
+    val hot = df.groupBy(col("bucket")).agg(count(lit(1)).as("__bw"))
+      .filter(col("__bw") > cap)
+      .select(coalesce(
+        assert_true(lit(false), concat(lit(s"LSH bucket over the $cap-row cap "),
+          lit("on an oracle-gated path: bucket "), col("bucket").cast("string"),
+          lit(" width "), col("__bw").cast("string"))).cast(LongType),
+        col("bucket")).as("bucket"))
+    df.join(broadcast(hot), Seq("bucket"), "left_anti")
+  }
+
   /** Multiprobe masks: the bucket itself plus every Hamming-1 and Hamming-2
     * neighbor (1 + 6 + 15 = 22 probes per table). Probing is query-side
     * only (broadcast), so it buys the recall of ~4x the table count with no
@@ -1335,7 +1354,7 @@ object Similarity {
   def semanticDecontam(spark: SparkSession, dir: String, minCos: Double = 0.2,
       evalMod: Int = 50): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val sig = capBuckets(
+    val sig = capBucketsOrFail(
       materialize(
         withBuckets(emb.select(col("vec_id"), col("embedding")), "embedding")
           .select(col("vec_id"), col("bucket"))),
@@ -1509,46 +1528,82 @@ object Similarity {
     * RAW-MOMENT form (r9): `cov(i,j) = Σ x_i·x_j / n − μ_i·μ_j`. Each
     * coordinate rounds to DECIMAL(18,8) ONCE per row (dim rounds, not
     * dim²/2 — `round(double)` is the expensive BigDecimal path), then the
-    * dim²/2 upper-triangle terms are EXACT decimal products ((18,8)² →
-    * scale 16, no per-term rounding at all), summed exactly at (i, j)
-    * grain. The exact sum rounds back to scale 8 once per output cell, and
-    * the final double expression `S/n − μ_i·μ_j` is identical IEEE ops in
-    * both engines. `+ 0.0` normalizes the signed zero a rounded centered
-    * quantity can produce (r8: DuckDB round kept −0.0 at cell (5,9) where
-    * Spark's BigDecimal HALF_UP has no signed zero — value-equal,
-    * hash-different).
+    * dim²/2 upper-triangle terms are EXACT decimal products, summed
+    * exactly at (i, j) grain; the sum rounds back to scale 8 once per
+    * output cell, and the final double expression `S/n − μ_i·μ_j` is
+    * identical IEEE ops in both engines. `+ 0.0` normalizes the signed
+    * zero a rounded centered quantity can produce (r8: DuckDB round kept
+    * −0.0 at cell (5,9) where Spark's BigDecimal HALF_UP has no signed
+    * zero — value-equal, hash-different).
+    *
+    * UNSCALED-LONG kernel (r12): the decimal algebra above is carried on
+    * int64 in the hot path — each coordinate becomes its exact unscaled
+    * long `u = round(x,8)·1e8` (one decimal op per coordinate), a term is
+    * the plain long product `uᵢ·uⱼ` (the exact unscaled value of the
+    * DECIMAL(18,8)² product at scale 16), and since Σ terms can exceed
+    * int64, each term splits into exact base-1e9 limbs
+    * `t = (t div 1e9)·1e9 + (t % 1e9)` (truncating div identity, sign
+    * carried by both limbs) whose two LONG sums commute with the split.
+    * The whole per-row pipeline — products, limbs, map-side combine — is
+    * codegen'd long arithmetic; the r9 form paid a precision-37 BigDecimal
+    * multiply per term (2 080 per row), which was the entire s24 cost. The
+    * cell grain (dim²/2 rows) reassembles the exact sum as
+    * DECIMAL(38,0) = sh·1e9 + sl, applies HALF_UP at scale 8 by integer
+    * shift (±5e7, integral div 1e8 — truncation toward zero makes it
+    * half-away-from-zero, matching BigDecimal/DuckDB), and
+    * `CAST(K AS DOUBLE)/1e8` is the correctly-rounded decimal→double cast
+    * both engines perform (K exact in double under the bounds below, 1e8
+    * exactly representable, one IEEE division).
     *
     * Scale shape: the μ fit is dim-grain metadata inlined as a literal, so
     * every vector emits its terms ROW-LOCALLY (no self-join, no second
     * scan) and they reduce map-side-combined at (i, j) grain — the
-    * exchange carries dim²/2 decimal partials per partition, never
-    * vectors. Exactness bound: |coordinate| < 10 keeps each product inside
-    * DECIMAL(18,16) and the exact sum holds ~1e9 rows per cell before
-    * nearing DECIMAL(38,16); the scale-8 re-round keeps the
-    * decimal→double cast exact-integer (< 2^53) in both engines. It is a
-    * FIT job: run once per corpus snapshot (s25 caches and consumes it),
-    * not per query. */
+    * exchange carries dim²/2 long partials per partition, never vectors.
+    * Exactness bounds: |coordinate| < 10 keeps |u| ≤ 1e9 and each product
+    * ≤ 1e18 inside int64; each limb sum holds ~9e9 rows per cell before
+    * nearing int64 (same order as the r9 DECIMAL(38,16) headroom), and the
+    * scale-8 unscaled K stays exact-integer in double (< 2^53) exactly
+    * where the r9 decimal→double cast did. It is a FIT job: run once per
+    * corpus snapshot (s25 caches and consumes it), not per query. */
+  /** Per-JVM registry of the s20 per-dim mean fit (dim-grain metadata,
+    * ≤dim doubles per dir) — the centroid-fit discipline: built by the
+    * first toucher, reused by every covariance/PCA consumer instead of
+    * re-running the fit pass per query. */
+  private val dimMeansCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
   def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
     // the μ fit is dim-grain metadata: collected once (like a centroid
     // fit) and inlined as an array literal, so the per-vector pair terms
     // are a ROW-LOCAL explode — no vec-keyed self-join, no second scan;
     // the only exchange is the map-side-combined (i, j) cell reduction
-    val means = dimStats(spark, dir).select(col("pos"), col("mean")).collect()
-      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val means = dimMeansCache.computeIfAbsent(dir,
+      _ => dimStats(spark, dir).select(col("pos"), col("mean")).collect()
+        .sortBy(_.getLong(0)).map(_.getDouble(1)))
     val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
     val nD = means.length
     t(spark, dir, "embeddings")
-      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)))").as("rd"))
+      // exact unscaled longs: round once per coordinate, decimal ×1e8 is
+      // exact (integer-valued), the bigint cast loses nothing
+      .select(expr(
+        "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
+        .as("u"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${nD - 1}), i ->
            |  transform(sequence(i, ${nD - 1}), j ->
            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           |      element_at(rd, CAST(i + 1 AS INT)) * element_at(rd, CAST(j + 1 AS INT)) AS term))))""".stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.term").as("term"))
+           |      element_at(u, CAST(i + 1 AS INT)) * element_at(u, CAST(j + 1 AS INT)) AS t))))""".stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
+        expr("t.t div 1000000000").as("hi"), expr("t.t % 1000000000").as("lo"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("term")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("hi")).as("sh"), sum(col("lo")).as("sl"))
+      // cell grain (dim²/2 rows): exact Σ as DECIMAL(38,0), HALF_UP to
+      // scale 8 by integer shift, then the one correctly-rounded
+      // decimal→double division — bit-identical to the r9 decimal path
+      .withColumn("nr", expr("CAST(sh AS DECIMAL(38,0)) * 1000000000 + sl"))
+      .withColumn("k", expr(
+        "(nr + (CASE WHEN nr >= 0 THEN 50000000 ELSE -50000000 END)) div 100000000"))
       .select(col("i"), col("j"),
-        (round(expr("CAST(CAST(round(s, 8) AS DECIMAL(18,8)) AS DOUBLE)") / col("n")
+        (round(expr("CAST(k AS DOUBLE) / 1.0E8") / col("n")
           - expr(s"element_at($mArr, CAST(i + 1 AS INT)) * element_at($mArr, CAST(j + 1 AS INT))"),
           6) + lit(0.0)).as("cov"))
   }
@@ -3092,8 +3147,10 @@ object Similarity {
   private[graft] def ivfAtRest(spark: SparkSession, dir: String,
       nlist: Int = 16): (Array[Array[Double]], String, String) = {
     import graft.functions.CentroidExprs.centroid_argmax
-    val fit = s39Fits.computeIfAbsent(dir, { _ =>
-      val tok = dirToken(dir)
+    // keyed by (dir, nlist) — ADVICE r11: a dir-only key would hand a
+    // non-default-nlist caller the first toucher's centroids and census
+    val fit = s39Fits.computeIfAbsent(s"$dir|$nlist", { _ =>
+      val tok = s"${dirToken(dir)}_$nlist"
       val emb = t(spark, dir, "embeddings")
       val standing = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) =!= 0)
       val cc = fitCoarseCentroids(cappedTrainSample(standing), nlist)

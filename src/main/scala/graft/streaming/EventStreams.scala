@@ -1414,18 +1414,28 @@ object EventStreams {
     * differences, products, the 8-term sum — stays independently
     * recomputed and verified by the oracle. */
   private[streaming] def psiChainSql: String = {
-    def q(i: Int) = s"((c$i + 1.0) / (nd + 8.0))"
-    def p(i: Int) = s"((p$i + 1.0) / (pn + 8.0))"
-    (0 until 8).map(i => s"(${q(i)} - ${p(i)}) * l$i").mkString(" + ")
+    (0 until 8).map(i => s"(${psiQSql(i)} - ${psiPSql(i)}) * l$i").mkString(" + ")
   }
+
+  /** The smoothed-ratio building blocks of the PSI chain, shared by the
+    * engine exprs and both oracle replays. The `CAST(… AS DOUBLE)` on the
+    * literals is LOAD-BEARING: a bare `1.0` parses as DECIMAL in Spark but
+    * divides as DOUBLE in DuckDB, and Spark's decimal division silently
+    * HALF_UPs the quotient to scale 6 — so the two engines were feeding
+    * ln() ratios that differ in the 7th digit (caught by the r12 oracle
+    * term check, ADVICE r11; the dump had been absorbing the divergence).
+    * With double literals every step is the same correctly-rounded IEEE
+    * op in both engines and only ln's last ulp remains engine-specific —
+    * the one thing the dump exists to carry. */
+  private def psiQSql(i: Int) =
+    s"((c$i + CAST(1.0 AS DOUBLE)) / (nd + CAST(8.0 AS DOUBLE)))"
+  private def psiPSql(i: Int) =
+    s"((p$i + CAST(1.0 AS DOUBLE)) / (pn + CAST(8.0 AS DOUBLE)))"
 
   /** The inline log-term expressions the ENGINE computes (and dumps):
     * `l_i = ln(q_i / p_i)` over the same smoothed ratios. */
-  private def psiLogExprs: Seq[String] = {
-    def q(i: Int) = s"((c$i + 1.0) / (nd + 8.0))"
-    def p(i: Int) = s"((p$i + 1.0) / (pn + 8.0))"
-    (0 until 8).map(i => s"ln(${q(i)} / ${p(i)}) AS l$i")
-  }
+  private def psiLogExprs: Seq[String] =
+    (0 until 8).map(i => s"ln(${psiQSql(i)} / ${psiPSql(i)}) AS l$i")
 
   /** Where the most recent [[psiDriftOnce]] dumped its per-day log terms
     * (per-dir; the q33/q36 dirToken convention). */
@@ -1490,10 +1500,21 @@ object EventStreams {
     * injected binning, dense pivot, profile attach, and PSI chain; the
     * transcendental log terms come from the engine's dump (see
     * [[psiChainSql]] — every rational step is still independently
-    * recomputed and verified here). */
+    * recomputed and verified here). Each dumped term is additionally
+    * CHECKED against the oracle's own `ln(qᵢ/pᵢ)` within 1e-9 (ADVICE
+    * r11: the fold stays on the dumped doubles for bit-equality, but a
+    * wrong engine-side log — bad smoothing, swapped ratio — now poisons
+    * the term by +1e9 and fails the hash instead of reproducing
+    * identically in both engines; last-ulp libm disagreement, the reason
+    * the dump exists, sits ~7 orders below the tolerance). */
   def psiDriftOracleSql: String = {
     def cs(pre: String) = (0 until 8)
       .map(i => s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS $pre$i").mkString(", ")
+    def lVerified(i: Int) = {
+      val q = s"((g.c$i + 1.0) / (g.nd + 8.0))"
+      val p = s"((prof.p$i + 1.0) / (prof.pn + 8.0))"
+      s"CASE WHEN abs(lt.l$i - ln($q / $p)) < 1e-9 THEN lt.l$i ELSE lt.l$i + 1e9 END AS l$i"
+    }
     s"""WITH pb AS (SELECT ${psiBinSql("value")} AS b FROM events),
        | prof AS (SELECT count(*) AS pn, ${cs("p")} FROM pb),
        | x AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
@@ -1503,7 +1524,7 @@ object EventStreams {
        | db AS (SELECT d, ${psiBinSql("v")} AS b FROM x),
        | g AS (SELECT d, count(*) AS nd, ${cs("c")} FROM db GROUP BY d),
        | lt AS (SELECT * FROM read_parquet('$E24LogDump/*.parquet')),
-       | j AS (SELECT g.*, prof.*, ${(0 until 8).map(i => s"lt.l$i").mkString(", ")}
+       | j AS (SELECT g.*, prof.*, ${(0 until 8).map(lVerified).mkString(",\n       |        ")}
        |       FROM g JOIN lt USING (d), prof)
        |SELECT d, CAST(nd AS BIGINT) AS nd,
        | round($psiChainSql, 4) AS psi,
