@@ -1778,6 +1778,13 @@ object Similarity {
     * and dumps; everyone after reads parquet. */
   private val knnGraphDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test/audit seam: clear the at-rest fit registries so a measurement
+    * harness (PlanShapeSpec, tools.ScalingAudit) can observe a COLD build
+    * deterministically — mirrors [[graft.ops.Dedup.resetPairRegistryForTests]]. */
+  private[graft] def resetAtRestRegistriesForTests(): Unit = {
+    knnGraphDumps.clear(); s39Fits.clear()
+  }
+
   /** The at-rest s21 kNN-graph relation (src, nb, cs, rnk) for `dir`. */
   def knnGraphAtRest(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val path = knnGraphDumps.computeIfAbsent(s"$dir|$k", _ => {

@@ -512,6 +512,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead coalesced"), p)
   }
 
+  test("q28: the manual salt carries the skew work; AQE's skew-join stays idle") {
+    // q28 exists to demonstrate hot-key salting — the pin proves the demo
+    // is honest: the executed join keys on __salt (the decomposition IS in
+    // the plan) and AQE's runtime skew handling did not silently re-split
+    // the join behind it (no `skew=true` join in the adaptive final plan).
+    // If a future Spark starts marking it, the band and the scaladoc must
+    // be re-adjudicated, not waved through.
+    val df = graft.SparkEntry.queries("q28_salted_join")(spark, dir)
+    df.collect() // AQE decisions exist only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt key missing from the executed join:\n$p")
+    assert(!p.contains("skew=true"), s"AQE skew-join re-split the salted join:\n$p")
+  }
+
   test("no driver query plans a cartesian product") {
     // s4's centroid scoring is a row-local argmax/top-n kernel over the
     // fitted matrix (CentroidExprs), so even the IVF path must be
