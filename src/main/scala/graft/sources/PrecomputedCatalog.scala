@@ -17,7 +17,9 @@ import graft.volume.{ChunkStore, Volume}
   * maps `CREATE TABLE graft.vol USING precomputed OPTIONS (...)` onto the
   * reference's create-new-dataset path (reference: src/type.jl:85-99) and
   * hands every `loadTable` back to the DSv2 [[PrecomputedTable]], so
-  * `INSERT INTO` / `SELECT` ride the existing write/scan paths (pushdown,
+  * `INSERT INTO` / `SELECT` — and `CREATE TABLE … AS SELECT`, which Spark
+  * plans as this catalog's createTable followed by an append through the
+  * same WriteBuilder — ride the existing write/scan paths (pushdown,
   * pruning, canonical chunk keys) unchanged.
   *
   * Registered as `spark.sql.catalog.graft = graft.sources.PrecomputedCatalog`
@@ -145,6 +147,16 @@ class PrecomputedCatalog extends TableCatalog {
     // deregister ONLY — the dataset on the store outlives the catalog
     // entry (documented above); re-CREATE with the same path re-attaches
     tables.remove(key(ident)) != null
+
+  /** `DROP TABLE … PURGE` must not be a silent alias for the deregister:
+    * purge REQUESTS data deletion, and this catalog's contract is that DDL
+    * never deletes voxel data (object-store last-writer-wins — datasets
+    * outlive any one session's catalog). Refuse loudly; a store is removed
+    * with storage tooling, not DDL. */
+  override def purgeTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "precomputed: DROP TABLE ... PURGE is not supported — DDL never deletes " +
+        "voxel data (plain DROP TABLE deregisters and keeps the store)")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val v = tables.remove(key(oldIdent))

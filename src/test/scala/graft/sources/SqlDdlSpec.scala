@@ -73,6 +73,42 @@ class SqlDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ddl_keep")
   }
 
+  test("CTAS at chunk grain: CREATE TABLE ... AS SELECT ingests through the DSv2 write path") {
+    val src = seededVolume()
+    val dstRoot = SparkSuite.tempDir("graft-ddl-ctas") + "/layer"
+    spark.sql(s"CREATE TABLE graft.ddl_ctas_src USING precomputed OPTIONS (path '${src.root}')")
+    // one statement: create-new-dataset from the options AND ingest the
+    // SELECT's chunk rows (Spark v2 CTAS = createTable + append through
+    // the same WriteBuilder INSERT INTO uses — canonical keys, RMW rules)
+    spark.sql(s"""CREATE TABLE graft.ddl_ctas USING precomputed OPTIONS (
+      path '$dstRoot', voxel_type 'uint8', size '64,64,16',
+      chunk_size '32,32,8', resolution '4,4,40', encoding 'gzip')
+      AS SELECT * FROM graft.ddl_ctas_src""")
+    val keys = spark.sql("SELECT key FROM graft.ddl_ctas ORDER BY key")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.size == 8 && keys.contains("0-32_0-32_0-8"), keys)
+    // payload survives bit-exactly through the independent cutout path
+    val box = Grid.Box(1, 64, 1, 64, 1, 16)
+    assert(Volume.open(spark, dstRoot).cutout(box) == src.cutout(box))
+    spark.sql("DROP TABLE graft.ddl_ctas")
+    spark.sql("DROP TABLE graft.ddl_ctas_src")
+  }
+
+  test("DROP semantics: IF EXISTS is quiet; PURGE refuses to delete voxel data") {
+    val src = seededVolume()
+    // IF EXISTS on an unregistered identifier is a quiet no-op
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_never_created")
+    // PURGE requests data deletion — the catalog's contract forbids it
+    spark.sql(s"CREATE TABLE graft.ddl_purge USING precomputed OPTIONS (path '${src.root}')")
+    val e = intercept[Exception](spark.sql("DROP TABLE graft.ddl_purge PURGE"))
+    assert(e.getMessage.contains("never deletes"), e.getMessage)
+    // the refusal left the registration AND the store intact
+    assert(spark.sql("SELECT count(*) FROM graft.ddl_purge").head.getLong(0) == 8)
+    spark.sql("DROP TABLE graft.ddl_purge")
+    val fs = ChunkStore.fs(src.root, spark.sessionState.newHadoopConf())
+    assert(ChunkStore.exists(fs, src.root, "info"), "plain DROP must keep the store")
+  }
+
   test("DDL lifecycle: SHOW TABLES lists registrations; ALTER TABLE RENAME keeps the store") {
     val src = seededVolume()
     spark.sql(s"CREATE TABLE graft.ddl_old USING precomputed OPTIONS (path '${src.root}')")
