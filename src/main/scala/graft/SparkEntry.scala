@@ -409,6 +409,7 @@ object SparkEntry {
       pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
+    "c33_decontam_ledger" -> ((s, d) => Corpus.decontamLedger(s, d)),
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
@@ -482,6 +483,7 @@ object SparkEntry {
     "m27_blur_qc" -> (Multimodal.blurQc _),
     // banded aHash near-dup through the codec path, planted-donor proof
     "m28_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    "m30_visual_decontam" -> ((s, d) => Multimodal.visualDecontam(s, d)),
     // per-scene sharpest-frame pick: m10 scenes x m27 focus kernel
     "m29_keyframe_select" -> (Multimodal.keyframeSelect _),
     // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
@@ -865,6 +867,7 @@ object SparkEntry {
     "c16_split_leakage" -> splitLeakageOracle,
     "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
+    "c33_decontam_ledger" -> Corpus.decontamLedgerOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
     "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
@@ -1021,6 +1024,7 @@ object SparkEntry {
     "m25_stripe_qc" -> Multimodal.stripeQcOracleSql,
     "m27_blur_qc" -> Multimodal.blurQcOracleSql,
     "m28_image_neardup" -> Multimodal.imageNearDupOracleSql(),
+    "m30_visual_decontam" -> Multimodal.visualDecontamOracleSql(),
     "m29_keyframe_select" -> Multimodal.keyframeSelectOracleSql,
     "m26_audio_snr" -> Multimodal.audioSnrOracleSql,
     "m6_modal_video" -> Multimodal.modalVideoOracleSql,

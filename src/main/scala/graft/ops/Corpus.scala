@@ -446,6 +446,45 @@ object Corpus {
        |FROM documents d LEFT JOIN f ON d.doc_id = f.train_id
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
 
+  /** Multi-signal decontamination LEDGER (c33) — the release-gate artifact
+    * the per-signal screens feed: every training document with its
+    * VERBATIM overlap count (c3's exact 8-gram screen), its FUZZY
+    * whole-document near-identity evidence (c18's MinHash screen: match
+    * count + worst Jaccard), and the admission verdict a release pipeline
+    * acts on — `drop` on fuzzy near-identity (the document IS an eval
+    * item), `review` on verbatim overlap only (quotes a passage — a human
+    * call), `keep` otherwise. This is the synthesis job that runs once per
+    * corpus snapshot right before export (c13/c20's stage): both signal
+    * relations are one-pass pipelines at train-doc grain and the ledger is
+    * their doc_id equi-join — no new scan shape, no all-pairs, and at
+    * 100 TB each signal would be read from its screen's standing output
+    * exactly as the d-family reads [[graft.ops.Dedup.nearDupPairsAtRest]]. */
+  def decontamLedger(spark: SparkSession, dir: String, evalMod: Int = 97,
+      n: Int = 8, minJ: Double = 0.8): DataFrame = {
+    val verbatim = decontaminate(Tables.t(spark, dir, "documents"), evalMod, n)
+      .select(col("doc_id"), col("n_hits").as("n_verbatim"))
+    val fuzzy = fuzzyDecontam(spark, dir, evalMod, minJ)
+      .select(col("doc_id"), col("n_eval_matches").as("n_fuzzy"),
+        col("max_jac"), col("fuzzy_contaminated"))
+    verbatim.join(fuzzy, Seq("doc_id"))
+      .select(col("doc_id"), col("n_verbatim"), col("n_fuzzy"), col("max_jac"),
+        when(col("fuzzy_contaminated"), lit("drop"))
+          .when(col("n_verbatim") > 0, lit("review"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** DuckDB oracle twin of [[decontamLedger]] — the two signal replays
+    * (each a full oracle query, nested as subqueries) joined and mapped to
+    * the same verdict rule. */
+  def decontamLedgerOracleSql(evalMod: Int = 97, n: Int = 8, minJ: Double = 0.8): String =
+    s"""WITH v AS (SELECT * FROM (${decontaminateOracleSql(evalMod, n)})),
+       | fz AS (SELECT * FROM (${fuzzyDecontamOracleSql(evalMod, minJ)}))
+       |SELECT v.doc_id, v.n_hits AS n_verbatim,
+       | fz.n_eval_matches AS n_fuzzy, fz.max_jac,
+       | CASE WHEN fz.fuzzy_contaminated THEN 'drop'
+       |      WHEN v.n_hits > 0 THEN 'review' ELSE 'keep' END AS verdict
+       |FROM v JOIN fz USING (doc_id)""".stripMargin
+
   /** Dataset nutrition label (c19) — the one-row "datasheet" summary a
     * corpus release ships with (Gebru et al.'s datasheets, Hugging Face
     * dataset cards): document and token mass, language and source

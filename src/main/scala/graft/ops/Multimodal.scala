@@ -1721,13 +1721,19 @@ object Multimodal {
     * shuffles (image × 4) band rows of two small values; verification
     * touches only band collisions and compares 16-nibble strings — the
     * d3/d18 banding discipline applied through the REAL codec path. */
-  def imageNearDup(spark: SparkSession, dir: String, tau: Int = 3): DataFrame = {
+  /** The (doc_id, phash) perceptual-hash relation m28 and m30 share:
+    * every image decoded and tiled through the REAL codec path, the m28
+    * plant applied (doc_id % 9 == 0 re-synthesizes from its doc_id−3
+    * donor with one pixel brightened), aHash'd row-locally, and
+    * materialized — one decode pass feeds the band join AND both
+    * verification legs of whichever screen consumes it. */
+  private def perceptualHashRelation(spark: SparkSession, dir: String): DataFrame = {
     val imgs = assets(t(spark, dir, "documents"))
       .filter(col("modality") === "image")
       .select(col("doc_id"), col("payload"))
     val donors = imgs.select((col("doc_id") + 3).as("doc_id"), col("payload").as("donor"))
     implicit val hashEnc = Encoders.product[(Long, String)]
-    val hashed = imgs.join(donors, Seq("doc_id"), "left_outer")
+    imgs.join(donors, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("payload"), col("donor"))
       .as(Encoders.product[(Long, Array[Byte], Array[Byte])])
       .mapPartitions { it =>
@@ -1744,9 +1750,26 @@ object Multimodal {
       }
       .toDF("doc_id", "phash")
       .transform(Tables.materialize)
-    val bands = hashed.select(col("doc_id"), posexplode(expr(
+  }
+
+  /** Exact Hamming distance between two 16-nibble hex hashes `a`/`b` as a
+    * codegen'd row-local fold (the m28 verification kernel). */
+  private def hammingSql(a: String, b: String): String =
+    s"""aggregate(transform(sequence(0, 15),
+       | i -> bit_count(CAST(conv(substring($a, i + 1, 1), 16, 10) AS INT) ^
+       |                CAST(conv(substring($b, i + 1, 1), 16, 10) AS INT))),
+       | 0, (acc, x) -> acc + x)""".stripMargin
+
+  /** The 16-bit band explosion of [[perceptualHashRelation]] (4 bands per
+    * image — the d4 simhash banding discipline on the 64-bit aHash). */
+  private def phashBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 3), b -> substring(phash, b * 4 + 1, 4))")))
       .toDF("doc_id", "band", "bv")
+
+  def imageNearDup(spark: SparkSession, dir: String, tau: Int = 3): DataFrame = {
+    val hashed = perceptualHashRelation(spark, dir)
+    val bands = phashBands(hashed)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -1756,22 +1779,61 @@ object Multimodal {
     cand
       .join(hashed.select(col("doc_id").as("a"), col("phash").as("ha")), Seq("a"))
       .join(hashed.select(col("doc_id").as("b"), col("phash").as("hb")), Seq("b"))
-      .withColumn("hamming", expr(
-        """aggregate(transform(sequence(0, 15),
-          | i -> bit_count(CAST(conv(substring(ha, i + 1, 1), 16, 10) AS INT) ^
-          |                CAST(conv(substring(hb, i + 1, 1), 16, 10) AS INT))),
-          | 0, (acc, x) -> acc + x)""".stripMargin).cast(LongType))
+      .withColumn("hamming", expr(hammingSql("ha", "hb")).cast(LongType))
       .filter(col("hamming") <= tau)
       .select(col("a"), col("b"), col("hamming"),
         (col("b") - col("a") === 3 && col("b") % 9 === 0).as("planted"))
   }
 
-  /** DuckDB oracle twin of [[imageNearDup]] — the donor substitution and
-    * one-pixel brightening replayed on the tiled raster, the m8 block-sum
-    * hash, the same 16-bit banding, and the nibble-XOR verification. */
-  def imageNearDupOracleSql(tau: Int = 3): String = {
+  /** VISUAL eval-leakage screen (m30) — c18's decontamination posture
+    * applied to the image modality (the screen a multimodal release runs
+    * so benchmark images don't leak into training: an eval image that was
+    * re-encoded or lightly retouched shares no bytes but hashes within a
+    * few bits): training images whose perceptual hash lands within
+    * Hamming ≤ `tau` of ANY eval-set image (`doc_id % evalMod == 0` — the
+    * c3/c18 split convention) are flagged with their hit count, worst
+    * offender, and closest distance — the c32 report shape at image
+    * grain. Leakage is PROVEN by the m28 plant: eval image 15's +1-pixel
+    * copy lives at train id 18 (and eval 45 IS a copy of train 42), so
+    * hits exist at every shipped SF by construction.
+    *
+    * Scale shape: the hash relation is ONE decode pass (shared,
+    * materialized); the eval side is tiny and BROADCAST (bands and
+    * hashes both), candidates come from the band equi-join — never
+    * train × eval — and verification touches band collisions only; the
+    * per-image fold is one window (count + rank share the partition). */
+  def visualDecontam(spark: SparkSession, dir: String, evalMod: Int = 15,
+      tau: Int = 3): DataFrame = {
+    val hashed = perceptualHashRelation(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val bands = phashBands(hashed)
+    val cand = bands.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id").as("train_id"), col("band"), col("bv"))
+      .join(broadcast(bands.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+        .select(col("doc_id").as("eval_id"), col("band"), col("bv"))),
+        Seq("band", "bv"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val w = Window.partitionBy(col("train_id"))
+    cand
+      .join(hashed.select(col("doc_id").as("train_id"), col("phash").as("ht")), Seq("train_id"))
+      .join(broadcast(hashed.filter(isEval)
+        .select(col("doc_id").as("eval_id"), col("phash").as("he"))), Seq("eval_id"))
+      .withColumn("hamming", expr(hammingSql("ht", "he")).cast(LongType))
+      .filter(col("hamming") <= tau)
+      .withColumn("n_eval_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("hamming"), col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("n_eval_hits"), col("eval_id").as("worst_eval"),
+        col("hamming").as("min_hamming"))
+  }
+
+  /** The oracle CTE chain replaying [[perceptualHashRelation]] (donor
+    * substitution, one-pixel brightening, tiled raster, m8 block-sum
+    * hash) down to the per-image nibbles (`nib`) and 16-bit bands
+    * (`bandv`) — shared by the m28 and m30 oracle twins. */
+  private def phashOracleCtesSql: String = {
     val ipx = ThumbW * ThumbH
-    s"""WITH img AS (SELECT d.doc_id,
+    s"""img AS (SELECT d.doc_id,
        |         CASE WHEN d.doc_id % 9 = 0 AND d.doc_id >= 9 AND dn.text IS NOT NULL
        |              THEN dn.text ELSE d.text END AS src,
        |         (d.doc_id % 9 = 0 AND d.doc_id >= 9 AND dn.text IS NOT NULL) AS planted_src
@@ -1794,7 +1856,14 @@ object Multimodal {
        |         FROM blk b JOIN tot t USING (doc_id) GROUP BY 1, 2),
        | bandv AS (SELECT doc_id, k // 4 AS band,
        |            sum(v * (CASE k % 4 WHEN 0 THEN 4096 WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END)) AS bv
-       |           FROM nib GROUP BY 1, 2),
+       |           FROM nib GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB oracle twin of [[imageNearDup]] — the donor substitution and
+    * one-pixel brightening replayed on the tiled raster, the m8 block-sum
+    * hash, the same 16-bit banding, and the nibble-XOR verification. */
+  def imageNearDupOracleSql(tau: Int = 3): String =
+    s"""WITH ${phashOracleCtesSql},
        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |          FROM bandv x JOIN bandv y
        |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
@@ -1805,7 +1874,27 @@ object Multimodal {
        |SELECT a, b, CAST(hamming AS BIGINT) AS hamming,
        | (b - a = 3 AND b % 9 = 0) AS planted
        |FROM hm WHERE hamming <= $tau""".stripMargin
-  }
+
+  /** DuckDB oracle twin of [[visualDecontam]] — the same hash replay, the
+    * cross-split band join, exact nibble-XOR verification, and the same
+    * per-train-image fold. */
+  def visualDecontamOracleSql(evalMod: Int = 15, tau: Int = 3): String =
+    s"""WITH ${phashOracleCtesSql},
+       | cand AS (SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS eval_id
+       |          FROM bandv x JOIN bandv y
+       |          ON x.band = y.band AND x.bv = y.bv
+       |          WHERE x.doc_id % $evalMod <> 0 AND y.doc_id % $evalMod = 0),
+       | hm AS (SELECT c.train_id, c.eval_id, sum(bit_count(xor(na.v, nb.v))) AS hamming
+       |        FROM cand c JOIN nib na ON na.doc_id = c.train_id
+       |        JOIN nib nb ON nb.doc_id = c.eval_id AND nb.k = na.k
+       |        GROUP BY 1, 2),
+       | f AS (SELECT train_id, eval_id, hamming,
+       |        count(*) OVER (PARTITION BY train_id) AS n_eval_hits,
+       |        row_number() OVER (PARTITION BY train_id ORDER BY hamming, eval_id) AS rn
+       |       FROM hm WHERE hamming <= $tau)
+       |SELECT train_id, CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+       | eval_id AS worst_eval, CAST(hamming AS BIGINT) AS min_hamming
+       |FROM f WHERE rn = 1""".stripMargin
 
   // ---------------- Loudness normalization (m18) ----------------
 

@@ -512,6 +512,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead coalesced"), p)
   }
 
+  test("m30: two documents scans — the shared perceptual-hash relation is materialized") {
+    // image + donor sides of the plant join (m28's measured shape); the
+    // materialized hash relation then feeds the band join and BOTH
+    // verification legs — without it the real codec path would re-decode
+    // per leg (5+ scans)
+    assert(scansOf("documents", "m30_visual_decontam") == 2)
+  }
+
   test("q28: the manual salt carries the skew work; AQE's skew-join stays idle") {
     // q28 exists to demonstrate hot-key salting — the pin proves the demo
     // is honest: the executed join keys on __salt (the decomposition IS in
