@@ -602,4 +602,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(one.values.map(_._1).sum == emb.count())
     one.values.foreach { case (_, m) => assert(m >= -1.0 && m <= 1.0) }
   }
+  test("drive hygiene: checkpoints are cleaned up; sentinel stages are cached per JVM") {
+    // the r12 floor work routes drive checkpoints + staged fixtures at the
+    // fast tmp root (tmpfs when present) — this pins the two contracts that
+    // keep a 289-query bench from leaking RAM-backed files: (1) every
+    // drive DELETES its per-run checkpoint dir, (2) the staged sentinel
+    // fixture is built once per (dir, sentinelTypes) and REUSED, so
+    // repeated drives add zero staging
+    def fastTmp = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm else new java.io.File(System.getProperty("java.io.tmpdir"))
+    }
+    def count(prefix: String): Int =
+      Option(fastTmp.listFiles()).map(_.count(_.getName.startsWith(prefix))).getOrElse(0)
+    val ck0 = count("graft-ckpt")
+    EventStreams.sessionWindowOnce(spark, dir).collect() // stages on first touch
+    val ck1 = count("graft-ckpt"); val st1 = count("graft-stage")
+    EventStreams.sessionWindowOnce(spark, dir).collect() // must reuse the stage
+    val ck2 = count("graft-ckpt"); val st2 = count("graft-stage")
+    assert(ck1 == ck0 && ck2 == ck0,
+      s"drive leaked checkpoint dirs: before=$ck0 after=$ck1/$ck2")
+    assert(st2 == st1, s"second drive re-staged the fixture: $st1 -> $st2")
+  }
 }
