@@ -512,6 +512,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead coalesced"), p)
   }
 
+  test("c18: first toucher builds the at-rest eval-pair registry; warmed runs fold from parquet") {
+    val cold = scansOf("documents", "c18_fuzzy_decontam")
+    val warm = scansOf("documents", "c18_fuzzy_decontam")
+    assert(cold > warm, s"expected the registry build to cost extra scans: cold=$cold warm=$warm")
+    assert(warm == 1, s"warmed c18 should scan documents ONCE (the per-doc left join): $warm")
+  }
+
   test("m30: two documents scans — the shared perceptual-hash relation is materialized") {
     // image + donor sides of the plant join (m28's measured shape); the
     // materialized hash relation then feeds the band join and BOTH
