@@ -325,7 +325,7 @@ object SparkEntry {
     "c2_mixture" -> ((s, d) => Corpus.mixtureSample(Tables.t(s, d, "documents"))),
     "t9_bm25" -> ((s, d) => TextOps.bm25TopTerms(Tables.t(s, d, "documents"))),
     "t10_repetition" -> ((s, d) => TextOps.repetitionStats(Tables.t(s, d, "documents"))),
-    "c3_decontam" -> ((s, d) => Corpus.decontaminate(Tables.t(s, d, "documents"))),
+    "c3_decontam" -> ((s, d) => Corpus.decontaminateAtRest(s, d)),
     "c4_report" -> ((s, d) => Corpus.corpusReport(Tables.t(s, d, "documents"))),
     "c5_quota_sample" -> ((s, d) => Corpus.quotaSample(Tables.t(s, d, "documents"))),
     // the synthetic corpus has no PII, so the gate masks deterministically
