@@ -378,6 +378,13 @@ object Corpus {
     * re-derives from text. */
   private val verbatimDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test/audit seam: clear the decontamination registries so a
+    * measurement harness can time the cold builds (mirrors
+    * [[graft.ops.Dedup.resetPairRegistryForTests]]). */
+  private[graft] def resetAtRestRegistriesForTests(): Unit = {
+    verbatimDumps.clear(); fuzzyPairDumps.clear()
+  }
+
   private[graft] def decontaminateAtRest(spark: SparkSession, dir: String,
       evalMod: Int = 97, n: Int = 8): DataFrame = {
     val path = verbatimDumps.computeIfAbsent(s"$dir|$evalMod|$n", _ => {

@@ -34,10 +34,13 @@ object ScalingAudit {
     "d20_incr_clusters", "d17_bbit_minhash", "e27_late_audit",
     "a12_convert_pipeline", "s11_ann_recall", "e2_stream_dedup",
     // … plus the registry builds the verdict called out as never measured
-    "d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta")
+    "d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
+    // … and the r12 decontamination registries (c33 reads both warmed)
+    "c3_decontam", "c18_fuzzy_decontam", "c33_decontam_ledger")
 
   /** Queries whose first rep must time the cold at-rest BUILD. */
-  private val RegistryBuilds = Set("d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta")
+  private val RegistryBuilds = Set("d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
+    "c3_decontam", "c18_fuzzy_decontam")
 
   private val FlagRatio = 15.0
 
@@ -62,6 +65,7 @@ object ScalingAudit {
     def resetRegistries(): Unit = {
       graft.ops.Dedup.resetPairRegistryForTests()
       graft.ops.Similarity.resetAtRestRegistriesForTests()
+      graft.ops.Corpus.resetAtRestRegistriesForTests()
     }
 
     // warmup: session machinery + codegen paths (Bench convention)
