@@ -513,6 +513,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("c18: first toucher builds the at-rest eval-pair registry; warmed runs fold from parquet") {
+    // deterministic cold start regardless of suite order (the d2 pattern) —
+    // VerifyGateSpec may have warmed the registry in this JVM already
+    graft.ops.Corpus.resetAtRestRegistriesForTests()
     val cold = scansOf("documents", "c18_fuzzy_decontam")
     val warm = scansOf("documents", "c18_fuzzy_decontam")
     assert(cold > warm, s"expected the registry build to cost extra scans: cold=$cold warm=$warm")
