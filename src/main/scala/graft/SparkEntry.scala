@@ -410,6 +410,12 @@ object SparkEntry {
     "c17_epoch_shuffle" -> ((s, d) => Corpus.epochShuffle(Tables.t(s, d, "documents"))),
     "c18_fuzzy_decontam" -> ((s, d) => Corpus.fuzzyDecontam(s, d)),
     "c33_decontam_ledger" -> ((s, d) => Corpus.decontamLedger(s, d)),
+    // the release-export capstone: quality → dup (at-rest pairs) →
+    // decontam (c33 ledger) → sequence packing, with per-stage attrition
+    "c34_release_export" -> ((s, d) => Corpus.releaseExport(s, d)),
+    // c33 + m30: the multimodal ledger — visual eval near-identity is a
+    // drop exactly like textual near-identity (media and text gate together)
+    "c35_decontam_ledger_mm" -> ((s, d) => Corpus.decontamLedgerMm(s, d)),
     "c19_nutrition_label" -> ((s, d) => Corpus.nutritionLabel(Tables.t(s, d, "documents"))),
     "c20_manifest_skip" -> (Corpus.manifestSkip _),
     "c21_stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.t(s, d, "documents"))),
@@ -483,7 +489,10 @@ object SparkEntry {
     "m27_blur_qc" -> (Multimodal.blurQc _),
     // banded aHash near-dup through the codec path, planted-donor proof
     "m28_image_neardup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
-    "m30_visual_decontam" -> ((s, d) => Multimodal.visualDecontam(s, d)),
+    // m30 IS the at-rest visual-leakage artifact (the d2/c3/c18 posture):
+    // first toucher runs the real decode + band join + verification and
+    // dumps; re-runs and the c35 ledger fold from parquet
+    "m30_visual_decontam" -> ((s, d) => Multimodal.visualDecontamAtRest(s, d)),
     // per-scene sharpest-frame pick: m10 scenes x m27 focus kernel
     "m29_keyframe_select" -> (Multimodal.keyframeSelect _),
     // VAD-split SNR estimate: voiced/unvoiced mean frame energies, one
@@ -868,6 +877,8 @@ object SparkEntry {
     "c17_epoch_shuffle" -> Corpus.epochShuffleOracleSql(),
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
     "c33_decontam_ledger" -> Corpus.decontamLedgerOracleSql(),
+    "c34_release_export" -> releaseExportOracle,
+    "c35_decontam_ledger_mm" -> Corpus.decontamLedgerMmOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
     "c21_stratified_split" -> Corpus.stratifiedSplitOracleSql,
@@ -1102,6 +1113,43 @@ object SparkEntry {
     * path verifies candidates exactly and has ≈1 recall at the threshold). */
   private val ngramJaccardOracle: String =
     s"WITH $ngramPairCtes\nSELECT a, b, jac FROM jpairs"
+
+  /** Release-export oracle (c34): every stage replayed from base tables —
+    * Gopher verdicts (the t16 oracle, nested), the exact pair relation
+    * ([[ngramPairCtes]] — DuckDB replays what Spark reads at rest), the
+    * c33 ledger (nested), the t8 packing window over the survivors, and
+    * the one-row attrition attach. All counts cast to BIGINT (DuckDB sums
+    * integers into HUGEINT). */
+  private val releaseExportOracle: String =
+    s"""WITH $ngramPairCtes,
+       | q AS (SELECT doc_id, keep FROM (${TextOps.gopherRulesOracleSql()}) gq),
+       | led AS (SELECT doc_id, verdict FROM (${Corpus.decontamLedgerOracleSql()}) lq),
+       | dd AS (SELECT DISTINCT b AS doc_id FROM jpairs WHERE a % 97 <> 0 AND b % 97 <> 0),
+       | staged AS (SELECT d.doc_id, d.source,
+       |    CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tok,
+       |    CASE WHEN NOT q.keep THEN 'quality'
+       |         WHEN dd.doc_id IS NOT NULL THEN 'dup'
+       |         WHEN led.verdict <> 'keep' THEN 'decontam'
+       |         ELSE 'pack' END AS stage
+       |   FROM documents d JOIN q USING (doc_id) JOIN led USING (doc_id)
+       |   LEFT JOIN dd ON dd.doc_id = d.doc_id
+       |   WHERE d.doc_id % 97 <> 0),
+       | att AS (SELECT CAST(count(*) AS BIGINT) AS docs_in,
+       |    CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+       |    CAST(sum(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
+       |    CAST(sum(CASE WHEN stage = 'decontam' THEN 1 ELSE 0 END) AS BIGINT) AS drop_decontam,
+       |    CAST(sum(CASE WHEN stage = 'pack' THEN 1 ELSE 0 END) AS BIGINT) AS docs_packed
+       |   FROM staged),
+       | offs AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |   FROM staged WHERE stage = 'pack'),
+       | packs AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+       |   FROM offs GROUP BY 1, 2)
+       |SELECT p.source, p.pack_id, p.n_docs, p.tok_sum,
+       | a.docs_in, a.drop_quality, a.drop_dup, a.drop_decontam, a.docs_packed
+       |FROM packs p, att a""".stripMargin
 
   /** The t7 split label over an arbitrary id expression (DuckDB side of
     * `Corpus.splitOf`). */

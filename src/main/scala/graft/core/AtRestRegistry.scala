@@ -1,0 +1,109 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+/** Per-JVM registry of an AT-REST artifact keyed by its FULL parameter
+  * tuple — the one shared implementation of the pattern previously
+  * hand-rolled per file (ConcurrentHashMap + computeIfAbsent + ad hoc
+  * `"$dir|…"` string keys): the first toucher of a key runs the real
+  * build (so the correctness gate still exercises the algorithm every
+  * round) and usually dumps parquet; every later consumer in the JVM
+  * reads the artifact at rest. At 100 TB these artifacts are maintained
+  * by the ingest path (codes, indexes, pair relations, layouts) — the
+  * registry is the local stand-in for "the artifact already exists next
+  * to the data".
+  *
+  * The utility exists to kill a recurring bug CLASS, not an instance:
+  *   - a registry keyed on a PREFIX of the builder's parameters hands a
+  *     non-default caller the first toucher's artifact (the r11
+  *     `ivfAtRest` dir-only key);
+  *   - a dump path derived DIFFERENTLY from the key lets two live keys
+  *     share one path, so the second build overwrites the first's data
+  *     (the r12 `fuzzyPairDumps` raw-minJ key vs rounded-percent path).
+  * Here the key is the canonical join of ALL parts ([[keyOf]] enforces
+  * declared arity on every call) and [[pathFor]] derives the dump path
+  * from that SAME canonical key (md5, the collision-free `dirToken`
+  * argument), so path uniqueness ≡ key uniqueness by construction.
+  *
+  * Every instance self-registers in [[AtRestRegistry.all]] (unique name
+  * enforced) so a spec can enumerate the JVM's registries, assert key
+  * shapes, and so a measurement harness (tools.ScalingAudit) can reset
+  * exactly the registry under test ([[reset]]) instead of blanket-
+  * clearing unrelated ones.
+  */
+final class AtRestRegistry[V] private[core] (val name: String, val arity: Int) {
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, V]()
+
+  /** Canonical key of the full parameter tuple. Crashes (never degrades)
+    * on an arity mismatch — a caller passing fewer parts than the builder
+    * consumes is exactly the bug this utility exists to prevent. */
+  def keyOf(parts: Seq[Any]): String = {
+    require(parts.length == arity,
+      s"registry '$name': ${parts.length} key part(s) for declared arity $arity — " +
+        "the key must carry EVERY builder parameter")
+    val ss = parts.map(String.valueOf)
+    ss.foreach(s => require(!s.contains("|"),
+      s"registry '$name': key part '$s' contains the separator '|'"))
+    ss.mkString("|")
+  }
+
+  /** The artifact for this key — built by `build` exactly once per JVM
+    * (computeIfAbsent semantics; concurrent first touchers serialize). */
+  def getOrBuild(parts: Any*)(build: => V): V =
+    map.computeIfAbsent(keyOf(parts), _ => build)
+
+  /** Dump path derived from the SAME parts as the registry key: md5 of
+    * the canonical key (32-bit hashCode could collide two keys in one
+    * JVM and silently serve one key's artifact for the other — the
+    * `Similarity.dirToken` argument, applied to the whole tuple). */
+  def pathFor(root: String, prefix: String, parts: Any*): String =
+    s"$root/${prefix}_${token(parts: _*)}"
+
+  /** The collision-free token alone — for artifacts that are not paths
+    * (catalog table names, warehouse dirs) but need the same key-derived
+    * uniqueness. */
+  def token(parts: Any*): String = AtRestRegistry.md5Hex(keyOf(parts))
+
+  /** The already-built artifact for this key, if any — lets a spec read
+    * the REAL dump path instead of reconstructing it by hand. */
+  private[graft] def lookup(parts: Any*): Option[V] =
+    Option(map.get(keyOf(parts)))
+
+  /** Test/audit seam: clear so a harness can observe a COLD build
+    * deterministically — per registry, so measuring one cold build never
+    * silently chills a neighbour's warmed artifact (r12 ADVICE:
+    * ScalingAudit's blanket reset before the c18 build also cleared c3,
+    * making c33's "reads both warmed" story false on rep 1). */
+  private[graft] def reset(): Unit = map.clear()
+
+  private[graft] def size: Int = map.size
+  private[graft] def keys: Seq[String] = map.keySet().asScala.toSeq
+  private[graft] def values: Seq[V] = map.values().asScala.toSeq
+
+  AtRestRegistry.register(this)
+}
+
+object AtRestRegistry {
+  private val registries =
+    new java.util.concurrent.CopyOnWriteArrayList[AtRestRegistry[_]]()
+
+  private def register(r: AtRestRegistry[_]): Unit = {
+    require(!registries.asScala.exists(_.name == r.name),
+      s"duplicate at-rest registry name '${r.name}'")
+    registries.add(r)
+  }
+
+  def apply[V](name: String, arity: Int): AtRestRegistry[V] =
+    new AtRestRegistry[V](name, arity)
+
+  /** Every registry constructed so far in this JVM (owner objects are
+    * lazily initialized — enumeration sees a registry once its owner has
+    * been touched). */
+  private[graft] def all: Seq[AtRestRegistry[_]] = registries.asScala.toSeq
+
+  private[graft] def resetAll(): Unit = all.foreach(_.reset())
+
+  private[core] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -2777,12 +2777,13 @@ object ArrayOps {
 
   /** Once-per-JVM registry of the a45 SQL-DDL pipeline's destination store
     * per input dir (the gate re-runs queries; the DDL runs once). */
-  private val ddlRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val ddlRootReg =
+    graft.core.AtRestRegistry[String]("array.a45_ddl", arity = 1)
 
   /** Once-per-JVM registry of the a46 fixture per input dir:
     * (volume root, fixity-manifest parquet path). */
-  private val fixityRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] val fixityReg =
+    graft.core.AtRestRegistry[(String, String)]("array.a46_fixity", arity = 1)
 
   /** FIXITY / bit-rot audit (a46) — the archival-integrity pass every
     * long-lived chunk store runs (object stores corrupt rarely but not
@@ -2804,7 +2805,7 @@ object ArrayOps {
   def a46_fixity_audit(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.Meta
     import graft.volume.{ChunkStore, Volume, VoxelBuffer}
-    val (root, man) = fixityRoots.computeIfAbsent(dir, { _ =>
+    val (root, man) = fixityReg.getOrBuild(dir) {
       val r = java.nio.file.Files.createTempDirectory("graft-a46").toString
       val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
         Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 8), (0, 0, 0))))
@@ -2830,7 +2831,7 @@ object ArrayOps {
           }
         }
       (r, m)
-    })
+    }
     spark.read.format("precomputed").load(root)
       .select(col("cx"), col("cy"), col("cz"), col("key"), md5(col("blob")).as("now"))
       .join(spark.read.parquet(man), Seq("key"))
@@ -2840,8 +2841,8 @@ object ArrayOps {
 
   /** Once-per-JVM registry of the a47 fixture per input dir (dump paths
     * are derived; the value records completion). */
-  private val mipRepairDone =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private[graft] val mipRepairReg =
+    graft.core.AtRestRegistry[Boolean]("array.a47_mip_repair", arity = 1)
 
   /** Where the most recent [[a47_mip_repair]] left its dumps — per-dir
     * (the q33/q36 dirToken convention; the oracle def reads these at dump
@@ -2873,7 +2874,7 @@ object ArrayOps {
     val m1Dump = s"$voxelDumpRoot/a47m1_$tok"
     A47M0Dump = m0Dump
     A47M1Dump = m1Dump
-    mipRepairDone.computeIfAbsent(dir, { _ =>
+    mipRepairReg.getOrBuild(dir) {
       val root = java.nio.file.Files.createTempDirectory("graft-a47").toString
       val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
         Meta.ScaleMeta("1_1_1", (32, 32, 4), "gzip", (1, 1, 1), (64, 64, 16), (0, 0, 0))))
@@ -2934,7 +2935,7 @@ object ArrayOps {
         .filter(col("value") =!= col("want")).count()
       require(dirtyAfter == 0, s"a47: $dirtyAfter voxels still drifted after repair")
       true
-    })
+    }
     // the gated report: per mip-1 chunk, the injected-drift verdict and
     // the post-repair agreement census (must be total everywhere)
     val want = spark.read.parquet(m0Dump)
@@ -3003,7 +3004,7 @@ object ArrayOps {
     import graft.core.Meta
     import graft.volume.{Volume, VoxelBuffer}
     graft.plans.GraftExtensions.install(spark)
-    val root = ddlRoots.computeIfAbsent(dir, _ => {
+    val root = ddlRootReg.getOrBuild(dir) {
       val tok = graft.ops.Similarity.dirToken(dir)
       val srcRoot = java.nio.file.Files.createTempDirectory("graft-a45-src").toString
       val meta = Meta.VolumeMeta("image", Meta.TUInt8, 1, Vector(
@@ -3019,7 +3020,7 @@ object ArrayOps {
       require(Volume.open(spark, dst).cutout(Box(1, 64, 1, 64, 1, 8)) == buf,
         "a45: SQL-ingested volume must decode bit-exactly")
       dst
-    })
+    }
     // re-attach is a no-op when the table is already registered in this
     // session; direct `precomputed.`path`` queries are file-source-only in
     // Spark SQL, so the read goes through the catalog identifier too

@@ -140,13 +140,20 @@ object Corpus {
     * within a shard it is a running sum over (doc_id) order, which Spark
     * executes as a single sort per partition of the shard hash — no
     * driver-side state, no iteration. */
-  def packAssignments(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+  def packAssignments(docs: DataFrame, budgetTokens: Int = 512): DataFrame =
+    packFromCounts(docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tok")), budgetTokens)
+
+  /** [[packAssignments]]'s window over an already-counted
+    * (source, doc_id, n_tok) relation — the seam the c34 release export
+    * packs its survivors through: the token counts are already in its
+    * staged relation, and re-carrying text through the release joins just
+    * to re-tokenize would double the widest shuffle for nothing. */
+  def packFromCounts(counts: DataFrame, budgetTokens: Int = 512): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+    counts
       .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"off div $budgetTokens"))
   }
@@ -376,23 +383,24 @@ object Corpus {
     * parquet. At 100 TB the screen's output is a maintained artifact of
     * the decontamination pass, not something a downstream ledger
     * re-derives from text. */
-  private val verbatimDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val verbatimReg =
+    graft.core.AtRestRegistry[String]("corpus.c3_verbatim", arity = 3)
 
   /** Test/audit seam: clear the decontamination registries so a
     * measurement harness can time the cold builds (mirrors
     * [[graft.ops.Dedup.resetPairRegistryForTests]]). */
   private[graft] def resetAtRestRegistriesForTests(): Unit = {
-    verbatimDumps.clear(); fuzzyPairDumps.clear()
+    verbatimReg.reset(); fuzzyPairReg.reset()
   }
 
   private[graft] def decontaminateAtRest(spark: SparkSession, dir: String,
       evalMod: Int = 97, n: Int = 8): DataFrame = {
-    val path = verbatimDumps.computeIfAbsent(s"$dir|$evalMod|$n", _ => {
-      val p = s"${Similarity.OracleDumpRoot}/c3_verbatim_${Similarity.dirToken(dir)}_${evalMod}_$n"
+    val path = verbatimReg.getOrBuild(dir, evalMod, n) {
+      val p = verbatimReg.pathFor(Similarity.OracleDumpRoot, "c3_verbatim", dir, evalMod, n)
       decontaminate(Tables.t(spark, dir, "documents"), evalMod, n)
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -413,12 +421,15 @@ object Corpus {
        |FROM documents d LEFT JOIN hits h USING (doc_id)
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
 
-  private val fuzzyPairDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val fuzzyPairReg =
+    graft.core.AtRestRegistry[String]("corpus.c18_pairs", arity = 3)
 
   private def fuzzyEvalPairsAtRest(spark: SparkSession, dir: String,
       evalMod: Int, minJ: Double): DataFrame = {
-    val path = fuzzyPairDumps.computeIfAbsent(s"$dir|$evalMod|$minJ", _ => {
-      val p = s"${Similarity.OracleDumpRoot}/c18_pairs_${Similarity.dirToken(dir)}_${evalMod}_${math.round(minJ * 100)}"
+    val path = fuzzyPairReg.getOrBuild(dir, evalMod, minJ) {
+      // path from the SAME (dir, evalMod, minJ) tuple as the key (ADVICE
+      // r12: the old round(minJ*100) path token aliased 0.801 and 0.804)
+      val p = fuzzyPairReg.pathFor(Similarity.OracleDumpRoot, "c18_pairs", dir, evalMod, minJ)
       val docs = Tables.t(spark, dir, "documents")
       val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
       val evalSig = Tables.materialize(
@@ -433,7 +444,7 @@ object Corpus {
       Dedup.verifyJaccard2(cand, trainSig, evalSig, minJ, "train_id", "eval_id")
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -536,6 +547,134 @@ object Corpus {
        | CASE WHEN fz.fuzzy_contaminated THEN 'drop'
        |      WHEN v.n_hits > 0 THEN 'review' ELSE 'keep' END AS verdict
        |FROM v JOIN fz USING (doc_id)""".stripMargin
+
+  /** RELEASE-EXPORT capstone (c34) — the end-to-end artifact every screen
+    * in this family exists to feed, run in the order a real corpus
+    * release runs it: quality gate (Gopher verdicts — t16's rules),
+    * dedup gate (the d-family at-rest pair relation, keep-smallest),
+    * decontamination gate (the c33 ledger verdict), then sequence
+    * packing (the c-family packer) over the survivors — emitting the
+    * packed-sequence relation PLUS the per-stage attrition a release
+    * review reads (docs in → dropped by quality / dup / decontam → docs
+    * packed), attached as constant columns (the t12 one-row-broadcast
+    * class).
+    *
+    * Registry discipline (the r12 directive): the expensive signals are
+    * all read AT REST — the dup verdict from [[graft.ops.Dedup
+    * .nearDupPairsAtRest]], the decontam verdict from the c33 ledger
+    * (itself the c3 + c18 registries) — the export NEVER re-shingles the
+    * corpus (PlanShapeSpec pins the warmed scan census). The quality gate
+    * is deliberately NOT an artifact: it is one row-local map pass, the
+    * one stage re-running is cheaper than maintaining at 100 TB.
+    *
+    * Stage attribution is sequential (a doc failing quality is counted at
+    * quality even if it is also a dup), so the attrition columns sum to
+    * docs_in exactly. The dup rule drops any training doc with a SMALLER
+    * near-dup training neighbor — the local form of d5's min-label
+    * canonical-keeper (every near-dup cluster keeps at least its minimum;
+    * the rule is O(pairs), needs no connected components, and is
+    * replayable in one SQL predicate).
+    *
+    * Scale shape: one corpus scan for the staged relation + one for the
+    * quality verdicts (joined at doc grain), the pair/ledger sides are
+    * artifact-sized, the dup drop list broadcasts, packing is the t8
+    * per-source window, and the attrition is a map-side-combined one-row
+    * aggregate — cost is O(corpus map) + O(survivors window), linear in
+    * survivors across SFs (ScalingAudit row). */
+  def releaseExport(spark: SparkSession, dir: String, evalMod: Int = 97,
+      n: Int = 8, minJ: Double = 0.8, budgetTokens: Int = 512): DataFrame = {
+    val train = Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    // stage 1: quality — row-local Gopher verdicts over the t16 fixture
+    val quality = TextOps.gopherRules(TextOps.withSyntheticLines(train))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    // stage 2: dup — at-rest pair relation; drop the larger end of every
+    // within-train pair (keep-smallest)
+    val dupDrop = Dedup.nearDupPairsAtRest(spark, dir, minJ)
+      .filter(pmod(col("a"), lit(evalMod)) =!= 0 && pmod(col("b"), lit(evalMod)) =!= 0)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    // stage 3: decontam — the c33 ledger verdict (c3 + c18 at rest);
+    // 'review' does not ship either: an automated export can only admit
+    // 'keep' (the review queue is a human stage, not a release stage)
+    val ledger = decontamLedger(spark, dir, evalMod, n, minJ)
+      .select(col("doc_id"), col("verdict"))
+    // both the attrition fold and the packer consume the staged relation —
+    // materialized (AQE stage-matching does not fire across the two
+    // consumers' aliasings, the r4 finding)
+    val staged = Tables.materialize(
+      train.select(col("doc_id"), col("source"),
+          size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+        .join(quality, Seq("doc_id"))
+        .join(broadcast(dupDrop), Seq("doc_id"), "left")
+        .join(ledger, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          when(!col("q_keep"), lit("quality"))
+            .when(col("is_dup"), lit("dup"))
+            .when(col("verdict") =!= "keep", lit("decontam"))
+            .otherwise(lit("pack")).as("stage")))
+    val att = staged.agg(
+      count(lit(1)).as("docs_in"),
+      sum(when(col("stage") === "quality", 1L).otherwise(0L)).as("drop_quality"),
+      sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("drop_dup"),
+      sum(when(col("stage") === "decontam", 1L).otherwise(0L)).as("drop_decontam"),
+      sum(when(col("stage") === "pack", 1L).otherwise(0L)).as("docs_packed"))
+    packFromCounts(staged.filter(col("stage") === "pack")
+        .select(col("source"), col("doc_id"), col("n_tok")), budgetTokens)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .crossJoin(broadcast(att))
+  }
+
+  /** MULTIMODAL decontamination ledger (c35) — c33 extended with the
+    * visual signal (the r12 directive: media and text gate TOGETHER — a
+    * doc whose image payload is a near-copy of an eval image must not
+    * ship just because its text is clean): the same c3 verbatim + c18
+    * fuzzy text signals, plus m30's per-image eval-leakage fold LEFT
+    * JOINED at doc grain (image docs only — text-only docs carry
+    * n_visual = 0), and the verdict gains its fourth input: visual
+    * near-identity is a `drop` exactly like textual near-identity (the
+    * image IS an eval item; the m28 plant straddling the split proves
+    * the signal live at every SF — train image 42's raster is eval 45's
+    * donor, train 18 is eval 15's +1-pixel copy).
+    *
+    * All three signals read AT REST ([[verbatimReg]], [[fuzzyPairReg]]
+    * via [[fuzzyDecontam]], [[graft.ops.Multimodal.visualDecontamReg]])
+    * — the ledger re-shingles nothing and re-decodes nothing; the visual
+    * side is flagged-images-only (tiny) and broadcasts. */
+  def decontamLedgerMm(spark: SparkSession, dir: String, evalMod: Int = 97,
+      n: Int = 8, minJ: Double = 0.8, visEvalMod: Int = 15, tau: Int = 3): DataFrame = {
+    val verbatim = decontaminateAtRest(spark, dir, evalMod, n)
+      .select(col("doc_id"), col("n_hits").as("n_verbatim"))
+    val fuzzy = fuzzyDecontam(spark, dir, evalMod, minJ)
+      .select(col("doc_id"), col("n_eval_matches").as("n_fuzzy"),
+        col("max_jac"), col("fuzzy_contaminated"))
+    val visual = Multimodal.visualDecontamAtRest(spark, dir, visEvalMod, tau)
+      .select(col("train_id").as("doc_id"), col("n_eval_hits"))
+    verbatim.join(fuzzy, Seq("doc_id"))
+      .join(broadcast(visual), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_verbatim"), col("n_fuzzy"), col("max_jac"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_visual"),
+        when(col("fuzzy_contaminated") || col("n_eval_hits") > 0, lit("drop"))
+          .when(col("n_verbatim") > 0, lit("review"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** DuckDB oracle twin of [[decontamLedgerMm]] — the three signal
+    * replays (each a full oracle query, nested) joined and mapped to the
+    * same four-input verdict rule. */
+  def decontamLedgerMmOracleSql(evalMod: Int = 97, n: Int = 8, minJ: Double = 0.8,
+      visEvalMod: Int = 15, tau: Int = 3): String =
+    s"""WITH v AS (SELECT * FROM (${decontaminateOracleSql(evalMod, n)})),
+       | fz AS (SELECT * FROM (${fuzzyDecontamOracleSql(evalMod, minJ)})),
+       | vis AS (SELECT train_id AS doc_id, n_eval_hits
+       |         FROM (${Multimodal.visualDecontamOracleSql(visEvalMod, tau)}) z)
+       |SELECT v.doc_id, v.n_hits AS n_verbatim,
+       | fz.n_eval_matches AS n_fuzzy, fz.max_jac,
+       | CAST(COALESCE(vis.n_eval_hits, 0) AS BIGINT) AS n_visual,
+       | CASE WHEN fz.fuzzy_contaminated OR COALESCE(vis.n_eval_hits, 0) > 0 THEN 'drop'
+       |      WHEN v.n_hits > 0 THEN 'review' ELSE 'keep' END AS verdict
+       |FROM v JOIN fz USING (doc_id) LEFT JOIN vis USING (doc_id)""".stripMargin
 
   /** Dataset nutrition label (c19) — the one-row "datasheet" summary a
     * corpus release ships with (Gebru et al.'s datasheets, Hugging Face
@@ -876,8 +1015,8 @@ object Corpus {
        |FROM c""".stripMargin
 
   /** Once-per-JVM registry of the c13 partitioned-export dirs. */
-  private val exportDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val exportReg =
+    graft.core.AtRestRegistry[String]("corpus.c13_export", arity = 1)
 
   /** Hive-partitioned corpus export (c13) — the layout handoff every
     * downstream trainer expects: the corpus re-written
@@ -892,12 +1031,12 @@ object Corpus {
     * pins that a `source =` predicate lands in the scan's
     * PartitionFilters. */
   def partitionedExport(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val out = exportDirs.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/c13_export_${Similarity.dirToken(dir)}"
+    val out = exportReg.getOrBuild(dir) {
+      val p = exportReg.pathFor(Similarity.OracleDumpRoot, "c13_export", dir)
       Tables.t(spark, dir, "documents")
         .write.mode("overwrite").partitionBy("source").parquet(p)
       p
-    })
+    }
     spark.read.parquet(out)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -911,8 +1050,8 @@ object Corpus {
       |FROM documents GROUP BY source""".stripMargin
 
   /** Once-per-JVM registry of the c14 JSONL fixture dirs. */
-  private val jsonlDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val jsonlReg =
+    graft.core.AtRestRegistry[String]("corpus.c14_jsonl", arity = 1)
 
   /** JSONL corpus ingestion with corrupt-record quarantine (c14) — the
     * standard LLM-corpus interchange format, exercised end-to-end: the
@@ -934,8 +1073,8 @@ object Corpus {
   private[ops] def jsonlIngestRaw(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val out = jsonlDirs.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/c14_jsonl_${Similarity.dirToken(dir)}"
+    val out = jsonlReg.getOrBuild(dir) {
+      val p = jsonlReg.pathFor(Similarity.OracleDumpRoot, "c14_jsonl", dir)
       Tables.t(spark, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))
@@ -944,7 +1083,7 @@ object Corpus {
         java.nio.file.Paths.get(p, "part-corrupt.txt"),
         "{\"doc_id\": 1, \"text\": unterminated\nnot json at all\n".getBytes("UTF-8"))
       p
-    })
+    }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -966,8 +1105,8 @@ object Corpus {
       |FROM documents GROUP BY lang""".stripMargin
 
   /** Once-per-JVM registry of the c15 evolving-schema landing dirs. */
-  private val evolveDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val evolveReg =
+    graft.core.AtRestRegistry[String]("corpus.c15_evolve", arity = 1)
 
   /** Schema-evolution roundtrip (c15) — the corpus-versioning reality a
     * long-lived 100 TB landing zone faces: early shards were written
@@ -984,8 +1123,8 @@ object Corpus {
     * per-read or register the superset schema in the catalog rather than
     * paying footer-merge on every scan.) */
   def schemaEvolution(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val out = evolveDirs.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/c15_evolve_${Similarity.dirToken(dir)}"
+    val out = evolveReg.getOrBuild(dir) {
+      val p = evolveReg.pathFor(Similarity.OracleDumpRoot, "c15_evolve", dir)
       val docs = Tables.t(spark, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -995,7 +1134,7 @@ object Corpus {
           (col("n_chars") % 97).cast(LongType).as("quality"))
         .write.mode("overwrite").parquet(s"$p/v2")
       p
-    })
+    }
     spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1132,8 +1271,8 @@ object Corpus {
   // ---------------- File-stats manifest + data skipping (c20) ----------
 
   /** Once-per-JVM registry of c20's clustered layout + manifest per dir. */
-  private val manifestDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] val manifestReg =
+    graft.core.AtRestRegistry[(String, String)]("corpus.c20_manifest", arity = 1)
 
   /** Rows per clustered file — small at gate scale so skipping has
     * something to skip; the production analog is the parquet row-group /
@@ -1158,9 +1297,9 @@ object Corpus {
     * skip must be INVISIBLE to results (the oracle recomputes from the
     * flat table). */
   def manifestSkip(spark: SparkSession, dir: String): DataFrame = {
-    val (dataPath, manifestPath) = manifestDirs.computeIfAbsent(dir, _ => {
-      val dp = s"${Similarity.OracleDumpRoot}/c20_data_${Similarity.dirToken(dir)}"
-      val mp = s"${Similarity.OracleDumpRoot}/c20_manifest_${Similarity.dirToken(dir)}"
+    val (dataPath, manifestPath) = manifestReg.getOrBuild(dir) {
+      val dp = manifestReg.pathFor(Similarity.OracleDumpRoot, "c20_data", dir)
+      val mp = manifestReg.pathFor(Similarity.OracleDumpRoot, "c20_manifest", dir)
       val w = Window.orderBy(col("n_chars"), col("doc_id"))
       val clustered = Tables.t(spark, dir, "documents")
         .withColumn("fid", ((row_number().over(w) - 1) / lit(ManifestFileRows))
@@ -1172,7 +1311,7 @@ object Corpus {
           count(lit(1)).as("n_rows"))
         .coalesce(1).write.mode("overwrite").parquet(mp)
       (dp, mp)
-    })
+    }
     // data-derived range predicate (driver scalars off a tiny aggregate)
     val mm = Tables.t(spark, dir, "documents")
       .agg(min(col("n_chars")), max(col("n_chars"))).head()
@@ -1198,7 +1337,7 @@ object Corpus {
     * predicate), for the file-skipping plan pin. */
   private[graft] def manifestSkipPlanProbe(spark: SparkSession, dir: String): DataFrame = {
     manifestSkip(spark, dir) // ensures layout + manifest exist
-    val (dataPath, manifestPath) = manifestDirs.get(dir)
+    val (dataPath, manifestPath) = manifestReg.lookup(dir).get
     val mm = Tables.t(spark, dir, "documents")
       .agg(min(col("n_chars")), max(col("n_chars"))).head()
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))

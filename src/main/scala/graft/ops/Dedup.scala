@@ -570,10 +570,11 @@ object Dedup {
     * parquet path), the codes-at-rest pattern: at 100 TB the content-hash
     * index is maintained BY THE INGEST PATH (appended as shards land,
     * bucketed by hash) — no query ever re-hashes the standing corpus. */
-  private val hashIndexDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val hashIndexReg =
+    graft.core.AtRestRegistry[String]("dedup.d7_hashidx", arity = 1)
 
   /** Per-JVM registry of the VERIFIED near-dup pair relation (a, b, jac)
-    * per (input dir, minJ) — the [[hashIndexDumps]] codes-at-rest pattern
+    * per (input dir, minJ) — the [[hashIndexReg]] codes-at-rest pattern
     * applied to the calibration family's ground truth. At 100 TB this
     * relation is a maintained ARTIFACT of the dedup pass itself (it is
     * exactly d2/d3's output, kept current by d7/d8/d20 as shards land);
@@ -583,7 +584,8 @@ object Dedup {
     * cost tail); now the first toucher builds it with the exact PPJoin
     * ([[ngramJaccardPairs]] — so the gate still executes the prefix-filter
     * algorithm every round) and everyone else reads parquet. */
-  private val pairDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val pairReg =
+    graft.core.AtRestRegistry[String]("dedup.dup_pairs", arity = 2)
 
   /** The at-rest ground-truth near-dup relation for the corpus at `dir`:
     * all pairs with 3-gram-shingle Jaccard ≥ `minJ`, columns (a, b, jac).
@@ -594,14 +596,14 @@ object Dedup {
     * interchangeably. */
   /** Test seam: clear the registry so a spec can observe the
     * build-vs-warmed scan counts deterministically (PlanShapeSpec d2). */
-  private[graft] def resetPairRegistryForTests(): Unit = pairDumps.clear()
+  private[graft] def resetPairRegistryForTests(): Unit = pairReg.reset()
 
   def nearDupPairsAtRest(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
-    val path = pairDumps.computeIfAbsent(s"$dir|$minJ", _ => {
-      val p = s"${Similarity.OracleDumpRoot}/dup_pairs_${Similarity.dirToken(dir)}_${math.round(minJ * 100)}"
+    val path = pairReg.getOrBuild(dir, minJ) {
+      val p = pairReg.pathFor(Similarity.OracleDumpRoot, "dup_pairs", dir, minJ)
       ngramJaccardPairs(t(spark, dir, "documents"), minJ).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -631,13 +633,13 @@ object Dedup {
   }
 
   private def corpusHashIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = hashIndexDumps.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/d7_hashidx_${Similarity.dirToken(dir)}"
+    val path = hashIndexReg.getOrBuild(dir) {
+      val p = hashIndexReg.pathFor(Similarity.OracleDumpRoot, "d7_hashidx", dir)
       t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(DeltaMod)) =!= 0)
         .select(md5(col("text")).as("h")).distinct()
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -674,14 +676,13 @@ object Dedup {
     * verification-set table) parquet paths per input dir. At 100 TB both
     * live next to the corpus, appended by the ingest path — the near-dup
     * counterpart of [[corpusHashIndex]]. */
-  private val lshIndexDumps =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] val lshIndexReg =
+    graft.core.AtRestRegistry[(String, String)]("dedup.d8_lshidx", arity = 1)
 
   private[graft] def corpusLshIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val (bp, sp) = lshIndexDumps.computeIfAbsent(dir, _ => {
-      val tok = Similarity.dirToken(dir)
-      val bPath = s"${Similarity.OracleDumpRoot}/d8_bands_$tok"
-      val sPath = s"${Similarity.OracleDumpRoot}/d8_sets_$tok"
+    val (bp, sp) = lshIndexReg.getOrBuild(dir) {
+      val bPath = lshIndexReg.pathFor(Similarity.OracleDumpRoot, "d8_bands", dir)
+      val sPath = lshIndexReg.pathFor(Similarity.OracleDumpRoot, "d8_sets", dir)
       val corpus = t(spark, dir, "documents")
         .filter(pmod(col("doc_id"), lit(DeltaMod)) =!= 0)
       val sigSets = materialize(signaturesWithSets(shingles(corpus)))
@@ -689,7 +690,7 @@ object Dedup {
       sigSets.select(col("doc_id"), col("shs"), col("sz"))
         .write.mode("overwrite").parquet(sPath)
       (bPath, sPath)
-    })
+    }
     (spark.read.parquet(bp), spark.read.parquet(sp))
   }
 
@@ -1153,8 +1154,13 @@ object Dedup {
 
   // ---------------- incremental cluster maintenance (d20) ----------------
 
-  /** Per-JVM registry of the at-rest cluster-assignment artifact per dir. */
-  private val clusterDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-JVM registry of the at-rest cluster-assignment artifact per
+    * (dir, minJ) — the build consumes BOTH, so both are in the key (a
+    * dir-only key would hand a non-default-minJ caller the first
+    * toucher's clustering: the r11 ivfAtRest bug class, caught by this
+    * migration). */
+  private[graft] val clusterReg =
+    graft.core.AtRestRegistry[String]("dedup.d20_clusters", arity = 2)
 
   /** INCREMENTAL near-dup cluster maintenance (d20) — the d5 relation kept
     * current as shards arrive, without ever re-clustering history: the
@@ -1176,13 +1182,13 @@ object Dedup {
     * every pair ever found. This is how a production dedup index actually
     * runs (d7/d8 maintain the pair feed; this maintains the clusters). */
   def incrementalClusters(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
-    val p = clusterDumps.computeIfAbsent(dir, _ => {
-      val path = s"${Similarity.OracleDumpRoot}/d20_clusters_${Similarity.dirToken(dir)}"
+    val p = clusterReg.getOrBuild(dir, minJ) {
+      val path = clusterReg.pathFor(Similarity.OracleDumpRoot, "d20_clusters", dir, minJ)
       dupClusters(t(spark, dir, "documents")
         .filter(pmod(col("doc_id"), lit(DeltaMod)) =!= 0), minJ)
         .write.mode("overwrite").parquet(path)
       path
-    })
+    }
     val atRest = spark.read.parquet(p)
     val dSigSets = materialize(signaturesWithSets(shingles(
       t(spark, dir, "documents").filter(pmod(col("doc_id"), lit(DeltaMod)) === 0))))

@@ -1166,7 +1166,8 @@ object Multimodal {
 
   /** Per-JVM registry of media fixture dirs (input dir → fixture path),
     * the [[graft.ops.Similarity]] artifact-dump pattern. */
-  private val mediaFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val mediaFixtureReg =
+    graft.core.AtRestRegistry[String]("mm.m7_media", arity = 1)
 
   /** Materialize a directory of REAL media FILES — `<doc_id>.tif` /
     * `<doc_id>.wav` / `<doc_id>.avi` — encoded by the engine's own codecs
@@ -1177,8 +1178,8 @@ object Multimodal {
     * FileSystem, a local change inside the foreach). One-time per JVM and
     * input dir. */
   private def mediaFixtureDir(spark: SparkSession, dir: String): String =
-    mediaFixtures.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/m7_media_${Similarity.dirToken(dir)}"
+    mediaFixtureReg.getOrBuild(dir) {
+      val p = mediaFixtureReg.pathFor(Similarity.OracleDumpRoot, "m7_media", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
       implicit val enc = Encoders.product[(Long, String, Array[Byte])]
       assets(t(spark, dir, "documents")).filter(col("doc_id") < IngestDocCount)
@@ -1199,7 +1200,7 @@ object Multimodal {
           }
         }
       p
-    })
+    }
 
   /** The external-file ingestion path end-to-end: real media files on
     * disk → `spark.read.format("binaryFile")` → modality dispatch on the
@@ -1825,6 +1826,29 @@ object Multimodal {
       .filter(col("rn") === 1)
       .select(col("train_id"), col("n_eval_hits"), col("eval_id").as("worst_eval"),
         col("hamming").as("min_hamming"))
+  }
+
+  /** Per-JVM registry of m30's verified per-train-image leakage fold per
+    * (dir, evalMod, tau) — the c3/c18 at-rest posture on the IMAGE
+    * modality: the first toucher runs the real decode + band join + XOR
+    * verification ([[visualDecontam]] — the gate still exercises the
+    * screen) and dumps; every later consumer (m30 re-runs, the c35
+    * multimodal ledger) folds from parquet. At 100 TB the screen's output
+    * is maintained by the image-ingest path next to the hashes — a
+    * release gate never re-decodes the corpus. */
+  private[graft] val visualDecontamReg =
+    graft.core.AtRestRegistry[String]("mm.m30_visual", arity = 3)
+
+  /** The at-rest m30 leakage relation (train_id, n_eval_hits, worst_eval,
+    * min_hamming) for `dir`. */
+  def visualDecontamAtRest(spark: SparkSession, dir: String, evalMod: Int = 15,
+      tau: Int = 3): DataFrame = {
+    val path = visualDecontamReg.getOrBuild(dir, evalMod, tau) {
+      val p = visualDecontamReg.pathFor(Similarity.OracleDumpRoot, "m30_visual", dir, evalMod, tau)
+      visualDecontam(spark, dir, evalMod, tau).write.mode("overwrite").parquet(p)
+      p
+    }
+    spark.read.parquet(path)
   }
 
   /** The oracle CTE chain replaying [[perceptualHashRelation]] (donor

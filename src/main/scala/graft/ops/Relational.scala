@@ -394,8 +394,8 @@ object Relational {
     * (table names per input dir). At 100 TB these aren't per-query staging:
     * they're the PERMANENT layout the ingest path writes — shuffle once at
     * write time, join shuffle-free forever after. */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] val bucketedTablesReg =
+    graft.core.AtRestRegistry[(String, String)]("rel.q30_bucketed", arity = 2)
 
   /** Co-located bucketed join under the oracle gate (q30) — the third leg
     * of the big-join toolkit next to broadcast (q02) and salting (q28):
@@ -409,8 +409,9 @@ object Relational {
     * columns (column pruning at write time); the oracle is the plain join
     * — like q28's salt, the layout must be invisible in the answer. */
   def q30_bucketed_join(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
-    val (lt, ot) = bucketedTables.computeIfAbsent(dir, _ => {
-      val tok = Similarity.dirToken(dir)
+    // (dir, buckets) key: the layout is a function of both (bug class §3)
+    val (lt, ot) = bucketedTablesReg.getOrBuild(dir, buckets) {
+      val tok = bucketedTablesReg.token(dir, buckets)
       val lt = s"graft_li_bkt_$tok"; val ot = s"graft_o_bkt_$tok"
       // external tables under the per-JVM dump root: a stale
       // spark-warehouse location from an earlier JVM can never collide
@@ -423,7 +424,7 @@ object Relational {
         .write.mode("overwrite").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"${Similarity.OracleDumpRoot}/$ot").saveAsTable(ot)
       (lt, ot)
-    })
+    }
     spark.table(lt).hint("merge")
       .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -491,7 +492,8 @@ object Relational {
 
   /** Once-per-JVM registry of the standing MV parquet each input dir's q33
     * maintains (the at-rest artifact; written once, then only merged). */
-  private val mvPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val mvReg =
+    graft.core.AtRestRegistry[String]("rel.q33_mv", arity = 1)
 
   /** Incremental materialized-view maintenance (q33) — the refresh shape
     * that keeps a 100 TB-derived aggregate current without ever touching
@@ -515,14 +517,14 @@ object Relational {
     // data-derived split: the last ~tenth of the hour span is "new"
     val mm = ev.agg(min(col("hr_idx")), max(col("hr_idx"))).head()
     val cut = mm.getLong(1) - (mm.getLong(1) - mm.getLong(0)) / 10
-    val mvPath = mvPaths.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/q33_mv_${Similarity.dirToken(dir)}"
+    val mvPath = mvReg.getOrBuild(dir) {
+      val p = mvReg.pathFor(Similarity.OracleDumpRoot, "q33_mv", dir)
       ev.filter(col("hr_idx") < cut)
         .groupBy(col("hr_idx"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"))
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     val deltaAgg = ev.filter(col("hr_idx") >= cut)
       .groupBy(col("hr_idx"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"))
@@ -567,7 +569,8 @@ object Relational {
   }
 
   /** Once-per-JVM registry of q36's hive-partitioned fact layout per dir. */
-  private val dppFacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val dppFactReg =
+    graft.core.AtRestRegistry[String]("rel.q36_dpp_fact", arity = 1)
 
   /** Dynamic partition pruning (q36) — the fourth leg of the big-join
     * toolkit (broadcast q02, salted q28, co-bucketed q30): the fact table
@@ -584,14 +587,14 @@ object Relational {
     * two-relation replay — the layout and the pruning must be invisible
     * in the answer. */
   def q36_dpp_join(spark: SparkSession, dir: String): DataFrame = {
-    val factPath = dppFacts.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/q36_fact_${Similarity.dirToken(dir)}"
+    val factPath = dppFactReg.getOrBuild(dir) {
+      val p = dppFactReg.pathFor(Similarity.OracleDumpRoot, "q36_fact", dir)
       t(spark, dir, "lineitem")
         .select(col("l_extendedprice"), col("l_discount"),
           year(col("l_shipdate")).as("l_year"))
         .write.mode("overwrite").partitionBy("l_year").parquet(p)
       p
-    })
+    }
     val fact = spark.read.parquet(factPath)
     val dim = t(spark, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("l_year"))
@@ -616,7 +619,7 @@ object Relational {
     * PartitionFilters. */
   private[graft] def q36PlanProbe(spark: SparkSession, dir: String): DataFrame = {
     q36_dpp_join(spark, dir) // ensures the layout exists
-    val fact = spark.read.parquet(dppFacts.get(dir))
+    val fact = spark.read.parquet(dppFactReg.lookup(dir).get)
     val dim = t(spark, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("l_year"))
       .agg(count(lit(1)).as("n_orders"))
@@ -906,7 +909,8 @@ object Relational {
 
   /** Once-per-JVM registry of q42's month-partitioned target table per
     * dir (the q36 layout convention). */
-  private val mergeTargets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val mergeTargetReg =
+    graft.core.AtRestRegistry[String]("rel.q42_target", arity = 1)
 
   /** The q42 CDC batch — deterministic, derived from the pristine
     * `orders` table each run (so re-applying the merge is IDEMPOTENT:
@@ -957,15 +961,15 @@ object Relational {
     * `rewritten` audit column. */
   def q42_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(18, 5)
-    val target = mergeTargets.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/q42_target_${Similarity.dirToken(dir)}"
+    val target = mergeTargetReg.getOrBuild(dir) {
+      val p = mergeTargetReg.pathFor(Similarity.OracleDumpRoot, "q42_target", dir)
       t(spark, dir, "orders")
         .select(col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 4)).cast(dec).as("price"),
           date_format(col("o_orderdate"), "yyyy-MM").as("o_pm"))
         .write.mode("overwrite").partitionBy("o_pm").parquet(p)
       p
-    })
+    }
     val cdc = Tables.materialize(q42Cdc(spark, dir))
     val months = cdc.select(col("o_pm")).distinct().collect().map(_.getString(0)).sorted
     val affected = spark.read.parquet(target)
@@ -992,11 +996,13 @@ object Relational {
     q42_merge_upsert(spark, dir) // ensures the layout exists
     val cdc = q42Cdc(spark, dir)
     val months = cdc.select(col("o_pm")).distinct().collect().map(_.getString(0)).sorted
-    spark.read.parquet(mergeTargets.get(dir)).filter(col("o_pm").isin(months.toSeq: _*))
+    spark.read.parquet(mergeTargetReg.lookup(dir).get)
+      .filter(col("o_pm").isin(months.toSeq: _*))
   }
 
   /** Once-per-JVM registry of q43's snapshot store per dir. */
-  private val ttRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val ttRootReg =
+    graft.core.AtRestRegistry[String]("rel.q43_tt", arity = 1)
 
   /** Snapshot time travel (q43) — the capability q42's in-place overwrite
     * deliberately lacks, built the lakehouse way: data files are
@@ -1014,8 +1020,8 @@ object Relational {
     * files survived the commit untouched (time travel, not replay). */
   def q43_time_travel(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(18, 5)
-    val root = ttRoots.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/q43_tt_${Similarity.dirToken(dir)}"
+    val root = ttRootReg.getOrBuild(dir) {
+      val p = ttRootReg.pathFor(Similarity.OracleDumpRoot, "q43_tt", dir)
       val base = t(spark, dir, "orders")
         .select(col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 4)).cast(dec).as("price"),
@@ -1043,7 +1049,7 @@ object Relational {
       manifest.toDF("version", "o_pm", "path")
         .coalesce(1).write.mode("overwrite").parquet(s"$p/manifest")
       p
-    })
+    }
     def asOf(v: Int): DataFrame = {
       val paths = spark.read.parquet(s"$root/manifest")
         .filter(col("version") === v).select(col("path"))
@@ -1409,7 +1415,8 @@ object Relational {
       |FROM v GROUP BY probe, vt, tt""".stripMargin
 
   /** Once-per-JVM registry of q46's standing MV parquet per input dir. */
-  private val mv46Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val mv46Reg =
+    graft.core.AtRestRegistry[String]("rel.q46_mv", arity = 1)
 
   /** RETRACTION-based incremental view maintenance (q46) — the refresh
     * shape q33 cannot express: q33's delta is append-only, but real feeds
@@ -1435,13 +1442,13 @@ object Relational {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), expr("unix_timestamp(ts) DIV 3600").as("hr_idx"),
         col("event_type"), col("value").cast(dec).as("v"))
-    val mvPath = mv46Paths.computeIfAbsent(dir, _ => {
-      val p = s"${Similarity.OracleDumpRoot}/q46_mv_${Similarity.dirToken(dir)}"
+    val mvPath = mv46Reg.getOrBuild(dir) {
+      val p = mv46Reg.pathFor(Similarity.OracleDumpRoot, "q46_mv", dir)
       ev.groupBy(col("hr_idx"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"))
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     val corr = ev.filter(col("event_id") % 37 === 0)
     val retract = corr.groupBy(col("hr_idx"), col("event_type"))
       .agg((-count(lit(1))).as("n"), (-sum(col("v"))).cast(dec).as("sv"))

@@ -344,7 +344,7 @@ object Similarity {
     * silently dropping candidates the oracle keeps (ADVICE r11 — the
     * MaxBucketWidth doc proves this unreachable at the gated SFs; this
     * makes a future dataset that trips it a crash, not a divergence). */
-  private def capBucketsOrFail(df: DataFrame, cap: Int): DataFrame = {
+  private[graft] def capBucketsOrFail(df: DataFrame, cap: Int): DataFrame = {
     val hot = df.groupBy(col("bucket")).agg(count(lit(1)).as("__bw"))
       .filter(col("__bw") > cap)
       .select(coalesce(
@@ -824,7 +824,8 @@ object Similarity {
     * parquet under [[OracleDumpRoot]]; every subsequent query run (bench
     * repeats included) scans the codes at rest, which is the shape the
     * operator actually has in production. */
-  private val sq8CodeDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val sq8CodeReg =
+    graft.core.AtRestRegistry[String]("sim.s5_sq8codes", arity = 1)
 
   /** Collision-free path token for a per-input-dir artifact: md5 of the
     * full dir string. 32-bit `String.hashCode` can collide across two dirs
@@ -835,12 +836,12 @@ object Similarity {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def sq8CodesAtRest(spark: SparkSession, dir: String): DataFrame = {
-    val path = sq8CodeDumps.computeIfAbsent(dir, _ => {
-      val p = s"$OracleDumpRoot/s5_codes_${dirToken(dir)}"
+    val path = sq8CodeReg.getOrBuild(dir) {
+      val p = sq8CodeReg.pathFor(OracleDumpRoot, "s5_codes", dir)
       sq8Codes(t(spark, dir, "embeddings")).select(col("vec_id"), col("codes"))
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -1569,16 +1570,18 @@ object Similarity {
     * ≤dim doubles per dir) — the centroid-fit discipline: built by the
     * first toucher, reused by every covariance/PCA consumer instead of
     * re-running the fit pass per query. */
-  private val dimMeansCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private[graft] val dimMeansReg =
+    graft.core.AtRestRegistry[Array[Double]]("sim.dim_means", arity = 1)
 
   def covarianceMatrix(spark: SparkSession, dir: String): DataFrame = {
     // the μ fit is dim-grain metadata: collected once (like a centroid
     // fit) and inlined as an array literal, so the per-vector pair terms
     // are a ROW-LOCAL explode — no vec-keyed self-join, no second scan;
     // the only exchange is the map-side-combined (i, j) cell reduction
-    val means = dimMeansCache.computeIfAbsent(dir,
-      _ => dimStats(spark, dir).select(col("pos"), col("mean")).collect()
-        .sortBy(_.getLong(0)).map(_.getDouble(1)))
+    val means = dimMeansReg.getOrBuild(dir) {
+      dimStats(spark, dir).select(col("pos"), col("mean")).collect()
+        .sortBy(_.getLong(0)).map(_.getDouble(1))
+    }
     val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
     val nD = means.length
     t(spark, dir, "embeddings")
@@ -1655,15 +1658,15 @@ object Similarity {
   /** Once-per-JVM PCA fit registry: (component, means) per dir — the fit
     * (one covariance job + a driver-side 64×64 power iteration) runs
     * once, later calls only pay the projection scan. */
-  private val pcaFits =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+  private[graft] val pcaFitReg =
+    graft.core.AtRestRegistry[(Array[Double], Array[Double])]("sim.s25_pcafit", arity = 1)
 
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
     // per-dir artifact + per-dir cache: a cache HIT must also repoint the
     // oracle's replay path at THIS dir's dump (ADVICE r8)
     val dump = s"$OracleDumpRoot/s25_pc1_${dirToken(dir)}"
     PcaDump = dump
-    val (w, means) = pcaFits.computeIfAbsent(dir, _ => {
+    val (w, means) = pcaFitReg.getOrBuild(dir) {
       val cells = covarianceMatrix(spark, dir).collect()
         .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
       val nDim = Dim
@@ -1689,7 +1692,7 @@ object Similarity {
       val ms = dimStats(spark, dir).select(col("pos"), col("mean")).collect()
         .sortBy(_.getLong(0)).map(_.getDouble(1))
       (wr, ms)
-    })
+    }
     // projection: both fits inlined as array literals → one ROW-LOCAL map
     // pass, zero shuffle, zero joins (the s4 centroid-literal pattern)
     val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
@@ -1776,22 +1779,23 @@ object Similarity {
     * corpus. First toucher in the JVM executes the real LSH-bucketed
     * build ([[knnGraph]] — so the gate still exercises it every round)
     * and dumps; everyone after reads parquet. */
-  private val knnGraphDumps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val knnGraphReg =
+    graft.core.AtRestRegistry[String]("sim.s21_knngraph", arity = 2)
 
   /** Test/audit seam: clear the at-rest fit registries so a measurement
     * harness (PlanShapeSpec, tools.ScalingAudit) can observe a COLD build
     * deterministically — mirrors [[graft.ops.Dedup.resetPairRegistryForTests]]. */
   private[graft] def resetAtRestRegistriesForTests(): Unit = {
-    knnGraphDumps.clear(); s39Fits.clear()
+    knnGraphReg.reset(); s39FitReg.reset()
   }
 
   /** The at-rest s21 kNN-graph relation (src, nb, cs, rnk) for `dir`. */
   def knnGraphAtRest(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val path = knnGraphDumps.computeIfAbsent(s"$dir|$k", _ => {
-      val p = s"$OracleDumpRoot/knn_graph_${dirToken(dir)}_$k"
+    val path = knnGraphReg.getOrBuild(dir, k) {
+      val p = knnGraphReg.pathFor(OracleDumpRoot, "knn_graph", dir, k)
       knnGraph(spark, dir, k).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     spark.read.parquet(path)
   }
 
@@ -3009,8 +3013,8 @@ object Similarity {
   /** Per-dir cache of the s38 two-stage fit (stage-1 centroids, stage-2
     * residual codebook) — fitting is ingest-time work, queries reuse it
     * (the s6/s25 cached-fit discipline). */
-  private val rqFits =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], Array[Array[Double]])]()
+  private[graft] val rqFitReg = graft.core.AtRestRegistry[
+    (Array[Array[Double]], Array[Array[Double]])]("sim.s38_rqfit", arity = 3)
 
   /** Squared-L2 argmin of `v` against a small fitted centroid matrix, as
     * one codegen-friendly expression: per centroid a sequential
@@ -3048,7 +3052,9 @@ object Similarity {
   def residualQuantizer(spark: SparkSession, dir: String, k1: Int = 8,
       k2: Int = 16): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val (c1, c2) = rqFits.computeIfAbsent(dir, { _ =>
+    // keyed by the FULL fit tuple (dir, k1, k2) — the build consumes all
+    // three (a dir-only key was the r11 ivfAtRest bug class)
+    val (c1, c2) = rqFitReg.getOrBuild(dir, k1, k2) {
       val train = cappedTrainSample(emb)
       val cc1 = fitCoarseCentroids(train, k1, seed = 13)
       val residuals = train.map { p =>
@@ -3061,9 +3067,9 @@ object Similarity {
       }
       val cc2 = lloydLocal(residuals, k2, maxIter = 10, seed = 17)
       (cc1, cc2)
-    })
-    RqCentroidDump = s"$OracleDumpRoot/s38_c1_${dirToken(dir)}"
-    RqCodebookDump = s"$OracleDumpRoot/s38_c2_${dirToken(dir)}"
+    }
+    RqCentroidDump = rqFitReg.pathFor(OracleDumpRoot, "s38_c1", dir, k1, k2)
+    RqCodebookDump = rqFitReg.pathFor(OracleDumpRoot, "s38_c2", dir, k1, k2)
     dumpCentroids(spark, c1, RqCentroidDump)
     dumpCentroids(spark, c2, RqCodebookDump)
     val c1Arr = array(c1.map(c => array(c.map(lit): _*)): _*)
@@ -3121,8 +3127,8 @@ object Similarity {
   /** Per-JVM registry of the at-rest IVF index per dir: the coarse
     * centroid matrix (in memory, for the delta's row-local argmax) plus
     * the dumped centroid + standing-cell-census parquet paths. */
-  private val s39Fits = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Array[Double]], String, String)]()
+  private[graft] val s39FitReg = graft.core.AtRestRegistry[
+    (Array[Array[Double]], String, String)]("sim.s39_ivf", arity = 2)
 
   /** INCREMENTAL IVF index maintenance (s39) — the d7/d8/d20 standing-
     * pipeline posture applied to the VECTOR index: a new embedding shard
@@ -3156,14 +3162,13 @@ object Similarity {
     import graft.functions.CentroidExprs.centroid_argmax
     // keyed by (dir, nlist) — ADVICE r11: a dir-only key would hand a
     // non-default-nlist caller the first toucher's centroids and census
-    val fit = s39Fits.computeIfAbsent(s"$dir|$nlist", { _ =>
-      val tok = s"${dirToken(dir)}_$nlist"
+    val fit = s39FitReg.getOrBuild(dir, nlist) {
       val emb = t(spark, dir, "embeddings")
       val standing = emb.filter(pmod(col("vec_id"), lit(VecDeltaMod)) =!= 0)
       val cc = fitCoarseCentroids(cappedTrainSample(standing), nlist)
-      val cPath = s"$OracleDumpRoot/s39_centroids_$tok"
+      val cPath = s39FitReg.pathFor(OracleDumpRoot, "s39_centroids", dir, nlist)
       dumpCentroids(spark, cc, cPath)
-      val cellsPath = s"$OracleDumpRoot/s39_cells_$tok"
+      val cellsPath = s39FitReg.pathFor(OracleDumpRoot, "s39_cells", dir, nlist)
       standing
         .withColumn("sc", centroid_argmax(col("embedding"), cc))
         .select(col("sc.cluster").cast(LongType).as("cell"),
@@ -3172,7 +3177,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_standing"), sum(col("cs")).as("s_sum"))
         .write.mode("overwrite").parquet(cellsPath)
       (cc, cPath, cellsPath)
-    })
+    }
     S39CentroidDump = fit._2
     S39CellsDump = fit._3
     fit

@@ -31,7 +31,8 @@ object EventStreams {
     * footer peek below is immutable per staged dir, and repeated drives
     * (best-of-N bench, multi-query rounds) otherwise re-pay a batch footer
     * read each run. */
-  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private[graft] val tsTypeReg =
+    graft.core.AtRestRegistry[DataType]("stream.ts_type", arity = 1)
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,8 +41,9 @@ object EventStreams {
     // files are named events0/events1.parquet (the e7 bounded-replay drive)
     // resolve just like the fixture's literal events.parquet
     val glob = s"$dir/events*.parquet"
-    val tsType = tsTypeCache.computeIfAbsent(glob,
-      _ => spark.read.parquet(glob).schema("ts").dataType)
+    val tsType = tsTypeReg.getOrBuild(glob) {
+      spark.read.parquet(glob).schema("ts").dataType
+    }
     // glob form: the file-stream source requires a directory basePath
     Tables.normalizeTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(glob))
@@ -79,21 +81,19 @@ object EventStreams {
     * work. The partition count and checkpoint live only in this run's
     * fresh checkpoint dir (deleted on exit) — a production deployment
     * keeps its own durable checkpoint and partitioning. */
-  private def withFewStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+  private def withFewStatePartitions[A](spark: SparkSession, n: Int)(body: String => A): A = {
     val key = "spark.sql.shuffle.partitions"
-    val ckKey = "spark.sql.streaming.checkpointLocation"
     val old = spark.conf.get(key)
-    val oldCk = spark.conf.getOption(ckKey)
+    // the checkpoint root rides into the body and lands on each query as a
+    // per-query .option("checkpointLocation", …) — NOT the session-global
+    // conf (ADVICE r12: two drives overlapping on one SparkSession would
+    // race the conf set/restore, and one run's finally-delete could pull a
+    // checkpoint root out from under the other's live query)
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(FastTmpRoot), "graft-ckpt").toString
     spark.conf.set(key, n.toString)
-    spark.conf.set(ckKey, ck)
-    try body finally {
+    try body(ck) finally {
       spark.conf.set(key, old)
-      oldCk match {
-        case Some(v) => spark.conf.set(ckKey, v)
-        case None => spark.conf.unset(ckKey)
-      }
       rmStage(ck)
     }
   }
@@ -115,9 +115,9 @@ object EventStreams {
     * Update output mode (bounded state), final values via [[lastUpdate]]. */
   def hourlyAggOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_hourly_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = hourlyAgg(readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "sv"))
@@ -145,9 +145,9 @@ object EventStreams {
     * `e12_stream_sliding` gate drive. */
   def slidingAggOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_sliding_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = slidingAgg(readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     lastUpdate(spark.table(name), Seq("ws", "event_type"), Seq("n", "sv"))
@@ -196,9 +196,9 @@ object EventStreams {
     * final values via [[lastUpdate]]) — the `e21_stream_quantiles` drive. */
   def windowQuantilesOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_quantiles_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = windowQuantiles(readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "med", "p90"))
@@ -252,9 +252,9 @@ object EventStreams {
     * `e13_stream_anomaly` gate drive. */
   def rateAnomalyOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_anomaly_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = rateAnomaly(spark, dir, readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "z"))
@@ -289,8 +289,8 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"stream_dedup_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = deduped.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = deduped.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -312,8 +312,8 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType), 3).as("sv"))
     val name = s"stream_enrich_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = agg.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = agg.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -362,8 +362,8 @@ object EventStreams {
       .groupBy(floor(length(col("text")) / 500).cast(IntegerType).as("band"))
       .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_sum"))
     val name = s"stream_corpus_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = staged.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = staged.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -396,8 +396,8 @@ object EventStreams {
       .filter(pmod(col("doc_id"), lit(Dedup.DeltaMod)) === 0)
       .select(md5(col("text")).as("h"))
     val name = s"stream_ixmaint_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = delta.writeStream.outputMode(OutputMode.Append)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = delta.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val sp = batch.sparkSession
           batch.distinct()
@@ -434,8 +434,8 @@ object EventStreams {
     val flagged = TextOps.gopherRules(TextOps.withSyntheticLines(stream))
       .select(col("doc_id"), col("keep"))
     val name = s"stream_dualsink_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = flagged.writeStream.outputMode(OutputMode.Append)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = flagged.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.persist()
           try {
@@ -477,8 +477,8 @@ object EventStreams {
       .agg(approx_count_distinct(col("user_id")).as("apx"))
       .select(unix_timestamp(col("window.start")).as("hr"), col("apx"))
     val name = s"stream_apxusers_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = agg.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = agg.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -540,8 +540,8 @@ object EventStreams {
     val agg = enriched.groupBy(col("prev_type"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"stream_asof_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = agg.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = agg.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -586,8 +586,8 @@ object EventStreams {
       val toks = stream.select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
       val name = s"stream_idemsink_${System.nanoTime()}"
-      withFewStatePartitions(spark, 4) {
-        val q = toks.writeStream.outputMode(OutputMode.Append)
+      withFewStatePartitions(spark, 4) { ck =>
+        val q = toks.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
           }
@@ -658,8 +658,8 @@ object EventStreams {
       .groupBy(col("source"), col("keep"))
       .agg(count(lit(1)).as("n"))
     val name = s"stream_qgate_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = agg.writeStream.outputMode(OutputMode.Update)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = agg.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -711,8 +711,8 @@ object EventStreams {
     * drained sink, and a production sink would MERGE on the pair key. */
   def nearDupStreamOnce(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     val name = s"stream_neardup_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = nearDupStream(spark, dir, minJ).writeStream.outputMode(OutputMode.Append)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = nearDupStream(spark, dir, minJ).writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -735,7 +735,7 @@ object EventStreams {
     * oracle bit-for-bit either way.) */
   def intervalJoinOnce(spark: SparkSession, dir: String, windowMin: Int = 30): DataFrame = {
     val name = s"stream_ivjoin_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val ev = readEventStream(spark, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
@@ -747,7 +747,7 @@ object EventStreams {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
           col("c_ts") <= col("p_ts"))
-      val q = joined.writeStream.outputMode(OutputMode.Append)
+      val q = joined.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -801,16 +801,18 @@ object EventStreams {
     * re-running the sentinel write job per drive was the dominant share
     * of the e7/e10/e25 floor (each drive re-paid a file copy + a Spark
     * write + two footer reads for byte-identical output). */
-  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val stagedDirReg =
+    graft.core.AtRestRegistry[String]("stream.staged_fixture", arity = 2)
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stagedDirs.values().forEach(d => rmStage(d))))
+      stagedDirReg.values.foreach(d => rmStage(d))))
   }
 
   private def stageWithSentinels(spark: SparkSession, dir: String,
       sentinelTypes: Seq[String]): String =
-    stagedDirs.computeIfAbsent(s"$dir|${sentinelTypes.mkString(",")}",
-      _ => stageWithSentinelsUncached(spark, dir, sentinelTypes))
+    stagedDirReg.getOrBuild(dir, sentinelTypes.mkString(",")) {
+      stageWithSentinelsUncached(spark, dir, sentinelTypes)
+    }
 
   private def stageWithSentinelsUncached(spark: SparkSession, dir: String,
       sentinelTypes: Seq[String]): String = {
@@ -855,7 +857,7 @@ object EventStreams {
     val stage = stageWithSentinels(spark, dir, Seq("purchase", "click"))
     val name = s"stream_ivjoin_left_${System.nanoTime()}"
     locally {
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val ev = readEventStream(spark, stage)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
@@ -868,7 +870,7 @@ object EventStreams {
             col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
             col("c_ts") <= col("p_ts"),
           "left_outer")
-        val q = joined.writeStream.outputMode(OutputMode.Append)
+        val q = joined.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -897,7 +899,7 @@ object EventStreams {
     val stage = stageWithSentinels(spark, dir, Seq("purchase", "click"))
     val name = s"stream_ivjoin_full_${System.nanoTime()}"
     locally {
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val ev = readEventStream(spark, stage)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
@@ -910,7 +912,7 @@ object EventStreams {
             col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMin MINUTES") &&
             col("c_ts") <= col("p_ts"),
           "full_outer")
-        val q = joined.writeStream.outputMode(OutputMode.Append)
+        val q = joined.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -977,12 +979,12 @@ object EventStreams {
     val stage = stageWithSentinels(spark, dir, Seq("view"))
     val name = s"stream_swin_${System.nanoTime()}"
     locally {
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val perSession = readEventStream(spark, stage)
           .withWatermark("ts", "1 hour")
           .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes").as("sw"))
           .agg(count(lit(1)).as("n"))
-        val q = perSession.writeStream.outputMode(OutputMode.Append)
+        val q = perSession.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -1133,13 +1135,13 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = s"stream_sessions_wm_${System.nanoTime()}"
     try {
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val evs = readEventStream(spark, dir)
           .select(col("user_id"), col("ts"))
           .withWatermark("ts", "0 seconds")
           .as[Ev]
         val q = sessionizeWm(evs).toDF()
-          .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+          .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
     } finally prev match {
@@ -1178,10 +1180,10 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = s"stream_sessions_${System.nanoTime()}"
     try {
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val evs = readEventStream(spark, dir).select(col("user_id"), col("ts")).as[Ev]
         val q = sessionizeTws(evs).toDF()
-          .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+          .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
       }
     } finally prev match {
@@ -1258,11 +1260,11 @@ object EventStreams {
   def rateLimitOnce(spark: SparkSession, dir: String): DataFrame = {
     implicit val evEnc = Encoders.product[RlEv]
     val name = s"stream_ratelimit_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val evs = readEventStream(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id")).as[RlEv]
       val q = rateLimit(evs).toDF()
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     val emitted = spark.table(name)
@@ -1326,10 +1328,10 @@ object EventStreams {
   def heartbeatOnce(spark: SparkSession, dir: String): DataFrame = {
     implicit val evEnc = Encoders.product[Ev]
     val name = s"stream_heartbeat_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val evs = readEventStream(spark, dir).select(col("user_id"), col("ts")).as[Ev]
       val q = heartbeat(evs).toDF()
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     val emitted = spark.table(name)
@@ -1367,9 +1369,9 @@ object EventStreams {
   def windowTopkOnce(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val name = s"stream_topk_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = hourlyAgg(readEventStream(spark, dir))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     val finals = lastUpdate(spark.table(name), Seq("hr", "event_type"), Seq("n", "sv"))
@@ -1461,14 +1463,14 @@ object EventStreams {
   def psiDriftOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"stream_psi_${System.nanoTime()}"
     val injected = s"value + (CASE WHEN (unix_timestamp(ts) DIV 86400) % 7 = 3 THEN 80 ELSE 0 END)"
-    withFewStatePartitions(spark, 4) {
+    withFewStatePartitions(spark, 4) { ck =>
       val q = readEventStream(spark, dir)
         .select(col("ts"), expr(psiBinSql(injected)).as("b"))
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("w"), col("b"))
         .agg(count(lit(1)).as("n"))
         .select(expr("unix_timestamp(w.start) DIV 86400").as("d"), col("b"), col("n"))
-        .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+        .writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
     val finals = lastUpdate(spark.table(name), Seq("d", "b"), Seq("n"))
@@ -1611,8 +1613,8 @@ object EventStreams {
     val target = java.nio.file.Files.createTempDirectory("graft-e20").toString + "/state"
     val stream = readEventStream(spark, dir)
     val name = s"stream_merge_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = stream.writeStream.outputMode(OutputMode.Append)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = stream.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           mergeUserState(spark, target, batch)
         }
@@ -1677,14 +1679,14 @@ object EventStreams {
     val name = s"stream_lateaudit_${System.nanoTime()}"
     try {
       writeSplit(raw.filter(col("event_id") % 5 =!= 0), "events0.parquet")
-      withFewStatePartitions(spark, 4) {
+      withFewStatePartitions(spark, 4) { ck =>
         val agg = readEventStream(spark, stage)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"),
             col("event_type"), col("n"))
-        val q = agg.writeStream.outputMode(OutputMode.Update)
+        val q = agg.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Update)
           .format("memory").queryName(name).start()
         try {
           q.processAllAvailable() // batch 1: on-time rows arm the watermark
@@ -1766,8 +1768,8 @@ object EventStreams {
       .filter(pmod(col("vec_id"), lit(Similarity.VecDeltaMod)) === 0)
       .select(col("embedding"))
     val name = s"stream_ivf_${System.nanoTime()}"
-    withFewStatePartitions(spark, 4) {
-      val q = delta.writeStream.outputMode(OutputMode.Append)
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = delta.writeStream.option("checkpointLocation", ck).outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch
             .withColumn("sc", centroid_argmax(col("embedding"), cents))

@@ -38,9 +38,16 @@ object ScalingAudit {
     // … and the r12 decontamination registries (c33 reads both warmed)
     "c3_decontam", "c18_fuzzy_decontam", "c33_decontam_ledger")
 
-  /** Queries whose first rep must time the cold at-rest BUILD. */
-  private val RegistryBuilds = Set("d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
-    "c3_decontam", "c18_fuzzy_decontam")
+  /** Queries whose first rep must time the cold at-rest BUILD — mapped to
+    * EXACTLY the registry that query builds (ADVICE r12: a blanket reset
+    * before c18 also chilled c3, so c33's rep 1 silently re-paid a cold
+    * c3 build, contradicting the reads-both-warmed design). */
+  private val RegistryBuilds: Map[String, () => Unit] = Map(
+    "d2_dedup_ngram" -> (() => graft.ops.Dedup.pairReg.reset()),
+    "s21_knn_graph" -> (() => graft.ops.Similarity.knnGraphReg.reset()),
+    "s39_ivf_delta" -> (() => graft.ops.Similarity.s39FitReg.reset()),
+    "c3_decontam" -> (() => graft.ops.Corpus.verbatimReg.reset()),
+    "c18_fuzzy_decontam" -> (() => graft.ops.Corpus.fuzzyPairReg.reset()))
 
   private val FlagRatio = 15.0
 
@@ -85,7 +92,7 @@ object ScalingAudit {
       _ = resetRegistries()
       name <- Queries
     } yield {
-      if (RegistryBuilds(name)) resetRegistries()
+      RegistryBuilds.get(name).foreach(reset => reset())
       val reps = (1 to 3).map(_ => timeOnce(name, dir))
       (name, dir) -> M(reps.head, reps.min)
     }).toMap
@@ -102,7 +109,7 @@ object ScalingAudit {
       val adjOk = a0 > 0.05 && a1 > 0 // sub-floor small-SF timings aren't adjudicable
       val ratio = if (adjOk) a1 / a0 else Double.NaN
       val expo = if (adjOk) math.log10(ratio) else Double.NaN
-      val coldRatio = if (RegistryBuilds(n) && m0.cold - floors(lo) > 0.05)
+      val coldRatio = if (RegistryBuilds.contains(n) && m0.cold - floors(lo) > 0.05)
         (m1.cold - floors(hi)) / (m0.cold - floors(lo)) else Double.NaN
       val worst = Seq(ratio, coldRatio).filterNot(_.isNaN).foldLeft(0.0)(math.max)
       val verdict = if (!adjOk && coldRatio.isNaN) "~ sub-floor"

@@ -795,4 +795,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(small._4 > small._3, s"small source must be boosted: $small")
     assert(small._6 > 1.0 && big._6 < 1.0, s"repetition prices the flattening: $small $big")
   }
+
+  test("c35: the m28 plant straddling the visual split lands as a drop verdict") {
+    // train image 18 is eval image 15's +1-pixel copy (the m28 plant) —
+    // its TEXT is clean, so c33 says keep; the multimodal ledger must say
+    // drop on the visual signal alone (media and text gate together)
+    val led = Corpus.decontamLedgerMm(spark, dir)
+      .select(col("doc_id"), col("n_visual"), col("verdict")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val (nVis18, verdict18) = led(18L)
+    assert(nVis18 > 0, s"train 18 must carry the visual signal: $nVis18")
+    assert(verdict18 == "drop", s"visual near-identity must drop: $verdict18")
+    // every visually flagged doc is dropped, none leaks through as keep
+    led.values.filter(_._1 > 0).foreach { case (_, v) => assert(v == "drop") }
+    // and the visual signal is additive: no doc LOST its text verdict —
+    // c33's drop set is a subset of c35's
+    val c33drop = Corpus.decontamLedger(spark, dir)
+      .filter(col("verdict") === "drop").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val c35drop = led.filter(_._2._2 == "drop").keySet
+    assert(c33drop.subsetOf(c35drop), s"lost drops: ${c33drop -- c35drop}")
+  }
+
+  test("c34: attrition columns are consistent and survivors pack exactly") {
+    val rows = Corpus.releaseExport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the one-row attach is constant across pack rows
+    val att = rows.map(r => (r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7), r.getLong(8))).distinct
+    assert(att.length == 1, s"attrition must be constant: $att")
+    val (docsIn, dropQ, dropD, dropC, packed) = att.head
+    assert(docsIn == dropQ + dropD + dropC + packed,
+      s"stage attribution must partition docs_in: $att")
+    assert(packed > 0 && dropQ > 0, s"both flows must be live at the gate SF: $att")
+    // pack-grain docs sum back to the survivor count
+    assert(rows.map(_.getLong(2)).sum == packed)
+  }
 }

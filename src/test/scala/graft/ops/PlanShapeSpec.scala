@@ -368,7 +368,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val probe = Relational.q42PlanProbe(spark, dir)
     val scan = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*o_pm[^\\]]*IN".r.findFirstIn(scan).isDefined, scan)
-    val target = Similarity.OracleDumpRoot + "/q42_target_" + Similarity.dirToken(dir)
+    val target = Relational.mergeTargetReg.lookup(dir).get
     // file-grain proof: after execution the scan's numFiles metric must be
     // strictly below the table's file population — untouched month
     // directories are never opened
@@ -416,7 +416,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val filesRead = scanExec.metrics("numFiles").value
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val dataDir = Similarity.OracleDumpRoot + "/c20_data_" + Similarity.dirToken(dir)
+    val dataDir = Corpus.manifestReg.lookup(dir).get._1
     val totalFiles = walk(new java.io.File(dataDir)).count(_.getName.endsWith(".parquet"))
     assert(filesRead > 0 && filesRead < totalFiles, s"read $filesRead of $totalFiles files")
     // and skipping is invisible: the probe's rows equal the plain filter
@@ -435,7 +435,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q43: snapshots structurally share unaffected months; commit never rewrites base") {
     import org.apache.spark.sql.functions.col
     Relational.q43_time_travel(spark, dir).collect() // build the store
-    val root = Similarity.OracleDumpRoot + "/q43_tt_" + Similarity.dirToken(dir)
+    val root = Relational.ttRootReg.lookup(dir).get
     val man = spark.read.parquet(s"$root/manifest")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     val v0 = man.filter(_._1 == 0).map(m => m._2 -> m._3).toMap
@@ -470,8 +470,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // force the export (and its per-JVM registry) via the gated query,
     // then read one source back through the partitioned layout
     Corpus.partitionedExport(spark, dir).collect()
-    val one = spark.read.parquet(
-        Similarity.OracleDumpRoot + "/c13_export_" + Similarity.dirToken(dir))
+    val one = spark.read.parquet(Corpus.exportReg.lookup(dir).get)
       .filter(org.apache.spark.sql.functions.col("source") === "src3")
     val scan = one.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: ["), scan)
@@ -522,12 +521,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(warm == 1, s"warmed c18 should scan documents ONCE (the per-doc left join): $warm")
   }
 
-  test("m30: two documents scans — the shared perceptual-hash relation is materialized") {
-    // image + donor sides of the plant join (m28's measured shape); the
-    // materialized hash relation then feeds the band join and BOTH
+  test("m30: cold build decodes in two documents scans; warmed runs fold from parquet") {
+    // cold: image + donor sides of the plant join (m28's measured shape),
+    // the materialized hash relation feeding the band join and BOTH
     // verification legs — without it the real codec path would re-decode
-    // per leg (5+ scans)
-    assert(scansOf("documents", "m30_visual_decontam") == 2)
+    // per leg (5+ scans). Warmed (r13 at-rest registry): ZERO documents
+    // scans — the screen's output is a maintained artifact, like c3/c18
+    graft.ops.Multimodal.visualDecontamReg.reset()
+    val cold = scansOf("documents", "m30_visual_decontam")
+    val warm = scansOf("documents", "m30_visual_decontam")
+    assert(cold == 2, s"cold m30 build must decode in exactly 2 documents scans: $cold")
+    assert(warm == 0, s"warmed m30 must fold from parquet — zero documents scans: $warm")
+  }
+
+  test("c34: warmed, the release export re-shingles and re-derives nothing") {
+    // warm every at-rest signal the export chains (pair registry, c3
+    // verbatim, c18 fuzzy), then pin the scan census: the export itself
+    // may touch documents exactly 3 times — the staged base projection,
+    // the row-local gopher pass, and c18's per-doc zero-fill join inside
+    // the c33 ledger. A shingle rebuild (d2: +1 full pipeline), a c3
+    // rebuild, or a lost materialization all surface as a 4th scan
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect()
+    graft.SparkEntry.queries("c3_decontam")(spark, dir).collect()
+    graft.SparkEntry.queries("c18_fuzzy_decontam")(spark, dir).collect()
+    val n = scansOf("documents", "c34_release_export")
+    assert(n == 3, s"warmed c34 must scan documents exactly 3x: $n")
+  }
+
+  test("c35: warmed, the multimodal ledger reads all three signals at rest — one scan, zero decodes") {
+    graft.SparkEntry.queries("c3_decontam")(spark, dir).collect()
+    graft.SparkEntry.queries("c18_fuzzy_decontam")(spark, dir).collect()
+    graft.SparkEntry.queries("m30_visual_decontam")(spark, dir).collect()
+    // the single permitted scan is c18's per-doc zero-fill; the visual
+    // side joining at rest means NO decode pass re-enters the plan
+    val n = scansOf("documents", "c35_decontam_ledger_mm")
+    assert(n == 1, s"warmed c35 must scan documents exactly once: $n")
   }
 
   test("q28: the manual salt carries the skew work; AQE's skew-join stays idle") {
@@ -559,7 +587,8 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     assert(offenders == Seq("a21_percentiles", "a38_zprofile",
       "c11_importance", "c12_length_hist",
-      "c17_epoch_shuffle", "c19_nutrition_label", "d18_simhash_eval",
+      "c17_epoch_shuffle", "c19_nutrition_label",
+      "c34_release_export", "d18_simhash_eval",
       "d21_lsh_tuning",
       "q31_gapfill", "q32_skew_report", "q34_funnel", "q49_bitemporal",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
@@ -616,6 +645,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // r11 log-term-artifact fix that attach happens inside a MATERIALIZED
     // relation, so the gated plan reads the checkpoint and e24 no longer
     // appears in this list
+    // c34 attaches its ONE-ROW attrition fold to the pack-grain relation
+    // (the t12 class — the per-stage counts a release review reads ride
+    // every pack row as constants)
     // d21 attaches its ONE-ROW exact-truth total to the 4-row config
     // relation (the t12 class); its candidates are band-keyed EQUI-joins
     // and its truth is the adjudicated run-rarely PPJoin eval (d18 class)
@@ -633,5 +665,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // s29's fusion itself is a full-outer EQUI-join of two rank relations;
     // the BNLJ it inherits is s1's pool build (s12's is prefix-joined) —
     // swap in the bucketed rankers (s2/s8) and the fusion is unchanged
+  }
+
+  test("capBucketsOrFail crashes loudly on an over-cap bucket (never silently drops)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // ADVICE r12: the loud failure rides an assert_true kept alive inside
+    // a coalesce — a future Catalyst folding/pruning change could elide it
+    // and silently revert to capBuckets' dropping semantics, the exact
+    // oracle divergence the OrFail variant exists to prevent. This feeds a
+    // synthetic over-cap bucket end-to-end so such a change surfaces here.
+    val df = (1 to 10).map(i => (7L, i.toLong)).toDF("bucket", "id")
+    val ex = intercept[Exception] {
+      graft.ops.Similarity.capBucketsOrFail(df, cap = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("over the 3-row cap")),
+      s"expected the loud over-cap failure, got: ${messages(ex)}")
+    // and the healthy path is untouched: under-cap buckets pass through
+    val ok = graft.ops.Similarity.capBucketsOrFail(df.limit(2), cap = 3).collect()
+    assert(ok.length == 2)
   }
 }
