@@ -11,7 +11,14 @@ import org.apache.spark.sql.SparkSession
   * whose best-of-2 exceeds the recorded band (`bench_bands.json`, prior
   * round idle-box bests) are automatically escalated to best-of-5 before
   * being flagged — single-run spikes from machine load wash out in-run
-  * instead of needing a hand re-measure every round. */
+  * instead of needing a hand re-measure every round. Entries still over
+  * band after that get a post-sweep SELF-ADJUDICATION (r12 directive #2):
+  * best-of-3 re-measure in both orders bracketed by no-op floor probes,
+  * and each suspect ships with `remeasure`, `floor_ratio` (floor now vs
+  * the run's own baseline — the box-load signal) and a harness verdict
+  * (`environmental` when the re-measure is back inside the band,
+  * `persistent` otherwise), so a loaded driver box no longer costs a
+  * judge session per round. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,6 +52,17 @@ object Bench {
     // warmup: session machinery + parquet footers + codegen paths
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
     force("q01_agg"); force("q02_join5")
+
+    // no-op floor probe (the ScalingAudit harness-floor job): a trivial
+    // one-partition noop sink times the submit/schedule/commit machinery —
+    // its drift across the run is a direct read on contemporaneous box
+    // load, independent of any query's own cost
+    def floorProbe(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).coalesce(1).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val floorBase = floorProbe()
 
     // Recorded per-query bands from the previous round's idle-box run
     // (flat JSON object name -> seconds, regenerated via
@@ -112,6 +130,9 @@ object Bench {
     // never adjudicated are dead entries — a spike in the array surface
     // would never be flagged), so v_* entries feed `suspects` too.
     var arraySuspects = List.empty[(String, Double, Double)]
+    // samplers the post-sweep re-measure pass can re-invoke (the v_*
+    // closures capture the bench volume, so they register here)
+    var remeasureSamplers = Map.empty[String, () => Double]
     val arrayBench = try {
       import graft.core.{Grid, Meta}
       import graft.volume.{Volume, VoxelBuffer}
@@ -121,9 +142,11 @@ object Bench {
       val vol = Volume.create(spark, root, meta)
       val buf = VoxelBuffer.sequenced(Meta.TUInt8, 256, 256, 256, 1, (1, 1, 1))
       def adjudicated(name: String)(f: => Unit): Double = {
-        val r = adjudicate(name, () => {
+        val sample = () => {
           val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
-        })
+        }
+        remeasureSamplers += (name -> sample)
+        val r = adjudicate(name, sample)
         if (isSuspect(name, r)) arraySuspects ::= ((name, r.best, bands(name)))
         r.best
       }
@@ -155,6 +178,46 @@ object Bench {
       System.err.println(s"[bench] array bench failed: $e"); Seq.empty
     }
     val allSuspects = suspects ++ arraySuspects.reverse
+
+    // ---- post-sweep self-adjudication (r12 directive #2) ----
+    // Two judge rounds were burned re-measuring driver-box false suspects
+    // by hand (r11: 8, r12: 7 — every one environmental). The harness now
+    // does that work itself: every entry still over band after the in-run
+    // best-of-5 is re-measured best-of-3 in BOTH orders (forward then
+    // reversed — the SuspectBench de-biasing), bracketed by floor probes
+    // whose drift vs the run's baseline reads the box load directly. An
+    // entry whose re-measure lands back inside the band is labeled
+    // `environmental` by the harness; only `persistent` entries need a
+    // human (or a judge) to look at the code.
+    case class Adj(remeasure: Double, floorRatio: Double, verdict: String)
+    val adjudications: Map[String, Adj] = if (allSuspects.isEmpty) Map.empty else {
+      val samplers: Map[String, () => Double] =
+        names.map(n => n -> (() => force(n))).toMap ++ remeasureSamplers
+      def bo3(n: String): Double = samplers.get(n) match {
+        case None => -1.0
+        case Some(s) =>
+          val vs = (1 to 3).map(_ => s()).filter(_ >= 0)
+          if (vs.isEmpty) -1.0 else vs.min
+      }
+      val order = allSuspects.map(_._1)
+      val floorPre = floorProbe()
+      val fwd = order.map(n => n -> bo3(n))
+      val floorMid = floorProbe()
+      val rev = order.reverse.map(n => n -> bo3(n))
+      val floorPost = floorProbe()
+      val floorNow = Seq(floorPre, floorMid, floorPost).min
+      val fr = floorNow / math.max(floorBase, 1e-9)
+      val best = (fwd ++ rev).groupBy(_._1).map { case (n, xs) =>
+        val vs = xs.map(_._2).filter(_ >= 0)
+        n -> (if (vs.isEmpty) -1.0 else vs.min)
+      }
+      allSuspects.map { case (n, _, band) =>
+        val rm = best.getOrElse(n, -1.0)
+        val verdict =
+          if (rm >= 0 && !over(rm, band)) "environmental" else "persistent"
+        n -> Adj(rm, fr, verdict)
+      }.toMap
+    }
     val results = results0 ++ arrayBench
     // regenerate the band file for the NEXT round's comparisons (run on an
     // idle box; commit the output as bench_bands.json)
@@ -189,7 +252,10 @@ object Bench {
     val singles = measured.map { case (k, r) => "\"" + k + "\":" + dec3(r.first) }
       .mkString("{", ",", "}")
     val suspectJson = allSuspects.map { case (n, best, band) =>
-      s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)},"ratio":${dec3(best / band)}}"""
+      val extra = adjudications.get(n).map(a =>
+        s""","remeasure":${dec3(a.remeasure)},"floor_ratio":${dec3(a.floorRatio)},"verdict":"${a.verdict}"""")
+        .getOrElse("")
+      s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)},"ratio":${dec3(best / band)}$extra}"""
     }.mkString("[", ",", "]")
     val vTail = arrayBench.map { case (k, v) => "\"" + k + "\":" + dec3(v) }
       .mkString(",")
@@ -236,7 +302,9 @@ object Bench {
     // BENCH_NOTES.md. The suspect list is capped so a pathological round
     // cannot regrow the line past the tail.
     val susCap = allSuspects.take(5).map { case (n, best, band) =>
-      s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)}}"""
+      val v = adjudications.get(n).map(a =>
+        s""","remeasure":${dec3(a.remeasure)},"verdict":"${a.verdict}"""").getOrElse("")
+      s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)}$v}"""
     }.mkString("[", ",", "]")
     val susMore = if (allSuspects.size > 5) s""","suspect_more":${allSuspects.size - 5}""" else ""
     System.out.println(s"""{"sf":"$sfDir","n_queries":${results0.size},"suspect":$susCap$susMore,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")

@@ -1072,6 +1072,18 @@ object Dedup {
     * signatures — per-dir (the d17/s25 `dirToken` convention). */
   @volatile private[graft] var TuneSigDump: String = ""
 
+  /** Per-JVM registry of the at-rest 96-minhash SIGNATURE relation per
+    * dir — wide form (doc_id, m0..m95) for the banding pass, long form
+    * (doc_id, i, m) for the oracle replay. Signatures are INGEST work at
+    * 100 TB (d3 computes the identical fit on the serving path; the
+    * signature table is maintained next to the corpus like the s5 codes)
+    * — before this registry d21 re-paid the full shingle pipeline + fit
+    * on every calibration run, which made a run-rarely job the costliest
+    * non-streaming band (r12 #4). First toucher in the JVM still executes
+    * the real pipeline and dumps both forms. */
+  private[graft] val tuneSigReg =
+    graft.core.AtRestRegistry[(String, String)]("dedup.d21_sigs", arity = 1)
+
   /** Theoretical MinHash-LSH collision probability 1 − (1 − jʳ)ᵇ at the
     * design similarity, rounded once — computed HERE so the Spark column
     * and the oracle literal are the same constant by construction. */
@@ -1101,34 +1113,44 @@ object Dedup {
     * d18 adjudication: a calibration job, not a serving path). */
   def lshTuningSweep(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     import spark.implicits._
-    val docs = t(spark, dir, "documents")
-    // the shingle pipeline has exactly ONE consumer now (the signature
-    // fit — ground truth comes from the at-rest registry below), so it
-    // flows straight into the fused aggregation unmaterialized
-    val sigSets = materialize(signaturesWithSets(shingles(docs)))
-    val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
-    val longSigs = sigSets.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
-    val dump = s"${Similarity.OracleDumpRoot}/d21_sigs_${Similarity.dirToken(dir)}"
-    longSigs.write.mode("overwrite").parquet(dump)
-    TuneSigDump = dump
+    val sigCols = (0 until NumHashes).map("m" + _)
+    // the signature relation at rest (ingest-path work — see [[tuneSigReg]]):
+    // the first toucher runs the real shingle pipeline + fit and dumps
+    // wide (banding input) + long (oracle replay) forms; every later
+    // calibration run reads the wide parquet
+    val (widePath, longPath) = tuneSigReg.getOrBuild(dir) {
+      val wp = tuneSigReg.pathFor(Similarity.OracleDumpRoot, "d21_sigs_wide", dir)
+      val lp = tuneSigReg.pathFor(Similarity.OracleDumpRoot, "d21_sigs", dir)
+      signaturesWithSets(shingles(t(spark, dir, "documents")))
+        .select((col("doc_id") +: sigCols.map(col)): _*)
+        .write.mode("overwrite").parquet(wp)
+      spark.read.parquet(wp).select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array(${sigCols.mkString(",")}), CAST(i + 1 AS INT)) AS m))")).as("s"))
+        .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
+        .write.mode("overwrite").parquet(lp)
+      (wp, lp)
+    }
+    TuneSigDump = longPath
+    val sigs = spark.read.parquet(widePath)
     // exact ground truth from the at-rest registry ([[nearDupPairsAtRest]]
     // — first toucher in the JVM pays the PPJoin once, every consumer
     // after reads parquet; r10's top-tail directive): a plain parquet scan
     // per consumer below, no materialize needed
     val truePairs = nearDupPairsAtRest(spark, dir, minJ).select(col("a"), col("b"))
-    // materialized: the self-join below consumes it twice, and each of its
-    // four branches carries an 84-struct projection whose codegen is the
-    // expensive part — one execution, checkpointed blocks for both sides
-    val bandRel = materialize(LshTuneConfigs.map { case (b, r) =>
-      val bandExpr = array((0 until b).map(j => struct(lit(j).as("band"),
-        concat_ws("_", (0 until r).map(i => col(s"m${j * r + i}")): _*).as("k"))): _*)
-      sigSets.select(lit(b).as("cfg_b"), lit(r).as("cfg_r"), col("doc_id"),
-        explode(bandExpr).as("bk"))
-        .select(col("cfg_b"), col("cfg_r"), col("bk.band").as("band"),
-          col("bk.k").as("k"), col("doc_id"))
-    }.reduce(_ unionByName _))
+    // ONE banding pass for ALL configs (r12 #4): the signatures are
+    // identical across configs — only the grouping changes — so the four
+    // grids flow as one 84-struct array explode in a single codegen span
+    // over one scan, not four unioned branches each re-projecting the
+    // checkpoint. Materialized: the self-join consumes it twice.
+    val allBands = array(LshTuneConfigs.flatMap { case (b, r) =>
+      (0 until b).map(j => struct(lit(b).as("cfg_b"), lit(r).as("cfg_r"),
+        lit(j).as("band"),
+        concat_ws("_", (0 until r).map(i => col(s"m${j * r + i}")): _*).as("k")))
+    }: _*)
+    val bandRel = materialize(sigs
+      .select(col("doc_id"), explode(allBands).as("bk"))
+      .select(col("bk.cfg_b").as("cfg_b"), col("bk.cfg_r").as("cfg_r"),
+        col("bk.band").as("band"), col("bk.k").as("k"), col("doc_id")))
     val cand = bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),
       col("doc_id").as("a"))
       .join(bandRel.select(col("cfg_b"), col("cfg_r"), col("band"), col("k"),

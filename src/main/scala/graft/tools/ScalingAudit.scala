@@ -36,7 +36,12 @@ object ScalingAudit {
     // … plus the registry builds the verdict called out as never measured
     "d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
     // … and the r12 decontamination registries (c33 reads both warmed)
-    "c3_decontam", "c18_fuzzy_decontam", "c33_decontam_ledger")
+    "c3_decontam", "c18_fuzzy_decontam", "c33_decontam_ledger",
+    // … and the r13 additions: the m30 visual registry, the multimodal
+    // ledger (reads c3+c18+m30 warmed), and the release-export capstone
+    // (reads pair+c3+c18 warmed — its best-of-3 must be linear in
+    // survivors only)
+    "m30_visual_decontam", "c35_decontam_ledger_mm", "c34_release_export")
 
   /** Queries whose first rep must time the cold at-rest BUILD — mapped to
     * EXACTLY the registry that query builds (ADVICE r12: a blanket reset
@@ -47,7 +52,9 @@ object ScalingAudit {
     "s21_knn_graph" -> (() => graft.ops.Similarity.knnGraphReg.reset()),
     "s39_ivf_delta" -> (() => graft.ops.Similarity.s39FitReg.reset()),
     "c3_decontam" -> (() => graft.ops.Corpus.verbatimReg.reset()),
-    "c18_fuzzy_decontam" -> (() => graft.ops.Corpus.fuzzyPairReg.reset()))
+    "c18_fuzzy_decontam" -> (() => graft.ops.Corpus.fuzzyPairReg.reset()),
+    "d21_lsh_tuning" -> (() => graft.ops.Dedup.tuneSigReg.reset()),
+    "m30_visual_decontam" -> (() => graft.ops.Multimodal.visualDecontamReg.reset()))
 
   private val FlagRatio = 15.0
 

@@ -167,13 +167,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("d21: warmed, one scan of documents (signature fit; truth from the at-rest registry)") {
-    // the r10 lesson generalized in r11: the signature fit costs one
-    // materialized pass, and the PPJoin truth no longer recomputes at all —
-    // it reads the registry dump, pinning the sweep's corpus cost at ONE
-    // pass regardless of how many configs the grid carries
-    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm registry
-    assert(scansOf("documents", "d21_lsh_tuning") == 1)
+  test("d21: cold builds the signature registry in one scan; warmed sweeps scan ZERO") {
+    // the r10 lesson completed in r13: the PPJoin truth reads the d2
+    // registry, and now the signature fit is ALSO an at-rest artifact
+    // (ingest-path work — d3 computes the identical fit on the serving
+    // path), so a warmed calibration run touches no corpus text at all:
+    // every (b,r) grid derives from one 84-struct banding pass over the
+    // signature parquet
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm pair registry
+    graft.ops.Dedup.tuneSigReg.reset()
+    val cold = scansOf("documents", "d21_lsh_tuning")
+    val warm = scansOf("documents", "d21_lsh_tuning")
+    assert(cold == 1, s"cold d21 must fit signatures in ONE documents scan: $cold")
+    assert(warm == 0, s"warmed d21 must read signatures at rest — zero documents scans: $warm")
   }
 
   test("m28: banded candidate join is band-keyed — SMJ/SHJ equi-join, never all-pairs") {
