@@ -572,6 +572,10 @@ object SparkEntry {
     // against at-rest centroids, immutable partial censuses, one serving
     // fold — s39's streaming twin (the e9/e14 posture)
     "e28_stream_ivf" -> (EventStreams.streamIvfOnce _),
+    // m30's streaming twin: newly landed image shards are screened against
+    // the broadcast eval band index per micro-batch (decode only the
+    // shard); oracle is the one-shot batch replay — cadence invisible
+    "e29_stream_visual" -> ((s, d) => EventStreams.streamVisualScreenOnce(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL; aggregates are exact-decimal then rounded,
@@ -1012,6 +1016,7 @@ object SparkEntry {
     "e26_stream_ratelimit" -> EventStreams.rateLimitOracleSql(),
     "e27_late_audit" -> EventStreams.lateAuditOracleSql,
     "e28_stream_ivf" -> EventStreams.streamIvfOracleSql,
+    "e29_stream_visual" -> Multimodal.visualDecontamOracleSql(),
     "m2_modal_features" -> Multimodal.modalFeaturesOracleSql,
     "m3_modal_resize" -> Multimodal.modalResizeOracleSql,
     "m4_modal_frames" -> Multimodal.modalFramesOracleSql,

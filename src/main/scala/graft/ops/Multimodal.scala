@@ -1728,14 +1728,32 @@ object Multimodal {
     * donor with one pixel brightened), aHash'd row-locally, and
     * materialized — one decode pass feeds the band join AND both
     * verification legs of whichever screen consumes it. */
-  private def perceptualHashRelation(spark: SparkSession, dir: String): DataFrame = {
-    val imgs = assets(t(spark, dir, "documents"))
+  private def perceptualHashRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.materialize(hashWithPlant(
+      imageRelation(spark, dir).join(donorRelation(spark, dir), Seq("doc_id"), "left_outer")))
+
+  /** The image rows (doc_id, payload) of the corpus at `dir`. */
+  private[graft] def imageRelation(spark: SparkSession, dir: String): DataFrame =
+    assets(t(spark, dir, "documents"))
       .filter(col("modality") === "image")
       .select(col("doc_id"), col("payload"))
-    val donors = imgs.select((col("doc_id") + 3).as("doc_id"), col("payload").as("donor"))
-    implicit val hashEnc = Encoders.product[(Long, String)]
-    imgs.join(donors, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("payload"), col("donor"))
+
+  /** The m28 plant's donor side: image `id` synthesizes from `id−3`'s
+    * payload — fixture machinery (production hashes come straight off the
+    * ingested bytes), shared by the batch relation and the e29 stream. */
+  private[graft] def donorRelation(spark: SparkSession, dir: String): DataFrame =
+    imageRelation(spark, dir)
+      .select((col("doc_id") + 3).as("doc_id"), col("payload").as("donor"))
+
+  /** The m28/m30 per-row hash kernel over an explicit (doc_id, payload,
+    * donor) relation — the piece the corpus pass and the e29 streaming
+    * micro-batches share, so a batch of freshly-landed images hashes
+    * EXACTLY like the standing corpus did (donor substitution, one-pixel
+    * brightening, real codec roundtrip, aHash). */
+  private[graft] def hashWithPlant(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id"), col("payload"), col("donor"))
       .as(Encoders.product[(Long, Array[Byte], Array[Byte])])
       .mapPartitions { it =>
         it.map { case (id, payload, donor) =>
@@ -1750,12 +1768,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "phash")
-      .transform(Tables.materialize)
   }
 
   /** Exact Hamming distance between two 16-nibble hex hashes `a`/`b` as a
     * codegen'd row-local fold (the m28 verification kernel). */
-  private def hammingSql(a: String, b: String): String =
+  private[graft] def hammingSql(a: String, b: String): String =
     s"""aggregate(transform(sequence(0, 15),
        | i -> bit_count(CAST(conv(substring($a, i + 1, 1), 16, 10) AS INT) ^
        |                CAST(conv(substring($b, i + 1, 1), 16, 10) AS INT))),
@@ -1763,7 +1780,7 @@ object Multimodal {
 
   /** The 16-bit band explosion of [[perceptualHashRelation]] (4 bands per
     * image — the d4 simhash banding discipline on the 64-bit aHash). */
-  private def phashBands(hashed: DataFrame): DataFrame =
+  private[graft] def phashBands(hashed: DataFrame): DataFrame =
     hashed.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 3), b -> substring(phash, b * 4 + 1, 4))")))
       .toDF("doc_id", "band", "bv")
@@ -1838,6 +1855,24 @@ object Multimodal {
     * release gate never re-decodes the corpus. */
   private[graft] val visualDecontamReg =
     graft.core.AtRestRegistry[String]("mm.m30_visual", arity = 3)
+
+  /** The EVAL side of the visual screen as a standing index: (eval_id,
+    * band, bv, phash) for every eval-split image — benchmark-sized by the
+    * split, so it broadcasts; the e29 streaming upkeep probes it per
+    * micro-batch exactly like m30's batch pass probes its band join.
+    * Hashes come through [[hashWithPlant]], so an eval image that IS a
+    * plant (45 synthesizes from 42) carries the same hash the batch
+    * relation computed. */
+  private[graft] def evalVisualIndex(spark: SparkSession, dir: String,
+      evalMod: Int = 15): DataFrame = {
+    val evalHashes = hashWithPlant(
+      imageRelation(spark, dir).filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+        .join(donorRelation(spark, dir), Seq("doc_id"), "left_outer"))
+    Tables.materialize(
+      phashBands(evalHashes).join(evalHashes, Seq("doc_id"))
+        .select(col("doc_id").as("eval_id"), col("band"), col("bv"),
+          col("phash").as("he")))
+  }
 
   /** The at-rest m30 leakage relation (train_id, n_eval_hits, worst_eval,
     * min_hamming) for `dir`. */

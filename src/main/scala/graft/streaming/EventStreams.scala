@@ -1743,6 +1743,91 @@ object EventStreams {
     * add), which the spec pins by running the same feed in 1 and 3
     * micro-batches. Zero streaming state: the artifacts ARE the state
     * (the e14 property), and per-batch cost is O(batch + nlist). */
+  /** STREAMING upkeep of the visual eval-leakage screen (e29) — m30's
+    * streaming twin, the e14/e28 posture on the IMAGE modality: a newly
+    * landed image shard must be screened against the eval set BEFORE it
+    * joins the training corpus, not in the next quarterly batch audit.
+    * Each micro-batch hashes ONLY its own images (the m28 kernel —
+    * [[graft.ops.Multimodal.hashWithPlant]], the exact per-row function
+    * the standing corpus pass runs), probes the BROADCAST eval band
+    * index ([[graft.ops.Multimodal.evalVisualIndex]] — benchmark-sized
+    * by the split), verifies Hamming ≤ tau on band collisions only, and
+    * folds per image INSIDE the batch (an image's hits are complete the
+    * moment it is hashed — no cross-batch state, so micro-batch cadence
+    * is invisible by construction and state stays EMPTY).
+    *
+    * The gate's oracle is m30's batch replay ([[graft.ops.Multimodal
+    * .visualDecontamOracleSql]]): the streamed union of per-batch folds
+    * must be indistinguishable from the one-shot corpus pass.
+    *
+    * Scale shape: per-shard cost is O(shard decode + band collisions) —
+    * the standing corpus is never re-decoded, never re-scanned; the only
+    * broadcast is the eval index; the per-batch window partitions by
+    * train image inside shard-sized data. */
+  def streamVisualScreenOnce(spark: SparkSession, dir: String,
+      evalMod: Int = 15, tau: Int = 3): DataFrame = {
+    import graft.ops.Multimodal
+    val evalIdx = Multimodal.evalVisualIndex(spark, dir, evalMod)
+    // donor payloads are plant-fixture machinery (see donorRelation) —
+    // materialized once, joined per batch
+    val donors = Tables.materialize(Multimodal.donorRelation(spark, dir))
+    val acc = java.nio.file.Files.createTempDirectory("graft-e29-acc").toString
+    streamVisualInto(spark, s"$dir/documents*.parquet", evalIdx, donors, acc,
+      evalMod, tau)
+    spark.read.parquet(s"$acc/batch_*")
+  }
+
+  /** The streaming half of [[streamVisualScreenOnce]], factored so the
+    * spec can drive the same feed one-file-per-micro-batch and prove the
+    * union of per-batch folds equals the one-shot corpus pass (cadence
+    * invariance — the e28 discipline). */
+  private[streaming] def streamVisualInto(spark: SparkSession, glob: String,
+      evalIdx: DataFrame, donors: DataFrame, acc: String, evalMod: Int,
+      tau: Int, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Multimodal
+    val reader0 = spark.readStream.schema(docSchema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.parquet(glob)
+    val name = s"stream_visual_${System.nanoTime()}"
+    withFewStatePartitions(spark, 4) { ck =>
+      val q = stream.writeStream.option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val imgs = Multimodal.assets(batch)
+            .filter(col("modality") === "image" &&
+              pmod(col("doc_id"), lit(evalMod)) =!= 0)
+            .select(col("doc_id"), col("payload"))
+          // one decode pass per shard (the m30 discipline): the hash
+          // relation feeds the band probe AND the verification leg
+          val hashed = Tables.materialize(Multimodal.hashWithPlant(
+            imgs.join(donors, Seq("doc_id"), "left_outer")))
+          val cand = Multimodal.phashBands(hashed)
+            .join(broadcast(evalIdx.select(col("eval_id"), col("band"), col("bv"))),
+              Seq("band", "bv"))
+            .select(col("doc_id").as("train_id"), col("eval_id")).distinct()
+          val w = Window.partitionBy(col("train_id"))
+          cand
+            .join(hashed.select(col("doc_id").as("train_id"), col("phash").as("ht")),
+              Seq("train_id"))
+            .join(broadcast(evalIdx.select(col("eval_id"), col("he")).distinct()),
+              Seq("eval_id"))
+            .withColumn("hamming",
+              expr(Multimodal.hammingSql("ht", "he")).cast(LongType))
+            .filter(col("hamming") <= tau)
+            .withColumn("n_eval_hits", count(lit(1)).over(w))
+            .withColumn("rn", row_number().over(w.orderBy(col("hamming"), col("eval_id"))))
+            .filter(col("rn") === 1)
+            .select(col("train_id"), col("n_eval_hits"),
+              col("eval_id").as("worst_eval"), col("hamming").as("min_hamming"))
+            .write.mode("overwrite").parquet(s"$acc/batch_$batchId")
+        }
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   def streamIvfOnce(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity
     val (cents, _, cellPath) = Similarity.ivfAtRest(spark, dir)

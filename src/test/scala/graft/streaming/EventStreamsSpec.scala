@@ -602,6 +602,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(one.values.map(_._1).sum == emb.count())
     one.values.foreach { case (_, m) => assert(m >= -1.0 && m <= 1.0) }
   }
+  test("e29 visual upkeep: micro-batch cadence invisible; union of shard folds equals the m30 batch pass") {
+    import graft.ops.{Multimodal, Tables}
+    val docs = Tables.t(spark, dir, "documents")
+    val evalIdx = Multimodal.evalVisualIndex(spark, dir)
+    val donors = Tables.materialize(Multimodal.donorRelation(spark, dir))
+    // the same corpus as ONE file vs FOUR files (four micro-batches under
+    // maxFilesPerTrigger=1): per-image folds complete inside each batch
+    // (no cross-batch state), so the union must be cadence-independent
+    def run(nFiles: Int): Map[Long, (Long, Long, Long)] = {
+      val feed = SparkSuite.tempDir(s"graft-e29-feed$nFiles")
+      docs.repartition(nFiles).write.mode("overwrite").parquet(feed)
+      val acc = SparkSuite.tempDir(s"graft-e29-acc$nFiles")
+      EventStreams.streamVisualInto(spark, s"$feed/*.parquet", evalIdx, donors,
+        acc, evalMod = 15, tau = 3, maxFilesPerTrigger = Some(1))
+      val nBatches = new java.io.File(acc).listFiles().count(_.getName.startsWith("batch_"))
+      assert(nBatches == nFiles, s"expected $nFiles micro-batches, got $nBatches")
+      spark.read.parquet(s"$acc/batch_*").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val one = run(1)
+    val four = run(4)
+    assert(one == four, "micro-batch cadence leaked into the screen")
+    // the streamed union IS the one-shot corpus pass (what the gate's
+    // oracle replays)
+    val batch = Multimodal.visualDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(one == batch, "streamed upkeep diverged from the batch screen")
+    // the m28 plant is visible through the stream too
+    assert(one.contains(18L), s"plant missing from streamed screen: ${one.keySet}")
+  }
+
   test("drive hygiene: checkpoints are cleaned up; sentinel stages are cached per JVM") {
     // the r12 floor work routes drive checkpoints + staged fixtures at the
     // fast tmp root (tmpfs when present) — this pins the two contracts that
