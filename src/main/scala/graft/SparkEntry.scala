@@ -413,6 +413,9 @@ object SparkEntry {
     // the release-export capstone: quality → dup (at-rest pairs) →
     // decontam (c33 ledger) → sequence packing, with per-stage attrition
     "c34_release_export" -> ((s, d) => Corpus.releaseExport(s, d)),
+    // the day-2 release run: standing export at rest, delta-only screens,
+    // append-only packs (immutable shipped packs; fresh pack per shard)
+    "c36_incr_export" -> ((s, d) => Corpus.incrementalReleaseExport(s, d)),
     // c33 + m30: the multimodal ledger — visual eval near-identity is a
     // drop exactly like textual near-identity (media and text gate together)
     "c35_decontam_ledger_mm" -> ((s, d) => Corpus.decontamLedgerMm(s, d)),
@@ -882,6 +885,7 @@ object SparkEntry {
     "c18_fuzzy_decontam" -> Corpus.fuzzyDecontamOracleSql(),
     "c33_decontam_ledger" -> Corpus.decontamLedgerOracleSql(),
     "c34_release_export" -> releaseExportOracle,
+    "c36_incr_export" -> incrExportOracle,
     "c35_decontam_ledger_mm" -> Corpus.decontamLedgerMmOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
@@ -1125,8 +1129,12 @@ object SparkEntry {
     * c33 ledger (nested), the t8 packing window over the survivors, and
     * the one-row attrition attach. All counts cast to BIGINT (DuckDB sums
     * integers into HUGEINT). */
-  private val releaseExportOracle: String =
-    s"""WITH $ngramPairCtes,
+  /** The shared WITH-body of the release-pipeline oracles: the exact pair
+    * relation, the nested gopher + ledger replays, and the staged
+    * relation (every training doc with the stage that claims it) — c34
+    * packs it whole, c36 splits it standing/delta. */
+  private val releaseStagedCtes: String =
+    s"""$ngramPairCtes,
        | q AS (SELECT doc_id, keep FROM (${TextOps.gopherRulesOracleSql()}) gq),
        | led AS (SELECT doc_id, verdict FROM (${Corpus.decontamLedgerOracleSql()}) lq),
        | dd AS (SELECT DISTINCT b AS doc_id FROM jpairs WHERE a % 97 <> 0 AND b % 97 <> 0),
@@ -1144,7 +1152,10 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup,
        |    CAST(sum(CASE WHEN stage = 'decontam' THEN 1 ELSE 0 END) AS BIGINT) AS drop_decontam,
        |    CAST(sum(CASE WHEN stage = 'pack' THEN 1 ELSE 0 END) AS BIGINT) AS docs_packed
-       |   FROM staged),
+       |   FROM staged)""".stripMargin
+
+  private val releaseExportOracle: String =
+    s"""WITH $releaseStagedCtes,
        | offs AS (SELECT source, doc_id, n_tok,
        |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
@@ -1155,6 +1166,39 @@ object SparkEntry {
        |SELECT p.source, p.pack_id, p.n_docs, p.tok_sum,
        | a.docs_in, a.drop_quality, a.drop_dup, a.drop_decontam, a.docs_packed
        |FROM packs p, att a""".stripMargin
+
+  /** c36 oracle: the same staged relation split standing/delta (the
+    * attrition totals aggregate the WHOLE staged relation — staging
+    * commutes with the shard split, so combined counters ≡ c34's), the
+    * standing packs windowed as usual, the delta packs windowed within
+    * the delta and OFFSET by each source's closed-pack count (append-only
+    * packing: a shard opens a fresh pack; a source first seen in the
+    * delta starts at 0). */
+  private val incrExportOracle: String =
+    s"""WITH $releaseStagedCtes,
+       | soffs AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |   FROM staged WHERE stage = 'pack' AND doc_id % ${Dedup.DeltaMod} <> 0),
+       | sp AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+       |   FROM soffs GROUP BY 1, 2),
+       | bs AS (SELECT source, max(pack_id) + 1 AS base_packs FROM sp GROUP BY source),
+       | doffs AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |   FROM staged WHERE stage = 'pack' AND doc_id % ${Dedup.DeltaMod} = 0),
+       | dpo AS (SELECT d.source,
+       |    COALESCE(b.base_packs, 0) + (d.off // 512) AS pack_id, d.n_tok
+       |   FROM doffs d LEFT JOIN bs b USING (source)),
+       | dp AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+       |   FROM dpo GROUP BY 1, 2),
+       | allp AS (SELECT source, pack_id, n_docs, tok_sum, false AS from_delta FROM sp
+       |   UNION ALL SELECT source, pack_id, n_docs, tok_sum, true FROM dp)
+       |SELECT p.source, p.pack_id, p.n_docs, p.tok_sum, p.from_delta,
+       | a.docs_in, a.drop_quality, a.drop_dup, a.drop_decontam, a.docs_packed
+       |FROM allp p, att a""".stripMargin
 
   /** The t7 split label over an arbitrary id expression (DuckDB side of
     * `Corpus.splitOf`). */

@@ -583,8 +583,29 @@ object Corpus {
     * survivors across SFs (ScalingAudit row). */
   def releaseExport(spark: SparkSession, dir: String, evalMod: Int = 97,
       n: Int = 8, minJ: Double = 0.8, budgetTokens: Int = 512): DataFrame = {
+    val staged = releaseStaged(spark, dir, evalMod, n, minJ, lit(true))
+    packFromCounts(staged.filter(col("stage") === "pack")
+        .select(col("source"), col("doc_id"), col("n_tok")), budgetTokens)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .crossJoin(broadcast(stageAttrition(staged)))
+  }
+
+  /** The release pipeline's STAGED relation — every training doc under
+    * `extraFilter` with its (doc_id, source, n_tok) projection and the
+    * stage that claims it (`quality` / `dup` / `decontam` / `pack`).
+    * Every per-doc verdict is independent of the other docs in the
+    * filter's slice (quality is row-local, the dup rule reads the
+    * corpus-wide pair relation, the ledger joins at doc grain), so
+    * staging COMMUTES with the filter: standing ∪ delta staged ≡ the
+    * whole corpus staged — the property c36's incrementality rests on.
+    * Materialized: the attrition fold and the packer both consume it
+    * (AQE stage-matching does not fire across the aliasings, r4). */
+  private def releaseStaged(spark: SparkSession, dir: String, evalMod: Int,
+      n: Int, minJ: Double, extraFilter: Column): DataFrame = {
     val train = Tables.t(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .filter(extraFilter)
     // stage 1: quality — row-local Gopher verdicts over the t16 fixture
     val quality = TextOps.gopherRules(TextOps.withSyntheticLines(train))
       .select(col("doc_id"), col("keep").as("q_keep"))
@@ -599,10 +620,7 @@ object Corpus {
     // 'keep' (the review queue is a human stage, not a release stage)
     val ledger = decontamLedger(spark, dir, evalMod, n, minJ)
       .select(col("doc_id"), col("verdict"))
-    // both the attrition fold and the packer consume the staged relation —
-    // materialized (AQE stage-matching does not fire across the two
-    // consumers' aliasings, the r4 finding)
-    val staged = Tables.materialize(
+    Tables.materialize(
       train.select(col("doc_id"), col("source"),
           size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
         .join(quality, Seq("doc_id"))
@@ -613,16 +631,87 @@ object Corpus {
             .when(col("is_dup"), lit("dup"))
             .when(col("verdict") =!= "keep", lit("decontam"))
             .otherwise(lit("pack")).as("stage")))
-    val att = staged.agg(
+  }
+
+  /** The one-row per-stage attrition fold over a staged relation. */
+  private def stageAttrition(staged: DataFrame): DataFrame =
+    staged.agg(
       count(lit(1)).as("docs_in"),
       sum(when(col("stage") === "quality", 1L).otherwise(0L)).as("drop_quality"),
       sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("drop_dup"),
       sum(when(col("stage") === "decontam", 1L).otherwise(0L)).as("drop_decontam"),
       sum(when(col("stage") === "pack", 1L).otherwise(0L)).as("docs_packed"))
-    packFromCounts(staged.filter(col("stage") === "pack")
+
+  /** Per-JVM registry of c36's STANDING export artifact per full
+    * parameter tuple: (standing packs parquet, standing attrition
+    * parquet). Built once from the standing corpus — the release run that
+    * shipped last snapshot; every delta run after reads it. */
+  private[graft] val exportStateReg = graft.core.AtRestRegistry[(String, String)](
+    "corpus.c36_export_state", arity = 6)
+
+  /** INCREMENTAL release-export maintenance (c36) — the d7/d8/q33
+    * standing-pipeline posture applied to the c34 capstone, i.e. the run
+    * a 100 TB release pipeline does every day AFTER the first ship: a
+    * newly landed shard (doc_id % deltaMod == 0, the d7 DeltaMod
+    * convention) is screened ALONE — quality row-locally, dup against
+    * the corpus-wide at-rest pair relation, decontam via the c33 ledger
+    * — and its survivors are packed APPEND-ONLY: shipped packs are
+    * immutable, so each source's delta stream opens a fresh pack at
+    * `base = max(standing pack_id) + 1` (a source first seen in the
+    * delta starts at 0) rather than re-flowing history through the
+    * packer. Incremental staging is EXACT (staging commutes with the
+    * shard split — [[releaseStaged]]); only pack boundaries differ from
+    * a global repack, by design (the fragmentation is the price of
+    * immutability, and CorpusSpec measures it: same survivors, same
+    * token mass, pack count ≥ the global repack's).
+    *
+    * Output: the combined pack relation (standing + delta, `from_delta`
+    * flagged) with the combined attrition attached — cost is O(delta
+    * screen + delta packing + |standing packs|), independent of history
+    * document volume. */
+  def incrementalReleaseExport(spark: SparkSession, dir: String,
+      evalMod: Int = 97, n: Int = 8, minJ: Double = 0.8,
+      budgetTokens: Int = 512, deltaMod: Int = Dedup.DeltaMod): DataFrame = {
+    val (packsPath, attPath) =
+      exportStateReg.getOrBuild(dir, evalMod, n, minJ, budgetTokens, deltaMod) {
+        val pp = exportStateReg.pathFor(Similarity.OracleDumpRoot, "c36_packs",
+          dir, evalMod, n, minJ, budgetTokens, deltaMod)
+        val ap = exportStateReg.pathFor(Similarity.OracleDumpRoot, "c36_att",
+          dir, evalMod, n, minJ, budgetTokens, deltaMod)
+        val standing = releaseStaged(spark, dir, evalMod, n, minJ,
+          pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+        packFromCounts(standing.filter(col("stage") === "pack")
+            .select(col("source"), col("doc_id"), col("n_tok")), budgetTokens)
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+          .write.mode("overwrite").parquet(pp)
+        stageAttrition(standing).write.mode("overwrite").parquet(ap)
+        (pp, ap)
+      }
+    val standingPacks = spark.read.parquet(packsPath)
+    // the delta screen touches ONLY the delta shard
+    val delta = releaseStaged(spark, dir, evalMod, n, minJ,
+      pmod(col("doc_id"), lit(deltaMod)) === 0)
+    val base = standingPacks.groupBy(col("source"))
+      .agg((max(col("pack_id")) + 1).as("base_packs"))
+    val deltaPacks = packFromCounts(delta.filter(col("stage") === "pack")
         .select(col("source"), col("doc_id"), col("n_tok")), budgetTokens)
+      .join(broadcast(base), Seq("source"), "left_outer")
+      .select(col("source"),
+        (coalesce(col("base_packs"), lit(0L)) + col("pack_id")).as("pack_id"),
+        col("n_tok"))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    // combined attrition: counters are group sums, so standing ⊕ delta is
+    // exact (the q33 decomposability argument at counter grain)
+    val att = spark.read.parquet(attPath).unionByName(stageAttrition(delta))
+      .agg(sum(col("docs_in")).as("docs_in"),
+        sum(col("drop_quality")).as("drop_quality"),
+        sum(col("drop_dup")).as("drop_dup"),
+        sum(col("drop_decontam")).as("drop_decontam"),
+        sum(col("docs_packed")).as("docs_packed"))
+    standingPacks.withColumn("from_delta", lit(false))
+      .unionByName(deltaPacks.withColumn("from_delta", lit(true)))
       .crossJoin(broadcast(att))
   }
 

@@ -41,7 +41,9 @@ object ScalingAudit {
     // ledger (reads c3+c18+m30 warmed), and the release-export capstone
     // (reads pair+c3+c18 warmed — its best-of-3 must be linear in
     // survivors only)
-    "m30_visual_decontam", "c35_decontam_ledger_mm", "c34_release_export")
+    "m30_visual_decontam", "c35_decontam_ledger_mm", "c34_release_export",
+    // warmed c36 = delta-only screen + append-only packing (O(delta))
+    "c36_incr_export")
 
   /** Queries whose first rep must time the cold at-rest BUILD — mapped to
     * EXACTLY the registry that query builds (ADVICE r12: a blanket reset
@@ -54,7 +56,8 @@ object ScalingAudit {
     "c3_decontam" -> (() => graft.ops.Corpus.verbatimReg.reset()),
     "c18_fuzzy_decontam" -> (() => graft.ops.Corpus.fuzzyPairReg.reset()),
     "d21_lsh_tuning" -> (() => graft.ops.Dedup.tuneSigReg.reset()),
-    "m30_visual_decontam" -> (() => graft.ops.Multimodal.visualDecontamReg.reset()))
+    "m30_visual_decontam" -> (() => graft.ops.Multimodal.visualDecontamReg.reset()),
+    "c36_incr_export" -> (() => graft.ops.Corpus.exportStateReg.reset()))
 
   private val FlagRatio = 15.0
 

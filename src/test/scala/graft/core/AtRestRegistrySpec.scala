@@ -59,6 +59,7 @@ class AtRestRegistrySpec extends AnyFunSuite {
     val expected = Set(
       "corpus.c3_verbatim", "corpus.c18_pairs", "corpus.c13_export",
       "corpus.c14_jsonl", "corpus.c15_evolve", "corpus.c20_manifest",
+      "corpus.c36_export_state",
       "dedup.d7_hashidx", "dedup.dup_pairs", "dedup.d8_lshidx", "dedup.d20_clusters",
       "dedup.d21_sigs",
       "sim.s5_sq8codes", "sim.dim_means", "sim.s25_pcafit", "sim.s21_knngraph",

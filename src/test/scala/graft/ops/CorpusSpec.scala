@@ -831,4 +831,28 @@ class CorpusSpec extends AnyFunSuite {
     // pack-grain docs sum back to the survivor count
     assert(rows.map(_.getLong(2)).sum == packed)
   }
+
+  test("c36: incremental export conserves survivors/tokens vs the global repack; packs append-only") {
+    val full = Corpus.releaseExport(spark, dir).collect()
+    val incr = Corpus.incrementalReleaseExport(spark, dir).collect()
+    // staging commutes with the shard split: identical attrition counters
+    assert(full.head.getLong(4) == incr.head.getLong(5), "docs_in diverged")
+    assert(full.head.getLong(8) == incr.head.getLong(9), "docs_packed diverged")
+    // token conservation: the survivors' mass is split-invariant
+    assert(full.map(_.getLong(3)).sum == incr.map(_.getLong(3)).sum, "token mass diverged")
+    // immutability price: append-only packing never uses FEWER packs than
+    // the global repack (fragmentation is bounded below by optimality)
+    assert(incr.length >= full.length, s"incr=${incr.length} full=${full.length}")
+    // append-only: every delta pack id sits at/after its source's standing
+    // pack range
+    val standingMax = incr.filter(!_.getBoolean(4))
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).max }
+    incr.filter(_.getBoolean(4)).foreach { r =>
+      standingMax.get(r.getString(0)).foreach { mx =>
+        assert(r.getLong(1) > mx, s"delta pack ${r.getLong(1)} inside standing range (max $mx)")
+      }
+    }
+    // both shards actually contribute packs at the gate SF
+    assert(incr.exists(_.getBoolean(4)) && incr.exists(!_.getBoolean(4)))
+  }
 }

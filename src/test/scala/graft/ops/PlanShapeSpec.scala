@@ -594,7 +594,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders == Seq("a21_percentiles", "a38_zprofile",
       "c11_importance", "c12_length_hist",
       "c17_epoch_shuffle", "c19_nutrition_label",
-      "c34_release_export", "d18_simhash_eval",
+      "c34_release_export", "c36_incr_export", "d18_simhash_eval",
       "d21_lsh_tuning",
       "q31_gapfill", "q32_skew_report", "q34_funnel", "q49_bitemporal",
       "s13_rp_topk", "s17_matryoshka", "s1_cosine_topk", "s22_ivf_balance",
