@@ -554,6 +554,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 3, s"warmed c34 must scan documents exactly 3x: $n")
   }
 
+  test("c36: warmed, the day-2 export screens the DELTA only — history never re-staged") {
+    // warm every at-rest input (pair registry, c3, c18) AND the standing
+    // export artifact itself, then pin: the delta run's three permitted
+    // documents scans (delta staged base, delta gopher pass, c18's
+    // per-doc zero-fill in the ledger) — a standing re-stage would show
+    // as 6 (the cold build's census: 3 standing + 3 delta)
+    graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect()
+    graft.SparkEntry.queries("c3_decontam")(spark, dir).collect()
+    graft.SparkEntry.queries("c18_fuzzy_decontam")(spark, dir).collect()
+    graft.ops.Corpus.exportStateReg.reset()
+    val cold = scansOf("documents", "c36_incr_export")
+    val warm = scansOf("documents", "c36_incr_export")
+    assert(cold == 6, s"cold c36 must stage standing+delta (3+3 scans): $cold")
+    assert(warm == 3, s"warmed c36 must screen the delta only (3 scans): $warm")
+  }
+
   test("c35: warmed, the multimodal ledger reads all three signals at rest — one scan, zero decodes") {
     graft.SparkEntry.queries("c3_decontam")(spark, dir).collect()
     graft.SparkEntry.queries("c18_fuzzy_decontam")(spark, dir).collect()
