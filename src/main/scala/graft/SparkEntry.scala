@@ -416,6 +416,9 @@ object SparkEntry {
     // the day-2 release run: standing export at rest, delta-only screens,
     // append-only packs (immutable shipped packs; fresh pack per shard)
     "c36_incr_export" -> ((s, d) => Corpus.incrementalReleaseExport(s, d)),
+    // a46's archival-integrity posture on the shipped release artifact:
+    // manifest at export, injected drift, audit from real digests
+    "c37_release_fixity" -> ((s, d) => Corpus.releaseFixity(s, d)),
     // c33 + m30: the multimodal ledger — visual eval near-identity is a
     // drop exactly like textual near-identity (media and text gate together)
     "c35_decontam_ledger_mm" -> ((s, d) => Corpus.decontamLedgerMm(s, d)),
@@ -886,6 +889,7 @@ object SparkEntry {
     "c33_decontam_ledger" -> Corpus.decontamLedgerOracleSql(),
     "c34_release_export" -> releaseExportOracle,
     "c36_incr_export" -> incrExportOracle,
+    "c37_release_fixity" -> releaseFixityOracle,
     "c35_decontam_ledger_mm" -> Corpus.decontamLedgerMmOracleSql(),
     "c19_nutrition_label" -> Corpus.nutritionLabelOracleSql,
     "c20_manifest_skip" -> Corpus.manifestSkipOracleSql,
@@ -1174,6 +1178,22 @@ object SparkEntry {
     * the delta and OFFSET by each source's closed-pack count (append-only
     * packing: a shard opens a fresh pack; a source first seen in the
     * delta starts at 0). */
+  /** c37 oracle: pack manifest replayed from base tables; the drift
+    * verdict is the closed-form injection rule (pack_id % 3 == 1 — the
+    * a46 convention: the ENGINE must rediscover exactly this set from
+    * real digest comparison over the shipped artifact). */
+  private val releaseFixityOracle: String =
+    s"""WITH $releaseStagedCtes,
+       | offs AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |   FROM staged WHERE stage = 'pack'),
+       | asg AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_tok FROM offs),
+       | packs AS (SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS tok_sum FROM asg GROUP BY 1, 2)
+       |SELECT source, pack_id, n_docs, tok_sum, (pack_id % 3 = 1) AS drifted
+       |FROM packs""".stripMargin
+
   private val incrExportOracle: String =
     s"""WITH $releaseStagedCtes,
        | soffs AS (SELECT source, doc_id, n_tok,

@@ -715,6 +715,70 @@ object Corpus {
       .crossJoin(broadcast(att))
   }
 
+  /** Per-JVM registry of c37's release fixture per full parameter tuple:
+    * (shipped pack-assignment parquet — WITH the injected drift —,
+    * manifest parquet). */
+  private[graft] val releaseFixityReg = graft.core.AtRestRegistry[(String, String)](
+    "corpus.c37_release_fixity", arity = 5)
+
+  /** RELEASE-ARTIFACT fixity audit (c37) — the a46 archival-integrity
+    * posture applied to what the release pipeline actually ships: at
+    * export time the pipeline records a MANIFEST (per pack: doc count,
+    * token mass, and a content digest — md5 over the pack's doc_id list
+    * in doc order, the c17 order-digest rule both engines replay); the
+    * audit re-reads the SHIPPED artifact, recomputes every pack's digest
+    * from real bytes, and reports per pack whether it still matches.
+    * Drift is PROVEN by injection (the a46 discipline): after the
+    * manifest is written, every pack with `pack_id % 3 == 1` ships with
+    * its smallest doc_id perturbed (+100000000) — a pure function of the
+    * pack grid the oracle replays closed-form, so the audit must flag
+    * exactly the corrupted packs and clear the rest from REAL digest
+    * comparison.
+    *
+    * Scale shape: the audit is one shipped-artifact scan folded at pack
+    * grain plus an equi-join against the (pack-grain, tiny) manifest —
+    * at 100 TB both sides are pack-grain, the same I/O a re-serve would
+    * pay; production runs it source-by-source on a cadence. */
+  def releaseFixity(spark: SparkSession, dir: String, evalMod: Int = 97,
+      n: Int = 8, minJ: Double = 0.8, budgetTokens: Int = 512): DataFrame = {
+    val digest = md5(concat_ws(",",
+      transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))))
+    val (shippedPath, manifestPath) =
+      releaseFixityReg.getOrBuild(dir, evalMod, n, minJ, budgetTokens) {
+        val sp = releaseFixityReg.pathFor(Similarity.OracleDumpRoot, "c37_shipped",
+          dir, evalMod, n, minJ, budgetTokens)
+        val mp = releaseFixityReg.pathFor(Similarity.OracleDumpRoot, "c37_manifest",
+          dir, evalMod, n, minJ, budgetTokens)
+        val assigns = Tables.materialize(
+          packFromCounts(releaseStaged(spark, dir, evalMod, n, minJ, lit(true))
+              .filter(col("stage") === "pack")
+              .select(col("source"), col("doc_id"), col("n_tok")), budgetTokens)
+            .select(col("source"), col("pack_id"), col("doc_id"), col("n_tok")))
+        assigns.groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+            digest.as("digest"))
+          .coalesce(1).write.mode("overwrite").parquet(mp)
+        // the injected bit-rot, applied AFTER the manifest (a46): the
+        // smallest doc of every pack_id % 3 == 1 pack ships perturbed
+        val w = Window.partitionBy(col("source"), col("pack_id")).orderBy(col("doc_id"))
+        assigns
+          .withColumn("rn", row_number().over(w))
+          .withColumn("doc_id",
+            when(col("rn") === 1 && col("pack_id") % 3 === 1,
+              col("doc_id") + 100000000L).otherwise(col("doc_id")))
+          .drop("rn")
+          .write.mode("overwrite").parquet(sp)
+        (sp, mp)
+      }
+    val recomputed = spark.read.parquet(shippedPath)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(digest.as("now"))
+    spark.read.parquet(manifestPath)
+      .join(recomputed, Seq("source", "pack_id"))
+      .select(col("source"), col("pack_id"), col("n_docs"), col("tok_sum"),
+        (col("now") =!= col("digest")).as("drifted"))
+  }
+
   /** MULTIMODAL decontamination ledger (c35) — c33 extended with the
     * visual signal (the r12 directive: media and text gate TOGETHER — a
     * doc whose image payload is a near-copy of an eval image must not

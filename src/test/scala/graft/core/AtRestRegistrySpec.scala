@@ -23,6 +23,26 @@ class AtRestRegistrySpec extends AnyFunSuite {
     assert(r.lookup("a", 7).contains("built"))
   }
 
+  test("concurrent first touchers serialize to exactly ONE build per key") {
+    // the contract every at-rest artifact rests on: two queries racing a
+    // cold registry must not both run the build (a doubled dump write
+    // under mode=overwrite could hand one of them a half-written parquet)
+    val r = AtRestRegistry[Int]("spec.concurrency_probe", arity = 1)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 32).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = r.getOrBuild("k") {
+            builds.incrementAndGet(); Thread.sleep(50); 7
+          }
+        })
+      }
+      assert(futs.map(_.get()).toSet == Set(7))
+      assert(builds.get() == 1, s"build ran ${builds.get()} times")
+    } finally pool.shutdown()
+  }
+
   test("key parts must not contain the separator") {
     val r = AtRestRegistry[String]("spec.sep_probe", arity = 1)
     intercept[IllegalArgumentException] { r.getOrBuild("a|b") { "v" } }
@@ -59,7 +79,7 @@ class AtRestRegistrySpec extends AnyFunSuite {
     val expected = Set(
       "corpus.c3_verbatim", "corpus.c18_pairs", "corpus.c13_export",
       "corpus.c14_jsonl", "corpus.c15_evolve", "corpus.c20_manifest",
-      "corpus.c36_export_state",
+      "corpus.c36_export_state", "corpus.c37_release_fixity",
       "dedup.d7_hashidx", "dedup.dup_pairs", "dedup.d8_lshidx", "dedup.d20_clusters",
       "dedup.d21_sigs",
       "sim.s5_sq8codes", "sim.dim_means", "sim.s25_pcafit", "sim.s21_knngraph",
