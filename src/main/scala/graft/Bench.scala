@@ -191,32 +191,43 @@ object Bench {
     // human (or a judge) to look at the code.
     case class Adj(remeasure: Double, floorRatio: Double, verdict: String)
     val adjudications: Map[String, Adj] = if (allSuspects.isEmpty) Map.empty else {
+      // every re-invocation is failure-isolated (the v_* samplers carry
+      // require()s and temp-dir creation): one throw here must never
+      // discard the whole sweep's output — the run's entire point
       val samplers: Map[String, () => Double] =
         names.map(n => n -> (() => force(n))).toMap ++ remeasureSamplers
+      def safe(s: () => Double): Double =
+        try s() catch { case e: Throwable =>
+          System.err.println(s"[bench] remeasure sample failed: $e"); -1.0 }
       def bo3(n: String): Double = samplers.get(n) match {
         case None => -1.0
         case Some(s) =>
-          val vs = (1 to 3).map(_ => s()).filter(_ >= 0)
+          val vs = (1 to 3).map(_ => safe(s)).filter(_ >= 0)
           if (vs.isEmpty) -1.0 else vs.min
       }
-      val order = allSuspects.map(_._1)
-      val floorPre = floorProbe()
-      val fwd = order.map(n => n -> bo3(n))
-      val floorMid = floorProbe()
-      val rev = order.reverse.map(n => n -> bo3(n))
-      val floorPost = floorProbe()
-      val floorNow = Seq(floorPre, floorMid, floorPost).min
-      val fr = floorNow / math.max(floorBase, 1e-9)
-      val best = (fwd ++ rev).groupBy(_._1).map { case (n, xs) =>
-        val vs = xs.map(_._2).filter(_ >= 0)
-        n -> (if (vs.isEmpty) -1.0 else vs.min)
+      try {
+        val order = allSuspects.map(_._1)
+        val floorPre = safe(() => floorProbe())
+        val fwd = order.map(n => n -> bo3(n))
+        val floorMid = safe(() => floorProbe())
+        val rev = order.reverse.map(n => n -> bo3(n))
+        val floorPost = safe(() => floorProbe())
+        val floors = Seq(floorPre, floorMid, floorPost).filter(_ >= 0)
+        val fr = if (floors.isEmpty || floorBase <= 0) -1.0
+          else floors.min / floorBase
+        val best = (fwd ++ rev).groupBy(_._1).map { case (n, xs) =>
+          val vs = xs.map(_._2).filter(_ >= 0)
+          n -> (if (vs.isEmpty) -1.0 else vs.min)
+        }
+        allSuspects.map { case (n, _, band) =>
+          val rm = best.getOrElse(n, -1.0)
+          val verdict =
+            if (rm >= 0 && !over(rm, band)) "environmental" else "persistent"
+          n -> Adj(rm, fr, verdict)
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] self-adjudication failed: $e"); Map.empty
       }
-      allSuspects.map { case (n, _, band) =>
-        val rm = best.getOrElse(n, -1.0)
-        val verdict =
-          if (rm >= 0 && !over(rm, band)) "environmental" else "persistent"
-        n -> Adj(rm, fr, verdict)
-      }.toMap
     }
     val results = results0 ++ arrayBench
     // regenerate the band file for the NEXT round's comparisons (run on an

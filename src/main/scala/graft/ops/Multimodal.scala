@@ -1824,18 +1824,31 @@ object Multimodal {
       tau: Int = 3): DataFrame = {
     val hashed = perceptualHashRelation(spark, dir)
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
-    val bands = phashBands(hashed)
-    val cand = bands.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    val evalHashed = hashed.filter(isEval)
+    val evalIdx = phashBands(evalHashed).join(evalHashed, Seq("doc_id"))
+      .select(col("doc_id").as("eval_id"), col("band"), col("bv"),
+        col("phash").as("he"))
+    foldVisualHits(hashed.filter(!isEval), evalIdx, tau)
+  }
+
+  /** The visual screen's candidate-probe → verify → per-image fold, over
+    * an explicit train-side hash relation and eval band index — ONE
+    * implementation shared by the m30 corpus pass and e29's per-shard
+    * micro-batches (r13 review: a drifted copy of the fold would silently
+    * break the stream-equals-batch contract the e29 gate rests on). */
+  private[graft] def foldVisualHits(trainHashed: DataFrame, evalIdx: DataFrame,
+      tau: Int): DataFrame = {
+    val cand = phashBands(trainHashed)
       .select(col("doc_id").as("train_id"), col("band"), col("bv"))
-      .join(broadcast(bands.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
-        .select(col("doc_id").as("eval_id"), col("band"), col("bv"))),
+      .join(broadcast(evalIdx.select(col("eval_id"), col("band"), col("bv"))),
         Seq("band", "bv"))
       .select(col("train_id"), col("eval_id")).distinct()
     val w = Window.partitionBy(col("train_id"))
     cand
-      .join(hashed.select(col("doc_id").as("train_id"), col("phash").as("ht")), Seq("train_id"))
-      .join(broadcast(hashed.filter(isEval)
-        .select(col("doc_id").as("eval_id"), col("phash").as("he"))), Seq("eval_id"))
+      .join(trainHashed.select(col("doc_id").as("train_id"), col("phash").as("ht")),
+        Seq("train_id"))
+      .join(broadcast(evalIdx.select(col("eval_id"), col("he")).distinct()),
+        Seq("eval_id"))
       .withColumn("hamming", expr(hammingSql("ht", "he")).cast(LongType))
       .filter(col("hamming") <= tau)
       .withColumn("n_eval_hits", count(lit(1)).over(w))

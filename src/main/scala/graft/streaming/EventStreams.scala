@@ -1784,7 +1784,6 @@ object EventStreams {
   private[streaming] def streamVisualInto(spark: SparkSession, glob: String,
       evalIdx: DataFrame, donors: DataFrame, acc: String, evalMod: Int,
       tau: Int, maxFilesPerTrigger: Option[Int] = None): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import graft.ops.Multimodal
     val reader0 = spark.readStream.schema(docSchema)
     val reader = maxFilesPerTrigger.fold(reader0)(n =>
@@ -1800,27 +1799,12 @@ object EventStreams {
               pmod(col("doc_id"), lit(evalMod)) =!= 0)
             .select(col("doc_id"), col("payload"))
           // one decode pass per shard (the m30 discipline): the hash
-          // relation feeds the band probe AND the verification leg
+          // relation feeds the band probe AND the verification leg —
+          // then the SHARED fold (foldVisualHits), so the per-shard
+          // screen is line-for-line the corpus pass
           val hashed = Tables.materialize(Multimodal.hashWithPlant(
             imgs.join(donors, Seq("doc_id"), "left_outer")))
-          val cand = Multimodal.phashBands(hashed)
-            .join(broadcast(evalIdx.select(col("eval_id"), col("band"), col("bv"))),
-              Seq("band", "bv"))
-            .select(col("doc_id").as("train_id"), col("eval_id")).distinct()
-          val w = Window.partitionBy(col("train_id"))
-          cand
-            .join(hashed.select(col("doc_id").as("train_id"), col("phash").as("ht")),
-              Seq("train_id"))
-            .join(broadcast(evalIdx.select(col("eval_id"), col("he")).distinct()),
-              Seq("eval_id"))
-            .withColumn("hamming",
-              expr(Multimodal.hammingSql("ht", "he")).cast(LongType))
-            .filter(col("hamming") <= tau)
-            .withColumn("n_eval_hits", count(lit(1)).over(w))
-            .withColumn("rn", row_number().over(w.orderBy(col("hamming"), col("eval_id"))))
-            .filter(col("rn") === 1)
-            .select(col("train_id"), col("n_eval_hits"),
-              col("eval_id").as("worst_eval"), col("hamming").as("min_hamming"))
+          Multimodal.foldVisualHits(hashed, evalIdx, tau)
             .write.mode("overwrite").parquet(s"$acc/batch_$batchId")
         }
         .queryName(name).start()

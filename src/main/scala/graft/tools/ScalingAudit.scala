@@ -27,20 +27,20 @@ import org.apache.spark.sql.SparkSession
   * honest per-query number (the Bench convention). */
 object ScalingAudit {
   private val Queries = Seq(
-    // top bands (bench_bands.json, r11 idle sweep) …
+    // registry BUILDERS first (r13 review: a builder-consuming query
+    // sequenced before its builder would fold the builder's cold cost
+    // into its own rep 1 — d21 used to run before d2 and its adjudicated
+    // "cold signature build" silently included the cold PPJoin)
+    "d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
+    "c3_decontam", "c18_fuzzy_decontam",
+    // top bands (bench_bands.json idle sweeps) — consumers run warmed
     "s24_covariance", "d21_lsh_tuning", "s28_kmeans_parallel",
     "q40_mad_outliers", "q28_salted_join", "e6_stream_ivjoin",
     "e25_stream_fulljoin", "e7_stream_leftjoin", "d13_containment",
     "d20_incr_clusters", "d17_bbit_minhash", "e27_late_audit",
     "a12_convert_pipeline", "s11_ann_recall", "e2_stream_dedup",
-    // … plus the registry builds the verdict called out as never measured
-    "d2_dedup_ngram", "s21_knn_graph", "s39_ivf_delta",
-    // … and the r12 decontamination registries (c33 reads both warmed)
-    "c3_decontam", "c18_fuzzy_decontam", "c33_decontam_ledger",
-    // … and the r13 additions: the m30 visual registry, the multimodal
-    // ledger (reads c3+c18+m30 warmed), and the release-export capstone
-    // (reads pair+c3+c18 warmed — its best-of-3 must be linear in
-    // survivors only)
+    // the decontamination/release consumers (read the builders warmed)
+    "c33_decontam_ledger",
     "m30_visual_decontam", "c35_decontam_ledger_mm", "c34_release_export",
     // warmed c36 = delta-only screen + append-only packing (O(delta))
     "c36_incr_export")
