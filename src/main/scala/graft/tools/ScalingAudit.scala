@@ -79,10 +79,17 @@ object ScalingAudit {
       spark.catalog.clearCache()
       dt
     }
+    // per-SF clean slate over the ARTIFACT registries the audited queries
+    // build (each keys on the input dir, so this only makes run order
+    // independent of earlier touches in one JVM; the per-query
+    // RegistryBuilds resets are what time the cold builds). Deliberately
+    // NOT AtRestRegistry.resetAll(): clearing the staged-fixture registry
+    // would orphan its tmpfs dirs from the shutdown hook's delete.
     def resetRegistries(): Unit = {
       graft.ops.Dedup.resetPairRegistryForTests()
       graft.ops.Similarity.resetAtRestRegistriesForTests()
       graft.ops.Corpus.resetAtRestRegistriesForTests()
+      RegistryBuilds.values.foreach(reset => reset())
     }
 
     // warmup: session machinery + codegen paths (Bench convention)
