@@ -217,7 +217,9 @@ object SparkEntry {
     "d12_line_dedup" -> ((s, d) => Dedup.lineDedup(Tables.t(s, d, "documents"))),
     // asymmetric containment: rarity-prefix probes the full inverted
     // shingle relation — catches quotes symmetric Jaccard is blind to
-    "d13_containment" -> ((s, d) => Dedup.containmentPairs(Tables.t(s, d, "documents"), 0.9)),
+    // the ranked-set relation lives at rest (r13): warmed runs pay only
+    // the prefix probe + verification, never the ranking pipeline
+    "d13_containment" -> ((s, d) => Dedup.containmentPairsAtRest(s, d, 0.9)),
     // Bloom-prefiltered incremental dedup: broadcast sketch prunes the
     // delta locally; exact confirm semi-join moves only candidates
     "d14_bloom_dedup" -> ((s, d) => Dedup.bloomDedup(s, d)),

@@ -186,17 +186,50 @@ object Dedup {
     * fan-out of the prefix×full join stays small by construction —
     * stopword-class shingles never appear as probe keys. Verification is
     * one row-local exact intersection per candidate at doc grain. */
-  def containmentPairs(docs: DataFrame, minC: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, minC: Double): DataFrame =
+    containmentFrom(materialize(rankedShingleSets(docs)), minC)
+
+  /** Per-JVM registry of d13's rarity-ranked shingle-set relation per dir
+    * (doc_id, shs ordered rarest-first, sz — over the quote-augmented
+    * corpus). At 100 TB the ranked inverted-set relation is maintained by
+    * the ingest path beside the d8 LSH index (rarity ranks drift slowly;
+    * production refreshes them on a cadence) — before r13 every
+    * containment run re-paid the shingle pipeline + the document-frequency
+    * window, the heaviest part of the op. */
+  private[graft] val containSetReg =
+    graft.core.AtRestRegistry[String]("dedup.d13_ranked_sets", arity = 1)
+
+  /** [[containmentPairs]] with the ranked-set relation AT REST: the first
+    * toucher per dir builds it (the gate still exercises the ranking
+    * pipeline), later runs pay only the prefix probe + verification. */
+  def containmentPairsAtRest(spark: SparkSession, dir: String,
+      minC: Double = 0.9): DataFrame = {
+    val path = containSetReg.getOrBuild(dir) {
+      val p = containSetReg.pathFor(Similarity.OracleDumpRoot, "d13_ranked_sets", dir)
+      rankedShingleSets(t(spark, dir, "documents")).write.mode("overwrite").parquet(p)
+      p
+    }
+    containmentFrom(spark.read.parquet(path), minC)
+  }
+
+  /** The rarity-ranked shingle-set relation over the quote-augmented
+    * corpus — rarest shingles first, so the prefix filter probes the most
+    * selective tokens. */
+  private def rankedShingleSets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(withQuotes(docs)).filter(col("doc_id").isNotNull)
-    val tExact = lit(new java.math.BigDecimal(minC.toString))
-    val docSh = materialize(sh
+    shingles(withQuotes(docs)).filter(col("doc_id").isNotNull)
       .withColumn("dfreq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("dfreq"), col("shingle")))).as("ranked"))
       .select(col("doc_id"),
         expr("transform(ranked, r -> r.shingle)").as("shs"),
-        size(col("ranked")).cast("long").as("sz")))
+        size(col("ranked")).cast("long").as("sz"))
+  }
+
+  /** The prefix-filtered candidate join + exact containment verification
+    * over a ranked-set relation (asymmetric PPJoin on overlap/min-size). */
+  private def containmentFrom(docSh: DataFrame, minC: Double): DataFrame = {
+    val tExact = lit(new java.math.BigDecimal(minC.toString))
     val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
     val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
     val full = docSh.select(col("doc_id").as("doc_b"), explode(col("shs")).as("shingle"))
@@ -1007,18 +1040,14 @@ object Dedup {
     * is pairs·96 rows, a vanishing fraction of the corpus. */
   def bbitEstimates(spark: SparkSession, dir: String, minJ: Double = 0.8,
       b: Int = 2): DataFrame = {
-    val docs = Tables.t(spark, dir, "documents")
-    // ONE shingle pipeline feeds both consumers: the fused signature
-    // relation dumps the artifact AND generates/verifies the pairs
-    val sigSets = Tables.materialize(signaturesWithSets(shingles(docs)))
-    val sigCols = (0 until NumHashes).map("m" + _).mkString(",")
-    val longSigs = sigSets.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array($sigCols), CAST(i + 1 AS INT)) AS m))")).as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
-    val dump = s"${Similarity.OracleDumpRoot}/d17_sigs_${Similarity.dirToken(dir)}"
-    longSigs.write.mode("overwrite").parquet(dump)
-    BbitSigDump = dump
-    val sigs = spark.read.parquet(dump)
+    // the shared at-rest signature artifact feeds pair generation, exact
+    // verification AND the b-bit comparison — zero shingle pipelines per
+    // warmed run, and the long form IS the oracle's replay input (before
+    // r13 this op re-built the pipeline and dumped a duplicate artifact)
+    val (fullPath, longPath) = signaturesAtRest(spark, dir)
+    BbitSigDump = longPath
+    val sigSets = spark.read.parquet(fullPath)
+    val sigs = spark.read.parquet(longPath)
     val mask = (1L << b) - 1
     val denomB = NumHashes * ((1 << b) - 1)
     minhashPairsFrom(sigSets, minJ).select(col("a"), col("b"), col("jac"))
@@ -1072,17 +1101,36 @@ object Dedup {
     * signatures — per-dir (the d17/s25 `dirToken` convention). */
   @volatile private[graft] var TuneSigDump: String = ""
 
-  /** Per-JVM registry of the at-rest 96-minhash SIGNATURE relation per
-    * dir — wide form (doc_id, m0..m95) for the banding pass, long form
-    * (doc_id, i, m) for the oracle replay. Signatures are INGEST work at
-    * 100 TB (d3 computes the identical fit on the serving path; the
-    * signature table is maintained next to the corpus like the s5 codes)
-    * — before this registry d21 re-paid the full shingle pipeline + fit
-    * on every calibration run, which made a run-rarely job the costliest
-    * non-streaming band (r12 #4). First toucher in the JVM still executes
-    * the real pipeline and dumps both forms. */
-  private[graft] val tuneSigReg =
-    graft.core.AtRestRegistry[(String, String)]("dedup.d21_sigs", arity = 1)
+  /** Per-JVM registry of THE at-rest corpus MinHash artifact per dir —
+    * full form (doc_id, m0..m95, sz, shs: signatures fused with the
+    * shingle sets, [[signaturesWithSets]]'s output) plus the long form
+    * (doc_id, i, m) the d17/d21 oracles replay. Signatures and sets are
+    * INGEST work at 100 TB (d3 computes the identical fit on the serving
+    * path; the table is maintained next to the corpus like the s5 codes)
+    * — before this registry d21 AND d17 each re-paid the full shingle
+    * pipeline + fit per run and dumped duplicate long-form artifacts.
+    * First toucher in the JVM still executes the real pipeline and dumps
+    * both forms; consumers prune columns at the parquet scan (d21 reads
+    * only the m-columns, d17 reads m-columns + sets). */
+  private[graft] val sigReg =
+    graft.core.AtRestRegistry[(String, String)]("dedup.minhash_sigs", arity = 1)
+
+  /** The at-rest signature artifact for `dir`: (full-form path, long-form
+    * path). */
+  private[graft] def signaturesAtRest(spark: SparkSession, dir: String): (String, String) =
+    sigReg.getOrBuild(dir) {
+      val fp = sigReg.pathFor(Similarity.OracleDumpRoot, "minhash_sigs", dir)
+      val lp = sigReg.pathFor(Similarity.OracleDumpRoot, "minhash_sigs_long", dir)
+      val sigCols = (0 until NumHashes).map("m" + _)
+      signaturesWithSets(shingles(t(spark, dir, "documents")))
+        .select((col("doc_id") +: sigCols.map(col)) ++ Seq(col("sz"), col("shs")): _*)
+        .write.mode("overwrite").parquet(fp)
+      spark.read.parquet(fp).select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array(${sigCols.mkString(",")}), CAST(i + 1 AS INT)) AS m))")).as("s"))
+        .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
+        .write.mode("overwrite").parquet(lp)
+      (fp, lp)
+    }
 
   /** Theoretical MinHash-LSH collision probability 1 − (1 − jʳ)ᵇ at the
     * design similarity, rounded once — computed HERE so the Spark column
@@ -1114,24 +1162,12 @@ object Dedup {
   def lshTuningSweep(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
     import spark.implicits._
     val sigCols = (0 until NumHashes).map("m" + _)
-    // the signature relation at rest (ingest-path work — see [[tuneSigReg]]):
-    // the first toucher runs the real shingle pipeline + fit and dumps
-    // wide (banding input) + long (oracle replay) forms; every later
-    // calibration run reads the wide parquet
-    val (widePath, longPath) = tuneSigReg.getOrBuild(dir) {
-      val wp = tuneSigReg.pathFor(Similarity.OracleDumpRoot, "d21_sigs_wide", dir)
-      val lp = tuneSigReg.pathFor(Similarity.OracleDumpRoot, "d21_sigs", dir)
-      signaturesWithSets(shingles(t(spark, dir, "documents")))
-        .select((col("doc_id") +: sigCols.map(col)): _*)
-        .write.mode("overwrite").parquet(wp)
-      spark.read.parquet(wp).select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> struct(CAST(i AS BIGINT) AS i, element_at(array(${sigCols.mkString(",")}), CAST(i + 1 AS INT)) AS m))")).as("s"))
-        .select(col("doc_id"), col("s.i").as("i"), col("s.m").as("m"))
-        .write.mode("overwrite").parquet(lp)
-      (wp, lp)
-    }
+    // the signature relation at rest (ingest-path work — see [[sigReg]]);
+    // the calibration sweep reads ONLY the m-columns (parquet pruning)
+    val (fullPath, longPath) = signaturesAtRest(spark, dir)
     TuneSigDump = longPath
-    val sigs = spark.read.parquet(widePath)
+    val sigs = spark.read.parquet(fullPath)
+      .select((col("doc_id") +: sigCols.map(col)): _*)
     // exact ground truth from the at-rest registry ([[nearDupPairsAtRest]]
     // — first toucher in the JVM pays the PPJoin once, every consumer
     // after reads parquet; r10's top-tail directive): a plain parquet scan

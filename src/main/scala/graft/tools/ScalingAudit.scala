@@ -55,7 +55,8 @@ object ScalingAudit {
     "s39_ivf_delta" -> (() => graft.ops.Similarity.s39FitReg.reset()),
     "c3_decontam" -> (() => graft.ops.Corpus.verbatimReg.reset()),
     "c18_fuzzy_decontam" -> (() => graft.ops.Corpus.fuzzyPairReg.reset()),
-    "d21_lsh_tuning" -> (() => graft.ops.Dedup.tuneSigReg.reset()),
+    "d21_lsh_tuning" -> (() => graft.ops.Dedup.sigReg.reset()),
+    "d13_containment" -> (() => graft.ops.Dedup.containSetReg.reset()),
     "m30_visual_decontam" -> (() => graft.ops.Multimodal.visualDecontamReg.reset()),
     "c36_incr_export" -> (() => graft.ops.Corpus.exportStateReg.reset()))
 

@@ -81,7 +81,7 @@ class AtRestRegistrySpec extends AnyFunSuite {
       "corpus.c14_jsonl", "corpus.c15_evolve", "corpus.c20_manifest",
       "corpus.c36_export_state", "corpus.c37_release_fixity",
       "dedup.d7_hashidx", "dedup.dup_pairs", "dedup.d8_lshidx", "dedup.d20_clusters",
-      "dedup.d21_sigs",
+      "dedup.minhash_sigs", "dedup.d13_ranked_sets",
       "sim.s5_sq8codes", "sim.dim_means", "sim.s25_pcafit", "sim.s21_knngraph",
       "sim.s38_rqfit", "sim.s39_ivf",
       "rel.q30_bucketed", "rel.q33_mv", "rel.q36_dpp_fact",

@@ -175,7 +175,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // every (b,r) grid derives from one 84-struct banding pass over the
     // signature parquet
     graft.SparkEntry.queries("d2_dedup_ngram")(spark, dir).collect() // warm pair registry
-    graft.ops.Dedup.tuneSigReg.reset()
+    graft.ops.Dedup.sigReg.reset()
     val cold = scansOf("documents", "d21_lsh_tuning")
     val warm = scansOf("documents", "d21_lsh_tuning")
     assert(cold == 1, s"cold d21 must fit signatures in ONE documents scan: $cold")
