@@ -190,7 +190,9 @@ object SparkEntry {
     // production shape, where the dedup pass maintains this relation and
     // no report re-derives it from text (r10 directive 3)
     "d2_dedup_ngram" -> ((s, d) => Dedup.nearDupPairsAtRest(s, d, 0.8)),
-    "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(Tables.t(s, d, "documents"), 0.8)),
+    // pairs served from the at-rest corpus MinHash artifact (r13 opt):
+    // warmed runs are bands + candidate join + exact verify over parquet
+    "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairsAtRest(s, d, 0.8)),
     "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
     "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8,
       pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -701,21 +701,33 @@ object Relational {
   def q40_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("x"))
-    val med = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
-    // materialized: BOTH the MAD fit and the outlier pass consume it, and
-    // under AQE the unshared lineage re-ran the corpus scan + median
-    // attach per consumer (the d2/r4 lesson) — one pass, two readers
-    val withAd = materialize(li.join(broadcast(med), Seq("l_returnflag"))
-      .withColumn("ad", abs(col("x") - col("med"))))
-    val mad = withAd.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(ad, 0.5)").as("mad"))
-    withAd.join(broadcast(mad), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"))
+    // The med and MAD fits are GROUP-GRAIN metadata (one double per
+    // l_returnflag — 3 groups), so they follow the centroid-fit
+    // discipline: collected to the driver and inlined as a literal map
+    // instead of broadcast-joined back. The r12 form materialized the
+    // whole corpus with `med` attached (localCheckpoint of every row)
+    // because both the MAD fit and the outlier pass consumed the joined
+    // relation; with the fit inlined there is nothing to attach — each
+    // pass is a plain scan + map-side-combined aggregate, no checkpoint,
+    // no joins (2 Exchanges + checkpoint → 2 Exchanges, 3 jobs total).
+    // The inlined literal IS the exact double the join used to carry, so
+    // every downstream value (ad, the outlier rule, the rounded finals)
+    // is bit-identical.
+    def litMap(fit: Array[(String, Double)]): Column =
+      element_at(map(fit.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+        col("l_returnflag"))
+    val med = litMap(li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)))
+    val ad = abs(col("x") - med)
+    val mad = litMap(li.withColumn("ad", ad).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(ad, 0.5)").as("mad")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)))
+    li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(first(col("med")), 4).as("med"),
-        round(first(col("mad")), 4).as("mad"),
-        sum(when(col("ad") * 0.6745 > col("mad") * 3.5, 1L).otherwise(0L)).as("n_outliers"))
+        round(first(med), 4).as("med"),
+        round(first(mad), 4).as("mad"),
+        sum(when(ad * 0.6745 > mad * 3.5, 1L).otherwise(0L)).as("n_outliers"))
   }
 
   /** DuckDB oracle twin of [[q40_mad_outliers]] — same staged medians
@@ -1529,21 +1541,26 @@ object Relational {
     * domain itself is unbounded; this is the exact form the optimizer
     * can trust for selectivity. */
   def q51_stats_histogram(spark: SparkSession, dir: String, b: Int = 8): DataFrame = {
-    val vals = materialize(t(spark, dir, "lineitem")
+    val vals = t(spark, dir, "lineitem")
       .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
-    // max(tot, 1): on an EMPTY relation the interpolated literal would be
-    // `div 0` — no row ever evaluates it, but a plan carrying a poisoned
-    // constant is one constant-fold away from an ANSI divide-by-zero, and
-    // the clamp changes nothing when rows exist (ADVICE r10)
-    val tot = math.max(
-      vals.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0), 1L)
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    // `tot` rides the SAME single-partition sort as the cumulative sum (a
+    // whole-partition frame over the identical ordering — one WindowExec,
+    // two frames), so the census has ONE consumer and needs neither the
+    // r12 localCheckpoint nor the separate driver action that collected
+    // the total as a literal (3 jobs + checkpoint → 1 job; the inlined-
+    // literal `div 0` poison hazard from ADVICE r10 disappears with the
+    // literal itself — an empty relation now simply has no rows). The
+    // bucket rule is unchanged integer arithmetic, so the artifact is
+    // bit-identical.
+    val ord = Window.orderBy(col("v"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     vals
       .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("bucket", expr(s"CAST((cum - cnt) * $b div $tot + 1 AS BIGINT)"))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .withColumn("bucket", expr(s"CAST((cum - cnt) * $b div tot + 1 AS BIGINT)"))
       .groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"), min(col("v")).as("lo"),
         max(col("v")).as("hi"), count(lit(1)).as("ndv"))

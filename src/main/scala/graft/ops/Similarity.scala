@@ -2316,10 +2316,22 @@ object Similarity {
     * summation order in EITHER engine. `cm` is the scaled centroid matrix
     * inlined as literals. */
   private def exactAssign(cm: String, k: Int): Column = expr(
+    // r13 opt: the s24 unscaled-long limb discipline applied to the
+    // census distances — each squared diff is a plain long (≤4e18 under
+    // the |coordinate|<10 bound), limb-split into base-1e9 (hi, lo) long
+    // sums (hi ≤ dim·4e9, lo ≤ dim·1e9 — both deep inside int64), and
+    // the final carry-normalized (dh, dl) pair IS the exact distance in
+    // lexicographic order (dl < 1e9), so the argmin needs no decimal
+    // arithmetic anywhere: the whole per-row kernel is codegen'd long
+    // ops where the r12 form paid k·dim DECIMAL(38,0) mults+adds per row
     s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
        |  struct(aggregate(zip_with(ri, element_at($cm, c + 1),
-       |           (a, b) -> CAST((a - b) * (a - b) AS DECIMAL(38,0))),
-       |         CAST(0 AS DECIMAL(38,0)), (s, v) -> s + v) AS d,
+       |           (a, b) -> (a - b) * (a - b)),
+       |         named_struct('h', 0L, 'l', 0L),
+       |         (s, v) -> named_struct('h', s.h + v div 1000000000,
+       |                                'l', s.l + v % 1000000000),
+       |         s -> struct(s.h + s.l div 1000000000 AS dh,
+       |                     s.l % 1000000000 AS dl)) AS d,
        |    CAST(c AS BIGINT) AS cl))), 1).cl""".stripMargin)
 
   /** k-means|| scalable initialization (s28) — Bahmani et al.'s

@@ -1447,14 +1447,19 @@ object TextOps {
     val aug = docs.select(col("doc_id"), col("source"),
       when(pmod(col("doc_id"), lit(7)) === 0,
         concat(col("text"), expr(footerSql))).otherwise(col("text")).as("t"))
-    val grams = aug
+    // materialized (r13 opt): the gram stream feeds TWO consumers — the
+    // per-source df census and the final probe — and under AQE the
+    // unshared lineage re-ran the injection + tokenize + md5 pipeline
+    // per consumer (the d2/r4 lesson). One pass, two readers of
+    // (doc_id, source, h) triples.
+    val grams = Tables.materialize(aug
       .select(col("doc_id"), col("source"), split(col("t"), "\\s+").as("toks"))
       .select(col("doc_id"), col("source"), explode(expr(
         s"""IF(size(toks) >= $k,
            |   transform(sequence(1, size(toks) - ${k - 1}),
            |             p -> array_join(slice(toks, p, $k), ' ')),
            |   array())""".stripMargin)).as("gram"))
-      .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+      .select(col("doc_id"), col("source"), md5(col("gram")).as("h")))
     val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
     val dfg = grams.select(col("source"), col("h"), col("doc_id")).distinct()
       .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))

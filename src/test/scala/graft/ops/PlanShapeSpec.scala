@@ -69,8 +69,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("documents", "d2_dedup_ngram") == 0)
   }
 
-  test("d3: one scan of documents under AQE (fused signature aggregation)") {
+  test("d3: cold fits the signature registry in ONE scan; warmed pair serving scans ZERO") {
+    // r13 opt: d3 serves pairs from the at-rest corpus MinHash artifact
+    // (the d17/d21 registry) — the first toucher fits signatures in one
+    // fused-aggregation documents scan and dumps; warmed, bands +
+    // candidate join + exact verify all read the signature parquet
+    graft.ops.Dedup.sigReg.reset()
     assert(scansOf("documents", "d3_dedup_minhash") == 1)
+    assert(scansOf("documents", "d3_dedup_minhash") == 0)
   }
 
   test("d5: warmed, clustering runs at pair grain — zero documents scans") {
