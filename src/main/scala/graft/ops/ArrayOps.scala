@@ -2649,8 +2649,13 @@ object ArrayOps {
       .select(col("x"), col("y"), col("z"), col("value").cast(LongType).as("label"))
       .write.mode("overwrite").parquet(s"$voxelDumpRoot/a40")
     val contacts = Tables.materialize(contactStats(vol.localContacts(box)))
-    val sizes = vol.toVoxels(box).filter(col("value") =!= 0)
-      .groupBy(col("value").cast(LongType).as("label"))
+    // supervoxel sizes fold over the ALREADY-DUMPED labeled voxel
+    // relation (r13 opt) — the dump above decoded every chunk once for
+    // the oracle; re-deriving sizes from the store paid that whole
+    // decode pass a second time. Same rows by construction (the dump is
+    // written from the identical filter+projection).
+    val sizes = spark.read.parquet(s"$voxelDumpRoot/a40")
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vox"))
     val edges = contacts.filter(col("n_pairs") >= tau)
       .select(col("la").as("a"), col("lb").as("b"))

@@ -231,9 +231,19 @@ object Dedup {
   private def containmentFrom(docSh: DataFrame, minC: Double): DataFrame = {
     val tExact = lit(new java.math.BigDecimal(minC.toString))
     val prefLen = (col("sz") - ceil(tExact * col("sz")) + lit(1)).cast("int")
-    val pref = docSh.select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("shingle"))
-    val full = docSh.select(col("doc_id").as("doc_b"), explode(col("shs")).as("shingle"))
-    val cand = pref.join(full, Seq("shingle"))
+    // the candidate join keys on xxhash64(shingle), not the shingle text
+    // (r13 opt, guide "shuffle keys, not payloads"): the inverted-index
+    // exchange carries 8-byte longs instead of ~25-char strings. A hash
+    // collision can only ADD a candidate pair, and every candidate is
+    // verified with the exact array_intersect below (cont < minC pairs
+    // drop), so the result is unchanged by construction.
+    val pref = docSh
+      .select(col("doc_id"), explode(slice(col("shs"), lit(1), prefLen)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val full = docSh
+      .select(col("doc_id").as("doc_b"), explode(col("shs")).as("s"))
+      .select(col("doc_b"), xxhash64(col("s")).as("sh"))
+    val cand = pref.join(full, Seq("sh"))
       .filter(col("doc_id") =!= col("doc_b"))
       .select(least(col("doc_id"), col("doc_b")).as("a"),
         greatest(col("doc_id"), col("doc_b")).as("b"))
@@ -415,11 +425,32 @@ object Dedup {
     def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(coalesce(sum(col("lbl").cast(DecimalType(38, 0))), lit(java.math.BigDecimal.ZERO))
         .as("s")).head.getDecimal(0)
-    var labels = edges.groupBy(col("u"))
+    // The convergence checksum rides the materialize action itself via
+    // `Dataset.observe` (r13 opt): CollectMetrics computes the exact
+    // decimal label sum WHILE the round's eager checkpoint job runs, so
+    // each round costs ONE driver action where it used to cost two (and
+    // the initial labeling likewise) — per-round work on the label-grain
+    // rows is unchanged. Metric delivery is asynchronous (listener bus),
+    // so a short bounded wait guards the fast path and an explicit
+    // aggregate over the ALREADY-CHECKPOINTED rows is the fallback —
+    // convergence detection can never hang or change.
+    def materializeChecked(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val m = materialize(df.observe(obs,
+        coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("s")))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val s = try {
+        Await.result(Future(obs.get.get("s")), 2.seconds)
+          .collect { case d: java.math.BigDecimal => d }
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      (m, s.getOrElse(checksum(m)))
+    }
+    var (labels, sum0) = materializeChecked(edges.groupBy(col("u"))
       .agg(min(col("v")).as("lbl"))
-      .select(col("u").as("vtx"), col("lbl"))
-      .transform(materialize)
-    var sum0 = checksum(labels)
+      .select(col("u").as("vtx"), col("lbl")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -427,12 +458,10 @@ object Dedup {
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .select(col("v").as("vtx"), col("lbl"))
         .transform(materialize)
-      val jumped = nbrMin.as("x")
+      val (jumped, sum1) = materializeChecked(nbrMin.as("x")
         .join(nbrMin.select(col("vtx").as("jv"), col("lbl").as("jl")).as("j"),
           col("x.lbl") === col("j.jv"), "left")
-        .select(col("x.vtx").as("vtx"), least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl"))).as("lbl"))
-        .transform(materialize)
-      val sum1 = checksum(jumped)
+        .select(col("x.vtx").as("vtx"), least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl"))).as("lbl")))
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       labels = jumped

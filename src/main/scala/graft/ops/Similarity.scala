@@ -1584,21 +1584,33 @@ object Similarity {
     }
     val mArr = "array(" + means.map(m => s"CAST($m AS DOUBLE)").mkString(",") + ")"
     val nD = means.length
+    val nCells = nD * (nD + 1) / 2
+    // triangle-cell coordinates per row-major position, as ONE literal
+    // array each (typedlit → a single ArrayData literal node)
+    val iIdx = (0 until nD).flatMap(i => (i until nD).map(_ => i.toLong))
+    val jIdx = (0 until nD).flatMap(i => (i until nD).map(j => j.toLong))
+    import graft.functions.TriangleLimbSumAgg.triangle_limb_sum
     t(spark, dir, "embeddings")
       // exact unscaled longs: round once per coordinate, decimal ×1e8 is
       // exact (integer-valued), the bigint cast loses nothing
       .select(expr(
         "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
         .as("u"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${nD - 1}), i ->
-           |  transform(sequence(i, ${nD - 1}), j ->
-           |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           |      element_at(u, CAST(i + 1 AS INT)) * element_at(u, CAST(j + 1 AS INT)) AS t))))""".stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"),
-        expr("t.t div 1000000000").as("hi"), expr("t.t % 1000000000").as("lo"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("hi")).as("sh"), sum(col("lo")).as("sl"))
+      // r13 opt: the per-vector triangle fold runs INSIDE one typed
+      // aggregate (TriangleLimbSumAgg — a tight JVM loop over a primitive
+      // limb buffer) instead of exploding dim·(dim+1)/2 struct rows per
+      // vector into an (i, j)-keyed hash aggregate: identical long limb
+      // sums (addition commutes), but zero generator rows, zero hash-map
+      // probes, and the exchange carries one buffer per partition, not
+      // per-cell partials. The r12 form moved ~2 080 rows per vector
+      // through Generate+HashAggregate — the entire s24 hot-path cost.
+      .agg(triangle_limb_sum(col("u"), nD).as("s"), count(col("u")).as("n"))
+      .select(col("n"), posexplode(expr(
+        s"""transform(sequence(0, ${nCells - 1}), p ->
+           |  struct(element_at(s, 2 * p + 1) AS sh, element_at(s, 2 * p + 2) AS sl))""".stripMargin)))
+      .select(element_at(typedlit(iIdx), col("pos") + 1).as("i"),
+        element_at(typedlit(jIdx), col("pos") + 1).as("j"),
+        col("n"), col("col.sh").as("sh"), col("col.sl").as("sl"))
       // cell grain (dim²/2 rows): exact Σ as DECIMAL(38,0), HALF_UP to
       // scale 8 by integer shift, then the one correctly-rounded
       // decimal→double division — bit-identical to the r9 decimal path
@@ -2510,11 +2522,45 @@ object Similarity {
     * joins are nQueries·k-row relations, broadcast-sized at any corpus
     * scale. */
   def nprobeSweep(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, nlist: Int = 16): DataFrame = {
+    val settings = Seq(1, 2, 4, 8)
+    val npMax = settings.max
     val exact = materialize(cosineTopK(spark, dir, nQueries, k)
       .select(col("q_id"), col("nb_id")))
-    Seq(1, 2, 4, 8).map { np =>
-      val approx = annIvf(spark, dir, nQueries, k, nprobe = np)
+    // ONE scoring pass serves every setting (r13 opt): the probed-cell
+    // sets are NESTED — top-np cells are a PREFIX of the top-npMax list
+    // (centroid_topn is a total order on (cs DESC, cluster ASC)) — so
+    // annIvf(np)'s candidate set is exactly `cell_rank <= np` over one
+    // shared scored relation. The r12 form ran the full annIvf pipeline
+    // (fit dump + corpus cell join + rerank) once per setting: 4 corpus
+    // scoring passes and 4 identical centroid dumps for one sweep. Same
+    // fit, same cosine, same (cos DESC, nb_id) rank per setting —
+    // results identical by construction, and the oracle (which replays
+    // cell selection from the dump per np) gates it.
+    val emb = t(spark, dir, "embeddings")
+    val centMatrix = fitCoarseCentroids(cappedTrainSample(emb), nlist)
+    dumpCentroids(spark, centMatrix, IvfCentroidDump)
+    import graft.functions.CentroidExprs.{centroid_argmax, centroid_topn}
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      centroid_argmax(col("embedding"), centMatrix).getField("cluster").as("cluster"))
+    val queryCells = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qa"),
+        posexplode(centroid_topn(col("embedding"), centMatrix, npMax)))
+      .select(col("q_id"), col("qa"),
+        (col("pos") + 1).as("cell_rank"), col("col.cluster").as("cluster"))
+    // bounded: nQueries × npMax cells' members — materialized so the four
+    // settings' rank/eval passes never re-run the corpus cell join
+    val scored = materialize(
+      assigned.select(col("vec_id").as("nb_id"), col("embedding").as("ea"), col("cluster"))
+        .join(broadcast(queryCells), Seq("cluster"))
+        .filter(col("nb_id") =!= col("q_id"))
+        .withColumn("cos", cosine("qa", "ea"))
+        .select(col("q_id"), col("nb_id"), col("cos"), col("cell_rank")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id").asc)
+    settings.map { np =>
+      val approx = scored.filter(col("cell_rank") <= np)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
         .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
       exact.join(broadcast(approx), Seq("q_id", "nb_id"), "left")
         .groupBy(col("q_id"))

@@ -228,4 +228,38 @@ class FunctionsSpec extends AnyFunSuite with graft.testutil.MiniProp {
       assert(got.toSeq == expect.toSeq)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("triangle_limb_sum equals the explode+groupBy limb formulation (incl. negatives)") {
+    // the r13 s24 kernel: the typed aggregate's per-cell (hi, lo) limb
+    // sums must be bit-identical to the r12 explode form it replaced —
+    // same truncating div/% limb split, same long addition
+    import graft.functions.TriangleLimbSumAgg.triangle_limb_sum
+    val dim = 5
+    val nCells = dim * (dim + 1) / 2
+    val rnd = new scala.util.Random(7)
+    // magnitudes near the documented |u| <= 1e9 bound, both signs
+    val data = Seq.fill(40)(Seq.fill(dim)(
+      (rnd.nextLong() % 1000000000L) * (if (rnd.nextBoolean()) 1 else -1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(org.apache.spark.sql.Row(_)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    val got = df.agg(triangle_limb_sum(col("u"), dim).as("s"))
+      .select(explode(col("s")).as("v")).collect().map(_.getLong(0))
+    val exploded = df.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+         |  transform(sequence(i, ${dim - 1}), j ->
+         |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |      element_at(u, CAST(i + 1 AS INT)) * element_at(u, CAST(j + 1 AS INT)) AS t))))""".stripMargin)).as("t"))
+      .select(col("t.i"), col("t.j"), expr("t.t div 1000000000").as("hi"),
+        expr("t.t % 1000000000").as("lo"))
+      .groupBy(col("i"), col("j")).agg(sum(col("hi")).as("sh"), sum(col("lo")).as("sl"))
+      .orderBy(col("i"), col("j")).collect()
+    assert(exploded.length == nCells)
+    exploded.zipWithIndex.foreach { case (r, p) =>
+      assert(got(2 * p) == r.getLong(2), s"hi limb mismatch at cell $p")
+      assert(got(2 * p + 1) == r.getLong(3), s"lo limb mismatch at cell $p")
+    }
+  }
 }
