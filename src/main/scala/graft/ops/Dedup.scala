@@ -561,6 +561,26 @@ object Dedup {
       .agg(simhash_agg(col("h")).as("simhash"))
   }
 
+  /** The (doc_id, shingle) relation reconstructed from the at-rest
+    * signature artifact's shingle sets (r13 opt) — row-identical to
+    * [[shingles]] over the same corpus (`shs` IS the collected distinct
+    * shingle set; docs under 3 tokens are absent from both), so the d4
+    * fingerprint fit and the d18 calibration read shingles at rest
+    * instead of re-running the tokenize → explode → distinct pipeline
+    * per query. */
+  private[ops] def shinglesAtRest(spark: SparkSession, dir: String): DataFrame =
+    sigSetsAtRest(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+
+  /** [[simhash]] served from the at-rest shingle sets. */
+  def simhashAtRest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimhashAgg.simhash_agg
+    shinglesAtRest(spark, dir).withColumn("h", shingleHash64(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(simhash_agg(col("h")).as("simhash"))
+  }
+
   /** Per-doc simhash as FOUR 16-bit band values (band b = bits
     * [16b, 16b+15] of the d4 fingerprint) — the representation simhash
     * BLOCKING needs: by pigeonhole, two fingerprints within Hamming
@@ -603,6 +623,17 @@ object Dedup {
     // the fingerprint fits and — when no at-rest `truth` relation is
     // supplied ([[nearDupPairsAtRest]]) — the exact ground-truth pairs
     val sh = Tables.materialize(shingles(docs).filter(col("doc_id").isNotNull))
+    simhashEvalFrom(sh, truth)
+  }
+
+  /** [[simhashEval]] with the shingle relation read from the at-rest
+    * signature artifact and the ground truth from the at-rest pair
+    * registry (r13 opt): a warmed calibration run touches no corpus text
+    * at all — the d21 posture for the simhash fingerprint. */
+  def simhashEvalAtRest(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame =
+    simhashEvalFrom(shinglesAtRest(spark, dir), Some(nearDupPairsAtRest(spark, dir, minJ)))
+
+  private def simhashEvalFrom(sh: DataFrame, truth: Option[DataFrame]): DataFrame = {
     val bands = Tables.materialize(simhashBandsFrom(sh))
     val br = bands.select(col("doc_id"), explode(expr(
       "array(struct(0 AS bi, band0 AS bv), struct(1 AS bi, band1 AS bv), " +
@@ -623,7 +654,7 @@ object Dedup {
     val exact = truth.getOrElse(ngramJaccardPairsFrom(sh, 0.8))
       .select(col("a"), col("b"), lit(1L).as("ex"))
     val nExact = exact.count()
-    val taus = broadcast(docs.sparkSession.range(0, 4).select(col("id").as("tau")))
+    val taus = broadcast(sh.sparkSession.range(0, 4).select(col("id").as("tau")))
     val pred = ham.join(taus, col("hd") <= col("tau"))
       .join(exact, Seq("a", "b"), "left_outer")
       .groupBy(col("tau"))
