@@ -314,8 +314,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("s12: ONE documents scan feeds tf, df, weights and both join sides") {
+  test("s12: cold builds the postings index in ONE documents scan; warmed serving scans ZERO") {
+    // r13 opt: the weighted postings index is an at-rest registry (the
+    // header's "index-at-rest, appended by ingest" made literal) — the
+    // first toucher runs the tokenize→tf→df→weight pipeline in one
+    // documents scan and dumps; warmed, norms/query-postings/dots all
+    // read the postings parquet
+    graft.ops.Similarity.postingsReg.reset()
     assert(scansOf("documents", "s12_sparse_topk") == 1)
+    assert(scansOf("documents", "s12_sparse_topk") == 0)
   }
 
   test("c8: the only exchange carries per-domain aggregate keys, never text") {
