@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract wants the forked program's FINAL stdout line to
+// be one bare JSON object parseable from a log tail. Two sbt behaviours
+// break that: (a) forked output is routed through the logger and prefixed
+// "[info] "; (b) sbt appends its own "[success] Total time: ..." line AFTER
+// the program's last line. StdoutOutput passes the child's stdout through
+// verbatim, and showSuccess drops the trailer (task success/failure is
+// still carried by the exit code, which is what CI/driver gates check).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
