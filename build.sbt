@@ -20,6 +20,9 @@ run / fork := true
 // still carried by the exit code, which is what CI/driver gates check).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — exclude it
+// from the unused-key lint so every build doesn't print a false warning
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,7 +18,14 @@ import org.apache.spark.sql.SparkSession
   * the run's own baseline — the box-load signal) and a harness verdict
   * (`environmental` when the re-measure is back inside the band,
   * `persistent` otherwise), so a loaded driver box no longer costs a
-  * judge session per round. */
+  * judge session per round.
+  *
+  * Registry-fed queries (those whose warmed runs serve from an
+  * AtRestRegistry artifact) additionally report a `cold` number — all
+  * registries reset, one run — and the run reports `registry_build_sec`,
+  * the one-time artifact build cost observed across the sweep (per
+  * registry key, once). The headline `value` is warm total + that build
+  * cost; `value_warm` keeps the old warmed-only semantics. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -177,6 +184,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] array bench failed: $e"); Seq.empty
     }
+    // bounded-drive floor (e-family adjudication aid): ONE stateful drive
+    // over a 1-row stream through the exact e-drive harness — reported as
+    // its own entry so every e-query's number reads as floor + data work
+    val floorBench = try {
+      val sample = () => {
+        val t = System.nanoTime()
+        graft.streaming.EventStreams.driveFloorOnce(spark)
+        (System.nanoTime() - t) / 1e9
+      }
+      remeasureSamplers += ("e0_drive_floor" -> sample)
+      val r = adjudicate("e0_drive_floor", sample)
+      if (isSuspect("e0_drive_floor", r))
+        arraySuspects ::= (("e0_drive_floor", r.best, bands("e0_drive_floor")))
+      Seq("e0_drive_floor" -> r.best)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] drive-floor bench failed: $e"); Seq.empty
+    }
     val allSuspects = suspects ++ arraySuspects.reverse
 
     // ---- post-sweep self-adjudication (r12 directive #2) ----
@@ -229,7 +253,35 @@ object Bench {
         System.err.println(s"[bench] self-adjudication failed: $e"); Map.empty
       }
     }
-    val results = results0 ++ arrayBench
+    // ---- cold/warm split for registry-fed queries (r13 verdict #1) ----
+    // These queries serve their dominant input from an AtRestRegistry
+    // artifact once it is built, so their best-of-N above measures a
+    // warmed run (prefix probe / candidate join / parquet read) — NOT the
+    // declared pipeline. Report each one's COLD cost too: every registry
+    // reset (the existing test/audit seam), then ONE run that rebuilds
+    // exactly the artifacts it reads. `registry_build_sec` separately
+    // totals the one-time artifact builds observed during the sweep (one
+    // entry per registry key — the cost a warmed-only total would hide),
+    // and the headline `value` = warm total + registry_build_sec, i.e.
+    // "compute everything once from the parquet inputs". The old
+    // warmed-only total is kept as `value_warm` for round-over-round
+    // comparison. The cold pass runs AFTER suspect self-adjudication so
+    // re-measures above never pay a rebuild they didn't cause.
+    val registryBuilds: Map[String, Double] =
+      graft.core.AtRestRegistry.buildSecondsByRegistry
+    val registryBuildSec = registryBuilds.values.sum
+    val registryFed = Seq(
+      "d3_dedup_minhash", "d4_dedup_simhash", "d8_dedup_incr_near",
+      "d13_containment", "d17_bbit_minhash", "d18_simhash_eval",
+      "d20_incr_clusters", "d21_lsh_tuning", "s12_sparse_topk",
+      "s29_rrf_fusion")
+    val cold: Seq[(String, Double)] =
+      registryFed.filter(n => names.contains(n)).map { n =>
+        graft.core.AtRestRegistry.resetAll()
+        n -> force(n)
+      }
+
+    val results = results0 ++ arrayBench ++ floorBench
     // regenerate the band file for the NEXT round's comparisons (run on an
     // idle box; commit the output as bench_bands.json)
     // Locale.ROOT: f"" uses the default locale, which writes comma decimals
@@ -249,7 +301,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + dec3(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalWarm = results.map(_._2).filter(_ >= 0).sum
+    val total = totalWarm + registryBuildSec
+    val coldJson = cold.map { case (k, v) => "\"" + k + "\":" + dec3(v) }
+      .mkString("{", ",", "}")
+    val rbJson = registryBuilds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + dec3(v) }.mkString("{", ",", "}")
     // the driver parses this line from the log tail: stop Spark FIRST (its
     // shutdown logging would otherwise interleave mid-line), flush both
     // streams, then emit the JSON as one atomic write.
@@ -275,7 +332,7 @@ object Bench {
     System.err.flush()
     System.out.flush()
     val fullLine =
-      s"""{"queries":$qs,"singles":$singles,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}"""
+      s"""{"queries":$qs,"singles":$singles,"cold":$coldJson,"registry_builds":$rbJson,"sf":"$sfDir","suspect":$suspectJson,$vPart"registry_build_sec":${dec3(registryBuildSec)},"value_warm":${dec3(totalWarm)},"metric":"total","unit":"sec","value":${dec3(total)}}"""
     // DURABLE in-repo record (r10 directive): the driver archives only a
     // ~2 KB log TAIL, so the full per-query map has never survived into a
     // BENCH_r* artifact. Every run therefore also writes the complete
@@ -303,7 +360,7 @@ object Bench {
     }
     val qsShort = results0.map { case (k, v) => "\"" + shortName(k) + "\":" + dec3(v) }
       .mkString("{", ",", "}")
-    System.out.println(s"""{"queries":$qsShort,"sf":"$sfDir","suspect":$suspectJson,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
+    System.out.println(s"""{"queries":$qsShort,"cold":$coldJson,"sf":"$sfDir","suspect":$suspectJson,$vPart"registry_build_sec":${dec3(registryBuildSec)},"value_warm":${dec3(totalWarm)},"metric":"total","unit":"sec","value":${dec3(total)}}""")
     // FINAL scalars-only line: at 197 queries even the compact map above
     // is ~2.4 KB and the driver's ~2 KB log tail clips its head
     // (BENCH_r08 `"parsed": null`). The LAST line therefore carries NO
@@ -318,7 +375,7 @@ object Bench {
       s"""{"name":"$n","best":${dec3(best)},"band":${dec3(band)}$v}"""
     }.mkString("[", ",", "]")
     val susMore = if (allSuspects.size > 5) s""","suspect_more":${allSuspects.size - 5}""" else ""
-    System.out.println(s"""{"sf":"$sfDir","n_queries":${results0.size},"suspect":$susCap$susMore,$vPart"metric":"total","unit":"sec","value":${dec3(total)}}""")
+    System.out.println(s"""{"sf":"$sfDir","n_queries":${results0.size},"suspect":$susCap$susMore,$vPart"registry_build_sec":${dec3(registryBuildSec)},"value_warm":${dec3(totalWarm)},"metric":"total","unit":"sec","value":${dec3(total)}}""")
     System.out.flush()
   }
 }

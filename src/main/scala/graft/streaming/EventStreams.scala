@@ -98,6 +98,39 @@ object EventStreams {
     }
   }
 
+  /** Per-JVM 1-row parquet fixture for [[driveFloorOnce]] — staged once,
+    * deleted with the other staged dirs' lifetime (tmpfs temp dir). */
+  private[graft] val floorFixtureReg =
+    graft.core.AtRestRegistry[String]("stream.floor_fixture", arity = 1)
+
+  /** The irreducible cost of ONE bounded stateful drive — state-store
+    * init, offset/commit-log machinery, microbatch planning, memory-sink
+    * drain — measured with a 1-row file stream through EXACTLY the
+    * harness every e-drive uses (same withFewStatePartitions, same
+    * checkpoint root, same Update-mode memory sink). The bench reports it
+    * as `e0_drive_floor` so every e-query's number can be read as
+    * floor + data work — the e-family was re-litigated two rounds
+    * running for cost that is drive machinery, not operator work. */
+  private[graft] def driveFloorOnce(spark: SparkSession): Unit = {
+    val fixture = floorFixtureReg.getOrBuild("floor") {
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(FastTmpRoot), "graft-floor").toString
+      spark.range(1).toDF("id").coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    val name = s"stream_floor_${System.nanoTime()}"
+    withFewStatePartitions(spark, 4) { ck =>
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .parquet(s"$fixture/*.parquet")
+      val q = src.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .writeStream.option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.catalog.dropTempView(name)
+  }
+
   /** Reduce an Update-mode emission log to each key's FINAL aggregate:
     * `n` (a count) is monotone per key, so `max(struct(n, rest…))` picks the
     * last update — the same reduction e4 uses for session state. This is
