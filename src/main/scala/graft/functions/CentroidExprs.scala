@@ -243,6 +243,93 @@ case class CentroidNearestL2(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest centroid under EXACT scaled-integer L2 (s28's gated census
+  * assignment) — the native form of the SQL limb fold it replaces (r14
+  * opt): per centroid, each squared diff `t = (a−b)²` (≤ 4e18 under the
+  * |coordinate| < 10 ⇒ |scaled| ≤ 2e9 bound) splits into base-1e9 limb
+  * sums `h += t div 1e9, l += t % 1e9` (t ≥ 0, so div/% agree with
+  * Scala's `/`/`%`), carry-normalizes to (dh = h + l div 1e9,
+  * dl = l % 1e9), and the argmin compares (dh, dl) lexicographically
+  * with strict improvement — identical to
+  * `element_at(array_sort(transform(...)), 1).cl`'s (d, cl) struct order
+  * (ties to the lower cluster). Exact integer arithmetic on both sides ⇒
+  * the same argmin bit-for-bit; but the HOF form allocated zip_with +
+  * aggregate + struct arrays per (row × centroid) — the whole s28 census
+  * cost — where this is a flat long loop, constant bytecode in k (the
+  * same scaling contract as the kernels above). A null element nulls the
+  * row (the fixtures feed non-null embeddings). */
+case class CentroidNearestLimb(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "centroid_nearest_limb"
+
+  private def mayHaveNullElems: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || mayHaveNullElems
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.simpleString}")
+  }
+
+  def compute(arr: ArrayData): AnyRef = {
+    val n = arr.numElements()
+    val nullable = mayHaveNullElems
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (nullable && arr.isNullAt(i)) return null
+      x(i) = arr.getLong(i)
+      i += 1
+    }
+    require(centroids.length > 0 && n == centroids(0).length,
+      s"$prettyName: embedding dim $n != centroid dim")
+    var best = 0L
+    var bh = Long.MaxValue
+    var bl = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var h = 0L
+      var l = 0L
+      var j = 0
+      while (j < n) {
+        val d = x(j) - cent(j)
+        val t = d * d
+        h += t / 1000000000L
+        l += t % 1000000000L
+        j += 1
+      }
+      val dh = h + l / 1000000000L
+      val dl = l % 1000000000L
+      if (dh < bh || (dh == bh && dl < bl)) { bh = dh; bl = dl; best = c }
+      c += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("limbKernel", this, "graft.functions.CentroidNearestLimb")
+      val r = ctx.freshName("r")
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"non-nullable limb kernel returned null\");"
+      s"""
+         |Object $r = $self.compute($a);
+         |if ($r == null) { $onNull }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object CentroidExprs {
 
   val ScoreStruct: StructType = StructType(Seq(
@@ -263,4 +350,7 @@ object CentroidExprs {
 
   def centroid_nearest_l2(emb: Column, centroids: Array[Array[Double]]): Column =
     toColumn(CentroidNearestL2(toExpression(emb), centroids))
+
+  def centroid_nearest_limb(ri: Column, centroids: Array[Array[Long]]): Column =
+    toColumn(CentroidNearestLimb(toExpression(ri), centroids))
 }

@@ -23,14 +23,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * no hash-map probe per term, and the exchange carries ONE buffer per
   * partition instead of partial sums per (i, j) key.
   *
-  * Output: `array<bigint>` of length `dim·(dim+1)` — cell `p` (row-major
-  * over the upper triangle) has its hi-limb sum at index `2p` and lo-limb
-  * sum at `2p+1`. The caller reassembles `Σt = sh·1e9 + sl` in
-  * DECIMAL(38,0) exactly as before. Exactness bounds are the s24
-  * header's: |coordinate| < 10 keeps |u| ≤ 1e9, each product ≤ 1e18
-  * inside int64, and each limb sum holds ~9e9 rows before nearing int64.
-  * Rows whose array is null (or contains nulls) are skipped — the
-  * serving query feeds non-null embeddings only.
+  * Output: `array<bigint>` of length `dim·(dim+1) + 1` — cell `p`
+  * (row-major over the upper triangle) has its hi-limb sum at index `2p`
+  * and lo-limb sum at `2p+1`, and the LAST element counts the rows
+  * actually accumulated. The caller reassembles `Σt = sh·1e9 + sl` in
+  * DECIMAL(38,0) exactly as before and reads `n` from the same buffer.
+  * Exactness bounds are the s24 header's: |coordinate| < 10 keeps
+  * |u| ≤ 1e9, each product ≤ 1e18 inside int64, and each limb sum holds
+  * ~9e9 rows before nearing int64. Rows whose array is null (or contains
+  * nulls) are skipped — and, because the row counter lives INSIDE the
+  * buffer, skipped rows are excluded from `n` and from the sums
+  * consistently (ADVICE r13: a separate `count(u)` counted
+  * null-element rows the fold skipped).
   */
 case class TriangleLimbSumAgg(
     child: Expression,
@@ -54,7 +58,7 @@ case class TriangleLimbSumAgg(
           s"triangle_limb_sum expects array<bigint>, got ${other.simpleString}")
     }
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * nCells)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * nCells + 1)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -83,6 +87,7 @@ case class TriangleLimbSumAgg(
         }
         i += 1
       }
+      buf(2 * nCells) += 1 // rows actually accumulated (not the skipped ones)
     }
     buf
   }

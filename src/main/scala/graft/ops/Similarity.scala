@@ -1604,10 +1604,16 @@ object Similarity {
       // probes, and the exchange carries one buffer per partition, not
       // per-cell partials. The r12 form moved ~2 080 rows per vector
       // through Generate+HashAggregate — the entire s24 hot-path cost.
-      .agg(triangle_limb_sum(col("u"), nD).as("s"), count(col("u")).as("n"))
-      .select(col("n"), posexplode(expr(
+      // `n` comes from the aggregate's own row counter (last buffer slot,
+      // ADVICE r13): a row the fold skips (null element) is excluded from
+      // n and the sums CONSISTENTLY, where the old separate `count(u)`
+      // counted it; and an empty embeddings table (n = 0) yields no rows,
+      // like the pre-r13 groupBy form, instead of nCells 0/0 cells.
+      .agg(triangle_limb_sum(col("u"), nD).as("s"))
+      .select(element_at(col("s"), 2 * nCells + 1).as("n"), posexplode(expr(
         s"""transform(sequence(0, ${nCells - 1}), p ->
            |  struct(element_at(s, 2 * p + 1) AS sh, element_at(s, 2 * p + 2) AS sl))""".stripMargin)))
+      .filter(col("n") > 0)
       .select(element_at(typedlit(iIdx), col("pos") + 1).as("i"),
         element_at(typedlit(jIdx), col("pos") + 1).as("j"),
         col("n"), col("col.sh").as("sh"), col("col.sl").as("sl"))
@@ -2344,24 +2350,21 @@ object Similarity {
     * so the argmin (and hence the gate hash) cannot move with float
     * summation order in EITHER engine. `cm` is the scaled centroid matrix
     * inlined as literals. */
-  private def exactAssign(cm: String, k: Int): Column = expr(
-    // r13 opt: the s24 unscaled-long limb discipline applied to the
-    // census distances — each squared diff is a plain long (≤4e18 under
-    // the |coordinate|<10 bound), limb-split into base-1e9 (hi, lo) long
-    // sums (hi ≤ dim·4e9, lo ≤ dim·1e9 — both deep inside int64), and
-    // the final carry-normalized (dh, dl) pair IS the exact distance in
-    // lexicographic order (dl < 1e9), so the argmin needs no decimal
-    // arithmetic anywhere: the whole per-row kernel is codegen'd long
-    // ops where the r12 form paid k·dim DECIMAL(38,0) mults+adds per row
-    s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
-       |  struct(aggregate(zip_with(ri, element_at($cm, c + 1),
-       |           (a, b) -> (a - b) * (a - b)),
-       |         named_struct('h', 0L, 'l', 0L),
-       |         (s, v) -> named_struct('h', s.h + v div 1000000000,
-       |                                'l', s.l + v % 1000000000),
-       |         s -> struct(s.h + s.l div 1000000000 AS dh,
-       |                     s.l % 1000000000 AS dl)) AS d,
-       |    CAST(c AS BIGINT) AS cl))), 1).cl""".stripMargin)
+  // r13 opt: the s24 unscaled-long limb discipline applied to the census
+  // distances — each squared diff is a plain long (≤4e18 under the
+  // |coordinate|<10 bound), limb-split into base-1e9 (hi, lo) long sums
+  // (hi ≤ dim·4e9, lo ≤ dim·1e9 — both deep inside int64), and the final
+  // carry-normalized (dh, dl) pair IS the exact distance in lexicographic
+  // order (dl < 1e9), so the argmin needs no decimal arithmetic anywhere.
+  // r14 opt: the fold runs as the NATIVE CentroidNearestLimb kernel — the
+  // r13 HOF form (array_sort over transform/zip_with/aggregate structs)
+  // allocated intermediate arrays and structs per (row × centroid) and
+  // was the dominant cost of the whole s28 query (~2-3 s of the ~4 s
+  // total at sf0.1); the kernel is the identical limb arithmetic as a
+  // flat long loop, bit-identical argmin (CentroidExprsSpec pins it
+  // against the SQL formulation).
+  private def exactAssign(cmL: Array[Array[Long]]): Column =
+    graft.functions.CentroidExprs.centroid_nearest_limb(col("ri"), cmL)
 
   /** k-means|| scalable initialization (s28) — Bahmani et al.'s
     * oversampled distributed seeding, the init that makes million-cluster
@@ -2400,7 +2403,15 @@ object Similarity {
       Vector(emb.orderBy(col("vec_id")).select(col("e")).head()
         .getSeq[Double](0).toArray)
     for (r <- 1 to rounds) {
-      val withD2 = emb.withColumn("d2", d2Col(cands))
+      // r14 opt: the round's distance column is computed ONCE and
+      // checkpointed — the two-pass form ran the k·dim L2 kernel over the
+      // corpus twice per round (once under the φ aggregate, once under
+      // the draw's filter). φ and the draw then read the stored d2 (label
+      // grain, no kernel). d2 values are identical by construction and φ
+      // is the same sum over the same partition layout, so the draw — and
+      // hence the fit — is unchanged.
+      val withD2 = graft.ops.Tables.materialize(
+        emb.withColumn("d2", d2Col(cands)))
       val phi = withD2.agg(sum(col("d2"))).head().getDouble(0)
       val drawn = withD2
         .filter(hashUniform(r) < col("d2") * ell / phi)
@@ -2420,15 +2431,13 @@ object Similarity {
     KmppDump = s"$OracleDumpRoot/s28_init_${dirToken(dir)}"
     dumpCentroids(spark, cents, KmppDump)
     // gated census: exact scaled-integer assignment against the dump twin
-    val cmI = "array(" + cents.map(c =>
-      "array(" + c.map(v => s"CAST(${math.rint(v * 1e8).toLong} AS BIGINT)").mkString(",") + ")")
-      .mkString(",") + ")"
+    val cmL: Array[Array[Long]] = cents.map(_.map(v => math.rint(v * 1e8).toLong))
     val total = weights.sum // every vector attracted to exactly one candidate
     t(spark, dir, "embeddings")
       .select(expr(
         "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
         .as("ri"))
-      .select(exactAssign(cmI, cents.length).as("cluster"))
+      .select(exactAssign(cmL).as("cluster"))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
       .select(col("cluster"), col("n_vecs"),
         outd(col("n_vecs") / lit(total.toDouble), 4).as("share"))

@@ -64,6 +64,46 @@ class CentroidExprsSpec extends AnyFunSuite {
     assert(kernel == legacy)
   }
 
+  test("centroid_nearest_limb is bit-identical to the SQL limb-fold argmin (r14)") {
+    // the s28 census assignment: the native kernel must reproduce the HOF
+    // formulation's argmin exactly — same base-1e9 limb split, same
+    // (dh, dl) lexicographic order, ties to the lower cluster. Scaled
+    // integer coordinates inside the documented |scaled| <= 1e9 bound
+    // (diffs <= 2e9, squares <= 4e18 — inside int64 under ANSI), plus
+    // deliberately duplicated centroids so ties actually occur.
+    val r = new scala.util.Random(13)
+    val k = 9
+    val dim = 8
+    val centsL = Array.fill(k, dim)(r.nextLong() % 1000000000L)
+    centsL(7) = centsL(2).clone // force exact-tie pairs
+    import spark.implicits._
+    val df = (0 until 150).map { i =>
+      val v = if (i % 10 == 0) centsL(2).toSeq // exact hit -> tied distance 0
+        else Seq.fill(dim)(r.nextLong() % 1000000000L)
+      (i.toLong, v)
+    }.toDF("vec_id", "ri")
+    val cm = "array(" + centsL.map(c =>
+      "array(" + c.map(v => s"CAST($v AS BIGINT)").mkString(",") + ")").mkString(",") + ")"
+    val legacy = df.select(col("vec_id"), expr(
+      s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
+         |  struct(aggregate(zip_with(ri, element_at($cm, c + 1),
+         |           (a, b) -> (a - b) * (a - b)),
+         |         named_struct('h', 0L, 'l', 0L),
+         |         (s, v) -> named_struct('h', s.h + v div 1000000000,
+         |                                'l', s.l + v % 1000000000),
+         |         s -> struct(s.h + s.l div 1000000000 AS dh,
+         |                     s.l % 1000000000 AS dl)) AS d,
+         |    CAST(c AS BIGINT) AS cl))), 1).cl""".stripMargin).as("cluster"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val kernel = df.select(col("vec_id"),
+        CentroidExprs.centroid_nearest_limb(col("ri"), centsL).as("cluster"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(kernel.size == 150)
+    assert(kernel == legacy)
+    // the tie rows really landed on the duplicated centroid's LOWER id
+    assert((0 until 150 by 10).forall(i => kernel(i.toLong) == 2L))
+  }
+
   test("NON-NULLABLE input stays codegen'd (generated code must not reference undeclared isNull)") {
     // regression: nullSafeCodeGen only DECLARES ev.isNull for nullable
     // expressions; the kernels' null-result guard referenced it

@@ -261,5 +261,29 @@ class FunctionsSpec extends AnyFunSuite with graft.testutil.MiniProp {
       assert(got(2 * p) == r.getLong(2), s"hi limb mismatch at cell $p")
       assert(got(2 * p + 1) == r.getLong(3), s"lo limb mismatch at cell $p")
     }
+    // r14: the row counter is the buffer's LAST slot and counts only the
+    // rows the fold actually accumulated
+    assert(got.length == 2 * nCells + 1)
+    assert(got.last == data.length.toLong)
+  }
+
+  test("triangle_limb_sum row counter excludes skipped (null-element) rows") {
+    import graft.functions.TriangleLimbSumAgg.triangle_limb_sum
+    val dim = 3
+    val nCells = dim * (dim + 1) / 2
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq(1L, 2L, 3L), Seq(4L, null, 6L), Seq(7L, 8L, 9L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))))
+    val got = df.agg(triangle_limb_sum(col("u"), dim).as("s"))
+      .select(explode(col("s")).as("v")).collect().map(_.getLong(0))
+    // ADVICE r13: a separate count(u) would have said 3; the fold skips
+    // the null-element row, and n must agree with the sums it skipped
+    assert(got.last == 2L)
+    // cell (0,0): 1*1 + 7*7 = 50 — the null row contributes nothing
+    assert(got(1) == 50L && got(0) == 0L)
   }
 }
