@@ -248,9 +248,20 @@ object Dedup {
       .select(least(col("doc_id"), col("doc_b")).as("a"),
         greatest(col("doc_id"), col("doc_b")).as("b"))
       .distinct()
-    cand
-      .join(docSh.select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza")), Seq("a"))
-      .join(docSh.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb")), Seq("b"))
+    // Verify with the CANDIDATE side as the build side (r14 opt, guide
+    // §3.1): cand is candidate-grain (two longs per row) while docSh
+    // carries the ranked shingle ARRAYS — the r13 shape let the planner
+    // broadcast the docSh projections (corpus-grain array payloads) into
+    // both verify joins. Streaming docSh against a broadcast of the pair
+    // list, then of the candidate-grain a-side rows, bounds what moves at
+    // candidate grain (never corpus grain): the b-side sets are read
+    // where they rest and only the pairs' own a-side sets travel. Join
+    // order flips are result-neutral (inner equi-joins).
+    val aSide = docSh
+      .select(col("doc_id").as("a"), col("shs").as("sha"), col("sz").as("sza"))
+      .join(broadcast(cand), Seq("a"))
+    docSh.select(col("doc_id").as("b"), col("shs").as("shb"), col("sz").as("szb"))
+      .join(broadcast(aSide), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .select(col("a"), col("b"),
         round(col("inter").cast(DoubleType) / least(col("sza"), col("szb")), 4).as("cont"),
@@ -434,21 +445,37 @@ object Dedup {
     // so a short bounded wait guards the fast path and an explicit
     // aggregate over the ALREADY-CHECKPOINTED rows is the fallback —
     // convergence detection can never hang or change.
-    def materializeChecked(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    // Returns (materialized labels, checksum, checksumIsObserved).
+    // Observed metrics are accumulator-based and NOT exactly-once — a
+    // retried or speculatively re-executed task double-counts its rows
+    // into the sum — so an observed checksum is trusted only as a fast
+    // path for NON-convergence (below); convergence is always confirmed
+    // with the exact aggregate. The bounded wait polls `getOrEmpty`
+    // (non-blocking) instead of parking a Future on the global pool: the
+    // old Await-with-timeout abandoned a thread blocked in `obs.get`
+    // forever on every timed-out round (ADVICE r13).
+    def materializeChecked(df: DataFrame): (DataFrame, java.math.BigDecimal, Boolean) = {
       val obs = org.apache.spark.sql.Observation()
       val m = materialize(df.observe(obs,
         coalesce(sum(col("lbl").cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO)).as("s")))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration._
-      val s = try {
-        Await.result(Future(obs.get.get("s")), 2.seconds)
-          .collect { case d: java.math.BigDecimal => d }
-      } catch { case _: java.util.concurrent.TimeoutException => None }
-      (m, s.getOrElse(checksum(m)))
+      val deadline = System.nanoTime() + 2000000000L // 2 s, metrics land on the listener bus
+      var s: Option[java.math.BigDecimal] = None
+      var waiting = true
+      while (waiting) {
+        if (obs.future.isCompleted) {
+          s = obs.future.value.flatMap(_.toOption)
+            .flatMap(row => Option(row.getAs[java.math.BigDecimal]("s")))
+          waiting = false
+        } else if (System.nanoTime() > deadline) waiting = false
+        else Thread.sleep(5)
+      }
+      s match {
+        case Some(d) => (m, d, true)
+        case None => (m, checksum(m), false)
+      }
     }
-    var (labels, sum0) = materializeChecked(edges.groupBy(col("u"))
+    var (labels, sum0, sum0Obs) = materializeChecked(edges.groupBy(col("u"))
       .agg(min(col("v")).as("lbl"))
       .select(col("u").as("vtx"), col("lbl")))
     var round = 0
@@ -458,12 +485,27 @@ object Dedup {
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
         .select(col("v").as("vtx"), col("lbl"))
         .transform(materialize)
-      val (jumped, sum1) = materializeChecked(nbrMin.as("x")
+      var (jumped, sum1, sum1Obs) = materializeChecked(nbrMin.as("x")
         .join(nbrMin.select(col("vtx").as("jv"), col("lbl").as("jl")).as("j"),
           col("x.lbl") === col("j.jv"), "left")
         .select(col("x.vtx").as("vtx"), least(col("x.lbl"), coalesce(col("j.jl"), col("x.lbl"))).as("lbl")))
       converged = sum1.compareTo(sum0) == 0
+      // A polluted observed sum could coincidentally EQUAL the previous
+      // round's and falsely declare convergence (silently wrong labels),
+      // so observed equality is re-checked with the exact aggregate over
+      // the checkpointed rows — one extra action on the final round only;
+      // observed INEQUALITY just runs another round, which is always safe
+      // (labels are monotone, a true fixpoint re-tests equal next round).
+      if (converged && sum1Obs) {
+        sum1 = checksum(jumped); sum1Obs = false
+        converged = sum1.compareTo(sum0) == 0
+      }
+      if (converged && sum0Obs) {
+        sum0 = checksum(labels)
+        converged = sum1.compareTo(sum0) == 0
+      }
       sum0 = sum1
+      sum0Obs = sum1Obs
       labels = jumped
       round += 1
     }
@@ -570,10 +612,13 @@ object Dedup {
     * per query. */
   private[ops] def shinglesAtRest(spark: SparkSession, dir: String): DataFrame =
     sigSetsAtRest(spark, dir)
-      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
 
-  /** [[simhash]] served from the at-rest shingle sets. */
+  /** [[simhash]] served from the at-rest shingle sets. No doc_id filter —
+    * the replaced simhash → shingles path never had one, so a null-doc_id
+    * fingerprint group (absent from the gate fixtures, but reachable on a
+    * corpus with null ids) is kept exactly as before (ADVICE r13: the
+    * filter belongs to the d18 path only, which always had it). */
   def simhashAtRest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimhashAgg.simhash_agg
     shinglesAtRest(spark, dir).withColumn("h", shingleHash64(col("shingle")))
@@ -631,7 +676,8 @@ object Dedup {
     * registry (r13 opt): a warmed calibration run touches no corpus text
     * at all — the d21 posture for the simhash fingerprint. */
   def simhashEvalAtRest(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame =
-    simhashEvalFrom(shinglesAtRest(spark, dir), Some(nearDupPairsAtRest(spark, dir, minJ)))
+    simhashEvalFrom(shinglesAtRest(spark, dir).filter(col("doc_id").isNotNull),
+      Some(nearDupPairsAtRest(spark, dir, minJ)))
 
   private def simhashEvalFrom(sh: DataFrame, truth: Option[DataFrame]): DataFrame = {
     val bands = Tables.materialize(simhashBandsFrom(sh))
@@ -1384,12 +1430,19 @@ object Dedup {
       |             substr(c_name, CAST(c_custkey % 16 AS INT) + 4))
       |END""".stripMargin.replace("\n", " ")
 
-  /** Depth-1 deletion neighborhood of a string column: the string itself
-    * plus every single-character deletion, deduplicated (deleting either of
-    * two equal adjacent characters yields one variant). */
-  private def delNeighborhoodExpr(c: String): String =
-    s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
-      s"i -> concat(substr($c, 1, i - 1), substr($c, i + 1)))))"
+  /** Deletion variant `i` of a string column: the string itself for
+    * `i = 0`, else the string with character `i` (1-based) deleted. The
+    * depth-1 neighborhood is this expression over i ∈ 0..length — kept as
+    * a scalar so the candidate join can key on `xxhash64(variant)` and
+    * re-derive the variant row-locally for the exact equality check
+    * (r14 opt): the blocking exchange then carries an 8-byte key + a
+    * 4-byte position instead of the ~18-char variant string, and the join
+    * compares longs. Equal-adjacent-character deletions yield duplicate
+    * variants (the old form array_distinct'ed them away); those only
+    * duplicate candidate rows, which `dropDuplicates(src_key, key)`
+    * removes before anything is counted, so `n_cand` is unchanged. */
+  private def delVariantAt(c: String, i: String): String =
+    s"CASE WHEN $i = 0 THEN $c ELSE concat(substr($c, 1, $i - 1), substr($c, $i + 1)) END"
 
   /** Fuzzy entity matching via symmetric-delete blocking (d19) — the
     * records-linkage operator a pipeline runs when keys are dirty (typo'd
@@ -1409,18 +1462,37 @@ object Dedup {
     * built-in) runs only on bucket collisions, exactly the SymSpell
     * production layout. At 100 TB the delete-variant index shuffles
     * n·(L+1) short strings, the same order as any inverted-index build. */
-  def fuzzyMatch(cust: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** [[fuzzyMatch]]'s candidate relation pre-verification — exposed so
+    * the plan-shape spec can pin the blocking join's 8-byte keys (the
+    * join runs eagerly under the materialize inside fuzzyMatch, so the
+    * gated query's own plan never shows it). */
+  private[graft] def fuzzyCandidates(cust: DataFrame): DataFrame = {
     val clean = cust.select(col("c_custkey").as("key"), col("c_name").as("name"))
     val dirty = cust.select(col("c_custkey").as("src_key"), expr(typoNameSql).as("dname"))
-    val ck = clean.select(col("key"), col("name"),
-      explode(expr(delNeighborhoodExpr("name"))).as("v"))
-    val dk = dirty.select(col("src_key"), col("dname"),
-      explode(expr(delNeighborhoodExpr("dname"))).as("v"))
-    val cand = dk.join(ck, Seq("v"))
+    // Candidate blocking on xxhash64(variant) — 8-byte equi-join keys
+    // (guide §2.3: shuffle keys, not payloads). Unlike d13, a hash
+    // collision here would CHANGE the output (`n_cand` counts candidates
+    // before the levenshtein verify), so exactness is preserved by
+    // re-deriving both variant strings row-locally from (string, deletion
+    // position) after the join and requiring true string equality — the
+    // candidate set is bit-identical to the string-keyed join's.
+    val ck = clean
+      .select(col("key"), col("name"), explode(expr("sequence(0, length(name))")).as("ci"))
+      .select(col("key"), col("name"), col("ci"),
+        xxhash64(expr(delVariantAt("name", "ci"))).as("vh"))
+    val dk = dirty
+      .select(col("src_key"), col("dname"), explode(expr("sequence(0, length(dname))")).as("di"))
+      .select(col("src_key"), col("dname"), col("di"),
+        xxhash64(expr(delVariantAt("dname", "di"))).as("vh"))
+    dk.join(ck, Seq("vh"))
+      .filter(expr(delVariantAt("dname", "di")) === expr(delVariantAt("name", "ci")))
       .select(col("src_key"), col("dname"), col("key"), col("name"))
       .dropDuplicates("src_key", "key")
-    val verified = materialize(cand
+  }
+
+  def fuzzyMatch(cust: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verified = materialize(fuzzyCandidates(cust)
       .withColumn("lev", levenshtein(col("dname"), col("name")).cast(LongType)))
     val nc = verified.groupBy(col("src_key")).agg(count(lit(1)).as("n_cand"))
     val w = Window.partitionBy(col("src_key")).orderBy(col("lev"), col("key"))

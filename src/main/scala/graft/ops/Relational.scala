@@ -713,16 +713,24 @@ object Relational {
     // The inlined literal IS the exact double the join used to carry, so
     // every downstream value (ad, the outlier rule, the rounded finals)
     // is bit-identical.
+    // Empty-fit guard (ADVICE r13): `map()` with zero entries types as
+    // map<void,void> and fails analysis under element_at — an empty
+    // lineitem must yield the empty aggregate (the old join form's
+    // behaviour), so the literal degrades to a typed null; a null
+    // percentile (a group of all-null x) is skipped rather than NPE'd in
+    // the unboxing getDouble. Neither case occurs on the gate fixtures,
+    // so inlined values are unchanged where they exist.
     def litMap(fit: Array[(String, Double)]): Column =
-      element_at(map(fit.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+      if (fit.isEmpty) lit(null).cast(DoubleType)
+      else element_at(map(fit.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
         col("l_returnflag"))
-    val med = litMap(li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)))
+    def collectFit(rows: Array[org.apache.spark.sql.Row]): Array[(String, Double)] =
+      rows.flatMap(r => Option(r.get(1)).map(v => r.getString(0) -> v.asInstanceOf[Double]))
+    val med = litMap(collectFit(li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med")).collect()))
     val ad = abs(col("x") - med)
-    val mad = litMap(li.withColumn("ad", ad).groupBy(col("l_returnflag"))
-      .agg(expr("percentile(ad, 0.5)").as("mad")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)))
+    val mad = litMap(collectFit(li.withColumn("ad", ad).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(ad, 0.5)").as("mad")).collect()))
     li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         round(first(med), 4).as("med"),

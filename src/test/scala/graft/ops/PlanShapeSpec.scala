@@ -59,6 +59,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d19: candidate blocking joins on the 8-byte variant hash, not the variant string (r14)") {
+    // the SymSpell blocking join runs eagerly under fuzzyMatch's
+    // materialize, so the gated query's own plan never shows it — pin the
+    // candidate relation directly: the exchange partitions on the LONG
+    // xxhash64(variant), and the exact variant equality is re-derived
+    // row-locally after the join (no ~18-char variant column rides the
+    // shuffle; n_cand semantics are preserved by the string re-check)
+    val p = graft.ops.Dedup.fuzzyCandidates(Tables.t(spark, dir, "customer"))
+      .queryExecution.executedPlan.toString
+    // the 8-byte hash is among the equi-join keys…
+    assert("vh#\\d+L\\], Inner".r.findFirstIn(p).isDefined
+      || "vh#\\d+L\\],\\s".r.findFirstIn(p).isDefined, p.take(3000))
+    // …alongside the exact variant equality, which Catalyst extracts into
+    // the keys from the post-join filter (recomputed from (string,
+    // position) — bit-identical candidate set, no collision can add one)
+    assert(p.contains("CASE WHEN"), p.take(3000))
+    // and no materialized variant column rides the exploded relations —
+    // each side's rows carry the 4-byte deletion position instead
+    assert(!p.contains("AS v#"), p.take(3000))
+    assert("Generate explode\\(sequence".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("d2: builds the at-rest pair registry in ONE documents scan; warmed consumers scan ZERO") {
     // first toucher executes the exact PPJoin (one materialized shingle
     // pipeline = one scan) and dumps the relation; afterwards every
