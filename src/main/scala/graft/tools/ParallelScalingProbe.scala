@@ -36,13 +36,23 @@ object ParallelScalingProbe {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nD = emb.selectExpr("size(embedding)").head().getInt(0)
-    val nRows = emb.count() * copies
+    // The fixture is one small parquet file, so the scan is ONE task:
+    // everything before the exchange serializes. Fan out in two stages —
+    // a cheap pre-shuffle explode (pre copies leave the single scan
+    // task), then the rest of the replication AND the decimal
+    // quantization AFTER the round-robin exchange, where 4 tasks/core
+    // run them in parallel. Only the post-exchange work is the scaling
+    // subject; the serial prefix is a few MB of row copying.
+    val pre = math.max(1, math.ceil(math.sqrt(copies.toDouble)).toInt)
+    val post = math.max(1, math.ceil(copies.toDouble / pre).toInt)
+    val nRows = emb.count() * pre * post
     val big = emb
-      .withColumn("rep", explode(expr(s"sequence(1, $copies)")))
+      .withColumn("rep", explode(expr(s"sequence(1, $pre)")))
+      .repartition(4 * cpus.toInt)
+      .withColumn("rep2", explode(expr(s"sequence(1, $post)")))
       .select(expr(
         "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(18,8)) * 100000000 AS BIGINT))")
         .as("u"))
-      .repartition(4 * cpus.toInt)
 
     def once(): Double = {
       val t0 = System.nanoTime()
