@@ -699,43 +699,29 @@ object Relational {
     * q26's mergeable sketch is the single-pass path at 100 TB, and this
     * query is the EXACT reference it is validated against). */
   def q40_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+    // r14 opt (guide §1.2): the r13 form ran THREE corpus passes — a
+    // percentile(x) fit collected to the driver, a percentile(|x−med|)
+    // fit collected to the driver, and the outlier-count pass — because
+    // each stage's fit fed the next as an inlined literal. All three
+    // statistics are functions of the group's value multiset, so ONE
+    // buffered typed aggregate (RobustStatsAgg) computes n, med, MAD and
+    // the modified z-score outlier count in a single scan with zero
+    // driver round-trips. Bit-identical by construction: the aggregate
+    // replicates Spark percentile's interpolation arithmetic exactly
+    // (RobustStatsSpec pins it against the built-in and against the
+    // full three-pass formulation on the gate tables), and the outlier
+    // predicate evaluates the same per-value doubles. Empty input yields
+    // no groups (the old join form's behaviour — this also closes the
+    // ADVICE r13 empty-fit analysis-error hazard structurally).
+    import graft.functions.RobustStatsAgg.robust_stats
+    t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("x"))
-    // The med and MAD fits are GROUP-GRAIN metadata (one double per
-    // l_returnflag — 3 groups), so they follow the centroid-fit
-    // discipline: collected to the driver and inlined as a literal map
-    // instead of broadcast-joined back. The r12 form materialized the
-    // whole corpus with `med` attached (localCheckpoint of every row)
-    // because both the MAD fit and the outlier pass consumed the joined
-    // relation; with the fit inlined there is nothing to attach — each
-    // pass is a plain scan + map-side-combined aggregate, no checkpoint,
-    // no joins (2 Exchanges + checkpoint → 2 Exchanges, 3 jobs total).
-    // The inlined literal IS the exact double the join used to carry, so
-    // every downstream value (ad, the outlier rule, the rounded finals)
-    // is bit-identical.
-    // Empty-fit guard (ADVICE r13): `map()` with zero entries types as
-    // map<void,void> and fails analysis under element_at — an empty
-    // lineitem must yield the empty aggregate (the old join form's
-    // behaviour), so the literal degrades to a typed null; a null
-    // percentile (a group of all-null x) is skipped rather than NPE'd in
-    // the unboxing getDouble. Neither case occurs on the gate fixtures,
-    // so inlined values are unchanged where they exist.
-    def litMap(fit: Array[(String, Double)]): Column =
-      if (fit.isEmpty) lit(null).cast(DoubleType)
-      else element_at(map(fit.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
-        col("l_returnflag"))
-    def collectFit(rows: Array[org.apache.spark.sql.Row]): Array[(String, Double)] =
-      rows.flatMap(r => Option(r.get(1)).map(v => r.getString(0) -> v.asInstanceOf[Double]))
-    val med = litMap(collectFit(li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med")).collect()))
-    val ad = abs(col("x") - med)
-    val mad = litMap(collectFit(li.withColumn("ad", ad).groupBy(col("l_returnflag"))
-      .agg(expr("percentile(ad, 0.5)").as("mad")).collect()))
-    li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        round(first(med), 4).as("med"),
-        round(first(mad), 4).as("mad"),
-        sum(when(ad * 0.6745 > mad * 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      .groupBy(col("l_returnflag"))
+      .agg(robust_stats(col("x")).as("m"))
+      .select(col("l_returnflag"), col("m.n").as("n"),
+        round(col("m.med"), 4).as("med"),
+        round(col("m.mad"), 4).as("mad"),
+        col("m.n_outliers").as("n_outliers"))
   }
 
   /** DuckDB oracle twin of [[q40_mad_outliers]] — same staged medians
